@@ -1,0 +1,12 @@
+"""Relational operator library (SURVEY.md §2 Tier B).
+
+Most Tier-B operators are direct Spark primitives; this package holds
+the compositions Spark lacks natively (as-of join, range join, per-group
+top-k, sessionization) plus thin, tested wrappers that encode the
+scale-correct strategy (broadcast hints, salt-for-skew).
+"""
+
+from pg_lakehouse_spark.operators.joins import asof_join, range_join
+from pg_lakehouse_spark.operators.topk import top_k, top_k_per_group
+
+__all__ = ["asof_join", "range_join", "top_k", "top_k_per_group"]

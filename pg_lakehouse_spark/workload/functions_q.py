@@ -1,0 +1,345 @@
+"""Scalar-function workload — string / date / math / array / json / cast.
+
+SURVEY.md §2 Tier B function rows. All expressions are built-in
+``pyspark.sql.functions`` (JVM, whole-stage codegen) — no Python UDFs.
+
+Dialect discipline vs the DuckDB oracle: integer-returning functions are
+cast to BIGINT on both sides (Spark length/instr return INT, DuckDB
+BIGINT); double→int casts are avoided entirely (Spark truncates, DuckDB
+rounds — we use explicit floor/trunc instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.workload import register
+from pg_lakehouse_spark.workload.util import t
+
+
+@register(
+    "q_string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                                   AS uname,
+       lower(p_brand)                                  AS lbrand,
+       substring(p_name, 1, 8)                         AS prefix8,
+       CAST(length(p_name) AS BIGINT)                  AS name_len,
+       p_brand || '/' || p_type                        AS brand_type,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0')       AS padded_key,
+       replace(p_type, ' ', '_')                       AS type_snake,
+       trim('  ' || p_brand || '  ')                   AS trimmed,
+       reverse(p_brand)                                AS rev_brand,
+       CAST(strpos(p_name, 'a') AS BIGINT)             AS first_a,
+       regexp_extract(p_brand, '([0-9]+)', 1)          AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '*', 'g')     AS devoweled,
+       CAST(length(string_split(p_name, ' ')) AS BIGINT) AS n_words
+FROM part
+WHERE p_partkey <= 200
+""",
+    tags=("functions-string",),
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_name", 1, 8).alias("prefix8"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.reverse(F.col("p_brand")).alias("rev_brand"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.regexp_extract(F.col("p_brand"), r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace(F.col("p_name"), r"[aeiou]", "*").alias("devoweled"),
+        F.size(F.split(F.col("p_name"), " ")).cast("long").alias("n_words"),
+    )
+
+
+@register(
+    "q_datetime_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT)      AS yr,
+       CAST(month(o_orderdate) AS BIGINT)     AS mon,
+       CAST(day(o_orderdate) AS BIGINT)       AS dom,
+       CAST(quarter(o_orderdate) AS BIGINT)   AS qtr,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       strftime(o_orderdate, '%Y-%m')         AS ym,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+FROM orders
+WHERE o_orderkey <= 500
+""",
+    tags=("functions-datetime",),
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mon"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.date_format(d + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "q_math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_extendedprice - 30000), 2)       AS abs_diff,
+       CAST(ceil(l_quantity / 7.0) AS DOUBLE)       AS ceil_q,
+       CAST(floor(l_quantity / 7.0) AS DOUBLE)      AS floor_q,
+       round(sqrt(l_extendedprice), 4)              AS sqrt_price,
+       round(ln(l_extendedprice + 1), 6)            AS ln_price,
+       round(exp(l_discount), 6)                    AS exp_disc,
+       round(power(l_tax + 1, 2), 6)                AS pow_tax,
+       CAST(mod(CAST(l_orderkey AS BIGINT), 7) AS BIGINT) AS mod7,
+       CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS sgn,
+       round(greatest(l_quantity, 25.0), 2)         AS gq,
+       round(least(l_quantity, 25.0), 2)            AS lq
+FROM lineitem
+WHERE l_orderkey <= 400
+""",
+    tags=("functions-math",),
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("abs_diff"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("double").alias("ceil_q"),
+        F.floor(F.col("l_quantity") / 7.0).cast("double").alias("floor_q"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("pow_tax"),
+        (F.col("l_orderkey") % 7).cast("long").alias("mod7"),
+        F.signum(F.col("l_extendedprice") - 30000).cast("double").alias("sgn"),
+        F.round(F.greatest(F.col("l_quantity"), F.lit(25.0)), 2).alias("gq"),
+        F.round(F.least(F.col("l_quantity"), F.lit(25.0)), 2).alias("lq"),
+    )
+
+
+@register(
+    "q_cast_types",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR)          AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       strftime(o_orderdate, '%Y-%m-%d')    AS od_date,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_str,
+       CAST(o_custkey AS DOUBLE)            AS ck_double,
+       CAST(trunc(o_totalprice) AS BIGINT)  AS price_trunc,
+       CAST(o_orderstatus = 'O' AS VARCHAR) AS is_open_str
+FROM orders
+WHERE o_orderkey <= 300
+""",
+    tags=("functions-cast",),
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("od_str"),
+        F.col("o_custkey").cast("double").alias("ck_double"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_trunc"),
+        (F.col("o_orderstatus") == "O").cast("string").alias("is_open_str"),
+    )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       count(nullif(o_orderpriority, '5-LOW')) AS n_not_low,
+       count(*) - count(nullif(o_orderpriority, '5-LOW')) AS n_low,
+       round(sum(coalesce(nullif(o_totalprice, 0.0), 0.0)), 2) AS total,
+       count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("functions-null",),
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    not_low = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(not_low).alias("n_not_low"),
+        (F.count(F.lit(1)) - F.count(not_low)).alias("n_low"),
+        F.round(
+            F.sum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(0.0))),
+            2,
+        ).alias("total"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("n_null_price"),
+    )
+
+
+@register(
+    "q_json_functions",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("functions-json",),
+)
+def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "q_array_functions",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 5) AS first_dim,
+       round(CAST(embedding[64] AS DOUBLE), 5) AS last_dim,
+       round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 5)
+         AS head_sum,
+       round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 5)
+         AS max_dim
+FROM embeddings
+WHERE vec_id <= 100
+""",
+    tags=("functions-array",),
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 100)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head = F.transform(F.slice(F.col("embedding"), 1, 8), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 5).alias("first_dim"),
+        F.round(F.element_at("embedding", 64).cast("double"), 5).alias("last_dim"),
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x), 5
+        ).alias("head_sum"),
+        F.round(F.array_max(as_double), 5).alias("max_dim"),
+    )
+
+
+@register(
+    "q_explode_wordcount",
+    oracle="""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+WHERE length(word) > 3
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 50
+""",
+    tags=("functions-explode",),
+)
+def q_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 3)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(50)
+    )
+
+
+@register(
+    "q_struct_map_access",
+    oracle="""
+SELECT o_orderkey,
+       struct_extract(struct_pack(k := o_orderkey, price := o_totalprice), 'k')
+         AS packed_key,
+       round(struct_extract(struct_pack(k := o_orderkey, price := o_totalprice),
+                            'price'), 2) AS packed_price,
+       map(['status'], [o_orderstatus])['status'][1] AS mapped_status
+FROM orders
+WHERE o_orderkey <= 200
+""",
+    tags=("functions-struct-map",),
+)
+def q_struct_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    packed = F.struct(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    m = F.create_map(F.lit("status"), F.col("o_orderstatus"))
+    return orders.select(
+        "o_orderkey",
+        packed.getField("k").alias("packed_key"),
+        F.round(packed.getField("price"), 2).alias("packed_price"),
+        m.getItem("status").alias("mapped_status"),
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg-percentile",),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+# Approximate aggregates: engine-specific sketches (HLL / KLL) can't
+# hash-match a DuckDB oracle — registered rows-only by design.
+
+
+@register("q_approx_distinct", oracle=None, tags=("agg-approx",))
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("q_approx_percentile", oracle=None, tags=("agg-approx",))
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+    )

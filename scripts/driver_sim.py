@@ -1,0 +1,78 @@
+"""Simulate the driver's verify pass against __spark_entry__.py.
+
+Imports the contract module the way the driver does, runs entry() as a
+smoke check, then runs every queries() entry at sf0.01 and compares to
+oracle_sql() via DuckDB (row count + columns + order-insensitive
+values). Exit 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as contract  # noqa: E402
+from pg_lakehouse_spark import get_spark  # noqa: E402
+from pg_lakehouse_spark.tables import TABLE_NAMES  # noqa: E402
+from tests.oracle_utils import normalize  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    spark = get_spark("driver-sim")
+
+    # --- smoke: entry() ---
+    res = contract.entry(spark)
+    rows = res.collect()
+    print(f"entry(): {len(rows)} rows, schema={[f.name for f in res.schema.fields]}")
+    assert len(rows) > 0
+
+    qs = contract.queries()
+    oracles = contract.oracle_sql()
+    extra = set(oracles) - set(qs)
+    assert not extra, f"oracle_sql keys missing from queries(): {extra}"
+    print(f"queries: {len(qs)} total, {len(oracles)} oracle-backed")
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    failed = []
+    for name, fn in sorted(qs.items()):
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+            if name in oracles:
+                ddf = con.execute(oracles[name]).df()
+                ok = (
+                    sorted(sdf.columns) == sorted(ddf.columns)
+                    and len(sdf) == len(ddf)
+                    and normalize(sdf) == normalize(ddf)
+                )
+                status = "MATCH" if ok else "MISMATCH"
+                if not ok:
+                    failed.append(name)
+            else:
+                status = f"rows-only ({len(sdf)} rows)"
+            print(f"  {name}: {status}")
+        except Exception:
+            failed.append(name)
+            print(f"  {name}: ERROR")
+            traceback.print_exc()
+
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok; failed: {failed}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
