@@ -1,0 +1,608 @@
+"""Snapshot-versioned lakehouse tables on parquet + JSON metadata.
+
+Spark-first re-implementation of the reference's storage surface
+(SURVEY.md §2 Tier A). The reference builds a PostgreSQL Table Access
+Method over Apache Iceberg (pg_lakehouse_iceberg/src/*); no Iceberg
+runtime jar ships in this environment, so this module implements the
+same *capability set* natively:
+
+- table identity + catalog           (ref table_ops.c:205-396,
+                                      catalog/pg_catalog.cpp:127-471)
+- ACID append via atomic pointer swap (ref commit_ops.c:87-212,
+                                      pg_catalog.cpp:258-332)
+- snapshot / time-travel reads        (ref iceberg_bridge.cpp:435-437)
+- DELETE / UPDATE / MERGE, copy-on-write (ref iceberg_am.c:141-159,
+                                      declared/TODO in the reference)
+- TRUNCATE                            (ref iceberg_am.c:245-249)
+- compaction / snapshot expiry / orphan cleanup (ref iceberg_am.c:
+                                      274-287, commit_ops.c:217-272)
+- table info from snapshot summary    (ref iceberg_bridge.cpp:337-395)
+
+Layout per table::
+
+    <warehouse>/<namespace>/<table>/
+        data/<snapshot>-<uuid>-partNNN[.partition dirs].parquet
+        _lakehouse/v{N}.metadata.json     # full file listing + schema
+        _lakehouse/VERSION                # pointer file → N (atomic swap)
+
+Commit protocol: writers stage parquet under ``data/`` (invisible —
+readers only see files listed in committed metadata), then write
+``v{N+1}.metadata.json`` and atomically swap ``VERSION`` from N to
+N+1 under an O_EXCL lock with a parent-version check — the same
+optimistic pattern as the reference's SELECT FOR UPDATE + requirements
+validation + pointer UPDATE (pg_catalog.cpp:264-325).
+
+Scale posture (100 TB):
+
+- Reads are ``spark.read.parquet(<file list>)`` — split planning,
+  pushdown and pruning are Spark-native; metadata lists files, never
+  rows.
+- DELETE/UPDATE rewrite only the files that contain matching rows
+  (file-level pruning via ``input_file_name``); untouched files are
+  carried by reference into the new snapshot.
+- Commits are O(metadata). The only driver-side collects are file
+  lists and counts — never data.
+"""
+
+from __future__ import annotations
+
+import fcntl
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_META_DIR = "_lakehouse"
+_DATA_DIR = "data"
+_POINTER = "VERSION"
+
+
+class LakehouseError(RuntimeError):
+    pass
+
+
+class CommitConflict(LakehouseError):
+    """Another writer committed since this transaction's base snapshot
+    (ref: requirements validation failure, pg_catalog.cpp:277-285)."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    snapshot_id: int
+    parent: int | None
+    operation: str
+    timestamp_ms: int
+    schema_json: str
+    files: list[dict]  # {"path": rel, "rows": int, "bytes": int}
+    summary: dict = field(default_factory=dict)
+    properties: dict = field(default_factory=dict)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f["rows"] for f in self.files)
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f["bytes"] for f in self.files)
+
+
+def _file_stats(path: str) -> tuple[int, int]:
+    """(rows, bytes) from the parquet footer — metadata-only read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+
+
+class LakeTable:
+    """One snapshot-versioned table."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+        self.meta_dir = os.path.join(location, _META_DIR)
+        self.data_dir = os.path.join(location, _DATA_DIR)
+
+    # ------------------------------------------------------------------
+    # metadata plumbing
+    # ------------------------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.meta_dir, _POINTER)
+
+    def current_version(self) -> int:
+        with open(self._pointer_path()) as f:
+            return int(f.read().strip())
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.metadata.json")
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        version = self.current_version() if version is None else version
+        path = self._meta_path(version)
+        if not os.path.exists(path):
+            raise LakehouseError(
+                f"snapshot v{version} does not exist (expired or never written)"
+            )
+        with open(path) as f:
+            d = json.load(f)
+        return Snapshot(**d)
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for p in sorted(
+            glob.glob(os.path.join(self.meta_dir, "v*.metadata.json")),
+            key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
+        ):
+            with open(p) as f:
+                out.append(Snapshot(**json.load(f)))
+        return out
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.snapshot().schema_json))
+
+    def table_info(self) -> dict:
+        """Snapshot id + totals (ref iceberg_bridge_table_get_info,
+        iceberg_bridge.cpp:337-395)."""
+        s = self.snapshot()
+        return {
+            "location": self.location,
+            "version": s.version,
+            "snapshot_id": s.snapshot_id,
+            "operation": s.operation,
+            "total_rows": s.total_rows,
+            "total_files": len(s.files),
+            "total_bytes": s.total_bytes,
+        }
+
+    def _commit(
+        self,
+        base_version: int,
+        operation: str,
+        files: list[dict],
+        schema_json: str,
+        summary: dict | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Atomic snapshot commit with optimistic concurrency."""
+        lock_path = os.path.join(self.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            current = self.current_version()
+            if current != base_version:
+                raise CommitConflict(
+                    f"table advanced to v{current} since base v{base_version}"
+                )
+            parent = self.snapshot(current) if current > 0 else None
+            snap = Snapshot(
+                version=current + 1,
+                snapshot_id=current + 1,
+                parent=current if current > 0 else None,
+                operation=operation,
+                timestamp_ms=int(time.time() * 1000),
+                schema_json=schema_json,
+                files=files,
+                summary=summary or {},
+                properties=(parent.properties if parent else {})
+                | (properties or {}),
+            )
+            meta_path = self._meta_path(snap.version)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(snap.__dict__, f)
+            os.rename(tmp, meta_path)
+            # the pointer swap IS the commit (ref pg_catalog.cpp:315-325)
+            ptr_tmp = self._pointer_path() + ".tmp"
+            with open(ptr_tmp, "w") as f:
+                f.write(str(snap.version))
+            os.replace(ptr_tmp, self._pointer_path())
+            return snap
+
+    # ------------------------------------------------------------------
+    # write paths
+    # ------------------------------------------------------------------
+
+    def _stage_dataframe(self, df: DataFrame, snapshot_hint: int) -> list[dict]:
+        """Write df as parquet data files; return their file entries.
+
+        Files land in data/ under snapshot-unique names but are
+        INVISIBLE until a commit lists them — exactly the reference's
+        'data files written during txn, visible after catalog swap'
+        model (commit_ops.h:31-44). Executors write in parallel; only
+        file *names* pass through the driver.
+        """
+        staging = os.path.join(
+            self.location, f"_staging-{snapshot_hint}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(self.data_dir, exist_ok=True)
+        entries = []
+        for i, src in enumerate(sorted(glob.glob(os.path.join(staging, "*.parquet")))):
+            name = f"s{snapshot_hint}-{uuid.uuid4().hex[:8]}-part{i:05d}.parquet"
+            dst = os.path.join(self.data_dir, name)
+            os.rename(src, dst)
+            rows, nbytes = _file_stats(dst)
+            entries.append(
+                {"path": os.path.join(_DATA_DIR, name), "rows": rows, "bytes": nbytes}
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _check_schema(self, df: DataFrame) -> None:
+        expected = self.schema()
+        got = df.schema
+        if [(f.name, f.dataType) for f in expected.fields] != [
+            (f.name, f.dataType) for f in got.fields
+        ]:
+            raise LakehouseError(
+                f"schema mismatch: table={expected.simpleString()} "
+                f"df={got.simpleString()} (schema evolution not supported, "
+                "matching the reference's fixed schema-on-write model)"
+            )
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """INSERT/append (ref A9+A10: write_ops.c buffering + commit)."""
+        self._check_schema(df)
+        base = self.current_version()
+        new_files = self._stage_dataframe(df, base + 1)
+        files = self.snapshot(base).files + new_files if base > 0 else new_files
+        return self._commit(
+            base, "append", files, self.snapshot(base).schema_json
+            if base > 0 else df.schema.json(),
+            summary={"added_files": len(new_files),
+                     "added_rows": sum(f["rows"] for f in new_files)},
+        )
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        """Full-table overwrite (new snapshot; old files stay until expiry)."""
+        self._check_schema(df)
+        base = self.current_version()
+        new_files = self._stage_dataframe(df, base + 1)
+        return self._commit(
+            base, "overwrite", new_files, self.snapshot(base).schema_json,
+            summary={"added_files": len(new_files)},
+        )
+
+    def truncate(self) -> Snapshot:
+        """TRUNCATE (ref A14, iceberg_am.c:245-249) — empty snapshot,
+        history retained (time travel still sees old data)."""
+        base = self.current_version()
+        return self._commit(base, "truncate", [], self.snapshot(base).schema_json)
+
+    # ------------------------------------------------------------------
+    # read paths
+    # ------------------------------------------------------------------
+
+    def read(self, snapshot: int | None = None) -> DataFrame:
+        """Scan the table at the current (or a pinned) snapshot —
+        ref A1/A6. Returns a lazy DataFrame over the snapshot's file
+        list; Spark plans splits/pushdown natively (supersedes the
+        reference's hand-rolled parallel scan A7/A8)."""
+        s = self.snapshot(snapshot)
+        schema = StructType.fromJson(json.loads(s.schema_json))
+        if not s.files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.location, f["path"]) for f in s.files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ------------------------------------------------------------------
+    # DML — copy-on-write (the reference declares these via TAM
+    # callbacks but never implemented them: iceberg_am.c:141-159)
+    # ------------------------------------------------------------------
+
+    def _affected_files(self, condition: Column) -> list[str]:
+        """Relative paths of data files containing matching rows.
+        File-level pruning: everything else is carried by reference."""
+        cur = self.read()
+        hit = (
+            cur.filter(condition)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        loc = "file:" + self.location  # input_file_name returns URIs
+        out = []
+        for r in hit:
+            p = r["f"]
+            for prefix in (loc + "/", "file://" + self.location + "/",
+                           self.location + "/"):
+                if p.startswith(prefix):
+                    out.append(p[len(prefix):])
+                    break
+        return out
+
+    def _rewrite(
+        self, operation: str, condition: Column, transform
+    ) -> Snapshot:
+        base = self.current_version()
+        snap = self.snapshot(base)
+        affected = set(self._affected_files(condition))
+        if not affected:
+            return snap  # no-op: nothing matched
+        keep = [f for f in snap.files if f["path"] not in affected]
+        touched_paths = [
+            os.path.join(self.location, p) for p in sorted(affected)
+        ]
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        touched = self.spark.read.schema(schema).parquet(*touched_paths)
+        rewritten = transform(touched)
+        new_files = self._stage_dataframe(rewritten, base + 1)
+        return self._commit(
+            base, operation, keep + new_files, snap.schema_json,
+            summary={"rewritten_files": len(affected),
+                     "added_files": len(new_files)},
+        )
+
+    def delete(self, condition: Column) -> Snapshot:
+        """DELETE FROM t WHERE ... (ref A12)."""
+        return self._rewrite(
+            "delete", condition, lambda df: df.filter(~condition)
+        )
+
+    def update(self, condition: Column, assignments: dict[str, Column]) -> Snapshot:
+        """UPDATE t SET col=expr WHERE ... (ref A13)."""
+
+        def transform(df: DataFrame) -> DataFrame:
+            cols = []
+            for name in df.columns:
+                if name in assignments:
+                    cols.append(
+                        F.when(condition, assignments[name])
+                        .otherwise(F.col(name))
+                        .alias(name)
+                    )
+                else:
+                    cols.append(F.col(name))
+            return df.select(*cols)
+
+        return self._rewrite("update", condition, transform)
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, Column] | None = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool = True,
+    ) -> Snapshot:
+        """MERGE INTO (upsert) — ref A13's roadmap 'MERGE for upsert'.
+
+        Copy-on-write over the whole table (file-granular pruning of
+        the merge would need min/max key stats per file — future work;
+        the full rewrite is still executor-parallel and never
+        driver-materialized).
+        """
+        base = self.current_version()
+        snap = self.snapshot(base)
+        target = self.read()
+        src = source.select(
+            F.struct(*[F.col(c) for c in source.columns]).alias("__src"),
+            *[F.col(c).alias(f"__k_{c}") for c in on],
+        )
+        cond = [target[c] == F.col(f"__k_{c}") for c in on]
+        joined = target.join(
+            F.broadcast(src) if _is_small(source) else src,
+            on=cond[0] if len(cond) == 1 else F.expr(
+                " AND ".join(f"`{c}` = `__k_{c}`" for c in on)
+            ),
+            how="full_outer",
+        )
+        matched = F.col("__src").isNotNull() & F.col(on[0]).isNotNull()
+        src_only = F.col(on[0]).isNull()
+
+        cols = []
+        for name in target.columns:
+            val = F.col(name)
+            if when_matched_update and name in when_matched_update:
+                val = F.when(matched, when_matched_update[name]).otherwise(val)
+            if when_not_matched_insert:
+                val = F.when(src_only, F.col(f"__src.{name}")).otherwise(val)
+            cols.append(val.alias(name))
+        out = joined
+        if when_matched_delete:
+            out = out.filter(~matched)
+        if not when_not_matched_insert:
+            out = out.filter(~src_only)
+        result = out.select(*cols)
+        new_files = self._stage_dataframe(result, base + 1)
+        return self._commit(
+            base, "merge", new_files, snap.schema_json,
+            summary={"added_files": len(new_files)},
+        )
+
+    # ------------------------------------------------------------------
+    # maintenance (ref A21/A11 — all TODO stubs in the reference)
+    # ------------------------------------------------------------------
+
+    def compact(
+        self, small_file_bytes: int = 32 * 1024 * 1024, min_files: int = 2
+    ) -> Snapshot:
+        """Rewrite small files into fewer large ones (ref auto-compaction
+        GUC, handler.c:64-65; Iceberg rewrite_data_files analog)."""
+        base = self.current_version()
+        snap = self.snapshot(base)
+        small = [f for f in snap.files if f["bytes"] < small_file_bytes]
+        if len(small) < min_files:
+            return snap
+        keep = [f for f in snap.files if f["bytes"] >= small_file_bytes]
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.location, f["path"]) for f in small]
+        )
+        target_files = max(
+            1, (sum(f["bytes"] for f in small) + small_file_bytes - 1)
+            // small_file_bytes,
+        )
+        new_files = self._stage_dataframe(df.repartition(target_files), base + 1)
+        return self._commit(
+            base, "compact", keep + new_files, snap.schema_json,
+            summary={"compacted_files": len(small), "added_files": len(new_files)},
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop old snapshot metadata (time travel window shrinks)."""
+        snaps = self.snapshots()
+        current = self.current_version()
+        keep_versions = {s.version for s in snaps[-keep_last:]} | {current}
+        expired = []
+        for s in snaps:
+            if s.version not in keep_versions:
+                os.remove(self._meta_path(s.version))
+                expired.append(s.version)
+        return expired
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data files referenced by no live snapshot (ref
+        iceberg_cleanup_orphan_files, commit_ops.c:243-272)."""
+        live = {
+            f["path"] for s in self.snapshots() for f in s.files
+        }
+        removed = []
+        for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
+            rel = os.path.join(_DATA_DIR, os.path.basename(p))
+            if rel not in live:
+                os.remove(p)
+                removed.append(rel)
+        return removed
+
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """expire + orphan cleanup (ref iceberg_vacuum_rel, A21)."""
+        expired = self.expire_snapshots(keep_last)
+        removed = self.remove_orphan_files()
+        return {"expired_snapshots": expired, "removed_files": removed}
+
+
+def _is_small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
+    """Heuristic broadcast gate for merge sources. At 100 TB the real
+    signal is size stats; row-limit keeps local tests honest."""
+    try:
+        return df.limit(limit_rows + 1).count() <= limit_rows
+    except Exception:
+        return False
+
+
+class LakeCatalog:
+    """Namespace/table catalog over a warehouse directory (ref
+    PgCatalog over lakehouse_tables, catalog/pg_catalog.cpp:127-471;
+    namespace ≡ PG schema, pg_catalog.h:29)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _loc(self, namespace: str, name: str) -> str:
+        return os.path.join(self.warehouse, namespace, name)
+
+    def table_exists(self, namespace: str, name: str) -> bool:
+        return os.path.exists(
+            os.path.join(self._loc(namespace, name), _META_DIR, _POINTER)
+        )
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        schema: StructType,
+        properties: dict | None = None,
+        if_not_exists: bool = False,
+    ) -> LakeTable:
+        """CREATE TABLE (ref A15, table_ops.c:205-274). Validates the
+        reference's option set via properties (file_format etc.)."""
+        props = dict(properties or {})
+        fmt = props.get("file_format", "parquet")
+        if fmt not in ("parquet",):  # orc/avro: see sources module
+            raise LakehouseError(
+                f"unsupported file_format {fmt!r} for lakehouse tables "
+                "(reference whitelist: parquet/orc/avro, table_ops.c:78-87; "
+                "this engine versions parquet only — use sources.py for "
+                "plain orc/avro reads)"
+            )
+        loc = self._loc(namespace, name)
+        if self.table_exists(namespace, name):
+            if if_not_exists:
+                return LakeTable(self.spark, loc)
+            raise LakehouseError(f"table {namespace}.{name} already exists")
+        os.makedirs(os.path.join(loc, _META_DIR), exist_ok=True)
+        os.makedirs(os.path.join(loc, _DATA_DIR), exist_ok=True)
+        table = LakeTable(self.spark, loc)
+        snap = Snapshot(
+            version=1,
+            snapshot_id=1,
+            parent=None,
+            operation="create",
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=schema.json(),
+            files=[],
+            properties=props,
+        )
+        with open(table._meta_path(1), "w") as f:
+            json.dump(snap.__dict__, f)
+        with open(table._pointer_path(), "w") as f:
+            f.write("1")
+        return table
+
+    def create_table_as(
+        self, namespace: str, name: str, df: DataFrame, properties: dict | None = None
+    ) -> LakeTable:
+        """CTAS — create + initial append in one call."""
+        tbl = self.create_table(namespace, name, df.schema, properties)
+        tbl.append(df)
+        return tbl
+
+    def load_table(self, namespace: str, name: str) -> LakeTable:
+        if not self.table_exists(namespace, name):
+            raise LakehouseError(f"table {namespace}.{name} does not exist")
+        return LakeTable(self.spark, self._loc(namespace, name))
+
+    def drop_table(self, namespace: str, name: str, purge: bool = False) -> None:
+        """DROP TABLE [PURGE] (ref A17, table_ops.c:358-396; purge was
+        TODO in the reference, pg_catalog.cpp:431-440 — implemented)."""
+        loc = self._loc(namespace, name)
+        if not self.table_exists(namespace, name):
+            raise LakehouseError(f"table {namespace}.{name} does not exist")
+        if purge:
+            shutil.rmtree(loc)
+        else:
+            shutil.rmtree(os.path.join(loc, _META_DIR))
+
+    def rename_table(
+        self, namespace: str, name: str, new_namespace: str, new_name: str
+    ) -> None:
+        """ALTER TABLE RENAME (ref A18, pg_catalog.cpp:445-471)."""
+        src, dst = self._loc(namespace, name), self._loc(new_namespace, new_name)
+        if not self.table_exists(namespace, name):
+            raise LakehouseError(f"table {namespace}.{name} does not exist")
+        if os.path.exists(dst):
+            raise LakehouseError(
+                f"table {new_namespace}.{new_name} already exists"
+            )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+
+    def list_tables(self, namespace: str | None = None) -> list[tuple[str, str]]:
+        out = []
+        spaces = (
+            [namespace]
+            if namespace
+            else sorted(
+                d
+                for d in os.listdir(self.warehouse)
+                if os.path.isdir(os.path.join(self.warehouse, d))
+            )
+        )
+        for ns in spaces:
+            ns_dir = os.path.join(self.warehouse, ns)
+            if not os.path.isdir(ns_dir):
+                continue
+            for name in sorted(os.listdir(ns_dir)):
+                if self.table_exists(ns, name):
+                    out.append((ns, name))
+        return out

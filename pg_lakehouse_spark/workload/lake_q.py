@@ -1,1 +1,162 @@
-"""Placeholder — filled in later this round."""
+"""Lakehouse (Tier A) workload — DML + time travel, oracle-checked.
+
+Each query materializes a scratch lakehouse table under /tmp from the
+corpus, applies versioned operations (append / merge / delete / update /
+time travel), and returns the final state. The oracle expresses the
+same end state in pure SQL over the corpus — so the driver's hash check
+covers the storage layer's correctness, not just the query layer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.lakehouse import LakeCatalog
+from pg_lakehouse_spark.workload import register
+from pg_lakehouse_spark.workload.util import t
+
+_WORK_ROOT = "/tmp/pg_lakehouse_spark_work"
+
+
+def _scratch_catalog(spark: SparkSession, sf_dir: str, name: str) -> LakeCatalog:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    warehouse = os.path.join(_WORK_ROOT, sf_tag, name)
+    shutil.rmtree(warehouse, ignore_errors=True)
+    return LakeCatalog(spark, warehouse)
+
+
+@register(
+    "lake_merge_upsert",
+    oracle="""
+SELECT o_orderkey,
+       round(CASE WHEN o_orderkey > 500 THEN o_totalprice + 111.0
+                  ELSE o_totalprice END, 2) AS totalprice,
+       o_orderstatus
+FROM orders
+WHERE o_orderkey <= 1500
+""",
+    tags=("lakehouse", "merge"),
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO: matched rows updated, unmatched source rows inserted
+    (ref A13 roadmap 'MERGE for upsert')."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "merge_upsert")
+    tbl = cat.create_table_as(
+        "db", "orders_m", orders.filter(F.col("o_orderkey") <= 1000)
+    )
+    source = orders.filter(
+        (F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1500)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 111.0)
+    tbl.merge(
+        source,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("__src.o_totalprice")},
+        when_not_matched_insert=True,
+    )
+    return tbl.read().select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+        "o_orderstatus",
+    )
+
+
+@register(
+    "lake_delete_update",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity + 5.0
+                      ELSE l_quantity END), 2) AS total_qty
+FROM lineitem
+WHERE l_orderkey <= 2000 AND l_returnflag <> 'R'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("lakehouse", "dml"),
+)
+def lake_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + UPDATE with copy-on-write file rewrite (ref A12/A13)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    cat = _scratch_catalog(spark, sf_dir, "delete_update")
+    tbl = cat.create_table_as("db", "li", li)
+    tbl.delete(F.col("l_returnflag") == "R")
+    tbl.update(
+        F.col("l_linestatus") == "O",
+        {"l_quantity": F.col("l_quantity") + 5.0},
+    )
+    return (
+        tbl.read()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "lake_time_travel",
+    oracle="""
+SELECT 'v_ctas' AS snap, count(*) AS n FROM orders WHERE o_orderkey <= 500
+UNION ALL
+SELECT 'v_append' AS snap, count(*) AS n FROM orders WHERE o_orderkey <= 1000
+UNION ALL
+SELECT 'v_overwrite' AS snap, count(*) AS n FROM orders WHERE o_orderkey <= 100
+""",
+    tags=("lakehouse", "time-travel"),
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-pinned reads across append/overwrite history (ref A6)."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "time_travel")
+    tbl = cat.create_table_as(
+        "db", "tt", orders.filter(F.col("o_orderkey") <= 500)
+    )
+    v_ctas = tbl.current_version()
+    tbl.append(
+        orders.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1000))
+    )
+    v_append = tbl.current_version()
+    tbl.overwrite(orders.filter(F.col("o_orderkey") <= 100))
+
+    def labeled(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(label).alias("snap"), "n"
+        )
+
+    return (
+        labeled("v_ctas", tbl.read(snapshot=v_ctas))
+        .unionByName(labeled("v_append", tbl.read(snapshot=v_append)))
+        .unionByName(labeled("v_overwrite", tbl.read()))
+    )
+
+
+@register("lake_maintenance_roundtrip", oracle=None, tags=("lakehouse", "maintenance"))
+def lake_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact → vacuum lifecycle; returns the table_info summary row
+    (rows-only check: file counts depend on parallelism, not SQL-
+    expressible)."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "maintenance")
+    tbl = cat.create_table("db", "mt", orders.schema)
+    for i in range(3):
+        tbl.append(orders.filter(F.col("o_orderkey") % 3 == i).repartition(2))
+    tbl.compact(small_file_bytes=64 * 1024 * 1024)
+    tbl.vacuum(keep_last=1)
+    info = tbl.table_info()
+    rows = tbl.read().count()
+    return spark.createDataFrame(
+        [
+            (
+                info["version"],
+                info["total_files"],
+                int(info["total_rows"]),
+                int(rows),
+                info["operation"],
+            )
+        ],
+        "version int, total_files int, meta_rows bigint, actual_rows bigint, last_op string",
+    )

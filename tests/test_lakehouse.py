@@ -1,0 +1,201 @@
+"""Lakehouse table layer: the end-to-end round trip SURVEY.md §5 calls
+for — create → append → time travel → DML → compact → expire/vacuum —
+plus catalog ops and failure modes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.lakehouse import (
+    CommitConflict,
+    LakeCatalog,
+    LakehouseError,
+)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def orders_df(spark, sf_dir):
+    from pg_lakehouse_spark.tables import table
+
+    return table(spark, sf_dir, "orders")
+
+
+def test_create_append_read_roundtrip(catalog, orders_df):
+    part1 = orders_df.filter(F.col("o_orderkey") <= 1000)
+    part2 = orders_df.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000)
+    )
+    tbl = catalog.create_table("db", "orders_copy", orders_df.schema)
+    tbl.append(part1)
+    v_after_first = tbl.current_version()
+    tbl.append(part2)
+
+    assert tbl.read().count() == part1.count() + part2.count()
+    # time travel to the first append (ref A6 snapshot pin)
+    assert tbl.read(snapshot=v_after_first).count() == part1.count()
+    info = tbl.table_info()
+    assert info["total_rows"] == part1.count() + part2.count()
+    assert info["total_files"] == len(tbl.snapshot().files)
+
+
+def test_overwrite_and_truncate(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "t", orders_df.limit(100))
+    v1_rows = tbl.read().count()
+    assert v1_rows == 100
+    tbl.overwrite(orders_df.limit(10))
+    assert tbl.read().count() == 10
+    before_truncate = tbl.current_version()
+    tbl.truncate()
+    assert tbl.read().count() == 0
+    assert tbl.read(snapshot=before_truncate).count() == 10
+    assert tbl.read().schema == orders_df.schema
+
+
+def test_schema_enforcement(catalog, orders_df):
+    tbl = catalog.create_table("db", "strict", orders_df.schema)
+    with pytest.raises(LakehouseError, match="schema mismatch"):
+        tbl.append(orders_df.select("o_orderkey"))
+
+
+def test_delete_copy_on_write(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "del", orders_df)
+    total = orders_df.count()
+    victims = orders_df.filter(F.col("o_orderstatus") == "F").count()
+    snap = tbl.delete(F.col("o_orderstatus") == "F")
+    assert tbl.read().count() == total - victims
+    assert tbl.read().filter(F.col("o_orderstatus") == "F").count() == 0
+    assert snap.operation == "delete"
+
+
+def test_delete_prunes_untouched_files(catalog, orders_df):
+    tbl = catalog.create_table("db", "pruned", orders_df.schema)
+    tbl.append(orders_df.filter(F.col("o_orderkey") <= 1000).repartition(1))
+    tbl.append(orders_df.filter(F.col("o_orderkey") > 1000).repartition(1))
+    before = {f["path"] for f in tbl.snapshot().files}
+    tbl.delete(F.col("o_orderkey") <= 10)
+    after = {f["path"] for f in tbl.snapshot().files}
+    # the file holding keys > 1000 must be carried over untouched
+    assert before & after, "delete rewrote files it should have pruned"
+
+
+def test_update(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "upd", orders_df.limit(500))
+    tbl.update(
+        F.col("o_orderstatus") == "O",
+        {"o_totalprice": F.col("o_totalprice") + 1000.0},
+    )
+    base = orders_df.limit(500)
+    expected = base.select(
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "O", F.col("o_totalprice") + 1000.0
+            ).otherwise(F.col("o_totalprice"))
+        ).alias("s")
+    ).collect()[0]["s"]
+    got = tbl.read().agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"]
+    assert abs(got - expected) < 1e-6 * max(1.0, abs(expected))
+
+
+def test_merge_upsert(catalog, orders_df, spark):
+    target = orders_df.filter(F.col("o_orderkey") <= 1000)
+    tbl = catalog.create_table_as("db", "m", target)
+    source = orders_df.filter(
+        (F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1500)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 111.0)
+
+    tbl.merge(
+        source,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("__src.o_totalprice")},
+        when_not_matched_insert=True,
+    )
+    out = tbl.read()
+    n_target = target.count()
+    n_inserted = orders_df.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1500)
+    ).count()
+    assert out.count() == n_target + n_inserted
+    # matched rows got the +111 price
+    matched_sum = (
+        out.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1000))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    base_sum = (
+        orders_df.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1000))
+        .agg(F.round(F.sum(F.col("o_totalprice") + 111.0), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert matched_sum == base_sum
+
+
+def test_merge_delete(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "md", orders_df.limit(300))
+    source = tbl.read().filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    n_f = source.count()
+    tbl.merge(
+        source, on=["o_orderkey"], when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    assert tbl.read().count() == 300 - n_f
+
+
+def test_compact_small_files(catalog, orders_df):
+    tbl = catalog.create_table("db", "c", orders_df.schema)
+    for i in range(4):
+        tbl.append(
+            orders_df.filter(F.col("o_orderkey") % 4 == i).repartition(2)
+        )
+    files_before = tbl.table_info()["total_files"]
+    rows_before = tbl.read().count()
+    tbl.compact(small_file_bytes=64 * 1024 * 1024)
+    assert tbl.table_info()["total_files"] < files_before
+    assert tbl.read().count() == rows_before
+
+
+def test_vacuum_expire_and_orphans(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "v", orders_df.limit(200))
+    tbl.overwrite(orders_df.limit(50))
+    tbl.overwrite(orders_df.limit(20))
+    data_dir = os.path.join(tbl.location, "data")
+    n_files_before = len(os.listdir(data_dir))
+    result = tbl.vacuum(keep_last=1)
+    assert result["expired_snapshots"]
+    assert result["removed_files"]
+    assert len(os.listdir(data_dir)) < n_files_before
+    assert tbl.read().count() == 20  # current snapshot untouched
+    with pytest.raises(LakehouseError, match="does not exist"):
+        tbl.read(snapshot=2)
+
+
+def test_commit_conflict(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "cc", orders_df.limit(10))
+    base = tbl.current_version()
+    tbl.append(orders_df.limit(5))  # someone else commits
+    with pytest.raises(CommitConflict):
+        tbl._commit(base, "append", tbl.snapshot().files, tbl.snapshot().schema_json)
+
+
+def test_catalog_ddl(catalog, orders_df, spark):
+    catalog.create_table("db", "a", orders_df.schema)
+    catalog.create_table("db2", "b", orders_df.schema)
+    assert catalog.list_tables() == [("db", "a"), ("db2", "b")]
+    catalog.rename_table("db", "a", "db", "a2")
+    assert catalog.table_exists("db", "a2") and not catalog.table_exists("db", "a")
+    with pytest.raises(LakehouseError, match="already exists"):
+        catalog.create_table("db2", "b", orders_df.schema)
+    catalog.drop_table("db2", "b", purge=True)
+    assert catalog.list_tables() == [("db", "a2")]
+    with pytest.raises(LakehouseError, match="does not exist"):
+        catalog.load_table("db2", "b")
+    with pytest.raises(LakehouseError, match="unsupported file_format"):
+        catalog.create_table("db", "orc_t", orders_df.schema,
+                             properties={"file_format": "orc"})
