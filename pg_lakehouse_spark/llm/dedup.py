@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first — the order a real 100 TB pipeline runs
+them:
+
+1. ``dedup_exact``            hash-groupBy on a normalized key; one
+                              shuffle, fully distributed.
+2. ``jaccard_near_duplicates`` exact set-similarity via an inverted
+                              shingle index — shuffle on shingle, with
+                              a document-frequency cap so hot shingles
+                              (stopword runs) can't create quadratic
+                              blowup.
+3. ``minhash_lsh_candidates`` MinHash signatures + banded LSH: finds
+                              high-Jaccard pairs without comparing all
+                              O(N²) pairs — the only approach that
+                              survives billions of docs.
+4. ``simhash_near_duplicates`` 64-bit SimHash + Hamming-band blocking.
+
+All outputs are deterministic (seeded hash functions, ordered pair
+ids), so results are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.llm.text import shingles, simhash64
+
+
+def dedup_exact(
+    df: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup: one survivor per distinct key.
+
+    Survivor choice is the min (or max) id — deterministic, and
+    implemented as a single hash aggregation (min-struct trick: no
+    window, no sort, map-side partial agg works).
+    """
+    agg = F.min if keep == "min" else F.max
+    keyed = df.withColumn("__key", key)
+    survivors = keyed.groupBy("__key").agg(agg(F.col(id_col)).alias(id_col))
+    return (
+        keyed.join(survivors, [ "__key", id_col], "inner")
+        .drop("__key")
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), n)).alias("__sh"),
+    )
+
+
+def jaccard_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold via inverted index.
+
+    Plan: explode shingles → self-join on shingle (id1 < id2) →
+    count intersections → join per-doc set sizes → filter. The
+    ``max_shingle_df`` cap drops shingles appearing in more than that
+    many docs before the self-join — a boilerplate-shingle (header/
+    footer) in d docs would otherwise emit d² join rows.
+
+    Returns (id1, id2, jaccard) with id1 < id2.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("__sh")
+        )
+        sh = sh.join(rare, "__sh")
+    a = sh.select(F.col("__id").alias("id1"), F.col("__sh").alias("__sh"))
+    b = sh.select(F.col("__id").alias("id2"), F.col("__sh").alias("__sh"))
+    inter = (
+        a.join(b, (a["__sh"] == b["__sh"]) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa = sizes.select(F.col("__id").alias("id1"), F.col("__n").alias("__n1"))
+    sb = sizes.select(F.col("__id").alias("id2"), F.col("__n").alias("__n2"))
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("__i") / (F.col("__n1") + F.col("__n2") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures: h_i(doc) = min over shingles of
+    xxhash64(seed=i, shingle). One explode + one hash-agg with
+    ``num_hashes`` min() columns — map-side combinable, one shuffle."""
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    ``bands`` bands of r = num_hashes/bands rows: docs agreeing on any
+    whole band become candidates (P[candidate] = 1-(1-j^r)^bands; at
+    r=4,b=16: j=0.8 → 0.9997, j=0.1 → 0.0016). Candidates then get an
+    exact Jaccard verification join unless ``verify_threshold`` is
+    None (rows: id1, id2 [, jaccard]).
+
+    Scale: signatures are one shuffle; banding explodes bands-per-doc
+    (16×N rows); bucket join groups only true collisions. No O(N²)
+    stage anywhere.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"h{b * r + i}") for i in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bucketed = sig.select(
+        F.col(id_col).alias("__id"), F.explode(band_structs).alias("bb")
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = bucketed.select(
+        F.col("__id").alias("id1"), "band", "bh"
+    )
+    right = bucketed.select(F.col("__id").alias("id2"), "band", "bh")
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return pairs
+    exact = jaccard_near_duplicates(
+        df, id_col, text_col, n, threshold=0.0, max_shingle_df=None
+    )
+    return pairs.join(exact, ["id1", "id2"]).filter(
+        F.col("jaccard") >= verify_threshold
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, Hamming ≤ max_hamming.
+
+    Blocking: split the signature into ``bands`` 16-bit chunks — any
+    pair within Hamming ≤ bands-1 shares at least one exact chunk
+    (pigeonhole), so candidates come from equi-joins on (band, chunk),
+    then the exact popcount(xor) filter runs only on collisions.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        simhash64(F.col(text_col), n).alias("__sig"),
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("__sig"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bucketed = sigs.select(
+        "__id", "__sig", F.explode(chunks).alias("bb")
+    ).select(
+        "__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    left = bucketed.select(
+        F.col("__id").alias("id1"), F.col("__sig").alias("sig1"), "band", "chunk"
+    )
+    right = bucketed.select(
+        F.col("__id").alias("id2"), F.col("__sig").alias("sig2"), "band", "chunk"
+    )
+    return (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

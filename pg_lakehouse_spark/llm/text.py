@@ -1,0 +1,169 @@
+"""Text-analysis primitives: tokenization, shingling, quality signals,
+language ID, fingerprinting.
+
+Everything is built-in ``pyspark.sql.functions`` — array/string
+expressions inside whole-stage codegen, no Python in the hot path.
+At 100 TB these are embarrassingly parallel map-only stages: no
+shuffle, no skew sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword heuristic.
+# Deliberately small: language ID at pipeline scale is a cheap first
+# pass; ambiguous docs go to a model scorer (see multimodal's UDF
+# pattern for how that would batch).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "que", "de", "y", "es", "un"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "des"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["that", "this", "with", "for", "as", "on"]
+
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols —
+# the shape GPT-style byte-pair encoders use as their pre-split.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokenization → array<string>."""
+    t = F.lower(text) if lowercase else text
+    return F.split(t, r"\s+")
+
+
+def shingles(text: Column, n: int = 3, lowercase: bool = True) -> Column:
+    """Distinct word n-gram shingles → array<string>.
+
+    Documents shorter than n words yield a single whole-text shingle
+    (never an empty set — empty sets break Jaccard denominators).
+    """
+    ws = words(text, lowercase)
+    k = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", ws))
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish pre-token count via regexp extraction."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def floor4(x: Column) -> Column:
+    """Truncate to 4 decimals via floor-scaling. Unlike decimal
+    rounding (whose half-way tie-breaking differs across engines),
+    floor on an identical IEEE double is engine-identical — used for
+    every derived ratio that a DuckDB oracle re-computes."""
+    return F.floor(x * 10000) / 10000
+
+
+def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append heuristic quality-signal columns used by pretraining-data
+    filters (C4/Gopher-style): length, word stats, punctuation/digit
+    ratios, stopword ratio, and a composite score."""
+    text = F.col(text_col)
+    ws = words(text)
+    n_chars = F.length(text)
+    n_words = F.size(ws)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin(STOPWORDS_EN)))
+    avg_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    punct_ratio = floor4(punct / F.greatest(n_chars, F.lit(1)))
+    stop_ratio4 = floor4(stop_ratio)
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("avg_word_len", floor4(avg_word_len))
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("digit_ratio", floor4(digits / F.greatest(n_chars, F.lit(1))))
+        .withColumn("stopword_ratio", stop_ratio4)
+        .withColumn(
+            "quality_score",
+            floor4(
+                F.least(F.lit(1.0), n_words / F.lit(50.0)) * 0.4
+                + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.3
+                + F.least(F.lit(1.0), stop_ratio4 * 5) * 0.3
+            ),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language ID: count marker hits per language,
+    argmax with deterministic tie-break (language code ascending),
+    'und' (undetermined) when nothing matches."""
+    ws = words(F.col(text_col))
+
+    def marker_hits(markers: list[str]) -> Column:
+        # nb: the filter lambda must take exactly one parameter —
+        # a second one makes Spark pass the element *index* there.
+        return F.size(F.filter(ws, lambda w: w.isin(markers)))
+
+    hit_cols = {lang: marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    # array of (hits, lang) structs → array_max picks max hits, then
+    # ties resolve to the *smallest* lang code via negated comparison:
+    # sort by (hits desc, lang asc) ≡ max of (hits, reversed-lang) —
+    # simplest deterministic form: fold with explicit comparison.
+    best = None
+    for lang in sorted(LANG_MARKERS):  # ascending code order
+        cand_hits, cand_lang = hit_cols[lang], F.lit(lang)
+        if best is None:
+            best = F.struct(cand_hits.alias("h"), cand_lang.alias("l"))
+        else:
+            better = cand_hits > best.getField("h")  # strict: first wins ties
+            best = F.when(
+                better, F.struct(cand_hits.alias("h"), cand_lang.alias("l"))
+            ).otherwise(best)
+    assert best is not None
+    return df.withColumn(
+        "lang_pred",
+        F.when(best.getField("h") > 0, best.getField("l")).otherwise(F.lit("und")),
+    ).withColumn("lang_pred_hits", best.getField("h").cast("long"))
+
+
+def minhash_fingerprint(text: Column, n: int = 3) -> Column:
+    """64-bit document fingerprint: min of xxhash64 over its shingle
+    set — stable under shingle reordering, cheap dedup prefilter."""
+    return F.array_min(
+        F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+    )
+
+
+def simhash64(text: Column, n: int = 2) -> Column:
+    """64-bit SimHash over word n-gram shingles.
+
+    bit b of the signature = majority vote of bit b across the
+    xxhash64 of each shingle. Pure array expressions — per-row cost
+    O(shingles × 64), no shuffle.
+    """
+    hs = F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        ones = F.size(
+            F.filter(hs, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        vote = (ones * 2) > F.size(hs)
+        sig = sig.bitwiseOR(
+            F.when(vote, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig

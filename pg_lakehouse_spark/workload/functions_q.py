@@ -307,9 +307,9 @@ def q_struct_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentiles",
     oracle="""
 SELECT o_orderstatus,
-       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
-       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
-       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+       CAST(round(quantile_cont(o_totalprice, 0.5) * 10000) AS BIGINT)  AS p50_e4,
+       CAST(round(quantile_cont(o_totalprice, 0.9) * 10000) AS BIGINT)  AS p90_e4,
+       CAST(round(quantile_cont(o_totalprice, 0.99) * 10000) AS BIGINT) AS p99_e4
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -318,9 +318,15 @@ GROUP BY o_orderstatus
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)") * 10000)
+        .cast("long")
+        .alias("p50_e4"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)") * 10000)
+        .cast("long")
+        .alias("p90_e4"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)") * 10000)
+        .cast("long")
+        .alias("p99_e4"),
     )
 
 

@@ -1,1 +1,317 @@
-"""Placeholder — filled in later this round."""
+"""LLM-pipeline workload (Tier C) — dedup, similarity, text analysis,
+multimodal — over the documents/embeddings corpus tables.
+
+Oracle policy: operators with engine-independent math (exact dedup,
+exact Jaccard, brute-force cosine, text stats, the stub image decode)
+get full DuckDB oracles. Sketch-based operators (MinHash/SimHash/LSH
+buckets) hash with engine-specific functions and are registered
+rows-only; their quality is asserted in tests/test_llm.py against the
+exact operators instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.llm.dedup import (
+    dedup_exact,
+    jaccard_near_duplicates,
+    minhash_lsh_candidates,
+    simhash_near_duplicates,
+)
+from pg_lakehouse_spark.llm.multimodal import decode_images, synthesize_media
+from pg_lakehouse_spark.llm.similarity import cosine_topk, lsh_ann_topk
+from pg_lakehouse_spark.llm.text import (
+    add_quality_signals,
+    language_id,
+    minhash_fingerprint,
+    token_count_bpe,
+    token_count_ws,
+)
+from pg_lakehouse_spark.workload import register
+from pg_lakehouse_spark.workload.util import t
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')
+) keep USING (doc_id)
+""",
+    tags=("dedup-exact",),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    key = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return dedup_exact(docs, key, id_col="doc_id", keep="min").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_JACCARD_ORACLE = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3
+         THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+         ELSE [array_to_string(ws, ' ')] END)) AS s
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id1 = sa.doc_id
+JOIN sizes sb ON id2 = sb.doc_id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("dedup-jaccard",))
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs via inverted index."""
+    docs = t(spark, sf_dir, "documents")
+    return jaccard_near_duplicates(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5,
+        max_shingle_df=None,
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup-minhash",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified at Jaccard ≥ 0.5 (rows-only:
+    sketch hashes are engine-specific; tests assert it recovers the
+    exact-Jaccard pair set)."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        n=3, num_hashes=64, bands=16, verify_threshold=0.5,
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup-simhash",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        docs, id_col="doc_id", text_col="text", n=2, max_hamming=3, bands=4
+    )
+
+
+@register("text_fingerprint", oracle=None, tags=("fingerprint",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit minhash fingerprint + exact-dup grouping on it."""
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", minhash_fingerprint(F.col("text"), n=3).alias("fingerprint")
+    )
+    counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_docs"))
+    return fp.join(counts, "fingerprint").select("doc_id", "fingerprint", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS n_tokens_bpe,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    tags=("text-tokens",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality_signals",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         regexp_split_to_array(lower(text), '\\s+') AS ws,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+  FROM documents
+), derived AS (
+  SELECT doc_id, n_chars,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         len(list_filter(ws, w -> list_contains(
+           ['the','and','of','to','a','in','is','it','that','this','with','for','as','on'],
+           w))) AS stop_hits,
+         punct, digits
+  FROM base
+)
+SELECT doc_id, n_chars, n_words,
+       floor(CASE WHEN n_words > 0
+                  THEN (n_chars - (n_words - 1)) * 1.0 / n_words
+                  ELSE 0.0 END * 10000) / 10000 AS avg_word_len,
+       floor(punct * 1.0 / greatest(n_chars, 1) * 10000) / 10000 AS punct_ratio,
+       floor(digits * 1.0 / greatest(n_chars, 1) * 10000) / 10000 AS digit_ratio,
+       floor(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words
+                  ELSE 0.0 END * 10000) / 10000 AS stopword_ratio,
+       floor((least(1.0, n_words / 50.0) * 0.4
+             + (1 - least(1.0, floor(punct * 1.0 / greatest(n_chars, 1) * 10000) / 10000 * 10)) * 0.3
+             + least(1.0, floor(CASE WHEN n_words > 0
+                                     THEN stop_hits * 1.0 / n_words
+                                     ELSE 0.0 END * 10000) / 10000 * 5) * 0.3) * 10000) / 10000
+         AS quality_score
+FROM derived
+""",
+    tags=("text-quality",),
+)
+def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return add_quality_signals(docs, "text").select(
+        "doc_id",
+        F.col("n_chars_calc").alias("n_chars"),
+        "n_words",
+        "avg_word_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+WITH hits AS (
+  SELECT doc_id, lang AS lang_true,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        w -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], w))) AS h_de,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        w -> list_contains(['the','and','of','to','a','in','is','it'], w))) AS h_en,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        w -> list_contains(['el','la','los','que','de','y','es','un'], w))) AS h_es,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        w -> list_contains(['le','la','les','et','est','une','que','des'], w))) AS h_fr
+  FROM documents
+)
+SELECT doc_id, lang_true,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       CAST(greatest(h_de, h_en, h_es, h_fr) AS BIGINT) AS lang_pred_hits
+FROM hits
+""",
+    tags=("text-langid",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return language_id(docs, "text").select(
+        "doc_id", F.col("lang").alias("lang_true"), "lang_pred", "lang_pred_hits"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])))), 6)
+           AS cosine_sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored
+) x
+WHERE rn <= 5
+"""
+
+
+@register("embed_knn_bruteforce", oracle=_KNN_ORACLE, tags=("similarity-knn",))
+def embed_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 10."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+
+
+@register("embed_knn_lsh", oracle=None, tags=("similarity-ann",))
+def embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (rows-only: bucket membership
+    is seed-specific; recall vs brute force asserted in tests)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+        dim=64, nbits=8, num_tables=4, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+WITH sums AS (
+  SELECT doc_id AS media_id,
+         CAST(length(text) AS BIGINT) AS n,
+         list_sum([ord(text[i]) for i in
+                   range(1, least(64, length(text)) + 1)]) AS checksum
+  FROM documents
+)
+SELECT media_id,
+       CAST(64 + checksum % 192 AS INTEGER) AS width,
+       CAST(64 + n % 192 AS INTEGER) AS height,
+       CAST((checksum + n) % 256 AS INTEGER) AS mean_luma
+FROM sums
+""",
+    tags=("multimodal",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: synthesize payloads from text, decode
+    via Arrow-batched mapInPandas (stub codec — deterministic, so the
+    full plumbing is oracle-checkable; corpus text is ASCII, making
+    byte sums == codepoint sums)."""
+    docs = t(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return decode_images(media)

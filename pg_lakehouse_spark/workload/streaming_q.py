@@ -1,1 +1,145 @@
-"""Placeholder — filled in later this round."""
+"""Streaming-window workload — batch-mode semantics of the streaming
+tier, oracle-checked (window math is identical in both modes; the
+streaming execution itself is covered by tests/test_streaming.py).
+
+Window starts are emitted as epoch microseconds (BIGINT) so the hash
+comparison never depends on timestamp rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+from pg_lakehouse_spark.workload import register
+from pg_lakehouse_spark.workload.util import t
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window-tumbling"),
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_sliding_30m",
+    oracle="""
+WITH exploded AS (
+  SELECT unnest([
+           to_timestamp(floor(epoch(ts) / 1800) * 1800),
+           to_timestamp(floor(epoch(ts) / 1800) * 1800) - INTERVAL 30 MINUTE
+         ]) AS window_start,
+         user_id, value
+  FROM events
+)
+SELECT epoch_us(window_start) AS window_start_us,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_sum_c
+FROM exploded
+GROUP BY 1
+""",
+    tags=("streaming", "window-sliding"),
+)
+def stream_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min — every event lands in
+    exactly two windows (the oracle materializes that fan-out
+    explicitly)."""
+    ev = t(spark, sf_dir, "events")
+    out = sliding_agg(
+        ev,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value") * 100)
+            .cast("long")
+            .alias("value_sum_c"),
+        ],
+    )
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "n_events",
+        "n_users",
+        "value_sum_c",
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800 * 1000000 AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    tags=("streaming", "window-session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user. Spark's session_window end =
+    last event + gap; the gaps-and-islands oracle reproduces exactly
+    that."""
+    ev = t(spark, sf_dir, "events")
+    out = session_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "session_value",
+    )

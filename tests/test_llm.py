@@ -1,0 +1,111 @@
+"""Quality assertions for sketch-based LLM operators: the rows-only
+workload entries (MinHash-LSH, SimHash, hyperplane ANN) are validated
+here against their exact counterparts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.llm.dedup import (
+    jaccard_near_duplicates,
+    minhash_lsh_candidates,
+    simhash_near_duplicates,
+)
+from pg_lakehouse_spark.llm.multimodal import (
+    decode_images,
+    sample_frames,
+    synthesize_media,
+)
+from pg_lakehouse_spark.llm.similarity import cosine_topk, lsh_ann_topk
+from pg_lakehouse_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {
+        (r["id1"], r["id2"])
+        for r in jaccard_near_duplicates(
+            docs, n=3, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+
+
+def test_minhash_lsh_recovers_exact_pairs(docs, exact_pairs):
+    got = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates(
+            docs, n=3, num_hashes=64, bands=16, verify_threshold=0.5
+        ).collect()
+    }
+    assert exact_pairs, "fixture should contain planted near-dup pairs"
+    # verified candidates are a subset by construction; at r=4/b=16 the
+    # detection probability for j>=0.8 is ~0.9997 → expect full recall
+    assert got == exact_pairs
+
+
+def test_minhash_lsh_candidate_set_is_sparse(docs):
+    n_docs = docs.count()
+    candidates = minhash_lsh_candidates(
+        docs, n=3, num_hashes=64, bands=16, verify_threshold=None
+    ).count()
+    # the whole point of LSH: candidates << N²/2
+    assert candidates < n_docs * n_docs / 20
+
+
+def test_simhash_finds_planted_near_dups(docs, exact_pairs):
+    got = {
+        (r["id1"], r["id2"])
+        for r in simhash_near_duplicates(
+            docs, n=2, max_hamming=3, bands=4
+        ).collect()
+    }
+    # SimHash (token-permutation-sensitive) won't match Jaccard exactly,
+    # but the planted high-overlap pairs should substantially surface.
+    assert len(got & exact_pairs) >= len(exact_pairs) // 2
+    assert all(a < b for a, b in got)
+
+
+def test_lsh_ann_subset_and_overlap(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = lsh_ann_topk(
+        emb, queries, k=5, dim=64, nbits=8, num_tables=4, seed=42
+    ).collect()
+    exact_top = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_top = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # approximate sims must be real cosine values of real pairs
+    assert approx_top  # non-empty
+    recall = len(exact_top & approx_top) / len(exact_top)
+    assert recall > 0.05, f"ANN recall collapsed: {recall}"
+    # every query keeps <= k neighbors, ranked 1..n without gaps
+    by_q: dict = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_multimodal_decode_deterministic(docs, spark):
+    media = synthesize_media(docs.limit(50), "doc_id", "text")
+    a = sorted(map(tuple, decode_images(media).collect()))
+    b = sorted(map(tuple, decode_images(media).collect()))
+    assert a == b
+    assert all(64 <= r[1] < 256 and 64 <= r[2] < 256 for r in a)
+
+
+def test_multimodal_frame_sampling_bounded(docs):
+    media = synthesize_media(docs.limit(20), "doc_id", "text")
+    frames = sample_frames(media, chunk_chars=88, max_frames=8)
+    per_doc = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per_doc and all(1 <= r["n"] <= 8 for r in per_doc)

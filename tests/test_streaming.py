@@ -1,0 +1,167 @@
+"""Real Structured Streaming execution: the same window builders run as
+readStream queries with watermarks must converge to the batch result,
+and a custom stateful operator (applyInPandasWithState) maintains
+per-key state across micro-batches."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from pg_lakehouse_spark.streaming.windows import stream_events, tumbling_agg
+from pg_lakehouse_spark.tables import table
+
+
+def test_streaming_tumbling_converges_to_batch(spark, sf_dir, tmp_path):
+    ev_stream = stream_events(spark, sf_dir)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    ]
+    out = tumbling_agg(
+        ev_stream, "ts", "1 hour", ["event_type"], aggs, watermark="1 hour"
+    ).select(
+        F.unix_micros(F.col("window.start")).alias("ws"), "event_type",
+        "n_events", "total_value",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            tuple(r) for r in spark.table("t_tumbling").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        tuple(r)
+        for r in tumbling_agg(
+            table(spark, sf_dir, "events"), "ts", "1 hour", ["event_type"], aggs
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("ws"), "event_type",
+            "n_events", "total_value",
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stateful_running_count(spark, sf_dir, tmp_path):
+    """Custom stateful operator: per-user cumulative event count via
+    applyInPandasWithState — the engine's escape hatch for operators
+    Spark lacks (ref SURVEY §2: 'custom stateful streaming')."""
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("total_events", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("cnt", LongType())])
+
+    def update_count(key, pdfs, state: GroupState):
+        n = sum(len(pdf) for pdf in pdfs)
+        (cnt,) = state.get if state.exists else (0,)
+        cnt += n
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [cnt]})
+
+    ev = stream_events(spark, sf_dir)
+    counts = ev.groupBy("user_id").applyInPandasWithState(
+        update_count,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode emits one row per key per batch; the final value
+        # per key is the cumulative count
+        got = (
+            spark.table("t_state")
+            .groupBy("user_id")
+            .agg(F.max("total_events").alias("total_events"))
+            .collect()
+        )
+    finally:
+        q.stop()
+    expected = {
+        r["user_id"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["user_id"]: r["total_events"] for r in got} == expected
+
+
+def test_late_data_dropped_with_watermark(spark, tmp_path):
+    """Watermark semantics with a controlled rate: append-mode windows
+    close once the watermark passes; late rows beyond it are dropped.
+    Uses a file source built on the fly for full control of order."""
+    import os
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    sch = "ts timestamp, v long"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, name))
+
+    write_batch("b1", [("2024-01-01 10:00:00", 1), ("2024-01-01 10:05:00", 2)])
+
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(
+        os.path.join(d, "*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.sum("v").alias("s"))
+        .select(F.unix_micros(F.col("window.start")).alias("ws"), "s")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time far enough to close the 10:00 window
+        write_batch("b2", [("2024-01-01 11:00:00", 10)])
+        q.processAllAvailable()
+        closed = spark.table("t_late").collect()
+        assert any(r["s"] == 3 for r in closed), closed
+        # this row is *behind* the watermark now → must be dropped
+        write_batch("b3", [("2024-01-01 10:01:00", 100)])
+        q.processAllAvailable()
+        after_late = spark.table("t_late").collect()
+    finally:
+        q.stop()
+    assert not any(r["s"] == 100 or r["s"] == 103 for r in after_late), after_late
