@@ -15,10 +15,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pg_lakehouse_spark import get_spark  # noqa: E402
+from pg_lakehouse_spark.session import (  # noqa: E402
+    dir_input_bytes,
+    shuffle_partitions_for,
+)
 from pg_lakehouse_spark.workload import REGISTRY, _load_all  # noqa: E402
 
 # Headline set: one representative per operator family, weighted toward
-# the scale-sensitive ones (joins, windows, dedup, ANN).
+# the scale-sensitive ones (joins, windows, dedup, ANN, streaming,
+# lakehouse DML).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -30,6 +35,14 @@ HEADLINE = [
     "q_window_running_agg",
     "q_asof_join",
     "q_cube",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "embed_knn_bruteforce",
+    "text_quality_signals",
+    "stream_tumbling_hourly",
+    "stream_session_windows",
+    "multimodal_decode",
+    "lake_delete_update",
 ]
 
 
@@ -37,7 +50,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     _load_all()
-    spark = get_spark("pg_lakehouse_spark-bench")
+    spark = get_spark(
+        "pg_lakehouse_spark-bench",
+        shuffle_partitions=shuffle_partitions_for(dir_input_bytes(sf_dir)),
+    )
     # Warm the JVM + parquet footer caches once (excluded from timings,
     # standard practice: we measure steady-state query time, not JVM start).
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()

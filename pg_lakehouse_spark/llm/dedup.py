@@ -149,7 +149,17 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # The exploded shingle table feeds the signature agg AND (when
+    # verifying) the sizes + both sides of the intersection join —
+    # persist it once instead of re-tokenizing the corpus per branch.
+    # At cluster scale this is the standard cache-or-checkpoint point
+    # of the minhash pipeline (shingles ≈ 10-20× corpus rows).
+    sh_cache = _exploded_shingles(df, id_col, text_col, n).persist()
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh_cache.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
     band_structs = F.array(
         *[
             F.struct(
@@ -174,11 +184,30 @@ def minhash_lsh_candidates(
     )
     if verify_threshold is None:
         return pairs
-    exact = jaccard_near_duplicates(
-        df, id_col, text_col, n, threshold=0.0, max_shingle_df=None
+    # Candidate-scoped exact verification: score ONLY the LSH
+    # collisions, never the full shingle-share graph — the whole point
+    # of LSH is that |candidates| << |pairs sharing any shingle|.
+    sh = sh_cache
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__id").alias("id1"), F.col("__sh").alias("__s1"))
+    b = sh.select(F.col("__id").alias("__bid"), F.col("__sh").alias("__s2"))
+    inter = (
+        pairs.join(a, "id1")
+        .join(b, (F.col("id2") == F.col("__bid")) & (F.col("__s1") == F.col("__s2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("__i"))
     )
-    return pairs.join(exact, ["id1", "id2"]).filter(
-        F.col("jaccard") >= verify_threshold
+    sa = sizes.select(F.col("__id").alias("id1"), F.col("__n").alias("__n1"))
+    sb = sizes.select(F.col("__id").alias("id2"), F.col("__n").alias("__n2"))
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("__i") / (F.col("__n1") + F.col("__n2") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -1,0 +1,113 @@
+"""Scale-rule lint: plan-shape assertions + source-code rules.
+
+SURVEY.md §7 — '100 TB posture without 100 TB hardware': these tests
+pin the properties that make plans survive scale-up, independent of
+result correctness."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from pg_lakehouse_spark.plans import (
+    has_cartesian_product,
+    pushed_filter_columns,
+    scan_read_columns,
+)
+from pg_lakehouse_spark.workload import REGISTRY, _load_all
+
+_load_all()
+
+PKG_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "pg_lakehouse_spark")
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    """q6 is a pure filter-agg: every filter column must reach the
+    parquet scan as a pushed filter (ref A5 — TODO in the reference,
+    table stakes here)."""
+    df = REGISTRY["q6_revenue_forecast"].fn(spark, sf_dir)
+    pushed = pushed_filter_columns(df)
+    assert {"l_shipdate", "l_discount", "l_quantity"} <= pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """q6 needs 4 lineitem columns; the scan must not read more
+    (ref A4 — implemented-but-unused in the reference)."""
+    df = REGISTRY["q6_revenue_forecast"].fn(spark, sf_dir)
+    scans = scan_read_columns(df)
+    assert scans, "no ReadSchema found"
+    for cols in scans:
+        assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, (
+            f"scan reads unnecessary columns: {cols}"
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None
+        and n not in ("q_cross_join",)  # the one intentional cross join
+        and not n.startswith("lake_")   # DML queries build tables eagerly
+    ),
+)
+def test_no_accidental_cartesian(name, spark, sf_dir):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert not has_cartesian_product(df), f"{name} plans a cartesian product"
+
+
+def test_no_driver_side_collects_in_operators():
+    """Operator/workload code must stay distributed: collect()/
+    toPandas() only in the whitelisted metadata paths (lakehouse file
+    lists are metadata, not data)."""
+    allowed = {
+        "lakehouse.py",      # file-list metadata collects (documented)
+        "multimodal.py",     # none today, pandas import only
+    }
+    offenders = []
+    for root, _dirs, files in os.walk(PKG_ROOT):
+        for fname in files:
+            if not fname.endswith(".py") or fname in allowed:
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as f:
+                src = f.read()
+            for pat in (r"\.collect\(\)", r"\.toPandas\(\)", r"\.toLocalIterator\("):
+                if re.search(pat, src):
+                    offenders.append((os.path.relpath(path, PKG_ROOT), pat))
+    assert not offenders, f"driver-side materialization in: {offenders}"
+
+
+def test_no_unbounded_collect_list():
+    """collect_list/collect_set without a bounding construct builds
+    per-group arrays proportional to data size — banned outright in
+    engine code (compose with slice/window instead)."""
+    offenders = []
+    for root, _dirs, files in os.walk(PKG_ROOT):
+        if os.path.basename(root) == "plans":
+            continue  # the lint package names the banned functions
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as f:
+                src = f.read()
+            if re.search(r"collect_list|collect_set", src):
+                offenders.append(os.path.relpath(path, PKG_ROOT))
+    assert not offenders, f"unbounded collect_list/set in: {offenders}"
+
+
+def test_broadcast_hints_on_dim_joins(spark, sf_dir):
+    """q5's nation/region/supplier joins must be broadcast, not
+    shuffled — dims don't grow with fact data."""
+    from pg_lakehouse_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the only sort-merge-eligible join is the fact-fact one
+    assert plan.count("SortMergeJoin") <= 1
