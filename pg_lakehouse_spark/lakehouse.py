@@ -84,6 +84,7 @@ class Snapshot:
     files: list[dict]  # {"path": rel, "rows": int, "bytes": int}
     summary: dict = field(default_factory=dict)
     properties: dict = field(default_factory=dict)
+    partition_spec: list[str] = field(default_factory=list)
 
     @property
     def total_rows(self) -> int:
@@ -192,6 +193,7 @@ class LakeTable:
                 summary=summary or {},
                 properties=(parent.properties if parent else {})
                 | (properties or {}),
+                partition_spec=parent.partition_spec if parent else [],
             )
             meta_path = self._meta_path(snap.version)
             tmp = meta_path + ".tmp"
@@ -209,28 +211,47 @@ class LakeTable:
     # write paths
     # ------------------------------------------------------------------
 
-    def _stage_dataframe(self, df: DataFrame, snapshot_hint: int) -> list[dict]:
+    def partition_spec(self) -> list[str]:
+        return self.snapshot().partition_spec
+
+    def _stage_dataframe(
+        self, df: DataFrame, snapshot_hint: int, partition_by: list[str] | None = None
+    ) -> list[dict]:
         """Write df as parquet data files; return their file entries.
 
         Files land in data/ under snapshot-unique names but are
         INVISIBLE until a commit lists them — exactly the reference's
         'data files written during txn, visible after catalog swap'
         model (commit_ops.h:31-44). Executors write in parallel; only
-        file *names* pass through the driver.
+        file *names* pass through the driver. With a partition spec,
+        files land under hive-style partition dirs (the coarse pruning
+        axis at scale — Spark prunes whole directories on partition-
+        column predicates).
         """
         staging = os.path.join(
             self.location, f"_staging-{snapshot_hint}-{uuid.uuid4().hex[:8]}"
         )
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
         os.makedirs(self.data_dir, exist_ok=True)
         entries = []
-        for i, src in enumerate(sorted(glob.glob(os.path.join(staging, "*.parquet")))):
+        parquet_files = sorted(
+            glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True)
+        )
+        for i, src in enumerate(parquet_files):
+            part_dirs = os.path.relpath(os.path.dirname(src), staging)
             name = f"s{snapshot_hint}-{uuid.uuid4().hex[:8]}-part{i:05d}.parquet"
-            dst = os.path.join(self.data_dir, name)
+            rel_dir = _DATA_DIR if part_dirs == "." else os.path.join(
+                _DATA_DIR, part_dirs
+            )
+            os.makedirs(os.path.join(self.location, rel_dir), exist_ok=True)
+            dst = os.path.join(self.location, rel_dir, name)
             os.rename(src, dst)
             rows, nbytes = _file_stats(dst)
             entries.append(
-                {"path": os.path.join(_DATA_DIR, name), "rows": rows, "bytes": nbytes}
+                {"path": os.path.join(rel_dir, name), "rows": rows, "bytes": nbytes}
             )
         shutil.rmtree(staging, ignore_errors=True)
         return entries
@@ -251,7 +272,9 @@ class LakeTable:
         """INSERT/append (ref A9+A10: write_ops.c buffering + commit)."""
         self._check_schema(df)
         base = self.current_version()
-        new_files = self._stage_dataframe(df, base + 1)
+        new_files = self._stage_dataframe(
+            df, base + 1, self.snapshot(base).partition_spec
+        )
         files = self.snapshot(base).files + new_files if base > 0 else new_files
         return self._commit(
             base, "append", files, self.snapshot(base).schema_json
@@ -264,7 +287,9 @@ class LakeTable:
         """Full-table overwrite (new snapshot; old files stay until expiry)."""
         self._check_schema(df)
         base = self.current_version()
-        new_files = self._stage_dataframe(df, base + 1)
+        new_files = self._stage_dataframe(
+            df, base + 1, self.snapshot(base).partition_spec
+        )
         return self._commit(
             base, "overwrite", new_files, self.snapshot(base).schema_json,
             summary={"added_files": len(new_files)},
@@ -280,17 +305,24 @@ class LakeTable:
     # read paths
     # ------------------------------------------------------------------
 
+    def _read_files(self, schema: StructType, paths: list[str]) -> DataFrame:
+        """Read an explicit file list; basePath restores hive partition
+        columns when the layout is partitioned."""
+        reader = self.spark.read.schema(schema).option("basePath", self.data_dir)
+        return reader.parquet(*paths)
+
     def read(self, snapshot: int | None = None) -> DataFrame:
         """Scan the table at the current (or a pinned) snapshot —
         ref A1/A6. Returns a lazy DataFrame over the snapshot's file
         list; Spark plans splits/pushdown natively (supersedes the
-        reference's hand-rolled parallel scan A7/A8)."""
+        reference's hand-rolled parallel scan A7/A8). Predicates on
+        partition columns prune whole partition directories."""
         s = self.snapshot(snapshot)
         schema = StructType.fromJson(json.loads(s.schema_json))
         if not s.files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.location, f["path"]) for f in s.files]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_files(schema, paths)
 
     # ------------------------------------------------------------------
     # DML — copy-on-write (the reference declares these via TAM
@@ -331,9 +363,9 @@ class LakeTable:
             os.path.join(self.location, p) for p in sorted(affected)
         ]
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        touched = self.spark.read.schema(schema).parquet(*touched_paths)
+        touched = self._read_files(schema, touched_paths)
         rewritten = transform(touched)
-        new_files = self._stage_dataframe(rewritten, base + 1)
+        new_files = self._stage_dataframe(rewritten, base + 1, snap.partition_spec)
         return self._commit(
             base, operation, keep + new_files, snap.schema_json,
             summary={"rewritten_files": len(affected),
@@ -411,7 +443,7 @@ class LakeTable:
         if not when_not_matched_insert:
             out = out.filter(~src_only)
         result = out.select(*cols)
-        new_files = self._stage_dataframe(result, base + 1)
+        new_files = self._stage_dataframe(result, base + 1, snap.partition_spec)
         return self._commit(
             base, "merge", new_files, snap.schema_json,
             summary={"added_files": len(new_files)},
@@ -433,14 +465,20 @@ class LakeTable:
             return snap
         keep = [f for f in snap.files if f["bytes"] >= small_file_bytes]
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.location, f["path"]) for f in small]
+        df = self._read_files(
+            schema, [os.path.join(self.location, f["path"]) for f in small]
         )
         target_files = max(
             1, (sum(f["bytes"] for f in small) + small_file_bytes - 1)
             // small_file_bytes,
         )
-        new_files = self._stage_dataframe(df.repartition(target_files), base + 1)
+        if snap.partition_spec:
+            # cluster by partition columns so each output task writes
+            # one file per partition instead of files × partitions
+            df = df.repartition(target_files, *snap.partition_spec)
+        else:
+            df = df.repartition(target_files)
+        new_files = self._stage_dataframe(df, base + 1, snap.partition_spec)
         return self._commit(
             base, "compact", keep + new_files, snap.schema_json,
             summary={"compacted_files": len(small), "added_files": len(new_files)},
@@ -465,8 +503,10 @@ class LakeTable:
             f["path"] for s in self.snapshots() for f in s.files
         }
         removed = []
-        for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
-            rel = os.path.join(_DATA_DIR, os.path.basename(p))
+        for p in glob.glob(
+            os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
+        ):
+            rel = os.path.relpath(p, self.location)
             if rel not in live:
                 os.remove(p)
                 removed.append(rel)
@@ -513,6 +553,7 @@ class LakeCatalog:
         schema: StructType,
         properties: dict | None = None,
         if_not_exists: bool = False,
+        partition_by: list[str] | None = None,
     ) -> LakeTable:
         """CREATE TABLE (ref A15, table_ops.c:205-274). Validates the
         reference's option set via properties (file_format etc.)."""
@@ -533,6 +574,9 @@ class LakeCatalog:
         os.makedirs(os.path.join(loc, _META_DIR), exist_ok=True)
         os.makedirs(os.path.join(loc, _DATA_DIR), exist_ok=True)
         table = LakeTable(self.spark, loc)
+        bad = [c for c in (partition_by or []) if c not in schema.fieldNames()]
+        if bad:
+            raise LakehouseError(f"partition columns not in schema: {bad}")
         snap = Snapshot(
             version=1,
             snapshot_id=1,
@@ -542,6 +586,7 @@ class LakeCatalog:
             schema_json=schema.json(),
             files=[],
             properties=props,
+            partition_spec=list(partition_by or []),
         )
         with open(table._meta_path(1), "w") as f:
             json.dump(snap.__dict__, f)
@@ -550,10 +595,17 @@ class LakeCatalog:
         return table
 
     def create_table_as(
-        self, namespace: str, name: str, df: DataFrame, properties: dict | None = None
+        self,
+        namespace: str,
+        name: str,
+        df: DataFrame,
+        properties: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> LakeTable:
         """CTAS — create + initial append in one call."""
-        tbl = self.create_table(namespace, name, df.schema, properties)
+        tbl = self.create_table(
+            namespace, name, df.schema, properties, partition_by=partition_by
+        )
         tbl.append(df)
         return tbl
 

@@ -6,7 +6,17 @@ top-k, sessionization) plus thin, tested wrappers that encode the
 scale-correct strategy (broadcast hints, salt-for-skew).
 """
 
+from pg_lakehouse_spark.operators.bucketing import bucketed_join, write_bucketed
 from pg_lakehouse_spark.operators.joins import asof_join, range_join
+from pg_lakehouse_spark.operators.skew import salted_join
 from pg_lakehouse_spark.operators.topk import top_k, top_k_per_group
 
-__all__ = ["asof_join", "range_join", "top_k", "top_k_per_group"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "top_k",
+    "top_k_per_group",
+    "bucketed_join",
+    "write_bucketed",
+    "salted_join",
+]

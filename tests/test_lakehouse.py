@@ -199,3 +199,56 @@ def test_catalog_ddl(catalog, orders_df, spark):
     with pytest.raises(LakehouseError, match="unsupported file_format"):
         catalog.create_table("db", "orc_t", orders_df.schema,
                              properties={"file_format": "orc"})
+
+
+def test_partitioned_table_roundtrip_and_pruning(catalog, orders_df, spark):
+    tbl = catalog.create_table_as(
+        "db", "po", orders_df, partition_by=["o_orderstatus"]
+    )
+    assert tbl.partition_spec() == ["o_orderstatus"]
+    # partition dirs exist on disk
+    assert any(
+        d.startswith("o_orderstatus=") for d in os.listdir(tbl.data_dir)
+    )
+    back = tbl.read()
+    assert back.count() == orders_df.count()
+    assert set(back.columns) == set(orders_df.columns)
+    # partition-column predicate prunes at planning time
+    q = back.filter(F.col("o_orderstatus") == "O")
+    expected = orders_df.filter(F.col("o_orderstatus") == "O").count()
+    assert q.count() == expected
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
+def test_partitioned_dml_and_compact(catalog, orders_df):
+    tbl = catalog.create_table_as(
+        "db", "pd", orders_df.limit(2000), partition_by=["o_orderstatus"]
+    )
+    base = orders_df.limit(2000)
+    n_f = base.filter(F.col("o_orderstatus") == "F").count()
+    tbl.delete(F.col("o_orderstatus") == "F")
+    assert tbl.read().count() == 2000 - n_f
+    tbl.update(
+        F.col("o_orderstatus") == "O",
+        {"o_totalprice": F.col("o_totalprice") * 2.0},
+    )
+    got = tbl.read().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    exp = (
+        base.filter(F.col("o_orderstatus") != "F")
+        .select(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") * 2.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("p")
+        )
+        .agg(F.round(F.sum("p"), 2))
+        .collect()[0][0]
+    )
+    assert got == exp
+    rows_before = tbl.read().count()
+    tbl.compact(small_file_bytes=64 * 1024 * 1024)
+    assert tbl.read().count() == rows_before
+    tbl.vacuum(keep_last=1)
+    assert tbl.read().count() == rows_before
