@@ -163,6 +163,49 @@ class LakeTable:
             "total_bytes": s.total_bytes,
         }
 
+    def files_df(self, snapshot: int | None = None) -> DataFrame:
+        """The snapshot's data-file manifest as a DataFrame (ref A20's
+        ``t.files`` metadata-table analog)."""
+        s = self.snapshot(snapshot)
+        return self.spark.createDataFrame(
+            [(f["path"], f["rows"], f["bytes"], s.version) for f in s.files]
+            or [],
+            "path string, rows bigint, bytes bigint, snapshot_version int",
+        )
+
+    def history_df(self) -> DataFrame:
+        """Commit history as a DataFrame (ref A20's ``t.snapshots``)."""
+        rows = [
+            (
+                s.version,
+                s.parent,
+                s.operation,
+                s.timestamp_ms,
+                s.total_rows,
+                len(s.files),
+                s.total_bytes,
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, operation string, timestamp_ms bigint, "
+            "total_rows bigint, total_files int, total_bytes bigint",
+        )
+
+    def version_as_of_timestamp(self, timestamp_ms: int) -> int:
+        """Latest snapshot committed at or before ``timestamp_ms`` —
+        the TIMESTAMP AS OF flavor of time travel (ref A6)."""
+        eligible = [s for s in self.snapshots() if s.timestamp_ms <= timestamp_ms]
+        if not eligible:
+            raise LakehouseError(
+                f"no snapshot at or before timestamp {timestamp_ms}"
+            )
+        return max(s.version for s in eligible)
+
+    def read_as_of(self, timestamp_ms: int) -> DataFrame:
+        return self.read(snapshot=self.version_as_of_timestamp(timestamp_ms))
+
     def _commit(
         self,
         base_version: int,
@@ -483,6 +526,18 @@ class LakeTable:
             base, "compact", keep + new_files, snap.schema_json,
             summary={"compacted_files": len(small), "added_files": len(new_files)},
         )
+
+    def maybe_compact(
+        self,
+        file_count_threshold: int = 64,
+        small_file_bytes: int = 32 * 1024 * 1024,
+    ) -> Snapshot | None:
+        """Threshold-triggered compaction — the reference's
+        ``compaction_threshold`` GUC (default 64 files, handler.c:64-65)
+        declared-but-never-acted-on; here it acts."""
+        if len(self.snapshot().files) < file_count_threshold:
+            return None
+        return self.compact(small_file_bytes=small_file_bytes)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop old snapshot metadata (time travel window shrinks)."""

@@ -772,3 +772,86 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", F.round(F.col("o_totalprice"), 2).alias("totalprice")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Outer-join breadth: full outer / right outer / NOT-IN null semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_full_outer_join",
+    oracle="""
+SELECT coalesce(c.c_custkey, o.k) AS custkey,
+       CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+            WHEN o.k IS NULL THEN 'customer_only'
+            ELSE 'both' END AS side,
+       coalesce(o.n_orders, 0) AS n_orders
+FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 800) c
+FULL OUTER JOIN (
+  SELECT o_custkey AS k, count(*) AS n_orders
+  FROM orders WHERE o_custkey BETWEEN 400 AND 1200
+  GROUP BY o_custkey
+) o ON c.c_custkey = o.k
+""",
+    tags=("join-full-outer",),
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 800)
+        .select("c_custkey")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").between(400, 1200))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.k, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "k").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("k").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("side"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_right_outer_join",
+    oracle="""
+SELECT n_name, count(s_suppkey) AS n_suppliers
+FROM supplier RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("join-right-outer",),
+)
+def q_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right_outer")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+_NOT_IN_SQL = """
+SELECT
+  (SELECT count(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT nullif(c_custkey, 5) FROM customer
+                           WHERE c_custkey < 10)) AS n_with_null_list,
+  (SELECT count(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                           WHERE c_custkey < 10 AND c_custkey <> 5)) AS n_clean_list
+"""
+
+
+@register("q_not_in_null_semantics", oracle=_NOT_IN_SQL, tags=("subquery-not-in",))
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued NOT IN: one NULL in the list empties the
+    result; both engines must agree on both variants."""
+    views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_NOT_IN_SQL)

@@ -349,3 +349,75 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
     )
+
+
+@register(
+    "q_pg_function_kit",
+    oracle="""
+SELECT o_orderkey,
+       date_part('month', o_orderdate) AS mon,
+       date_part('dow', o_orderdate) AS dow,
+       split_part(o_orderpriority, '-', 1) AS prio_num,
+       split_part(o_orderpriority, '-', 2) AS prio_name,
+       CAST(strpos(o_orderpriority, 'E') AS BIGINT) AS e_pos,
+       substr(o_orderstatus, 1, 1) AS status_c,
+       left(o_orderpriority, 3) AS l3,
+       right(o_orderpriority, 3) AS r3,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS age_d,
+       strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+       regexp_matches(o_orderpriority, '^[0-9]-') AS has_num_prefix
+FROM orders
+WHERE o_orderkey <= 400
+""",
+    tags=("functions-pg-kit",),
+)
+def q_pg_function_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PG-compatibility kit (pg_lakehouse users keep their SQL
+    vocabulary) — every helper is a built-in Catalyst expression."""
+    from pg_lakehouse_spark.functions import pg
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    d = F.col("o_orderdate")
+    prio = F.col("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        pg.date_part("month", d).alias("mon"),
+        pg.date_part("dow", d).alias("dow"),
+        pg.split_part(prio, "-", 1).alias("prio_num"),
+        pg.split_part(prio, "-", 2).alias("prio_name"),
+        pg.strpos(prio, "E").alias("e_pos"),
+        pg.substr(F.col("o_orderstatus"), 1, 1).alias("status_c"),
+        pg.left_(prio, 3).alias("l3"),
+        pg.right_(prio, 3).alias("r3"),
+        pg.age_days(d, F.lit("1995-01-01").cast("timestamp")).alias("age_d"),
+        pg.to_char_date(d, "YYYY/MM/DD").alias("ymd"),
+        pg.regexp_matches(prio, r"^[0-9]-").alias("has_num_prefix"),
+    )
+
+
+@register(
+    "q_like_patterns",
+    oracle="""
+SELECT p_partkey, p_name,
+       p_name LIKE '%anvil%'  AS has_anvil,
+       p_name LIKE 'c%'       AS starts_c,
+       p_name LIKE '%_ing%'   AS uscore_pat,
+       p_name ILIKE '%ANVIL%' AS has_anvil_ci,
+       p_name NOT LIKE '%z%'  AS no_z
+FROM part
+WHERE p_partkey <= 300
+""",
+    tags=("filter-like",),
+)
+def q_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        name.like("%anvil%").alias("has_anvil"),
+        name.like("c%").alias("starts_c"),
+        name.like("%_ing%").alias("uscore_pat"),
+        name.ilike("%ANVIL%").alias("has_anvil_ci"),
+        (~name.like("%z%")).alias("no_z"),
+    )

@@ -312,3 +312,29 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.unix_micros("click_ts").alias("click_ts_us"),
     )
+
+
+@register(
+    "q_window_nth_value",
+    oracle="""
+SELECT s_suppkey, s_name,
+       nth_value(s_name, 2) OVER w AS second_richest,
+       first_value(s_name)  OVER w AS richest
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window-nth",),
+)
+def q_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = t(spark, sf_dir, "supplier")
+    w = (
+        Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return supp.select(
+        "s_suppkey",
+        "s_name",
+        F.nth_value("s_name", 2).over(w).alias("second_richest"),
+        F.first("s_name").over(w).alias("richest"),
+    )

@@ -252,3 +252,27 @@ def test_partitioned_dml_and_compact(catalog, orders_df):
     assert tbl.read().count() == rows_before
     tbl.vacuum(keep_last=1)
     assert tbl.read().count() == rows_before
+
+
+def test_metadata_tables_and_timestamp_travel(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "meta", orders_df.limit(100))
+    ts_after_v2 = tbl.snapshot().timestamp_ms
+    tbl.append(orders_df.limit(50))
+    hist = tbl.history_df().collect()
+    assert [r["operation"] for r in hist] == ["create", "append", "append"]
+    assert hist[-1]["total_rows"] == 150
+    files = tbl.files_df().collect()
+    assert sum(r["rows"] for r in files) == 150
+    # TIMESTAMP AS OF: resolves to the snapshot live at that moment
+    assert tbl.read_as_of(ts_after_v2).count() == 100
+    assert tbl.version_as_of_timestamp(ts_after_v2 + 10**7) == tbl.current_version()
+
+
+def test_maybe_compact_threshold(catalog, orders_df):
+    tbl = catalog.create_table("db", "mc", orders_df.schema)
+    for i in range(3):
+        tbl.append(orders_df.limit(50).repartition(2))
+    assert tbl.maybe_compact(file_count_threshold=64) is None  # below threshold
+    snap = tbl.maybe_compact(file_count_threshold=4)
+    assert snap is not None and snap.operation == "compact"
+    assert tbl.read().count() == 150
