@@ -116,7 +116,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: h_i(doc) = min over shingles of
     xxhash64(seed=i, shingle). One explode + one hash-agg with
-    ``num_hashes`` min() columns — map-side combinable, one shuffle."""
+    ``num_hashes`` min() columns.
+
+    Why explode+agg and not a per-row array fold: the min() aggs are
+    map-side combined, so the shuffle carries only docs×num_hashes
+    aggregated values (not exploded shingles), and the hash evaluation
+    stays inside whole-stage codegen. The fold formulation (aggregate/
+    zip_with) avoids the shuffle entirely but runs interpreted —
+    measured 2× slower at sf0.1 (13.3s vs 6.9s end-to-end)."""
     sh = _exploded_shingles(df, id_col, text_col, n)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")

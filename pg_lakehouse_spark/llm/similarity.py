@@ -9,6 +9,10 @@
   their own bucket across several independent tables; exact cosine
   re-ranks only the collisions. This is the scale path: the full
   cross product never materializes.
+- ``ivf_ann_topk``: IVF coarse quantization — distributed KMeans
+  centroids partition the corpus; queries search their nprobe nearest
+  cells. The other standard ANN scale path (FAISS-style), better than
+  LSH when the corpus is clusterable.
 
 Vector math uses built-in higher-order functions (zip_with/aggregate)
 — JVM-side, no Python. For very wide vectors (≥1k dims) a Pandas-UDF
@@ -168,6 +172,89 @@ def lsh_ann_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qv", "__qn", "__cv", "__cn")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "cosine_sim",
+        F.round(
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+        ),
+    ).select("query_id", "neighbor_id", "cosine_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning.
+
+    Train ``nlist`` coarse centroids with distributed KMeans (Spark ML,
+    seeded), assign every corpus vector to its nearest centroid, and
+    search each query only in its ``nprobe`` nearest centroid buckets.
+    Per-query work drops from N to ~nprobe·N/nlist; recall rises with
+    nprobe. Training is fully distributed; only the nlist centroid
+    vectors (model metadata, not data) touch the driver.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = with_double_vec(corpus, vec_col)
+    cv = c.withColumn("__mlvec", array_to_vector(F.col("__vec")))
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__mlvec", predictionCol="__bucket"
+    ).fit(cv)
+    assigned = model.transform(cv).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("__cv"),
+        _norm(F.col("__vec")).alias("__cn"),
+        F.col("__bucket"),
+    )
+
+    centers = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        centers, "__bucket int, __center array<double>"
+    )
+
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("__qv"),
+        _norm(F.col("__vec")).alias("__qn"),
+    )
+    # squared L2 distance query→centroid; keep the nprobe nearest
+    dist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__center"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.asc("__dist"), F.asc("__bucket")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("__dist", dist)
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "__qn", "__bucket")
+    )
+
+    candidates = assigned.join(F.broadcast(probes), "__bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
     scored = candidates.withColumn(
         "cosine_sim",

@@ -315,3 +315,17 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
     return decode_images(media)
+
+
+@register("embed_knn_ivf", oracle=None, tags=("similarity-ann-ivf",))
+def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-5 (rows-only: centroids come
+    from seeded KMeans; recall asserted in tests)."""
+    from pg_lakehouse_spark.llm.similarity import ivf_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_ann_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+        nlist=8, nprobe=3, seed=42,
+    )

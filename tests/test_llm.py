@@ -109,3 +109,20 @@ def test_multimodal_frame_sampling_bounded(docs):
     frames = sample_frames(media, chunk_chars=88, max_frames=8)
     per_doc = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert per_doc and all(1 <= r["n"] <= 8 for r in per_doc)
+
+
+def test_ivf_ann_recall_and_shape(emb):
+    from pg_lakehouse_spark.llm.similarity import ivf_ann_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_ann_topk(emb, queries, k=5, nlist=8, nprobe=3, seed=42).collect()
+    exact_top = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_top = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert approx_top
+    recall = len(exact_top & approx_top) / len(exact_top)
+    # nprobe=3 of nlist=8 → searching ~3/8 of the corpus; random
+    # gaussian vectors put true neighbors near-uniformly across cells
+    assert recall > 0.15, f"IVF recall collapsed: {recall}"
+    for r in approx:
+        assert 1 <= r["rank"] <= 5
