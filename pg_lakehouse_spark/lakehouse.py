@@ -102,6 +102,54 @@ def _file_stats(path: str) -> tuple[int, int]:
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
 
 
+def _json_stat(v):
+    """Make a parquet min/max statistic JSON-serializable while keeping
+    its ordering: numbers stay numbers; bytes decode to str; temporal
+    values become ISO strings (lexicographic == chronological)."""
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return None
+
+
+def _file_column_ranges(path: str) -> dict[str, list]:
+    """Per-column [min, max] aggregated over row groups from the
+    parquet footer — the manifest-stats analog of Iceberg's per-file
+    column bounds (ref A22: the reference stubs stats entirely,
+    iceberg_am.c:401-413; here they drive file-level skipping)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    ranges: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested columns: skip (no simple bound)
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                continue
+            if name not in ranges:
+                ranges[name] = [lo, hi]
+            else:
+                ranges[name][0] = min(ranges[name][0], lo)
+                ranges[name][1] = max(ranges[name][1], hi)
+    return ranges
+
+
 class LakeTable:
     """One snapshot-versioned table."""
 
@@ -294,7 +342,12 @@ class LakeTable:
             os.rename(src, dst)
             rows, nbytes = _file_stats(dst)
             entries.append(
-                {"path": os.path.join(rel_dir, name), "rows": rows, "bytes": nbytes}
+                {
+                    "path": os.path.join(rel_dir, name),
+                    "rows": rows,
+                    "bytes": nbytes,
+                    "ranges": _file_column_ranges(dst),
+                }
             )
         shutil.rmtree(staging, ignore_errors=True)
         return entries
@@ -366,6 +419,69 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.location, f["path"]) for f in s.files]
         return self._read_files(schema, paths)
+
+    def read_pruned(
+        self,
+        filters: dict[str, tuple],
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Scan with manifest-level data skipping: ``filters`` maps a
+        column to an inclusive (lo, hi) range (None = unbounded side);
+        files whose stored column bounds don't overlap are never opened
+        (ref A22 — the stats the reference stubbed, used the way
+        Iceberg manifests use them). The same predicate is re-applied
+        row-level after the scan, so results are exact regardless of
+        stats coverage."""
+        s = self.snapshot(snapshot)
+        schema = StructType.fromJson(json.loads(s.schema_json))
+
+        def overlaps(entry: dict) -> bool:
+            ranges = entry.get("ranges") or {}
+            for col_name, (lo, hi) in filters.items():
+                bounds = ranges.get(col_name)
+                if bounds is None:
+                    continue  # no stats → cannot skip
+                fmin, fmax = bounds
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            return True
+
+        selected = [f for f in s.files if overlaps(f)]
+        if not selected:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self._read_files(
+                schema,
+                [os.path.join(self.location, f["path"]) for f in selected],
+            )
+        for col_name, (lo, hi) in filters.items():
+            if lo is not None:
+                df = df.filter(F.col(col_name) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col_name) <= hi)
+        return df
+
+    def pruned_file_count(self, filters: dict[str, tuple]) -> tuple[int, int]:
+        """(selected, total) file counts for a pruned scan — the
+        observable data-skipping metric."""
+        s = self.snapshot()
+
+        def overlaps(entry: dict) -> bool:
+            ranges = entry.get("ranges") or {}
+            for col_name, (lo, hi) in filters.items():
+                bounds = ranges.get(col_name)
+                if bounds is None:
+                    continue
+                fmin, fmax = bounds
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            return True
+
+        return sum(1 for f in s.files if overlaps(f)), len(s.files)
 
     # ------------------------------------------------------------------
     # DML — copy-on-write (the reference declares these via TAM

@@ -855,3 +855,57 @@ def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     result; both engines must agree on both variants."""
     views(spark, sf_dir, "orders", "customer")
     return spark.sql(_NOT_IN_SQL)
+
+
+@register(
+    "q_relational_division",
+    oracle="""
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) all_p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = all_p.p
+  )
+)
+""",
+    tags=("division", "subquery"),
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (customers who ordered in ALL priority
+    classes). The oracle states it as doubly-nested NOT EXISTS; the
+    Spark plan is the scalable formulation — count-distinct per key
+    compared to the global distinct count (two hash aggs, no nested
+    correlation)."""
+    orders = t(spark, sf_dir, "orders")
+    total = orders.select(
+        F.countDistinct("o_orderpriority").alias("__total")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("__n")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(total))
+        .filter(F.col("__n") == F.col("__total"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+_FILTER_CLAUSE_SQL = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+         AS urgent_total,
+       count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01') AS n_recent,
+       count(*) AS n_all
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_filter_clause_agg", oracle=_FILTER_CLAUSE_SQL, tags=("agg-filter",))
+def q_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER (WHERE ...) aggregate modifier — identical SQL text
+    runs on both engines."""
+    views(spark, sf_dir, "orders")
+    return spark.sql(_FILTER_CLAUSE_SQL)

@@ -276,3 +276,27 @@ def test_maybe_compact_threshold(catalog, orders_df):
     snap = tbl.maybe_compact(file_count_threshold=4)
     assert snap is not None and snap.operation == "compact"
     assert tbl.read().count() == 150
+
+
+def test_manifest_stats_file_skipping(catalog, orders_df):
+    """Files whose column bounds exclude the predicate are never read
+    (Iceberg-manifest-style data skipping from footer stats)."""
+    tbl = catalog.create_table("db", "skip", orders_df.schema)
+    tbl.append(orders_df.filter(F.col("o_orderkey") <= 3000).repartition(1))
+    tbl.append(
+        orders_df.filter(
+            (F.col("o_orderkey") > 3000) & (F.col("o_orderkey") <= 6000)
+        ).repartition(1)
+    )
+    tbl.append(orders_df.filter(F.col("o_orderkey") > 6000).repartition(1))
+    selected, total = tbl.pruned_file_count({"o_orderkey": (4000, 5000)})
+    assert total == 3 and selected == 1
+    out = tbl.read_pruned({"o_orderkey": (4000, 5000)})
+    expected = orders_df.filter(F.col("o_orderkey").between(4000, 5000)).count()
+    assert out.count() == expected
+    # string-column bounds work too (ISO/lexicographic ordering)
+    sel_s, _ = tbl.pruned_file_count({"o_orderstatus": ("Z", None)})
+    assert sel_s == 0
+    # unbounded side + no-stats column → no skipping, still exact
+    out2 = tbl.read_pruned({"o_orderkey": (None, 100)})
+    assert out2.count() == orders_df.filter(F.col("o_orderkey") <= 100).count()
