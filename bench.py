@@ -29,6 +29,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q8_market_share",
+    "q9_product_profit",
     "q13_customer_distribution",
     "q18_large_volume_orders",
     "q_window_topk_per_group",

@@ -47,7 +47,16 @@ def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table. Column pruning / predicate pushdown reach
-    the parquet scan because this is a plain declarative read."""
+    the parquet scan because this is a plain declarative read.
+
+    Works on ANY session, not just ours: the TIMESTAMP(NANOS) conf is
+    set at runtime here because the driver's verify harness passes its
+    own SparkSession, which won't carry our session-factory config.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down → the session must already handle nanos
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _restore_nanos_timestamps(df)

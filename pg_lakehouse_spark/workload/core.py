@@ -909,3 +909,90 @@ def q_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on both engines."""
     views(spark, sf_dir, "orders")
     return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       round(sum(CASE WHEN r_name = 'ASIA'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS asia_share
+FROM lineitem, orders, customer, nation, region
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+GROUP BY yr
+""",
+    tags=("join", "agg", "case"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional revenue share per year across a
+    5-way join; region/nation/customer broadcast, lineitem⋈orders is
+    the only shuffle join."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    cnr = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cnr, orders.o_custkey == cnr.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("r_name") == "ASIA", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("asia_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+FROM part, supplier, lineitem, orders, nation
+WHERE s_suppkey = l_suppkey
+  AND p_partkey = l_partkey
+  AND o_orderkey = l_orderkey
+  AND s_nationkey = n_nationkey
+  AND p_name LIKE '%ol%'
+GROUP BY n_name, yr
+""",
+    tags=("join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation-year (supply cost synthesized
+    from retail price — the corpus has no partsupp table)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%ol%"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    sn = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )

@@ -15,9 +15,9 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as contract  # noqa: E402
-from pg_lakehouse_spark import get_spark  # noqa: E402
 from pg_lakehouse_spark.tables import TABLE_NAMES  # noqa: E402
 from tests.oracle_utils import normalize  # noqa: E402
 
@@ -25,7 +25,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> int:
-    spark = get_spark("driver-sim")
+    # deliberately a VANILLA session — no engine conf — because the
+    # real driver passes its own SparkSession; every query must work
+    # without our session factory.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
     # --- smoke: entry() ---
     res = contract.entry(spark)
