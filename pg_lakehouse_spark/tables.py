@@ -55,6 +55,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # AQE is safe on any session and keeps a default-200-partition
+        # caller from paying empty-task overhead at small SFs
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     except Exception:
         pass  # conf locked down → the session must already handle nanos
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

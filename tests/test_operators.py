@@ -104,3 +104,28 @@ def test_topk_helpers(spark, sf_dir):
     )
     counts = per_group.groupBy("o_orderstatus").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_range_join_modes(spark):
+    from pg_lakehouse_spark.operators.joins import range_join
+
+    fact = spark.createDataFrame([(5,), (10,), (15,)], "v long")
+    ranges = spark.createDataFrame(
+        [("lo", 0, 10), ("hi", 10, 20)], "name string, lo long, hi long"
+    )
+    left_closed = {
+        (r["v"], r["name"])
+        for r in range_join(fact, ranges, "v", "lo", "hi", closed="left").collect()
+    }
+    # [lo, hi): 10 belongs to 'hi' only
+    assert left_closed == {(5, "lo"), (10, "hi"), (15, "hi")}
+    both = {
+        (r["v"], r["name"])
+        for r in range_join(fact, ranges, "v", "lo", "hi", closed="both").collect()
+    }
+    # [lo, hi]: 10 belongs to both bands
+    assert both == {(5, "lo"), (10, "lo"), (10, "hi"), (15, "hi")}
+    outer = range_join(
+        spark.createDataFrame([(99,)], "v long"), ranges, "v", "lo", "hi", how="left"
+    ).collect()
+    assert len(outer) == 1 and outer[0]["name"] is None
