@@ -565,14 +565,49 @@ class LakeTable:
     ) -> Snapshot:
         """MERGE INTO (upsert) — ref A13's roadmap 'MERGE for upsert'.
 
-        Copy-on-write over the whole table (file-granular pruning of
-        the merge would need min/max key stats per file — future work;
-        the full rewrite is still executor-parallel and never
-        driver-materialized).
+        Copy-on-write with key-bounds file pruning: only files whose
+        per-column bounds (manifest stats) overlap the source's join-key
+        range are rewritten; the rest carry over by reference. Safe
+        because a target row matching a source key must live in a file
+        whose bounds contain that key — a source key overlapping no
+        file is genuinely unmatched (insert). The bounds aggregation is
+        2 scalars per key column — metadata-scale, not data.
         """
         base = self.current_version()
         snap = self.snapshot(base)
-        target = self.read()
+
+        agg_exprs = []
+        for c in on:
+            agg_exprs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        b = source.agg(*agg_exprs).collect()[0]
+        src_bounds = {
+            c: (_json_stat(b[f"__min_{c}"]), _json_stat(b[f"__max_{c}"]))
+            for c in on
+        }
+
+        def overlaps(entry: dict) -> bool:
+            ranges = entry.get("ranges") or {}
+            for c, (lo, hi) in src_bounds.items():
+                if lo is None or hi is None:
+                    return True  # null/empty source keys → no pruning
+                bounds = ranges.get(c)
+                if bounds is None:
+                    return True  # no stats → conservative
+                fmin, fmax = bounds
+                if fmax < lo or fmin > hi:
+                    return False
+            return True
+
+        touched = [f for f in snap.files if overlaps(f)]
+        keep = [f for f in snap.files if f not in touched]
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if touched:
+            target = self._read_files(
+                schema,
+                [os.path.join(self.location, f["path"]) for f in touched],
+            )
+        else:
+            target = self.spark.createDataFrame([], schema)
         src = source.select(
             F.struct(*[F.col(c) for c in source.columns]).alias("__src"),
             *[F.col(c).alias(f"__k_{c}") for c in on],
@@ -604,8 +639,12 @@ class LakeTable:
         result = out.select(*cols)
         new_files = self._stage_dataframe(result, base + 1, snap.partition_spec)
         return self._commit(
-            base, "merge", new_files, snap.schema_json,
-            summary={"added_files": len(new_files)},
+            base, "merge", keep + new_files, snap.schema_json,
+            summary={
+                "added_files": len(new_files),
+                "rewritten_files": len(touched),
+                "pruned_files": len(keep),
+            },
         )
 
     # ------------------------------------------------------------------

@@ -300,3 +300,47 @@ def test_manifest_stats_file_skipping(catalog, orders_df):
     # unbounded side + no-stats column → no skipping, still exact
     out2 = tbl.read_pruned({"o_orderkey": (None, 100)})
     assert out2.count() == orders_df.filter(F.col("o_orderkey") <= 100).count()
+
+
+def test_merge_prunes_files_outside_source_key_range(catalog, orders_df):
+    """Merge must rewrite only files whose key bounds overlap the
+    source keys; others carry over by reference."""
+    tbl = catalog.create_table("db", "mp", orders_df.schema)
+    tbl.append(orders_df.filter(F.col("o_orderkey") <= 5000).repartition(1))
+    tbl.append(orders_df.filter(F.col("o_orderkey") > 5000).repartition(1))
+    before_paths = {f["path"] for f in tbl.snapshot().files}
+    total = tbl.read().count()
+
+    source = orders_df.filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    snap = tbl.merge(
+        source,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("__src.o_totalprice")},
+        when_not_matched_insert=True,
+    )
+    # the high-key file must survive untouched
+    assert before_paths & {f["path"] for f in snap.files}
+    assert snap.summary["pruned_files"] >= 1
+    out = tbl.read()
+    assert out.count() == total  # all matched, nothing inserted
+    assert out.filter(F.col("o_orderkey") <= 100).filter(
+        F.col("o_totalprice") != 1.0
+    ).count() == 0
+    assert out.filter((F.col("o_orderkey") > 5000) & (F.col("o_totalprice") == 1.0)).count() == 0
+
+
+def test_merge_insert_outside_all_bounds(catalog, orders_df, spark):
+    """Source keys overlapping no file insert without any rewrite."""
+    tbl = catalog.create_table_as(
+        "db", "mi", orders_df.filter(F.col("o_orderkey") <= 1000)
+    )
+    n = tbl.read().count()
+    source = orders_df.filter(
+        (F.col("o_orderkey") > 8000) & (F.col("o_orderkey") <= 8100)
+    )
+    n_src = source.count()
+    snap = tbl.merge(source, on=["o_orderkey"], when_not_matched_insert=True)
+    assert snap.summary["rewritten_files"] == 0
+    assert tbl.read().count() == n + n_src

@@ -165,3 +165,61 @@ def test_late_data_dropped_with_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert not any(r["s"] == 100 or r["s"] == 103 for r in after_late), after_late
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range
+    condition (clicks within 30 min before a purchase, same user) —
+    must equal the batch join."""
+
+    def sides(df):
+        purchases = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+            )
+        )
+        clicks = (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+        )
+        return purchases, clicks
+
+    cond = F.expr(
+        "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+    )
+
+    sp, sc = sides(stream_events(spark, sf_dir))
+    joined = (
+        sp.withWatermark("p_ts", "1 hour")
+        .join(sc.withWatermark("c_ts", "1 hour"), cond, "inner")
+        .select("p_id", "c_id")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["p_id"], r["c_id"]) for r in spark.table("t_ssj").collect()
+        }
+    finally:
+        q.stop()
+
+    bp, bc = sides(table(spark, sf_dir, "events"))
+    batch = {
+        (r["p_id"], r["c_id"])
+        for r in bp.join(bc, cond, "inner").select("p_id", "c_id").collect()
+    }
+    assert streamed == batch
+    assert batch  # non-trivial join
