@@ -50,7 +50,7 @@ def q_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pandas_udaf_grouped",
     oracle="""
 SELECT source,
-       sum(n_chars * doc_id) AS weighted_sum,
+       CAST(sum(n_chars * doc_id) AS BIGINT) AS weighted_sum,
        count(*) AS n_docs
 FROM documents
 GROUP BY source

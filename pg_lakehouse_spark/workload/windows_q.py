@@ -19,7 +19,8 @@ from pg_lakehouse_spark.workload.util import t, views
 @register(
     "q_window_topk_per_group",
     oracle="""
-SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+       CAST(rn AS BIGINT) AS rn
 FROM (
   SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -42,7 +43,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c_custkey"),
             "o_orderkey",
             F.round(F.col("o_totalprice"), 2).alias("totalprice"),
-            "rn",
+            F.col("rn").cast("long").alias("rn"),
         )
     )
 

@@ -126,3 +126,30 @@ def test_ivf_ann_recall_and_shape(emb):
     assert recall > 0.15, f"IVF recall collapsed: {recall}"
     for r in approx:
         assert 1 <= r["rank"] <= 5
+
+
+def test_persisted_ivf_index_roundtrip(emb, spark, tmp_path):
+    """Build the IVF index as lakehouse tables, query it, rebuild with
+    different nlist, and time-travel back to the first index version."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.llm.index import build_ivf_index, query_ivf_index
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    build_ivf_index(cat, "idx", "emb", emb, nlist=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < 15)
+
+    got = query_ivf_index(cat, "idx", "emb", queries, k=5, nprobe=3).collect()
+    assert got
+    exact = cosine_topk(emb, queries, k=5).collect()
+    exact_top = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got_top = {(r["query_id"], r["neighbor_id"]) for r in got}
+    assert len(exact_top & got_top) / len(exact_top) > 0.15
+
+    # rebuild (new snapshots) — old index version still queryable
+    v1 = cat.load_table("idx", "emb__assignments").current_version()
+    build_ivf_index(cat, "idx", "emb", emb, nlist=4, seed=7)
+    assert cat.load_table("idx", "emb__assignments").current_version() > v1
+    pinned = query_ivf_index(
+        cat, "idx", "emb", queries, k=5, nprobe=3, snapshot=v1
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in pinned} == got_top

@@ -223,3 +223,75 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert batch  # non-trivial join
+
+
+def test_transform_with_state_in_pandas(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API):
+    per-user running max event value via a ValueState.
+
+    The API's state-server protocol needs google.protobuf, which this
+    container lacks — skipped here, runs wherever protobuf exists
+    (applyInPandasWithState covers custom state either way)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("max_centivalue", LongType()),
+        ]
+    )
+
+    class MaxTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "mx", StructType([StructField("m", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._state.get()[0] if self._state.exists() else None
+            for pdf in rows:
+                batch_max = int(round(pdf["value"].max() * 100))
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._state.update((mx,))
+            yield pd.DataFrame({"user_id": [key[0]], "max_centivalue": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=MaxTracker(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: r["max_centivalue"]
+            for r in spark.table("t_tws")
+            .groupBy("user_id")
+            .agg(F.max("max_centivalue").alias("max_centivalue"))
+            .collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        r["user_id"]: int(round(r["m"] * 100))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("m"))
+        .collect()
+    }
+    assert got == expected
