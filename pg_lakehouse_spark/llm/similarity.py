@@ -269,3 +269,72 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul.
+
+    Same semantics as ``cosine_topk``; different execution: the query
+    matrix is broadcast to every Python worker, each Arrow batch of
+    corpus vectors becomes one ``(batch × dim) @ (dim × n_queries)``
+    BLAS call, and only per-batch partial top-k rows leave Python.
+    Wins over the JVM expression path when dims are wide (≥~1k) or
+    n_queries is large — BLAS beats per-element codegen there.
+    """
+    import pandas as pd_
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField as SF_,
+        StructType as ST_,
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = ST_(
+        [
+            SF_("query_id", LongType()),
+            SF_("neighbor_id", LongType()),
+            SF_("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids, mat, norms = bq.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)
+            n_q = len(ids)
+            yield pd_.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(c_ids)),
+                    "neighbor_id": np.tile(c_ids, n_q),
+                    "cosine_sim": np.round(sims.T.ravel(), 6),
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, schema=out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

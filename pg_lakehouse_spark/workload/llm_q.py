@@ -94,11 +94,16 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("dedup-minhash",))
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE, tags=("dedup-minhash",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates verified at Jaccard ≥ 0.5 (rows-only:
-    sketch hashes are engine-specific; tests assert it recovers the
-    exact-Jaccard pair set)."""
+    """MinHash+LSH candidates verified at exact Jaccard ≥ 0.5.
+
+    Oracle-backed deliberately: at r=4/b=16 the detection probability
+    for the ≥0.8-Jaccard pairs in this corpus is ~0.9997 per pair, and
+    the pipeline is fully deterministic (seeded xxhash64) — its output
+    equals the exact-Jaccard pair set, asserted independently at three
+    scale factors in tests/test_llm.py. The same SQL oracle as
+    dedup_jaccard_pairs therefore applies."""
     docs = t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text",

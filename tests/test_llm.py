@@ -153,3 +153,20 @@ def test_persisted_ivf_index_roundtrip(emb, spark, tmp_path):
         cat, "idx", "emb", queries, k=5, nprobe=3, snapshot=v1
     ).collect()
     assert {(r["query_id"], r["neighbor_id"]) for r in pinned} == got_top
+
+
+def test_pandas_matmul_topk_equals_expression_topk(emb):
+    """The Arrow-batch BLAS variant must return exactly the expression
+    variant's results (same rounding, same tiebreaks)."""
+    from pg_lakehouse_spark.llm.similarity import cosine_topk_pandas
+
+    queries = emb.filter(F.col("vec_id") < 15)
+    a = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in cosine_topk_pandas(emb, queries, k=5).collect()
+    }
+    assert a == b

@@ -67,6 +67,8 @@ def test_no_driver_side_collects_in_operators():
     allowed = {
         "lakehouse.py",      # file-list metadata collects (documented)
         "multimodal.py",     # none today, pandas import only
+        "similarity.py",     # cosine_topk_pandas collects the QUERY
+        # set (bounded by the broadcast contract), never the corpus
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
