@@ -37,16 +37,20 @@ def dedup_exact(
     """Exact dedup: one survivor per distinct key.
 
     Survivor choice is the min (or max) id — deterministic, and
-    implemented as a single hash aggregation (min-struct trick: no
-    window, no sort, map-side partial agg works).
+    implemented as ONE hash aggregation via ``min_by`` over the packed
+    row (map-side partial agg applies): the groupBy+rejoin formulation
+    shuffles the payload twice; this shuffles it once.
     """
-    agg = F.min if keep == "min" else F.max
-    keyed = df.withColumn("__key", key)
-    survivors = keyed.groupBy("__key").agg(agg(F.col(id_col)).alias(id_col))
-    return (
-        keyed.join(survivors, [ "__key", id_col], "inner")
-        .drop("__key")
+    agg = F.min_by if keep == "min" else F.max_by
+    packed = df.select(
+        key.alias("__key"),
+        F.col(id_col).alias("__ord"),
+        F.struct(*df.columns).alias("__row"),
     )
+    survivors = packed.groupBy("__key").agg(
+        agg(F.col("__row"), F.col("__ord")).alias("__row")
+    )
+    return survivors.select("__row.*")
 
 
 def _exploded_shingles(

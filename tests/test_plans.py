@@ -120,3 +120,22 @@ def test_broadcast_hints_on_dim_joins(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     # the only sort-merge-eligible join is the fact-fact one
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_asof_join_plan_has_no_join(spark, sf_dir):
+    """The as-of composition must plan as union+window — a JOIN node
+    would mean the row-explosion formulation snuck back in."""
+    from pg_lakehouse_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q_asof_join"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "asof_join must not plan a join"
+    assert "Window" in plan and "Union" in plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    """dedup_exact is one hash agg: exactly one shuffle exchange."""
+    from pg_lakehouse_spark.plans.inspect import shuffle_exchange_count
+
+    df = REGISTRY["dedup_exact_documents"].fn(spark, sf_dir)
+    assert shuffle_exchange_count(df) == 1
