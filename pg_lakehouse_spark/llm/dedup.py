@@ -54,11 +54,18 @@ def dedup_exact(
 
 
 def _exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = False
 ) -> DataFrame:
+    """(doc id, shingle) rows. ``hashed=True`` replaces each shingle
+    string with its xxhash64 — set membership (and hence Jaccard) is
+    preserved up to 2^-64 collisions, while every downstream join/agg
+    runs on fixed-width longs instead of strings. The minhash pipeline
+    also derives its whole hash family from this one string hash."""
+    arr = shingles(F.col(text_col), n)
+    if hashed:  # hash inside the array — explode emits longs directly
+        arr = F.transform(arr, lambda s: F.xxhash64(s))
     return df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), n)).alias("__sh"),
+        F.col(id_col).alias("__id"), F.explode(arr).alias("__sh")
     )
 
 
@@ -80,7 +87,7 @@ def jaccard_near_duplicates(
 
     Returns (id1, id2, jaccard) with id1 < id2.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n)
+    sh = _exploded_shingles(df, id_col, text_col, n, hashed=True)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     if max_shingle_df is not None:
         rare = (
@@ -128,7 +135,7 @@ def minhash_signatures(
     stays inside whole-stage codegen. The fold formulation (aggregate/
     zip_with) avoids the shuffle entirely but runs interpreted —
     measured 2× slower at sf0.1 (13.3s vs 6.9s end-to-end)."""
-    sh = _exploded_shingles(df, id_col, text_col, n)
+    sh = _exploded_shingles(df, id_col, text_col, n, hashed=True)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -165,7 +172,7 @@ def minhash_lsh_candidates(
     # persist it once instead of re-tokenizing the corpus per branch.
     # At cluster scale this is the standard cache-or-checkpoint point
     # of the minhash pipeline (shingles ≈ 10-20× corpus rows).
-    sh_cache = _exploded_shingles(df, id_col, text_col, n).persist()
+    sh_cache = _exploded_shingles(df, id_col, text_col, n, hashed=True).persist()
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
         for i in range(num_hashes)
