@@ -960,8 +960,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
 SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity) * 10000) AS BIGINT))
+            AS BIGINT) AS profit_e4
 FROM part, supplier, lineitem, orders, nation
 WHERE s_suppkey = l_suppkey
   AND p_partkey = l_partkey
@@ -985,14 +986,22 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "n_name"
         )
     )
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    # each addend lies on the 1e-4 decimal grid (2-dec prices × 2-dec
+    # rates); rounding the ADDEND to integer e4-units before summing
+    # makes the aggregate exact integer math — immune to the
+    # sum-order ulp divergence that float sums of ±terms accumulate
+    # (observed: one group off by one cent at sf0.1 without this)
+    profit_e4 = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+    ).cast("long")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(sn, li.l_suppkey == sn.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(F.sum(profit_e4).cast("long").alias("profit_e4"))
     )

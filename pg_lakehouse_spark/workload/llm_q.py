@@ -334,3 +334,46 @@ def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, id_col="vec_id", vec_col="embedding",
         nlist=8, nprobe=3, seed=42,
     )
+
+
+@register(
+    "data_split_modulo",
+    oracle="""
+SELECT CASE WHEN doc_id % 10000 < 8000 THEN 'train'
+            WHEN doc_id % 10000 < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+    tags=("split",),
+)
+def data_split_modulo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (oracle-checkable modulo
+    variant; hash_split is the production twin below)."""
+    from pg_lakehouse_spark.llm.splits import modulo_split
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        modulo_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register("data_split_hash", oracle=None, tags=("split",))
+def data_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash split (rows-only: xxhash64 is engine-specific;
+    ratio correctness asserted in tests)."""
+    from pg_lakehouse_spark.llm.splits import hash_split
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -170,3 +170,32 @@ def test_pandas_matmul_topk_equals_expression_topk(emb):
         for r in cosine_topk_pandas(emb, queries, k=5).collect()
     }
     assert a == b
+
+
+def test_hash_split_properties(docs, spark):
+    """Disjoint+exhaustive, ratio-correct, and stable under
+    repartitioning — the properties rand()-based splits lack."""
+    from pg_lakehouse_spark.llm.splits import hash_split, stratified_sample
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    split = hash_split(docs, "doc_id", weights)
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total  # exhaustive, disjoint
+    assert abs(counts["train"] / total - 0.8) < 0.06
+    # stability: same assignment after a full repartition
+    a = {(r["doc_id"], r["split"]) for r in split.select("doc_id", "split").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs.repartition(13), "doc_id", weights)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+    sampled = stratified_sample(docs, "lang", "doc_id", {"en": 0.5, "de": 1.0})
+    langs = {r["lang"] for r in sampled.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert sampled.filter(F.col("lang") == "de").count() == n_de  # frac 1.0
