@@ -420,6 +420,26 @@ class LakeTable:
         paths = [os.path.join(self.location, f["path"]) for f in s.files]
         return self._read_files(schema, paths)
 
+    def read_incremental(
+        self, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Rows added between two snapshots (exclusive, inclusive) —
+        CDC-style incremental consumption for append-only flows: reads
+        only the files the newer snapshot added, never rescanning
+        history. For snapshots produced by overwrite/DML the added
+        files contain rewritten rows too — callers tracking true diffs
+        should check ``snapshot().operation == 'append'`` per step."""
+        base = self.snapshot(from_snapshot)
+        head = self.snapshot(to_snapshot)
+        schema = StructType.fromJson(json.loads(head.schema_json))
+        base_paths = {f["path"] for f in base.files}
+        added = [f for f in head.files if f["path"] not in base_paths]
+        if not added:
+            return self.spark.createDataFrame([], schema)
+        return self._read_files(
+            schema, [os.path.join(self.location, f["path"]) for f in added]
+        )
+
     def read_pruned(
         self,
         filters: dict[str, tuple],

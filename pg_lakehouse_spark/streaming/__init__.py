@@ -8,6 +8,7 @@ real ``readStream`` queries with watermarks and asserts the streaming
 result converges to the batch result.
 """
 
+from pg_lakehouse_spark.streaming.sink import write_stream_to_lake
 from pg_lakehouse_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -15,4 +16,10 @@ from pg_lakehouse_spark.streaming.windows import (
     tumbling_agg,
 )
 
-__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "stream_events"]
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "stream_events",
+    "write_stream_to_lake",
+]

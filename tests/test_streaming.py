@@ -295,3 +295,44 @@ def test_transform_with_state_in_pandas(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_to_lakehouse_sink_and_incremental_read(spark, sf_dir, tmp_path):
+    """File stream → foreachBatch append into a versioned LakeTable;
+    every micro-batch is one snapshot; incremental reads between
+    snapshots recover exactly the per-batch rows."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.streaming.sink import write_stream_to_lake
+    from pg_lakehouse_spark.streaming.windows import stream_events
+
+    ev_stream = stream_events(spark, sf_dir)
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    tbl = cat.create_table("db", "events_lake", ev_stream.schema)
+    v0 = tbl.current_version()
+
+    q = write_stream_to_lake(
+        ev_stream, tbl, str(tmp_path / "ckpt_sink"), trigger_once=True
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    expected = table(spark, sf_dir, "events").count()
+    assert tbl.read().count() == expected
+    hist = tbl.history_df().collect()
+    appends = [r for r in hist if r["operation"] == "append"]
+    assert appends, "stream should have committed append snapshots"
+    # snapshot summaries carry the stream batch id
+    assert any(
+        "stream_batch_id" in s.summary for s in tbl.snapshots()
+        if s.operation == "append"
+    )
+    # incremental read over the whole stream == full table
+    assert tbl.read_incremental(v0).count() == expected
+    # and per-snapshot increments partition the data
+    versions = [s.version for s in tbl.snapshots()]
+    total = 0
+    for a, b in zip(versions, versions[1:]):
+        total += tbl.read_incremental(a, b).count()
+    assert total == expected
