@@ -344,3 +344,25 @@ def test_merge_insert_outside_all_bounds(catalog, orders_df, spark):
     snap = tbl.merge(source, on=["o_orderkey"], when_not_matched_insert=True)
     assert snap.summary["rewritten_files"] == 0
     assert tbl.read().count() == n + n_src
+
+
+def test_catalog_maintenance_sweep(catalog, orders_df):
+    from pg_lakehouse_spark.maintenance import run_maintenance
+
+    # table A: fragmented (crosses the threshold), table B: healthy
+    a = catalog.create_table("db", "sweep_a", orders_df.schema)
+    for i in range(5):
+        a.append(orders_df.filter(F.col("o_orderkey") % 5 == i).repartition(2))
+    b = catalog.create_table_as("db", "sweep_b", orders_df.limit(100))
+    rows_a, rows_b = a.read().count(), 100
+
+    reports = {r["table"]: r for r in run_maintenance(
+        catalog, compaction_file_threshold=8, keep_snapshots=1
+    )}
+    assert reports["sweep_a"]["compacted"]
+    assert reports["sweep_a"]["files_after"] < reports["sweep_a"]["files_before"]
+    assert reports["sweep_a"]["expired_snapshots"] >= 1
+    assert not reports["sweep_b"]["compacted"]
+    # data integrity after the sweep
+    assert a.read().count() == rows_a
+    assert b.read().count() == rows_b
