@@ -67,6 +67,7 @@ def _load_all() -> None:
         lake_q,
         llm_q,
         streaming_q,
+        tpch_more,
         udf_q,
         windows_q,
     )
