@@ -85,6 +85,18 @@ class Snapshot:
     summary: dict = field(default_factory=dict)
     properties: dict = field(default_factory=dict)
     partition_spec: list[str] = field(default_factory=list)
+    # --- schema evolution (Iceberg-style id-based column resolution;
+    # the reference lists this as its top roadmap item, README.md:152).
+    # schema_id: epoch of the CURRENT schema; bumped by every evolve.
+    # field_ids: current column name -> stable field id.
+    # schemas: historical epochs {schema_id: {schema_json, field_ids}}
+    #          so any old data file stays readable.
+    # Files record the schema_id they were written under; defaults (0,
+    # {}, {}) keep pre-evolution metadata readable unchanged.
+    schema_id: int = 0
+    field_ids: dict = field(default_factory=dict)
+    schemas: dict = field(default_factory=dict)
+    next_field_id: int = 0
 
     @property
     def total_rows(self) -> int:
@@ -262,8 +274,13 @@ class LakeTable:
         schema_json: str,
         summary: dict | None = None,
         properties: dict | None = None,
+        schema_meta: dict | None = None,
     ) -> Snapshot:
-        """Atomic snapshot commit with optimistic concurrency."""
+        """Atomic snapshot commit with optimistic concurrency.
+
+        ``schema_meta`` (schema_id / field_ids / schemas /
+        next_field_id) is set by the evolve operations; every other
+        commit carries the parent's evolution state forward."""
         lock_path = os.path.join(self.meta_dir, "_commit.lock")
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
@@ -273,6 +290,12 @@ class LakeTable:
                     f"table advanced to v{current} since base v{base_version}"
                 )
             parent = self.snapshot(current) if current > 0 else None
+            evo = {
+                "schema_id": parent.schema_id if parent else 0,
+                "field_ids": parent.field_ids if parent else {},
+                "schemas": parent.schemas if parent else {},
+                "next_field_id": parent.next_field_id if parent else 0,
+            } | (schema_meta or {})
             snap = Snapshot(
                 version=current + 1,
                 snapshot_id=current + 1,
@@ -285,6 +308,7 @@ class LakeTable:
                 properties=(parent.properties if parent else {})
                 | (properties or {}),
                 partition_spec=parent.partition_spec if parent else [],
+                **evo,
             )
             meta_path = self._meta_path(snap.version)
             tmp = meta_path + ".tmp"
@@ -306,7 +330,11 @@ class LakeTable:
         return self.snapshot().partition_spec
 
     def _stage_dataframe(
-        self, df: DataFrame, snapshot_hint: int, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        snapshot_hint: int,
+        partition_by: list[str] | None = None,
+        schema_id: int = 0,
     ) -> list[dict]:
         """Write df as parquet data files; return their file entries.
 
@@ -347,6 +375,7 @@ class LakeTable:
                     "rows": rows,
                     "bytes": nbytes,
                     "ranges": _file_column_ranges(dst),
+                    "schema_id": schema_id,
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
@@ -360,8 +389,9 @@ class LakeTable:
         ]:
             raise LakehouseError(
                 f"schema mismatch: table={expected.simpleString()} "
-                f"df={got.simpleString()} (schema evolution not supported, "
-                "matching the reference's fixed schema-on-write model)"
+                f"df={got.simpleString()} — writes must match the CURRENT "
+                "schema; evolve it first via add_column/rename_column/"
+                "drop_column"
             )
 
     def append(self, df: DataFrame) -> Snapshot:
@@ -369,7 +399,8 @@ class LakeTable:
         self._check_schema(df)
         base = self.current_version()
         new_files = self._stage_dataframe(
-            df, base + 1, self.snapshot(base).partition_spec
+            df, base + 1, self.snapshot(base).partition_spec,
+            schema_id=self.snapshot(base).schema_id,
         )
         files = self.snapshot(base).files + new_files if base > 0 else new_files
         return self._commit(
@@ -384,7 +415,8 @@ class LakeTable:
         self._check_schema(df)
         base = self.current_version()
         new_files = self._stage_dataframe(
-            df, base + 1, self.snapshot(base).partition_spec
+            df, base + 1, self.snapshot(base).partition_spec,
+            schema_id=self.snapshot(base).schema_id,
         )
         return self._commit(
             base, "overwrite", new_files, self.snapshot(base).schema_json,
@@ -398,6 +430,121 @@ class LakeTable:
         return self._commit(base, "truncate", [], self.snapshot(base).schema_json)
 
     # ------------------------------------------------------------------
+    # schema evolution — id-based column resolution (the reference's
+    # top roadmap item, README.md:152 / pg_lakehouse_iceberg/README.md:
+    # 17; modeled on Iceberg's field-id semantics). All three ops are
+    # metadata-only commits: no data file is touched, so they are O(1)
+    # at any table size.
+    # ------------------------------------------------------------------
+
+    def _evolve(
+        self,
+        operation: str,
+        new_schema: StructType,
+        new_field_ids: dict,
+        next_field_id: int,
+        files: list[dict] | None = None,
+    ) -> Snapshot:
+        base = self.current_version()
+        snap = self.snapshot(base)
+        cur_ids, cur_next = self._effective_field_ids(snap)
+        schemas = dict(snap.schemas)
+        # archive the outgoing epoch so its files stay resolvable
+        schemas[str(snap.schema_id)] = {
+            "schema_json": snap.schema_json,
+            "field_ids": cur_ids,
+        }
+        return self._commit(
+            base,
+            operation,
+            files if files is not None else snap.files,
+            new_schema.json(),
+            summary={"schema_change": operation},
+            schema_meta={
+                "schema_id": snap.schema_id + 1,
+                "field_ids": new_field_ids,
+                "schemas": schemas,
+                "next_field_id": next_field_id,
+            },
+        )
+
+    def add_column(self, name: str, data_type, nullable: bool = True) -> Snapshot:
+        """ADD COLUMN: existing files read the new column as NULL. The
+        new column gets a fresh field id — re-adding a dropped name
+        never resurrects old data (id-based, not name-based)."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if name in schema.names:
+            raise LakehouseError(f"column {name!r} already exists")
+        if isinstance(data_type, str):
+            data_type = _parse_datatype_string(data_type)
+        ids, nxt = self._effective_field_ids(snap)
+        new_schema = StructType(
+            schema.fields + [StructField(name, data_type, nullable)]
+        )
+        return self._evolve(
+            "add-column", new_schema, ids | {name: nxt}, nxt + 1
+        )
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """RENAME COLUMN: the field id is stable, so files written
+        under the old name keep resolving; per-file range stats are
+        re-keyed in metadata (metadata-only, no file rewrite)."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if old not in schema.names:
+            raise LakehouseError(f"no such column: {old!r}")
+        if new in schema.names:
+            raise LakehouseError(f"column {new!r} already exists")
+        if old in snap.partition_spec:
+            raise LakehouseError(
+                f"cannot rename partition column {old!r} (hive directory "
+                "layout is name-keyed)"
+            )
+        ids, nxt = self._effective_field_ids(snap)
+        fields = [
+            f if f.name != old else type(f)(new, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        new_ids = {(new if n == old else n): fid for n, fid in ids.items()}
+        files = [
+            {**e, "ranges": {
+                (new if k == old else k): v
+                for k, v in (e.get("ranges") or {}).items()
+            }}
+            for e in snap.files
+        ]
+        return self._evolve(
+            "rename-column", StructType(fields), new_ids, nxt, files
+        )
+
+    def drop_column(self, name: str) -> Snapshot:
+        """DROP COLUMN: metadata-only; the column's id is retired and
+        old files simply stop selecting it."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if name not in schema.names:
+            raise LakehouseError(f"no such column: {name!r}")
+        if name in snap.partition_spec:
+            raise LakehouseError(f"cannot drop partition column {name!r}")
+        if len(schema.fields) == 1:
+            raise LakehouseError("cannot drop the only column")
+        ids, nxt = self._effective_field_ids(snap)
+        fields = [f for f in schema.fields if f.name != name]
+        new_ids = {n: fid for n, fid in ids.items() if n != name}
+        files = [
+            {**e, "ranges": {
+                k: v for k, v in (e.get("ranges") or {}).items() if k != name
+            }}
+            for e in snap.files
+        ]
+        return self._evolve(
+            "drop-column", StructType(fields), new_ids, nxt, files
+        )
+
+    # ------------------------------------------------------------------
     # read paths
     # ------------------------------------------------------------------
 
@@ -407,6 +554,59 @@ class LakeTable:
         reader = self.spark.read.schema(schema).option("basePath", self.data_dir)
         return reader.parquet(*paths)
 
+    def _effective_field_ids(self, snap: Snapshot) -> tuple[dict, int]:
+        """(name -> field id, next id). Pre-evolution snapshots carry no
+        ids; derive stable positional ids from the schema on demand."""
+        if snap.field_ids:
+            return snap.field_ids, snap.next_field_id
+        names = [f.name for f in StructType.fromJson(json.loads(snap.schema_json))]
+        return {n: i + 1 for i, n in enumerate(names)}, len(names) + 1
+
+    def _read_entries(self, snap: Snapshot, entries: list[dict]) -> DataFrame:
+        """Read file entries under the snapshot's CURRENT schema,
+        resolving old-epoch files by field id (Iceberg-style): a column
+        keeps its id across renames, so old files supply it under their
+        old name; columns added after a file was written read as NULL;
+        dropped columns are simply not selected.
+
+        Files group by schema epoch — one multi-file vectorized scan
+        per epoch (epoch count = number of evolutions, never data-
+        sized), unioned by name. Pushdown/pruning still apply per scan.
+        """
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        cur_ids, _ = self._effective_field_ids(snap)
+        by_epoch: dict[int, list[dict]] = {}
+        for e in entries:
+            by_epoch.setdefault(e.get("schema_id", 0), []).append(e)
+        parts = []
+        for sid, ents in sorted(by_epoch.items()):
+            paths = [os.path.join(self.location, f["path"]) for f in ents]
+            if sid == snap.schema_id:
+                parts.append(self._read_files(schema, paths))
+                continue
+            epoch = snap.schemas.get(str(sid)) or snap.schemas.get(sid)
+            if epoch is None:
+                raise LakehouseError(
+                    f"file written under unknown schema epoch {sid}"
+                )
+            old_schema = StructType.fromJson(json.loads(epoch["schema_json"]))
+            id_to_old = {fid: n for n, fid in epoch["field_ids"].items()}
+            df = self._read_files(old_schema, paths)
+            proj = []
+            for fld in schema.fields:
+                old_name = id_to_old.get(cur_ids[fld.name])
+                if old_name is not None:
+                    proj.append(F.col(old_name).alias(fld.name))
+                else:
+                    proj.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            parts.append(df.select(*proj))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self, snapshot: int | None = None) -> DataFrame:
         """Scan the table at the current (or a pinned) snapshot —
         ref A1/A6. Returns a lazy DataFrame over the snapshot's file
@@ -414,11 +614,7 @@ class LakeTable:
         reference's hand-rolled parallel scan A7/A8). Predicates on
         partition columns prune whole partition directories."""
         s = self.snapshot(snapshot)
-        schema = StructType.fromJson(json.loads(s.schema_json))
-        if not s.files:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.location, f["path"]) for f in s.files]
-        return self._read_files(schema, paths)
+        return self._read_entries(s, s.files)
 
     def read_incremental(
         self, from_snapshot: int, to_snapshot: int | None = None
@@ -431,14 +627,9 @@ class LakeTable:
         should check ``snapshot().operation == 'append'`` per step."""
         base = self.snapshot(from_snapshot)
         head = self.snapshot(to_snapshot)
-        schema = StructType.fromJson(json.loads(head.schema_json))
         base_paths = {f["path"] for f in base.files}
         added = [f for f in head.files if f["path"] not in base_paths]
-        if not added:
-            return self.spark.createDataFrame([], schema)
-        return self._read_files(
-            schema, [os.path.join(self.location, f["path"]) for f in added]
-        )
+        return self._read_entries(head, added)
 
     def read_pruned(
         self,
@@ -453,7 +644,6 @@ class LakeTable:
         row-level after the scan, so results are exact regardless of
         stats coverage."""
         s = self.snapshot(snapshot)
-        schema = StructType.fromJson(json.loads(s.schema_json))
 
         def overlaps(entry: dict) -> bool:
             ranges = entry.get("ranges") or {}
@@ -469,13 +659,7 @@ class LakeTable:
             return True
 
         selected = [f for f in s.files if overlaps(f)]
-        if not selected:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self._read_files(
-                schema,
-                [os.path.join(self.location, f["path"]) for f in selected],
-            )
+        df = self._read_entries(s, selected)
         for col_name, (lo, hi) in filters.items():
             if lo is not None:
                 df = df.filter(F.col(col_name) >= lo)
@@ -538,13 +722,12 @@ class LakeTable:
         if not affected:
             return snap  # no-op: nothing matched
         keep = [f for f in snap.files if f["path"] not in affected]
-        touched_paths = [
-            os.path.join(self.location, p) for p in sorted(affected)
-        ]
-        schema = StructType.fromJson(json.loads(snap.schema_json))
-        touched = self._read_files(schema, touched_paths)
+        touched_entries = [f for f in snap.files if f["path"] in affected]
+        touched = self._read_entries(snap, touched_entries)
         rewritten = transform(touched)
-        new_files = self._stage_dataframe(rewritten, base + 1, snap.partition_spec)
+        new_files = self._stage_dataframe(
+            rewritten, base + 1, snap.partition_spec, schema_id=snap.schema_id
+        )
         return self._commit(
             base, operation, keep + new_files, snap.schema_json,
             summary={"rewritten_files": len(affected),
@@ -620,14 +803,7 @@ class LakeTable:
 
         touched = [f for f in snap.files if overlaps(f)]
         keep = [f for f in snap.files if f not in touched]
-        schema = StructType.fromJson(json.loads(snap.schema_json))
-        if touched:
-            target = self._read_files(
-                schema,
-                [os.path.join(self.location, f["path"]) for f in touched],
-            )
-        else:
-            target = self.spark.createDataFrame([], schema)
+        target = self._read_entries(snap, touched)
         src = source.select(
             F.struct(*[F.col(c) for c in source.columns]).alias("__src"),
             *[F.col(c).alias(f"__k_{c}") for c in on],
@@ -657,7 +833,9 @@ class LakeTable:
         if not when_not_matched_insert:
             out = out.filter(~src_only)
         result = out.select(*cols)
-        new_files = self._stage_dataframe(result, base + 1, snap.partition_spec)
+        new_files = self._stage_dataframe(
+            result, base + 1, snap.partition_spec, schema_id=snap.schema_id
+        )
         return self._commit(
             base, "merge", keep + new_files, snap.schema_json,
             summary={
@@ -682,10 +860,7 @@ class LakeTable:
         if len(small) < min_files:
             return snap
         keep = [f for f in snap.files if f["bytes"] >= small_file_bytes]
-        schema = StructType.fromJson(json.loads(snap.schema_json))
-        df = self._read_files(
-            schema, [os.path.join(self.location, f["path"]) for f in small]
-        )
+        df = self._read_entries(snap, small)
         target_files = max(
             1, (sum(f["bytes"] for f in small) + small_file_bytes - 1)
             // small_file_bytes,
@@ -696,7 +871,11 @@ class LakeTable:
             df = df.repartition(target_files, *snap.partition_spec)
         else:
             df = df.repartition(target_files)
-        new_files = self._stage_dataframe(df, base + 1, snap.partition_spec)
+        # compaction reads epoch-aware and writes back under the
+        # current schema — it doubles as an epoch-upgrade pass
+        new_files = self._stage_dataframe(
+            df, base + 1, snap.partition_spec, schema_id=snap.schema_id
+        )
         return self._commit(
             base, "compact", keep + new_files, snap.schema_json,
             summary={"compacted_files": len(small), "added_files": len(new_files)},

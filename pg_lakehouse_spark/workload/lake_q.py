@@ -160,3 +160,38 @@ def lake_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "version int, total_files int, meta_rows bigint, actual_rows bigint, last_op string",
     )
+
+
+@register(
+    "lake_schema_evolution",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS amount,
+       CASE WHEN o_orderkey <= 1000 THEN 'legacy' ELSE 'web' END AS o_channel
+FROM orders WHERE o_orderkey <= 2000
+""",
+    tags=("lakehouse", "schema-evolution"),
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-based schema evolution end-to-end (the reference's roadmap
+    item README.md:152): rename + add are metadata-only commits; old
+    files resolve by field id; an UPDATE then spans both schema epochs.
+    The oracle states the equivalent end state in pure SQL."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "schema_evolution")
+    tbl = cat.create_table_as(
+        "db", "orders_evo", orders.filter(F.col("o_orderkey") <= 1000)
+    )
+    tbl.rename_column("o_totalprice", "o_amount")
+    tbl.add_column("o_channel", "string")
+    tbl.append(
+        orders.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000))
+        .withColumnRenamed("o_totalprice", "o_amount")
+        .withColumn("o_channel", F.lit("web"))
+    )
+    # update touches only the old-epoch files (o_channel NULL there)
+    tbl.update(F.col("o_channel").isNull(), {"o_channel": F.lit("legacy")})
+    return tbl.read().select(
+        "o_orderkey",
+        F.round(F.col("o_amount"), 2).alias("amount"),
+        "o_channel",
+    )

@@ -366,3 +366,87 @@ def test_catalog_maintenance_sweep(catalog, orders_df):
     # data integrity after the sweep
     assert a.read().count() == rows_a
     assert b.read().count() == rows_b
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (id-based column resolution)
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_old_files_read_null(catalog, orders_df, spark):
+    tbl = catalog.create_table_as("db", "evo_add", orders_df.limit(100))
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    tbl.add_column("o_channel", "string")
+    # metadata-only: no data file was rewritten
+    assert {f["path"] for f in tbl.snapshot().files} == files_before
+    df = tbl.read()
+    assert "o_channel" in df.columns
+    assert df.filter(F.col("o_channel").isNull()).count() == 100
+    # new appends carry the column; old files still read NULL
+    newrows = orders_df.limit(5).withColumn("o_channel", F.lit("web"))
+    tbl.append(newrows)
+    assert tbl.read().filter(F.col("o_channel") == "web").count() == 5
+    assert tbl.read().filter(F.col("o_channel").isNull()).count() == 100
+    # time travel: the pre-evolution snapshot keeps the old schema
+    assert "o_channel" not in tbl.read(snapshot=1).columns
+
+
+def test_rename_column_resolves_old_files_by_id(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "evo_ren", orders_df.limit(50))
+    total_before = tbl.read().agg(F.sum("o_totalprice")).collect()[0][0]
+    tbl.rename_column("o_totalprice", "o_amount")
+    df = tbl.read()
+    assert "o_amount" in df.columns and "o_totalprice" not in df.columns
+    assert df.agg(F.sum("o_amount")).collect()[0][0] == total_before
+    # manifest range stats were re-keyed → pruning works on the new name
+    sel, tot = tbl.pruned_file_count({"o_amount": (None, -1.0)})
+    assert sel == 0 and tot >= 1
+    # writes must use the new name
+    with pytest.raises(LakehouseError):
+        tbl.append(orders_df.limit(1))
+
+
+def test_drop_and_readd_does_not_resurrect(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "evo_drop", orders_df.limit(30))
+    tbl.drop_column("o_orderpriority")
+    assert "o_orderpriority" not in tbl.read().columns
+    # re-adding the same NAME gets a fresh field id → old values stay gone
+    tbl.add_column("o_orderpriority", "string")
+    df = tbl.read()
+    assert df.filter(F.col("o_orderpriority").isNull()).count() == 30
+
+
+def test_dml_and_compact_across_schema_epochs(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "evo_dml", orders_df.limit(100))
+    tbl.rename_column("o_totalprice", "o_amount")
+    tbl.add_column("o_note", "string")
+    tbl.append(
+        orders_df.limit(10)
+        .withColumnRenamed("o_totalprice", "o_amount")
+        .withColumn("o_note", F.lit("late")),
+    )
+    # UPDATE spanning old-epoch and new-epoch files
+    tbl.update(F.col("o_amount") > 0, {"o_note": F.lit("x")})
+    assert tbl.read().filter(F.col("o_note") == "x").count() == 110
+    # compaction normalizes every surviving file to the current epoch
+    tbl.compact(small_file_bytes=1 << 30)
+    assert all(
+        f.get("schema_id") == tbl.snapshot().schema_id
+        for f in tbl.snapshot().files
+    )
+    assert tbl.read().count() == 110
+
+
+def test_evolution_guards(catalog, orders_df, spark):
+    tbl = catalog.create_table(
+        "db", "evo_guard", orders_df.schema, partition_by=["o_orderstatus"]
+    )
+    tbl.append(orders_df.limit(20))
+    with pytest.raises(LakehouseError):
+        tbl.rename_column("o_orderstatus", "status")  # partition column
+    with pytest.raises(LakehouseError):
+        tbl.drop_column("o_orderstatus")
+    with pytest.raises(LakehouseError):
+        tbl.add_column("o_orderkey", "bigint")  # duplicate
+    with pytest.raises(LakehouseError):
+        tbl.rename_column("nope", "x")

@@ -51,7 +51,11 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
         n
         for n, s in REGISTRY.items()
         if s.oracle is not None
-        and n not in ("q_cross_join",)  # the one intentional cross join
+        # intentional: q_cross_join is the cross-join capability row;
+        # q11/q22 broadcast-cross a 1-ROW aggregate (scalar-threshold
+        # pattern) — constant-size side, scalable at any SF
+        and n not in ("q_cross_join", "q11_important_stock",
+                      "q22_sales_opportunity")
         and not n.startswith("lake_")   # DML queries build tables eagerly
     ),
 )
