@@ -338,3 +338,248 @@ def cosine_topk_pandas(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m_subvectors: int, ksub: int, seed: int, iters: int = 12
+) -> np.ndarray:
+    """Train PQ codebooks (Lloyd's k-means per subspace) on a bounded
+    driver-side sample — the standard PQ practice (FAISS trains on a
+    sample too); the sample size is fixed, not data-sized.
+
+    Returns array (m, ksub, dsub).
+    """
+    n, dim = sample.shape
+    dsub = dim // m_subvectors
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_subvectors, ksub, dsub))
+    for m in range(m_subvectors):
+        sub = sample[:, m * dsub : (m + 1) * dsub]
+        centers = sub[rng.choice(n, size=min(ksub, n), replace=False)]
+        if len(centers) < ksub:  # degenerate tiny sample
+            centers = np.vstack(
+                [centers, rng.normal(size=(ksub - len(centers), dsub))]
+            )
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(ksub):
+                pts = sub[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(0)
+        books[m] = centers
+    return books
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    m_subvectors: int = 8,
+    ksub: int = 16,
+    train_sample: int = 16384,
+    rerank_factor: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ with exact re-rank (FAISS IVFPQ-style, public method:
+    Jégou et al., "Product Quantization for Nearest Neighbor Search").
+
+    Scale path beyond plain IVF: within each probed cell, candidates
+    are scored from ``m_subvectors``-byte PQ codes via per-query
+    lookup tables (asymmetric distance computation) instead of full
+    d-dim vectors — the scan touches codes (m bytes/vector), not
+    embeddings (4d bytes/vector), a ~d·4/m compression of the hot
+    loop. The top ``rerank_factor·k`` ADC candidates per query are
+    then re-scored EXACTLY against their raw vectors, so returned
+    cosine values equal brute-force values; only the candidate SET is
+    approximate.
+
+    Execution shape: coarse KMeans is distributed (Spark ML);
+    codebooks train on a bounded driver-side sample; encode + ADC run
+    as Arrow-batched numpy over ``mapInPandas`` (codebook lookups are
+    fancy-indexing, not expressible in codegen); re-rank is a JVM-side
+    expression join. Nothing data-sized ever reaches the driver.
+    """
+    import pandas as pd_
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField as SF_,
+        StructType as ST_,
+    )
+
+    spark = corpus.sparkSession
+    c = with_double_vec(corpus, vec_col)
+    cv = c.withColumn("__mlvec", array_to_vector(F.col("__vec")))
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__mlvec", predictionCol="__bucket"
+    ).fit(cv)
+    assigned = model.transform(cv).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__vec"), F.col("__bucket")
+    )
+
+    # --- train PQ codebooks on a deterministic bounded sample ---
+    sample_rows = (
+        c.select("__vec").sort(F.col(id_col)).limit(train_sample).collect()
+    )
+    sample = np.array([r["__vec"] for r in sample_rows], dtype=np.float64)
+    books = _train_pq_codebooks(sample, m_subvectors, ksub, seed)
+    book_sq = (books**2).sum(-1)  # (m, ksub) — for reconstructed norms
+    sc = spark.sparkContext
+    b_books = sc.broadcast((books, book_sq))
+
+    dsub = sample.shape[1] // m_subvectors
+
+    enc_schema = ST_(
+        [
+            SF_("neighbor_id", LongType()),
+            SF_("__bucket", IntegerType()),
+            SF_("codes", ArrayType(IntegerType())),
+            SF_("recon_norm", DoubleType()),
+        ]
+    )
+
+    def encode(batches):
+        bks, bsq = b_books.value
+        for pdf in batches:
+            mat = np.array(list(pdf["__vec"]), dtype=np.float64)
+            n = len(mat)
+            codes = np.empty((n, m_subvectors), dtype=np.int32)
+            for m in range(m_subvectors):
+                sub = mat[:, m * dsub : (m + 1) * dsub]
+                d2 = ((sub[:, None, :] - bks[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = d2.argmin(1)
+            # subspaces are disjoint coordinates → ||recon||² is the
+            # exact sum of chosen sub-centroid squared norms
+            recon = np.sqrt(bsq[np.arange(m_subvectors)[None, :], codes].sum(1))
+            yield pd_.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "__bucket": pdf["__bucket"].to_numpy(),
+                    "codes": list(codes),
+                    "recon_norm": recon,
+                }
+            )
+
+    encoded = assigned.mapInPandas(encode, schema=enc_schema)
+
+    # --- query→cell probes (same construction as ivf_ann_topk) ---
+    centers = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    centers_df = spark.createDataFrame(centers, "__bucket int, __center array<double>")
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("__qv"),
+        _norm(F.col("__vec")).alias("__qn"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__center"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.asc("__dist"), F.asc("__bucket"))
+    probes = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("__dist", dist)
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__bucket")
+    )
+
+    # broadcast the query matrix for LUT construction in the workers
+    q_rows = q.select("query_id", "__qv", "__qn").collect()
+    q_map = {
+        int(r["query_id"]): (
+            np.array(r["__qv"], dtype=np.float64),
+            float(r["__qn"]),
+        )
+        for r in q_rows
+    }
+    b_q = sc.broadcast(q_map)
+
+    adc_schema = ST_(
+        [
+            SF_("query_id", LongType()),
+            SF_("neighbor_id", LongType()),
+            SF_("adc_sim", DoubleType()),
+        ]
+    )
+
+    def adc_score(batches):
+        bks, _ = b_books.value
+        qm = b_q.value
+        luts: dict[int, tuple[np.ndarray, float]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            codes = np.vstack(pdf["codes"])  # (n, m)
+            recon = pdf["recon_norm"].to_numpy()
+            nid = pdf["neighbor_id"].to_numpy()
+            for qid, grp in pdf.groupby("query_id"):
+                if qid not in luts:
+                    qv, qn = qm[int(qid)]
+                    # LUT[m, c] = <q_m, centroid_{m,c}> → ADC dot is a
+                    # fancy-indexed sum over subspaces
+                    lut = np.einsum(
+                        "md,mkd->mk", qv.reshape(m_subvectors, dsub), bks
+                    )
+                    luts[int(qid)] = (lut, qn)
+                lut, qn = luts[int(qid)]
+                idx = grp.index.to_numpy()
+                gcodes = codes[idx]
+                adc_dot = lut[np.arange(m_subvectors)[None, :], gcodes].sum(1)
+                denom = np.maximum(qn * recon[idx], 1e-12)
+                yield pd_.DataFrame(
+                    {
+                        "query_id": np.full(len(idx), int(qid), dtype=np.int64),
+                        "neighbor_id": nid[idx],
+                        "adc_sim": adc_dot / denom,
+                    }
+                )
+
+    candidates = (
+        encoded.join(F.broadcast(probes), "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .mapInPandas(adc_score, schema=adc_schema)
+    )
+    aw = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        candidates.withColumn("__r", F.row_number().over(aw))
+        .filter(F.col("__r") <= rerank_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact re-rank: JVM expression join on the shortlist only ---
+    cvecs = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("__cv"),
+        _norm(F.col("__vec")).alias("__cn"),
+    )
+    qvecs = q.withColumnRenamed("__qv", "__qv2")
+    rescored = (
+        shortlist.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                _dot(F.col("__qv2"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

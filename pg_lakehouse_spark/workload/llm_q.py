@@ -377,3 +377,19 @@ def data_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register("embed_knn_ivfpq", oracle=None, tags=("similarity-ann-ivfpq",))
+def embed_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 with exact re-rank (rows-only:
+    candidate sets are seed-specific; recall + exact-re-rank property
+    asserted in tests). The scale path when even raw-vector scans of
+    probed cells are too hot: candidates score from m-byte PQ codes."""
+    from pg_lakehouse_spark.llm.similarity import ivfpq_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_ann_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+        nlist=8, nprobe=3, m_subvectors=8, ksub=16, seed=42,
+    )

@@ -199,3 +199,43 @@ def test_hash_split_properties(docs, spark):
     assert langs <= {"en", "de"}
     n_de = docs.filter(F.col("lang") == "de").count()
     assert sampled.filter(F.col("lang") == "de").count() == n_de  # frac 1.0
+
+
+def test_ivfpq_ann_recall_and_exact_rerank(emb):
+    from pg_lakehouse_spark.llm.similarity import cosine_topk, ivfpq_ann_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivfpq_ann_topk(
+        emb, queries, k=5, nlist=8, nprobe=3, m_subvectors=8, ksub=16,
+        rerank_factor=4, seed=42,
+    ).collect()
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact}
+    approx_top = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert approx_top
+    recall = len(set(exact_scores) & approx_top) / len(exact_scores)
+    # same cell coverage as plain IVF (nprobe=3/nlist=8); PQ only
+    # re-orders candidates within probed cells and the exact re-rank
+    # repairs quantization error, so recall must not collapse below it
+    assert recall > 0.15, f"IVF-PQ recall collapsed: {recall}"
+    # the re-rank is EXACT: every returned score equals brute force
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine_sim"] == exact_scores[key]
+        assert 1 <= r["rank"] <= 5
+
+
+def test_ivfpq_deterministic(emb):
+    from pg_lakehouse_spark.llm.similarity import ivfpq_ann_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(
+        map(tuple, ivfpq_ann_topk(emb, queries, k=3, nlist=4, nprobe=2,
+                                  seed=7).collect())
+    )
+    b = sorted(
+        map(tuple, ivfpq_ann_topk(emb, queries, k=3, nlist=4, nprobe=2,
+                                  seed=7).collect())
+    )
+    assert a == b
