@@ -107,8 +107,12 @@ class Snapshot:
         return sum(f["bytes"] for f in self.files)
 
 
-def _file_stats(path: str) -> tuple[int, int]:
-    """(rows, bytes) from the parquet footer — metadata-only read."""
+def _file_stats(path: str, fmt: str = "parquet") -> tuple[int, int]:
+    """(rows, bytes) from the file footer — metadata-only read."""
+    if fmt == "orc":
+        import pyarrow.orc as po
+
+        return po.ORCFile(path).nrows, os.path.getsize(path)
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
@@ -132,11 +136,17 @@ def _json_stat(v):
     return None
 
 
-def _file_column_ranges(path: str) -> dict[str, list]:
+def _file_column_ranges(path: str, fmt: str = "parquet") -> dict[str, list]:
     """Per-column [min, max] aggregated over row groups from the
     parquet footer — the manifest-stats analog of Iceberg's per-file
     column bounds (ref A22: the reference stubs stats entirely,
-    iceberg_am.c:401-413; here they drive file-level skipping)."""
+    iceberg_am.c:401-413; here they drive file-level skipping).
+
+    ORC files return no ranges (pyarrow exposes no stripe statistics);
+    every consumer treats missing stats conservatively (no skipping),
+    so correctness is format-independent."""
+    if fmt == "orc":
+        return {}
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -329,6 +339,11 @@ class LakeTable:
     def partition_spec(self) -> list[str]:
         return self.snapshot().partition_spec
 
+    def file_format(self) -> str:
+        """Data-file format, fixed at CREATE (ref table_ops.c:78-87
+        whitelist); parquet default, orc supported natively."""
+        return self.snapshot().properties.get("file_format", "parquet")
+
     def _stage_dataframe(
         self,
         df: DataFrame,
@@ -350,31 +365,32 @@ class LakeTable:
         staging = os.path.join(
             self.location, f"_staging-{snapshot_hint}-{uuid.uuid4().hex[:8]}"
         )
-        writer = df.write.mode("overwrite")
+        fmt = self.file_format()
+        writer = df.write.mode("overwrite").format(fmt)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
+        writer.save(staging)
         os.makedirs(self.data_dir, exist_ok=True)
         entries = []
-        parquet_files = sorted(
-            glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True)
+        data_files = sorted(
+            glob.glob(os.path.join(staging, "**", f"*.{fmt}"), recursive=True)
         )
-        for i, src in enumerate(parquet_files):
+        for i, src in enumerate(data_files):
             part_dirs = os.path.relpath(os.path.dirname(src), staging)
-            name = f"s{snapshot_hint}-{uuid.uuid4().hex[:8]}-part{i:05d}.parquet"
+            name = f"s{snapshot_hint}-{uuid.uuid4().hex[:8]}-part{i:05d}.{fmt}"
             rel_dir = _DATA_DIR if part_dirs == "." else os.path.join(
                 _DATA_DIR, part_dirs
             )
             os.makedirs(os.path.join(self.location, rel_dir), exist_ok=True)
             dst = os.path.join(self.location, rel_dir, name)
             os.rename(src, dst)
-            rows, nbytes = _file_stats(dst)
+            rows, nbytes = _file_stats(dst, fmt)
             entries.append(
                 {
                     "path": os.path.join(rel_dir, name),
                     "rows": rows,
                     "bytes": nbytes,
-                    "ranges": _file_column_ranges(dst),
+                    "ranges": _file_column_ranges(dst, fmt),
                     "schema_id": schema_id,
                 }
             )
@@ -551,8 +567,12 @@ class LakeTable:
     def _read_files(self, schema: StructType, paths: list[str]) -> DataFrame:
         """Read an explicit file list; basePath restores hive partition
         columns when the layout is partitioned."""
-        reader = self.spark.read.schema(schema).option("basePath", self.data_dir)
-        return reader.parquet(*paths)
+        reader = (
+            self.spark.read.schema(schema)
+            .option("basePath", self.data_dir)
+            .format(self.file_format())
+        )
+        return reader.load(paths)
 
     def _effective_field_ids(self, snap: Snapshot) -> tuple[dict, int]:
         """(name -> field id, next id). Pre-evolution snapshots carry no
@@ -968,12 +988,12 @@ class LakeCatalog:
         reference's option set via properties (file_format etc.)."""
         props = dict(properties or {})
         fmt = props.get("file_format", "parquet")
-        if fmt not in ("parquet",):  # orc/avro: see sources module
+        if fmt not in ("parquet", "orc"):
             raise LakehouseError(
                 f"unsupported file_format {fmt!r} for lakehouse tables "
                 "(reference whitelist: parquet/orc/avro, table_ops.c:78-87; "
-                "this engine versions parquet only — use sources.py for "
-                "plain orc/avro reads)"
+                "avro needs the external spark-avro jar absent here — use "
+                "sources.py for plain avro reads where available)"
             )
         loc = self._loc(namespace, name)
         if self.table_exists(namespace, name):

@@ -44,9 +44,15 @@ def shingles(text: Column, n: int = 3, lowercase: bool = True) -> Column:
     """
     ws = words(text, lowercase)
     k = F.size(ws)
+    # n shifted copies zipped → one struct per gram position, then a
+    # single concat per gram. The per-POSITION slice+concat of the
+    # naive formulation runs interpreted inside transform() and
+    # measured 5× slower at sf0.1 (3.1s vs 0.62s for the exploded
+    # hashed-shingle scan); here the slices are n array ops total.
+    shifted = [F.slice(ws, i + 1, k - F.lit(n - 1)) for i in range(n)]
     grams = F.transform(
-        F.sequence(F.lit(1), k - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
     )
     return F.when(k >= n, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", ws))

@@ -197,8 +197,8 @@ def test_catalog_ddl(catalog, orders_df, spark):
     with pytest.raises(LakehouseError, match="does not exist"):
         catalog.load_table("db2", "b")
     with pytest.raises(LakehouseError, match="unsupported file_format"):
-        catalog.create_table("db", "orc_t", orders_df.schema,
-                             properties={"file_format": "orc"})
+        catalog.create_table("db", "avro_t", orders_df.schema,
+                             properties={"file_format": "avro"})
 
 
 def test_partitioned_table_roundtrip_and_pruning(catalog, orders_df, spark):
@@ -450,3 +450,32 @@ def test_evolution_guards(catalog, orders_df, spark):
         tbl.add_column("o_orderkey", "bigint")  # duplicate
     with pytest.raises(LakehouseError):
         tbl.rename_column("nope", "x")
+
+
+def test_orc_table_roundtrip_dml_and_evolution(catalog, orders_df):
+    tbl = catalog.create_table(
+        "db", "orders_orc", orders_df.schema,
+        properties={"file_format": "orc"},
+    )
+    tbl.append(orders_df.limit(200))
+    assert tbl.file_format() == "orc"
+    assert all(f["path"].endswith(".orc") for f in tbl.snapshot().files)
+    assert tbl.read().count() == 200
+    v1 = tbl.current_version()
+    # DML on orc files (no range stats → conservative, still correct)
+    tbl.delete(F.col("o_orderkey") < 50)
+    assert tbl.read().count() == orders_df.limit(200).filter(
+        F.col("o_orderkey") >= 50
+    ).count()
+    assert tbl.read(snapshot=v1).count() == 200  # time travel intact
+    # schema evolution across orc epochs
+    tbl.rename_column("o_totalprice", "o_amount")
+    assert tbl.read().agg(F.sum("o_amount")).collect()[0][0] is not None
+
+
+def test_bad_file_format_rejected(catalog, orders_df):
+    with pytest.raises(LakehouseError):
+        catalog.create_table(
+            "db", "bad_fmt", orders_df.schema,
+            properties={"file_format": "feather"},
+        )
