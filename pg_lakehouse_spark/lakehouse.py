@@ -161,7 +161,12 @@ def _file_column_ranges(path: str, fmt: str = "parquet") -> dict[str, list]:
             name = col.path_in_schema
             if "." in name:  # nested columns: skip (no simple bound)
                 continue
-            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            try:
+                lo, hi = _json_stat(st.min), _json_stat(st.max)
+            except Exception:
+                # types pyarrow can't extract stats for (e.g. ntz
+                # timestamps) → no bounds → consumers skip nothing
+                continue
             if lo is None or hi is None:
                 continue
             if name not in ranges:

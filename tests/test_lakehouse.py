@@ -479,3 +479,67 @@ def test_bad_file_format_rejected(catalog, orders_df):
             "db", "bad_fmt", orders_df.schema,
             properties={"file_format": "feather"},
         )
+
+
+def test_sql_over_lake_table_with_native_join(catalog, orders_df, spark):
+    """The reference README's flagship demo (README.md:28-42): a
+    WHERE-filtered scan of the lakehouse table plus a JOIN between the
+    lakehouse table and a 'native' (non-lakehouse) table, in plain SQL.
+    Here: snapshot reads register as temp views; the PG executor role
+    is played by Spark SQL."""
+    tbl = catalog.create_table_as("db", "orders_lake", orders_df.limit(500))
+    tbl.read().createOrReplaceTempView("orders_lake")
+    native = spark.createDataFrame(
+        [(i, f"cust{i}") for i in range(0, 1000, 7)], "custkey long, name string"
+    )
+    native.createOrReplaceTempView("local_customers")
+    filtered = spark.sql(
+        "SELECT count(*) AS n FROM orders_lake WHERE o_totalprice > 100000"
+    ).collect()[0]["n"]
+    assert filtered == orders_df.limit(500).filter(
+        F.col("o_totalprice") > 100000
+    ).count()
+    joined = spark.sql(
+        """
+        SELECT l.name, count(*) AS n_orders
+        FROM orders_lake o JOIN local_customers l ON o.o_custkey = l.custkey
+        GROUP BY l.name
+        """
+    )
+    assert joined.count() > 0
+
+
+def test_typed_all_scan_type_coverage(catalog, spark):
+    """FIXTURES.md §A scan-type coverage: every type the reference's
+    scan decodes (scan_ops.c:105-159) plus DECIMAL (orders_ref schema,
+    README.md:28-33) round-trips through the lakehouse with NULLs in
+    every column (null-bitmap path, iceberg_bridge.cpp:562-571)."""
+    import datetime
+    from decimal import Decimal
+
+    schema = (
+        "c_bool boolean, c_i16 smallint, c_i32 int, c_i64 bigint, "
+        "c_f32 float, c_f64 double, c_text string, c_varchar string, "
+        "c_date date, c_ts timestamp_ntz, c_dec decimal(12,2), c_bin binary"
+    )
+    rows = [
+        (True, 1, 2, 3, 1.5, 2.5, "a", "b",
+         datetime.date(2024, 1, 2), datetime.datetime(2024, 1, 2, 3, 4, 5),
+         Decimal("12345.67"), b"\x01\x02"),
+        (None, None, None, None, None, None, None, None, None, None, None, None),
+        (False, -1, -2, -3, -1.5, -2.5, "", "z",
+         datetime.date(1969, 12, 31), datetime.datetime(1969, 12, 31, 23, 59, 59),
+         Decimal("-0.01"), b""),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    tbl = catalog.create_table_as("db", "typed_all", df)
+    back = tbl.read()
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect()), key=repr) == sorted(
+        map(tuple, df.collect()), key=repr
+    )
+    # DML across the whole type surface
+    tbl.update(F.col("c_bool") == True, {"c_text": F.lit("updated")})  # noqa: E712
+    assert tbl.read().filter(F.col("c_text") == "updated").count() == 1
+    tbl.delete(F.col("c_i32").isNull())
+    assert tbl.read().count() == 2
