@@ -421,3 +421,62 @@ def q_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         name.ilike("%ANVIL%").alias("has_anvil_ci"),
         (~name.like("%z%")).alias("no_z"),
     )
+
+
+@register(
+    "q_stat_aggregates",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4)         AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2)   AS covar_s,
+       round(covar_pop(l_quantity, l_discount), 6)         AS covar_p,
+       CAST(median(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                                                           AS median_price_e2
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg-statistical",),
+)
+def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covariance / median). Rounding
+    absorbs co-moment update-order ulp divergence. Median runs on the
+    e2 INTEGER grid: even-count interpolation is then exact halves in
+    both engines — Spark computes the midpoint as 0.5a+0.5b, DuckDB as
+    (a+b)/2, which differ by an ulp on cent-grid doubles and straddle
+    a rounding boundary (observed at sf0.001)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_s"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_p"),
+        F.median(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("double")
+        .alias("median_price_e2"),
+    )
+
+
+@register(
+    "q_bool_bit_aggregates",
+    oracle="""
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000)           AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT')   AS any_urgent,
+       bit_and(o_orderkey)                     AS key_and,
+       bit_or(o_orderkey)                      AS key_or,
+       bit_xor(o_orderkey)                     AS key_xor
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg-bool-bit",),
+)
+def q_bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregates — exact integer/boolean math,
+    no float discipline needed."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
