@@ -143,3 +143,29 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+SELECT DISTINCT event_id, CAST(1 AS BIGINT) AS n
+FROM (
+  SELECT event_id FROM events WHERE event_id < 2000
+  UNION ALL
+  SELECT event_id FROM events WHERE event_id < 1000   -- redelivered
+)
+""",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once redelivery collapsed by the streaming dedup
+    builder (batch face here; stream/batch convergence proven in
+    test_stream_dedup_within_watermark). The oracle counts each key
+    once regardless of redelivery."""
+    from pg_lakehouse_spark.streaming.dedup import stream_dedup
+
+    ev = t(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") < 2000).select("event_id", "ts")
+    redelivered = ev.filter(F.col("event_id") < 1000).select("event_id", "ts")
+    deduped = stream_dedup(first.unionByName(redelivered), ["event_id"], "ts")
+    return deduped.select("event_id", F.lit(1).cast("long").alias("n"))

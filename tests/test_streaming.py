@@ -336,3 +336,55 @@ def test_stream_to_lakehouse_sink_and_incremental_read(spark, sf_dir, tmp_path):
     for a, b in zip(versions, versions[1:]):
         total += tbl.read_incremental(a, b).count()
     assert total == expected
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup: duplicate keys re-delivered across micro-batches
+    within the watermark collapse to one row; the surviving set equals
+    the batch dropDuplicates result."""
+    import os
+
+    from pg_lakehouse_spark.streaming.dedup import stream_dedup
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    sch = "ts timestamp, event_id long, v long"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_id", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, name))
+
+    write_batch(
+        "b1",
+        [("2024-01-01 10:00:00", 1, 10), ("2024-01-01 10:00:30", 2, 20)],
+    )
+    write_batch(
+        "b2",
+        [("2024-01-01 10:01:00", 1, 10),   # duplicate of event 1
+         ("2024-01-01 10:01:30", 3, 30)],
+    )
+
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(
+        os.path.join(d, "*")
+    )
+    deduped = stream_dedup(stream, ["event_id"], "ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["event_id"] for r in spark.table("t_dedup").collect())
+    finally:
+        q.stop()
+    assert got == [1, 2, 3], got
+
+    # batch face of the same builder
+    batch = spark.read.schema(sch).parquet(os.path.join(d, "*"))
+    assert stream_dedup(batch, ["event_id"]).count() == 3
