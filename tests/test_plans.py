@@ -143,3 +143,42 @@ def test_dedup_exact_single_shuffle(spark, sf_dir):
 
     df = REGISTRY["dedup_exact_documents"].fn(spark, sf_dir)
     assert shuffle_exchange_count(df) == 1
+
+
+def test_q2_broadcasts_dimension_stack(spark, sf_dir):
+    """q2's supplier⋈nation⋈region stack and the p_size-filtered part
+    side must broadcast; only the supply aggregation and the min-per-
+    part self-join shuffle (both on partkey — co-partitioned)."""
+    from pg_lakehouse_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    # operator-id lines count each node once (formatted plans repeat
+    # operator names in the detail section)
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
+
+
+def test_q21_self_joins_stay_keyed(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS legs compile to left-semi and left-anti
+    joins keyed on l_orderkey — never a nested-loop over lineitem²."""
+    from pg_lakehouse_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q21_waiting_suppliers"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert not has_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_single_fact_shuffle_join(spark, sf_dir):
+    """q7: both nation sides reach lineitem/orders via broadcast; the
+    only shuffle-join is lineitem⋈orders."""
+    from pg_lakehouse_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q7_volume_shipping"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert (
+        len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) <= 1
+    )
