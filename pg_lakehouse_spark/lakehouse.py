@@ -97,6 +97,9 @@ class Snapshot:
     field_ids: dict = field(default_factory=dict)
     schemas: dict = field(default_factory=dict)
     next_field_id: int = 0
+    # --- change data feed: row-level change files written by DML
+    # commits (delete/update/merge), consumed by read_changes().
+    change_files: list = field(default_factory=list)
 
     @property
     def total_rows(self) -> int:
@@ -290,6 +293,7 @@ class LakeTable:
         summary: dict | None = None,
         properties: dict | None = None,
         schema_meta: dict | None = None,
+        change_files: list | None = None,
     ) -> Snapshot:
         """Atomic snapshot commit with optimistic concurrency.
 
@@ -323,6 +327,7 @@ class LakeTable:
                 properties=(parent.properties if parent else {})
                 | (properties or {}),
                 partition_spec=parent.partition_spec if parent else [],
+                change_files=change_files or [],
                 **evo,
             )
             meta_path = self._meta_path(snap.version)
@@ -717,6 +722,88 @@ class LakeTable:
     # callbacks but never implemented them: iceberg_am.c:141-159)
     # ------------------------------------------------------------------
 
+    def _stage_changes(self, df: DataFrame, snapshot_hint: int) -> list[str]:
+        """Write a change-feed frame (rows + ``_change_type``) as
+        parquet under ``_changes/``; returns relative paths. Written
+        BEFORE the commit (invisible unless the commit lists them) —
+        same staging discipline as data files."""
+        changes_dir = os.path.join(self.location, "_changes")
+        staging = os.path.join(
+            self.location, f"_staging-chg-{snapshot_hint}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(changes_dir, exist_ok=True)
+        rels = []
+        for i, src in enumerate(
+            sorted(glob.glob(os.path.join(staging, "*.parquet")))
+        ):
+            name = f"c{snapshot_hint}-{uuid.uuid4().hex[:8]}-part{i:05d}.parquet"
+            os.rename(src, os.path.join(changes_dir, name))
+            rels.append(os.path.join("_changes", name))
+        shutil.rmtree(staging, ignore_errors=True)
+        return rels
+
+    def read_changes(
+        self, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (exclusive,
+        inclusive) — the Delta/Iceberg changelog analog, superseding
+        the file-level ``read_incremental`` for CDC consumers.
+
+        Emits the table columns plus ``_change_type`` ∈ {insert,
+        delete, update_preimage, update_postimage} and
+        ``_commit_version``. DML commits (delete/update/merge) read
+        their exact change files — rewritten-but-unchanged rows never
+        appear (the advantage over file diffing). Appends derive
+        inserts from added data files (no extra write); overwrite/
+        truncate synthesize full delete+insert; compaction and schema
+        evolution produce no logical changes.
+        """
+        to_snapshot = self.current_version() if to_snapshot is None else to_snapshot
+        parts = []
+        for v in range(from_snapshot + 1, to_snapshot + 1):
+            snap = self.snapshot(v)
+            parent = self.snapshot(v - 1) if v - 1 > 0 else None
+            op = snap.operation
+            if snap.change_files:
+                df = self.spark.read.parquet(
+                    *[os.path.join(self.location, p) for p in snap.change_files]
+                )
+            elif op == "append":
+                parent_paths = {f["path"] for f in parent.files} if parent else set()
+                added = [f for f in snap.files if f["path"] not in parent_paths]
+                df = self._read_entries(snap, added).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            elif op in ("overwrite", "truncate") and parent is not None:
+                new_paths = {f["path"] for f in snap.files}
+                removed = [f for f in parent.files if f["path"] not in new_paths]
+                dels = self._read_entries(parent, removed).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                ins = self._read_entries(snap, snap.files).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                df = dels.unionByName(ins)
+            else:
+                # create / compact / evolve: no logical row changes
+                continue
+            parts.append(df.withColumn("_commit_version", F.lit(v)))
+        if not parts:
+            from pyspark.sql.types import IntegerType, StringType
+
+            schema = (
+                self.schema()
+                .add("_change_type", StringType())
+                .add("_commit_version", IntegerType())
+            )
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            # schema may evolve mid-range; align by name, NULL-fill
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def _affected_files(self, condition: Column) -> list[str]:
         """Relative paths of data files containing matching rows.
         File-level pruning: everything else is carried by reference."""
@@ -739,7 +826,7 @@ class LakeTable:
         return out
 
     def _rewrite(
-        self, operation: str, condition: Column, transform
+        self, operation: str, condition: Column, transform, changes=None
     ) -> Snapshot:
         base = self.current_version()
         snap = self.snapshot(base)
@@ -753,16 +840,24 @@ class LakeTable:
         new_files = self._stage_dataframe(
             rewritten, base + 1, snap.partition_spec, schema_id=snap.schema_id
         )
+        change_files = (
+            self._stage_changes(changes(touched), base + 1) if changes else []
+        )
         return self._commit(
             base, operation, keep + new_files, snap.schema_json,
             summary={"rewritten_files": len(affected),
                      "added_files": len(new_files)},
+            change_files=change_files,
         )
 
     def delete(self, condition: Column) -> Snapshot:
         """DELETE FROM t WHERE ... (ref A12)."""
         return self._rewrite(
-            "delete", condition, lambda df: df.filter(~condition)
+            "delete", condition,
+            lambda df: df.filter(~condition),
+            changes=lambda df: df.filter(condition).withColumn(
+                "_change_type", F.lit("delete")
+            ),
         )
 
     def update(self, condition: Column, assignments: dict[str, Column]) -> Snapshot:
@@ -781,7 +876,21 @@ class LakeTable:
                     cols.append(F.col(name))
             return df.select(*cols)
 
-        return self._rewrite("update", condition, transform)
+        def changes(df: DataFrame) -> DataFrame:
+            pre = df.filter(condition)
+            post = pre.select(
+                *[
+                    assignments[c].alias(c) if c in assignments else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            return pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage"))
+            )
+
+        return self._rewrite("update", condition, transform, changes=changes)
 
     def merge(
         self,
@@ -861,6 +970,47 @@ class LakeTable:
         new_files = self._stage_dataframe(
             result, base + 1, snap.partition_spec, schema_id=snap.schema_id
         )
+
+        # change feed: matched rows → delete or update pre/post images;
+        # source-only rows → inserts
+        change_parts = []
+        tcols = target.columns
+        if when_matched_delete:
+            change_parts.append(
+                joined.filter(matched)
+                .select(*tcols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        elif when_matched_update:
+            m = joined.filter(matched)
+            change_parts.append(
+                m.select(*tcols).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            change_parts.append(
+                m.select(
+                    *[
+                        when_matched_update[c].alias(c)
+                        if c in when_matched_update
+                        else F.col(c)
+                        for c in tcols
+                    ]
+                ).withColumn("_change_type", F.lit("update_postimage"))
+            )
+        if when_not_matched_insert:
+            change_parts.append(
+                joined.filter(src_only)
+                .select(*[F.col(f"__src.{c}").alias(c) for c in tcols])
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        change_files = []
+        if change_parts:
+            chg = change_parts[0]
+            for p in change_parts[1:]:
+                chg = chg.unionByName(p)
+            change_files = self._stage_changes(chg, base + 1)
+
         return self._commit(
             base, "merge", keep + new_files, snap.schema_json,
             summary={
@@ -868,6 +1018,7 @@ class LakeTable:
                 "rewritten_files": len(touched),
                 "pruned_files": len(keep),
             },
+            change_files=change_files,
         )
 
     # ------------------------------------------------------------------
@@ -927,6 +1078,10 @@ class LakeTable:
         for s in snaps:
             if s.version not in keep_versions:
                 os.remove(self._meta_path(s.version))
+                for rel in s.change_files:  # its change feed expires too
+                    p = os.path.join(self.location, rel)
+                    if os.path.exists(p):
+                        os.remove(p)
                 expired.append(s.version)
         return expired
 

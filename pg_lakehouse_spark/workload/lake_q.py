@@ -195,3 +195,43 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_amount"), 2).alias("amount"),
         "o_channel",
     )
+
+
+@register(
+    "lake_change_feed",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price, _change_type FROM (
+  SELECT o_orderkey, o_totalprice, 'delete' AS _change_type
+  FROM orders WHERE o_orderkey < 40
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'update_preimage'
+  FROM orders WHERE o_orderkey BETWEEN 100 AND 109
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 5.0, 'update_postimage'
+  FROM orders WHERE o_orderkey BETWEEN 100 AND 109
+)
+""",
+    tags=("lakehouse", "cdc"),
+)
+def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data feed: DELETE then UPDATE on a lakehouse
+    table; read_changes() must emit exactly the touched rows as
+    delete / update_preimage / update_postimage — never the unchanged
+    rows that shared their files. The oracle states the expected
+    change rows in pure SQL over the corpus."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "change_feed")
+    tbl = cat.create_table_as(
+        "db", "orders_cdf", orders.filter(F.col("o_orderkey") <= 1000)
+    )
+    v0 = tbl.current_version()
+    tbl.delete(F.col("o_orderkey") < 40)
+    tbl.update(
+        F.col("o_orderkey").between(100, 109),
+        {"o_totalprice": F.col("o_totalprice") + 5.0},
+    )
+    return tbl.read_changes(v0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        "_change_type",
+    )

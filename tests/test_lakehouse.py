@@ -543,3 +543,79 @@ def test_typed_all_scan_type_coverage(catalog, spark):
     assert tbl.read().filter(F.col("c_text") == "updated").count() == 1
     tbl.delete(F.col("c_i32").isNull())
     assert tbl.read().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# change data feed (row-level CDC)
+# ---------------------------------------------------------------------------
+
+
+def test_change_feed_dml_row_level(catalog, orders_df):
+    """DML changes are row-exact: rewritten-but-unchanged rows in the
+    same files never appear in the feed (the advantage over file-level
+    read_incremental)."""
+    tbl = catalog.create_table("db", "cdf", orders_df.schema)
+    tbl.append(orders_df.limit(100).repartition(1))  # v2: one file
+    v2 = tbl.current_version()
+    n_del = tbl.read().filter(F.col("o_orderkey") < 10).count()
+    tbl.delete(F.col("o_orderkey") < 10)             # v3
+    tbl.update(                                      # v4
+        F.col("o_orderkey").between(20, 24),
+        {"o_totalprice": F.col("o_totalprice") + 1.0},
+    )
+    ch = tbl.read_changes(v2).cache()
+    dels = ch.filter(F.col("_change_type") == "delete")
+    assert dels.count() == n_del
+    assert dels.filter(F.col("o_orderkey") >= 10).count() == 0
+    pre = ch.filter(F.col("_change_type") == "update_preimage")
+    post = ch.filter(F.col("_change_type") == "update_postimage")
+    assert pre.count() == 5 and post.count() == 5
+    # postimage price = preimage price + 1
+    pre_sum = pre.agg(F.sum("o_totalprice")).collect()[0][0]
+    post_sum = post.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert abs(post_sum - pre_sum - 5.0) < 1e-6
+    assert ch.filter(F.col("_commit_version") == v2 + 1).count() == n_del
+
+
+def test_change_feed_append_and_overwrite(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "cdf2", orders_df.limit(50))
+    v1 = tbl.current_version()
+    tbl.append(orders_df.limit(80).subtract(orders_df.limit(50)))
+    ch = tbl.read_changes(v1)
+    assert ch.filter(F.col("_change_type") == "insert").count() == 30
+    v2 = tbl.current_version()
+    tbl.overwrite(orders_df.limit(10))
+    ch2 = tbl.read_changes(v2)
+    assert ch2.filter(F.col("_change_type") == "delete").count() == 80
+    assert ch2.filter(F.col("_change_type") == "insert").count() == 10
+
+
+def test_change_feed_merge(catalog, orders_df):
+    tbl = catalog.create_table_as(
+        "db", "cdf3", orders_df.filter(F.col("o_orderkey") <= 100)
+    )
+    v1 = tbl.current_version()
+    n_base = tbl.read().count()
+    source = orders_df.filter(
+        (F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 150)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 9.0)
+    tbl.merge(
+        source, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("__src.o_totalprice")},
+        when_not_matched_insert=True,
+    )
+    n_matched = orders_df.filter(
+        (F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 100)
+    ).count()
+    n_ins = orders_df.filter(
+        (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 150)
+    ).count()
+    ch = tbl.read_changes(v1).cache()
+    assert ch.filter(F.col("_change_type") == "insert").count() == n_ins
+    assert ch.filter(F.col("_change_type") == "update_preimage").count() == n_matched
+    assert ch.filter(F.col("_change_type") == "update_postimage").count() == n_matched
+    # compaction adds no logical changes; expiry drops old change files
+    v_before_compact = tbl.current_version()
+    tbl.compact(small_file_bytes=1 << 30)
+    assert tbl.read_changes(v_before_compact).count() == 0
+    assert tbl.read().count() == n_base + n_ins
