@@ -1026,10 +1026,25 @@ class LakeTable:
     # ------------------------------------------------------------------
 
     def compact(
-        self, small_file_bytes: int = 32 * 1024 * 1024, min_files: int = 2
+        self,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        min_files: int = 2,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        target_files: int | None = None,
     ) -> Snapshot:
         """Rewrite small files into fewer large ones (ref auto-compaction
-        GUC, handler.c:64-65; Iceberg rewrite_data_files analog)."""
+        GUC, handler.c:64-65; Iceberg rewrite_data_files analog).
+
+        ``sort_by`` range-partitions + sorts the rewrite so each output
+        file holds a tight disjoint range of the sort keys — manifest
+        min/max bounds then actually skip files on those columns.
+        ``zorder_by`` does the same via a Morton key over SEVERAL
+        columns (Iceberg/Delta 'rewrite with zorder' analog): range
+        filters on any participating column prune. Mutually exclusive.
+        """
+        if sort_by and zorder_by:
+            raise LakehouseError("sort_by and zorder_by are mutually exclusive")
         base = self.current_version()
         snap = self.snapshot(base)
         small = [f for f in snap.files if f["bytes"] < small_file_bytes]
@@ -1037,11 +1052,26 @@ class LakeTable:
             return snap
         keep = [f for f in snap.files if f["bytes"] >= small_file_bytes]
         df = self._read_entries(snap, small)
-        target_files = max(
-            1, (sum(f["bytes"] for f in small) + small_file_bytes - 1)
-            // small_file_bytes,
-        )
-        if snap.partition_spec:
+        if target_files is None:
+            target_files = max(
+                1, (sum(f["bytes"] for f in small) + small_file_bytes - 1)
+                // small_file_bytes,
+            )
+        if zorder_by:
+            from pg_lakehouse_spark.operators.zorder import zorder_key
+
+            df, zkey = zorder_key(df, zorder_by)
+            df = (
+                df.withColumn("__z", zkey)
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
+            df = df.repartitionByRange(
+                target_files, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        elif snap.partition_spec:
             # cluster by partition columns so each output task writes
             # one file per partition instead of files × partitions
             df = df.repartition(target_files, *snap.partition_spec)

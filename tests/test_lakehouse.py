@@ -619,3 +619,57 @@ def test_change_feed_merge(catalog, orders_df):
     tbl.compact(small_file_bytes=1 << 30)
     assert tbl.read_changes(v_before_compact).count() == 0
     assert tbl.read().count() == n_base + n_ins
+
+
+# ---------------------------------------------------------------------------
+# clustered compaction (sort / z-order) → data skipping
+# ---------------------------------------------------------------------------
+
+
+def test_compact_sort_by_improves_pruning(catalog, orders_df):
+    tbl = catalog.create_table("db", "clust", orders_df.schema)
+    # 8 files, each spanning the FULL key range → nothing can skip
+    tbl.append(orders_df.limit(2000).repartition(8))
+    filt = {"o_orderkey": (100, 120)}
+    sel_before, tot_before = tbl.pruned_file_count(filt)
+    assert sel_before == tot_before  # every file overlaps
+    tbl.compact(small_file_bytes=1 << 30, sort_by=["o_orderkey"], target_files=6)
+    sel_after, tot_after = tbl.pruned_file_count(filt)
+    assert tot_after > 1
+    assert sel_after < tot_after, "sorted compaction should enable skipping"
+    # data intact and readable in pruned form
+    assert tbl.read_pruned(filt).count() == orders_df.limit(2000).filter(
+        F.col("o_orderkey").between(100, 120)
+    ).count()
+
+
+def test_compact_zorder_prunes_on_both_dimensions(catalog, orders_df, spark):
+    tbl = catalog.create_table("db", "zclust", orders_df.schema)
+    tbl.append(orders_df.limit(4000).repartition(8))
+    tbl.compact(small_file_bytes=1 << 30, zorder_by=["o_custkey", "o_totalprice"],
+                target_files=8)
+    files = tbl.snapshot().files
+    assert len(files) > 2
+    lo_k, hi_k = (
+        orders_df.limit(4000)
+        .agg(F.min("o_custkey"), F.max("o_custkey"))
+        .collect()[0]
+    )
+    lo_p, hi_p = (
+        orders_df.limit(4000)
+        .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+        .collect()[0]
+    )
+    # a narrow slice on EITHER column should skip some files
+    k_sel, k_tot = tbl.pruned_file_count(
+        {"o_custkey": (lo_k, lo_k + (hi_k - lo_k) * 0.05)}
+    )
+    p_sel, p_tot = tbl.pruned_file_count(
+        {"o_totalprice": (lo_p, lo_p + (hi_p - lo_p) * 0.05)}
+    )
+    assert k_sel < k_tot, "zorder should prune on o_custkey"
+    assert p_sel < p_tot, "zorder should prune on o_totalprice"
+    # correctness unchanged
+    assert tbl.read().count() == 4000
+    with pytest.raises(LakehouseError, match="mutually exclusive"):
+        tbl.compact(sort_by=["o_custkey"], zorder_by=["o_totalprice"])
