@@ -3,7 +3,8 @@
 Completes the Tier-B relational surface (SURVEY.md §2: the reference
 delivers all of these through the PG executor over iceberg_am tables,
 iceberg_am.c:455-518) with the TPC-H shapes not yet in core.py:
-q2, q7, q11, q12, q16, q19, q20, q21, q22.
+q2, q7, q11, q12, q15, q16, q19, q20, q21, q22 — with q15 this
+completes all 22 TPC-H query shapes.
 
 The corpus has no partsupp table and lineitem lacks
 shipmode/commitdate/receiptdate, customer lacks phone — so each query
@@ -249,6 +250,58 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier — the TPC-H revenue view + max-equality scalar
+# subquery. Revenue is a heavy sum of ± product addends, so each addend
+# is rounded to the cent grid and integer-summed (workload/__init__.py
+# escalation rule); the max-equality compare is then exact integer math
+# in both engines. The revenue agg shuffles once on l_suppkey; the max
+# is a broadcast scalar; supplier is a broadcast dim.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS total_revenue_e2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue_e2 AS BIGINT) AS total_revenue_e2
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue_e2 = (SELECT max(total_revenue_e2) FROM revenue)
+""",
+    tags=("subquery", "agg", "join"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("total_revenue_e2")
+    )
+    max_rev = revenue.agg(F.max("total_revenue_e2").alias("__max_rev"))
+    supp = F.broadcast(
+        t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_e2") == F.col("__max_rev"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_e2")
     )
 
 
