@@ -546,6 +546,53 @@ class LakeTable:
             "rename-column", StructType(fields), new_ids, nxt, files
         )
 
+    def widen_column(self, name: str, new_type) -> Snapshot:
+        """WIDEN COLUMN type, Iceberg promotion rules: int->bigint,
+        float->double, decimal(P,S)->decimal(P',S) with P'>=P.
+        Metadata-only commit: the field id is unchanged, old files keep
+        their narrow physical type and are cast up at read time, so the
+        op is O(1) at any table size."""
+        from pyspark.sql.types import (
+            DecimalType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            StructField,
+            _parse_datatype_string,
+        )
+
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if name not in schema.names:
+            raise LakehouseError(f"no such column: {name!r}")
+        if isinstance(new_type, str):
+            new_type = _parse_datatype_string(new_type)
+        old_type = schema[name].dataType
+        ok = (
+            (isinstance(old_type, IntegerType) and isinstance(new_type, LongType))
+            or (isinstance(old_type, FloatType) and isinstance(new_type, DoubleType))
+            or (
+                isinstance(old_type, DecimalType)
+                and isinstance(new_type, DecimalType)
+                and new_type.scale == old_type.scale
+                and new_type.precision >= old_type.precision
+            )
+        )
+        if not ok:
+            raise LakehouseError(
+                f"cannot widen {name!r} from {old_type.simpleString()} to "
+                f"{new_type.simpleString()}; allowed promotions: "
+                "int->bigint, float->double, decimal(P,S)->decimal(P',S) "
+                "with P'>=P"
+            )
+        ids, nxt = self._effective_field_ids(snap)
+        fields = [
+            f if f.name != name else StructField(name, new_type, f.nullable)
+            for f in schema.fields
+        ]
+        return self._evolve("widen-column", StructType(fields), ids, nxt)
+
     def drop_column(self, name: str) -> Snapshot:
         """DROP COLUMN: metadata-only; the column's id is retired and
         old files simply stop selecting it."""
@@ -628,7 +675,11 @@ class LakeTable:
             for fld in schema.fields:
                 old_name = id_to_old.get(cur_ids[fld.name])
                 if old_name is not None:
-                    proj.append(F.col(old_name).alias(fld.name))
+                    # cast is a no-op unless the column was widened
+                    # after this file was written (int->bigint etc.)
+                    proj.append(
+                        F.col(old_name).cast(fld.dataType).alias(fld.name)
+                    )
                 else:
                     proj.append(F.lit(None).cast(fld.dataType).alias(fld.name))
             parts.append(df.select(*proj))

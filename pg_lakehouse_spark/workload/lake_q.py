@@ -166,26 +166,35 @@ def lake_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lake_schema_evolution",
     oracle="""
 SELECT o_orderkey, round(o_totalprice, 2) AS amount,
-       CASE WHEN o_orderkey <= 1000 THEN 'legacy' ELSE 'web' END AS o_channel
+       CASE WHEN o_orderkey <= 1000 THEN 'legacy' ELSE 'web' END AS o_channel,
+       CASE WHEN o_orderkey <= 1000 THEN CAST(o_orderkey AS BIGINT)
+            ELSE o_orderkey + 10000000000 END AS o_code
 FROM orders WHERE o_orderkey <= 2000
 """,
     tags=("lakehouse", "schema-evolution"),
 )
 def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Id-based schema evolution end-to-end (the reference's roadmap
-    item README.md:152): rename + add are metadata-only commits; old
-    files resolve by field id; an UPDATE then spans both schema epochs.
-    The oracle states the equivalent end state in pure SQL."""
+    item README.md:152): rename + add + widen are metadata-only
+    commits; old files resolve by field id (narrow types cast up at
+    read); an UPDATE then spans both schema epochs. The oracle states
+    the equivalent end state in pure SQL."""
     orders = t(spark, sf_dir, "orders")
     cat = _scratch_catalog(spark, sf_dir, "schema_evolution")
     tbl = cat.create_table_as(
-        "db", "orders_evo", orders.filter(F.col("o_orderkey") <= 1000)
+        "db",
+        "orders_evo",
+        orders.filter(F.col("o_orderkey") <= 1000).withColumn(
+            "o_code", F.col("o_orderkey").cast("int")
+        ),
     )
     tbl.rename_column("o_totalprice", "o_amount")
     tbl.add_column("o_channel", "string")
+    tbl.widen_column("o_code", "bigint")
     tbl.append(
         orders.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000))
         .withColumnRenamed("o_totalprice", "o_amount")
+        .withColumn("o_code", F.col("o_orderkey") + F.lit(10_000_000_000))
         .withColumn("o_channel", F.lit("web"))
     )
     # update touches only the old-epoch files (o_channel NULL there)
@@ -194,6 +203,7 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_amount"), 2).alias("amount"),
         "o_channel",
+        "o_code",
     )
 
 

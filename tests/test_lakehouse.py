@@ -437,6 +437,69 @@ def test_dml_and_compact_across_schema_epochs(catalog, orders_df):
     assert tbl.read().count() == 110
 
 
+def test_widen_column_int_to_bigint(catalog, orders_df, spark):
+    narrow = orders_df.limit(80).withColumn(
+        "o_code", F.col("o_orderkey").cast("int")
+    )
+    tbl = catalog.create_table_as("db", "evo_widen", narrow)
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    expected_sum = narrow.agg(F.sum("o_code")).collect()[0][0]
+    tbl.widen_column("o_code", "bigint")
+    # metadata-only: no data file was rewritten
+    assert {f["path"] for f in tbl.snapshot().files} == files_before
+    df = tbl.read()
+    assert dict(df.dtypes)["o_code"] == "bigint"
+    assert df.agg(F.sum("o_code")).collect()[0][0] == expected_sum
+    # appends after widening carry values that need the wide type
+    wide = orders_df.limit(5).withColumn(
+        "o_code", F.col("o_orderkey") + F.lit(1 << 40)
+    )
+    tbl.append(wide)
+    assert tbl.read().filter(F.col("o_code") >= (1 << 40)).count() == 5
+    assert tbl.read().count() == 85
+    # time travel: pre-widen snapshot keeps the narrow type
+    assert dict(tbl.read(snapshot=1).dtypes)["o_code"] == "int"
+    # DML spanning both epochs, then compaction upgrades everything
+    tbl.update(F.col("o_code") >= (1 << 40), {"o_orderstatus": F.lit("W")})
+    assert tbl.read().filter(F.col("o_orderstatus") == "W").count() == 5
+    tbl.compact(small_file_bytes=1 << 30)
+    assert all(
+        f.get("schema_id") == tbl.snapshot().schema_id
+        for f in tbl.snapshot().files
+    )
+    assert dict(tbl.read().dtypes)["o_code"] == "bigint"
+    assert tbl.read().count() == 85
+
+
+def test_widen_column_float_to_double_and_rename_interplay(catalog, orders_df):
+    narrow = orders_df.limit(40).withColumn(
+        "o_ratio", F.col("o_totalprice").cast("float")
+    )
+    tbl = catalog.create_table_as("db", "evo_widen2", narrow)
+    tbl.widen_column("o_ratio", "double")
+    # field id is stable through a subsequent rename: old files still
+    # resolve, and the cast to double applies under the new name
+    tbl.rename_column("o_ratio", "o_frac")
+    df = tbl.read()
+    assert dict(df.dtypes)["o_frac"] == "double"
+    assert df.filter(F.col("o_frac").isNotNull()).count() == 40
+
+
+def test_widen_column_guards(catalog, orders_df):
+    narrow = orders_df.limit(10).withColumn(
+        "o_code", F.col("o_orderkey").cast("int")
+    )
+    tbl = catalog.create_table_as("db", "evo_widen_guard", narrow)
+    with pytest.raises(LakehouseError, match="cannot widen"):
+        tbl.widen_column("o_orderkey", "int")  # narrowing
+    with pytest.raises(LakehouseError, match="cannot widen"):
+        tbl.widen_column("o_code", "string")  # not a promotion
+    with pytest.raises(LakehouseError, match="cannot widen"):
+        tbl.widen_column("o_totalprice", "float")  # double->float
+    with pytest.raises(LakehouseError, match="no such column"):
+        tbl.widen_column("nope", "bigint")
+
+
 def test_evolution_guards(catalog, orders_df, spark):
     tbl = catalog.create_table(
         "db", "evo_guard", orders_df.schema, partition_by=["o_orderstatus"]
