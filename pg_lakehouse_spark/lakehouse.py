@@ -436,8 +436,12 @@ class LakeTable:
                      "added_rows": sum(f["rows"] for f in new_files)},
         )
 
-    def overwrite(self, df: DataFrame) -> Snapshot:
-        """Full-table overwrite (new snapshot; old files stay until expiry)."""
+    def overwrite(
+        self, df: DataFrame, summary_extra: dict | None = None
+    ) -> Snapshot:
+        """Full-table overwrite (new snapshot; old files stay until expiry).
+        ``summary_extra`` lets callers stamp application metadata (e.g. a
+        rollup's source-version watermark) atomically with the commit."""
         self._check_schema(df)
         base = self.current_version()
         new_files = self._stage_dataframe(
@@ -446,7 +450,7 @@ class LakeTable:
         )
         return self._commit(
             base, "overwrite", new_files, self.snapshot(base).schema_json,
-            summary={"added_files": len(new_files)},
+            summary={"added_files": len(new_files)} | (summary_extra or {}),
         )
 
     def truncate(self) -> Snapshot:
@@ -950,6 +954,7 @@ class LakeTable:
         when_matched_update: dict[str, Column] | None = None,
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
+        summary_extra: dict | None = None,
     ) -> Snapshot:
         """MERGE INTO (upsert) — ref A13's roadmap 'MERGE for upsert'.
 
@@ -1068,7 +1073,7 @@ class LakeTable:
                 "added_files": len(new_files),
                 "rewritten_files": len(touched),
                 "pruned_files": len(keep),
-            },
+            } | (summary_extra or {}),
             change_files=change_files,
         )
 

@@ -1,0 +1,212 @@
+"""Incremental materialized rollups over lakehouse tables (continuous
+aggregates — the "hypertable rollup" pattern from time-series stores,
+re-expressed Spark-first).
+
+A rollup is itself a snapshot-versioned lakehouse table whose rows are
+partial-aggregate state per (time bucket, group keys). ``refresh``
+consumes ONLY the source snapshots committed since the last refresh
+(`LakeTable.read_incremental` — the files those snapshots added, never
+history), partially aggregates that delta, and MERGEs it into the
+stored state. The combine functions are sum-of-sums / add-of-counts /
+min-of-mins / max-of-maxes — the same partial-aggregate merge Spark
+performs map-side inside every hash aggregate, lifted to table
+granularity. Refresh cost therefore scales with NEW data, not table
+size: at 100 TB, an hourly refresh reads the hour's files.
+
+The source-version watermark is stamped into the rollup commit's
+snapshot summary (``rollup_source_version``), so state and watermark
+advance atomically in one commit — a crashed refresh is simply retried
+from the old watermark with no double counting.
+
+If any source snapshot since the watermark is NOT a pure append
+(delete/update/merge/overwrite invalidate previously aggregated rows),
+``refresh`` falls back to a full recompute — the simple form of
+continuous-aggregate invalidation handling.
+
+Reference parity: the reference repo has no rollup surface (it is a
+storage extension, pg_lakehouse_iceberg/src/iceberg_am.c); this is
+north-star Tier-C scope (BASELINE.json) built on the lakehouse layer's
+snapshot machinery (A6/A9/A10 in SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.lakehouse import (
+    LakeCatalog,
+    LakehouseError,
+    LakeTable,
+    Snapshot,
+)
+
+BUCKET_COL = "bucket_start"
+
+_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _bucket_width_us(bucket: str) -> int:
+    parts = bucket.strip().split()
+    if len(parts) == 1:
+        n, unit = 1, parts[0]
+    elif len(parts) == 2:
+        n, unit = int(parts[0]), parts[1]
+    else:
+        raise LakehouseError(f"bad bucket spec {bucket!r}")
+    unit = unit.rstrip("s")
+    if unit not in _UNIT_US or n < 1:
+        raise LakehouseError(
+            f"bad bucket spec {bucket!r}; use e.g. '15 minutes', '1 hour'"
+        )
+    return n * _UNIT_US[unit]
+
+
+def time_bucket(col: Column | str, bucket: str) -> Column:
+    """Floor a timestamp to the bucket grid (Timescale-style
+    ``time_bucket``), as a timestamp. Integer microsecond arithmetic
+    (``pmod`` on longs) — exact on bucket boundaries, no double
+    round-trip — and pure JVM expressions, so it stays inside
+    whole-stage codegen."""
+    w = _bucket_width_us(bucket)
+    us = F.unix_micros(F.col(col) if isinstance(col, str) else col)
+    return F.timestamp_micros(us - F.pmod(us, F.lit(w)))
+
+
+_KINDS = ("sum", "count", "min", "max")
+
+
+def _partial_agg(
+    df: DataFrame,
+    time_col: str,
+    bucket: str,
+    group_by: list[str],
+    metrics: dict,
+) -> DataFrame:
+    aggs = []
+    for out, (kind, src) in metrics.items():
+        if kind == "sum":
+            aggs.append(F.sum(src).alias(out))
+        elif kind == "count":
+            aggs.append(
+                F.count(F.lit(1) if src == "*" else F.col(src)).alias(out)
+            )
+        elif kind == "min":
+            aggs.append(F.min(src).alias(out))
+        elif kind == "max":
+            aggs.append(F.max(src).alias(out))
+        else:
+            raise LakehouseError(
+                f"unsupported metric kind {kind!r}; supported: {_KINDS} "
+                "(avg = sum/count at query time; exact distinct is not "
+                "mergeable partial state)"
+            )
+    return df.groupBy(
+        time_bucket(time_col, bucket).alias(BUCKET_COL), *group_by
+    ).agg(*aggs)
+
+
+def create_rollup(
+    catalog: LakeCatalog,
+    namespace: str,
+    name: str,
+    source: LakeTable,
+    time_col: str,
+    bucket: str,
+    group_by: list[str],
+    metrics: dict,
+) -> LakeTable:
+    """Create + initially populate a rollup table.
+
+    ``metrics`` maps output column -> (kind, source column), kind in
+    {sum, count, min, max}; count accepts "*". The spec is persisted in
+    table properties so ``refresh`` needs only the two tables.
+    """
+    for out in metrics:
+        if out == BUCKET_COL or out in group_by:
+            raise LakehouseError(f"metric name {out!r} collides with a key")
+    state = _partial_agg(source.read(), time_col, bucket, group_by, metrics)
+    spec = {
+        "time_col": time_col,
+        "bucket": bucket,
+        "group_by": group_by,
+        "metrics": {k: list(v) for k, v in metrics.items()},
+    }
+    tbl = catalog.create_table(
+        namespace, name, state.schema,
+        properties={"rollup_spec": json.dumps(spec)},
+    )
+    tbl.overwrite(
+        state,
+        summary_extra={"rollup_source_version": source.current_version()},
+    )
+    return tbl
+
+
+def _watermark(rollup: LakeTable) -> int:
+    for snap in reversed(rollup.snapshots()):
+        v = snap.summary.get("rollup_source_version")
+        if v is not None:
+            return int(v)
+    raise LakehouseError(
+        "not a rollup table: no rollup_source_version in any snapshot"
+    )
+
+
+def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
+    """Advance the rollup to the source's current snapshot.
+
+    Pure-append source history since the watermark → incremental MERGE
+    of the delta's partial aggregates (cost ∝ new data). Any other
+    source operation in the window → full recompute (overwrite).
+    Either way the new watermark commits atomically with the state.
+    """
+    spec = json.loads(rollup.snapshot().properties["rollup_spec"])
+    metrics = {k: tuple(v) for k, v in spec["metrics"].items()}
+    group_by = spec["group_by"]
+    last = _watermark(rollup)
+    cur = source.current_version()
+    if cur <= last:
+        return rollup.snapshot()
+
+    window = [s for s in source.snapshots() if last < s.version <= cur]
+    if all(s.operation == "append" for s in window):
+        delta = source.read_incremental(last, cur)
+        partial = _partial_agg(
+            delta, spec["time_col"], spec["bucket"], group_by, metrics
+        )
+        updates = {}
+        for out, (kind, _src) in metrics.items():
+            tgt, src = F.col(out), F.col(f"__src.{out}")
+            if kind in ("sum", "count"):
+                # null-safe add: SUM over an all-NULL delta group is
+                # NULL and must not poison existing state
+                updates[out] = (
+                    F.when(tgt.isNull(), src)
+                    .when(src.isNull(), tgt)
+                    .otherwise(tgt + src)
+                )
+            elif kind == "min":
+                updates[out] = F.least(tgt, src)  # least/greatest skip NULLs
+            else:
+                updates[out] = F.greatest(tgt, src)
+        return rollup.merge(
+            partial,
+            on=[BUCKET_COL] + group_by,
+            when_matched_update=updates,
+            summary_extra={"rollup_source_version": cur},
+        )
+
+    state = _partial_agg(
+        source.read(), spec["time_col"], spec["bucket"], group_by, metrics
+    )
+    return rollup.overwrite(
+        state, summary_extra={"rollup_source_version": cur}
+    )

@@ -245,3 +245,57 @@ def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice"), 2).alias("price"),
         "_change_type",
     )
+
+
+@register(
+    "rollup_incremental",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum_e2,
+       min(value) AS value_min, max(value) AS value_max
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("rollup", "incremental", "lakehouse"),
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup refreshed incrementally: a rollup
+    table is populated from an initial batch, then two appends land on
+    the source and each `refresh_rollup` merges ONLY the delta's
+    partial aggregates into the stored state (cost ∝ new data — the
+    hypertable-rollup posture for 100 TB). The oracle is the direct
+    GROUP BY over the whole corpus: incremental merge must equal full
+    recompute. Sum runs on the cent-grid integer scale so the merged
+    partial sums are exact in both engines."""
+    from pg_lakehouse_spark.rollup import create_rollup, refresh_rollup
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("value_e2", F.round(F.col("value") * 100).cast("long"))
+    )
+    cat = _scratch_catalog(spark, sf_dir, "rollup_inc")
+    src = cat.create_table_as("db", "events_src", ev.filter(F.col("event_id") % 3 == 0))
+    roll = create_rollup(
+        cat, "db", "events_hourly", src,
+        time_col="ts", bucket="1 hour", group_by=["event_type"],
+        metrics={
+            "n_events": ("count", "*"),
+            "value_sum_e2": ("sum", "value_e2"),
+            "value_min": ("min", "value"),
+            "value_max": ("max", "value"),
+        },
+    )
+    src.append(ev.filter(F.col("event_id") % 3 == 1))
+    refresh_rollup(src, roll)
+    src.append(ev.filter(F.col("event_id") % 3 == 2))
+    refresh_rollup(src, roll)
+    return roll.read().select(
+        F.unix_micros(F.col("bucket_start")).alias("bucket_us"),
+        "event_type",
+        "n_events",
+        "value_sum_e2",
+        "value_min",
+        "value_max",
+    )

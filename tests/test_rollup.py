@@ -1,0 +1,149 @@
+"""Incremental rollup (continuous aggregate) tests.
+
+Core invariant: incremental refresh (merge of delta partials) must
+equal a full recompute over the source at every step — exact, because
+the sum metric runs on the cent-grid integer scale and count/min/max
+are order-insensitive.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.lakehouse import LakeCatalog, LakehouseError
+from pg_lakehouse_spark.rollup import (
+    BUCKET_COL,
+    create_rollup,
+    refresh_rollup,
+    time_bucket,
+)
+from pg_lakehouse_spark.tables import table
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def events_df(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("value_e2", F.round(F.col("value") * 100).cast("long"))
+    )
+
+
+METRICS = {
+    "n_events": ("count", "*"),
+    "value_sum_e2": ("sum", "value_e2"),
+    "value_min": ("min", "value"),
+    "value_max": ("max", "value"),
+}
+
+
+def _expected(df):
+    return (
+        df.groupBy(
+            time_bucket("ts", "1 hour").alias(BUCKET_COL), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_e2").alias("value_sum_e2"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+    )
+
+
+def _assert_same(actual, expected):
+    a = sorted(map(tuple, actual.collect()))
+    e = sorted(map(tuple, expected.collect()))
+    assert a == e
+
+
+def test_rollup_incremental_equals_full_recompute(catalog, events_df):
+    src = catalog.create_table_as(
+        "db", "ev", events_df.filter(F.col("event_id") % 3 == 0)
+    )
+    roll = create_rollup(
+        catalog, "db", "ev_hourly", src, "ts", "1 hour", ["event_type"],
+        METRICS,
+    )
+    _assert_same(roll.read(), _expected(src.read()))
+
+    src.append(events_df.filter(F.col("event_id") % 3 == 1))
+    snap = refresh_rollup(src, roll)
+    assert snap.operation == "merge"  # incremental path, not recompute
+    assert snap.summary["rollup_source_version"] == src.current_version()
+    _assert_same(roll.read(), _expected(src.read()))
+
+    src.append(events_df.filter(F.col("event_id") % 3 == 2))
+    refresh_rollup(src, roll)
+    _assert_same(roll.read(), _expected(src.read()))
+    _assert_same(roll.read(), _expected(events_df))
+
+
+def test_rollup_refresh_noop_without_new_data(catalog, events_df):
+    src = catalog.create_table_as("db", "ev2", events_df.limit(500))
+    roll = create_rollup(
+        catalog, "db", "ev2_hourly", src, "ts", "1 hour", ["event_type"],
+        METRICS,
+    )
+    v = roll.current_version()
+    snap = refresh_rollup(src, roll)
+    assert snap.version == v  # watermark current → no new commit
+
+
+def test_rollup_full_recompute_after_source_dml(catalog, events_df):
+    src = catalog.create_table_as("db", "ev3", events_df.limit(2000))
+    roll = create_rollup(
+        catalog, "db", "ev3_hourly", src, "ts", "1 hour", ["event_type"],
+        METRICS,
+    )
+    src.delete(F.col("event_type") == "click")
+    snap = refresh_rollup(src, roll)
+    assert snap.operation == "overwrite"  # invalidation → recompute
+    _assert_same(roll.read(), _expected(src.read()))
+
+
+def test_rollup_crash_retry_no_double_count(catalog, events_df):
+    # a refresh that "crashed" (never committed) leaves the watermark
+    # at the old source version; retrying merges the same delta once
+    src = catalog.create_table_as(
+        "db", "ev4", events_df.filter(F.col("event_id") % 2 == 0)
+    )
+    roll = create_rollup(
+        catalog, "db", "ev4_hourly", src, "ts", "1 hour", ["event_type"],
+        METRICS,
+    )
+    src.append(events_df.filter(F.col("event_id") % 2 == 1))
+    refresh_rollup(src, roll)
+    again = refresh_rollup(src, roll)  # idempotent: watermark advanced
+    assert again.summary["rollup_source_version"] == src.current_version()
+    _assert_same(roll.read(), _expected(events_df))
+
+
+def test_time_bucket_grid_and_guards(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 10:59:59",), ("2024-01-01 11:00:00",)], ["s"]
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    got = [
+        r[0].strftime("%H:%M")
+        for r in df.select(time_bucket("ts", "30 minutes")).collect()
+    ]
+    assert got == ["10:30", "11:00"]
+    with pytest.raises(LakehouseError):
+        time_bucket("ts", "3 fortnights")
+    with pytest.raises(LakehouseError):
+        time_bucket("ts", "0 hours")
+
+
+def test_rollup_rejects_unmergeable_metric(catalog, events_df):
+    src = catalog.create_table_as("db", "ev5", events_df.limit(100))
+    with pytest.raises(LakehouseError, match="unsupported metric"):
+        create_rollup(
+            catalog, "db", "bad", src, "ts", "1 hour", ["event_type"],
+            {"d": ("avg", "value")},
+        )
