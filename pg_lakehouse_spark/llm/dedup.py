@@ -284,3 +284,92 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "lsh",
+    nbits: int = 16,
+    num_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
+    with id_a < id_b and cosine >= threshold.
+
+    ``method="exact"`` compares all pairs (non-equi join → broadcast
+    nested loop) — the correctness baseline/oracle face; quadratic, so
+    only for modest corpora or within pre-blocked groups.
+
+    ``method="lsh"`` is the scale path: Charikar hyperplane sign
+    buckets, ``num_tables`` independent tables; candidate pairs share
+    a full bucket in ANY table (equi-join on (table, bucket) — a hash
+    join, never n²), then the exact cosine filter runs only on
+    collisions. Identical vectors share every bucket, so true
+    duplicates are always recalled; near-identical pairs are recalled
+    with probability 1-(1-p^nbits)^tables, p = 1 - theta/pi.
+
+    Vectors are L2-normalized once up front so the pair-level compare
+    is a single dot product.
+    """
+    from pg_lakehouse_spark.llm.similarity import (
+        _bucket_bits,
+        _dot,
+        _norm,
+        hyperplanes,
+        with_double_vec,
+    )
+
+    v = with_double_vec(df.select(id_col, vec_col), vec_col)
+    v = v.withColumn("__n", _norm(F.col("__vec"))).select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col("__vec"), lambda x: x / F.col("__n")).alias("__unit"),
+    )
+
+    if method == "exact":
+        a = v.select(F.col("__id").alias("id_a"), F.col("__unit").alias("__ua"))
+        b = v.select(F.col("__id").alias("id_b"), F.col("__unit").alias("__ub"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _bucket_bits(
+                        F.col("__unit"), hyperplanes(dim, nbits, seed + t)
+                    ).alias("bucket"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        bucketed = v.select(
+            "__id", "__unit", F.explode(tables).alias("tb")
+        ).select(
+            "__id", "__unit",
+            F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+        )
+        left = bucketed.select(
+            F.col("__id").alias("id_a"), F.col("__unit").alias("__ua"),
+            "tbl", "bucket",
+        )
+        right = bucketed.select(
+            F.col("__id").alias("id_b"), F.col("__unit").alias("__ub"),
+            "tbl", "bucket",
+        )
+        pairs = (
+            left.join(right, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__ua", "__ub")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}: use 'exact' or 'lsh'")
+
+    return (
+        pairs.withColumn("cos_sim", _dot(F.col("__ua"), F.col("__ub")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

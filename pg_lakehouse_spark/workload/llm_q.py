@@ -119,6 +119,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_pairs",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+dup AS (SELECT vec_id + 10000 AS vec_id, embedding FROM base
+        WHERE vec_id % 5 = 0),
+all_v AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+""",
+    tags=("dedup-embedding",),
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (exact face, oracle-checked):
+    the corpus is salted with identical copies of every 5th vector
+    (cosine exactly 1.0 — no float boundary risk; the corpus's natural
+    pair max is ~0.51, far from the 0.95 threshold), and the operator
+    must report exactly the planted pairs. The LSH-blocked scale path
+    is proven equal to this exact face in test_llm.py."""
+    from pg_lakehouse_spark.llm.dedup import embedding_near_duplicates
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_duplicates(
+        emb.unionByName(dup),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.95,
+        method="exact",
+    )
+
+
 @register("text_fingerprint", oracle=None, tags=("fingerprint",))
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit minhash fingerprint + exact-dup grouping on it."""

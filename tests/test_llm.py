@@ -239,3 +239,25 @@ def test_ivfpq_deterministic(emb):
                                   seed=7).collect())
     )
     assert a == b
+
+
+def test_embedding_near_dup_lsh_equals_exact(emb):
+    from pg_lakehouse_spark.llm.dedup import embedding_near_duplicates
+
+    dup = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    salted = emb.select("vec_id", "embedding").unionByName(dup)
+    exact = set(
+        map(tuple, embedding_near_duplicates(salted, method="exact").collect())
+    )
+    lsh = set(
+        map(tuple, embedding_near_duplicates(salted, method="lsh").collect())
+    )
+    # planted identical copies: cosine exactly 1.0, one pair per copy
+    assert len(exact) == dup.count()
+    assert all(b == a + 10000 and c == 1.0 for a, b, c in exact)
+    # identical vectors share every LSH bucket -> recall 1 guaranteed
+    assert lsh == exact
+    with pytest.raises(ValueError, match="unknown method"):
+        embedding_near_duplicates(salted, method="nope").collect()
