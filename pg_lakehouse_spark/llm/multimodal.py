@@ -20,7 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -136,3 +138,103 @@ def sample_frames(
     return media.select(
         "media_id", F.posexplode(frames).alias("frame_no", "frame_b64")
     ).withColumn("frame_no", F.col("frame_no").cast("long"))
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extract binary payloads → fixed-dim float vector
+    (media_id, feature) — the embed-the-image stage of a multimodal
+    pipeline, Arrow-batched like ``decode_images``. The output plugs
+    straight into the similarity stack (cosine_topk / ANN / near-dup).
+
+    The featurizer is the documented STUB (same inputs as the decode
+    stub: payload length + first-64-byte checksum, expanded to ``dim``
+    deterministic values); swap in a real vision encoder via the same
+    mapInPandas shape and nothing downstream changes.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    continue
+                n = len(p)
+                checksum = sum(p[:64]) if n else 0
+                feats.append(
+                    [
+                        ((checksum * (i + 1) + n * i) % 1009) / 1009.0
+                        for i in range(dim)
+                    ]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.select("media_id", "payload").mapInPandas(
+        featurize, schema=FEATURE_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("scale_x_e4", LongType(), True),
+        StructField("scale_y_e4", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize plumbing: decode source dims (stub), emit the target-dim
+    payload plus the applied scale factors (e4-scaled ints — exact to
+    compare across engines). The stub "resample" tiles/truncates the
+    source bytes to the target byte budget (w*h/64) — deterministic
+    and size-correct; a real implementation swaps in PIL's
+    ``Image.resize`` under the identical batch shape.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = max(1, target_w * target_h // 64)
+        for pdf in batches:
+            rows = {
+                "media_id": pdf["media_id"],
+                "width": [],
+                "height": [],
+                "scale_x_e4": [],
+                "scale_y_e4": [],
+                "payload": [],
+            }
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["scale_x_e4"].append(None)
+                    rows["scale_y_e4"].append(None)
+                    rows["payload"].append(None)
+                    continue
+                w, h, _ = _decode_image_stub(p)
+                reps = budget // len(p) + 1
+                rows["width"].append(target_w)
+                rows["height"].append(target_h)
+                # half-away-from-zero (SQL round), not Python's
+                # banker's rounding — keeps the oracle comparable
+                rows["scale_x_e4"].append(int(target_w / w * 10000 + 0.5))
+                rows["scale_y_e4"].append(int(target_h / h * 10000 + 0.5))
+                rows["payload"].append((bytes(p) * reps)[:budget])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )

@@ -358,6 +358,70 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media)
 
 
+@register(
+    "multimodal_features",
+    oracle="""
+WITH sums AS (
+  SELECT doc_id AS media_id,
+         CAST(length(text) AS BIGINT) AS n,
+         list_sum([ord(text[i]) for i in
+                   range(1, least(64, length(text)) + 1)]) AS checksum
+  FROM documents
+)
+SELECT media_id,
+       [((checksum * (i + 1) + n * i) % 1009) / 1009.0
+        for i in range(0, 16)] AS feature
+FROM sums
+""",
+    tags=("multimodal", "feature-extract"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (Arrow-batched
+    mapInPandas; deterministic stub featurizer → oracle-checkable).
+    The output shape is exactly what the similarity stack consumes."""
+    from pg_lakehouse_spark.llm.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    return extract_features(synthesize_media(docs, "doc_id", "text"), dim=16)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+WITH sums AS (
+  SELECT doc_id AS media_id,
+         CAST(length(text) AS BIGINT) AS n,
+         list_sum([ord(text[i]) for i in
+                   range(1, least(64, length(text)) + 1)]) AS checksum
+  FROM documents
+)
+SELECT media_id,
+       CAST(224 AS INTEGER) AS width, CAST(224 AS INTEGER) AS height,
+       CAST(floor(224.0 / (64 + checksum % 192) * 10000 + 0.5) AS BIGINT)
+         AS scale_x_e4,
+       CAST(floor(224.0 / (64 + n % 192) * 10000 + 0.5) AS BIGINT)
+         AS scale_y_e4,
+       CAST(224 * 224 // 64 AS BIGINT) AS payload_bytes
+FROM sums
+""",
+    tags=("multimodal", "resize"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: stub-decode source dims, emit target dims +
+    e4-scaled scale factors + the resized payload (compared by length
+    — byte content is engine-side only)."""
+    from pg_lakehouse_spark.llm.multimodal import resize_images
+
+    docs = t(spark, sf_dir, "documents")
+    out = resize_images(
+        synthesize_media(docs, "doc_id", "text"), target_w=224, target_h=224
+    )
+    return out.select(
+        "media_id", "width", "height", "scale_x_e4", "scale_y_e4",
+        F.length("payload").cast("long").alias("payload_bytes"),
+    )
+
+
 @register("embed_knn_ivf", oracle=None, tags=("similarity-ann-ivf",))
 def embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-5 (rows-only: centroids come

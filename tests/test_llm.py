@@ -261,3 +261,26 @@ def test_embedding_near_dup_lsh_equals_exact(emb):
     assert lsh == exact
     with pytest.raises(ValueError, match="unknown method"):
         embedding_near_duplicates(salted, method="nope").collect()
+
+
+def test_multimodal_feature_extract_shape_and_determinism(docs):
+    from pg_lakehouse_spark.llm.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(docs.limit(50), "doc_id", "text")
+    f1 = {r["media_id"]: tuple(r["feature"]) for r in extract_features(media, dim=8).collect()}
+    f2 = {r["media_id"]: tuple(r["feature"]) for r in extract_features(media, dim=8).collect()}
+    assert f1 == f2  # deterministic
+    assert all(len(v) == 8 for v in f1.values())
+    assert all(0.0 <= x < 1.0 for v in f1.values() for x in v)
+
+
+def test_multimodal_resize_budget_and_scales(docs):
+    from pg_lakehouse_spark.llm.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(docs.limit(50), "doc_id", "text")
+    out = resize_images(media, target_w=128, target_h=96).collect()
+    budget = 128 * 96 // 64
+    assert all(len(r["payload"]) == budget for r in out)
+    assert all(r["width"] == 128 and r["height"] == 96 for r in out)
+    # stub dims are 64..255 -> scale factors stay in a sane band
+    assert all(128 / 256 * 10000 <= r["scale_x_e4"] <= 128 / 64 * 10000 for r in out)
