@@ -45,6 +45,7 @@ HEADLINE = [
     "stream_session_windows",
     "multimodal_decode",
     "lake_delete_update",
+    "rollup_incremental",
 ]
 
 

@@ -498,32 +498,111 @@ class LakeTable:
             },
         )
 
+    def _nested_parent(self, schema: StructType, path: str):
+        """Validate a one-level dotted path; return (parent, child)."""
+        parent, child = path.split(".", 1)
+        if "." in child:
+            raise LakehouseError(
+                f"only one level of struct nesting is supported: {path!r}"
+            )
+        if parent not in schema.names:
+            raise LakehouseError(f"no such column: {parent!r}")
+        if not isinstance(schema[parent].dataType, StructType):
+            raise LakehouseError(f"column {parent!r} is not a struct")
+        return parent, child
+
+    @staticmethod
+    def _replace_struct(
+        schema: StructType, parent: str, new_children: list
+    ) -> StructType:
+        from pyspark.sql.types import StructField
+
+        return StructType(
+            [
+                f
+                if f.name != parent
+                else StructField(parent, StructType(new_children), f.nullable)
+                for f in schema.fields
+            ]
+        )
+
     def add_column(self, name: str, data_type, nullable: bool = True) -> Snapshot:
         """ADD COLUMN: existing files read the new column as NULL. The
         new column gets a fresh field id — re-adding a dropped name
-        never resurrects old data (id-based, not name-based)."""
+        never resurrects old data (id-based, not name-based). A dotted
+        ``parent.child`` name adds a field inside a struct column
+        (Iceberg-style nested evolution, one level)."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        if name in schema.names:
-            raise LakehouseError(f"column {name!r} already exists")
         if isinstance(data_type, str):
             data_type = _parse_datatype_string(data_type)
         ids, nxt = self._effective_field_ids(snap)
+        if "." in name:
+            parent, child = self._nested_parent(schema, name)
+            st: StructType = schema[parent].dataType
+            if child in st.names:
+                raise LakehouseError(f"column {name!r} already exists")
+            new_schema = self._replace_struct(
+                schema, parent,
+                st.fields + [StructField(child, data_type, nullable)],
+            )
+            # fresh id inside the parent's namespace, global counter for
+            # uniqueness — re-adding a dropped child never resurrects
+            return self._evolve(
+                "add-column", new_schema,
+                ids | {name: f"{ids[parent]}.n{nxt}"}, nxt + 1,
+            )
+        if name in schema.names:
+            raise LakehouseError(f"column {name!r} already exists")
         new_schema = StructType(
             schema.fields + [StructField(name, data_type, nullable)]
         )
-        return self._evolve(
-            "add-column", new_schema, ids | {name: nxt}, nxt + 1
-        )
+        new_ids = ids | {name: nxt}
+        if isinstance(data_type, StructType):
+            new_ids = self._augment_nested_ids(new_schema, new_ids)
+        return self._evolve("add-column", new_schema, new_ids, nxt + 1)
 
     def rename_column(self, old: str, new: str) -> Snapshot:
         """RENAME COLUMN: the field id is stable, so files written
         under the old name keep resolving; per-file range stats are
-        re-keyed in metadata (metadata-only, no file rewrite)."""
+        re-keyed in metadata (metadata-only, no file rewrite). Dotted
+        ``parent.child`` paths rename a struct field in place (``new``
+        may be the bare child name or ``parent.child``)."""
+        from pyspark.sql.types import StructField
+
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
+        ids, nxt = self._effective_field_ids(snap)
+        if "." in old:
+            parent, child = self._nested_parent(schema, old)
+            new_child = new.split(".", 1)[1] if "." in new else new
+            if "." in new and new.split(".", 1)[0] != parent:
+                raise LakehouseError(
+                    f"cannot move field across structs: {old!r} -> {new!r}"
+                )
+            st: StructType = schema[parent].dataType
+            if child not in st.names:
+                raise LakehouseError(f"no such column: {old!r}")
+            if new_child in st.names:
+                raise LakehouseError(
+                    f"column {parent}.{new_child} already exists"
+                )
+            children = [
+                f if f.name != child
+                else StructField(new_child, f.dataType, f.nullable)
+                for f in st.fields
+            ]
+            new_path = f"{parent}.{new_child}"
+            new_ids = {
+                (new_path if n == old else n): fid for n, fid in ids.items()
+            }
+            return self._evolve(
+                "rename-column",
+                self._replace_struct(schema, parent, children),
+                new_ids, nxt,
+            )
         if old not in schema.names:
             raise LakehouseError(f"no such column: {old!r}")
         if new in schema.names:
@@ -533,12 +612,20 @@ class LakeTable:
                 f"cannot rename partition column {old!r} (hive directory "
                 "layout is name-keyed)"
             )
-        ids, nxt = self._effective_field_ids(snap)
         fields = [
             f if f.name != old else type(f)(new, f.dataType, f.nullable)
             for f in schema.fields
         ]
-        new_ids = {(new if n == old else n): fid for n, fid in ids.items()}
+
+        def rekey(n: str) -> str:
+            # a struct column rename re-keys its children's dotted paths
+            if n == old:
+                return new
+            if n.startswith(old + "."):
+                return new + n[len(old):]
+            return n
+
+        new_ids = {rekey(n): fid for n, fid in ids.items()}
         files = [
             {**e, "ranges": {
                 (new if k == old else k): v
@@ -568,11 +655,19 @@ class LakeTable:
 
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        if name not in schema.names:
-            raise LakehouseError(f"no such column: {name!r}")
         if isinstance(new_type, str):
             new_type = _parse_datatype_string(new_type)
-        old_type = schema[name].dataType
+        nested = "." in name
+        if nested:
+            parent, child = self._nested_parent(schema, name)
+            st: StructType = schema[parent].dataType
+            if child not in st.names:
+                raise LakehouseError(f"no such column: {name!r}")
+            old_type = st[child].dataType
+        elif name not in schema.names:
+            raise LakehouseError(f"no such column: {name!r}")
+        else:
+            old_type = schema[name].dataType
         ok = (
             (isinstance(old_type, IntegerType) and isinstance(new_type, LongType))
             or (isinstance(old_type, FloatType) and isinstance(new_type, DoubleType))
@@ -591,26 +686,57 @@ class LakeTable:
                 "with P'>=P"
             )
         ids, nxt = self._effective_field_ids(snap)
-        fields = [
-            f if f.name != name else StructField(name, new_type, f.nullable)
-            for f in schema.fields
-        ]
-        return self._evolve("widen-column", StructType(fields), ids, nxt)
+        if nested:
+            children = [
+                f if f.name != child
+                else StructField(child, new_type, f.nullable)
+                for f in st.fields
+            ]
+            new_schema = self._replace_struct(schema, parent, children)
+        else:
+            new_schema = StructType(
+                [
+                    f if f.name != name
+                    else StructField(name, new_type, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+        return self._evolve("widen-column", new_schema, ids, nxt)
 
     def drop_column(self, name: str) -> Snapshot:
         """DROP COLUMN: metadata-only; the column's id is retired and
-        old files simply stop selecting it."""
+        old files simply stop selecting it. Dotted ``parent.child``
+        paths drop a struct field."""
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
+        ids, nxt = self._effective_field_ids(snap)
+        if "." in name:
+            parent, child = self._nested_parent(schema, name)
+            st: StructType = schema[parent].dataType
+            if child not in st.names:
+                raise LakehouseError(f"no such column: {name!r}")
+            if len(st.fields) == 1:
+                raise LakehouseError(
+                    f"cannot drop the only field of struct {parent!r}; "
+                    "drop the column instead"
+                )
+            children = [f for f in st.fields if f.name != child]
+            return self._evolve(
+                "drop-column",
+                self._replace_struct(schema, parent, children),
+                {n: fid for n, fid in ids.items() if n != name}, nxt,
+            )
         if name not in schema.names:
             raise LakehouseError(f"no such column: {name!r}")
         if name in snap.partition_spec:
             raise LakehouseError(f"cannot drop partition column {name!r}")
         if len(schema.fields) == 1:
             raise LakehouseError("cannot drop the only column")
-        ids, nxt = self._effective_field_ids(snap)
         fields = [f for f in schema.fields if f.name != name]
-        new_ids = {n: fid for n, fid in ids.items() if n != name}
+        new_ids = {
+            n: fid for n, fid in ids.items()
+            if n != name and not n.startswith(name + ".")
+        }
         files = [
             {**e, "ranges": {
                 k: v for k, v in (e.get("ranges") or {}).items() if k != name
@@ -635,13 +761,35 @@ class LakeTable:
         )
         return reader.load(paths)
 
+    @staticmethod
+    def _augment_nested_ids(schema: StructType, ids: dict) -> dict:
+        """Extend an id map with entries for direct struct children
+        (dotted paths ``parent.child``). Children not yet persisted get
+        positional ids ``"<parent_id>.<pos>"`` — deterministic, so an
+        archived epoch map and the live map derive the SAME ids for
+        layouts that predate any nested evolution (nested ops persist
+        their ids explicitly from then on)."""
+        out = dict(ids)
+        for f in schema.fields:
+            if isinstance(f.dataType, StructType) and f.name in out:
+                pid = out[f.name]
+                for j, ch in enumerate(f.dataType.fields):
+                    out.setdefault(f"{f.name}.{ch.name}", f"{pid}.{j + 1}")
+        return out
+
     def _effective_field_ids(self, snap: Snapshot) -> tuple[dict, int]:
         """(name -> field id, next id). Pre-evolution snapshots carry no
-        ids; derive stable positional ids from the schema on demand."""
+        ids; derive stable positional ids from the schema on demand.
+        Direct struct children are always materialized as dotted paths."""
+        schema = StructType.fromJson(json.loads(snap.schema_json))
         if snap.field_ids:
-            return snap.field_ids, snap.next_field_id
-        names = [f.name for f in StructType.fromJson(json.loads(snap.schema_json))]
-        return {n: i + 1 for i, n in enumerate(names)}, len(names) + 1
+            return (
+                self._augment_nested_ids(schema, snap.field_ids),
+                snap.next_field_id,
+            )
+        names = [f.name for f in schema.fields]
+        ids = {n: i + 1 for i, n in enumerate(names)}
+        return self._augment_nested_ids(schema, ids), len(names) + 1
 
     def _read_entries(self, snap: Snapshot, entries: list[dict]) -> DataFrame:
         """Read file entries under the snapshot's CURRENT schema,
@@ -673,19 +821,50 @@ class LakeTable:
                     f"file written under unknown schema epoch {sid}"
                 )
             old_schema = StructType.fromJson(json.loads(epoch["schema_json"]))
-            id_to_old = {fid: n for n, fid in epoch["field_ids"].items()}
+            epoch_ids = self._augment_nested_ids(
+                old_schema, epoch["field_ids"]
+            )
+            id_to_old = {fid: n for n, fid in epoch_ids.items()}
             df = self._read_files(old_schema, paths)
             proj = []
             for fld in schema.fields:
                 old_name = id_to_old.get(cur_ids[fld.name])
-                if old_name is not None:
-                    # cast is a no-op unless the column was widened
-                    # after this file was written (int->bigint etc.)
-                    proj.append(
-                        F.col(old_name).cast(fld.dataType).alias(fld.name)
-                    )
-                else:
+                if old_name is None:
                     proj.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                    continue
+                if isinstance(fld.dataType, StructType):
+                    # resolve each child by id; rebuild the struct only
+                    # when the old layout differs (nested evolution)
+                    resolved = [
+                        id_to_old.get(cur_ids.get(f"{fld.name}.{ch.name}"))
+                        for ch in fld.dataType.fields
+                    ]
+                    same_layout = (
+                        old_schema[old_name].dataType == fld.dataType
+                        and resolved
+                        == [f"{old_name}.{ch.name}" for ch in fld.dataType.fields]
+                    )
+                    if not same_layout:
+                        children = []
+                        for ch, old_path in zip(fld.dataType.fields, resolved):
+                            src = (
+                                F.col(old_path) if old_path is not None
+                                else F.lit(None)
+                            )
+                            children.append(
+                                src.cast(ch.dataType).alias(ch.name)
+                            )
+                        rebuilt = F.when(
+                            F.col(old_name).isNull(),
+                            F.lit(None).cast(fld.dataType),
+                        ).otherwise(F.struct(*children))
+                        proj.append(rebuilt.alias(fld.name))
+                        continue
+                # cast is a no-op unless the column was widened
+                # after this file was written (int->bigint etc.)
+                proj.append(
+                    F.col(old_name).cast(fld.dataType).alias(fld.name)
+                )
             parts.append(df.select(*proj))
         out = parts[0]
         for p in parts[1:]:

@@ -299,3 +299,52 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_min",
         "value_max",
     )
+
+
+@register(
+    "lake_nested_evolution",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey <= 1000 THEN CAST(o_orderkey AS BIGINT)
+            ELSE o_orderkey + 5000000000 END AS ref,
+       CASE WHEN o_orderkey <= 1000 THEN NULL ELSE 'web' END AS channel
+FROM orders WHERE o_orderkey <= 1500
+""",
+    tags=("lakehouse", "schema-evolution", "nested"),
+)
+def lake_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct field evolution end-to-end: add / rename / widen /
+    drop of struct CHILDREN are metadata-only commits; old files
+    resolve children by field id and cast narrow types up; a dropped
+    child disappears from every epoch. The oracle states the flattened
+    end state in pure SQL."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "nested_evolution")
+    base = orders.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderkey").cast("int").alias("code"),
+        ).alias("props"),
+    )
+    tbl = cat.create_table_as("db", "orders_nested", base)
+    tbl.add_column("props.channel", "string")
+    tbl.rename_column("props.code", "ref")
+    tbl.widen_column("props.ref", "bigint")
+    newrows = orders.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1500)
+    ).select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_orderkey") + F.lit(5_000_000_000)).alias("ref"),
+            F.lit("web").alias("channel"),
+        ).cast(tbl.schema()["props"].dataType).alias("props"),
+    )
+    tbl.append(newrows)
+    tbl.drop_column("props.status")
+    return tbl.read().select(
+        "o_orderkey",
+        F.col("props.ref").alias("ref"),
+        F.col("props.channel").alias("channel"),
+    )

@@ -736,3 +736,130 @@ def test_compact_zorder_prunes_on_both_dimensions(catalog, orders_df, spark):
     assert tbl.read().count() == 4000
     with pytest.raises(LakehouseError, match="mutually exclusive"):
         tbl.compact(sort_by=["o_custkey"], zorder_by=["o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# nested-struct field evolution
+# ---------------------------------------------------------------------------
+
+
+def _with_props(df):
+    return df.withColumn(
+        "props",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        ),
+    )
+
+
+def test_nested_add_rename_resolve_old_files(catalog, orders_df):
+    tbl = catalog.create_table_as(
+        "db", "nested_evo", _with_props(orders_df.limit(60))
+    )
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    tbl.add_column("props.source", "string")
+    tbl.rename_column("props.prio", "priority")
+    # metadata-only commits
+    assert {f["path"] for f in tbl.snapshot().files} == files_before
+    df = tbl.read()
+    assert df.schema["props"].dataType.names == ["status", "priority", "source"]
+    assert df.filter(F.col("props.source").isNull()).count() == 60
+    assert (
+        df.filter(F.col("props.priority") == F.col("o_orderpriority")).count()
+        == 60
+    )
+    # append under the new layout; old + new epochs coexist
+    newrows = _with_props(orders_df.limit(5)).withColumn(
+        "props",
+        F.struct(
+            F.col("props.status").alias("status"),
+            F.col("props.prio").alias("priority"),
+            F.lit("import").alias("source"),
+        ).cast(tbl.schema()["props"].dataType),
+    )
+    tbl.append(newrows)
+    assert tbl.read().filter(F.col("props.source") == "import").count() == 5
+    assert tbl.read().filter(F.col("props.source").isNull()).count() == 60
+    # time travel keeps the old nested layout
+    assert tbl.read(snapshot=1).schema["props"].dataType.names == [
+        "status", "prio",
+    ]
+
+
+def test_nested_drop_and_readd_no_resurrection(catalog, orders_df):
+    tbl = catalog.create_table_as(
+        "db", "nested_drop", _with_props(orders_df.limit(30))
+    )
+    tbl.drop_column("props.status")
+    assert tbl.read().schema["props"].dataType.names == ["prio"]
+    tbl.add_column("props.status", "string")
+    # id-based: the re-added child must NOT see old data
+    assert tbl.read().filter(F.col("props.status").isNotNull()).count() == 0
+
+
+def test_nested_widen_and_compact_upgrade(catalog, orders_df):
+    base = orders_df.limit(40).withColumn(
+        "props",
+        F.struct(
+            F.col("o_orderkey").cast("int").alias("code"),
+            F.col("o_orderstatus").alias("status"),
+        ),
+    )
+    tbl = catalog.create_table_as("db", "nested_widen", base)
+    tbl.widen_column("props.code", "bigint")
+    df = tbl.read()
+    assert dict(df.select("props.code").dtypes)["code"] == "bigint"
+    expected = base.agg(F.sum(F.col("props.code").cast("long"))).collect()[0][0]
+    assert df.agg(F.sum("props.code")).collect()[0][0] == expected
+    # DML + compaction normalize every file to the current epoch
+    tbl.update(F.col("props.code") < 10, {"o_orderstatus": F.lit("Z")})
+    tbl.compact(small_file_bytes=1 << 30)
+    assert all(
+        f.get("schema_id") == tbl.snapshot().schema_id
+        for f in tbl.snapshot().files
+    )
+    assert tbl.read().count() == 40
+
+
+def test_nested_evolution_guards(catalog, orders_df):
+    tbl = catalog.create_table_as(
+        "db", "nested_guard", _with_props(orders_df.limit(10))
+    )
+    with pytest.raises(LakehouseError, match="one level"):
+        tbl.add_column("props.a.b", "string")
+    with pytest.raises(LakehouseError, match="not a struct"):
+        tbl.add_column("o_orderkey.x", "string")
+    with pytest.raises(LakehouseError, match="already exists"):
+        tbl.add_column("props.status", "string")
+    with pytest.raises(LakehouseError, match="across structs"):
+        tbl.rename_column("props.status", "other.status")
+    with pytest.raises(LakehouseError, match="no such column"):
+        tbl.drop_column("props.nope")
+    tbl.drop_column("props.prio")
+    with pytest.raises(LakehouseError, match="only field"):
+        tbl.drop_column("props.status")
+    with pytest.raises(LakehouseError, match="cannot widen"):
+        tbl.widen_column("props.status", "bigint")
+
+
+def test_struct_column_rename_rekeys_children(catalog, orders_df):
+    tbl = catalog.create_table_as(
+        "db", "nested_rekey", _with_props(orders_df.limit(20))
+    )
+    tbl.add_column("props.source", "string")
+    tbl.rename_column("props", "attrs")  # struct column itself
+    df = tbl.read()
+    assert "attrs" in df.columns
+    # children written under the old parent name still resolve
+    assert (
+        df.filter(F.col("attrs.status") == F.col("o_orderstatus")).count()
+        == 20
+    )
+    tbl.rename_column("attrs.status", "state")
+    assert (
+        tbl.read()
+        .filter(F.col("attrs.state") == F.col("o_orderstatus"))
+        .count()
+        == 20
+    )
