@@ -147,3 +147,52 @@ def test_rollup_rejects_unmergeable_metric(catalog, events_df):
             catalog, "db", "bad", src, "ts", "1 hour", ["event_type"],
             {"d": ("avg", "value")},
         )
+
+
+def test_streaming_ingest_then_rollup_refresh(spark, sf_dir, tmp_path):
+    """End-to-end continuous aggregate: stream → lakehouse sink (one
+    snapshot per micro-batch, pure appends) → refresh_rollup consumes
+    only the streamed snapshots. Final state equals a batch GROUP BY
+    over everything ingested."""
+    from pg_lakehouse_spark.streaming.sink import write_stream_to_lake
+    from pg_lakehouse_spark.streaming.windows import stream_events
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("value_e2", F.round(F.col("value") * 100).cast("long"))
+    )
+    # seed the source with a small batch, build the rollup on it
+    src = cat.create_table_as("db", "ev_live", ev.filter(F.col("event_id") < 100))
+    roll = create_rollup(
+        cat, "db", "ev_live_hourly", src, "ts", "1 hour", ["event_type"],
+        {"n_events": ("count", "*"), "value_sum_e2": ("sum", "value_e2")},
+    )
+    # stream the full corpus into the SAME lakehouse table
+    stream = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    ).withColumn("value_e2", F.round(F.col("value") * 100).cast("long"))
+    q = write_stream_to_lake(stream, src, str(tmp_path / "ckpt"), trigger_once=True)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    snap = refresh_rollup(src, roll)
+    assert snap.operation == "merge"  # streamed snapshots are appends
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["value_sum_e2"])
+        for r in roll.read().collect()
+    }
+    expected = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["value_sum_e2"])
+        for r in src.read()
+        .groupBy(time_bucket("ts", "1 hour").alias("bucket_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_e2").alias("value_sum_e2"),
+        )
+        .collect()
+    }
+    assert got == expected
