@@ -480,3 +480,72 @@ def q_bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").alias("key_or"),
         F.bit_xor("o_orderkey").alias("key_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT / UNPIVOT — relational reshaping (PG: crosstab / lateral VALUES;
+# Spark: native pivot/unpivot, planned as a single hash aggregate and a
+# generate respectively — no joins, one shuffle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pivot",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS low
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("pivot", "agg"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one hash aggregate with an explicit value list (explicit
+    list keeps the plan static — no extra distinct-scan to discover
+    columns, which matters at scale)."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    aliases = ["urgent", "high", "medium", "notspec", "low"]
+    return out.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(a)
+            for p, a in zip(prios, aliases)
+        ],
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'retail' AS attr, round(p_retailprice, 2) AS val
+FROM part
+""",
+    tags=("unpivot",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide → long without self-union (a single Expand
+    node reading the table once — N-column melt stays one scan)."""
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.round("p_retailprice", 2).alias("retail"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retail"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
