@@ -549,3 +549,35 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="attr",
         valueColumnName="val",
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (PG WITH RECURSIVE; native in Spark 4) — date-spine:
+# generate every month between min and max order date (empty months
+# included), then count orders per month. The recursion is
+# metadata-sized (one row per month); the fact scan stays one pass.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+)
+SELECT {epoch_us}(m) AS month_us, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle=_RECURSIVE_SQL.format(epoch_us="epoch_us"),
+    tags=("cte-recursive",),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lakehouse_spark.workload.util import views
+
+    views(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_SQL.format(epoch_us="unix_micros"))
