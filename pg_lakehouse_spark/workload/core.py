@@ -624,6 +624,79 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).distinct()
 
 
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops (PG INTERSECT ALL / EXCEPT ALL). Both inputs keep
+# duplicate o_custkey rows, so the multiset min/difference counts matter —
+# distinct-flavoured set ops would give a different answer. Spark plans
+# these as a single hash aggregate over both sides (no sort), which scales
+# the same as any groupBy on the key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT ALL
+SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+""",
+    tags=("setop",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+EXCEPT ALL
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+    tags=("setop",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery join (PG LATERAL; Spark native since 3.2).
+# Top-2 customers by balance per nation. Catalyst decorrelates this into
+# a window-ranked join — same plan shape as the explicit row_number()
+# formulation, so it scales as one shuffle on the correlation key.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n_name, c.c_custkey, c.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) c
+"""
+
+
+@register("q_lateral_join", oracle=_LATERAL_SQL, tags=("join-lateral",))
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)
+
+
 @register(
     "q_cross_join",
     oracle="""
