@@ -637,21 +637,53 @@ class LakeTable:
             "rename-column", StructType(fields), new_ids, nxt, files
         )
 
-    def widen_column(self, name: str, new_type) -> Snapshot:
-        """WIDEN COLUMN type, Iceberg promotion rules: int->bigint,
-        float->double, decimal(P,S)->decimal(P',S) with P'>=P.
-        Metadata-only commit: the field id is unchanged, old files keep
-        their narrow physical type and are cast up at read time, so the
-        op is O(1) at any table size."""
+    @staticmethod
+    def _promotable(old_type, new_type) -> bool:
+        """Iceberg type-promotion rules, applied recursively through
+        container types: int->bigint, float->double,
+        decimal(P,S)->decimal(P',S) with P'>=P; array<T>->array<T'> and
+        map<K,V>->map<K,V'> when the element/value promotes (key and
+        nullability must be unchanged — key changes would re-bucket,
+        nullability changes would be narrowing)."""
         from pyspark.sql.types import (
+            ArrayType,
             DecimalType,
             DoubleType,
             FloatType,
             IntegerType,
             LongType,
-            StructField,
-            _parse_datatype_string,
+            MapType,
         )
+
+        if isinstance(old_type, IntegerType) and isinstance(new_type, LongType):
+            return True
+        if isinstance(old_type, FloatType) and isinstance(new_type, DoubleType):
+            return True
+        if isinstance(old_type, DecimalType) and isinstance(new_type, DecimalType):
+            return (
+                new_type.scale == old_type.scale
+                and new_type.precision >= old_type.precision
+            )
+        if isinstance(old_type, ArrayType) and isinstance(new_type, ArrayType):
+            return old_type.containsNull == new_type.containsNull and (
+                LakeTable._promotable(old_type.elementType, new_type.elementType)
+            )
+        if isinstance(old_type, MapType) and isinstance(new_type, MapType):
+            return (
+                old_type.keyType == new_type.keyType
+                and old_type.valueContainsNull == new_type.valueContainsNull
+                and LakeTable._promotable(old_type.valueType, new_type.valueType)
+            )
+        return False
+
+    def widen_column(self, name: str, new_type) -> Snapshot:
+        """WIDEN COLUMN type, Iceberg promotion rules: int->bigint,
+        float->double, decimal(P,S)->decimal(P',S) with P'>=P — also
+        inside containers: array<int>->array<bigint>, map value
+        widening (see ``_promotable``). Metadata-only commit: the field
+        id is unchanged, old files keep their narrow physical type and
+        are cast up at read time, so the op is O(1) at any table size."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
 
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
@@ -668,22 +700,13 @@ class LakeTable:
             raise LakehouseError(f"no such column: {name!r}")
         else:
             old_type = schema[name].dataType
-        ok = (
-            (isinstance(old_type, IntegerType) and isinstance(new_type, LongType))
-            or (isinstance(old_type, FloatType) and isinstance(new_type, DoubleType))
-            or (
-                isinstance(old_type, DecimalType)
-                and isinstance(new_type, DecimalType)
-                and new_type.scale == old_type.scale
-                and new_type.precision >= old_type.precision
-            )
-        )
-        if not ok:
+        if not self._promotable(old_type, new_type):
             raise LakehouseError(
                 f"cannot widen {name!r} from {old_type.simpleString()} to "
                 f"{new_type.simpleString()}; allowed promotions: "
                 "int->bigint, float->double, decimal(P,S)->decimal(P',S) "
-                "with P'>=P"
+                "with P'>=P, recursively through array elements and map "
+                "values"
             )
         ids, nxt = self._effective_field_ids(snap)
         if nested:

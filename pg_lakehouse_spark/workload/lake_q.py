@@ -348,3 +348,53 @@ def lake_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props.ref").alias("ref"),
         F.col("props.channel").alias("channel"),
     )
+
+
+@register(
+    "lake_container_evolution",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey <= 1000
+            THEN CAST(o_orderkey AS BIGINT) + (o_orderkey % 7)
+            ELSE o_orderkey + 5000000000 END AS hist_sum,
+       CASE WHEN o_orderkey <= 1000 THEN CAST(o_orderkey % 5 AS BIGINT)
+            ELSE o_orderkey + 5000000000 END AS pri
+FROM orders WHERE o_orderkey <= 1500
+""",
+    tags=("lakehouse", "schema-evolution", "container"),
+)
+def lake_container_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-type widening end-to-end: array<int>->array<bigint>
+    and map<string,int>->map<string,bigint> are metadata-only commits;
+    old narrow files cast up element/value types inside the epoch
+    projection; appended rows carry values beyond int range. The
+    oracle states the flattened end state in pure SQL."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "container_evolution")
+    base = orders.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.array(
+            F.col("o_orderkey").cast("int"),
+            (F.col("o_orderkey") % 7).cast("int"),
+        ).alias("hist"),
+        F.create_map(
+            F.lit("pri"), (F.col("o_orderkey") % 5).cast("int")
+        ).alias("attrs"),
+    )
+    tbl = cat.create_table_as("db", "orders_containers", base)
+    tbl.widen_column("hist", "array<bigint>")
+    tbl.widen_column("attrs", "map<string,bigint>")
+    big = F.col("o_orderkey") + F.lit(5_000_000_000)
+    newrows = orders.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1500)
+    ).select(
+        "o_orderkey",
+        F.array(big).alias("hist"),
+        F.create_map(F.lit("pri"), big).alias("attrs"),
+    )
+    tbl.append(newrows)
+    return tbl.read().select(
+        "o_orderkey",
+        F.expr("aggregate(hist, 0L, (a, x) -> a + x)").alias("hist_sum"),
+        F.element_at("attrs", "pri").alias("pri"),
+    )

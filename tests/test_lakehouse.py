@@ -500,6 +500,83 @@ def test_widen_column_guards(catalog, orders_df):
         tbl.widen_column("nope", "bigint")
 
 
+def test_widen_container_types(catalog, orders_df, spark):
+    """Array-element and map-value widening: metadata-only commits;
+    old narrow files cast up at read; post-widen appends carry values
+    that need the wide type."""
+    narrow = orders_df.limit(60).select(
+        "o_orderkey",
+        F.array(
+            F.col("o_orderkey").cast("int"),
+            (F.col("o_orderkey") % 7).cast("int"),
+        ).alias("hist"),
+        F.create_map(
+            F.lit("pri"), (F.col("o_orderkey") % 5).cast("int")
+        ).alias("attrs"),
+    )
+    tbl = catalog.create_table_as("db", "evo_container", narrow)
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    expected = narrow.select(
+        F.sum(F.expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+    ).collect()[0][0]
+    tbl.widen_column("hist", "array<bigint>")
+    tbl.widen_column("attrs", "map<string,bigint>")
+    # metadata-only: no data file was rewritten by either widen
+    assert {f["path"] for f in tbl.snapshot().files} == files_before
+    df = tbl.read()
+    assert dict(df.dtypes)["hist"] == "array<bigint>"
+    assert dict(df.dtypes)["attrs"] == "map<string,bigint>"
+    got = df.select(
+        F.sum(F.expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+    ).collect()[0][0]
+    assert got == expected
+    # appends now carry values beyond int range
+    wide = orders_df.limit(4).select(
+        "o_orderkey",
+        F.array(F.col("o_orderkey") + F.lit(1 << 40)).alias("hist"),
+        F.create_map(F.lit("pri"), F.col("o_orderkey") + F.lit(1 << 40)).alias(
+            "attrs"
+        ),
+    )
+    tbl.append(wide)
+    assert (
+        tbl.read()
+        .filter(F.element_at("attrs", "pri") >= (1 << 40))
+        .count()
+        == 4
+    )
+    assert tbl.read().count() == 64
+    # time travel: pre-widen snapshot keeps narrow containers
+    assert dict(tbl.read(snapshot=1).dtypes)["hist"] == "array<int>"
+    # guards: key/nullability changes and non-promotions are rejected
+    with pytest.raises(LakehouseError, match="cannot widen"):
+        tbl.widen_column("hist", "array<string>")
+    with pytest.raises(LakehouseError, match="cannot widen"):
+        tbl.widen_column("attrs", "map<bigint,bigint>")
+
+
+def test_widen_container_inside_struct(catalog, orders_df):
+    """A struct CHILD of array type widens via the dotted path; the
+    epoch projection rebuilds the struct with the element cast."""
+    base = orders_df.limit(30).select(
+        "o_orderkey",
+        F.struct(
+            F.array(F.col("o_orderkey").cast("int")).alias("codes"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("props"),
+    )
+    tbl = catalog.create_table_as("db", "evo_container_nested", base)
+    tbl.widen_column("props.codes", "array<bigint>")
+    df = tbl.read()
+    assert dict(df.dtypes)["props"] == "struct<codes:array<bigint>,status:string>"
+    assert (
+        df.select(F.sum(F.element_at("props.codes", 1))).collect()[0][0]
+        == base.select(
+            F.sum(F.element_at("props.codes", 1))
+        ).collect()[0][0]
+    )
+
+
 def test_evolution_guards(catalog, orders_df, spark):
     tbl = catalog.create_table(
         "db", "evo_guard", orders_df.schema, partition_by=["o_orderstatus"]
