@@ -511,6 +511,51 @@ class LakeTable:
             raise LakehouseError(f"column {parent!r} is not a struct")
         return parent, child
 
+    def _element_parent(self, schema: StructType, path: str):
+        """Validate a ``col.element.child`` path into an
+        array<struct<...>> column; return (parent, child)."""
+        from pyspark.sql.types import ArrayType
+
+        parent, _, child = path.split(".", 2)
+        if "." in child:
+            raise LakehouseError(
+                f"only one level of element nesting is supported: {path!r}"
+            )
+        if parent not in schema.names:
+            raise LakehouseError(f"no such column: {parent!r}")
+        dt = schema[parent].dataType
+        if not (
+            isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType)
+        ):
+            raise LakehouseError(
+                f"column {parent!r} is not an array of structs"
+            )
+        return parent, child
+
+    @staticmethod
+    def _is_element_path(path: str) -> bool:
+        parts = path.split(".")
+        return len(parts) == 3 and parts[1] == "element"
+
+    @staticmethod
+    def _replace_array_element(
+        schema: StructType, parent: str, new_children: list
+    ) -> StructType:
+        """Rebuild ``parent``'s array<struct> type with new element
+        children, preserving array/field nullability."""
+        from pyspark.sql.types import ArrayType, StructField
+
+        old = schema[parent].dataType
+        new_type = ArrayType(StructType(new_children), old.containsNull)
+        return StructType(
+            [
+                f
+                if f.name != parent
+                else StructField(parent, new_type, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
     @staticmethod
     def _replace_struct(
         schema: StructType, parent: str, new_children: list
@@ -539,6 +584,19 @@ class LakeTable:
         if isinstance(data_type, str):
             data_type = _parse_datatype_string(data_type)
         ids, nxt = self._effective_field_ids(snap)
+        if self._is_element_path(name):
+            parent, child = self._element_parent(schema, name)
+            st: StructType = schema[parent].dataType.elementType
+            if child in st.names:
+                raise LakehouseError(f"column {name!r} already exists")
+            new_schema = self._replace_array_element(
+                schema, parent,
+                st.fields + [StructField(child, data_type, nullable)],
+            )
+            return self._evolve(
+                "add-column", new_schema,
+                ids | {name: f"{ids[parent]}.en{nxt}"}, nxt + 1,
+            )
         if "." in name:
             parent, child = self._nested_parent(schema, name)
             st: StructType = schema[parent].dataType
@@ -575,6 +633,34 @@ class LakeTable:
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         ids, nxt = self._effective_field_ids(snap)
+        if self._is_element_path(old):
+            parent, child = self._element_parent(schema, old)
+            new_child = new.rsplit(".", 1)[1] if "." in new else new
+            if "." in new and not new.startswith(f"{parent}.element."):
+                raise LakehouseError(
+                    f"cannot move field across structs: {old!r} -> {new!r}"
+                )
+            st: StructType = schema[parent].dataType.elementType
+            if child not in st.names:
+                raise LakehouseError(f"no such column: {old!r}")
+            if new_child in st.names:
+                raise LakehouseError(
+                    f"column {parent}.element.{new_child} already exists"
+                )
+            children = [
+                f if f.name != child
+                else StructField(new_child, f.dataType, f.nullable)
+                for f in st.fields
+            ]
+            new_path = f"{parent}.element.{new_child}"
+            new_ids = {
+                (new_path if n == old else n): fid for n, fid in ids.items()
+            }
+            return self._evolve(
+                "rename-column",
+                self._replace_array_element(schema, parent, children),
+                new_ids, nxt,
+            )
         if "." in old:
             parent, child = self._nested_parent(schema, old)
             new_child = new.split(".", 1)[1] if "." in new else new
@@ -689,8 +775,15 @@ class LakeTable:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if isinstance(new_type, str):
             new_type = _parse_datatype_string(new_type)
-        nested = "." in name
-        if nested:
+        element = self._is_element_path(name)
+        nested = "." in name and not element
+        if element:
+            parent, child = self._element_parent(schema, name)
+            st: StructType = schema[parent].dataType.elementType
+            if child not in st.names:
+                raise LakehouseError(f"no such column: {name!r}")
+            old_type = st[child].dataType
+        elif nested:
             parent, child = self._nested_parent(schema, name)
             st: StructType = schema[parent].dataType
             if child not in st.names:
@@ -709,13 +802,17 @@ class LakeTable:
                 "values"
             )
         ids, nxt = self._effective_field_ids(snap)
-        if nested:
+        if element or nested:
             children = [
                 f if f.name != child
                 else StructField(child, new_type, f.nullable)
                 for f in st.fields
             ]
-            new_schema = self._replace_struct(schema, parent, children)
+            new_schema = (
+                self._replace_array_element(schema, parent, children)
+                if element
+                else self._replace_struct(schema, parent, children)
+            )
         else:
             new_schema = StructType(
                 [
@@ -733,6 +830,22 @@ class LakeTable:
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         ids, nxt = self._effective_field_ids(snap)
+        if self._is_element_path(name):
+            parent, child = self._element_parent(schema, name)
+            st: StructType = schema[parent].dataType.elementType
+            if child not in st.names:
+                raise LakehouseError(f"no such column: {name!r}")
+            if len(st.fields) == 1:
+                raise LakehouseError(
+                    f"cannot drop the only field of array element "
+                    f"{parent!r}; drop the column instead"
+                )
+            children = [f for f in st.fields if f.name != child]
+            return self._evolve(
+                "drop-column",
+                self._replace_array_element(schema, parent, children),
+                {n: fid for n, fid in ids.items() if n != name}, nxt,
+            )
         if "." in name:
             parent, child = self._nested_parent(schema, name)
             st: StructType = schema[parent].dataType
@@ -792,12 +905,23 @@ class LakeTable:
         archived epoch map and the live map derive the SAME ids for
         layouts that predate any nested evolution (nested ops persist
         their ids explicitly from then on)."""
+        from pyspark.sql.types import ArrayType
+
         out = dict(ids)
         for f in schema.fields:
-            if isinstance(f.dataType, StructType) and f.name in out:
-                pid = out[f.name]
+            if f.name not in out:
+                continue
+            pid = out[f.name]
+            if isinstance(f.dataType, StructType):
                 for j, ch in enumerate(f.dataType.fields):
                     out.setdefault(f"{f.name}.{ch.name}", f"{pid}.{j + 1}")
+            elif isinstance(f.dataType, ArrayType) and isinstance(
+                f.dataType.elementType, StructType
+            ):
+                for j, ch in enumerate(f.dataType.elementType.fields):
+                    out.setdefault(
+                        f"{f.name}.element.{ch.name}", f"{pid}.e{j + 1}"
+                    )
         return out
 
     def _effective_field_ids(self, snap: Snapshot) -> tuple[dict, int]:
@@ -855,6 +979,67 @@ class LakeTable:
                 if old_name is None:
                     proj.append(F.lit(None).cast(fld.dataType).alias(fld.name))
                     continue
+                from pyspark.sql.types import ArrayType
+
+                if isinstance(fld.dataType, ArrayType) and isinstance(
+                    fld.dataType.elementType, StructType
+                ):
+                    # resolve element children by id; rebuild each
+                    # element via transform() only when the old layout
+                    # differs (element-field evolution). transform runs
+                    # per element but only over old-epoch files — new
+                    # files take the vectorized scan unchanged.
+                    elem = fld.dataType.elementType
+                    resolved = [
+                        id_to_old.get(
+                            cur_ids.get(f"{fld.name}.element.{ch.name}")
+                        )
+                        for ch in elem.fields
+                    ]
+                    same_layout = (
+                        old_schema[old_name].dataType == fld.dataType
+                        and resolved
+                        == [
+                            f"{old_name}.element.{ch.name}"
+                            for ch in elem.fields
+                        ]
+                    )
+                    if not same_layout:
+                        prefix = f"{old_name}.element."
+
+                        def make_rebuild(elem, resolved, prefix):
+                            def rebuild(x):
+                                children = []
+                                for ch, old_path in zip(
+                                    elem.fields, resolved
+                                ):
+                                    src = (
+                                        x[old_path[len(prefix):]]
+                                        if old_path is not None
+                                        else F.lit(None)
+                                    )
+                                    children.append(
+                                        src.cast(ch.dataType).alias(ch.name)
+                                    )
+                                return F.when(
+                                    x.isNull(), F.lit(None).cast(elem)
+                                ).otherwise(F.struct(*children))
+
+                            return rebuild
+
+                        arr = F.transform(
+                            F.col(old_name),
+                            make_rebuild(elem, resolved, prefix),
+                        )
+                        proj.append(
+                            F.when(
+                                F.col(old_name).isNull(),
+                                F.lit(None).cast(fld.dataType),
+                            )
+                            .otherwise(arr)
+                            .alias(fld.name)
+                        )
+                        continue
                 if isinstance(fld.dataType, StructType):
                     # resolve each child by id; rebuild the struct only
                     # when the old layout differs (nested evolution)

@@ -398,3 +398,53 @@ def lake_container_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(hist, 0L, (a, x) -> a + x)").alias("hist_sum"),
         F.element_at("attrs", "pri").alias("pri"),
     )
+
+
+@register(
+    "lake_element_evolution",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey <= 1000 THEN CAST(o_orderkey AS BIGINT)
+            ELSE o_orderkey + 5000000000 END AS ref,
+       CASE WHEN o_orderkey <= 1000 THEN NULL
+            ELSE CAST(o_orderkey % 9 AS BIGINT) END AS qty
+FROM orders WHERE o_orderkey <= 1500
+""",
+    tags=("lakehouse", "schema-evolution", "element"),
+)
+def lake_element_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field evolution INSIDE array<struct> elements (add / rename /
+    widen via ``col.element.child`` paths): metadata-only commits; old
+    files rebuild elements by field id through transform() in the
+    epoch projection. The oracle states the flattened end state of the
+    first element in pure SQL."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "element_evolution")
+    base = orders.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.array(
+            F.struct(F.col("o_orderkey").cast("int").alias("code"))
+        ).alias("items"),
+    )
+    tbl = cat.create_table_as("db", "orders_items", base)
+    tbl.add_column("items.element.qty", "bigint")
+    tbl.rename_column("items.element.code", "ref")
+    tbl.widen_column("items.element.ref", "bigint")
+    newrows = orders.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1500)
+    ).select(
+        "o_orderkey",
+        F.array(
+            F.struct(
+                (F.col("o_orderkey") + F.lit(5_000_000_000)).alias("ref"),
+                (F.col("o_orderkey") % 9).alias("qty"),
+            )
+        ).cast(tbl.schema()["items"].dataType).alias("items"),
+    )
+    tbl.append(newrows)
+    first = F.element_at("items", 1)
+    return tbl.read().select(
+        "o_orderkey",
+        first["ref"].alias("ref"),
+        first["qty"].alias("qty"),
+    )

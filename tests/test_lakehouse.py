@@ -577,6 +577,109 @@ def test_widen_container_inside_struct(catalog, orders_df):
     )
 
 
+def test_array_element_field_evolution(catalog, orders_df, spark):
+    """add/rename/widen/drop of fields INSIDE array<struct> elements
+    (path grammar ``col.element.child``): metadata-only commits; old
+    files rebuild elements by field id via transform() at read time."""
+    base = orders_df.limit(50).select(
+        "o_orderkey",
+        F.array(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderkey").cast("int").alias("code"),
+            ),
+            F.struct(
+                F.lit("X").alias("status"),
+                (F.col("o_orderkey") + 1).cast("int").alias("code"),
+            ),
+        ).alias("items"),
+    )
+    tbl = catalog.create_table_as("db", "evo_elem", base)
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    tbl.add_column("items.element.qty", "bigint")
+    tbl.rename_column("items.element.code", "ref")
+    tbl.widen_column("items.element.ref", "bigint")
+    assert {f["path"] for f in tbl.snapshot().files} == files_before
+    df = tbl.read()
+    assert (
+        dict(df.dtypes)["items"]
+        == "array<struct<status:string,ref:bigint,qty:bigint>>"
+    )
+    # old rows: ref resolves from old 'code' ints, qty reads NULL
+    first = F.element_at("items", 1)
+    assert df.filter(first["qty"].isNotNull()).count() == 0
+    assert (
+        df.select(F.sum(first["ref"])).collect()[0][0]
+        == base.select(
+            F.sum(F.element_at("items", 1)["code"])
+        ).collect()[0][0]
+    )
+    # append under the evolved layout with values needing bigint
+    newrows = orders_df.limit(3).select(
+        "o_orderkey",
+        F.array(
+            F.struct(
+                F.lit("N").alias("status"),
+                (F.col("o_orderkey") + F.lit(1 << 40)).alias("ref"),
+                F.lit(7).cast("bigint").alias("qty"),
+            )
+        ).cast(tbl.schema()["items"].dataType).alias("items"),
+    )
+    tbl.append(newrows)
+    assert tbl.read().filter(first["ref"] >= (1 << 40)).count() == 3
+    assert tbl.read().count() == 53
+    # drop an element field: disappears from every epoch
+    tbl.drop_column("items.element.status")
+    df2 = tbl.read()
+    assert dict(df2.dtypes)["items"] == "array<struct<ref:bigint,qty:bigint>>"
+    assert df2.count() == 53
+    # time travel: the pre-evolution snapshot keeps the old layout
+    assert (
+        dict(tbl.read(snapshot=1).dtypes)["items"]
+        == "array<struct<status:string,code:int>>"
+    )
+    # re-adding a dropped name never resurrects old data (fresh id)
+    tbl.add_column("items.element.status", "string")
+    assert (
+        tbl.read()
+        .filter(F.element_at("items", 1)["status"].isNotNull())
+        .count()
+        == 0
+    )
+    # guards
+    with pytest.raises(LakehouseError, match="already exists"):
+        tbl.add_column("items.element.ref", "bigint")
+    with pytest.raises(LakehouseError, match="no such column"):
+        tbl.rename_column("items.element.nope", "x")
+    with pytest.raises(LakehouseError, match="not an array of structs"):
+        tbl.add_column("o_orderkey.element.x", "int")
+
+
+def test_array_element_evolution_dml_and_compact(catalog, orders_df):
+    """Element-field evolution composes with DML (rewrite keeps the
+    evolved layout) and compaction (upgrades old-epoch files)."""
+    base = orders_df.limit(40).select(
+        "o_orderkey",
+        F.array(
+            F.struct(F.col("o_orderkey").cast("int").alias("code"))
+        ).alias("items"),
+    )
+    tbl = catalog.create_table_as("db", "evo_elem_dml", base)
+    tbl.widen_column("items.element.code", "bigint")
+    tbl.update(
+        F.col("o_orderkey") <= 10,
+        {"o_orderkey": F.col("o_orderkey") + 1000000},
+    )
+    assert tbl.read().filter(F.col("o_orderkey") > 1000000).count() == 10
+    tbl.compact(small_file_bytes=1 << 30)
+    snap = tbl.snapshot()
+    assert all(f.get("schema_id") == snap.schema_id for f in snap.files)
+    assert (
+        dict(tbl.read().dtypes)["items"] == "array<struct<code:bigint>>"
+    )
+    assert tbl.read().count() == 40
+
+
 def test_evolution_guards(catalog, orders_df, spark):
     tbl = catalog.create_table(
         "db", "evo_guard", orders_df.schema, partition_by=["o_orderstatus"]
