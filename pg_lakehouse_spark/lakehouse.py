@@ -511,12 +511,21 @@ class LakeTable:
             raise LakehouseError(f"column {parent!r} is not a struct")
         return parent, child
 
-    def _element_parent(self, schema: StructType, path: str):
-        """Validate a ``col.element.child`` path into an
-        array<struct<...>> column; return (parent, child)."""
-        from pyspark.sql.types import ArrayType
+    @staticmethod
+    def _container_kind(path: str) -> str | None:
+        """``col.element.child`` (array<struct> element field) or
+        ``col.value.child`` (map<K,struct> value field), else None."""
+        parts = path.split(".")
+        if len(parts) == 3 and parts[1] in ("element", "value"):
+            return parts[1]
+        return None
 
-        parent, _, child = path.split(".", 2)
+    def _container_parent(self, schema: StructType, path: str):
+        """Validate a container-child path; return (parent, kind,
+        child, element_struct)."""
+        from pyspark.sql.types import ArrayType, MapType
+
+        parent, kind, child = path.split(".", 2)
         if "." in child:
             raise LakehouseError(
                 f"only one level of element nesting is supported: {path!r}"
@@ -524,29 +533,38 @@ class LakeTable:
         if parent not in schema.names:
             raise LakehouseError(f"no such column: {parent!r}")
         dt = schema[parent].dataType
+        if kind == "element":
+            if not (
+                isinstance(dt, ArrayType)
+                and isinstance(dt.elementType, StructType)
+            ):
+                raise LakehouseError(
+                    f"column {parent!r} is not an array of structs"
+                )
+            return parent, kind, child, dt.elementType
         if not (
-            isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType)
+            isinstance(dt, MapType) and isinstance(dt.valueType, StructType)
         ):
             raise LakehouseError(
-                f"column {parent!r} is not an array of structs"
+                f"column {parent!r} is not a map with struct values"
             )
-        return parent, child
+        return parent, kind, child, dt.valueType
 
     @staticmethod
-    def _is_element_path(path: str) -> bool:
-        parts = path.split(".")
-        return len(parts) == 3 and parts[1] == "element"
-
-    @staticmethod
-    def _replace_array_element(
-        schema: StructType, parent: str, new_children: list
+    def _replace_container_child(
+        schema: StructType, parent: str, kind: str, new_children: list
     ) -> StructType:
-        """Rebuild ``parent``'s array<struct> type with new element
-        children, preserving array/field nullability."""
-        from pyspark.sql.types import ArrayType, StructField
+        """Rebuild ``parent``'s array<struct> / map<K,struct> type with
+        new element/value children, preserving nullability and key."""
+        from pyspark.sql.types import ArrayType, MapType, StructField
 
         old = schema[parent].dataType
-        new_type = ArrayType(StructType(new_children), old.containsNull)
+        if kind == "element":
+            new_type = ArrayType(StructType(new_children), old.containsNull)
+        else:
+            new_type = MapType(
+                old.keyType, StructType(new_children), old.valueContainsNull
+            )
         return StructType(
             [
                 f
@@ -584,13 +602,12 @@ class LakeTable:
         if isinstance(data_type, str):
             data_type = _parse_datatype_string(data_type)
         ids, nxt = self._effective_field_ids(snap)
-        if self._is_element_path(name):
-            parent, child = self._element_parent(schema, name)
-            st: StructType = schema[parent].dataType.elementType
+        if self._container_kind(name):
+            parent, kind, child, st = self._container_parent(schema, name)
             if child in st.names:
                 raise LakehouseError(f"column {name!r} already exists")
-            new_schema = self._replace_array_element(
-                schema, parent,
+            new_schema = self._replace_container_child(
+                schema, parent, kind,
                 st.fields + [StructField(child, data_type, nullable)],
             )
             return self._evolve(
@@ -633,32 +650,31 @@ class LakeTable:
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         ids, nxt = self._effective_field_ids(snap)
-        if self._is_element_path(old):
-            parent, child = self._element_parent(schema, old)
+        if self._container_kind(old):
+            parent, kind, child, st = self._container_parent(schema, old)
             new_child = new.rsplit(".", 1)[1] if "." in new else new
-            if "." in new and not new.startswith(f"{parent}.element."):
+            if "." in new and not new.startswith(f"{parent}.{kind}."):
                 raise LakehouseError(
                     f"cannot move field across structs: {old!r} -> {new!r}"
                 )
-            st: StructType = schema[parent].dataType.elementType
             if child not in st.names:
                 raise LakehouseError(f"no such column: {old!r}")
             if new_child in st.names:
                 raise LakehouseError(
-                    f"column {parent}.element.{new_child} already exists"
+                    f"column {parent}.{kind}.{new_child} already exists"
                 )
             children = [
                 f if f.name != child
                 else StructField(new_child, f.dataType, f.nullable)
                 for f in st.fields
             ]
-            new_path = f"{parent}.element.{new_child}"
+            new_path = f"{parent}.{kind}.{new_child}"
             new_ids = {
                 (new_path if n == old else n): fid for n, fid in ids.items()
             }
             return self._evolve(
                 "rename-column",
-                self._replace_array_element(schema, parent, children),
+                self._replace_container_child(schema, parent, kind, children),
                 new_ids, nxt,
             )
         if "." in old:
@@ -775,11 +791,10 @@ class LakeTable:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if isinstance(new_type, str):
             new_type = _parse_datatype_string(new_type)
-        element = self._is_element_path(name)
-        nested = "." in name and not element
-        if element:
-            parent, child = self._element_parent(schema, name)
-            st: StructType = schema[parent].dataType.elementType
+        kind = self._container_kind(name)
+        nested = "." in name and not kind
+        if kind:
+            parent, kind, child, st = self._container_parent(schema, name)
             if child not in st.names:
                 raise LakehouseError(f"no such column: {name!r}")
             old_type = st[child].dataType
@@ -802,15 +817,15 @@ class LakeTable:
                 "values"
             )
         ids, nxt = self._effective_field_ids(snap)
-        if element or nested:
+        if kind or nested:
             children = [
                 f if f.name != child
                 else StructField(child, new_type, f.nullable)
                 for f in st.fields
             ]
             new_schema = (
-                self._replace_array_element(schema, parent, children)
-                if element
+                self._replace_container_child(schema, parent, kind, children)
+                if kind
                 else self._replace_struct(schema, parent, children)
             )
         else:
@@ -830,20 +845,19 @@ class LakeTable:
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         ids, nxt = self._effective_field_ids(snap)
-        if self._is_element_path(name):
-            parent, child = self._element_parent(schema, name)
-            st: StructType = schema[parent].dataType.elementType
+        if self._container_kind(name):
+            parent, kind, child, st = self._container_parent(schema, name)
             if child not in st.names:
                 raise LakehouseError(f"no such column: {name!r}")
             if len(st.fields) == 1:
                 raise LakehouseError(
-                    f"cannot drop the only field of array element "
+                    f"cannot drop the only field of container "
                     f"{parent!r}; drop the column instead"
                 )
             children = [f for f in st.fields if f.name != child]
             return self._evolve(
                 "drop-column",
-                self._replace_array_element(schema, parent, children),
+                self._replace_container_child(schema, parent, kind, children),
                 {n: fid for n, fid in ids.items() if n != name}, nxt,
             )
         if "." in name:
@@ -905,7 +919,7 @@ class LakeTable:
         archived epoch map and the live map derive the SAME ids for
         layouts that predate any nested evolution (nested ops persist
         their ids explicitly from then on)."""
-        from pyspark.sql.types import ArrayType
+        from pyspark.sql.types import ArrayType, MapType
 
         out = dict(ids)
         for f in schema.fields:
@@ -921,6 +935,13 @@ class LakeTable:
                 for j, ch in enumerate(f.dataType.elementType.fields):
                     out.setdefault(
                         f"{f.name}.element.{ch.name}", f"{pid}.e{j + 1}"
+                    )
+            elif isinstance(f.dataType, MapType) and isinstance(
+                f.dataType.valueType, StructType
+            ):
+                for j, ch in enumerate(f.dataType.valueType.fields):
+                    out.setdefault(
+                        f"{f.name}.value.{ch.name}", f"{pid}.v{j + 1}"
                     )
         return out
 
@@ -979,20 +1000,29 @@ class LakeTable:
                 if old_name is None:
                     proj.append(F.lit(None).cast(fld.dataType).alias(fld.name))
                     continue
-                from pyspark.sql.types import ArrayType
+                from pyspark.sql.types import ArrayType, MapType
 
-                if isinstance(fld.dataType, ArrayType) and isinstance(
+                is_elem = isinstance(fld.dataType, ArrayType) and isinstance(
                     fld.dataType.elementType, StructType
-                ):
-                    # resolve element children by id; rebuild each
-                    # element via transform() only when the old layout
-                    # differs (element-field evolution). transform runs
-                    # per element but only over old-epoch files — new
-                    # files take the vectorized scan unchanged.
-                    elem = fld.dataType.elementType
+                )
+                is_mapv = isinstance(fld.dataType, MapType) and isinstance(
+                    fld.dataType.valueType, StructType
+                )
+                if is_elem or is_mapv:
+                    # resolve element/value children by id; rebuild each
+                    # via transform()/transform_values() only when the
+                    # old layout differs (container-field evolution).
+                    # The lambda runs per entry but only over old-epoch
+                    # files — new files take the vectorized scan as-is.
+                    kind = "element" if is_elem else "value"
+                    elem = (
+                        fld.dataType.elementType
+                        if is_elem
+                        else fld.dataType.valueType
+                    )
                     resolved = [
                         id_to_old.get(
-                            cur_ids.get(f"{fld.name}.element.{ch.name}")
+                            cur_ids.get(f"{fld.name}.{kind}.{ch.name}")
                         )
                         for ch in elem.fields
                     ]
@@ -1000,15 +1030,15 @@ class LakeTable:
                         old_schema[old_name].dataType == fld.dataType
                         and resolved
                         == [
-                            f"{old_name}.element.{ch.name}"
+                            f"{old_name}.{kind}.{ch.name}"
                             for ch in elem.fields
                         ]
                     )
                     if not same_layout:
-                        prefix = f"{old_name}.element."
+                        prefix = f"{old_name}.{kind}."
 
-                        def make_rebuild(elem, resolved, prefix):
-                            def rebuild(x):
+                        def make_struct(elem, resolved, prefix):
+                            def build(x):
                                 children = []
                                 for ch, old_path in zip(
                                     elem.fields, resolved
@@ -1025,18 +1055,21 @@ class LakeTable:
                                     x.isNull(), F.lit(None).cast(elem)
                                 ).otherwise(F.struct(*children))
 
-                            return rebuild
+                            return build
 
-                        arr = F.transform(
-                            F.col(old_name),
-                            make_rebuild(elem, resolved, prefix),
-                        )
+                        build = make_struct(elem, resolved, prefix)
+                        if is_elem:
+                            rebuilt = F.transform(F.col(old_name), build)
+                        else:
+                            rebuilt = F.transform_values(
+                                F.col(old_name), lambda k, v: build(v)
+                            )
                         proj.append(
                             F.when(
                                 F.col(old_name).isNull(),
                                 F.lit(None).cast(fld.dataType),
                             )
-                            .otherwise(arr)
+                            .otherwise(rebuilt)
                             .alias(fld.name)
                         )
                         continue

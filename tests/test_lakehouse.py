@@ -655,6 +655,63 @@ def test_array_element_field_evolution(catalog, orders_df, spark):
         tbl.add_column("o_orderkey.element.x", "int")
 
 
+def test_map_value_field_evolution(catalog, orders_df, spark):
+    """add/rename/widen/drop of fields inside map<K,struct> VALUES
+    (path grammar ``col.value.child``); old files rebuild values by
+    field id via transform_values() at read time."""
+    base = orders_df.limit(40).select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("main"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderkey").cast("int").alias("code"),
+            ),
+        ).alias("attrs"),
+    )
+    tbl = catalog.create_table_as("db", "evo_mapval", base)
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    tbl.add_column("attrs.value.qty", "bigint")
+    tbl.rename_column("attrs.value.code", "ref")
+    tbl.widen_column("attrs.value.ref", "bigint")
+    assert {f["path"] for f in tbl.snapshot().files} == files_before
+    df = tbl.read()
+    assert (
+        dict(df.dtypes)["attrs"]
+        == "map<string,struct<status:string,ref:bigint,qty:bigint>>"
+    )
+    main = F.element_at("attrs", "main")
+    assert df.filter(main["qty"].isNotNull()).count() == 0
+    assert (
+        df.select(F.sum(main["ref"])).collect()[0][0]
+        == base.select(
+            F.sum(F.element_at("attrs", "main")["code"])
+        ).collect()[0][0]
+    )
+    # append under the evolved layout, then drop a value field
+    newrows = orders_df.limit(2).select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("main"),
+            F.struct(
+                F.lit("N").alias("status"),
+                (F.col("o_orderkey") + F.lit(1 << 40)).alias("ref"),
+                F.lit(3).cast("bigint").alias("qty"),
+            ),
+        ).cast(tbl.schema()["attrs"].dataType).alias("attrs"),
+    )
+    tbl.append(newrows)
+    assert tbl.read().filter(main["ref"] >= (1 << 40)).count() == 2
+    tbl.drop_column("attrs.value.status")
+    assert (
+        dict(tbl.read().dtypes)["attrs"]
+        == "map<string,struct<ref:bigint,qty:bigint>>"
+    )
+    assert tbl.read().count() == 42
+    with pytest.raises(LakehouseError, match="not a map with struct"):
+        tbl.add_column("o_orderkey.value.x", "int")
+
+
 def test_array_element_evolution_dml_and_compact(catalog, orders_df):
     """Element-field evolution composes with DML (rewrite keeps the
     evolved layout) and compaction (upgrades old-epoch files)."""
