@@ -1244,6 +1244,16 @@ class LakeTable:
                 df = self.spark.read.parquet(
                     *[os.path.join(self.location, p) for p in snap.change_files]
                 )
+            elif op in ("delete", "update", "merge"):
+                if snap.summary.get("change_feed") == "exact":
+                    continue  # feed on, but the DML changed zero rows
+                raise LakehouseError(
+                    f"snapshot {v} is a {op} committed without a change "
+                    "feed; create the table with properties "
+                    "{'change_data_feed': 'on'} to record row-level DML "
+                    "changes (appends/overwrites serve derived changes "
+                    "without it)"
+                )
             elif op == "append":
                 parent_paths = {f["path"] for f in parent.files} if parent else set()
                 added = [f for f in snap.files if f["path"] not in parent_paths]
@@ -1300,6 +1310,16 @@ class LakeTable:
                     break
         return out
 
+    def change_feed_enabled(self) -> bool:
+        """Row-level change feed is OPT-IN per table (property
+        ``change_data_feed``), like Delta's ``enableChangeDataFeed``:
+        exact change files double the DML write work (the change rows
+        are a second job over the rewrite join), which no table should
+        pay unless a CDC consumer exists. Appends/overwrites still
+        serve derived changes with the feed off (no write cost)."""
+        v = self.snapshot().properties.get("change_data_feed", "false")
+        return str(v).lower() in ("true", "on", "1")
+
     def _rewrite(
         self, operation: str, condition: Column, transform, changes=None
     ) -> Snapshot:
@@ -1315,13 +1335,15 @@ class LakeTable:
         new_files = self._stage_dataframe(
             rewritten, base + 1, snap.partition_spec, schema_id=snap.schema_id
         )
+        feed = changes is not None and self.change_feed_enabled()
         change_files = (
-            self._stage_changes(changes(touched), base + 1) if changes else []
+            self._stage_changes(changes(touched), base + 1) if feed else []
         )
         return self._commit(
             base, operation, keep + new_files, snap.schema_json,
             summary={"rewritten_files": len(affected),
-                     "added_files": len(new_files)},
+                     "added_files": len(new_files)}
+            | ({"change_feed": "exact"} if feed else {}),
             change_files=change_files,
         )
 
@@ -1447,11 +1469,14 @@ class LakeTable:
             result, base + 1, snap.partition_spec, schema_id=snap.schema_id
         )
 
-        # change feed: matched rows → delete or update pre/post images;
-        # source-only rows → inserts
+        # change feed (only when the table opted in): matched rows →
+        # delete or update pre/post images; source-only rows → inserts
+        feed = self.change_feed_enabled()
         change_parts = []
         tcols = target.columns
-        if when_matched_delete:
+        if not feed:
+            pass
+        elif when_matched_delete:
             change_parts.append(
                 joined.filter(matched)
                 .select(*tcols)
@@ -1474,7 +1499,7 @@ class LakeTable:
                     ]
                 ).withColumn("_change_type", F.lit("update_postimage"))
             )
-        if when_not_matched_insert:
+        if feed and when_not_matched_insert:
             change_parts.append(
                 joined.filter(src_only)
                 .select(*[F.col(f"__src.{c}").alias(c) for c in tcols])
@@ -1493,7 +1518,9 @@ class LakeTable:
                 "added_files": len(new_files),
                 "rewritten_files": len(touched),
                 "pruned_files": len(keep),
-            } | (summary_extra or {}),
+            }
+            | ({"change_feed": "exact"} if feed else {})
+            | (summary_extra or {}),
             change_files=change_files,
         )
 

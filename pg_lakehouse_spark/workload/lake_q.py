@@ -232,7 +232,8 @@ def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     cat = _scratch_catalog(spark, sf_dir, "change_feed")
     tbl = cat.create_table_as(
-        "db", "orders_cdf", orders.filter(F.col("o_orderkey") <= 1000)
+        "db", "orders_cdf", orders.filter(F.col("o_orderkey") <= 1000),
+        properties={"change_data_feed": "on"},  # exact DML changes are opt-in
     )
     v0 = tbl.current_version()
     tbl.delete(F.col("o_orderkey") < 40)

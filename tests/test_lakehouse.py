@@ -854,7 +854,10 @@ def test_change_feed_dml_row_level(catalog, orders_df):
     """DML changes are row-exact: rewritten-but-unchanged rows in the
     same files never appear in the feed (the advantage over file-level
     read_incremental)."""
-    tbl = catalog.create_table("db", "cdf", orders_df.schema)
+    tbl = catalog.create_table(
+        "db", "cdf", orders_df.schema,
+        properties={"change_data_feed": "on"},
+    )
     tbl.append(orders_df.limit(100).repartition(1))  # v2: one file
     v2 = tbl.current_version()
     n_del = tbl.read().filter(F.col("o_orderkey") < 10).count()
@@ -877,7 +880,27 @@ def test_change_feed_dml_row_level(catalog, orders_df):
     assert ch.filter(F.col("_commit_version") == v2 + 1).count() == n_del
 
 
+def test_change_feed_off_by_default(catalog, orders_df):
+    """DML on a table without the feed property stages NO change files
+    (no second job over the rewrite join); read_changes over a window
+    containing that DML raises a clear error, while pure-append
+    windows still serve derived inserts."""
+    tbl = catalog.create_table_as("db", "cdf_off", orders_df.limit(60))
+    v1 = tbl.current_version()
+    tbl.append(orders_df.limit(80).subtract(orders_df.limit(60)))
+    assert (
+        tbl.read_changes(v1).filter(F.col("_change_type") == "insert").count()
+        == 20
+    )
+    v2 = tbl.current_version()
+    tbl.delete(F.col("o_orderkey") < 5)
+    assert tbl.snapshot().change_files == []
+    with pytest.raises(LakehouseError, match="change_data_feed"):
+        tbl.read_changes(v2).count()
+
+
 def test_change_feed_append_and_overwrite(catalog, orders_df):
+    # append/overwrite changes are DERIVED — no feed property needed
     tbl = catalog.create_table_as("db", "cdf2", orders_df.limit(50))
     v1 = tbl.current_version()
     tbl.append(orders_df.limit(80).subtract(orders_df.limit(50)))
@@ -892,7 +915,8 @@ def test_change_feed_append_and_overwrite(catalog, orders_df):
 
 def test_change_feed_merge(catalog, orders_df):
     tbl = catalog.create_table_as(
-        "db", "cdf3", orders_df.filter(F.col("o_orderkey") <= 100)
+        "db", "cdf3", orders_df.filter(F.col("o_orderkey") <= 100),
+        properties={"change_data_feed": "on"},
     )
     v1 = tbl.current_version()
     n_base = tbl.read().count()
