@@ -420,21 +420,35 @@ class LakeTable:
                 "drop_column"
             )
 
-    def append(self, df: DataFrame) -> Snapshot:
-        """INSERT/append (ref A9+A10: write_ops.c buffering + commit)."""
+    def append(self, df: DataFrame, retries: int = 3) -> Snapshot:
+        """INSERT/append (ref A9+A10: write_ops.c buffering + commit).
+
+        Optimistic-commit retry (ref A19 / Iceberg fast-append): an
+        append conflicts with nothing — on CommitConflict the staged
+        files are re-based onto the new current snapshot and the
+        commit retried; the data files are never rewritten."""
         self._check_schema(df)
         base = self.current_version()
         new_files = self._stage_dataframe(
             df, base + 1, self.snapshot(base).partition_spec,
             schema_id=self.snapshot(base).schema_id,
         )
-        files = self.snapshot(base).files + new_files if base > 0 else new_files
-        return self._commit(
-            base, "append", files, self.snapshot(base).schema_json
-            if base > 0 else df.schema.json(),
-            summary={"added_files": len(new_files),
-                     "added_rows": sum(f["rows"] for f in new_files)},
-        )
+        while True:
+            files = (
+                self.snapshot(base).files + new_files if base > 0 else new_files
+            )
+            try:
+                return self._commit(
+                    base, "append", files, self.snapshot(base).schema_json
+                    if base > 0 else df.schema.json(),
+                    summary={"added_files": len(new_files),
+                             "added_rows": sum(f["rows"] for f in new_files)},
+                )
+            except CommitConflict:
+                if retries <= 0:
+                    raise
+                retries -= 1
+                base = self.current_version()
 
     def overwrite(
         self, df: DataFrame, summary_extra: dict | None = None
@@ -1585,10 +1599,38 @@ class LakeTable:
         new_files = self._stage_dataframe(
             df, base + 1, snap.partition_spec, schema_id=snap.schema_id
         )
-        return self._commit(
-            base, "compact", keep + new_files, snap.schema_json,
-            summary={"compacted_files": len(small), "added_files": len(new_files)},
-        )
+        # optimistic-commit retry with validation (Iceberg
+        # rewrite_data_files semantics): a concurrent APPEND is fine —
+        # rebase keeps its files; a concurrent commit that removed any
+        # compacted source file (DML rewrite, another compaction) makes
+        # this rewrite stale — abort, never silently resurrect rows.
+        small_paths = {f["path"] for f in small}
+        retries = 3
+        while True:
+            try:
+                return self._commit(
+                    base, "compact", keep + new_files, snap.schema_json,
+                    summary={"compacted_files": len(small),
+                             "added_files": len(new_files)},
+                )
+            except CommitConflict:
+                if retries <= 0:
+                    raise
+                retries -= 1
+                base = self.current_version()
+                cur = self.snapshot(base)
+                cur_paths = {f["path"] for f in cur.files}
+                if not small_paths <= cur_paths:
+                    raise CommitConflict(
+                        "compaction is stale: a concurrent commit rewrote "
+                        "or removed compacted source files"
+                    )
+                if cur.schema_id != snap.schema_id:
+                    raise CommitConflict(
+                        "compaction is stale: schema evolved concurrently"
+                    )
+                keep = [f for f in cur.files if f["path"] not in small_paths]
+                snap = cur
 
     def maybe_compact(
         self,

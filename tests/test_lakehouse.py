@@ -184,6 +184,82 @@ def test_commit_conflict(catalog, orders_df):
         tbl._commit(base, "append", tbl.snapshot().files, tbl.snapshot().schema_json)
 
 
+def _inject_before_commit(tbl, side_effect):
+    """Run ``side_effect()`` right before tbl's next _commit attempt
+    (once) — deterministically simulates a concurrent committer
+    winning the race."""
+    import types
+
+    orig = type(tbl)._commit
+    state = {"fired": False}
+
+    def racy(self, *a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            side_effect()
+        return orig(self, *a, **k)
+
+    tbl._commit = types.MethodType(racy, tbl)
+
+
+def test_append_retries_on_conflict(catalog, orders_df):
+    """Optimistic fast-append: a concurrent commit between staging and
+    commit re-bases the staged files onto the new snapshot — both
+    appends land, no data lost, no rewrite."""
+    tbl = catalog.create_table_as("db", "retry_app", orders_df.limit(10))
+    other = catalog.load_table("db", "retry_app")
+    more = orders_df.limit(30).subtract(orders_df.limit(20))
+    _inject_before_commit(tbl, lambda: other.append(
+        orders_df.limit(20).subtract(orders_df.limit(10))
+    ))
+    tbl.append(more)
+    assert tbl.read().count() == 30
+    ops = [s.operation for s in tbl.snapshots()]
+    assert ops.count("append") >= 3  # CTAS + concurrent + retried
+
+
+def test_append_conflict_exhausts_retries(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "retry_app2", orders_df.limit(5))
+    other = catalog.load_table("db", "retry_app2")
+    _inject_before_commit(tbl, lambda: other.append(orders_df.limit(5)))
+    with pytest.raises(CommitConflict):
+        tbl.append(orders_df.limit(5), retries=0)
+
+
+def test_compact_rebases_over_concurrent_append(catalog, orders_df):
+    """Compaction commit validates and re-bases: a concurrent append's
+    files survive; the compacted sources are replaced."""
+    tbl = catalog.create_table("db", "retry_cmp", orders_df.schema)
+    for i in range(3):
+        tbl.append(orders_df.limit(10 * (i + 1)).subtract(
+            orders_df.limit(10 * i)
+        ).repartition(1))
+    other = catalog.load_table("db", "retry_cmp")
+    extra = orders_df.limit(35).subtract(orders_df.limit(30))
+    _inject_before_commit(tbl, lambda: other.append(extra.repartition(1)))
+    tbl.compact(small_file_bytes=1 << 30)
+    assert tbl.read().count() == 35
+    assert tbl.snapshot().operation == "compact"
+
+
+def test_compact_aborts_when_sources_rewritten(catalog, orders_df):
+    """A concurrent DML that rewrote a compacted source file makes the
+    compaction stale: it must abort, never resurrect deleted rows."""
+    tbl = catalog.create_table("db", "retry_cmp2", orders_df.schema)
+    for i in range(3):
+        tbl.append(orders_df.limit(10 * (i + 1)).subtract(
+            orders_df.limit(10 * i)
+        ).repartition(1))
+    other = catalog.load_table("db", "retry_cmp2")
+    _inject_before_commit(
+        tbl, lambda: other.delete(F.col("o_orderkey") >= 0)
+    )
+    with pytest.raises(CommitConflict, match="stale"):
+        tbl.compact(small_file_bytes=1 << 30)
+    # the concurrent delete's result is intact
+    assert tbl.read().count() == 0
+
+
 def test_catalog_ddl(catalog, orders_df, spark):
     catalog.create_table("db", "a", orders_df.schema)
     catalog.create_table("db2", "b", orders_df.schema)
