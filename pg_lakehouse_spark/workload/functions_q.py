@@ -581,3 +581,36 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     views(spark, sf_dir, "orders")
     return spark.sql(_RECURSIVE_SQL.format(epoch_us="unix_micros"))
+
+
+# ---------------------------------------------------------------------------
+# generate_series (PG set-returning function) — series as a relation,
+# LEFT-joined against a fact table. Spark: explode(sequence()) — the
+# series is literal-sized, so Catalyst folds it to a tiny local
+# relation and broadcasts the join side; the fact table is scanned
+# once with the modulo pushed into the join key expression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_generate_series",
+    oracle="""
+SELECT CAST(n AS BIGINT) AS n, count(o_orderkey) AS n_orders
+FROM (SELECT unnest(generate_series(0, 9)) AS n) s
+LEFT JOIN orders ON o_orderkey % 10 = n
+GROUP BY n
+""",
+    tags=("set-returning",),
+)
+def q_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lakehouse_spark.workload.util import t
+
+    series = spark.sql("SELECT explode(sequence(0, 9)) AS n").select(
+        F.col("n").cast("bigint").alias("n")
+    )
+    orders = t(spark, sf_dir, "orders")
+    return (
+        series.join(orders, orders.o_orderkey % 10 == series.n, "left")
+        .groupBy("n")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

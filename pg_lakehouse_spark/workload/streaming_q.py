@@ -169,3 +169,60 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivered = ev.filter(F.col("event_id") < 1000).select("event_id", "ts")
     deduped = stream_dedup(first.unionByName(redelivered), ["event_id"], "ts")
     return deduped.select("event_id", F.lit(1).cast("long").alias("n"))
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+            WHEN event_type = 'purchase' THEN 'revenue'
+            ELSE 'ops' END AS category,
+       count(*) AS n_events,
+       CAST(round(sum(value * CASE WHEN event_type = 'purchase' THEN 10.0
+                                   ELSE 1.0 END) * 100) AS BIGINT) AS weighted_c
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join-stream-static"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: a (small, broadcast) dimension
+    maps event_type -> (category, weight); the enriched stream rolls
+    up into tumbling windows. In streaming mode the static side is
+    re-broadcast per micro-batch (Structured Streaming stream-static
+    join); the batch face here is the same plan minus the trigger —
+    `tests/test_streaming.py::test_stream_static_join_matches_batch`
+    proves equivalence on a real stream."""
+    ev = t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement", 1.0),
+            ("view", "engagement", 1.0),
+            ("purchase", "revenue", 10.0),
+            ("error", "ops", 1.0),
+            ("login", "ops", 1.0),
+        ],
+        "event_type string, category string, weight double",
+    )
+    enriched = ev.join(F.broadcast(dim), "event_type", "left").withColumn(
+        "category", F.coalesce(F.col("category"), F.lit("ops"))
+    ).withColumn("weight", F.coalesce(F.col("weight"), F.lit(1.0)))
+    out = tumbling_agg(
+        enriched,
+        "ts",
+        "1 hour",
+        ["category"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")) * 100)
+            .cast("long")
+            .alias("weighted_c"),
+        ],
+    )
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "category",
+        "n_events",
+        "weighted_c",
+    )

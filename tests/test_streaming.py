@@ -116,6 +116,62 @@ def test_stateful_running_count(spark, sf_dir, tmp_path):
     assert {r["user_id"]: r["total_events"] for r in got} == expected
 
 
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment join (static side re-broadcast per
+    micro-batch) + tumbling rollup converges to the batch plan."""
+    dim_rows = [
+        ("click", "engagement", 1.0),
+        ("view", "engagement", 1.0),
+        ("purchase", "revenue", 10.0),
+        ("error", "ops", 1.0),
+        ("login", "ops", 1.0),
+    ]
+    dim_schema = "event_type string, category string, weight double"
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")) * 100)
+        .cast("long")
+        .alias("weighted_c"),
+    ]
+
+    def enrich(ev):
+        dim = spark.createDataFrame(dim_rows, dim_schema)
+        return ev.join(F.broadcast(dim), "event_type", "left")
+
+    out = tumbling_agg(
+        enrich(stream_events(spark, sf_dir)),
+        "ts", "1 hour", ["category"], aggs, watermark="1 hour",
+    ).select(
+        F.unix_micros(F.col("window.start")).alias("ws"),
+        "category", "n_events", "weighted_c",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.table("t_ss_join").collect()}
+    finally:
+        q.stop()
+    batch = {
+        tuple(r)
+        for r in tumbling_agg(
+            enrich(table(spark, sf_dir, "events")),
+            "ts", "1 hour", ["category"], aggs,
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("ws"),
+            "category", "n_events", "weighted_c",
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
 def test_late_data_dropped_with_watermark(spark, tmp_path):
     """Watermark semantics with a controlled rate: append-mode windows
     close once the watermark passes; late rows beyond it are dropped.
