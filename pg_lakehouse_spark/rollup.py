@@ -80,7 +80,7 @@ def time_bucket(col: Column | str, bucket: str) -> Column:
     return F.timestamp_micros(us - F.pmod(us, F.lit(w)))
 
 
-_KINDS = ("sum", "count", "min", "max")
+_KINDS = ("sum", "count", "min", "max", "approx_distinct")
 
 
 def _partial_agg(
@@ -102,11 +102,18 @@ def _partial_agg(
             aggs.append(F.min(src).alias(out))
         elif kind == "max":
             aggs.append(F.max(src).alias(out))
+        elif kind == "approx_distinct":
+            # mergeable distinct: the state column is an HLL sketch
+            # (binary); sketches union losslessly (register-wise max),
+            # so incremental refresh = full recompute EXACTLY — the
+            # continuous-aggregate answer to "exact distinct is not
+            # mergeable partial state"
+            aggs.append(F.hll_sketch_agg(F.col(src)).alias(out))
         else:
             raise LakehouseError(
                 f"unsupported metric kind {kind!r}; supported: {_KINDS} "
                 "(avg = sum/count at query time; exact distinct is not "
-                "mergeable partial state)"
+                "mergeable — use approx_distinct, an HLL sketch column)"
             )
     return df.groupBy(
         time_bucket(time_col, bucket).alias(BUCKET_COL), *group_by
@@ -195,6 +202,12 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
                 )
             elif kind == "min":
                 updates[out] = F.least(tgt, src)  # least/greatest skip NULLs
+            elif kind == "approx_distinct":
+                updates[out] = (
+                    F.when(tgt.isNull(), src)
+                    .when(src.isNull(), tgt)
+                    .otherwise(F.hll_union(tgt, src))
+                )
             else:
                 updates[out] = F.greatest(tgt, src)
         return rollup.merge(
@@ -210,3 +223,19 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
     return rollup.overwrite(
         state, summary_extra={"rollup_source_version": cur}
     )
+
+
+def read_rollup(rollup: LakeTable) -> DataFrame:
+    """Read rollup state in user-facing form: sketch-state columns
+    (approx_distinct) are finalized to BIGINT estimates; every other
+    metric column is already its final value."""
+    spec = json.loads(rollup.snapshot().properties["rollup_spec"])
+    df = rollup.read()
+    cols = []
+    for name in df.columns:
+        m = spec["metrics"].get(name)
+        if m is not None and m[0] == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(F.col(name)).alias(name))
+        else:
+            cols.append(F.col(name))
+    return df.select(*cols)

@@ -449,3 +449,34 @@ def lake_element_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         first["ref"].alias("ref"),
         first["qty"].alias("qty"),
     )
+
+
+@register(
+    "rollup_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific — rows-only here;
+    # tests/test_rollup.py::test_rollup_approx_distinct_hll proves
+    # incremental merge == full recompute and <5% error vs exact
+    tags=("rollup", "incremental", "approx", "sketch"),
+)
+def rollup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: the state column is an HLL
+    sketch (binary); refresh unions sketches register-wise, so distinct
+    users per bucket stays incrementally refreshable at any scale —
+    the continuous-aggregate answer to non-mergeable COUNT(DISTINCT)."""
+    from pg_lakehouse_spark.rollup import create_rollup, read_rollup, refresh_rollup
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "user_id")
+    cat = _scratch_catalog(spark, sf_dir, "rollup_hll")
+    src = cat.create_table_as("db", "ev_src", ev.filter(F.col("event_id") % 2 == 0))
+    roll = create_rollup(
+        cat, "db", "ev_daily", src,
+        time_col="ts", bucket="1 day", group_by=["event_type"],
+        metrics={"n_events": ("count", "*"),
+                 "n_users": ("approx_distinct", "user_id")},
+    )
+    src.append(ev.filter(F.col("event_id") % 2 == 1))
+    refresh_rollup(src, roll)
+    return read_rollup(roll).select(
+        F.unix_micros(F.col("bucket_start")).alias("bucket_us"),
+        "event_type", "n_events", "n_users",
+    )

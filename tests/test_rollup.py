@@ -196,3 +196,63 @@ def test_streaming_ingest_then_rollup_refresh(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_rollup_approx_distinct_hll(catalog, spark, sf_dir):
+    """approx_distinct metric: HLL sketch state merges losslessly, so
+    incremental refresh equals full recompute EXACTLY (same estimates),
+    and the estimate tracks exact distinct within HLL error."""
+    from pg_lakehouse_spark.rollup import read_rollup
+
+    events_df = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    src = catalog.create_table_as(
+        "db", "ev_hll_src", events_df.filter(F.col("event_id") % 3 == 0)
+    )
+    roll = create_rollup(
+        catalog, "db", "ev_hll", src,
+        time_col="ts", bucket="1 day", group_by=["event_type"],
+        metrics={
+            "n_events": ("count", "*"),
+            "n_users": ("approx_distinct", "user_id"),
+        },
+    )
+    # sketch state column is binary
+    assert dict(roll.read().dtypes)["n_users"] == "binary"
+    for m in (1, 2):
+        src.append(events_df.filter(F.col("event_id") % 3 == m))
+        refresh_rollup(src, roll)
+
+    got = {
+        (r[BUCKET_COL], r["event_type"]): (r["n_events"], r["n_users"])
+        for r in read_rollup(roll).collect()
+    }
+    # full recompute over the complete source: estimates must be equal
+    full = (
+        events_df.groupBy(
+            time_bucket("ts", "1 day").alias(BUCKET_COL), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id")
+            ).alias("n_users"),
+        )
+    )
+    expected = {
+        (r[BUCKET_COL], r["event_type"]): (r["n_events"], r["n_users"])
+        for r in full.collect()
+    }
+    assert got == expected
+    # and the estimates track exact distinct within HLL error (<5%)
+    exact = {
+        (r[BUCKET_COL], r["event_type"]): r["d"]
+        for r in events_df.groupBy(
+            time_bucket("ts", "1 day").alias(BUCKET_COL), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for k, (_, est) in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k])
