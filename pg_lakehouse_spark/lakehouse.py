@@ -121,6 +121,34 @@ def _file_stats(path: str, fmt: str = "parquet") -> tuple[int, int]:
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
 
 
+def _partition_dir_ranges(part_dirs: str, schema: StructType) -> dict:
+    """{col: [v, v]} for each ``col=value`` hive dir segment, typed via
+    the write schema (int-family and string only — other types keep
+    their dir encoding ambiguous, so they get no stats: conservative)."""
+    from urllib.parse import unquote
+
+    out = {}
+    for seg in part_dirs.split(os.sep):
+        if "=" not in seg:
+            continue
+        col, raw = seg.split("=", 1)
+        if raw == "__HIVE_DEFAULT_PARTITION__" or col not in schema.names:
+            continue  # null partition value → no bounds (conservative)
+        v = unquote(raw)
+        kind = schema[col].dataType.simpleString()
+        if kind in ("tinyint", "smallint", "int", "bigint"):
+            try:
+                val = int(v)
+            except ValueError:
+                continue
+        elif kind == "string":
+            val = v
+        else:
+            continue
+        out[col] = [val, val]
+    return out
+
+
 def _json_stat(v):
     """Make a parquet min/max statistic JSON-serializable while keeping
     its ordering: numbers stay numbers; bytes decode to str; temporal
@@ -294,6 +322,7 @@ class LakeTable:
         properties: dict | None = None,
         schema_meta: dict | None = None,
         change_files: list | None = None,
+        partition_spec: list[str] | None = None,
     ) -> Snapshot:
         """Atomic snapshot commit with optimistic concurrency.
 
@@ -326,7 +355,11 @@ class LakeTable:
                 summary=summary or {},
                 properties=(parent.properties if parent else {})
                 | (properties or {}),
-                partition_spec=parent.partition_spec if parent else [],
+                partition_spec=(
+                    partition_spec
+                    if partition_spec is not None
+                    else parent.partition_spec if parent else []
+                ),
                 change_files=change_files or [],
                 **evo,
             )
@@ -348,6 +381,48 @@ class LakeTable:
 
     def partition_spec(self) -> list[str]:
         return self.snapshot().partition_spec
+
+    @staticmethod
+    def _entry_spec(entry: dict) -> tuple[str, ...]:
+        """A file's partition layout, derived from its path (the
+        ``col=value`` hive dirs are ground truth for how the file was
+        written) — this is what makes partition EVOLUTION metadata-
+        free: files written under different specs group separately at
+        read and never need rewriting."""
+        parts = entry["path"].split("/")
+        return tuple(p.split("=", 1)[0] for p in parts[:-1] if "=" in p)
+
+    def _live_partition_columns(self, snap: Snapshot) -> set[str]:
+        """Columns acting as a partition key for the CURRENT spec or
+        for any live data file's layout (hive dirs are name-keyed, so
+        these columns cannot be renamed or dropped until the files are
+        rewritten by compaction)."""
+        cols = set(snap.partition_spec)
+        for e in snap.files:
+            cols.update(self._entry_spec(e))
+        return cols
+
+    def set_partition_spec(self, partition_by: list[str]) -> Snapshot:
+        """PARTITION EVOLUTION (Iceberg ALTER TABLE ... WRITE ORDERED/
+        PARTITIONED BY analog; the reference lists partition pruning as
+        roadmap, pg_lakehouse_iceberg/README.md:18): a metadata-only
+        commit switching the layout for FUTURE writes. Existing files
+        keep their old hive layout and remain fully readable (reads
+        group files by layout); DML rewrites and compaction upgrade
+        old files to the current spec as a side effect."""
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        for c in partition_by:
+            if c not in schema.names:
+                raise LakehouseError(f"no such column: {c!r}")
+        if len(set(partition_by)) != len(partition_by):
+            raise LakehouseError("duplicate partition column")
+        base = self.current_version()
+        return self._commit(
+            base, "set-partition-spec", snap.files, snap.schema_json,
+            summary={"partition_spec": list(partition_by)},
+            partition_spec=list(partition_by),
+        )
 
     def file_format(self) -> str:
         """Data-file format, fixed at CREATE (ref table_ops.c:78-87
@@ -395,12 +470,18 @@ class LakeTable:
             dst = os.path.join(self.location, rel_dir, name)
             os.rename(src, dst)
             rows, nbytes = _file_stats(dst, fmt)
+            # partition columns live in the dir name, not the file —
+            # lift their (single) value into the manifest ranges so
+            # metadata-level skipping covers them like any other column
+            ranges = _file_column_ranges(dst, fmt)
+            if part_dirs != ".":
+                ranges |= _partition_dir_ranges(part_dirs, df.schema)
             entries.append(
                 {
                     "path": os.path.join(rel_dir, name),
                     "rows": rows,
                     "bytes": nbytes,
-                    "ranges": _file_column_ranges(dst, fmt),
+                    "ranges": ranges,
                     "schema_id": schema_id,
                 }
             )
@@ -723,10 +804,11 @@ class LakeTable:
             raise LakehouseError(f"no such column: {old!r}")
         if new in schema.names:
             raise LakehouseError(f"column {new!r} already exists")
-        if old in snap.partition_spec:
+        if old in self._live_partition_columns(snap):
             raise LakehouseError(
                 f"cannot rename partition column {old!r} (hive directory "
-                "layout is name-keyed)"
+                "layout is name-keyed; compact first if the column only "
+                "partitions old-spec files)"
             )
         fields = [
             f if f.name != old else type(f)(new, f.dataType, f.nullable)
@@ -892,7 +974,7 @@ class LakeTable:
             )
         if name not in schema.names:
             raise LakehouseError(f"no such column: {name!r}")
-        if name in snap.partition_spec:
+        if name in self._live_partition_columns(snap):
             raise LakehouseError(f"cannot drop partition column {name!r}")
         if len(schema.fields) == 1:
             raise LakehouseError("cannot drop the only column")
@@ -988,11 +1070,16 @@ class LakeTable:
         if not entries:
             return self.spark.createDataFrame([], schema)
         cur_ids, _ = self._effective_field_ids(snap)
-        by_epoch: dict[int, list[dict]] = {}
+        # group by (schema epoch, partition layout): each group is one
+        # multi-file vectorized scan with a uniform hive layout (group
+        # count = #evolutions × #specs, never data-sized)
+        by_epoch: dict[tuple[int, tuple], list[dict]] = {}
         for e in entries:
-            by_epoch.setdefault(e.get("schema_id", 0), []).append(e)
+            by_epoch.setdefault(
+                (e.get("schema_id", 0), self._entry_spec(e)), []
+            ).append(e)
         parts = []
-        for sid, ents in sorted(by_epoch.items()):
+        for (sid, _spec), ents in sorted(by_epoch.items()):
             paths = [os.path.join(self.location, f["path"]) for f in ents]
             if sid == snap.schema_id:
                 parts.append(self._read_files(schema, paths))

@@ -480,3 +480,43 @@ def rollup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("bucket_start")).alias("bucket_us"),
         "event_type", "n_events", "n_users",
     )
+
+
+@register(
+    "lake_partition_evolution",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       round(sum(CASE WHEN o_orderkey <= 100 THEN 0.0
+                      ELSE o_totalprice END), 2) AS total
+FROM orders WHERE o_orderkey <= 1600
+GROUP BY o_orderstatus
+""",
+    tags=("lakehouse", "partition-evolution"),
+)
+def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution end-to-end: a flat table switches its spec
+    to hive-partitioning by o_orderstatus (metadata-only commit), new
+    appends land partitioned, an UPDATE rewrites across BOTH layouts,
+    and the final aggregate spans them transparently. The oracle
+    states the end state in pure SQL."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "partition_evolution")
+    tbl = cat.create_table_as(
+        "db", "orders_pevo", orders.filter(F.col("o_orderkey") <= 800)
+    )
+    tbl.set_partition_spec(["o_orderstatus"])
+    tbl.append(
+        orders.filter(
+            (F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 1600)
+        )
+    )
+    tbl.update(F.col("o_orderkey") <= 100, {"o_totalprice": F.lit(0.0)})
+    return (
+        tbl.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

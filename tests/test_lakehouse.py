@@ -813,6 +813,111 @@ def test_array_element_evolution_dml_and_compact(catalog, orders_df):
     assert tbl.read().count() == 40
 
 
+def test_partition_evolution_unpartitioned_to_partitioned(
+    catalog, orders_df, spark
+):
+    """set_partition_spec is metadata-only: old files keep their flat
+    layout, new writes land in hive dirs, reads span both layouts, and
+    manifest pruning works on the partition column for BOTH (footer
+    stats on old files, dir-derived stats on new)."""
+    tbl = catalog.create_table_as("db", "pevo", orders_df.limit(100))
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    tbl.set_partition_spec(["o_orderstatus"])
+    # metadata-only: same files, new default spec
+    assert {f["path"] for f in tbl.snapshot().files} == files_before
+    assert tbl.partition_spec() == ["o_orderstatus"]
+    extra = orders_df.limit(160).subtract(orders_df.limit(100))
+    tbl.append(extra)
+    snap = tbl.snapshot()
+    new_files = [
+        f for f in snap.files if f["path"] not in files_before
+    ]
+    assert new_files and all(
+        "o_orderstatus=" in f["path"] for f in new_files
+    )
+    assert all("o_orderstatus=" not in p for p in files_before)
+    # full read spans both layouts
+    assert tbl.read().count() == 160
+    assert (
+        tbl.read().filter(F.col("o_orderstatus").isNull()).count() == 0
+    )
+    assert set(tbl.read().columns) == set(orders_df.columns)
+    # dir-derived manifest stats: every new file has tight bounds
+    for f in new_files:
+        lo, hi = f["ranges"]["o_orderstatus"]
+        assert lo == hi
+    # pruning on the partition column consults both kinds of stats
+    kept, total = tbl.pruned_file_count({"o_orderstatus": ("F", "F")})
+    assert kept < total
+    # counts agree with an unpruned read
+    n_f = tbl.read().filter(F.col("o_orderstatus") == "F").count()
+    assert (
+        tbl.read_pruned({"o_orderstatus": ("F", "F")})
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+        == n_f
+    )
+
+
+def test_partition_evolution_dml_and_compact_upgrade(catalog, orders_df):
+    """DML rewrites and compaction move files to the CURRENT spec;
+    after compaction the old layout is gone and previously-blocked
+    column ops on the retired partition column become legal."""
+    tbl = catalog.create_table_as(
+        "db", "pevo2", orders_df.limit(80),
+        partition_by=["o_orderstatus"],
+    )
+    tbl.set_partition_spec([])  # retire the partitioning
+    # the old files still partition by o_orderstatus → rename blocked
+    with pytest.raises(LakehouseError, match="partition column"):
+        tbl.rename_column("o_orderstatus", "status")
+    # DML rewrite lands under the new (flat) spec
+    n_match = tbl.read().filter(F.col("o_orderkey") <= 5).count()
+    tbl.update(
+        F.col("o_orderkey") <= 5, {"o_totalprice": F.lit(0.0)}
+    )
+    # compaction upgrades every remaining old-layout file
+    tbl.compact(small_file_bytes=1 << 30)
+    assert all(
+        "o_orderstatus=" not in f["path"] for f in tbl.snapshot().files
+    )
+    assert tbl.read().count() == 80
+    assert (
+        tbl.read().filter(F.col("o_totalprice") == 0.0).count() == n_match
+    )
+    # the column is no longer a live partition key anywhere → rename ok
+    tbl.rename_column("o_orderstatus", "status")
+    assert "status" in tbl.read().columns
+
+
+def test_partition_evolution_repartition_and_time_travel(
+    catalog, orders_df
+):
+    """Spec change to a DIFFERENT column: three layouts coexist; time
+    travel reads each historical snapshot under its own layout."""
+    tbl = catalog.create_table_as("db", "pevo3", orders_df.limit(50))
+    v_flat = tbl.current_version()
+    tbl.set_partition_spec(["o_orderstatus"])
+    tbl.append(orders_df.limit(80).subtract(orders_df.limit(50)))
+    v_status = tbl.current_version()
+    tbl.set_partition_spec(["o_orderpriority"])
+    tbl.append(orders_df.limit(100).subtract(orders_df.limit(80)))
+    specs = {tbl._entry_spec(f) for f in tbl.snapshot().files}
+    assert specs == {(), ("o_orderstatus",), ("o_orderpriority",)}
+    assert tbl.read().count() == 100
+    assert tbl.read(snapshot=v_flat).count() == 50
+    assert tbl.read(snapshot=v_status).count() == 80
+    # aggregates across the three layouts agree with the source
+    got = (
+        tbl.read().groupBy("o_orderstatus").count().orderBy("o_orderstatus")
+    ).collect()
+    exp = (
+        orders_df.limit(100).groupBy("o_orderstatus").count()
+        .orderBy("o_orderstatus")
+    ).collect()
+    assert got == exp
+
+
 def test_evolution_guards(catalog, orders_df, spark):
     tbl = catalog.create_table(
         "db", "evo_guard", orders_df.schema, partition_by=["o_orderstatus"]
