@@ -121,6 +121,63 @@ def _file_stats(path: str, fmt: str = "parquet") -> tuple[int, int]:
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
 
 
+_TIME_TRANSFORMS = {
+    "days": ("day", "yyyy-MM-dd", 10),
+    "months": ("month", "yyyy-MM", 7),
+    "hours": ("hour", "yyyy-MM-dd-HH", 13),
+}
+
+
+def _partition_field(spec: str):
+    """Parse one partition-spec entry (Iceberg hidden-partitioning
+    transforms or an identity column name).
+
+    Returns (source_col, derived_dir_col, expr_fn) where expr_fn is
+    None for identity, else ``fn(df) -> Column`` producing the derived
+    value. Derived dir names encode the transform (``ts_day``,
+    ``c_bucket16``, ``name_trunc4``) so a file's layout stays
+    self-describing from its path alone."""
+    import re as _re
+
+    m = _re.match(r"^(days|months|hours)\((\w+)\)$", spec)
+    if m:
+        kind, col = m.groups()
+        suffix, fmt, _ = _TIME_TRANSFORMS[kind]
+
+        def fn(df, col=col, fmt=fmt):
+            return F.date_format(F.col(col), fmt)
+
+        return col, f"{col}_{suffix}", fn
+    m = _re.match(r"^bucket\((\d+),\s*(\w+)\)$", spec)
+    if m:
+        n, col = int(m.group(1)), m.group(2)
+
+        def fn(df, col=col, n=n):
+            return F.pmod(F.xxhash64(F.col(col)), F.lit(n))
+
+        return col, f"{col}_bucket{n}", fn
+    m = _re.match(r"^truncate\((\d+),\s*(\w+)\)$", spec)
+    if m:
+        w, col = int(m.group(1)), m.group(2)
+
+        def fn(df, col=col, w=w):
+            kind = dict(df.dtypes).get(col)
+            if kind == "string":
+                return F.substring(F.col(col), 1, w)
+            return (F.floor(F.col(col) / w) * w).cast(
+                df.schema[col].dataType
+            )
+
+        return col, f"{col}_trunc{w}", fn
+    if not _re.match(r"^\w+$", spec):
+        raise LakehouseError(
+            f"bad partition spec entry {spec!r}; supported: identity "
+            "column, days(col), months(col), hours(col), "
+            "bucket(N, col), truncate(W, col)"
+        )
+    return spec, spec, None
+
+
 def _partition_dir_ranges(part_dirs: str, schema: StructType) -> dict:
     """{col: [v, v]} for each ``col=value`` hive dir segment, typed via
     the write schema (int-family and string only — other types keep
@@ -396,10 +453,20 @@ class LakeTable:
         """Columns acting as a partition key for the CURRENT spec or
         for any live data file's layout (hive dirs are name-keyed, so
         these columns cannot be renamed or dropped until the files are
-        rewritten by compaction)."""
-        cols = set(snap.partition_spec)
+        rewritten by compaction). Transform-derived dir names map back
+        to their source column (conservatively)."""
+        import re as _re
+
+        def sources(name: str) -> set[str]:
+            m = _re.match(r"^(.+)_(day|month|hour|bucket\d+|trunc\d+)$", name)
+            return {name, m.group(1)} if m else {name}
+
+        cols = set()
+        for s in snap.partition_spec:
+            cols.add(_partition_field(s)[0])
         for e in snap.files:
-            cols.update(self._entry_spec(e))
+            for name in self._entry_spec(e):
+                cols.update(sources(name))
         return cols
 
     def set_partition_spec(self, partition_by: list[str]) -> Snapshot:
@@ -412,10 +479,13 @@ class LakeTable:
         old files to the current spec as a side effect."""
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
+        derived = []
         for c in partition_by:
-            if c not in schema.names:
-                raise LakehouseError(f"no such column: {c!r}")
-        if len(set(partition_by)) != len(partition_by):
+            src, name, _ = _partition_field(c)
+            if src not in schema.names:
+                raise LakehouseError(f"no such column: {src!r}")
+            derived.append(name)
+        if len(set(derived)) != len(derived):
             raise LakehouseError("duplicate partition column")
         base = self.current_version()
         return self._commit(
@@ -451,9 +521,19 @@ class LakeTable:
             self.location, f"_staging-{snapshot_hint}-{uuid.uuid4().hex[:8]}"
         )
         fmt = self.file_format()
+        part_cols = []
+        for s in partition_by or []:
+            src, derived, fn = _partition_field(s)
+            if fn is not None:
+                # hidden partitioning: the derived value exists only as
+                # a hive dir (partitionBy excludes it from file data);
+                # readers project it away, so the user schema never
+                # sees it
+                df = df.withColumn(derived, fn(df))
+            part_cols.append(derived)
         writer = df.write.mode("overwrite").format(fmt)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
         writer.save(staging)
         os.makedirs(self.data_dir, exist_ok=True)
         entries = []
@@ -1079,10 +1159,13 @@ class LakeTable:
                 (e.get("schema_id", 0), self._entry_spec(e)), []
             ).append(e)
         parts = []
+        names = [f.name for f in schema.fields]
         for (sid, _spec), ents in sorted(by_epoch.items()):
             paths = [os.path.join(self.location, f["path"]) for f in ents]
             if sid == snap.schema_id:
-                parts.append(self._read_files(schema, paths))
+                # project away hidden-partition dir columns (Spark
+                # appends discovered dir cols beyond the given schema)
+                parts.append(self._read_files(schema, paths).select(*names))
                 continue
             epoch = snap.schemas.get(str(sid)) or snap.schemas.get(sid)
             if epoch is None:
@@ -1250,21 +1333,7 @@ class LakeTable:
         row-level after the scan, so results are exact regardless of
         stats coverage."""
         s = self.snapshot(snapshot)
-
-        def overlaps(entry: dict) -> bool:
-            ranges = entry.get("ranges") or {}
-            for col_name, (lo, hi) in filters.items():
-                bounds = ranges.get(col_name)
-                if bounds is None:
-                    continue  # no stats → cannot skip
-                fmin, fmax = bounds
-                if lo is not None and fmax < lo:
-                    return False
-                if hi is not None and fmin > hi:
-                    return False
-            return True
-
-        selected = [f for f in s.files if overlaps(f)]
+        selected = [f for f in s.files if self._entry_overlaps(f, filters)]
         df = self._read_entries(s, selected)
         for col_name, (lo, hi) in filters.items():
             if lo is not None:
@@ -1273,25 +1342,67 @@ class LakeTable:
                 df = df.filter(F.col(col_name) <= hi)
         return df
 
-    def pruned_file_count(self, filters: dict[str, tuple]) -> tuple[int, int]:
-        """(selected, total) file counts for a pruned scan — the
-        observable data-skipping metric."""
-        s = self.snapshot()
+    @staticmethod
+    def _entry_overlaps(entry: dict, filters: dict[str, tuple]) -> bool:
+        """True if the file may contain rows in every filter range.
 
-        def overlaps(entry: dict) -> bool:
-            ranges = entry.get("ranges") or {}
-            for col_name, (lo, hi) in filters.items():
-                bounds = ranges.get(col_name)
-                if bounds is None:
-                    continue
+        Checks direct column bounds AND transform-derived bounds from
+        hidden-partition dirs: a filter on ``ts`` skips files via their
+        ``ts_day``/``ts_month``/``ts_hour`` dir value, and a filter on
+        a truncate-partitioned column via its ``col_truncW`` prefix —
+        the Iceberg hidden-partition-pruning behavior (predicates on
+        the SOURCE column prune, the user never names the transform).
+        Bucket dirs are not range-prunable (hash order ≠ value order)."""
+        import re as _re
+
+        ranges = entry.get("ranges") or {}
+        for col_name, (lo, hi) in filters.items():
+            bounds = ranges.get(col_name)
+            if bounds is not None:
                 fmin, fmax = bounds
                 if lo is not None and fmax < lo:
                     return False
                 if hi is not None and fmin > hi:
                     return False
-            return True
+            prefix = col_name + "_"
+            for key, (fmin, fmax) in ranges.items():
+                if not key.startswith(prefix):
+                    continue
+                suf = key[len(prefix):]
+                tlo = thi = None
+                if suf in ("day", "month", "hour"):
+                    width = {"day": 10, "month": 7, "hour": 13}[suf]
 
-        return sum(1 for f in s.files if overlaps(f)), len(s.files)
+                    def norm(v, width=width):
+                        return _re.sub(r"[T ]", "-", str(v))[:width]
+
+                    tlo = norm(lo) if lo is not None else None
+                    thi = norm(hi) if hi is not None else None
+                elif suf.startswith("trunc"):
+                    try:
+                        w = int(suf[5:])
+                    except ValueError:
+                        continue
+                    if isinstance(fmin, str):
+                        tlo = lo[:w] if isinstance(lo, str) else None
+                        thi = hi[:w] if isinstance(hi, str) else None
+                    elif isinstance(fmin, int):
+                        tlo = (lo // w) * w if lo is not None else None
+                        thi = (hi // w) * w if hi is not None else None
+                if tlo is not None and fmax < tlo:
+                    return False
+                if thi is not None and fmin > thi:
+                    return False
+        return True
+
+    def pruned_file_count(self, filters: dict[str, tuple]) -> tuple[int, int]:
+        """(selected, total) file counts for a pruned scan — the
+        observable data-skipping metric."""
+        s = self.snapshot()
+        return (
+            sum(1 for f in s.files if self._entry_overlaps(f, filters)),
+            len(s.files),
+        )
 
     # ------------------------------------------------------------------
     # DML — copy-on-write (the reference declares these via TAM
@@ -1676,9 +1787,15 @@ class LakeTable:
                 target_files, *[F.col(c) for c in sort_by]
             ).sortWithinPartitions(*sort_by)
         elif snap.partition_spec:
-            # cluster by partition columns so each output task writes
+            # cluster by partition values so each output task writes
             # one file per partition instead of files × partitions
-            df = df.repartition(target_files, *snap.partition_spec)
+            # (transforms evaluate to their derived dir value)
+            exprs = [
+                fn(df) if fn is not None else F.col(s)
+                for s in snap.partition_spec
+                for (_src, _name, fn) in (_partition_field(s),)
+            ]
+            df = df.repartition(target_files, *exprs)
         else:
             df = df.repartition(target_files)
         # compaction reads epoch-aware and writes back under the
@@ -1825,7 +1942,11 @@ class LakeCatalog:
         os.makedirs(os.path.join(loc, _META_DIR), exist_ok=True)
         os.makedirs(os.path.join(loc, _DATA_DIR), exist_ok=True)
         table = LakeTable(self.spark, loc)
-        bad = [c for c in (partition_by or []) if c not in schema.fieldNames()]
+        bad = [
+            c
+            for c in (partition_by or [])
+            if _partition_field(c)[0] not in schema.fieldNames()
+        ]
         if bad:
             raise LakehouseError(f"partition columns not in schema: {bad}")
         snap = Snapshot(

@@ -520,3 +520,41 @@ def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "lake_hidden_partitioning",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey <= 2000
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <= TIMESTAMP '1996-12-31'
+GROUP BY o_orderstatus
+""",
+    tags=("lakehouse", "hidden-partitioning"),
+)
+def lake_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (Iceberg transform partitioning; the
+    reference's partition-pruning roadmap item): the table partitions
+    by months(o_orderdate) — the derived value lives only in hive dirs,
+    never in the user schema — and a predicate on the SOURCE column
+    prunes whole month partitions at the manifest level before Spark
+    ever lists a file."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "hidden_partitioning")
+    tbl = cat.create_table_as(
+        "db", "orders_hp",
+        orders.filter(F.col("o_orderkey") <= 2000),
+        partition_by=["months(o_orderdate)"],
+    )
+    pruned = tbl.read_pruned(
+        {"o_orderdate": ("1996-01-01 00:00:00", "1996-12-31 00:00:00")}
+    )
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -918,6 +918,114 @@ def test_partition_evolution_repartition_and_time_travel(
     assert got == exp
 
 
+def test_hidden_partitioning_time_transform(catalog, orders_df, spark):
+    """days/months/hours transforms: the derived value exists only as
+    a hive dir (user schema untouched); predicates on the SOURCE
+    column prune files through the transform — Iceberg hidden
+    partitioning."""
+    src = orders_df.limit(300)
+    tbl = catalog.create_table_as(
+        "db", "hp_time", src, partition_by=["months(o_orderdate)"]
+    )
+    snap = tbl.snapshot()
+    assert all("o_orderdate_month=" in f["path"] for f in snap.files)
+    # hidden: the derived column never appears in the user schema
+    assert set(tbl.read().columns) == set(src.columns)
+    assert tbl.read().count() == 300
+    # pruning on the SOURCE column goes through the month dirs
+    kept, total = tbl.pruned_file_count(
+        {"o_orderdate": ("1996-01-01", "1996-12-31")}
+    )
+    assert kept < total
+    n = (
+        tbl.read_pruned({"o_orderdate": ("1996-01-01", "1996-12-31")})
+        .count()
+    )
+    exp = src.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") <= "1996-12-31")
+    ).count()
+    assert n == exp > 0
+    # source column is a live (hidden) partition key → rename blocked
+    with pytest.raises(LakehouseError, match="partition column"):
+        tbl.rename_column("o_orderdate", "odate")
+
+
+def test_hidden_partitioning_bucket_and_truncate(catalog, orders_df):
+    src = orders_df.limit(200)
+    tbl = catalog.create_table_as(
+        "db", "hp_bucket", src, partition_by=["bucket(4, o_custkey)"]
+    )
+    assert {tbl._entry_spec(f) for f in tbl.snapshot().files} == {
+        ("o_custkey_bucket4",)
+    }
+    assert tbl.read().count() == 200
+    assert set(tbl.read().columns) == set(src.columns)
+    # DML across hidden-bucketed layout
+    tbl.update(F.col("o_orderkey") <= 3, {"o_totalprice": F.lit(1.0)})
+    got = tbl.read().filter(F.col("o_totalprice") == 1.0).count()
+    assert got == src.filter(F.col("o_orderkey") <= 3).count()
+
+    tbl2 = catalog.create_table_as(
+        "db", "hp_trunc", src, partition_by=["truncate(100, o_orderkey)"]
+    )
+    kept, total = tbl2.pruned_file_count({"o_orderkey": (0, 80)})
+    assert 1 <= kept < total
+    assert (
+        tbl2.read_pruned({"o_orderkey": (0, 80)}).count()
+        == src.filter(F.col("o_orderkey").between(0, 80)).count()
+    )
+
+
+def test_transform_pruning_logic():
+    """Transform-derived bounds prune on the SOURCE column even when a
+    file carries no direct stats for it (dirs are the only metadata —
+    the pure hidden-partitioning case)."""
+    from pg_lakehouse_spark.lakehouse import LakeTable
+
+    day = {"ranges": {"ts_day": ["2024-01-03", "2024-01-03"]}}
+    assert not LakeTable._entry_overlaps(
+        day, {"ts": ("2024-01-04 00:00:00", None)}
+    )
+    assert not LakeTable._entry_overlaps(
+        day, {"ts": (None, "2024-01-02T23:59:59")}
+    )
+    assert LakeTable._entry_overlaps(
+        day, {"ts": ("2024-01-03T15:00:00", None)}
+    )
+    month = {"ranges": {"ts_month": ["2024-02", "2024-02"]}}
+    assert not LakeTable._entry_overlaps(month, {"ts": ("2024-03-01", None)})
+    assert LakeTable._entry_overlaps(month, {"ts": ("2024-02-29", None)})
+    trunc = {"ranges": {"k_trunc100": [100, 100]}}
+    assert not LakeTable._entry_overlaps(trunc, {"k": (0, 80)})
+    assert not LakeTable._entry_overlaps(trunc, {"k": (201, None)})
+    assert LakeTable._entry_overlaps(trunc, {"k": (150, None)})
+    # bucket dirs are hash-ordered → never range-prunable
+    bucket = {"ranges": {"k_bucket4": [2, 2]}}
+    assert LakeTable._entry_overlaps(bucket, {"k": (0, 1)})
+
+
+def test_hidden_partitioning_via_spec_evolution(catalog, orders_df):
+    """A flat table evolves INTO hidden time-partitioning; both
+    layouts coexist and source-column pruning still applies to the
+    transformed files."""
+    tbl = catalog.create_table_as("db", "hp_evo", orders_df.limit(100))
+    tbl.set_partition_spec(["months(o_orderdate)"])
+    tbl.append(orders_df.limit(300).subtract(orders_df.limit(100)))
+    specs = {tbl._entry_spec(f) for f in tbl.snapshot().files}
+    assert specs == {(), ("o_orderdate_month",)}
+    assert tbl.read().count() == 300
+    n = tbl.read_pruned({"o_orderdate": ("1995-01-01", None)}).count()
+    exp = (
+        orders_df.limit(300)
+        .filter(F.col("o_orderdate") >= "1995-01-01")
+        .count()
+    )
+    assert n == exp
+    with pytest.raises(LakehouseError, match="bad partition spec"):
+        tbl.set_partition_spec(["years(o_orderdate)"])
+
+
 def test_evolution_guards(catalog, orders_df, spark):
     tbl = catalog.create_table(
         "db", "evo_guard", orders_df.schema, partition_by=["o_orderstatus"]
