@@ -1333,7 +1333,10 @@ class LakeTable:
         row-level after the scan, so results are exact regardless of
         stats coverage."""
         s = self.snapshot(snapshot)
-        selected = [f for f in s.files if self._entry_overlaps(f, filters)]
+        eq = self._bucket_eq_values(s, filters)
+        selected = [
+            f for f in s.files if self._entry_overlaps(f, filters, eq)
+        ]
         df = self._read_entries(s, selected)
         for col_name, (lo, hi) in filters.items():
             if lo is not None:
@@ -1342,8 +1345,47 @@ class LakeTable:
                 df = df.filter(F.col(col_name) <= hi)
         return df
 
+    def _bucket_eq_values(
+        self, snap: Snapshot, filters: dict[str, tuple]
+    ) -> dict:
+        """{derived_bucket_key: bucket_of_filter_value} for every
+        EQUALITY filter (lo == hi) on a column that bucket-partitions
+        some live file. The hash must match the write side exactly
+        (JVM xxhash64 on the column's type), so it's evaluated in one
+        single-row Spark job — metadata-scale, never data-scale."""
+        import re as _re
+
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        widths: dict[str, set[int]] = {}
+        for e in snap.files:
+            for name in self._entry_spec(e):
+                m = _re.match(r"^(.+)_bucket(\d+)$", name)
+                if m and m.group(1) in filters:
+                    lo, hi = filters[m.group(1)]
+                    if lo is not None and lo == hi:
+                        widths.setdefault(m.group(1), set()).add(
+                            int(m.group(2))
+                        )
+        if not widths:
+            return {}
+        exprs = []
+        for col, ns in widths.items():
+            v = F.lit(filters[col][0])
+            if col in schema.names:
+                v = v.cast(schema[col].dataType)
+            for n in ns:
+                exprs.append(
+                    F.pmod(F.xxhash64(v), F.lit(n)).alias(f"{col}_bucket{n}")
+                )
+        row = self.spark.range(1).select(*exprs).collect()[0]
+        return row.asDict()
+
     @staticmethod
-    def _entry_overlaps(entry: dict, filters: dict[str, tuple]) -> bool:
+    def _entry_overlaps(
+        entry: dict,
+        filters: dict[str, tuple],
+        bucket_eq: dict | None = None,
+    ) -> bool:
         """True if the file may contain rows in every filter range.
 
         Checks direct column bounds AND transform-derived bounds from
@@ -1352,10 +1394,16 @@ class LakeTable:
         a truncate-partitioned column via its ``col_truncW`` prefix —
         the Iceberg hidden-partition-pruning behavior (predicates on
         the SOURCE column prune, the user never names the transform).
-        Bucket dirs are not range-prunable (hash order ≠ value order)."""
+        Bucket dirs are not range-prunable (hash order ≠ value order),
+        but EQUALITY filters prune them via ``bucket_eq`` (the filter
+        value's bucket, precomputed by ``_bucket_eq_values``)."""
         import re as _re
 
         ranges = entry.get("ranges") or {}
+        for key, want in (bucket_eq or {}).items():
+            b = ranges.get(key)
+            if b is not None and b[0] == b[1] and b[0] != want:
+                return False
         for col_name, (lo, hi) in filters.items():
             bounds = ranges.get(col_name)
             if bounds is not None:
@@ -1399,8 +1447,9 @@ class LakeTable:
         """(selected, total) file counts for a pruned scan — the
         observable data-skipping metric."""
         s = self.snapshot()
+        eq = self._bucket_eq_values(s, filters)
         return (
-            sum(1 for f in s.files if self._entry_overlaps(f, filters)),
+            sum(1 for f in s.files if self._entry_overlaps(f, filters, eq)),
             len(s.files),
         )
 

@@ -1003,6 +1003,28 @@ def test_transform_pruning_logic():
     # bucket dirs are hash-ordered → never range-prunable
     bucket = {"ranges": {"k_bucket4": [2, 2]}}
     assert LakeTable._entry_overlaps(bucket, {"k": (0, 1)})
+    # ...but equality filters prune via the precomputed bucket value
+    assert not LakeTable._entry_overlaps(
+        bucket, {"k": (7, 7)}, {"k_bucket4": 1}
+    )
+    assert LakeTable._entry_overlaps(bucket, {"k": (7, 7)}, {"k_bucket4": 2})
+
+
+def test_bucket_point_lookup_pruning(catalog, orders_df):
+    """An equality filter on a bucket-partitioned column keeps only
+    the matching bucket's files (the write-side hash is recomputed
+    JVM-side for the filter value)."""
+    src = orders_df.limit(400)
+    tbl = catalog.create_table_as(
+        "db", "hp_bucket_pt", src, partition_by=["bucket(8, o_custkey)"]
+    )
+    key = src.select("o_custkey").first()[0]
+    kept, total = tbl.pruned_file_count({"o_custkey": (key, key)})
+    assert total >= 4 and kept <= max(1, total // 4)
+    assert (
+        tbl.read_pruned({"o_custkey": (key, key)}).count()
+        == src.filter(F.col("o_custkey") == key).count()
+    )
 
 
 def test_hidden_partitioning_via_spec_evolution(catalog, orders_df):
