@@ -336,6 +336,36 @@ class LakeTable:
             "path string, rows bigint, bytes bigint, snapshot_version int",
         )
 
+    def partitions_df(self, snapshot: int | None = None) -> DataFrame:
+        """Per-partition stats from the manifest (Iceberg
+        ``t.partitions`` analog): partition value map (dir-derived, so
+        it covers hidden-transform layouts too), file/row/byte counts.
+        Metadata-only — no data file is opened."""
+        from urllib.parse import unquote
+
+        s = self.snapshot(snapshot)
+        agg: dict[tuple, list] = {}
+        for f in s.files:
+            segs = tuple(
+                p for p in f["path"].split("/")[:-1] if "=" in p
+            )
+            part = tuple(
+                (k, unquote(v))
+                for k, v in (seg.split("=", 1) for seg in segs)
+            )
+            a = agg.setdefault(part, [0, 0, 0])
+            a[0] += 1
+            a[1] += f["rows"]
+            a[2] += f["bytes"]
+        rows = [
+            (dict(part), n, r, b) for part, (n, r, b) in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows or [],
+            "partition map<string,string>, file_count bigint, "
+            "row_count bigint, total_bytes bigint",
+        )
+
     def history_df(self) -> DataFrame:
         """Commit history as a DataFrame (ref A20's ``t.snapshots``)."""
         rows = [
@@ -581,6 +611,29 @@ class LakeTable:
                 "drop_column"
             )
 
+    def _distribute_for_write(self, df: DataFrame) -> DataFrame:
+        """Hash-distribute ingest by partition value (Iceberg
+        ``write.distribution-mode=hash``, the at-scale default): each
+        partition's rows converge on one task, so an append writes ~1
+        file per partition instead of tasks × partitions small files.
+        Opt out per table with ``write_distribution='none'`` (e.g. for
+        single-partition micro-batches where the shuffle outweighs the
+        file-count win)."""
+        spec = self.partition_spec()
+        if not spec:
+            return df
+        if (
+            self.snapshot().properties.get("write_distribution", "hash")
+            == "none"
+        ):
+            return df
+        exprs = [
+            fn(df) if fn is not None else F.col(s)
+            for s in spec
+            for (_src, _name, fn) in (_partition_field(s),)
+        ]
+        return df.repartition(*exprs)
+
     def append(self, df: DataFrame, retries: int = 3) -> Snapshot:
         """INSERT/append (ref A9+A10: write_ops.c buffering + commit).
 
@@ -589,6 +642,7 @@ class LakeTable:
         files are re-based onto the new current snapshot and the
         commit retried; the data files are never rewritten."""
         self._check_schema(df)
+        df = self._distribute_for_write(df)
         base = self.current_version()
         new_files = self._stage_dataframe(
             df, base + 1, self.snapshot(base).partition_spec,
@@ -618,6 +672,7 @@ class LakeTable:
         ``summary_extra`` lets callers stamp application metadata (e.g. a
         rollup's source-version watermark) atomically with the commit."""
         self._check_schema(df)
+        df = self._distribute_for_write(df)
         base = self.current_version()
         new_files = self._stage_dataframe(
             df, base + 1, self.snapshot(base).partition_spec,

@@ -1010,6 +1010,50 @@ def test_transform_pruning_logic():
     assert LakeTable._entry_overlaps(bucket, {"k": (7, 7)}, {"k_bucket4": 2})
 
 
+def test_hash_write_distribution(catalog, orders_df, spark):
+    """Partitioned ingest hash-distributes by partition value: ~one
+    file per partition instead of tasks × partitions; opting out with
+    write_distribution='none' restores task-parallel writes."""
+    src = orders_df.limit(2000).repartition(8)
+    tbl = catalog.create_table(
+        "db", "wd_hash", orders_df.schema, partition_by=["o_orderstatus"]
+    )
+    tbl.append(src)
+    n_parts = src.select("o_orderstatus").distinct().count()
+    assert len(tbl.snapshot().files) == n_parts
+    assert tbl.read().count() == 2000
+
+    tbl2 = catalog.create_table(
+        "db", "wd_none", orders_df.schema,
+        partition_by=["o_orderstatus"],
+        properties={"write_distribution": "none"},
+    )
+    tbl2.append(src)
+    assert len(tbl2.snapshot().files) > n_parts
+
+
+def test_partitions_metadata_table(catalog, orders_df):
+    tbl = catalog.create_table_as(
+        "db", "pmeta", orders_df.limit(500),
+        partition_by=["o_orderstatus"],
+    )
+    rows = {
+        r["partition"]["o_orderstatus"]: (r["file_count"], r["row_count"])
+        for r in tbl.partitions_df().collect()
+    }
+    exp = {
+        r["o_orderstatus"]: r["count"]
+        for r in orders_df.limit(500)
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    }
+    assert set(rows) == set(exp)
+    for k, n in exp.items():
+        assert rows[k][1] == n
+    assert tbl.partitions_df().agg(F.sum("row_count")).collect()[0][0] == 500
+
+
 def test_bucket_point_lookup_pruning(catalog, orders_df):
     """An equality filter on a bucket-partitioned column keeps only
     the matching bucket's files (the write-side hash is recomputed

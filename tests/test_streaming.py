@@ -172,6 +172,39 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_stream_sink_into_hidden_partitioned_table(spark, sf_dir, tmp_path):
+    """Streaming ingest into a days(ts) hidden-partitioned table: each
+    micro-batch append lands hash-distributed into day dirs; the user
+    schema stays transform-free and day-range reads prune."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.streaming.sink import write_stream_to_lake
+    from pg_lakehouse_spark.streaming.windows import stream_events
+
+    ev_stream = stream_events(spark, sf_dir)
+    cat = LakeCatalog(spark, str(tmp_path / "wh_hp"))
+    tbl = cat.create_table(
+        "db", "events_hp", ev_stream.schema, partition_by=["days(ts)"]
+    )
+    q = write_stream_to_lake(
+        ev_stream, tbl, str(tmp_path / "ckpt_hp"), trigger_once=True
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    ev = table(spark, sf_dir, "events")
+    assert tbl.read().count() == ev.count()
+    assert set(tbl.read().columns) == set(ev.columns)
+    assert all("ts_day=" in f["path"] for f in tbl.snapshot().files)
+    lo = "2024-01-02 00:00:00"
+    kept, total = tbl.pruned_file_count({"ts": (lo, None)})
+    assert kept < total
+    assert (
+        tbl.read_pruned({"ts": (lo, None)}).count()
+        == ev.filter(F.col("ts") >= lo).count()
+    )
+
+
 def test_late_data_dropped_with_watermark(spark, tmp_path):
     """Watermark semantics with a controlled rate: append-mode windows
     close once the watermark passes; late rows beyond it are dropped.
