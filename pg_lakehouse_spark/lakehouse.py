@@ -100,6 +100,14 @@ class Snapshot:
     # --- change data feed: row-level change files written by DML
     # commits (delete/update/merge), consumed by read_changes().
     change_files: list = field(default_factory=list)
+    # --- merge-on-read equality deletes (Iceberg v2 delete files; the
+    # reference states merge-on-read intent, pg_lakehouse_iceberg/
+    # README.md:15). Entries {path, rows, key_names, key_ids, seq}:
+    # a delete applies to data files with seq < delete.seq (Iceberg's
+    # sequence-number rule), so rows appended AFTER the delete — e.g.
+    # an update's postimages — are never suppressed. Inherited forward
+    # by every commit until compaction retires them.
+    delete_files: list = field(default_factory=list)
 
     @property
     def total_rows(self) -> int:
@@ -410,6 +418,7 @@ class LakeTable:
         schema_meta: dict | None = None,
         change_files: list | None = None,
         partition_spec: list[str] | None = None,
+        delete_files: list | None = None,
     ) -> Snapshot:
         """Atomic snapshot commit with optimistic concurrency.
 
@@ -448,6 +457,11 @@ class LakeTable:
                     else parent.partition_spec if parent else []
                 ),
                 change_files=change_files or [],
+                delete_files=(
+                    delete_files
+                    if delete_files is not None
+                    else (parent.delete_files if parent else [])
+                ),
                 **evo,
             )
             meta_path = self._meta_path(snap.version)
@@ -593,6 +607,10 @@ class LakeTable:
                     "bytes": nbytes,
                     "ranges": ranges,
                     "schema_id": schema_id,
+                    # sequence number: MoR delete files apply only to
+                    # data files with a lower seq (pre-feature files
+                    # default to 0 via .get)
+                    "seq": snapshot_hint,
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
@@ -681,13 +699,17 @@ class LakeTable:
         return self._commit(
             base, "overwrite", new_files, self.snapshot(base).schema_json,
             summary={"added_files": len(new_files)} | (summary_extra or {}),
+            delete_files=[],  # every pre-overwrite delete is retired
         )
 
     def truncate(self) -> Snapshot:
         """TRUNCATE (ref A14, iceberg_am.c:245-249) — empty snapshot,
         history retained (time travel still sees old data)."""
         base = self.current_version()
-        return self._commit(base, "truncate", [], self.snapshot(base).schema_json)
+        return self._commit(
+            base, "truncate", [], self.snapshot(base).schema_json,
+            delete_files=[],
+        )
 
     # ------------------------------------------------------------------
     # schema evolution — id-based column resolution (the reference's
@@ -1111,6 +1133,14 @@ class LakeTable:
             raise LakehouseError(f"no such column: {name!r}")
         if name in self._live_partition_columns(snap):
             raise LakehouseError(f"cannot drop partition column {name!r}")
+        used_by_deletes = {
+            fid for d in snap.delete_files for fid in d["key_ids"]
+        }
+        if ids.get(name) in used_by_deletes:
+            raise LakehouseError(
+                f"cannot drop {name!r}: it keys live merge-on-read "
+                "delete files; compact first"
+            )
         if len(schema.fields) == 1:
             raise LakehouseError("cannot drop the only column")
         fields = [f for f in schema.fields if f.name != name]
@@ -1190,7 +1220,12 @@ class LakeTable:
         ids = {n: i + 1 for i, n in enumerate(names)}
         return self._augment_nested_ids(schema, ids), len(names) + 1
 
-    def _read_entries(self, snap: Snapshot, entries: list[dict]) -> DataFrame:
+    def _read_entries(
+        self,
+        snap: Snapshot,
+        entries: list[dict],
+        apply_deletes: bool = True,
+    ) -> DataFrame:
         """Read file entries under the snapshot's CURRENT schema,
         resolving old-epoch files by field id (Iceberg-style): a column
         keeps its id across renames, so old files supply it under their
@@ -1205,22 +1240,40 @@ class LakeTable:
         if not entries:
             return self.spark.createDataFrame([], schema)
         cur_ids, _ = self._effective_field_ids(snap)
-        # group by (schema epoch, partition layout): each group is one
-        # multi-file vectorized scan with a uniform hive layout (group
-        # count = #evolutions × #specs, never data-sized)
-        by_epoch: dict[tuple[int, tuple], list[dict]] = {}
+        # group by (schema epoch, partition layout, applicable-delete
+        # class): each group is one multi-file vectorized scan with a
+        # uniform hive layout and one anti-join set (group count =
+        # #evolutions × #specs × #delete-commits, never data-sized)
+        del_seqs = (
+            sorted({d["seq"] for d in snap.delete_files})
+            if apply_deletes
+            else []
+        )
+
+        def seq_class(e: dict) -> tuple:
+            s = e.get("seq", 0)
+            return tuple(x for x in del_seqs if x > s)
+
+        by_epoch: dict[tuple[int, tuple, tuple], list[dict]] = {}
         for e in entries:
             by_epoch.setdefault(
-                (e.get("schema_id", 0), self._entry_spec(e)), []
+                (e.get("schema_id", 0), self._entry_spec(e), seq_class(e)),
+                [],
             ).append(e)
         parts = []
         names = [f.name for f in schema.fields]
-        for (sid, _spec), ents in sorted(by_epoch.items()):
+        for (sid, _spec, sclass), ents in sorted(by_epoch.items()):
             paths = [os.path.join(self.location, f["path"]) for f in ents]
+            applicable = [
+                d for d in snap.delete_files if d["seq"] in sclass
+            ]
             if sid == snap.schema_id:
                 # project away hidden-partition dir columns (Spark
                 # appends discovered dir cols beyond the given schema)
-                parts.append(self._read_files(schema, paths).select(*names))
+                part = self._read_files(schema, paths).select(*names)
+                parts.append(
+                    self._apply_deletes(part, applicable, cur_ids)
+                )
                 continue
             epoch = snap.schemas.get(str(sid)) or snap.schemas.get(sid)
             if epoch is None:
@@ -1345,11 +1398,84 @@ class LakeTable:
                 proj.append(
                     F.col(old_name).cast(fld.dataType).alias(fld.name)
                 )
-            parts.append(df.select(*proj))
+            parts.append(
+                self._apply_deletes(df.select(*proj), applicable, cur_ids)
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    @staticmethod
+    def _live_deletes(delete_files: list[dict], files: list[dict]) -> list:
+        """Delete entries still applying to at least one file (a
+        rewrite bumps files' seq past the delete, retiring it)."""
+        return [
+            d
+            for d in delete_files
+            if any(f.get("seq", 0) < d["seq"] for f in files)
+        ]
+
+    def _apply_deletes(
+        self, df: DataFrame, applicable: list[dict], cur_ids: dict
+    ) -> DataFrame:
+        """Anti-join MoR equality-delete files into a scan. Keys are
+        resolved by FIELD ID (rename-safe, like data columns); small
+        key sets broadcast (rows known from metadata — no extra job)."""
+        if not applicable:
+            return df
+        inv = {fid: n for n, fid in cur_ids.items()}
+        by_key: dict[tuple, list[dict]] = {}
+        for d in applicable:
+            by_key.setdefault(tuple(d["key_ids"]), []).append(d)
+        for key_ids, dels in by_key.items():
+            cur_names = [inv.get(fid) for fid in key_ids]
+            if any(n is None for n in cur_names):
+                raise LakehouseError(
+                    "a merge-on-read delete references a dropped key "
+                    "column; compact the table before dropping row-key "
+                    "columns"
+                )
+            keys = None
+            for d in dels:
+                p = self.spark.read.parquet(
+                    os.path.join(self.location, d["path"])
+                ).select(
+                    *[
+                        F.col(w).alias(c)
+                        for w, c in zip(d["key_names"], cur_names)
+                    ]
+                )
+                keys = p if keys is None else keys.unionByName(p)
+            keys = keys.distinct()
+            if sum(d["rows"] for d in dels) <= 1_000_000:
+                keys = F.broadcast(keys)
+            df = df.join(keys, on=cur_names, how="left_anti")
+        return df
+
+    def _stage_delete_file(
+        self, keys: DataFrame, snapshot_hint: int
+    ) -> tuple[str, int]:
+        """Write one equality-delete key file under ``_deletes/``;
+        returns (relative path, row count). Invisible until a commit
+        lists it — same staging discipline as data files."""
+        deletes_dir = os.path.join(self.location, "_deletes")
+        staging = os.path.join(
+            self.location,
+            f"_staging-del-{snapshot_hint}-{uuid.uuid4().hex[:8]}",
+        )
+        keys.coalesce(1).write.mode("overwrite").parquet(staging)
+        os.makedirs(deletes_dir, exist_ok=True)
+        total = 0
+        rel = None
+        for src in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+            name = f"d{snapshot_hint}-{uuid.uuid4().hex[:8]}.parquet"
+            dst = os.path.join(deletes_dir, name)
+            os.rename(src, dst)
+            total += _file_stats(dst)[0]
+            rel = os.path.join("_deletes", name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return rel, total
 
     def read(self, snapshot: int | None = None) -> DataFrame:
         """Scan the table at the current (or a pinned) snapshot —
@@ -1607,8 +1733,12 @@ class LakeTable:
 
     def _affected_files(self, condition: Column) -> list[str]:
         """Relative paths of data files containing matching rows.
-        File-level pruning: everything else is carried by reference."""
-        cur = self.read()
+        File-level pruning: everything else is carried by reference.
+        Runs on the RAW scan (MoR deletes not applied): a superset is
+        safe for file selection, and input_file_name() requires a
+        single-source plan (no anti-join)."""
+        snap = self.snapshot()
+        cur = self._read_entries(snap, snap.files, apply_deletes=False)
         hit = (
             cur.filter(condition)
             .select(F.input_file_name().alias("f"))
@@ -1655,16 +1785,125 @@ class LakeTable:
         change_files = (
             self._stage_changes(changes(touched), base + 1) if feed else []
         )
+        final = keep + new_files
         return self._commit(
-            base, operation, keep + new_files, snap.schema_json,
+            base, operation, final, snap.schema_json,
             summary={"rewritten_files": len(affected),
                      "added_files": len(new_files)}
             | ({"change_feed": "exact"} if feed else {}),
             change_files=change_files,
+            delete_files=self._live_deletes(snap.delete_files, final),
         )
 
-    def delete(self, condition: Column) -> Snapshot:
-        """DELETE FROM t WHERE ... (ref A12)."""
+    def _delete_mode(self, mode: str | None) -> str:
+        mode = mode or self.snapshot().properties.get(
+            "write_delete_mode", "copy-on-write"
+        )
+        if mode in ("cow", "copy-on-write"):
+            return "cow"
+        if mode in ("mor", "merge-on-read"):
+            return "mor"
+        raise LakehouseError(
+            f"bad delete mode {mode!r}; use 'copy-on-write' or "
+            "'merge-on-read'"
+        )
+
+    def _row_key(self, snap: Snapshot) -> list[str]:
+        cols = [
+            c.strip()
+            for c in (snap.properties.get("row_key") or "").split(",")
+            if c.strip()
+        ]
+        if not cols:
+            raise LakehouseError(
+                "merge-on-read DML requires the 'row_key' table "
+                "property (comma-separated identifying columns)"
+            )
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        for c in cols:
+            if c not in schema.names:
+                raise LakehouseError(f"row_key column {c!r} not in schema")
+        return cols
+
+    def _mor_dml(
+        self,
+        operation: str,
+        condition: Column,
+        postimage=None,
+    ) -> Snapshot:
+        """Merge-on-read DML (Iceberg v2 equality deletes; the
+        reference's merge-on-read intent, pg_lakehouse_iceberg/
+        README.md:15): write the matched rows' KEYS as a delete file —
+        O(matches), never a data-file rewrite — plus, for UPDATE, the
+        postimage rows as ordinary appends. The new data files carry a
+        HIGHER sequence number than the delete, so they are exempt
+        from it (Iceberg's sequence-number rule)."""
+        base = self.current_version()
+        snap = self.snapshot(base)
+        key_cols = self._row_key(snap)
+        ids, _ = self._effective_field_ids(snap)
+        matched = self.read().filter(condition)
+        rel, rows = self._stage_delete_file(
+            matched.select(*key_cols).distinct(), base + 1
+        )
+        if rows == 0:
+            if rel is not None:
+                os.remove(os.path.join(self.location, rel))
+            return snap  # no-op: nothing matched
+        entry = {
+            "path": rel,
+            "rows": rows,
+            "key_names": key_cols,
+            "key_ids": [ids[c] for c in key_cols],
+            "seq": base + 1,
+        }
+        new_files = []
+        change_parts = []
+        feed = self.change_feed_enabled()
+        if postimage is not None:
+            post = postimage(matched)
+            new_files = self._stage_dataframe(
+                post, base + 1, snap.partition_spec,
+                schema_id=snap.schema_id,
+            )
+            if feed:
+                change_parts = [
+                    matched.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ),
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    ),
+                ]
+        elif feed:
+            change_parts = [
+                matched.withColumn("_change_type", F.lit("delete"))
+            ]
+        change_files = []
+        if change_parts:
+            chg = change_parts[0]
+            for p in change_parts[1:]:
+                chg = chg.unionByName(p)
+            change_files = self._stage_changes(chg, base + 1)
+        return self._commit(
+            base, operation, snap.files + new_files, snap.schema_json,
+            summary={
+                "delete_mode": "merge-on-read",
+                "delete_keys": rows,
+                "added_files": len(new_files),
+            }
+            | ({"change_feed": "exact"} if feed else {}),
+            change_files=change_files,
+            delete_files=snap.delete_files + [entry],
+        )
+
+    def delete(self, condition: Column, mode: str | None = None) -> Snapshot:
+        """DELETE FROM t WHERE ... (ref A12). Copy-on-write rewrites
+        matching files; merge-on-read (``mode='merge-on-read'`` or
+        table property ``write_delete_mode``) writes an equality-delete
+        key file instead — O(matches) at any table size."""
+        if self._delete_mode(mode) == "mor":
+            return self._mor_dml("delete", condition)
         return self._rewrite(
             "delete", condition,
             lambda df: df.filter(~condition),
@@ -1673,8 +1912,28 @@ class LakeTable:
             ),
         )
 
-    def update(self, condition: Column, assignments: dict[str, Column]) -> Snapshot:
-        """UPDATE t SET col=expr WHERE ... (ref A13)."""
+    def update(
+        self,
+        condition: Column,
+        assignments: dict[str, Column],
+        mode: str | None = None,
+    ) -> Snapshot:
+        """UPDATE t SET col=expr WHERE ... (ref A13). Merge-on-read
+        mode writes a delete-key file + postimage appends (no data-file
+        rewrite); the postimages' higher sequence number exempts them
+        from the delete."""
+        if self._delete_mode(mode) == "mor":
+            return self._mor_dml(
+                "update",
+                condition,
+                postimage=lambda m: m.select(
+                    *[
+                        assignments[c].alias(c) if c in assignments
+                        else F.col(c)
+                        for c in m.columns
+                    ]
+                ),
+            )
 
         def transform(df: DataFrame) -> DataFrame:
             cols = []
@@ -1828,8 +2087,9 @@ class LakeTable:
                 chg = chg.unionByName(p)
             change_files = self._stage_changes(chg, base + 1)
 
+        final = keep + new_files
         return self._commit(
-            base, "merge", keep + new_files, snap.schema_json,
+            base, "merge", final, snap.schema_json,
             summary={
                 "added_files": len(new_files),
                 "rewritten_files": len(touched),
@@ -1838,6 +2098,7 @@ class LakeTable:
             | ({"change_feed": "exact"} if feed else {})
             | (summary_extra or {}),
             change_files=change_files,
+            delete_files=self._live_deletes(snap.delete_files, final),
         )
 
     # ------------------------------------------------------------------
@@ -1916,10 +2177,14 @@ class LakeTable:
         retries = 3
         while True:
             try:
+                final = keep + new_files
                 return self._commit(
-                    base, "compact", keep + new_files, snap.schema_json,
+                    base, "compact", final, snap.schema_json,
                     summary={"compacted_files": len(small),
                              "added_files": len(new_files)},
+                    delete_files=self._live_deletes(
+                        snap.delete_files, final
+                    ),
                 )
             except CommitConflict:
                 if retries <= 0:
@@ -1966,6 +2231,20 @@ class LakeTable:
                     if os.path.exists(p):
                         os.remove(p)
                 expired.append(s.version)
+        if expired:
+            # delete files are inherited forward, so one may still be
+            # referenced by a SURVIVING snapshot — GC only unreferenced
+            live = {
+                d["path"]
+                for s in self.snapshots()
+                for d in s.delete_files
+            }
+            for p in glob.glob(
+                os.path.join(self.location, "_deletes", "*.parquet")
+            ):
+                rel = os.path.relpath(p, self.location)
+                if rel not in live:
+                    os.remove(p)
         return expired
 
     def remove_orphan_files(self) -> list[str]:

@@ -558,3 +558,50 @@ def lake_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "lake_mor_delete_update",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity + 5.0
+                      ELSE l_quantity END), 2) AS total_qty
+FROM lineitem
+WHERE l_orderkey <= 2000 AND l_returnflag <> 'R'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("lakehouse", "dml", "merge-on-read"),
+)
+def lake_mor_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE + UPDATE (the reference's merge-on-read
+    intent, pg_lakehouse_iceberg/README.md:15): DML writes equality-
+    delete key files + postimage appends — NO data-file rewrite; the
+    read path anti-joins the keys with Iceberg sequence-number
+    semantics. Same end state as the copy-on-write twin
+    (lake_delete_update), proving mode equivalence."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    cat = _scratch_catalog(spark, sf_dir, "mor_delete_update")
+    tbl = cat.create_table_as(
+        "db", "li_mor",
+        li.withColumn(
+            "row_id",
+            F.monotonically_increasing_id(),
+        ),
+        properties={
+            "row_key": "row_id",
+            "write_delete_mode": "merge-on-read",
+        },
+    )
+    tbl.delete(F.col("l_returnflag") == "R")
+    tbl.update(
+        F.col("l_linestatus") == "O",
+        {"l_quantity": F.col("l_quantity") + 5.0},
+    )
+    return (
+        tbl.read()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

@@ -1205,6 +1205,120 @@ def test_typed_all_scan_type_coverage(catalog, spark):
 # ---------------------------------------------------------------------------
 
 
+def _mor_table(catalog, orders_df, name, n=200, **extra_props):
+    return catalog.create_table_as(
+        "db", name, orders_df.limit(n),
+        properties={
+            "row_key": "o_orderkey",
+            "write_delete_mode": "merge-on-read",
+            **extra_props,
+        },
+    )
+
+
+def test_mor_delete_no_rewrite(catalog, orders_df):
+    """Merge-on-read DELETE: no data file is rewritten — only a key
+    file lands; reads anti-join it; time travel predates it."""
+    tbl = _mor_table(catalog, orders_df, "mor1")
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    v1 = tbl.current_version()
+    n_del = tbl.read().filter(F.col("o_orderkey") < 50).count()
+    tbl.delete(F.col("o_orderkey") < 50)
+    snap = tbl.snapshot()
+    assert {f["path"] for f in snap.files} == files_before  # no rewrite
+    assert len(snap.delete_files) == 1
+    assert snap.delete_files[0]["rows"] == n_del
+    assert tbl.read().count() == 200 - n_del
+    assert tbl.read().filter(F.col("o_orderkey") < 50).count() == 0
+    assert tbl.read(snapshot=v1).count() == 200  # time travel unaffected
+    # second delete stacks
+    tbl.delete(F.col("o_orderkey").between(50, 59))
+    assert len(tbl.snapshot().delete_files) == 2
+    assert tbl.read().filter(F.col("o_orderkey") < 60).count() == 0
+
+
+def test_mor_update_postimage_exempt_from_delete(catalog, orders_df):
+    """MoR UPDATE = delete keys + postimage appends; the postimages'
+    higher sequence number exempts them from their own delete — rows
+    appear exactly once, updated."""
+    tbl = _mor_table(catalog, orders_df, "mor2")
+    n_match = tbl.read().filter(F.col("o_orderkey") < 20).count()
+    tbl.update(
+        F.col("o_orderkey") < 20, {"o_totalprice": F.lit(42.0)}
+    )
+    df = tbl.read()
+    assert df.count() == 200  # no loss, no duplication
+    assert df.filter(F.col("o_totalprice") == 42.0).count() == n_match
+    assert (
+        df.filter(
+            (F.col("o_orderkey") < 20) & (F.col("o_totalprice") != 42.0)
+        ).count()
+        == 0
+    )
+
+
+def test_mor_append_after_delete_is_exempt(catalog, orders_df):
+    """Rows appended AFTER a delete keep their keys even if those keys
+    were deleted (sequence rule) — re-inserting a deleted key works."""
+    tbl = _mor_table(catalog, orders_df, "mor3", n=100)
+    victims = tbl.read().filter(F.col("o_orderkey") < 10)
+    n_victims = victims.count()
+    assert n_victims > 0
+    tbl.delete(F.col("o_orderkey") < 10)
+    assert tbl.read().filter(F.col("o_orderkey") < 10).count() == 0
+    tbl.append(orders_df.limit(100).filter(F.col("o_orderkey") < 10))
+    assert tbl.read().filter(F.col("o_orderkey") < 10).count() == n_victims
+    assert tbl.read().count() == 100
+
+
+def test_mor_compaction_applies_and_retires_deletes(catalog, orders_df):
+    tbl = _mor_table(catalog, orders_df, "mor4")
+    tbl.delete(F.col("o_orderkey") < 30)
+    n_after = tbl.read().count()
+    assert tbl.snapshot().delete_files
+    tbl.compact(small_file_bytes=1 << 30, min_files=1)
+    snap = tbl.snapshot()
+    assert snap.delete_files == []  # full rewrite retires every delete
+    assert tbl.read().count() == n_after
+    assert tbl.read().filter(F.col("o_orderkey") < 30).count() == 0
+    # expiry GCs the now-unreferenced delete files on disk
+    tbl.expire_snapshots(keep_last=1)
+    import glob as _glob
+    import os as _os
+
+    assert not _glob.glob(
+        _os.path.join(tbl.location, "_deletes", "*.parquet")
+    )
+
+
+def test_mor_survives_row_key_rename(catalog, orders_df):
+    """Delete keys resolve by field id: renaming the row-key column
+    after a MoR delete keeps the delete applying."""
+    tbl = _mor_table(catalog, orders_df, "mor5", n=80)
+    tbl.delete(F.col("o_orderkey") < 10)
+    n = tbl.read().count()
+    # o_orderkey partitions nothing; rename is legal and id-stable
+    tbl.rename_column("o_orderkey", "okey")
+    assert tbl.read().count() == n
+    assert tbl.read().filter(F.col("okey") < 10).count() == 0
+
+
+def test_mor_guards_and_mixed_modes(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "mor6", orders_df.limit(50))
+    with pytest.raises(LakehouseError, match="row_key"):
+        tbl.delete(F.col("o_orderkey") < 5, mode="merge-on-read")
+    tbl2 = _mor_table(catalog, orders_df, "mor7", n=60)
+    tbl2.delete(F.col("o_orderkey") < 5)
+    with pytest.raises(LakehouseError, match="delete files"):
+        tbl2.drop_column("o_orderkey")
+    # CoW delete on a table with live MoR deletes composes
+    n_cow = tbl2.read().filter(F.col("o_orderstatus") == "F").count()
+    before = tbl2.read().count()
+    tbl2.delete(F.col("o_orderstatus") == "F", mode="copy-on-write")
+    assert tbl2.read().count() == before - n_cow
+    assert tbl2.read().filter(F.col("o_orderkey") < 5).count() == 0
+
+
 def test_change_feed_dml_row_level(catalog, orders_df):
     """DML changes are row-exact: rewritten-but-unchanged rows in the
     same files never appear in the feed (the advantage over file-level
