@@ -296,8 +296,81 @@ class LakeTable:
     def _meta_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"v{version}.metadata.json")
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
-        version = self.current_version() if version is None else version
+    # --- named refs (Iceberg tag analog): name -> pinned version, in
+    # one lock-guarded refs file. Tagged snapshots survive expiry.
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "_refs.json")
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.exists(self._refs_path()):
+            return {}
+        with open(self._refs_path()) as f:
+            return json.load(f)
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a stable name (`VERSION AS OF 'name'`
+        reads; expiry never drops a tagged snapshot)."""
+        lock_path = os.path.join(self.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            v = self.current_version() if version is None else version
+            self.snapshot(v)  # must exist
+            refs = self.tags()
+            refs[name] = v
+            self._write_refs(refs)
+            return v
+
+    def drop_tag(self, name: str) -> None:
+        lock_path = os.path.join(self.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            refs = self.tags()
+            if name not in refs:
+                raise LakehouseError(f"no such tag: {name!r}")
+            del refs[name]
+            self._write_refs(refs)
+
+    def _resolve_version(self, version) -> int:
+        if isinstance(version, str):
+            refs = self.tags()
+            if version not in refs:
+                raise LakehouseError(f"no such tag: {version!r}")
+            return refs[version]
+        return version
+
+    def rollback_to(self, version: int | str) -> Snapshot:
+        """Restore a previous snapshot's state as a NEW commit (Iceberg
+        ``rollback_to_snapshot``): history stays linear and auditable —
+        nothing is deleted, the bad commits simply stop being current."""
+        v = self._resolve_version(version)
+        old = self.snapshot(v)
+        base = self.current_version()
+        return self._commit(
+            base, "rollback", old.files, old.schema_json,
+            summary={"rolled_back_to": v},
+            schema_meta={
+                "schema_id": old.schema_id,
+                "field_ids": old.field_ids,
+                "schemas": old.schemas,
+                "next_field_id": old.next_field_id,
+            },
+            partition_spec=old.partition_spec,
+            delete_files=old.delete_files,
+        )
+
+    def snapshot(self, version: int | str | None = None) -> Snapshot:
+        version = (
+            self.current_version()
+            if version is None
+            else self._resolve_version(version)
+        )
         path = self._meta_path(version)
         if not os.path.exists(path):
             raise LakehouseError(
@@ -1477,12 +1550,13 @@ class LakeTable:
         shutil.rmtree(staging, ignore_errors=True)
         return rel, total
 
-    def read(self, snapshot: int | None = None) -> DataFrame:
+    def read(self, snapshot: int | str | None = None) -> DataFrame:
         """Scan the table at the current (or a pinned) snapshot —
-        ref A1/A6. Returns a lazy DataFrame over the snapshot's file
-        list; Spark plans splits/pushdown natively (supersedes the
-        reference's hand-rolled parallel scan A7/A8). Predicates on
-        partition columns prune whole partition directories."""
+        ref A1/A6; a string pins by TAG name. Returns a lazy DataFrame
+        over the snapshot's file list; Spark plans splits/pushdown
+        natively (supersedes the reference's hand-rolled parallel scan
+        A7/A8). Predicates on partition columns prune whole partition
+        directories."""
         s = self.snapshot(snapshot)
         return self._read_entries(s, s.files)
 
@@ -2221,7 +2295,11 @@ class LakeTable:
         """Drop old snapshot metadata (time travel window shrinks)."""
         snaps = self.snapshots()
         current = self.current_version()
-        keep_versions = {s.version for s in snaps[-keep_last:]} | {current}
+        keep_versions = (
+            {s.version for s in snaps[-keep_last:]}
+            | {current}
+            | set(self.tags().values())  # tagged snapshots are pinned
+        )
         expired = []
         for s in snaps:
             if s.version not in keep_versions:

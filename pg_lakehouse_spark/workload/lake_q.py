@@ -605,3 +605,33 @@ def lake_mor_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "lake_tag_rollback",
+    oracle="""
+SELECT 'tagged' AS state, count(*) AS n FROM orders WHERE o_orderkey <= 600
+UNION ALL
+SELECT 'rolled_back' AS state, count(*) AS n FROM orders WHERE o_orderkey <= 600
+""",
+    tags=("lakehouse", "refs", "rollback"),
+)
+def lake_tag_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs + rollback (Iceberg tags /
+    rollback_to_snapshot): tag a snapshot, mutate the table, read the
+    tag by name, then roll back to it as a new auditable commit."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "tag_rollback")
+    tbl = cat.create_table_as(
+        "db", "tr", orders.filter(F.col("o_orderkey") <= 600)
+    )
+    tbl.tag("audited")
+    tbl.delete(F.col("o_orderkey") < 300)
+    tagged = tbl.read("audited").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("tagged").alias("state"), "n"
+    )
+    tbl.rollback_to("audited")
+    rolled = tbl.read().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("rolled_back").alias("state"), "n"
+    )
+    return tagged.unionByName(rolled)

@@ -1205,6 +1205,48 @@ def test_typed_all_scan_type_coverage(catalog, spark):
 # ---------------------------------------------------------------------------
 
 
+def test_tags_and_rollback(catalog, orders_df):
+    """Named refs: tags pin snapshots by name (read by tag, expiry-
+    protected); rollback_to restores a past state as a NEW commit —
+    linear, auditable history."""
+    tbl = catalog.create_table_as("db", "tagged", orders_df.limit(50))
+    tbl.tag("baseline")
+    tbl.append(orders_df.limit(80).subtract(orders_df.limit(50)))
+    tbl.delete(F.col("o_orderkey") < 10)
+    assert tbl.read("baseline").count() == 50  # tag read
+    assert tbl.tags() == {"baseline": 2}
+    # expiry keeps the tagged snapshot alive
+    tbl.expire_snapshots(keep_last=1)
+    assert tbl.read("baseline").count() == 50
+    # rollback restores the tagged state as a new commit
+    n_now = tbl.read().count()
+    assert n_now != 50
+    tbl.rollback_to("baseline")
+    assert tbl.read().count() == 50
+    assert tbl.snapshot().operation == "rollback"
+    assert tbl.snapshot().summary["rolled_back_to"] == 2
+    # history is linear: version advanced, nothing deleted
+    assert tbl.current_version() > 2
+    with pytest.raises(LakehouseError, match="no such tag"):
+        tbl.read("nope")
+    tbl.drop_tag("baseline")
+    assert tbl.tags() == {}
+
+
+def test_rollback_after_schema_evolution(catalog, orders_df):
+    """Rollback restores the OLD schema epoch too — and later files
+    written under the newer epoch stay resolvable if rolled forward."""
+    tbl = catalog.create_table_as("db", "tagged2", orders_df.limit(30))
+    v1 = tbl.current_version()
+    tbl.rename_column("o_totalprice", "amount")
+    tbl.add_column("chan", "string")
+    assert "amount" in tbl.read().columns
+    tbl.rollback_to(v1)
+    cols = tbl.read().columns
+    assert "o_totalprice" in cols and "chan" not in cols
+    assert tbl.read().count() == 30
+
+
 def _mor_table(catalog, orders_df, name, n=200, **extra_props):
     return catalog.create_table_as(
         "db", name, orders_df.limit(n),
