@@ -2038,6 +2038,129 @@ class LakeTable:
 
         return self._rewrite("update", condition, transform, changes=changes)
 
+    def _mor_merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, Column] | None,
+        when_matched_delete: bool,
+        when_not_matched_insert: bool,
+        summary_extra: dict | None,
+    ) -> Snapshot:
+        """Merge-on-read MERGE: matched target rows retire via an
+        equality-delete key file; updated postimages and unmatched
+        inserts land as ordinary appends (seq-exempt from the delete).
+        Writes O(matched + inserted) rows — no target file rewrite —
+        the CDC-apply-at-scale shape."""
+        base = self.current_version()
+        snap = self.snapshot(base)
+        key_cols = self._row_key(snap)
+        ids, _ = self._effective_field_ids(snap)
+        target = self.read()
+        src = source.select(
+            F.struct(*[F.col(c) for c in source.columns]).alias("__src"),
+            *[F.col(c).alias(f"__k_{c}") for c in on],
+        )
+        if _is_small(source):
+            src = F.broadcast(src)
+        cond = F.expr(" AND ".join(f"`{c}` = `__k_{c}`" for c in on))
+        matched = target.join(src, cond, "inner")
+        rel, rows = self._stage_delete_file(
+            matched.select(*key_cols).distinct(), base + 1
+        )
+        new_parts = []
+        tcols = target.columns
+        if when_matched_update:
+            new_parts.append(
+                matched.select(
+                    *[
+                        when_matched_update[c].alias(c)
+                        if c in when_matched_update
+                        else F.col(c)
+                        for c in tcols
+                    ]
+                )
+            )
+        if when_not_matched_insert:
+            new_parts.append(
+                src.join(
+                    target.select(
+                        *[F.col(c).alias(f"__k_{c}") for c in on]
+                    ).distinct(),
+                    on=[f"__k_{c}" for c in on],
+                    how="left_anti",
+                ).select(*[F.col(f"__src.{c}").alias(c) for c in tcols])
+            )
+        new_files = []
+        if new_parts:
+            rows_df = new_parts[0]
+            for p in new_parts[1:]:
+                rows_df = rows_df.unionByName(p)
+            new_files = self._stage_dataframe(
+                rows_df, base + 1, snap.partition_spec,
+                schema_id=snap.schema_id,
+            )
+        delete_files = snap.delete_files
+        if rows == 0:
+            if rel is not None:
+                os.remove(os.path.join(self.location, rel))
+        else:
+            delete_files = delete_files + [
+                {
+                    "path": rel,
+                    "rows": rows,
+                    "key_names": key_cols,
+                    "key_ids": [ids[c] for c in key_cols],
+                    "seq": base + 1,
+                }
+            ]
+        if rows == 0 and not new_files:
+            return snap  # no-op
+        feed = self.change_feed_enabled()
+        change_files = []
+        if feed:
+            change_parts = []
+            if when_matched_delete:
+                change_parts.append(
+                    matched.select(*tcols).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            elif when_matched_update:
+                change_parts.append(
+                    matched.select(*tcols).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                )
+                change_parts.append(
+                    new_parts[0].withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            if when_not_matched_insert:
+                change_parts.append(
+                    new_parts[-1].withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            if change_parts:
+                chg = change_parts[0]
+                for p in change_parts[1:]:
+                    chg = chg.unionByName(p)
+                change_files = self._stage_changes(chg, base + 1)
+        return self._commit(
+            base, "merge", snap.files + new_files, snap.schema_json,
+            summary={
+                "delete_mode": "merge-on-read",
+                "delete_keys": rows,
+                "added_files": len(new_files),
+            }
+            | ({"change_feed": "exact"} if feed else {})
+            | (summary_extra or {}),
+            change_files=change_files,
+            delete_files=delete_files,
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -2046,6 +2169,7 @@ class LakeTable:
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
         summary_extra: dict | None = None,
+        mode: str | None = None,
     ) -> Snapshot:
         """MERGE INTO (upsert) — ref A13's roadmap 'MERGE for upsert'.
 
@@ -2056,7 +2180,15 @@ class LakeTable:
         whose bounds contain that key — a source key overlapping no
         file is genuinely unmatched (insert). The bounds aggregation is
         2 scalars per key column — metadata-scale, not data.
+
+        ``mode='merge-on-read'`` (or the ``write_delete_mode`` table
+        property) switches to the no-rewrite path (`_mor_merge`).
         """
+        if self._delete_mode(mode) == "mor":
+            return self._mor_merge(
+                source, on, when_matched_update, when_matched_delete,
+                when_not_matched_insert, summary_extra,
+            )
         base = self.current_version()
         snap = self.snapshot(base)
 

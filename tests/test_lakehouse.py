@@ -1361,6 +1361,57 @@ def test_mor_guards_and_mixed_modes(catalog, orders_df):
     assert tbl2.read().filter(F.col("o_orderkey") < 5).count() == 0
 
 
+def test_mor_merge_upsert(catalog, orders_df):
+    """MoR MERGE: matched rows retire via delete keys; postimages and
+    inserts append (seq-exempt) — same end state as CoW merge, zero
+    target-file rewrites."""
+    base_rows = orders_df.filter(F.col("o_orderkey") <= 100)
+    tbl = catalog.create_table_as(
+        "db", "mor_merge", base_rows,
+        properties={
+            "row_key": "o_orderkey",
+            "write_delete_mode": "merge-on-read",
+        },
+    )
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    source = orders_df.filter(
+        (F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 150)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 9.0)
+    tbl.merge(
+        source, on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("__src.o_totalprice")},
+        when_not_matched_insert=True,
+    )
+    snap = tbl.snapshot()
+    # all original files still present (no rewrite), plus appends
+    assert files_before <= {f["path"] for f in snap.files}
+    assert snap.delete_files
+    df = tbl.read()
+    n_all = orders_df.filter(F.col("o_orderkey") <= 150).count()
+    assert df.count() == n_all
+    # every source row contributes +9: matched via update, unmatched
+    # because the inserted rows already carry the bumped price
+    exp_sum = (
+        orders_df.filter(F.col("o_orderkey") <= 150)
+        .agg(F.sum("o_totalprice"))
+        .collect()[0][0]
+        + 9.0 * source.count()
+    )
+    got_sum = df.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert abs(got_sum - exp_sum) < 1e-4
+    # matched-delete variant
+    tbl.merge(
+        orders_df.filter(F.col("o_orderkey") <= 20),
+        on=["o_orderkey"],
+        when_matched_update=None,
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    assert tbl.read().count() == n_all - orders_df.filter(
+        F.col("o_orderkey") <= 20
+    ).count()
+
+
 def test_change_feed_dml_row_level(catalog, orders_df):
     """DML changes are row-exact: rewritten-but-unchanged rows in the
     same files never appear in the feed (the advantage over file-level
