@@ -2415,11 +2415,19 @@ class LakeTable:
         self,
         file_count_threshold: int = 64,
         small_file_bytes: int = 32 * 1024 * 1024,
+        delete_file_threshold: int = 8,
     ) -> Snapshot | None:
         """Threshold-triggered compaction — the reference's
         ``compaction_threshold`` GUC (default 64 files, handler.c:64-65)
-        declared-but-never-acted-on; here it acts."""
-        if len(self.snapshot().files) < file_count_threshold:
+        declared-but-never-acted-on; here it acts. Also triggers when
+        merge-on-read delete files pile up (every stacked delete is an
+        extra anti-join on every read — Iceberg's
+        rewrite_position_delete_files concern): a full rewrite folds
+        the deletes in and retires them."""
+        snap = self.snapshot()
+        if len(snap.delete_files) >= delete_file_threshold:
+            return self.compact(small_file_bytes=1 << 62, min_files=1)
+        if len(snap.files) < file_count_threshold:
             return None
         return self.compact(small_file_bytes=small_file_bytes)
 

@@ -1078,3 +1078,43 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
         .agg(F.sum(profit_e4).cast("long").alias("profit_e4"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT ON (PG-specific keep-first-per-group): latest order per
+# customer. Spark has no DISTINCT ON; the canonical translation is a
+# row_number() window with the same ORDER BY — one shuffle on the
+# group key, no self-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_distinct_on",
+    oracle="""
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey AS latest_orderkey,
+       round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_custkey <= 500
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+""",
+    tags=("distinct-on", "window"),
+)
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 500)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )

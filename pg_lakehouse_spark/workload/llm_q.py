@@ -493,3 +493,51 @@ def embed_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, id_col="vec_id", vec_col="embedding",
         nlist=8, nprobe=3, m_subvectors=8, ksub=16, seed=42,
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3
+         THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+         ELSE [array_to_string(ws, ' ')] END)) AS s
+  FROM words
+),
+bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, b.bench_id, count(*) AS n_overlap
+FROM train t JOIN bench b ON t.s = b.s
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=_DECONTAM_ORACLE,
+    tags=("decontamination", "ngram"),
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document plays the
+    benchmark set; training docs sharing ≥2 distinct 3-gram shingles
+    with a benchmark doc are flagged with their overlap count. The
+    benchmark side broadcasts — the corpus is scanned once."""
+    from pg_lakehouse_spark.llm.decontaminate import ngram_overlap
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_overlap(
+        train, bench, n=3, min_overlap=2,
+        id_col="doc_id", text_col="text",
+        bench_id_col="bench_id", bench_text_col="text",
+    )

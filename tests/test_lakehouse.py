@@ -1412,6 +1412,19 @@ def test_mor_merge_upsert(catalog, orders_df):
     ).count()
 
 
+def test_maybe_compact_on_delete_file_pileup(catalog, orders_df):
+    """Stacked MoR deletes trigger threshold compaction (each stacked
+    delete adds an anti-join to every read); compaction folds them in."""
+    tbl = _mor_table(catalog, orders_df, "mor_pileup", n=100)
+    for i in range(3):
+        tbl.delete(F.col("o_orderkey").between(i * 5, i * 5 + 4))
+    n = tbl.read().count()
+    assert len(tbl.snapshot().delete_files) == 3
+    assert tbl.maybe_compact(delete_file_threshold=3) is not None
+    assert tbl.snapshot().delete_files == []
+    assert tbl.read().count() == n
+
+
 def test_change_feed_dml_row_level(catalog, orders_df):
     """DML changes are row-exact: rewritten-but-unchanged rows in the
     same files never appear in the feed (the advantage over file-level

@@ -284,3 +284,33 @@ def test_multimodal_resize_budget_and_scales(docs):
     assert all(r["width"] == 128 and r["height"] == 96 for r in out)
     # stub dims are 64..255 -> scale factors stay in a sane band
     assert all(128 / 256 * 10000 <= r["scale_x_e4"] <= 128 / 64 * 10000 for r in out)
+
+
+def test_decontamination_planted(spark, sf_dir):
+    """Planted contamination: a benchmark doc whose text is a verbatim
+    slice of a training doc must flag exactly that doc; clean docs
+    survive remove_contaminated."""
+    from pg_lakehouse_spark.llm.decontaminate import (
+        ngram_overlap,
+        remove_contaminated,
+    )
+    from pg_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    victim = docs.orderBy("doc_id").first()
+    # benchmark = first 6 words of the victim text (≥4 trigrams)
+    bench_text = " ".join(victim["text"].split()[:6])
+    bench = spark.createDataFrame(
+        [(9001, bench_text)], "bench_id long, text string"
+    )
+    flagged = ngram_overlap(
+        docs, bench, n=3, min_overlap=3,
+        bench_id_col="bench_id",
+    )
+    hits = {r["doc_id"] for r in flagged.collect()}
+    assert victim["doc_id"] in hits
+    clean = remove_contaminated(docs, bench, n=3, min_overlap=3)
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert victim["doc_id"] not in clean_ids
+    assert len(clean_ids) == docs.count() - len(hits)
