@@ -183,3 +183,31 @@ def test_q7_single_fact_shuffle_join(spark, sf_dir):
     assert (
         len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) <= 1
     )
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark side of the decontamination join must broadcast —
+    the corpus is scanned once with no corpus-side shuffle before the
+    join."""
+    df = REGISTRY["decontaminate_overlap"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mor_read_broadcasts_delete_keys(spark, sf_dir, tmp_path):
+    """A MoR table scan anti-joins its delete keys via broadcast (key
+    sets are metadata-small); the data side is never shuffled."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_morplan"))
+    tbl = cat.create_table_as(
+        "db", "t", table(spark, sf_dir, "orders").limit(200),
+        properties={"row_key": "o_orderkey",
+                    "write_delete_mode": "merge-on-read"},
+    )
+    tbl.delete(F.col("o_orderkey") < 20)
+    plan = tbl.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

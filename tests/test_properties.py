@@ -99,3 +99,67 @@ def test_dedup_exact_keeps_min_id_per_key(spark, rows):
     assert {(r["key"], r["doc_id"], r["pay"]) for r in out} == {
         (k, i, p) for k, (i, p) in expect.items()
     }
+
+
+def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
+    """Differential property: a seeded random sequence of DELETE /
+    UPDATE / APPEND / MERGE applied to a merge-on-read table and a
+    copy-on-write twin must converge to identical states at every
+    step."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.tables import table
+
+    rng = random.Random(20260813)
+    orders = table(spark, sf_dir, "orders").limit(300)
+    cat = LakeCatalog(spark, str(tmp_path / "wh_prop"))
+    mor = cat.create_table_as(
+        "db", "mor", orders,
+        properties={"row_key": "o_orderkey",
+                    "write_delete_mode": "merge-on-read"},
+    )
+    cow = cat.create_table_as("db", "cow", orders)
+
+    def states_equal():
+        a = {tuple(r) for r in mor.read().collect()}
+        b = {tuple(r) for r in cow.read().collect()}
+        assert a == b
+
+    for step in range(6):
+        op = rng.choice(["delete", "update", "append", "merge"])
+        lo = rng.randrange(0, 280)
+        hi = lo + rng.randrange(5, 40)
+        cond = F.col("o_orderkey").between(lo, hi)
+        if op == "delete":
+            mor.delete(cond)
+            cow.delete(cond)
+        elif op == "update":
+            assign = {"o_totalprice": F.col("o_totalprice") + float(step + 1)}
+            mor.update(cond, assign)
+            cow.update(cond, assign)
+        elif op == "append":
+            extra = orders.filter(cond).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000 + step
+            )
+            mor.append(extra)
+            cow.append(extra)
+        else:
+            src = orders.filter(cond).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 7.0
+            )
+            kwargs = dict(
+                on=["o_orderkey"],
+                when_matched_update={
+                    "o_totalprice": F.col("__src.o_totalprice")
+                },
+                when_not_matched_insert=True,
+            )
+            mor.merge(src, **kwargs)
+            cow.merge(src, **kwargs)
+        states_equal()
+    # compaction folds the MoR deletes without changing the state
+    mor.compact(small_file_bytes=1 << 62, min_files=1)
+    states_equal()
