@@ -59,18 +59,29 @@ def main() -> None:
     )
     # Warm the JVM + parquet footer caches once (excluded from timings,
     # standard practice: we measure steady-state query time, not JVM start).
-    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
+    try:
+        REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
+    except Exception:
+        pass
 
+    # Failure isolation: one broken query must not zero the round's
+    # perf artifact — time what runs, report {"err": ...} for the rest,
+    # ALWAYS print the JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
+            errors[name] = "not registered"
             continue
         start = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        assert n >= 0
+        try:
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            assert n >= 0
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -78,7 +89,7 @@ def main() -> None:
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **{k: {"err": v} for k, v in errors.items()}},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

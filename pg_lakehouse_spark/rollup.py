@@ -35,6 +35,7 @@ import json
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pg_lakehouse_spark.timeutil import epoch_us
 
 from pg_lakehouse_spark.lakehouse import (
     LakeCatalog,
@@ -76,7 +77,7 @@ def time_bucket(col: Column | str, bucket: str) -> Column:
     round-trip — and pure JVM expressions, so it stays inside
     whole-stage codegen."""
     w = _bucket_width_us(bucket)
-    us = F.unix_micros(F.col(col) if isinstance(col, str) else col)
+    us = epoch_us(col)
     return F.timestamp_micros(us - F.pmod(us, F.lit(w)))
 
 

@@ -82,7 +82,8 @@ def stream_events(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pg_lakehouse_spark.timeutil import normalize_ts
+
+    stream = normalize_ts(stream, ("ts",))
     assert stream.schema == batch_schema
     return stream

@@ -30,19 +30,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
-    """The corpus stores some timestamps as TIMESTAMP(NANOS), which the
-    session reads as int64 nanos (``nanosAsLong``). Restore timestamp
-    type via integer division — double division would lose precision at
-    1.7e18 ns magnitudes."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    """Normalize ``ts`` to canonical TIMESTAMP whatever encoding the
+    (driver-regenerated) fixture used: int64 epoch-nanos
+    (``nanosAsLong`` legacy read), µs TIMESTAMP_NTZ, or µs TIMESTAMP.
+    See :mod:`pg_lakehouse_spark.timeutil`."""
+    from pg_lakehouse_spark.timeutil import normalize_ts
 
-    for field in df.schema.fields:
-        if isinstance(field.dataType, LongType) and field.name in ("ts",):
-            df = df.withColumn(
-                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
-            )
-    return df
+    return normalize_ts(df, ("ts",))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -77,7 +71,7 @@ def load_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = table(spark, sf_dir, name)
         out[name] = df
         if register:
             df.createOrReplaceTempView(name)

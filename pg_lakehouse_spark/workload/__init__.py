@@ -41,15 +41,91 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver's correctness harness checks the FIRST 50 registry entries
+# (positional). Order breadth-first so every SURVEY.md §2 family lands at
+# least one representative inside that window: joins (all shapes incl.
+# as-of), subqueries/recursive CTE, set ops, distinct, top-k, filter ops,
+# agg variants (approx incl.), grouping sets/cube, pivot/unpivot, windows,
+# functions, UDF/UDAF/UDTF, TPC-H shape, the whole lakehouse tier (DML
+# CoW+MoR, time travel, tags/rollback, schema/partition evolution, CDC,
+# incremental rollup), LLM ops (dedup, text, ANN, multimodal, splits,
+# decontamination) and streaming. Everything else follows in registration
+# order.
+_PRIORITY: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q_anti_join",
+    "q_full_outer_join",
+    "q_cross_join",
+    "q_range_join_bands",
+    "q_asof_join",
+    "q_correlated_subquery",
+    "q_recursive_cte",
+    "q_except_all",
+    "q_distinct_on",
+    "q_topk_orders",
+    "q_like_patterns",
+    "q_filter_clause_agg",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_grouping_sets",
+    "q_cube",
+    "q_pivot",
+    "q_unpivot",
+    "q_window_topk_per_group",
+    "q_window_range_frame",
+    "q_string_functions",
+    "q_pg_function_kit",
+    "q_generate_series",
+    "q_pandas_udf_normalize",
+    "q_pandas_udaf_grouped",
+    "q_python_udtf_bigrams",
+    "q2_min_cost_supplier",
+    "lake_merge_upsert",
+    "lake_delete_update",
+    "lake_mor_delete_update",
+    "lake_time_travel",
+    "lake_tag_rollback",
+    "lake_schema_evolution",
+    "lake_partition_evolution",
+    "lake_change_feed",
+    "rollup_incremental",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_embedding_pairs",
+    "text_quality_signals",
+    "embed_knn_bruteforce",
+    "multimodal_decode",
+    "data_split_modulo",
+    "decontaminate_overlap",
+    "stream_tumbling_hourly",
+    "stream_session_windows",
+    "stream_static_join",
+)
+
+
+def _ordered() -> dict[str, QuerySpec]:
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    out: dict[str, QuerySpec] = {}
+    for name in _PRIORITY:
+        if name in REGISTRY:
+            out[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in out:
+            out[name] = spec
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in _ordered().items()
+        if spec.oracle is not None
     }
 
 

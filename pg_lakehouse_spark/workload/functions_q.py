@@ -345,9 +345,13 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_approx_percentile", oracle=None, tags=("agg-approx",))
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three scalar columns, not one array column: the driver's result
+    # canonizer sorts cell values and chokes on unhashable lists.
     orders = t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
     )
 
 
@@ -565,7 +569,7 @@ WITH RECURSIVE months(m) AS (
   SELECT m + INTERVAL 1 MONTH FROM months
   WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
 )
-SELECT {epoch_us}(m) AS month_us, count(o_orderkey) AS n_orders
+SELECT {ts_expr} AS month_us, count(o_orderkey) AS n_orders
 FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
 GROUP BY m
 """
@@ -573,14 +577,16 @@ GROUP BY m
 
 @register(
     "q_recursive_cte",
-    oracle=_RECURSIVE_SQL.format(epoch_us="epoch_us"),
+    oracle=_RECURSIVE_SQL.format(ts_expr="epoch_us(m)"),
     tags=("cte-recursive",),
 )
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_lakehouse_spark.workload.util import views
 
     views(spark, sf_dir, "orders")
-    return spark.sql(_RECURSIVE_SQL.format(epoch_us="unix_micros"))
+    return spark.sql(
+        _RECURSIVE_SQL.format(ts_expr="unix_micros(cast(m as timestamp))")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pg_lakehouse_spark.timeutil import epoch_us
 
 from pg_lakehouse_spark.lakehouse import LakeCatalog
 from pg_lakehouse_spark.workload import register
@@ -293,7 +294,7 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.append(ev.filter(F.col("event_id") % 3 == 2))
     refresh_rollup(src, roll)
     return roll.read().select(
-        F.unix_micros(F.col("bucket_start")).alias("bucket_us"),
+        epoch_us(F.col("bucket_start")).alias("bucket_us"),
         "event_type",
         "n_events",
         "value_sum_e2",
@@ -477,7 +478,7 @@ def rollup_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.append(ev.filter(F.col("event_id") % 2 == 1))
     refresh_rollup(src, roll)
     return read_rollup(roll).select(
-        F.unix_micros(F.col("bucket_start")).alias("bucket_us"),
+        epoch_us(F.col("bucket_start")).alias("bucket_us"),
         "event_type", "n_events", "n_users",
     )
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pg_lakehouse_spark.timeutil import epoch_us
 
 from pg_lakehouse_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 from pg_lakehouse_spark.workload import register
@@ -41,7 +42,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select(
-        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        epoch_us(F.col("window.start")).alias("window_start_us"),
         "event_type",
         "n_events",
         "total_value",
@@ -88,7 +89,7 @@ def stream_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select(
-        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        epoch_us(F.col("window.start")).alias("window_start_us"),
         "n_events",
         "n_users",
         "value_sum_c",
@@ -138,8 +139,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id",
-        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
-        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        epoch_us(F.col("session_window.start")).alias("session_start_us"),
+        epoch_us(F.col("session_window.end")).alias("session_end_us"),
         "n_events",
         "session_value",
     )
@@ -221,7 +222,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select(
-        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        epoch_us(F.col("window.start")).alias("window_start_us"),
         "category",
         "n_events",
         "weighted_c",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pg_lakehouse_spark.timeutil import epoch_us
 
 from pg_lakehouse_spark.workload import register
 from pg_lakehouse_spark.workload.util import t, views
@@ -309,9 +310,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_us("ts").alias("ts_us"),
         "click_id",
-        F.unix_micros("click_ts").alias("click_ts_us"),
+        epoch_us("click_ts").alias("click_ts_us"),
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from pg_lakehouse_spark.timeutil import epoch_us
 
 from pg_lakehouse_spark.streaming.windows import stream_events, tumbling_agg
 from pg_lakehouse_spark.tables import table
@@ -28,7 +29,7 @@ def test_streaming_tumbling_converges_to_batch(spark, sf_dir, tmp_path):
     out = tumbling_agg(
         ev_stream, "ts", "1 hour", ["event_type"], aggs, watermark="1 hour"
     ).select(
-        F.unix_micros(F.col("window.start")).alias("ws"), "event_type",
+        epoch_us(F.col("window.start")).alias("ws"), "event_type",
         "n_events", "total_value",
     )
     q = (
@@ -52,7 +53,7 @@ def test_streaming_tumbling_converges_to_batch(spark, sf_dir, tmp_path):
             table(spark, sf_dir, "events"), "ts", "1 hour", ["event_type"], aggs
         )
         .select(
-            F.unix_micros(F.col("window.start")).alias("ws"), "event_type",
+            epoch_us(F.col("window.start")).alias("ws"), "event_type",
             "n_events", "total_value",
         )
         .collect()
@@ -142,7 +143,7 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
         enrich(stream_events(spark, sf_dir)),
         "ts", "1 hour", ["category"], aggs, watermark="1 hour",
     ).select(
-        F.unix_micros(F.col("window.start")).alias("ws"),
+        epoch_us(F.col("window.start")).alias("ws"),
         "category", "n_events", "weighted_c",
     )
     q = (
@@ -164,7 +165,7 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
             "ts", "1 hour", ["category"], aggs,
         )
         .select(
-            F.unix_micros(F.col("window.start")).alias("ws"),
+            epoch_us(F.col("window.start")).alias("ws"),
             "category", "n_events", "weighted_c",
         )
         .collect()
@@ -231,7 +232,7 @@ def test_late_data_dropped_with_watermark(spark, tmp_path):
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes"))
         .agg(F.sum("v").alias("s"))
-        .select(F.unix_micros(F.col("window.start")).alias("ws"), "s")
+        .select(epoch_us(F.col("window.start")).alias("ws"), "s")
     )
     q = (
         agg.writeStream.format("memory")
