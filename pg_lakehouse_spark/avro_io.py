@@ -1,0 +1,503 @@
+"""Pure-Python Avro Object Container File reader/writer, Spark-distributed.
+
+Reference parity: the reference whitelists ``file_format ∈ {parquet,
+orc, avro}`` (reference operations/table_ops.c:78-87; format enum
+bridge/iceberg_bridge.h:229-234). Spark's native avro datasource is an
+external module jar (``spark-avro``) that this container doesn't ship
+and can't fetch, so this module implements the public Avro 1.11 OCF
+spec directly:
+
+- **Read**: ``spark.read.format("binaryFile")`` lists and ships the
+  files; decoding runs inside ``mapInPandas`` — one task per file, the
+  same split granularity the reference currently uses for avro
+  (1 chunk per file, bridge/iceberg_bridge.cpp:906-918). Executors do
+  the work; the driver only parses one header for the schema.
+- **Write**: ``mapInArrow`` over the DataFrame's partitions; each task
+  encodes its partition to one ``part-{pid:05d}.avro`` file. File
+  layout matches the parquet/orc sinks (directory of part files).
+
+This is the gated slow path (row-at-a-time Python encode/decode) and
+is documented as such — when a real cluster has the spark-avro jar,
+:mod:`pg_lakehouse_spark.sources` uses the native vectorized path and
+never reaches this module.
+
+Supported Spark types: boolean, int, long, float, double, string,
+binary, date, timestamp (micros), timestamp_ntz, decimal(p,s), arrays,
+string-keyed maps, and nested structs (recursively). Codecs: null,
+deflate (raw DEFLATE, per Avro spec).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------------------
+# Binary primitives (Avro spec: zigzag varint longs, little-endian IEEE
+# floats, length-prefixed bytes/strings)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag_encode(n)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes((b | 0x80,)))
+        else:
+            buf.write(bytes((b,)))
+            return
+
+
+def _read_long(buf) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _zigzag_decode(acc)
+        shift += 7
+
+
+def _write_bytes(buf: io.BytesIO, data: bytes) -> None:
+    _write_long(buf, len(data))
+    buf.write(data)
+
+
+def _read_bytes(buf) -> bytes:
+    return buf.read(_read_long(buf))
+
+
+# ---------------------------------------------------------------------------
+# Schema mapping: Spark StructType <-> Avro record schema (JSON)
+# ---------------------------------------------------------------------------
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "record") -> dict:
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": _field_avro_type(f.dataType, f.nullable, f.name)}
+            for f in schema.fields
+        ],
+    }
+
+
+def _field_avro_type(dt: T.DataType, nullable: bool, name: str):
+    avro = _avro_type(dt, name)
+    return ["null", avro] if nullable else avro
+
+
+def _avro_type(dt: T.DataType, name: str):
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "array",
+            "items": _field_avro_type(dt.elementType, dt.containsNull, name),
+        }
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError("avro maps require string keys")
+        return {
+            "type": "map",
+            "values": _field_avro_type(dt.valueType, dt.valueContainsNull, name),
+        }
+    if isinstance(dt, T.StructType):
+        return spark_to_avro_schema(dt, name=f"{name}_struct")
+    raise ValueError(f"unsupported Spark type for avro: {dt}")
+
+
+def avro_to_spark_schema(avro: dict) -> T.StructType:
+    assert avro["type"] == "record", avro
+    return T.StructType(
+        [
+            T.StructField(f["name"], *_spark_type(f["type"]))
+            for f in avro["fields"]
+        ]
+    )
+
+
+def _spark_type(at) -> tuple[T.DataType, bool]:
+    """Returns (dataType, nullable)."""
+    if isinstance(at, list):  # union — only [null, X] unions supported
+        non_null = [x for x in at if x != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"unsupported avro union {at}")
+        dt, _ = _spark_type(non_null[0])
+        return dt, True
+    if isinstance(at, dict):
+        lt = at.get("logicalType")
+        if lt == "date":
+            return T.DateType(), False
+        if lt == "timestamp-micros":
+            return T.TimestampType(), False
+        if lt == "local-timestamp-micros":
+            return T.TimestampNTZType(), False
+        if lt == "decimal":
+            return T.DecimalType(at["precision"], at["scale"]), False
+        if at["type"] == "array":
+            et, en = _spark_type(at["items"])
+            return T.ArrayType(et, en), False
+        if at["type"] == "map":
+            vt, vn = _spark_type(at["values"])
+            return T.MapType(T.StringType(), vt, vn), False
+        if at["type"] == "record":
+            return avro_to_spark_schema(at), False
+        return _spark_type(at["type"])
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "bytes": T.BinaryType(),
+    }
+    if at in prim:
+        return prim[at], False
+    raise ValueError(f"unsupported avro type {at!r}")
+
+
+# ---------------------------------------------------------------------------
+# Value encode/decode against the *Spark* type (logical values map 1:1)
+# ---------------------------------------------------------------------------
+
+_EPOCH_DAYS = __import__("datetime").date(1970, 1, 1).toordinal()
+
+
+def _encode_value(buf: io.BytesIO, v, dt: T.DataType, nullable: bool) -> None:
+    import datetime
+
+    if nullable:
+        if v is None:
+            _write_long(buf, 0)  # union branch: null
+            return
+        _write_long(buf, 1)
+    if isinstance(dt, T.BooleanType):
+        buf.write(b"\x01" if v else b"\x00")
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        _write_long(buf, int(v))
+    elif isinstance(dt, T.FloatType):
+        buf.write(struct.pack("<f", float(v)))
+    elif isinstance(dt, T.DoubleType):
+        buf.write(struct.pack("<d", float(v)))
+    elif isinstance(dt, T.StringType):
+        _write_bytes(buf, str(v).encode("utf-8"))
+    elif isinstance(dt, T.BinaryType):
+        _write_bytes(buf, bytes(v))
+    elif isinstance(dt, T.DateType):
+        _write_long(buf, v.toordinal() - _EPOCH_DAYS)
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            else:
+                epoch = datetime.datetime(1970, 1, 1)
+            us = (v - epoch) // datetime.timedelta(microseconds=1)
+        else:  # pandas Timestamp
+            us = v.value // 1000
+        _write_long(buf, us)
+    elif isinstance(dt, T.DecimalType):
+        unscaled = int(Decimal(v).scaleb(dt.scale).to_integral_value())
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        _write_bytes(buf, unscaled.to_bytes(nbytes, "big", signed=True))
+    elif isinstance(dt, T.ArrayType):
+        items = list(v)
+        if items:
+            _write_long(buf, len(items))
+            for item in items:
+                _encode_value(buf, item, dt.elementType, dt.containsNull)
+        _write_long(buf, 0)
+    elif isinstance(dt, T.MapType):
+        entries = list(v.items()) if isinstance(v, dict) else list(v)
+        if entries:
+            _write_long(buf, len(entries))
+            for k, val in entries:
+                _write_bytes(buf, str(k).encode("utf-8"))
+                _encode_value(buf, val, dt.valueType, dt.valueContainsNull)
+        _write_long(buf, 0)
+    elif isinstance(dt, T.StructType):
+        for f in dt.fields:
+            fv = v.get(f.name) if isinstance(v, dict) else getattr(v, f.name)
+            _encode_value(buf, fv, f.dataType, f.nullable)
+    else:
+        raise ValueError(f"unsupported type {dt}")
+
+
+def _decode_value(buf, dt: T.DataType, nullable: bool):
+    import datetime
+
+    if nullable:
+        if _read_long(buf) == 0:
+            return None
+    if isinstance(dt, T.BooleanType):
+        return buf.read(1) == b"\x01"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return _read_long(buf)
+    if isinstance(dt, T.FloatType):
+        return struct.unpack("<f", buf.read(4))[0]
+    if isinstance(dt, T.DoubleType):
+        return struct.unpack("<d", buf.read(8))[0]
+    if isinstance(dt, T.StringType):
+        return _read_bytes(buf).decode("utf-8")
+    if isinstance(dt, T.BinaryType):
+        return _read_bytes(buf)
+    if isinstance(dt, T.DateType):
+        return datetime.date.fromordinal(_EPOCH_DAYS + _read_long(buf))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        us = _read_long(buf)
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+    if isinstance(dt, T.DecimalType):
+        raw = _read_bytes(buf)
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return Decimal(unscaled).scaleb(-dt.scale)
+    if isinstance(dt, T.ArrayType):
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte-size prefix
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                out.append(_decode_value(buf, dt.elementType, dt.containsNull))
+    if isinstance(dt, T.MapType):
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                k = _read_bytes(buf).decode("utf-8")
+                out[k] = _decode_value(buf, dt.valueType, dt.valueContainsNull)
+    if isinstance(dt, T.StructType):
+        return {
+            f.name: _decode_value(buf, f.dataType, f.nullable) for f in dt.fields
+        }
+    raise ValueError(f"unsupported type {dt}")
+
+
+# ---------------------------------------------------------------------------
+# OCF container
+# ---------------------------------------------------------------------------
+
+
+def encode_container(
+    rows, schema: T.StructType, codec: str = "deflate", sync: bytes | None = None
+) -> bytes:
+    """Encode an iterable of row dicts/Rows as one OCF byte string."""
+    if sync is None:
+        import hashlib
+
+        sync = hashlib.md5(b"pg_lakehouse_spark.avro").digest()
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(spark_to_avro_schema(schema)).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.write(sync)
+
+    block = io.BytesIO()
+    count = 0
+    for row in rows:
+        _encode_value(block, row, schema, nullable=False)
+        count += 1
+        if block.tell() >= 1 << 20:  # ~1 MB raw blocks
+            _flush_block(out, block, count, codec, sync)
+            block = io.BytesIO()
+            count = 0
+    if count:
+        _flush_block(out, block, count, codec, sync)
+    return out.getvalue()
+
+
+def _flush_block(out, block, count, codec, sync):
+    data = block.getvalue()
+    if codec == "deflate":
+        comp = zlib.compressobj(wbits=-15)
+        data = comp.compress(data) + comp.flush()
+    elif codec != "null":
+        raise ValueError(f"unsupported codec {codec}")
+    _write_long(out, count)
+    _write_bytes2(out, data)
+    out.write(sync)
+
+
+def _write_bytes2(out, data):
+    _write_long(out, len(data))
+    out.write(data)
+
+
+def parse_header(raw: bytes) -> tuple[dict, str, bytes, int]:
+    """Returns (avro_schema_json, codec, sync_marker, header_end_offset)."""
+    buf = io.BytesIO(raw)
+    assert buf.read(4) == MAGIC, "not an avro object container file"
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _read_long(buf)
+        for _ in range(n):
+            k = _read_bytes(buf).decode()
+            meta[k] = _read_bytes(buf)
+    sync = buf.read(16)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec, sync, buf.tell()
+
+
+def decode_container(raw: bytes, schema: T.StructType | None = None):
+    """Yield row dicts from one OCF byte string."""
+    avro_schema, codec, sync, off = parse_header(raw)
+    if schema is None:
+        schema = avro_to_spark_schema(avro_schema)
+    buf = io.BytesIO(raw)
+    buf.seek(off)
+    total = len(raw)
+    while buf.tell() < total:
+        count = _read_long(buf)
+        data = _read_bytes(buf)
+        if codec == "deflate":
+            data = zlib.decompress(data, wbits=-15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        block = io.BytesIO(data)
+        for _ in range(count):
+            yield _decode_value(block, schema, nullable=False)
+        assert buf.read(16) == sync, "sync marker mismatch (corrupt block)"
+
+
+# ---------------------------------------------------------------------------
+# Spark-distributed read / write
+# ---------------------------------------------------------------------------
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Directory (or single file) of ``.avro`` OCFs as a DataFrame.
+
+    One decode task per file via binaryFile + mapInPandas; the driver
+    reads only the first header for the schema. Column pruning happens
+    after decode (this is the documented slow path — the native
+    spark-avro jar, when present, is used instead by sources.read).
+    """
+    import pandas as pd
+
+    binf = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        binf = binf.option("pathGlobFilter", "*.avro")
+    files = binf.load(path).select("content")
+    head = files.limit(1).collect()
+    if not head:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    avro_schema, _, _, _ = parse_header(bytes(head[0][0]))
+    schema = avro_to_spark_schema(avro_schema)
+
+    def decode(batches):
+        for pdf in batches:
+            for raw in pdf["content"]:
+                rows = list(decode_container(bytes(raw), schema))
+                if rows:
+                    yield pd.DataFrame(
+                        {f.name: [r[f.name] for r in rows] for f in schema.fields}
+                    )
+
+    return files.mapInPandas(decode, schema=schema)
+
+
+def write_avro(
+    df: DataFrame, path: str, mode: str = "error", codec: str = "deflate"
+) -> int:
+    """Write a DataFrame as a directory of ``part-*.avro`` OCFs, one
+    per partition (executor-parallel, nothing driver-materialized).
+    Returns the number of files written. Local/NFS paths; object-store
+    writes belong to the native jar path."""
+    import hashlib
+
+    import pyarrow as pa
+
+    if os.path.exists(path):
+        if mode == "overwrite":
+            import shutil
+
+            shutil.rmtree(path)
+        elif mode == "error":
+            raise FileExistsError(path)
+    os.makedirs(path, exist_ok=True)
+    schema = df.schema
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for batch in batches:
+            rows.extend(batch.to_pylist())
+        if rows:
+            sync = hashlib.md5(f"pgls-part-{pid}".encode()).digest()
+            payload = encode_container(rows, schema, codec=codec, sync=sync)
+            part = os.path.join(path, f"part-{pid:05d}.avro")
+            with open(part, "wb") as fh:
+                fh.write(payload)
+            yield pa.RecordBatch.from_pylist([{"files": 1}])
+
+    counts = df.mapInArrow(encode, schema="files long").collect()
+    return len(counts)

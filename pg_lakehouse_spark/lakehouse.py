@@ -2497,6 +2497,54 @@ def _is_small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
         return False
 
 
+def init_table_at(
+    spark: SparkSession,
+    location: str,
+    schema: StructType,
+    properties: dict | None = None,
+    partition_by: list[str] | None = None,
+) -> "LakeTable":
+    """Initialize empty table state (v1 'create' snapshot + pointer) at
+    an explicit location — the shared creation path for every catalog
+    backend (directory here, REST in catalog.py), so all backends emit
+    the one snapshot format."""
+    props = dict(properties or {})
+    fmt = props.get("file_format", "parquet")
+    if fmt not in ("parquet", "orc"):
+        raise LakehouseError(
+            f"unsupported file_format {fmt!r} for lakehouse tables "
+            "(reference whitelist: parquet/orc/avro, table_ops.c:78-87; "
+            "avro needs the external spark-avro jar absent here — use "
+            "sources.py for plain avro reads where available)"
+        )
+    bad = [
+        c
+        for c in (partition_by or [])
+        if _partition_field(c)[0] not in schema.fieldNames()
+    ]
+    if bad:
+        raise LakehouseError(f"partition columns not in schema: {bad}")
+    os.makedirs(os.path.join(location, _META_DIR), exist_ok=True)
+    os.makedirs(os.path.join(location, _DATA_DIR), exist_ok=True)
+    table = LakeTable(spark, location)
+    snap = Snapshot(
+        version=1,
+        snapshot_id=1,
+        parent=None,
+        operation="create",
+        timestamp_ms=int(time.time() * 1000),
+        schema_json=schema.json(),
+        files=[],
+        properties=props,
+        partition_spec=list(partition_by or []),
+    )
+    with open(table._meta_path(1), "w") as f:
+        json.dump(snap.__dict__, f)
+    with open(table._pointer_path(), "w") as f:
+        f.write("1")
+    return table
+
+
 class LakeCatalog:
     """Namespace/table catalog over a warehouse directory (ref
     PgCatalog over lakehouse_tables, catalog/pg_catalog.cpp:127-471;
@@ -2526,46 +2574,14 @@ class LakeCatalog:
     ) -> LakeTable:
         """CREATE TABLE (ref A15, table_ops.c:205-274). Validates the
         reference's option set via properties (file_format etc.)."""
-        props = dict(properties or {})
-        fmt = props.get("file_format", "parquet")
-        if fmt not in ("parquet", "orc"):
-            raise LakehouseError(
-                f"unsupported file_format {fmt!r} for lakehouse tables "
-                "(reference whitelist: parquet/orc/avro, table_ops.c:78-87; "
-                "avro needs the external spark-avro jar absent here — use "
-                "sources.py for plain avro reads where available)"
-            )
         loc = self._loc(namespace, name)
         if self.table_exists(namespace, name):
             if if_not_exists:
                 return LakeTable(self.spark, loc)
             raise LakehouseError(f"table {namespace}.{name} already exists")
-        os.makedirs(os.path.join(loc, _META_DIR), exist_ok=True)
-        os.makedirs(os.path.join(loc, _DATA_DIR), exist_ok=True)
-        table = LakeTable(self.spark, loc)
-        bad = [
-            c
-            for c in (partition_by or [])
-            if _partition_field(c)[0] not in schema.fieldNames()
-        ]
-        if bad:
-            raise LakehouseError(f"partition columns not in schema: {bad}")
-        snap = Snapshot(
-            version=1,
-            snapshot_id=1,
-            parent=None,
-            operation="create",
-            timestamp_ms=int(time.time() * 1000),
-            schema_json=schema.json(),
-            files=[],
-            properties=props,
-            partition_spec=list(partition_by or []),
+        return init_table_at(
+            self.spark, loc, schema, properties, partition_by=partition_by
         )
-        with open(table._meta_path(1), "w") as f:
-            json.dump(snap.__dict__, f)
-        with open(table._pointer_path(), "w") as f:
-            f.write("1")
-        return table
 
     def create_table_as(
         self,

@@ -33,6 +33,7 @@ def dedup_exact(
     key: Column,
     id_col: str = "doc_id",
     keep: str = "min",
+    hash_key: bool = True,
 ) -> DataFrame:
     """Exact dedup: one survivor per distinct key.
 
@@ -40,14 +41,31 @@ def dedup_exact(
     implemented as ONE hash aggregation via ``min_by`` over the packed
     row (map-side partial agg applies): the groupBy+rejoin formulation
     shuffles the payload twice; this shuffles it once.
+
+    ``hash_key=True`` (default) groups on a 128-bit fingerprint of the
+    key — two independent xxhash64 lanes — instead of the key bytes.
+    For content dedup the key is the normalized document text, so at
+    corpus scale the raw-key shuffle would move the whole corpus as
+    grouping keys; the fingerprint is 16 bytes/row regardless of
+    document size, and a 128-bit birthday collision needs ~2^64 ≈
+    1.8e19 distinct documents. Pass ``hash_key=False`` for exact-bytes
+    grouping (or when the key is already narrow).
     """
     agg = F.min_by if keep == "min" else F.max_by
+    if hash_key:
+        group = [
+            F.xxhash64(key).alias("__k0"),
+            F.xxhash64(key, F.lit(0x9E3779B9)).alias("__k1"),
+        ]
+    else:
+        group = [key.alias("__k0")]
     packed = df.select(
-        key.alias("__key"),
+        *group,
         F.col(id_col).alias("__ord"),
         F.struct(*df.columns).alias("__row"),
     )
-    survivors = packed.groupBy("__key").agg(
+    key_names = ["__k0", "__k1"][: len(group)]
+    survivors = packed.groupBy(*key_names).agg(
         agg(F.col("__row"), F.col("__ord")).alias("__row")
     )
     return survivors.select("__row.*")

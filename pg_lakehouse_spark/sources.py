@@ -8,9 +8,13 @@ reads all three natively with vectorized readers and split planning
 1 chunk/file, iceberg_bridge.cpp:906-918). CSV/JSON are added for
 ingest completeness.
 
-Avro requires the external ``spark-avro`` module jar; in environments
-without it (like this container) the functions raise a clear
-FormatUnavailable instead of Spark's opaque ClassNotFound.
+Avro prefers the external ``spark-avro`` module jar (native vectorized
+reader); in environments without it (like this container) reads and
+writes transparently fall back to
+:mod:`pg_lakehouse_spark.avro_io` — a pure-Python implementation of
+the public Avro OCF spec, distributed via binaryFile + mapInPandas /
+mapInArrow. The fallback covers local/NFS paths; FormatUnavailable is
+raised only if both paths fail.
 """
 
 from __future__ import annotations
@@ -57,7 +61,11 @@ def read(
         options.setdefault("inferSchema", schema is None)
     try:
         return reader.options(**options).format(fmt).load(path)
-    except Exception as exc:  # translate the opaque avro classpath error
+    except Exception as exc:
+        if fmt == "avro" and "Failed to find data source: avro" in str(exc):
+            from pg_lakehouse_spark.avro_io import read_avro
+
+            return read_avro(spark, path)
         raise _translate_avro_error(exc) from exc
 
 
@@ -92,6 +100,13 @@ def write(
     try:
         writer.format(fmt).save(path)
     except Exception as exc:
+        if fmt == "avro" and "Failed to find data source: avro" in str(exc):
+            from pg_lakehouse_spark.avro_io import write_avro
+
+            if partition_by:
+                raise _translate_avro_error(exc) from exc  # jar-only feature
+            write_avro(out, path, mode=mode)
+            return
         raise _translate_avro_error(exc) from exc
 
 

@@ -29,9 +29,18 @@ def test_roundtrip(fmt, orders, spark, tmp_path):
     assert a == b
 
 
-def test_avro_gated(orders, tmp_path):
-    with pytest.raises(FormatUnavailable, match="spark-avro"):
-        sources.write(orders, str(tmp_path / "a"), "avro")
+def test_avro_roundtrip_via_sources(orders, spark, tmp_path):
+    """Without the spark-avro jar, sources.read/write fall back to the
+    pure-Python OCF implementation (avro_io) — same call surface."""
+    path = str(tmp_path / "rt_avro")
+    df = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    sources.write(df, path, "avro")
+    back = sources.read(spark, path, "avro")
+    assert back.count() == 1000
+    assert dict(back.dtypes) == dict(df.dtypes)
+    a = df.agg(F.sum("o_orderkey"), F.sum("o_totalprice")).collect()[0]
+    b = back.agg(F.sum("o_orderkey"), F.sum("o_totalprice")).collect()[0]
+    assert a[0] == b[0] and abs(a[1] - b[1]) < 1e-6
 
 
 def test_partitioned_write_prunes(orders, spark, tmp_path):
