@@ -823,103 +823,106 @@ class LakeTable:
             },
         )
 
-    def _nested_parent(self, schema: StructType, path: str):
-        """Validate a one-level dotted path; return (parent, child)."""
-        parent, child = path.split(".", 1)
-        if "." in child:
-            raise LakehouseError(
-                f"only one level of struct nesting is supported: {path!r}"
-            )
-        if parent not in schema.names:
-            raise LakehouseError(f"no such column: {parent!r}")
-        if not isinstance(schema[parent].dataType, StructType):
-            raise LakehouseError(f"column {parent!r} is not a struct")
-        return parent, child
-
     @staticmethod
-    def _container_kind(path: str) -> str | None:
-        """``col.element.child`` (array<struct> element field) or
-        ``col.value.child`` (map<K,struct> value field), else None."""
-        parts = path.split(".")
-        if len(parts) == 3 and parts[1] in ("element", "value"):
-            return parts[1]
-        return None
+    def _walk_path(schema: StructType, path: str):
+        """Resolve an ARBITRARY-depth dotted path. Segments name struct
+        fields; the literal segments ``element``/``value`` descend into
+        an array's element type / a map's value type. Returns
+        ``(parent_path, leaf, parent_struct)`` where ``parent_struct``
+        is the StructType that directly holds ``leaf``.
 
-    def _container_parent(self, schema: StructType, path: str):
-        """Validate a container-child path; return (parent, kind,
-        child, element_struct)."""
+        Examples: ``a.b`` (struct child), ``a.element.b`` (array-of-
+        struct element field), ``a.b.c`` (struct-in-struct child),
+        ``a.element.b.c`` (struct inside an array-element struct).
+        """
         from pyspark.sql.types import ArrayType, MapType
 
-        parent, kind, child = path.split(".", 2)
-        if "." in child:
-            raise LakehouseError(
-                f"only one level of element nesting is supported: {path!r}"
-            )
-        if parent not in schema.names:
-            raise LakehouseError(f"no such column: {parent!r}")
-        dt = schema[parent].dataType
-        if kind == "element":
-            if not (
-                isinstance(dt, ArrayType)
-                and isinstance(dt.elementType, StructType)
-            ):
-                raise LakehouseError(
-                    f"column {parent!r} is not an array of structs"
-                )
-            return parent, kind, child, dt.elementType
-        if not (
-            isinstance(dt, MapType) and isinstance(dt.valueType, StructType)
-        ):
-            raise LakehouseError(
-                f"column {parent!r} is not a map with struct values"
-            )
-        return parent, kind, child, dt.valueType
+        parts = path.split(".")
+        node = schema
+        for i, seg in enumerate(parts[:-1]):
+            at = ".".join(parts[: i + 1])
+            if seg == "element":
+                if not isinstance(node, ArrayType):
+                    raise LakehouseError(
+                        f"path {at!r} uses .element on a non-array"
+                    )
+                node = node.elementType
+            elif seg == "value":
+                if not isinstance(node, MapType):
+                    raise LakehouseError(
+                        f"path {at!r} uses .value on a non-map"
+                    )
+                node = node.valueType
+            else:
+                if not isinstance(node, StructType):
+                    raise LakehouseError(f"column {at!r} is not a struct")
+                if seg not in node.names:
+                    raise LakehouseError(f"no such column: {at!r}")
+                node = node[seg].dataType
+        if not isinstance(node, StructType):
+            parent = ".".join(parts[:-1])
+            raise LakehouseError(f"column {parent!r} is not a struct")
+        return ".".join(parts[:-1]), parts[-1], node
 
-    @staticmethod
-    def _replace_container_child(
-        schema: StructType, parent: str, kind: str, new_children: list
-    ) -> StructType:
-        """Rebuild ``parent``'s array<struct> / map<K,struct> type with
-        new element/value children, preserving nullability and key."""
+    @classmethod
+    def _rebuild_deep(cls, node, parts: list[str], new_children: list):
+        """Rebuild the type chain along ``parts`` so the struct at the
+        end has ``new_children``; every wrapper (struct field, array,
+        map) keeps its nullability/key type."""
         from pyspark.sql.types import ArrayType, MapType, StructField
 
-        old = schema[parent].dataType
-        if kind == "element":
-            new_type = ArrayType(StructType(new_children), old.containsNull)
-        else:
-            new_type = MapType(
-                old.keyType, StructType(new_children), old.valueContainsNull
+        if not parts:
+            return StructType(new_children)
+        seg = parts[0]
+        if seg == "element":
+            return ArrayType(
+                cls._rebuild_deep(node.elementType, parts[1:], new_children),
+                node.containsNull,
+            )
+        if seg == "value":
+            return MapType(
+                node.keyType,
+                cls._rebuild_deep(node.valueType, parts[1:], new_children),
+                node.valueContainsNull,
             )
         return StructType(
             [
                 f
-                if f.name != parent
-                else StructField(parent, new_type, f.nullable)
-                for f in schema.fields
+                if f.name != seg
+                else StructField(
+                    seg,
+                    cls._rebuild_deep(f.dataType, parts[1:], new_children),
+                    f.nullable,
+                )
+                for f in node.fields
             ]
         )
+
+    def _rebuild_schema(
+        self, schema: StructType, parent_path: str, new_children: list
+    ) -> StructType:
+        parts = parent_path.split(".") if parent_path else []
+        return self._rebuild_deep(schema, parts, new_children)
 
     @staticmethod
-    def _replace_struct(
-        schema: StructType, parent: str, new_children: list
-    ) -> StructType:
-        from pyspark.sql.types import StructField
-
-        return StructType(
-            [
-                f
-                if f.name != parent
-                else StructField(parent, StructType(new_children), f.nullable)
-                for f in schema.fields
-            ]
-        )
+    def _child_id_anchor(ids: dict, parent_path: str) -> str:
+        """Field-id prefix for a new child of ``parent_path``: the id
+        of the nearest enclosing NAMED field plus ``e``/``v`` markers
+        for any container steps in between. Matches the legacy schemes
+        (one-level struct: ``<pid>.n#``; container: ``<pid>.en#``)."""
+        parts = parent_path.split(".")
+        marker = ""
+        while parts and parts[-1] in ("element", "value"):
+            marker = ("e" if parts.pop() == "element" else "v") + marker
+        return f"{ids['.'.join(parts)]}.{marker}"
 
     def add_column(self, name: str, data_type, nullable: bool = True) -> Snapshot:
         """ADD COLUMN: existing files read the new column as NULL. The
         new column gets a fresh field id — re-adding a dropped name
         never resurrects old data (id-based, not name-based). A dotted
-        ``parent.child`` name adds a field inside a struct column
-        (Iceberg-style nested evolution, one level)."""
+        path adds a field inside a struct at ANY depth, including
+        through array-element / map-value steps (``a.b.c``,
+        ``a.element.b``, ``a.element.b.c`` ...)."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
         snap = self.snapshot()
@@ -927,32 +930,20 @@ class LakeTable:
         if isinstance(data_type, str):
             data_type = _parse_datatype_string(data_type)
         ids, nxt = self._effective_field_ids(snap)
-        if self._container_kind(name):
-            parent, kind, child, st = self._container_parent(schema, name)
-            if child in st.names:
-                raise LakehouseError(f"column {name!r} already exists")
-            new_schema = self._replace_container_child(
-                schema, parent, kind,
-                st.fields + [StructField(child, data_type, nullable)],
-            )
-            return self._evolve(
-                "add-column", new_schema,
-                ids | {name: f"{ids[parent]}.en{nxt}"}, nxt + 1,
-            )
         if "." in name:
-            parent, child = self._nested_parent(schema, name)
-            st: StructType = schema[parent].dataType
+            parent_path, child, st = self._walk_path(schema, name)
             if child in st.names:
                 raise LakehouseError(f"column {name!r} already exists")
-            new_schema = self._replace_struct(
-                schema, parent,
+            new_schema = self._rebuild_schema(
+                schema, parent_path,
                 st.fields + [StructField(child, data_type, nullable)],
             )
             # fresh id inside the parent's namespace, global counter for
             # uniqueness — re-adding a dropped child never resurrects
+            anchor = self._child_id_anchor(ids, parent_path)
             return self._evolve(
                 "add-column", new_schema,
-                ids | {name: f"{ids[parent]}.n{nxt}"}, nxt + 1,
+                ids | {name: f"{anchor}n{nxt}"}, nxt + 1,
             )
         if name in schema.names:
             raise LakehouseError(f"column {name!r} already exists")
@@ -968,66 +959,47 @@ class LakeTable:
         """RENAME COLUMN: the field id is stable, so files written
         under the old name keep resolving; per-file range stats are
         re-keyed in metadata (metadata-only, no file rewrite). Dotted
-        ``parent.child`` paths rename a struct field in place (``new``
-        may be the bare child name or ``parent.child``)."""
+        paths rename a struct field in place at ANY depth (``new`` may
+        be the bare child name or the full path with the same parent;
+        cross-struct moves are rejected)."""
         from pyspark.sql.types import StructField
 
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         ids, nxt = self._effective_field_ids(snap)
-        if self._container_kind(old):
-            parent, kind, child, st = self._container_parent(schema, old)
-            new_child = new.rsplit(".", 1)[1] if "." in new else new
-            if "." in new and not new.startswith(f"{parent}.{kind}."):
-                raise LakehouseError(
-                    f"cannot move field across structs: {old!r} -> {new!r}"
-                )
-            if child not in st.names:
-                raise LakehouseError(f"no such column: {old!r}")
-            if new_child in st.names:
-                raise LakehouseError(
-                    f"column {parent}.{kind}.{new_child} already exists"
-                )
-            children = [
-                f if f.name != child
-                else StructField(new_child, f.dataType, f.nullable)
-                for f in st.fields
-            ]
-            new_path = f"{parent}.{kind}.{new_child}"
-            new_ids = {
-                (new_path if n == old else n): fid for n, fid in ids.items()
-            }
-            return self._evolve(
-                "rename-column",
-                self._replace_container_child(schema, parent, kind, children),
-                new_ids, nxt,
-            )
         if "." in old:
-            parent, child = self._nested_parent(schema, old)
-            new_child = new.split(".", 1)[1] if "." in new else new
-            if "." in new and new.split(".", 1)[0] != parent:
+            parent_path, child, st = self._walk_path(schema, old)
+            new_child = new.rsplit(".", 1)[1] if "." in new else new
+            if "." in new and new.rsplit(".", 1)[0] != parent_path:
                 raise LakehouseError(
                     f"cannot move field across structs: {old!r} -> {new!r}"
                 )
-            st: StructType = schema[parent].dataType
             if child not in st.names:
                 raise LakehouseError(f"no such column: {old!r}")
             if new_child in st.names:
                 raise LakehouseError(
-                    f"column {parent}.{new_child} already exists"
+                    f"column {parent_path}.{new_child} already exists"
                 )
             children = [
                 f if f.name != child
                 else StructField(new_child, f.dataType, f.nullable)
                 for f in st.fields
             ]
-            new_path = f"{parent}.{new_child}"
-            new_ids = {
-                (new_path if n == old else n): fid for n, fid in ids.items()
-            }
+            new_path = f"{parent_path}.{new_child}"
+
+            def rekey_nested(n: str) -> str:
+                # the renamed field's own key moves, and so do the keys
+                # of everything nested beneath it
+                if n == old:
+                    return new_path
+                if n.startswith(old + "."):
+                    return new_path + n[len(old):]
+                return n
+
+            new_ids = {rekey_nested(n): fid for n, fid in ids.items()}
             return self._evolve(
                 "rename-column",
-                self._replace_struct(schema, parent, children),
+                self._rebuild_schema(schema, parent_path, children),
                 new_ids, nxt,
             )
         if old not in schema.names:
@@ -1117,16 +1089,9 @@ class LakeTable:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if isinstance(new_type, str):
             new_type = _parse_datatype_string(new_type)
-        kind = self._container_kind(name)
-        nested = "." in name and not kind
-        if kind:
-            parent, kind, child, st = self._container_parent(schema, name)
-            if child not in st.names:
-                raise LakehouseError(f"no such column: {name!r}")
-            old_type = st[child].dataType
-        elif nested:
-            parent, child = self._nested_parent(schema, name)
-            st: StructType = schema[parent].dataType
+        nested = "." in name
+        if nested:
+            parent_path, child, st = self._walk_path(schema, name)
             if child not in st.names:
                 raise LakehouseError(f"no such column: {name!r}")
             old_type = st[child].dataType
@@ -1143,17 +1108,13 @@ class LakeTable:
                 "values"
             )
         ids, nxt = self._effective_field_ids(snap)
-        if kind or nested:
+        if nested:
             children = [
                 f if f.name != child
                 else StructField(child, new_type, f.nullable)
                 for f in st.fields
             ]
-            new_schema = (
-                self._replace_container_child(schema, parent, kind, children)
-                if kind
-                else self._replace_struct(schema, parent, children)
-            )
+            new_schema = self._rebuild_schema(schema, parent_path, children)
         else:
             new_schema = StructType(
                 [
@@ -1166,41 +1127,30 @@ class LakeTable:
 
     def drop_column(self, name: str) -> Snapshot:
         """DROP COLUMN: metadata-only; the column's id is retired and
-        old files simply stop selecting it. Dotted ``parent.child``
-        paths drop a struct field."""
+        old files simply stop selecting it. Dotted paths drop a struct
+        field at ANY depth."""
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         ids, nxt = self._effective_field_ids(snap)
-        if self._container_kind(name):
-            parent, kind, child, st = self._container_parent(schema, name)
-            if child not in st.names:
-                raise LakehouseError(f"no such column: {name!r}")
-            if len(st.fields) == 1:
-                raise LakehouseError(
-                    f"cannot drop the only field of container "
-                    f"{parent!r}; drop the column instead"
-                )
-            children = [f for f in st.fields if f.name != child]
-            return self._evolve(
-                "drop-column",
-                self._replace_container_child(schema, parent, kind, children),
-                {n: fid for n, fid in ids.items() if n != name}, nxt,
-            )
         if "." in name:
-            parent, child = self._nested_parent(schema, name)
-            st: StructType = schema[parent].dataType
+            parent_path, child, st = self._walk_path(schema, name)
             if child not in st.names:
                 raise LakehouseError(f"no such column: {name!r}")
             if len(st.fields) == 1:
                 raise LakehouseError(
-                    f"cannot drop the only field of struct {parent!r}; "
-                    "drop the column instead"
+                    f"cannot drop the only field of struct "
+                    f"{parent_path!r}; drop the enclosing column instead"
                 )
             children = [f for f in st.fields if f.name != child]
             return self._evolve(
                 "drop-column",
-                self._replace_struct(schema, parent, children),
-                {n: fid for n, fid in ids.items() if n != name}, nxt,
+                self._rebuild_schema(schema, parent_path, children),
+                {
+                    n: fid
+                    for n, fid in ids.items()
+                    if n != name and not n.startswith(name + ".")
+                },
+                nxt,
             )
         if name not in schema.names:
             raise LakehouseError(f"no such column: {name!r}")
@@ -1247,36 +1197,32 @@ class LakeTable:
 
     @staticmethod
     def _augment_nested_ids(schema: StructType, ids: dict) -> dict:
-        """Extend an id map with entries for direct struct children
-        (dotted paths ``parent.child``). Children not yet persisted get
-        positional ids ``"<parent_id>.<pos>"`` — deterministic, so an
-        archived epoch map and the live map derive the SAME ids for
-        layouts that predate any nested evolution (nested ops persist
-        their ids explicitly from then on)."""
+        """Extend an id map with entries for struct children at EVERY
+        depth (dotted paths, with ``element``/``value`` steps through
+        containers). Children not yet persisted get positional ids
+        ``"<parent_id>.<marker><pos>"`` — deterministic, so an archived
+        epoch map and the live map derive the SAME ids for layouts that
+        predate any nested evolution (nested ops persist their ids
+        explicitly from then on)."""
         from pyspark.sql.types import ArrayType, MapType
 
         out = dict(ids)
+
+        def descend(path: str, fid, dt, marker: str = "") -> None:
+            if isinstance(dt, StructType):
+                for j, ch in enumerate(dt.fields):
+                    cid = out.setdefault(
+                        f"{path}.{ch.name}", f"{fid}.{marker}{j + 1}"
+                    )
+                    descend(f"{path}.{ch.name}", cid, ch.dataType)
+            elif isinstance(dt, ArrayType):
+                descend(f"{path}.element", fid, dt.elementType, marker + "e")
+            elif isinstance(dt, MapType):
+                descend(f"{path}.value", fid, dt.valueType, marker + "v")
+
         for f in schema.fields:
-            if f.name not in out:
-                continue
-            pid = out[f.name]
-            if isinstance(f.dataType, StructType):
-                for j, ch in enumerate(f.dataType.fields):
-                    out.setdefault(f"{f.name}.{ch.name}", f"{pid}.{j + 1}")
-            elif isinstance(f.dataType, ArrayType) and isinstance(
-                f.dataType.elementType, StructType
-            ):
-                for j, ch in enumerate(f.dataType.elementType.fields):
-                    out.setdefault(
-                        f"{f.name}.element.{ch.name}", f"{pid}.e{j + 1}"
-                    )
-            elif isinstance(f.dataType, MapType) and isinstance(
-                f.dataType.valueType, StructType
-            ):
-                for j, ch in enumerate(f.dataType.valueType.fields):
-                    out.setdefault(
-                        f"{f.name}.value.{ch.name}", f"{pid}.v{j + 1}"
-                    )
+            if f.name in out:
+                descend(f.name, out[f.name], f.dataType)
         return out
 
     def _effective_field_ids(self, snap: Snapshot) -> tuple[dict, int]:
@@ -1360,116 +1306,139 @@ class LakeTable:
             id_to_old = {fid: n for n, fid in epoch_ids.items()}
             df = self._read_files(old_schema, paths)
             proj = []
+
+            from pyspark.sql.types import ArrayType, MapType
+
+            def identical(new_dt, cur_path, old_path, old_dt) -> bool:
+                """True iff the old layout equals the new one at every
+                depth (names, types, order AND id mapping) — the scan
+                can then be used as-is, fully vectorized."""
+                if isinstance(new_dt, StructType):
+                    if not isinstance(old_dt, StructType) or len(
+                        new_dt.fields
+                    ) != len(old_dt.fields):
+                        return False
+                    for ch, och in zip(new_dt.fields, old_dt.fields):
+                        if ch.name != och.name:
+                            return False
+                        old_full = id_to_old.get(
+                            cur_ids.get(f"{cur_path}.{ch.name}")
+                        )
+                        if old_full != f"{old_path}.{och.name}":
+                            return False
+                        if not identical(
+                            ch.dataType,
+                            f"{cur_path}.{ch.name}",
+                            old_full,
+                            och.dataType,
+                        ):
+                            return False
+                    return True
+                if isinstance(new_dt, ArrayType):
+                    return isinstance(old_dt, ArrayType) and identical(
+                        new_dt.elementType,
+                        f"{cur_path}.element",
+                        f"{old_path}.element",
+                        old_dt.elementType,
+                    )
+                if isinstance(new_dt, MapType):
+                    return (
+                        isinstance(old_dt, MapType)
+                        and new_dt.keyType == old_dt.keyType
+                        and identical(
+                            new_dt.valueType,
+                            f"{cur_path}.value",
+                            f"{old_path}.value",
+                            old_dt.valueType,
+                        )
+                    )
+                return new_dt == old_dt
+
+            def reconcile(new_dt, cur_path, old_path, old_dt, src):
+                """Column expr resolving an old-epoch value to the
+                current type by FIELD ID, recursively through structs,
+                arrays and maps at any depth. Identity layouts return
+                the scan column untouched; the rebuild lambda runs only
+                over old-epoch files."""
+                if identical(new_dt, cur_path, old_path, old_dt):
+                    return src
+                if isinstance(new_dt, StructType) and isinstance(
+                    old_dt, StructType
+                ):
+                    children = []
+                    for ch in new_dt.fields:
+                        old_full = id_to_old.get(
+                            cur_ids.get(f"{cur_path}.{ch.name}")
+                        )
+                        leaf = (
+                            old_full.rsplit(".", 1)[1] if old_full else None
+                        )
+                        if leaf is None or leaf not in old_dt.names:
+                            children.append(
+                                F.lit(None).cast(ch.dataType).alias(ch.name)
+                            )
+                        else:
+                            children.append(
+                                reconcile(
+                                    ch.dataType,
+                                    f"{cur_path}.{ch.name}",
+                                    old_full,
+                                    old_dt[leaf].dataType,
+                                    src[leaf],
+                                ).alias(ch.name)
+                            )
+                    return F.when(
+                        src.isNull(), F.lit(None).cast(new_dt)
+                    ).otherwise(F.struct(*children))
+                if isinstance(new_dt, ArrayType) and isinstance(
+                    old_dt, ArrayType
+                ):
+                    rebuilt = F.transform(
+                        src,
+                        lambda x: reconcile(
+                            new_dt.elementType,
+                            f"{cur_path}.element",
+                            f"{old_path}.element",
+                            old_dt.elementType,
+                            x,
+                        ),
+                    )
+                    return F.when(
+                        src.isNull(), F.lit(None).cast(new_dt)
+                    ).otherwise(rebuilt)
+                if isinstance(new_dt, MapType) and isinstance(
+                    old_dt, MapType
+                ):
+                    rebuilt = F.transform_values(
+                        src,
+                        lambda k, v: reconcile(
+                            new_dt.valueType,
+                            f"{cur_path}.value",
+                            f"{old_path}.value",
+                            old_dt.valueType,
+                            v,
+                        ),
+                    )
+                    return F.when(
+                        src.isNull(), F.lit(None).cast(new_dt)
+                    ).otherwise(rebuilt)
+                # primitive (possibly widened) or container-type change
+                # expressible as a cast
+                return src.cast(new_dt)
+
             for fld in schema.fields:
                 old_name = id_to_old.get(cur_ids[fld.name])
                 if old_name is None:
                     proj.append(F.lit(None).cast(fld.dataType).alias(fld.name))
                     continue
-                from pyspark.sql.types import ArrayType, MapType
-
-                is_elem = isinstance(fld.dataType, ArrayType) and isinstance(
-                    fld.dataType.elementType, StructType
-                )
-                is_mapv = isinstance(fld.dataType, MapType) and isinstance(
-                    fld.dataType.valueType, StructType
-                )
-                if is_elem or is_mapv:
-                    # resolve element/value children by id; rebuild each
-                    # via transform()/transform_values() only when the
-                    # old layout differs (container-field evolution).
-                    # The lambda runs per entry but only over old-epoch
-                    # files — new files take the vectorized scan as-is.
-                    kind = "element" if is_elem else "value"
-                    elem = (
-                        fld.dataType.elementType
-                        if is_elem
-                        else fld.dataType.valueType
-                    )
-                    resolved = [
-                        id_to_old.get(
-                            cur_ids.get(f"{fld.name}.{kind}.{ch.name}")
-                        )
-                        for ch in elem.fields
-                    ]
-                    same_layout = (
-                        old_schema[old_name].dataType == fld.dataType
-                        and resolved
-                        == [
-                            f"{old_name}.{kind}.{ch.name}"
-                            for ch in elem.fields
-                        ]
-                    )
-                    if not same_layout:
-                        prefix = f"{old_name}.{kind}."
-
-                        def make_struct(elem, resolved, prefix):
-                            def build(x):
-                                children = []
-                                for ch, old_path in zip(
-                                    elem.fields, resolved
-                                ):
-                                    src = (
-                                        x[old_path[len(prefix):]]
-                                        if old_path is not None
-                                        else F.lit(None)
-                                    )
-                                    children.append(
-                                        src.cast(ch.dataType).alias(ch.name)
-                                    )
-                                return F.when(
-                                    x.isNull(), F.lit(None).cast(elem)
-                                ).otherwise(F.struct(*children))
-
-                            return build
-
-                        build = make_struct(elem, resolved, prefix)
-                        if is_elem:
-                            rebuilt = F.transform(F.col(old_name), build)
-                        else:
-                            rebuilt = F.transform_values(
-                                F.col(old_name), lambda k, v: build(v)
-                            )
-                        proj.append(
-                            F.when(
-                                F.col(old_name).isNull(),
-                                F.lit(None).cast(fld.dataType),
-                            )
-                            .otherwise(rebuilt)
-                            .alias(fld.name)
-                        )
-                        continue
-                if isinstance(fld.dataType, StructType):
-                    # resolve each child by id; rebuild the struct only
-                    # when the old layout differs (nested evolution)
-                    resolved = [
-                        id_to_old.get(cur_ids.get(f"{fld.name}.{ch.name}"))
-                        for ch in fld.dataType.fields
-                    ]
-                    same_layout = (
-                        old_schema[old_name].dataType == fld.dataType
-                        and resolved
-                        == [f"{old_name}.{ch.name}" for ch in fld.dataType.fields]
-                    )
-                    if not same_layout:
-                        children = []
-                        for ch, old_path in zip(fld.dataType.fields, resolved):
-                            src = (
-                                F.col(old_path) if old_path is not None
-                                else F.lit(None)
-                            )
-                            children.append(
-                                src.cast(ch.dataType).alias(ch.name)
-                            )
-                        rebuilt = F.when(
-                            F.col(old_name).isNull(),
-                            F.lit(None).cast(fld.dataType),
-                        ).otherwise(F.struct(*children))
-                        proj.append(rebuilt.alias(fld.name))
-                        continue
-                # cast is a no-op unless the column was widened
-                # after this file was written (int->bigint etc.)
                 proj.append(
-                    F.col(old_name).cast(fld.dataType).alias(fld.name)
+                    reconcile(
+                        fld.dataType,
+                        fld.name,
+                        old_name,
+                        old_schema[old_name].dataType,
+                        F.col(old_name),
+                    ).alias(fld.name)
                 )
             parts.append(
                 self._apply_deletes(df.select(*proj), applicable, cur_ids)

@@ -53,6 +53,9 @@ def read(
     """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    from pg_lakehouse_spark.objectstore import normalize_path
+
+    path = normalize_path(path)
     reader: DataFrameReader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -88,6 +91,9 @@ def write(
     """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    from pg_lakehouse_spark.objectstore import normalize_path
+
+    path = normalize_path(path)
     out = df
     if target_file_rows:
         n = max(1, out.count() // target_file_rows)

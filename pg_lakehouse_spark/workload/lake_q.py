@@ -353,6 +353,64 @@ def lake_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_deep_nested_evolution",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey <= 1000 THEN CAST(o_orderkey AS BIGINT)
+            ELSE o_orderkey + 5000000000 END AS zip,
+       CASE WHEN o_orderkey <= 1000 THEN NULL ELSE 'EU' END AS region,
+       o_orderstatus AS status
+FROM orders WHERE o_orderkey <= 1500
+""",
+    tags=("lakehouse", "schema-evolution", "nested-deep"),
+)
+def lake_deep_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT-IN-STRUCT evolution (two levels down): add / rename /
+    widen / drop on ``customer.address.*`` children are metadata-only
+    commits; old files resolve grandchildren by field id recursively
+    and cast narrow types up. Mirrors lake_nested_evolution one level
+    deeper (the reference's Iceberg schema model is depth-free;
+    bridge/iceberg_bridge.cpp kStruct handling)."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "deep_nested_evolution")
+    base = orders.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_orderkey").cast("int").alias("zipcode"),
+                F.lit("x").alias("street"),
+            ).alias("address"),
+        ).alias("customer"),
+    )
+    tbl = cat.create_table_as("db", "orders_deep", base)
+    tbl.add_column("customer.address.region", "string")   # depth-2 add
+    tbl.rename_column("customer.address.zipcode", "zip")  # depth-2 rename
+    tbl.widen_column("customer.address.zip", "bigint")    # depth-2 widen
+    newrows = orders.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1500)
+    ).select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                (F.col("o_orderkey") + F.lit(5_000_000_000)).alias("zip"),
+                F.lit("y").alias("street"),
+                F.lit("EU").alias("region"),
+            ).alias("address"),
+        ).cast(tbl.schema()["customer"].dataType).alias("customer"),
+    )
+    tbl.append(newrows)
+    tbl.drop_column("customer.address.street")            # depth-2 drop
+    return tbl.read().select(
+        "o_orderkey",
+        F.col("customer.address.zip").alias("zip"),
+        F.col("customer.address.region").alias("region"),
+        F.col("customer.status").alias("status"),
+    )
+
+
+@register(
     "lake_container_evolution",
     oracle="""
 SELECT o_orderkey,

@@ -727,7 +727,7 @@ def test_array_element_field_evolution(catalog, orders_df, spark):
         tbl.add_column("items.element.ref", "bigint")
     with pytest.raises(LakehouseError, match="no such column"):
         tbl.rename_column("items.element.nope", "x")
-    with pytest.raises(LakehouseError, match="not an array of structs"):
+    with pytest.raises(LakehouseError, match="non-array"):
         tbl.add_column("o_orderkey.element.x", "int")
 
 
@@ -784,7 +784,7 @@ def test_map_value_field_evolution(catalog, orders_df, spark):
         == "map<string,struct<ref:bigint,qty:bigint>>"
     )
     assert tbl.read().count() == 42
-    with pytest.raises(LakehouseError, match="not a map with struct"):
+    with pytest.raises(LakehouseError, match="non-map"):
         tbl.add_column("o_orderkey.value.x", "int")
 
 
@@ -1662,8 +1662,8 @@ def test_nested_evolution_guards(catalog, orders_df):
     tbl = catalog.create_table_as(
         "db", "nested_guard", _with_props(orders_df.limit(10))
     )
-    with pytest.raises(LakehouseError, match="one level"):
-        tbl.add_column("props.a.b", "string")
+    with pytest.raises(LakehouseError, match="no such column"):
+        tbl.add_column("props.a.b", "string")  # props.a does not exist
     with pytest.raises(LakehouseError, match="not a struct"):
         tbl.add_column("o_orderkey.x", "string")
     with pytest.raises(LakehouseError, match="already exists"):
@@ -1699,3 +1699,104 @@ def test_struct_column_rename_rekeys_children(catalog, orders_df):
         .count()
         == 20
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-level nested evolution (struct-in-struct, and through containers)
+# ---------------------------------------------------------------------------
+
+
+def test_deep_nested_evolution_roundtrip(catalog, spark):
+    """add/rename/widen/drop two levels down; files from every epoch
+    resolve grandchildren by field id."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(k=i, a={"b": {"x": i, "y": f"s{i}"}}) for i in range(5)],
+        "k long, a struct<b: struct<x: int, y: string>>",
+    )
+    tbl = catalog.create_table_as("db", "deep", base)
+    tbl.add_column("a.b.z", "string")
+    tbl.rename_column("a.b.x", "xx")
+    tbl.widen_column("a.b.xx", "bigint")
+    newrow = spark.createDataFrame(
+        [(99, ((1 << 40, "new", "zz"),))],
+        "k long, a struct<b: struct<xx: bigint, y: string, z: string>>",
+    )
+    tbl.append(newrow)
+    out = {r.k: r for r in tbl.read().select("k", "a.b.*").collect()}
+    assert out[0].xx == 0 and out[0].y == "s0" and out[0].z is None
+    assert out[99].xx == 1 << 40 and out[99].z == "zz"
+    tbl.drop_column("a.b.y")
+    assert "y" not in tbl.read().select("a.b.*").columns
+    # old epoch files still readable, y gone everywhere
+    assert tbl.read().count() == 6
+
+
+def test_deep_evolution_through_array_element(catalog, spark):
+    """Evolution of a struct nested inside an array-element struct:
+    path a.element.inner.child (4 segments, container + 2 structs)."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(k=i, items=[{"inner": {"q": i}, "tag": "t"}]) for i in range(4)],
+        "k long, items array<struct<inner: struct<q: int>, tag: string>>",
+    )
+    tbl = catalog.create_table_as("db", "deep_arr", base)
+    tbl.add_column("items.element.inner.r", "string")
+    tbl.rename_column("items.element.inner.q", "qty")
+    tbl.widen_column("items.element.inner.qty", "bigint")
+    newrow = spark.createDataFrame(
+        [(9, [((1 << 41, "R"), "u")])],
+        "k long, items array<struct<inner: struct<qty: bigint, r: string>, tag: string>>",
+    )
+    tbl.append(newrow)
+    rows = {r.k: r.items for r in tbl.read().collect()}
+    assert rows[0][0].inner.qty == 0 and rows[0][0].inner.r is None
+    assert rows[9][0].inner.qty == 1 << 41 and rows[9][0].inner.r == "R"
+    assert rows[0][0].tag == "t"
+    # rename two levels deep re-keys ids; DML on the table still works
+    tbl.delete(F.col("k") == 1)
+    assert tbl.read().count() == 4
+
+
+def test_deep_rename_rekeys_descendants(catalog, spark):
+    """Renaming a mid-level struct field moves the id keys of
+    everything beneath it (a.b -> a.c keeps a.c.x resolvable)."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(k=1, a={"b": {"x": 7}})],
+        "k long, a struct<b: struct<x: int>>",
+    )
+    tbl = catalog.create_table_as("db", "deep_rekey", base)
+    tbl.rename_column("a.b", "c")
+    assert tbl.read().select("a.c.x").collect()[0][0] == 7
+    tbl.rename_column("a.c.x", "xx")
+    assert tbl.read().select("a.c.xx").collect()[0][0] == 7
+    tbl.append(
+        spark.createDataFrame(
+            [(2, ((8,),))], "k long, a struct<c: struct<xx: int>>"
+        )
+    )
+    assert {r[0] for r in tbl.read().select("a.c.xx").collect()} == {7, 8}
+
+
+def test_deep_guards(catalog, spark):
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(k=1, a={"b": {"x": 7}})],
+        "k long, a struct<b: struct<x: int>>",
+    )
+    tbl = catalog.create_table_as("db", "deep_guard", base)
+    with pytest.raises(LakehouseError, match="no such column"):
+        tbl.add_column("a.nope.z", "string")
+    with pytest.raises(LakehouseError, match="not a struct"):
+        tbl.add_column("a.b.x.deeper", "string")
+    with pytest.raises(LakehouseError, match="already exists"):
+        tbl.add_column("a.b.x", "string")
+    with pytest.raises(LakehouseError, match="across structs"):
+        tbl.rename_column("a.b.x", "a.other.x")
+    with pytest.raises(LakehouseError, match="only field"):
+        tbl.drop_column("a.b.x")

@@ -74,6 +74,8 @@ def test_no_driver_side_collects_in_operators():
         "similarity.py",     # cosine_topk_pandas collects the QUERY
         # set (bounded by the broadcast contract), never the corpus
         "zorder.py",         # 2 scalars per column (min/max stats)
+        "avro_io.py",        # first-file header (schema) + one
+        # counter row per partition after write — both metadata-sized
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
