@@ -39,6 +39,20 @@ def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
     return normalize_ts(df, ("ts",))
 
 
+# (session id, sf_dir, name) -> DataFrame. A DataFrame is an immutable
+# logical plan, so reuse is safe; this removes the repeated file-listing
+# + footer-schema-read (~50-100 ms) and conf RPCs that otherwise tax
+# EVERY query construction. Fixture dirs are read-only; call
+# clear_table_cache() if a path's files are ever replaced in-session.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CONFED_SESSIONS: set[int] = set()
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+    _CONFED_SESSIONS.clear()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table. Column pruning / predicate pushdown reach
     the parquet scan because this is a plain declarative read.
@@ -47,17 +61,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     set at runtime here because the driver's verify harness passes its
     own SparkSession, which won't carry our session-factory config.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # AQE is safe on any session and keeps a default-200-partition
-        # caller from paying empty-task overhead at small SFs
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    except Exception:
-        pass  # conf locked down → the session must already handle nanos
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if id(spark) not in _CONFED_SESSIONS:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # AQE is safe on any session and keeps a default-200-partition
+            # caller from paying empty-task overhead at small SFs
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+        except Exception:
+            pass  # conf locked down → the session must already handle nanos
+        _CONFED_SESSIONS.add(id(spark))
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _restore_nanos_timestamps(df)
+    _TABLE_CACHE[key] = df
     return df
 
 

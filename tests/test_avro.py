@@ -199,3 +199,60 @@ def test_deflate_is_default_and_smaller(spark):
     assert list(avro_io.decode_container(defl_raw)) == list(
         avro_io.decode_container(null_raw)
     )
+
+
+# ---------------------------------------------------------------------------
+# property-based: arbitrary values round-trip the pure-Python codec
+# (no Spark needed — encode/decode are plain functions)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_PROP_SCHEMA = T.StructType(
+    [
+        T.StructField("l", T.LongType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("bin", T.BinaryType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+    ]
+)
+
+_row = st.fixed_dictionaries(
+    {
+        "l": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        "d": st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=True, width=64),
+        ),
+        "s": st.one_of(st.none(), st.text(max_size=40)),
+        "bin": st.one_of(st.none(), st.binary(max_size=40)),
+        "arr": st.one_of(
+            st.none(), st.lists(st.integers(-(2**40), 2**40), max_size=8)
+        ),
+        "m": st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.text(max_size=8), st.integers(-(2**40), 2**40), max_size=6
+            ),
+        ),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=st.lists(_row, max_size=20), codec=st.sampled_from(["null", "deflate"]))
+def test_property_container_roundtrip(rows, codec):
+    raw = avro_io.encode_container(rows, _PROP_SCHEMA, codec=codec)
+    back = list(avro_io.decode_container(raw))
+    assert back == rows
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(-(2**63), 2**63 - 1))
+def test_property_zigzag_varint_roundtrip(n):
+    buf = io.BytesIO()
+    avro_io._write_long(buf, n)
+    buf.seek(0)
+    assert avro_io._read_long(buf) == n
