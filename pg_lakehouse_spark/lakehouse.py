@@ -2014,13 +2014,17 @@ class LakeTable:
         when_matched_update: dict[str, Column] | None,
         when_matched_delete: bool,
         when_not_matched_insert: bool,
-        summary_extra: dict | None,
+        when_not_matched_by_source_delete: bool = False,
+        when_not_matched_by_source_condition: Column | None = None,
+        summary_extra: dict | None = None,
     ) -> Snapshot:
         """Merge-on-read MERGE: matched target rows retire via an
         equality-delete key file; updated postimages and unmatched
         inserts land as ordinary appends (seq-exempt from the delete).
         Writes O(matched + inserted) rows — no target file rewrite —
-        the CDC-apply-at-scale shape."""
+        the CDC-apply-at-scale shape. ``when_not_matched_by_source_
+        delete`` additionally retires target rows with no source match
+        (O(unmatched) keys — inherent to full-sync semantics)."""
         base = self.current_version()
         snap = self.snapshot(base)
         key_cols = self._row_key(snap)
@@ -2034,9 +2038,30 @@ class LakeTable:
             src = F.broadcast(src)
         cond = F.expr(" AND ".join(f"`{c}` = `__k_{c}`" for c in on))
         matched = target.join(src, cond, "inner")
-        rel, rows = self._stage_delete_file(
-            matched.select(*key_cols).distinct(), base + 1
+        retire_parts = []
+        if when_matched_update or when_matched_delete:
+            # matched rows retire only when a matched clause replaces or
+            # deletes them — an insert-only merge must leave them alone
+            retire_parts.append(matched.select(*key_cols))
+        if when_not_matched_by_source_delete:
+            unmatched = target.join(
+                src.select(*[F.col(f"__k_{c}").alias(c) for c in on]),
+                on=on,
+                how="left_anti",
+            )
+            if when_not_matched_by_source_condition is not None:
+                unmatched = unmatched.filter(
+                    when_not_matched_by_source_condition
+                )
+            retire_parts.append(unmatched.select(*key_cols))
+        retire = (
+            retire_parts[0]
+            if retire_parts
+            else target.select(*key_cols).limit(0)
         )
+        for p in retire_parts[1:]:
+            retire = retire.unionByName(p)
+        rel, rows = self._stage_delete_file(retire.distinct(), base + 1)
         new_parts = []
         tcols = target.columns
         if when_matched_update:
@@ -2112,6 +2137,12 @@ class LakeTable:
                         "_change_type", F.lit("insert")
                     )
                 )
+            if when_not_matched_by_source_delete:
+                change_parts.append(
+                    unmatched.select(*tcols).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
             if change_parts:
                 chg = change_parts[0]
                 for p in change_parts[1:]:
@@ -2137,6 +2168,8 @@ class LakeTable:
         when_matched_update: dict[str, Column] | None = None,
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_delete: bool = False,
+        when_not_matched_by_source_condition: Column | None = None,
         summary_extra: dict | None = None,
         mode: str | None = None,
     ) -> Snapshot:
@@ -2150,13 +2183,21 @@ class LakeTable:
         file is genuinely unmatched (insert). The bounds aggregation is
         2 scalars per key column — metadata-scale, not data.
 
+        ``when_not_matched_by_source_delete`` adds the PG17/Delta
+        ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` clause (optionally
+        gated by a condition over target columns) — the full-sync
+        shape. It disables key-bounds pruning: any target row may be
+        source-unmatched, so every file is a rewrite candidate. That
+        cost is inherent to the semantics, not the implementation.
+
         ``mode='merge-on-read'`` (or the ``write_delete_mode`` table
         property) switches to the no-rewrite path (`_mor_merge`).
         """
         if self._delete_mode(mode) == "mor":
             return self._mor_merge(
                 source, on, when_matched_update, when_matched_delete,
-                when_not_matched_insert, summary_extra,
+                when_not_matched_insert, when_not_matched_by_source_delete,
+                when_not_matched_by_source_condition, summary_extra,
             )
         base = self.current_version()
         snap = self.snapshot(base)
@@ -2183,7 +2224,10 @@ class LakeTable:
                     return False
             return True
 
-        touched = [f for f in snap.files if overlaps(f)]
+        if when_not_matched_by_source_delete:
+            touched = list(snap.files)  # every row is a candidate
+        else:
+            touched = [f for f in snap.files if overlaps(f)]
         keep = [f for f in snap.files if f not in touched]
         target = self._read_entries(snap, touched)
         src = source.select(
@@ -2209,11 +2253,19 @@ class LakeTable:
             if when_not_matched_insert:
                 val = F.when(src_only, F.col(f"__src.{name}")).otherwise(val)
             cols.append(val.alias(name))
+        target_only = F.col("__src").isNull()
+        by_source_del = (
+            target_only
+            if when_not_matched_by_source_condition is None
+            else (target_only & when_not_matched_by_source_condition)
+        )
         out = joined
         if when_matched_delete:
             out = out.filter(~matched)
         if not when_not_matched_insert:
             out = out.filter(~src_only)
+        if when_not_matched_by_source_delete:
+            out = out.filter(~by_source_del)
         result = out.select(*cols)
         new_files = self._stage_dataframe(
             result, base + 1, snap.partition_spec, schema_id=snap.schema_id
@@ -2254,6 +2306,12 @@ class LakeTable:
                 joined.filter(src_only)
                 .select(*[F.col(f"__src.{c}").alias(c) for c in tcols])
                 .withColumn("_change_type", F.lit("insert"))
+            )
+        if feed and when_not_matched_by_source_delete:
+            change_parts.append(
+                joined.filter(by_source_del)
+                .select(*tcols)
+                .withColumn("_change_type", F.lit("delete"))
             )
         change_files = []
         if change_parts:

@@ -67,6 +67,44 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_merge_full_sync",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice + 111.0, 2) AS totalprice
+FROM orders
+WHERE o_orderkey > 500 AND o_orderkey <= 1500
+""",
+    tags=("lakehouse", "merge", "merge-by-source"),
+)
+def lake_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE DELETE (PG17/Delta full
+    sync): after the merge the target equals the source exactly —
+    matched rows updated, new keys inserted, target-only rows deleted.
+    The oracle is simply the transformed source."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "merge_full_sync")
+    tbl = cat.create_table_as(
+        "db", "orders_fs",
+        orders.select("o_orderkey", "o_totalprice").filter(
+            F.col("o_orderkey") <= 1000
+        ),
+    )
+    source = orders.select("o_orderkey", "o_totalprice").filter(
+        (F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1500)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 111.0)
+    tbl.merge(
+        source,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("__src.o_totalprice")},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+    )
+    return tbl.read().select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+    )
+
+
+@register(
     "lake_delete_update",
     oracle="""
 SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -1800,3 +1800,100 @@ def test_deep_guards(catalog, spark):
         tbl.rename_column("a.b.x", "a.other.x")
     with pytest.raises(LakehouseError, match="only field"):
         tbl.drop_column("a.b.x")
+
+
+# ---------------------------------------------------------------------------
+# MERGE: WHEN NOT MATCHED BY SOURCE (full-sync shape)
+# ---------------------------------------------------------------------------
+
+
+def _merge_sync_setup(catalog, spark, name):
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(k=i, v=f"old{i}", keep=i % 2 == 0) for i in range(10)]
+    )
+    tbl = catalog.create_table_as(
+        "db", name, base, properties={"row_key": "k"}
+    )
+    src = spark.createDataFrame(
+        [Row(k=i, v=f"new{i}", keep=True) for i in (3, 4, 10, 11)]
+    )
+    return tbl, src
+
+
+@pytest.mark.parametrize("mode", [None, "merge-on-read"])
+def test_merge_not_matched_by_source_delete(catalog, spark, mode):
+    """Full sync: matched update + unmatched insert + target-only rows
+    deleted — target ends exactly equal to source."""
+    tbl, src = _merge_sync_setup(catalog, spark, f"sync_{mode or 'cow'}")
+    tbl.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src.v")},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+        mode=mode,
+    )
+    out = {r.k: r.v for r in tbl.read().collect()}
+    assert out == {3: "new3", 4: "new4", 10: "new10", 11: "new11"}
+
+
+@pytest.mark.parametrize("mode", [None, "merge-on-read"])
+def test_merge_by_source_delete_with_condition(catalog, spark, mode):
+    """Conditional by-source delete: only target-only rows failing the
+    keep-condition are removed."""
+    tbl, src = _merge_sync_setup(catalog, spark, f"synccond_{mode or 'cow'}")
+    tbl.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src.v")},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=True,
+        when_not_matched_by_source_condition=~F.col("keep"),
+        mode=mode,
+    )
+    out = {r.k: r.v for r in tbl.read().collect()}
+    # odd target-only keys (keep=False) deleted; even ones survive
+    assert set(out) == {0, 2, 3, 4, 6, 8}
+    assert out[3] == "new3" and out[0] == "old0"
+
+
+def test_mor_insert_only_merge_keeps_matched_rows(catalog, spark):
+    """Regression: an insert-only MoR merge must NOT retire matched
+    target rows (previously they were equality-deleted without a
+    replacement postimage)."""
+    tbl, src = _merge_sync_setup(catalog, spark, "insonly")
+    tbl.merge(
+        src,
+        on=["k"],
+        when_matched_update=None,
+        when_not_matched_insert=True,
+        mode="merge-on-read",
+    )
+    out = {r.k: r.v for r in tbl.read().collect()}
+    assert len(out) == 12  # 10 originals + 2 new keys
+    assert out[3] == "old3"  # matched row untouched
+    assert out[10] == "new10"
+
+
+def test_merge_by_source_change_feed(catalog, spark):
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame([Row(k=i, v=f"o{i}") for i in range(4)])
+    tbl = catalog.create_table_as(
+        "db", "sync_cdc", base, properties={"change_data_feed": "true"}
+    )
+    src = spark.createDataFrame([Row(k=1, v="n1")])
+    v = tbl.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src.v")},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=True,
+    ).version
+    feed = tbl.read_changes(v - 1, v).groupBy("_change_type").count().collect()
+    counts = {r["_change_type"]: r["count"] for r in feed}
+    assert counts.get("delete") == 3  # k=0,2,3 target-only
+    assert counts.get("update_preimage") == 1
+    assert counts.get("update_postimage") == 1
