@@ -2017,6 +2017,7 @@ class LakeTable:
         when_not_matched_by_source_delete: bool = False,
         when_not_matched_by_source_condition: Column | None = None,
         summary_extra: dict | None = None,
+        when_matched_condition: Column | None = None,
     ) -> Snapshot:
         """Merge-on-read MERGE: matched target rows retire via an
         equality-delete key file; updated postimages and unmatched
@@ -2038,6 +2039,8 @@ class LakeTable:
             src = F.broadcast(src)
         cond = F.expr(" AND ".join(f"`{c}` = `__k_{c}`" for c in on))
         matched = target.join(src, cond, "inner")
+        if when_matched_condition is not None:
+            matched = matched.filter(when_matched_condition)
         retire_parts = []
         if when_matched_update or when_matched_delete:
             # matched rows retire only when a matched clause replaces or
@@ -2167,6 +2170,7 @@ class LakeTable:
         on: list[str],
         when_matched_update: dict[str, Column] | None = None,
         when_matched_delete: bool = False,
+        when_matched_condition: Column | None = None,
         when_not_matched_insert: bool = True,
         when_not_matched_by_source_delete: bool = False,
         when_not_matched_by_source_condition: Column | None = None,
@@ -2198,6 +2202,7 @@ class LakeTable:
                 source, on, when_matched_update, when_matched_delete,
                 when_not_matched_insert, when_not_matched_by_source_delete,
                 when_not_matched_by_source_condition, summary_extra,
+                when_matched_condition,
             )
         base = self.current_version()
         snap = self.snapshot(base)
@@ -2243,6 +2248,10 @@ class LakeTable:
             how="full_outer",
         )
         matched = F.col("__src").isNotNull() & F.col(on[0]).isNotNull()
+        if when_matched_condition is not None:
+            # WHEN MATCHED AND <cond>: rows failing the condition stay
+            # untouched (they are neither updated nor deleted)
+            matched = matched & when_matched_condition
         src_only = F.col(on[0]).isNull()
 
         cols = []

@@ -58,3 +58,84 @@ def write_stream_to_lake(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def upsert_stream_to_lake(
+    stream: DataFrame,
+    table: LakeTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    delete_col: str | None = None,
+    trigger_once: bool = False,
+    query_name: str = "lake_upsert_sink",
+) -> StreamingQuery:
+    """CDC-apply sink: each micro-batch MERGEs into ``table`` keyed on
+    ``keys`` — updates replace, new keys insert, and (when
+    ``delete_col`` names a boolean column) tombstone rows delete.
+
+    The scale shape: with the table in merge-on-read mode each batch
+    writes O(batch) rows (delete keys + postimages), never rewriting
+    the table — continuous upsert ingestion at any table size. One
+    atomic snapshot per batch, batch id in the summary for idempotent
+    replay after restart.
+
+    Within a batch, the LAST row per key wins (arrival order by a
+    monotonically-increasing id) — standard CDC batch compaction so a
+    key updated twice in one batch applies once.
+    """
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in stream.columns if c != delete_col]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # last-write-wins compaction inside the batch
+        w = F.monotonically_increasing_id()
+        latest = (
+            batch_df.withColumn("__arrival", w)
+            .groupBy(*keys)
+            .agg(
+                *[
+                    F.max_by(F.col(c), F.col("__arrival")).alias(c)
+                    for c in batch_df.columns
+                    if c not in keys
+                ]
+            )
+        )
+        base = table.current_version()
+        if delete_col is not None:
+            dels = latest.filter(F.col(delete_col)).select(*data_cols)
+            ups = latest.filter(~F.col(delete_col)).select(*data_cols)
+            if not dels.isEmpty():
+                # tombstones apply as a matched-delete merge — fully
+                # distributed, no driver-side key materialization
+                table.merge(
+                    dels,
+                    on=keys,
+                    when_matched_update=None,
+                    when_matched_delete=True,
+                    when_not_matched_insert=False,
+                    summary_extra={"stream_batch_id": batch_id},
+                )
+        else:
+            ups = latest.select(*data_cols)
+        if not ups.isEmpty():
+            table.merge(
+                ups,
+                on=keys,
+                when_matched_update={
+                    c: F.col(f"__src.{c}") for c in data_cols if c not in keys
+                },
+                when_not_matched_insert=True,
+                summary_extra={"stream_batch_id": batch_id, "base_version": base},
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

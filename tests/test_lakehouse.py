@@ -1897,3 +1897,24 @@ def test_merge_by_source_change_feed(catalog, spark):
     assert counts.get("delete") == 3  # k=0,2,3 target-only
     assert counts.get("update_preimage") == 1
     assert counts.get("update_postimage") == 1
+
+
+@pytest.mark.parametrize("mode", [None, "merge-on-read"])
+def test_merge_when_matched_condition(catalog, spark, mode):
+    """WHEN MATCHED AND <cond>: matched rows failing the condition are
+    left untouched (neither updated nor deleted); unmatched source
+    rows still insert."""
+    tbl, src = _merge_sync_setup(catalog, spark, f"mcond_{mode or 'cow'}")
+    tbl.merge(
+        src,
+        on=["k"],
+        when_matched_update={"v": F.col("__src.v")},
+        when_matched_condition=F.col("keep"),  # target col: even k only
+        when_not_matched_insert=True,
+        mode=mode,
+    )
+    out = {r.k: r.v for r in tbl.read().collect()}
+    assert out[4] == "new4"   # matched, keep=True -> updated
+    assert out[3] == "old3"   # matched, keep=False -> untouched
+    assert out[10] == "new10" and out[11] == "new11"  # inserts
+    assert len(out) == 12
