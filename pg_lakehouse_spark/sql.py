@@ -1,0 +1,432 @@
+"""SQL frontend for lakehouse tables — the reference's user surface.
+
+The reference is used from PostgreSQL SQL: ``CREATE TABLE ... WITH
+(...)``, INSERT/UPDATE/DELETE/MERGE, and SELECTs against lake tables
+(reference operations/table_ops.c DDL options; README demo). Spark SQL
+covers plain relational SELECTs already; this module routes the
+LAKE-specific statements to :class:`LakeCatalog`/:class:`LakeTable` so
+a reference user can keep their SQL:
+
+- ``CREATE TABLE [IF NOT EXISTS] ns.t (col type, ...)
+  [PARTITIONED BY (expr, ...)] [WITH (k='v', ...)]`` and CTAS
+- ``DROP TABLE [IF EXISTS] ns.t [PURGE]``, ``TRUNCATE TABLE ns.t``
+- ``ALTER TABLE ns.t RENAME TO ns2.t2 | ADD COLUMN p type |
+  RENAME COLUMN a TO b | DROP COLUMN a | ALTER COLUMN a TYPE t``
+  (dotted column paths reach nested fields at any depth)
+- ``INSERT INTO ns.t <select>``
+- ``DELETE FROM ns.t WHERE ...``, ``UPDATE ns.t SET ... WHERE ...``
+- ``MERGE INTO ns.t [AS] t USING <src> [AS] s ON t.k = s.k
+  [WHEN MATCHED [AND cond] THEN UPDATE SET a = expr, ... | DELETE]
+  [WHEN NOT MATCHED THEN INSERT *]
+  [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]``
+- ``SELECT ... FROM ns.t [FOR VERSION AS OF n |
+  FOR TIMESTAMP AS OF 'ts'] ...`` — lake refs (incl. time travel)
+  are bound to temp views, then the whole statement runs on Spark SQL
+  (full Catalyst surface, nothing re-implemented)
+- ``VACUUM ns.t``, ``OPTIMIZE ns.t``
+
+Statement routing is keyword-based; expressions inside (predicates,
+SET clauses, the SELECT body) are handed to Spark's own parser via
+``F.expr``/``spark.sql`` — this module never re-implements expression
+semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.lakehouse import (
+    LakeCatalog,
+    LakehouseError,
+    LakeTable,
+    Snapshot,
+)
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+_TBL = rf"({_IDENT})\.({_IDENT})"
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 (types like decimal(12,2) and
+    function calls survive)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+class LakeSQL:
+    """Execute lake DDL/DML/SELECT statements against a catalog."""
+
+    def __init__(self, spark: SparkSession, catalog: LakeCatalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    def sql(self, stmt: str):
+        """Route one statement. Returns a DataFrame for SELECT, a
+        Snapshot for DML, a LakeTable for CREATE, else None."""
+        s = stmt.strip().rstrip(";").strip()
+        head = s.split(None, 2)[0].upper() if s else ""
+        if head == "SELECT" or s.upper().startswith("WITH"):
+            return self._select(s)
+        if head == "CREATE":
+            return self._create(s)
+        if head == "DROP":
+            return self._drop(s)
+        if head == "TRUNCATE":
+            return self._truncate(s)
+        if head == "ALTER":
+            return self._alter(s)
+        if head == "INSERT":
+            return self._insert(s)
+        if head == "DELETE":
+            return self._delete(s)
+        if head == "UPDATE":
+            return self._update(s)
+        if head == "MERGE":
+            return self._merge(s)
+        if head == "VACUUM":
+            return self._vacuum(s)
+        if head == "OPTIMIZE":
+            return self._optimize(s)
+        raise LakehouseError(f"unsupported statement: {s.split(None, 1)[0]!r}")
+
+    # -- SELECT (incl. time travel) ---------------------------------------
+
+    _TT = re.compile(
+        rf"\b{_TBL}(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)"
+        rf"|\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
+        re.IGNORECASE,
+    )
+
+    def _select(self, s: str) -> DataFrame:
+        """Bind every ``ns.t [FOR ... AS OF ...]`` lake reference to a
+        temp view, then run the rewritten statement on Spark SQL."""
+
+        def bind(m: re.Match) -> str:
+            ns, name, ver, ts = m.group(1), m.group(2), m.group(3), m.group(4)
+            if not self.catalog.table_exists(ns, name):
+                return m.group(0)  # not ours — leave for Spark to resolve
+            tbl = self.catalog.load_table(ns, name)
+            if ver is not None:
+                df, view = tbl.read(int(ver)), f"__lake_{ns}_{name}_v{ver}"
+            elif ts is not None:
+                import datetime
+
+                dt = datetime.datetime.fromisoformat(ts).replace(
+                    tzinfo=datetime.timezone.utc
+                )
+                df = tbl.read_as_of(int(dt.timestamp() * 1000))
+                view = f"__lake_{ns}_{name}_t{int(dt.timestamp())}"
+            else:
+                df, view = tbl.read(), f"__lake_{ns}_{name}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self.spark.sql(self._TT.sub(bind, s))
+
+    # -- DDL ---------------------------------------------------------------
+
+    def _create(self, s: str):
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_TBL}\s*(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse CREATE TABLE: {s[:80]!r}")
+        if_not_exists, ns, name, rest = (
+            bool(m.group(1)),
+            m.group(2),
+            m.group(3),
+            m.group(4).strip(),
+        )
+        part_by, props = None, None
+        pm = re.search(
+            r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest, re.IGNORECASE
+        )
+        if pm:
+            part_by = [p.strip() for p in _split_top_level(pm.group(1))]
+            rest = rest.replace(pm.group(0), "").strip()
+        wm = re.search(r"WITH\s*\((.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+        if wm:
+            props = {}
+            for kv in _split_top_level(wm.group(1)):
+                k, _, v = kv.partition("=")
+                props[k.strip()] = v.strip().strip("'\"")
+            rest = rest[: wm.start()].strip()
+        if rest.upper().startswith("AS"):
+            df = self._select(rest[2:].strip())
+            return self.catalog.create_table_as(
+                ns, name, df, properties=props, partition_by=part_by
+            )
+        if not (rest.startswith("(") and rest.endswith(")")):
+            raise LakehouseError(f"cannot parse CREATE TABLE body: {rest[:80]!r}")
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(rest[1:-1])
+        return self.catalog.create_table(
+            ns,
+            name,
+            schema,
+            properties=props,
+            if_not_exists=if_not_exists,
+            partition_by=part_by,
+        )
+
+    def _drop(self, s: str) -> None:
+        m = re.match(
+            rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_TBL}\s*(PURGE)?$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse DROP TABLE: {s[:80]!r}")
+        if_exists, ns, name, purge = m.groups()
+        if if_exists and not self.catalog.table_exists(ns, name):
+            return None
+        self.catalog.drop_table(ns, name, purge=bool(purge))
+        return None
+
+    def _truncate(self, s: str) -> Snapshot:
+        m = re.match(rf"TRUNCATE\s+TABLE\s+{_TBL}$", s, re.IGNORECASE)
+        if not m:
+            raise LakehouseError(f"cannot parse TRUNCATE: {s[:80]!r}")
+        return self.catalog.load_table(m.group(1), m.group(2)).truncate()
+
+    def _alter(self, s: str):
+        m = re.match(rf"ALTER\s+TABLE\s+{_TBL}\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise LakehouseError(f"cannot parse ALTER TABLE: {s[:80]!r}")
+        ns, name, action = m.group(1), m.group(2), m.group(3).strip()
+        au = action.upper()
+        if au.startswith("RENAME TO"):
+            tm = re.match(rf"RENAME\s+TO\s+{_TBL}$", action, re.IGNORECASE)
+            if not tm:
+                raise LakehouseError(f"cannot parse RENAME TO: {action!r}")
+            self.catalog.rename_table(ns, name, tm.group(1), tm.group(2))
+            return None
+        tbl = self.catalog.load_table(ns, name)
+        if au.startswith("ADD COLUMN"):
+            am = re.match(
+                r"ADD\s+COLUMN\s+([\w.]+)\s+(.+)$", action, re.IGNORECASE
+            )
+            return tbl.add_column(am.group(1), am.group(2))
+        if au.startswith("RENAME COLUMN"):
+            am = re.match(
+                r"RENAME\s+COLUMN\s+([\w.]+)\s+TO\s+([\w.]+)$",
+                action,
+                re.IGNORECASE,
+            )
+            return tbl.rename_column(am.group(1), am.group(2))
+        if au.startswith("DROP COLUMN"):
+            am = re.match(r"DROP\s+COLUMN\s+([\w.]+)$", action, re.IGNORECASE)
+            return tbl.drop_column(am.group(1))
+        if au.startswith("ALTER COLUMN"):
+            am = re.match(
+                r"ALTER\s+COLUMN\s+([\w.]+)\s+TYPE\s+(.+)$",
+                action,
+                re.IGNORECASE,
+            )
+            return tbl.widen_column(am.group(1), am.group(2))
+        raise LakehouseError(f"unsupported ALTER TABLE action: {action[:60]!r}")
+
+    # -- DML ---------------------------------------------------------------
+
+    def _insert(self, s: str) -> Snapshot:
+        m = re.match(
+            rf"INSERT\s+INTO\s+{_TBL}\s+(.+)$", s, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse INSERT: {s[:80]!r}")
+        ns, name, body = m.group(1), m.group(2), m.group(3).strip()
+        tbl = self.catalog.load_table(ns, name)
+        if body.upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
+            df = (
+                self._select(body)
+                if body.upper().startswith(("SELECT", "WITH"))
+                else self.spark.sql(body)
+            )
+        else:
+            raise LakehouseError(f"cannot parse INSERT body: {body[:60]!r}")
+        # bind by position and cast to the table schema (VALUES literals
+        # infer narrow types: int, decimal)
+        fields = tbl.schema().fields
+        if len(df.columns) != len(fields):
+            raise LakehouseError(
+                f"INSERT arity mismatch: table has {len(fields)} columns, "
+                f"query produced {len(df.columns)}"
+            )
+        bound = df.toDF(*[f.name for f in fields]).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
+        )
+        return tbl.append(bound)
+
+    def _delete(self, s: str) -> Snapshot:
+        m = re.match(
+            rf"DELETE\s+FROM\s+{_TBL}(?:\s+WHERE\s+(.*))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse DELETE: {s[:80]!r}")
+        ns, name, where = m.group(1), m.group(2), m.group(3)
+        tbl = self.catalog.load_table(ns, name)
+        return tbl.delete(F.expr(where) if where else F.lit(True))
+
+    def _update(self, s: str) -> Snapshot:
+        m = re.match(
+            rf"UPDATE\s+{_TBL}\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse UPDATE: {s[:80]!r}")
+        ns, name, sets, where = m.groups()
+        assignments = {}
+        for kv in _split_top_level(sets):
+            k, _, v = kv.partition("=")
+            assignments[k.strip()] = F.expr(v.strip())
+        tbl = self.catalog.load_table(ns, name)
+        return tbl.update(
+            F.expr(where) if where else F.lit(True), assignments
+        )
+
+    # -- MERGE -------------------------------------------------------------
+
+    _MERGE = re.compile(
+        rf"MERGE\s+INTO\s+{_TBL}(?:\s+AS)?\s+({_IDENT})\s+"
+        rf"USING\s+(\(.*?\)|{_IDENT}(?:\.{_IDENT})?)(?:\s+AS)?\s+({_IDENT})\s+"
+        rf"ON\s+(.*?)\s+(WHEN\s+.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _CLAUSE = re.compile(
+        r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+        r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
+        r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)"
+        r"(?=\s+WHEN\s|\s*$)",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _merge(self, s: str) -> Snapshot:
+        m = self._MERGE.match(s)
+        if not m:
+            raise LakehouseError(f"cannot parse MERGE: {s[:80]!r}")
+        ns, name, talias, src_ref, salias, on_cond, clauses = m.groups()
+        tbl = self.catalog.load_table(ns, name)
+        if src_ref.startswith("("):
+            source = self._select(src_ref[1:-1].strip())
+        else:
+            source = self.spark.table(src_ref)
+
+        # ON must be a conjunction of alias-qualified key equalities
+        keys = []
+        for part in re.split(r"\s+AND\s+", on_cond, flags=re.IGNORECASE):
+            em = re.match(
+                rf"\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
+                part,
+            )
+            if not em:
+                raise LakehouseError(
+                    f"MERGE ON must be alias-qualified equalities: {part!r}"
+                )
+            a1, c1, a2, c2 = em.groups()
+            pair = {a1: c1, a2: c2}
+            if set(pair) != {talias, salias} or pair[talias] != pair[salias]:
+                raise LakehouseError(
+                    f"MERGE ON keys must pair the same column on both "
+                    f"sides: {part!r}"
+                )
+            keys.append(pair[talias])
+
+        def rewrite(expr: str):
+            """target alias -> bare column, source alias -> __src.col"""
+            e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr)
+            e = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e)
+            return F.expr(e)
+
+        kw = {
+            "when_matched_update": None,
+            "when_matched_delete": False,
+            "when_matched_condition": None,
+            "when_not_matched_insert": False,
+            "when_not_matched_by_source_delete": False,
+            "when_not_matched_by_source_condition": None,
+        }
+        # every WHEN ... must be consumed by the clause grammar — an
+        # unparseable clause (e.g. INSERT (cols) VALUES (...)) is an
+        # error, never silently dropped
+        leftover = self._CLAUSE.sub("", clauses).strip()
+        if leftover:
+            raise LakehouseError(
+                "unsupported MERGE clause (supported: UPDATE SET ..., "
+                "DELETE, INSERT *): " + leftover[:80]
+            )
+        for cm in self._CLAUSE.finditer(clauses):
+            kind = re.sub(r"\s+", " ", cm.group(1).upper())
+            cond, act = cm.group(2), cm.group(3).strip()
+            actu = act.upper()
+            if kind == "MATCHED":
+                if cond:
+                    kw["when_matched_condition"] = rewrite(cond)
+                if actu == "DELETE":
+                    kw["when_matched_delete"] = True
+                elif actu.startswith("UPDATE SET"):
+                    assigns = {}
+                    for a in _split_top_level(act[len("UPDATE SET"):]):
+                        k, _, v = a.partition("=")
+                        k = re.sub(rf"^{talias}\.", "", k.strip())
+                        assigns[k] = rewrite(v.strip())
+                    kw["when_matched_update"] = assigns
+            elif kind == "NOT MATCHED":
+                if actu != "INSERT *":
+                    raise LakehouseError(
+                        "only INSERT * is supported for WHEN NOT MATCHED"
+                    )
+                kw["when_not_matched_insert"] = True
+            else:  # NOT MATCHED BY SOURCE
+                if actu != "DELETE":
+                    raise LakehouseError(
+                        "only DELETE is supported for NOT MATCHED BY SOURCE"
+                    )
+                kw["when_not_matched_by_source_delete"] = True
+                if cond:
+                    kw["when_not_matched_by_source_condition"] = rewrite(cond)
+        return tbl.merge(source, on=keys, **kw)
+
+    # -- maintenance -------------------------------------------------------
+
+    def _vacuum(self, s: str) -> None:
+        m = re.match(rf"VACUUM\s+{_TBL}$", s, re.IGNORECASE)
+        if not m:
+            raise LakehouseError(f"cannot parse VACUUM: {s[:80]!r}")
+        self.catalog.load_table(m.group(1), m.group(2)).vacuum()
+        return None
+
+    def _optimize(self, s: str):
+        m = re.match(
+            rf"OPTIMIZE\s+{_TBL}(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse OPTIMIZE: {s[:80]!r}")
+        tbl = self.catalog.load_table(m.group(1), m.group(2))
+        if m.group(3):
+            cols = [c.strip() for c in m.group(3).split(",")]
+            return tbl.compact(zorder_by=cols)
+        return tbl.compact()

@@ -81,7 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_pandas_udf_normalize",
     "q_pandas_udaf_grouped",
     "q_python_udtf_bigrams",
-    "q2_min_cost_supplier",
+    "lake_sql_dml",
     "lake_merge_upsert",
     "lake_delete_update",
     "lake_mor_delete_update",

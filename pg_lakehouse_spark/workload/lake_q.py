@@ -18,7 +18,7 @@ from pg_lakehouse_spark.timeutil import epoch_us
 
 from pg_lakehouse_spark.lakehouse import LakeCatalog
 from pg_lakehouse_spark.workload import register
-from pg_lakehouse_spark.workload.util import t
+from pg_lakehouse_spark.workload.util import t, views
 
 _WORK_ROOT = "/tmp/pg_lakehouse_spark_work"
 
@@ -64,6 +64,49 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice"), 2).alias("totalprice"),
         "o_orderstatus",
     )
+
+
+@register(
+    "lake_sql_dml",
+    oracle="""
+SELECT o_orderkey AS k,
+       round(CASE WHEN o_orderkey <= 300 THEN o_totalprice * 2
+                  WHEN o_orderkey > 800 THEN o_totalprice + 999.0
+                  ELSE o_totalprice END, 2) AS price
+FROM orders
+WHERE o_orderkey <= 1200 AND o_orderkey % 10 != 0
+""",
+    tags=("lakehouse", "sql-frontend", "dml"),
+)
+def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual user surface — SQL statements — driving
+    the lakehouse end-to-end: CREATE TABLE, INSERT INTO ... SELECT,
+    UPDATE ... WHERE, DELETE ... WHERE, MERGE INTO (update + insert),
+    then a plain SELECT over the result. The oracle states the net
+    effect of the statement sequence in one SQL query."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "sql_dml")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.ord (k BIGINT, price DOUBLE)")
+    q.sql(
+        "INSERT INTO db.ord SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 1000"
+    )
+    q.sql("UPDATE db.ord SET price = price * 2 WHERE k <= 300")
+    q.sql("DELETE FROM db.ord WHERE k % 10 = 0")
+    spark.sql(
+        "SELECT o_orderkey AS k, o_totalprice + 999.0 AS price "
+        "FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 1200 "
+        "AND o_orderkey % 10 != 0"
+    ).createOrReplaceTempView("ord_changes")
+    q.sql(
+        "MERGE INTO db.ord AS t USING ord_changes AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET price = s.price "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    return q.sql("SELECT k, round(price, 2) AS price FROM db.ord")
 
 
 @register(

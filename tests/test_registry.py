@@ -24,6 +24,7 @@ FAMILY_MARKERS = {
     "functions": ("functions-",),
     "udf": ("udf-",),
     "lakehouse": ("lakehouse",),
+    "sql-frontend": ("sql-frontend",),
     "lake-rollup": ("incremental",),
     "dedup": ("dedup-",),
     "text": ("text-",),
