@@ -391,3 +391,88 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# pair -> cluster -> survivor: the last stage of a near-dedup pipeline
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id of the connected component.
+
+    Min-label propagation over the undirected edge set: each round
+    every node takes the min of its own label and its neighbors',
+    stopping when a round changes nothing. Rounds ∝ component
+    diameter — near-dup clusters are shallow (pairs share content, so
+    most clusters are cliques of diameter 1-2), which makes this the
+    right algorithm here; for general graphs with long chains use a
+    large-star/small-star variant instead. Each round is one shuffle
+    join; ``localCheckpoint`` truncates the growing lineage so round
+    N's plan doesn't replay rounds 1..N-1.
+    """
+    sym = (
+        edges.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .unionByName(
+            edges.select(F.col(id2).alias("a"), F.col(id1).alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["node"] == F.col("node2"), "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Apply near-duplicate pairs to a corpus: cluster the pairs,
+    keep the min-id row of every cluster, and pass through all rows
+    that appear in no pair. The end-to-end shape of a production
+    near-dedup stage (candidate pairs -> components -> survivors);
+    everything stays distributed — components are metadata-sized
+    relative to the corpus (only rows involved in duplicate pairs)."""
+    comp = connected_components(pairs, id1, id2)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

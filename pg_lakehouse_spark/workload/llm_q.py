@@ -111,6 +111,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE pairs AS (" + _JACCARD_ORACLE + "),"
+    + """
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component
+FROM reach GROUP BY a
+"""
+)
+
+
+@register(
+    "dedup_jaccard_clusters",
+    oracle=_CLUSTER_ORACLE,
+    tags=("dedup-jaccard", "dedup-clusters"),
+)
+def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components: every document involved
+    in a ≥0.5-Jaccard pair labeled with its cluster id (min doc_id of
+    the component). The oracle computes the same transitive closure
+    with a recursive CTE — feasible at sf0.01, while the Spark side
+    (min-label propagation, one shuffle per round, bounded rounds) is
+    the shape that survives billions of documents."""
+    from pg_lakehouse_spark.llm.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_near_duplicates(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5,
+        max_shingle_df=None,
+    )
+    comp = connected_components(pairs, "id1", "id2")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+
+
 @register("dedup_simhash", oracle=None, tags=("dedup-simhash",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")

@@ -314,3 +314,53 @@ def test_decontamination_planted(spark, sf_dir):
     clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
     assert victim["doc_id"] not in clean_ids
     assert len(clean_ids) == docs.count() - len(hits)
+
+
+# ---------------------------------------------------------------------------
+# connected components + survivor selection (pair -> cluster -> dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (worst case for min-label: diameter 3), a
+    triangle, and an isolated pair — all labeled with the component
+    min."""
+    from pg_lakehouse_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        "id1 long, id2 long",
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_direction_invariant(spark):
+    from pg_lakehouse_spark.llm.dedup import connected_components
+
+    fwd = spark.createDataFrame([(5, 1), (1, 9), (9, 3)], "id1 long, id2 long")
+    rev = spark.createDataFrame([(1, 5), (9, 1), (3, 9)], "id1 long, id2 long")
+    a = {r.node: r.component for r in connected_components(fwd).collect()}
+    b = {r.node: r.component for r in connected_components(rev).collect()}
+    assert a == b == {1: 1, 3: 1, 5: 1, 9: 1}
+
+
+def test_dedup_survivors_end_to_end(spark):
+    """Corpus with a duplicate cluster {1,2,3} and a pair {5,6}: the
+    min ids survive, untouched rows pass through."""
+    from pg_lakehouse_spark.llm.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(1, 8)], "doc_id long, body string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id1 long, id2 long"
+    )
+    out = sorted(r.doc_id for r in dedup_survivors(docs, pairs).collect())
+    assert out == [1, 4, 5, 7]
