@@ -1239,11 +1239,25 @@ class LakeTable:
         ids = {n: i + 1 for i, n in enumerate(names)}
         return self._augment_nested_ids(schema, ids), len(names) + 1
 
+    _LINEAGE_COLS = ("__file", "__pos")
+
+    def _lineage_select(self):
+        """(file name, row index) of every scanned row — Spark's
+        parquet ``_metadata`` hidden column. File names are uuid-unique
+        in this layout, so the name alone identifies the file."""
+        return [
+            F.substring_index(
+                F.col("_metadata.file_path"), "/", -1
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+
     def _read_entries(
         self,
         snap: Snapshot,
         entries: list[dict],
         apply_deletes: bool = True,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Read file entries under the snapshot's CURRENT schema,
         resolving old-epoch files by field id (Iceberg-style): a column
@@ -1254,10 +1268,25 @@ class LakeTable:
         Files group by schema epoch — one multi-file vectorized scan
         per epoch (epoch count = number of evolutions, never data-
         sized), unioned by name. Pushdown/pruning still apply per scan.
+
+        ``with_lineage=True`` appends ``__file``/``__pos`` columns
+        (positional-delete write path); groups with applicable
+        position deletes attach them internally regardless.
         """
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if not entries:
-            return self.spark.createDataFrame([], schema)
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            base = schema
+            if with_lineage:
+                base = StructType(
+                    schema.fields
+                    + [
+                        StructField("__file", StringType()),
+                        StructField("__pos", LongType()),
+                    ]
+                )
+            return self.spark.createDataFrame([], base)
         cur_ids, _ = self._effective_field_ids(snap)
         # group by (schema epoch, partition layout, applicable-delete
         # class): each group is one multi-file vectorized scan with a
@@ -1286,12 +1315,18 @@ class LakeTable:
             applicable = [
                 d for d in snap.delete_files if d["seq"] in sclass
             ]
+            lineage = with_lineage or any(
+                d.get("kind") == "position" for d in applicable
+            )
+            lin = self._lineage_select() if lineage else []
             if sid == snap.schema_id:
                 # project away hidden-partition dir columns (Spark
                 # appends discovered dir cols beyond the given schema)
-                part = self._read_files(schema, paths).select(*names)
+                part = self._read_files(schema, paths).select(*names, *lin)
                 parts.append(
-                    self._apply_deletes(part, applicable, cur_ids)
+                    self._apply_deletes(
+                        part, applicable, cur_ids, keep_lineage=with_lineage
+                    )
                 )
                 continue
             epoch = snap.schemas.get(str(sid)) or snap.schemas.get(sid)
@@ -1441,7 +1476,12 @@ class LakeTable:
                     ).alias(fld.name)
                 )
             parts.append(
-                self._apply_deletes(df.select(*proj), applicable, cur_ids)
+                self._apply_deletes(
+                    df.select(*proj, *lin),
+                    applicable,
+                    cur_ids,
+                    keep_lineage=with_lineage,
+                )
             )
         out = parts[0]
         for p in parts[1:]:
@@ -1459,13 +1499,42 @@ class LakeTable:
         ]
 
     def _apply_deletes(
-        self, df: DataFrame, applicable: list[dict], cur_ids: dict
+        self,
+        df: DataFrame,
+        applicable: list[dict],
+        cur_ids: dict,
+        keep_lineage: bool = False,
     ) -> DataFrame:
-        """Anti-join MoR equality-delete files into a scan. Keys are
-        resolved by FIELD ID (rename-safe, like data columns); small
-        key sets broadcast (rows known from metadata — no extra job)."""
+        """Anti-join MoR delete files into a scan. Equality deletes
+        resolve keys by FIELD ID (rename-safe, like data columns);
+        position deletes anti-join on (file name, row index). Small
+        sets broadcast (rows known from metadata — no extra job)."""
+        def strip(frame: DataFrame) -> DataFrame:
+            if not keep_lineage and "__file" in frame.columns:
+                return frame.drop("__file", "__pos")
+            return frame
+
         if not applicable:
-            return df
+            return strip(df)
+        pos_dels = [d for d in applicable if d.get("kind") == "position"]
+        if pos_dels:
+            positions = None
+            for d in pos_dels:
+                pd_df = self.spark.read.parquet(
+                    os.path.join(self.location, d["path"])
+                )
+                positions = (
+                    pd_df
+                    if positions is None
+                    else positions.unionByName(pd_df)
+                )
+            positions = positions.distinct()
+            if sum(d["rows"] for d in pos_dels) <= 1_000_000:
+                positions = F.broadcast(positions)
+            df = df.join(positions, on=["__file", "__pos"], how="left_anti")
+        applicable = [d for d in applicable if d.get("kind") != "position"]
+        if not applicable:
+            return strip(df)
         inv = {fid: n for n, fid in cur_ids.items()}
         by_key: dict[tuple, list[dict]] = {}
         for d in applicable:
@@ -1493,7 +1562,7 @@ class LakeTable:
             if sum(d["rows"] for d in dels) <= 1_000_000:
                 keys = F.broadcast(keys)
             df = df.join(keys, on=cur_names, how="left_anti")
-        return df
+        return strip(df)
 
     def _stage_delete_file(
         self, keys: DataFrame, snapshot_hint: int
@@ -1846,9 +1915,11 @@ class LakeTable:
             return "cow"
         if mode in ("mor", "merge-on-read"):
             return "mor"
+        if mode in ("mor-pos", "merge-on-read-positional"):
+            return "mor-pos"
         raise LakehouseError(
-            f"bad delete mode {mode!r}; use 'copy-on-write' or "
-            "'merge-on-read'"
+            f"bad delete mode {mode!r}; use 'copy-on-write', "
+            "'merge-on-read' or 'merge-on-read-positional'"
         )
 
     def _row_key(self, snap: Snapshot) -> list[str]:
@@ -1940,13 +2011,87 @@ class LakeTable:
             delete_files=snap.delete_files + [entry],
         )
 
+    def _mor_positional_dml(
+        self,
+        operation: str,
+        condition: Column,
+        postimage=None,
+    ) -> Snapshot:
+        """Merge-on-read DML via POSITION deletes (Iceberg v2's second
+        delete type): matched rows are recorded as (file name, row
+        index) — no ``row_key`` table property needed, which is the
+        point: positional MoR works on tables with no identifier
+        columns. Costs one scan to find the rows (inherent — the
+        positions must be discovered) and writes O(matches)."""
+        base = self.current_version()
+        snap = self.snapshot(base)
+        scan = self._read_entries(snap, snap.files, with_lineage=True)
+        matched = scan.filter(condition)
+        rel, rows = self._stage_delete_file(
+            matched.select("__file", "__pos").distinct(), base + 1
+        )
+        if rows == 0:
+            if rel is not None:
+                os.remove(os.path.join(self.location, rel))
+            return snap  # no-op: nothing matched
+        entry = {
+            "path": rel,
+            "rows": rows,
+            "kind": "position",
+            "seq": base + 1,
+        }
+        matched_rows = matched.drop("__file", "__pos")
+        new_files = []
+        change_parts = []
+        feed = self.change_feed_enabled()
+        if postimage is not None:
+            post = postimage(matched_rows)
+            new_files = self._stage_dataframe(
+                post, base + 1, snap.partition_spec,
+                schema_id=snap.schema_id,
+            )
+            if feed:
+                change_parts = [
+                    matched_rows.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ),
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    ),
+                ]
+        elif feed:
+            change_parts = [
+                matched_rows.withColumn("_change_type", F.lit("delete"))
+            ]
+        change_files = []
+        if change_parts:
+            chg = change_parts[0]
+            for c in change_parts[1:]:
+                chg = chg.unionByName(c)
+            change_files = self._stage_changes(chg, base + 1)
+        return self._commit(
+            base, operation, snap.files + new_files, snap.schema_json,
+            summary={
+                "delete_mode": "merge-on-read-positional",
+                "delete_positions": rows,
+                "added_files": len(new_files),
+            }
+            | ({"change_feed": "exact"} if feed else {}),
+            change_files=change_files,
+            delete_files=snap.delete_files + [entry],
+        )
+
     def delete(self, condition: Column, mode: str | None = None) -> Snapshot:
         """DELETE FROM t WHERE ... (ref A12). Copy-on-write rewrites
         matching files; merge-on-read (``mode='merge-on-read'`` or
         table property ``write_delete_mode``) writes an equality-delete
-        key file instead — O(matches) at any table size."""
-        if self._delete_mode(mode) == "mor":
+        key file; ``'merge-on-read-positional'`` writes (file, row
+        index) position deletes — no row_key property required."""
+        dm = self._delete_mode(mode)
+        if dm == "mor":
             return self._mor_dml("delete", condition)
+        if dm == "mor-pos":
+            return self._mor_positional_dml("delete", condition)
         return self._rewrite(
             "delete", condition,
             lambda df: df.filter(~condition),
@@ -1965,17 +2110,19 @@ class LakeTable:
         mode writes a delete-key file + postimage appends (no data-file
         rewrite); the postimages' higher sequence number exempts them
         from the delete."""
-        if self._delete_mode(mode) == "mor":
-            return self._mor_dml(
-                "update",
-                condition,
-                postimage=lambda m: m.select(
-                    *[
-                        assignments[c].alias(c) if c in assignments
-                        else F.col(c)
-                        for c in m.columns
-                    ]
-                ),
+        dm = self._delete_mode(mode)
+        if dm in ("mor", "mor-pos"):
+            postimage = lambda m: m.select(  # noqa: E731
+                *[
+                    assignments[c].alias(c) if c in assignments
+                    else F.col(c)
+                    for c in m.columns
+                ]
+            )
+            if dm == "mor":
+                return self._mor_dml("update", condition, postimage=postimage)
+            return self._mor_positional_dml(
+                "update", condition, postimage=postimage
             )
 
         def transform(df: DataFrame) -> DataFrame:

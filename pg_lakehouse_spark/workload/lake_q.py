@@ -732,6 +732,12 @@ def lake_mor_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "write_delete_mode": "merge-on-read",
         },
     )
+    return _mor_dml_and_agg(tbl)
+
+
+def _mor_dml_and_agg(tbl):
+    """Shared DML sequence + aggregate for the three mode-equivalence
+    twins (CoW / equality-MoR / positional-MoR)."""
     tbl.delete(F.col("l_returnflag") == "R")
     tbl.update(
         F.col("l_linestatus") == "O",
@@ -745,6 +751,33 @@ def lake_mor_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "lake_mor_positional_delete",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity + 5.0
+                      ELSE l_quantity END), 2) AS total_qty
+FROM lineitem
+WHERE l_orderkey <= 2000 AND l_returnflag <> 'R'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("lakehouse", "dml", "merge-on-read-positional"),
+)
+def lake_mor_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DML via POSITION deletes (Iceberg v2's second
+    delete type): matched rows are recorded as (file name, row index)
+    — no row_key identifier columns needed, no data-file rewrite. Same
+    end state as the CoW (lake_delete_update) and equality-MoR
+    (lake_mor_delete_update) twins: three-way mode equivalence."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    cat = _scratch_catalog(spark, sf_dir, "mor_pos_delete")
+    tbl = cat.create_table_as(
+        "db", "li_pos", li,
+        properties={"write_delete_mode": "merge-on-read-positional"},
+    )
+    return _mor_dml_and_agg(tbl)
 
 
 @register(

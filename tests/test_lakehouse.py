@@ -1918,3 +1918,92 @@ def test_merge_when_matched_condition(catalog, spark, mode):
     assert out[3] == "old3"   # matched, keep=False -> untouched
     assert out[10] == "new10" and out[11] == "new11"  # inserts
     assert len(out) == 12
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read POSITION deletes (Iceberg v2's second delete type)
+# ---------------------------------------------------------------------------
+
+
+def test_positional_delete_no_rewrite_no_row_key(catalog, spark):
+    """Position deletes need no row_key property and never rewrite
+    data files; rows disappear from reads while files stay."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}") for i in range(20)]
+    ).repartition(2)
+    tbl = catalog.create_table_as("db", "posdel", base)  # no row_key
+    files_before = {f["path"] for f in tbl.snapshot().files}
+    tbl.delete(F.col("k") % 3 == 0, mode="merge-on-read-positional")
+    assert {f["path"] for f in tbl.snapshot().files} == files_before
+    assert tbl.snapshot().delete_files[-1]["kind"] == "position"
+    out = sorted(r.k for r in tbl.read().collect())
+    assert out == [k for k in range(20) if k % 3 != 0]
+    # a second positional delete stacks
+    tbl.delete(F.col("k") == 1, mode="merge-on-read-positional")
+    assert 1 not in {r.k for r in tbl.read().collect()}
+    assert tbl.read().count() == 12
+
+
+def test_positional_update_postimage_exempt(catalog, spark):
+    """Positional UPDATE: old positions deleted, postimages appended;
+    postimage rows (same logical key!) are not swallowed by the
+    position delete because they live in NEW files."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(10)])
+    tbl = catalog.create_table_as("db", "posupd", base)
+    tbl.update(
+        F.col("k") < 3,
+        {"v": F.concat(F.col("v"), F.lit("_new"))},
+        mode="merge-on-read-positional",
+    )
+    out = {r.k: r.v for r in tbl.read().collect()}
+    assert out[0] == "v0_new" and out[2] == "v2_new" and out[5] == "v5"
+    assert len(out) == 10
+
+
+def test_positional_delete_appends_unaffected(catalog, spark):
+    """Rows appended after a position delete are untouched even if
+    they would satisfy the original predicate (position deletes pin
+    exact files, not values)."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame([Row(k=i) for i in range(6)])
+    tbl = catalog.create_table_as("db", "posapp", base)
+    tbl.delete(F.col("k") < 3, mode="merge-on-read-positional")
+    tbl.append(spark.createDataFrame([Row(k=0), Row(k=1)]))
+    out = sorted(r.k for r in tbl.read().collect())
+    assert out == [0, 1, 3, 4, 5]
+
+
+def test_positional_delete_compaction_retires(catalog, spark):
+    """Compaction folds position deletes into rewritten files: the
+    delete entries stop applying (rewritten files have new names and
+    higher seq) and reads stay correct."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame([Row(k=i) for i in range(30)]).repartition(3)
+    tbl = catalog.create_table_as("db", "poscomp", base)
+    tbl.delete(F.col("k") >= 20, mode="merge-on-read-positional")
+    assert tbl.read().count() == 20
+    tbl.compact(min_files=2)
+    assert tbl.read().count() == 20
+    assert sorted(r.k for r in tbl.read().collect()) == list(range(20))
+
+
+def test_positional_delete_after_schema_evolution(catalog, spark):
+    """Position deletes compose with epoch-grouped reads: delete rows
+    from a pre-evolution file, read under the evolved schema."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "k long, v int"
+    )
+    tbl = catalog.create_table_as("db", "posevo", base)
+    tbl.rename_column("v", "val")
+    tbl.widen_column("val", "bigint")
+    tbl.delete(F.col("val") >= 50, mode="merge-on-read-positional")
+    out = sorted((r.k, r.val) for r in tbl.read().collect())
+    assert out == [(i, i * 10) for i in range(5)]
