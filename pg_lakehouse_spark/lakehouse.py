@@ -2343,6 +2343,9 @@ class LakeTable:
 
         ``mode='merge-on-read'`` (or the ``write_delete_mode`` table
         property) switches to the no-rewrite path (`_mor_merge`).
+        Positional-mode tables fall back to copy-on-write here: MERGE
+        is key-addressed, so the equality-delete form is the natural
+        MoR encoding; position deletes cover delete/update.
         """
         if self._delete_mode(mode) == "mor":
             return self._mor_merge(

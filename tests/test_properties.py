@@ -103,9 +103,9 @@ def test_dedup_exact_keeps_min_id_per_key(spark, rows):
 
 def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
     """Differential property: a seeded random sequence of DELETE /
-    UPDATE / APPEND / MERGE applied to a merge-on-read table and a
-    copy-on-write twin must converge to identical states at every
-    step."""
+    UPDATE / APPEND / MERGE applied to equality-MoR, positional-MoR
+    and copy-on-write twins must converge to identical states at
+    every step."""
     import random
 
     from pyspark.sql import functions as F
@@ -121,12 +121,17 @@ def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
         properties={"row_key": "o_orderkey",
                     "write_delete_mode": "merge-on-read"},
     )
+    pos = cat.create_table_as(
+        "db", "pos", orders,
+        properties={"write_delete_mode": "merge-on-read-positional"},
+    )
     cow = cat.create_table_as("db", "cow", orders)
 
     def states_equal():
         a = {tuple(r) for r in mor.read().collect()}
         b = {tuple(r) for r in cow.read().collect()}
-        assert a == b
+        c = {tuple(r) for r in pos.read().collect()}
+        assert a == b == c
 
     for step in range(6):
         op = rng.choice(["delete", "update", "append", "merge"])
@@ -136,16 +141,19 @@ def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
         if op == "delete":
             mor.delete(cond)
             cow.delete(cond)
+            pos.delete(cond)
         elif op == "update":
             assign = {"o_totalprice": F.col("o_totalprice") + float(step + 1)}
             mor.update(cond, assign)
             cow.update(cond, assign)
+            pos.update(cond, assign)
         elif op == "append":
             extra = orders.filter(cond).withColumn(
                 "o_orderkey", F.col("o_orderkey") + 100000 + step
             )
             mor.append(extra)
             cow.append(extra)
+            pos.append(extra)
         else:
             src = orders.filter(cond).withColumn(
                 "o_totalprice", F.col("o_totalprice") + 7.0
@@ -159,7 +167,11 @@ def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
             )
             mor.merge(src, **kwargs)
             cow.merge(src, **kwargs)
+            # positional tables run MERGE through the CoW path (merge
+            # is key-addressed; positional applies to delete/update)
+            pos.merge(src, **kwargs, mode="copy-on-write")
         states_equal()
-    # compaction folds the MoR deletes without changing the state
+    # compaction folds the MoR/positional deletes, state unchanged
     mor.compact(small_file_bytes=1 << 62, min_files=1)
+    pos.compact(small_file_bytes=1 << 62, min_files=1)
     states_equal()
