@@ -725,6 +725,34 @@ class LakeTable:
         ]
         return df.repartition(*exprs)
 
+    def _sort_for_write(self, df: DataFrame) -> DataFrame:
+        """Apply the table's write-time sort order (Iceberg
+        ``write.sort.order`` analog, table property
+        ``write_sort_order='col1,col2'``): range-distribute across
+        tasks (unpartitioned tables) then sort within each, so every
+        data file covers a narrow slice of the sort key and the
+        per-file min/max bounds in the manifest actually prune (the
+        same reason compact supports ``sort_by`` — but applied
+        continuously at ingest so files are born clustered instead of
+        fixed later). On partitioned tables the hash distribution
+        already fixed task placement; the sort runs within tasks."""
+        order = self.snapshot().properties.get("write_sort_order")
+        if not order:
+            return df
+        cols = [c.strip() for c in order.split(",") if c.strip()]
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise LakehouseError(
+                f"write_sort_order columns not in schema: {missing}"
+            )
+        if not self.partition_spec():
+            n = self.snapshot().properties.get("write_target_files")
+            if n is not None:
+                df = df.repartitionByRange(int(n), *cols)
+            else:
+                df = df.repartitionByRange(*cols)
+        return df.sortWithinPartitions(*cols)
+
     def append(self, df: DataFrame, retries: int = 3) -> Snapshot:
         """INSERT/append (ref A9+A10: write_ops.c buffering + commit).
 
@@ -733,7 +761,7 @@ class LakeTable:
         files are re-based onto the new current snapshot and the
         commit retried; the data files are never rewritten."""
         self._check_schema(df)
-        df = self._distribute_for_write(df)
+        df = self._sort_for_write(self._distribute_for_write(df))
         base = self.current_version()
         new_files = self._stage_dataframe(
             df, base + 1, self.snapshot(base).partition_spec,
@@ -763,7 +791,7 @@ class LakeTable:
         ``summary_extra`` lets callers stamp application metadata (e.g. a
         rollup's source-version watermark) atomically with the commit."""
         self._check_schema(df)
-        df = self._distribute_for_write(df)
+        df = self._sort_for_write(self._distribute_for_write(df))
         base = self.current_version()
         new_files = self._stage_dataframe(
             df, base + 1, self.snapshot(base).partition_spec,

@@ -2007,3 +2007,42 @@ def test_positional_delete_after_schema_evolution(catalog, spark):
     tbl.delete(F.col("val") >= 50, mode="merge-on-read-positional")
     out = sorted((r.k, r.val) for r in tbl.read().collect())
     assert out == [(i, i * 10) for i in range(5)]
+
+
+def test_write_sort_order_clusters_files(catalog, spark):
+    """write_sort_order: ingested files are born clustered on the sort
+    key — per-file bounds are disjoint slices and range scans prune;
+    an unsorted twin's bounds all overlap."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 100000), i) for i in range(20000)]
+    df = spark.createDataFrame(rows, "k long, payload long").repartition(8)
+    sorted_tbl = catalog.create_table_as(
+        "db", "sorted_w", df,
+        properties={"write_sort_order": "k", "write_target_files": "4"},
+    )
+    plain_tbl = catalog.create_table_as("db", "plain_w", df)
+    kept_s, total_s = sorted_tbl.pruned_file_count({"k": (0, 5000)})
+    kept_p, total_p = plain_tbl.pruned_file_count({"k": (0, 5000)})
+    assert total_s > 1
+    assert kept_s < total_s          # sorted table prunes
+    assert kept_p == total_p         # unsorted twin cannot
+    # correctness unchanged
+    a = sorted_tbl.read_pruned({"k": (0, 5000)}).count()
+    b = plain_tbl.read().filter(F.col("k") <= 5000).count()
+    assert a == b
+    # appends keep the clustering
+    sorted_tbl.append(df)
+    kept2, total2 = sorted_tbl.pruned_file_count({"k": (0, 5000)})
+    assert kept2 < total2
+
+
+def test_write_sort_order_validates_columns(catalog, spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(LakehouseError, match="write_sort_order"):
+        catalog.create_table_as(
+            "db", "sort_bad", df, properties={"write_sort_order": "nope"}
+        )
