@@ -289,6 +289,69 @@ class LakeSQL:
         return tbl.delete(F.expr(where) if where else F.lit(True))
 
     def _update(self, s: str) -> Snapshot:
+        # PG join-update: UPDATE t [AS a] SET ... FROM src [AS b]
+        # WHERE a.k = b.k [AND ...] — maps onto MERGE (matched-update
+        # only). The WHERE must start with the alias-qualified key
+        # equalities; extra conjuncts become the matched condition.
+        fm = re.match(
+            rf"UPDATE\s+{_TBL}(?:\s+AS)?\s+({_IDENT})\s+SET\s+(.*?)\s+"
+            rf"FROM\s+(\(.*?\)|{_IDENT})(?:\s+AS)?\s+({_IDENT})\s+"
+            rf"WHERE\s+(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if fm:
+            ns, name, talias, sets, src_ref, salias, where = fm.groups()
+            tbl = self.catalog.load_table(ns, name)
+            source = (
+                self._select(src_ref[1:-1].strip())
+                if src_ref.startswith("(")
+                else self.spark.table(src_ref)
+            )
+            keys, extra = [], []
+            for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+                em = re.match(
+                    rf"\s*({_IDENT})\.({_IDENT})\s*=\s*"
+                    rf"({_IDENT})\.({_IDENT})\s*$",
+                    part,
+                )
+                pair = (
+                    {em.group(1): em.group(2), em.group(3): em.group(4)}
+                    if em
+                    else None
+                )
+                if (
+                    pair
+                    and set(pair) == {talias, salias}
+                    and pair[talias] == pair[salias]
+                ):
+                    keys.append(pair[talias])
+                else:
+                    extra.append(part)
+            if not keys:
+                raise LakehouseError(
+                    "UPDATE ... FROM needs alias-qualified key equalities "
+                    f"in WHERE: {where[:80]!r}"
+                )
+
+            def rewrite(expr: str):
+                e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr)
+                return F.expr(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e))
+
+            assignments = {}
+            for kv in _split_top_level(sets):
+                k, _, v = kv.partition("=")
+                k = re.sub(rf"^{talias}\.", "", k.strip())
+                assignments[k] = rewrite(v.strip())
+            return tbl.merge(
+                source,
+                on=keys,
+                when_matched_update=assignments,
+                when_matched_condition=(
+                    rewrite(" AND ".join(extra)) if extra else None
+                ),
+                when_not_matched_insert=False,
+            )
         m = re.match(
             rf"UPDATE\s+{_TBL}\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
             s,

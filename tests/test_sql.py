@@ -150,3 +150,33 @@ def test_unsupported_statement_errors(lsql):
             "MERGE INTO db.g AS t USING (SELECT 1 AS k) AS s ON t.k = s.k "
             "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
         )
+
+
+def test_update_from_join(lsql, spark):
+    """PG join-update: UPDATE ... FROM src WHERE t.k = s.k [AND cond]
+    — matched rows take values from the source; extra WHERE conjuncts
+    gate which matches apply."""
+    lsql.sql("CREATE TABLE db.uf (k BIGINT, v STRING, prot BOOLEAN)")
+    lsql.sql(
+        "INSERT INTO db.uf VALUES "
+        "(1,'a',false),(2,'b',true),(3,'c',false),(4,'d',false)"
+    )
+    spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (9, "Z")], "k long, nv string"
+    ).createOrReplaceTempView("updates")
+    lsql.sql(
+        "UPDATE db.uf AS t SET v = s.nv FROM updates AS s "
+        "WHERE t.k = s.k AND NOT t.prot"
+    )
+    out = {r.k: r.v for r in lsql.sql("SELECT * FROM db.uf").collect()}
+    # k=2 protected -> untouched; k=9 has no target row -> no insert
+    assert out == {1: "A", 2: "b", 3: "C", 4: "d"}
+
+
+def test_update_from_requires_keys(lsql, spark):
+    lsql.sql("CREATE TABLE db.uf2 (k BIGINT, v STRING)")
+    spark.range(1).createOrReplaceTempView("one")
+    with pytest.raises(LakehouseError, match="key equalities"):
+        lsql.sql(
+            "UPDATE db.uf2 AS t SET v = 'x' FROM one AS s WHERE t.k > 0"
+        )
