@@ -81,6 +81,7 @@ def catalog(
     catalog_type: str = "internal",
     warehouse: str | None = None,
     uri: str | None = None,
+    token: str | None = None,
 ) -> Catalog:
     """Catalog factory mirroring the reference's option validation
     (table_ops.c:62-72: type whitelist; :176-181: uri required for
@@ -102,7 +103,7 @@ def catalog(
         raise LakehouseError(
             "rest catalog requires catalog_uri (reference table_ops.c:176-181)"
         )
-    return RestCatalog(spark, uri)
+    return RestCatalog(spark, uri, token=token)
 
 
 class RestCatalog:
@@ -112,20 +113,33 @@ class RestCatalog:
     the server returns (shared-storage assumption, as with any REST
     catalog deployment)."""
 
-    def __init__(self, spark: SparkSession, uri: str, timeout: float = 10.0):
+    def __init__(
+        self,
+        spark: SparkSession,
+        uri: str,
+        timeout: float = 10.0,
+        token: str | None = None,
+    ):
         self.spark = spark
         self.uri = uri.rstrip("/")
         self.timeout = timeout
+        # Bearer-token auth per the Iceberg REST spec's `token` client
+        # property: every request (including the initial /v1/config
+        # handshake) carries `Authorization: Bearer <token>`.
+        self.token = token
         self._config = self._request("GET", "/v1/config") or {}
 
     # -- transport ---------------------------------------------------------
 
     def _request(self, method: str, path: str, body: dict | None = None):
+        headers = {"Content-Type": "application/json"}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
         req = urllib.request.Request(
             self.uri + path,
             method=method,
             data=json.dumps(body).encode() if body is not None else None,
-            headers={"Content-Type": "application/json"},
+            headers=headers,
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:

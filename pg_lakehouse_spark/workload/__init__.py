@@ -67,8 +67,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_topk_orders",
     "q_like_patterns",
     "q_filter_clause_agg",
-    "q_approx_distinct",
-    "q_approx_percentile",
+    "q_distinct_agg",
+    "q_percentiles",
     "q_grouping_sets",
     "q_cube",
     "q_pivot",

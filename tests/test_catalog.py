@@ -30,10 +30,15 @@ class _RestState:
         self.tables: dict[tuple[str, str], str] = {}  # (ns, name) -> location
 
 
-def _make_handler(state: _RestState):
+def _make_handler(state: _RestState, required_token: str | None = None):
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _auth_ok(self) -> bool:
+            if required_token is None:
+                return True
+            return self.headers.get("Authorization") == f"Bearer {required_token}"
 
         def _json(self, code: int, payload=None):
             body = json.dumps(payload).encode() if payload is not None else b""
@@ -54,6 +59,8 @@ def _make_handler(state: _RestState):
             )
 
         def do_GET(self):
+            if not self._auth_ok():
+                return self._json(401, {"error": "unauthorized"})
             parts, _ = self._parts()
             if parts == ["v1", "config"]:
                 return self._json(200, {"defaults": {}, "overrides": {}})
@@ -77,6 +84,8 @@ def _make_handler(state: _RestState):
             return self._json(404, {"error": "bad path"})
 
         def do_POST(self):
+            if not self._auth_ok():
+                return self._json(401, {"error": "unauthorized"})
             parts, _ = self._parts()
             if parts == ["v1", "namespaces"]:
                 ns = self._body()["namespace"][0]
@@ -107,6 +116,8 @@ def _make_handler(state: _RestState):
             return self._json(404, {"error": "bad path"})
 
         def do_DELETE(self):
+            if not self._auth_ok():
+                return self._json(401, {"error": "unauthorized"})
             parts, query = self._parts()
             if len(parts) == 5 and parts[3] == "tables":
                 key = (parts[2], parts[4])
@@ -195,3 +206,32 @@ def test_factory_validation(spark, tmp_path):
 def test_rest_unreachable(spark):
     with pytest.raises(LakehouseError, match="unreachable"):
         RestCatalog(spark, "http://127.0.0.1:9", timeout=0.5)
+
+
+@pytest.fixture(scope="module")
+def auth_rest_server(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("auth_rest_wh"))
+    state = _RestState(warehouse)
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _make_handler(state, required_token="sekret-42")
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_rest_auth_token(spark, auth_rest_server, df10):
+    # Without a token every request (including the /v1/config handshake)
+    # is rejected with 401.
+    with pytest.raises(LakehouseError, match="HTTP 401"):
+        RestCatalog(spark, auth_rest_server)
+    with pytest.raises(LakehouseError, match="HTTP 401"):
+        catalog(spark, "rest", uri=auth_rest_server, token="wrong")
+    # With the right token the full CRUD surface works.
+    cat = catalog(spark, "rest", uri=auth_rest_server, token="sekret-42")
+    tbl = cat.create_table_as("auth_ns", "t_auth", df10)
+    assert tbl.read().count() == 10
+    assert cat.table_exists("auth_ns", "t_auth")
+    cat.drop_table("auth_ns", "t_auth", purge=True)
+    assert not cat.table_exists("auth_ns", "t_auth")
