@@ -119,11 +119,16 @@ class Snapshot:
 
 
 def _file_stats(path: str, fmt: str = "parquet") -> tuple[int, int]:
-    """(rows, bytes) from the file footer — metadata-only read."""
+    """(rows, bytes) from the file footer — metadata-only read (avro:
+    OCF block headers carry per-block record counts)."""
     if fmt == "orc":
         import pyarrow.orc as po
 
         return po.ORCFile(path).nrows, os.path.getsize(path)
+    if fmt == "avro":
+        from pg_lakehouse_spark import avro_io
+
+        return avro_io.count_rows(path), os.path.getsize(path)
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
@@ -238,10 +243,11 @@ def _file_column_ranges(path: str, fmt: str = "parquet") -> dict[str, list]:
     column bounds (ref A22: the reference stubs stats entirely,
     iceberg_am.c:401-413; here they drive file-level skipping).
 
-    ORC files return no ranges (pyarrow exposes no stripe statistics);
-    every consumer treats missing stats conservatively (no skipping),
-    so correctness is format-independent."""
-    if fmt == "orc":
+    ORC and avro files return no ranges (pyarrow exposes no stripe
+    statistics; OCF blocks carry no column bounds); every consumer
+    treats missing stats conservatively (no skipping), so correctness
+    is format-independent."""
+    if fmt in ("orc", "avro"):
         return {}
     import pyarrow.parquet as pq
 
@@ -648,10 +654,25 @@ class LakeTable:
                 # sees it
                 df = df.withColumn(derived, fn(df))
             part_cols.append(derived)
-        writer = df.write.mode("overwrite").format(fmt)
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.save(staging)
+        if fmt == "avro":
+            # native writer when the spark-avro jar exists, else the
+            # pure-Python OCF dataset writer (same hive layout)
+            try:
+                writer = df.write.mode("overwrite").format("avro")
+                if part_cols:
+                    writer = writer.partitionBy(*part_cols)
+                writer.save(staging)
+            except Exception as exc:
+                if "Failed to find data source: avro" not in str(exc):
+                    raise
+                from pg_lakehouse_spark import avro_io
+
+                avro_io.write_avro_dataset(df, staging, part_cols=part_cols)
+        else:
+            writer = df.write.mode("overwrite").format(fmt)
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.save(staging)
         os.makedirs(self.data_dir, exist_ok=True)
         entries = []
         data_files = sorted(
@@ -1213,15 +1234,42 @@ class LakeTable:
     # read paths
     # ------------------------------------------------------------------
 
-    def _read_files(self, schema: StructType, paths: list[str]) -> DataFrame:
+    def _read_files(
+        self, schema: StructType, paths: list[str], lineage: bool = False
+    ) -> DataFrame:
         """Read an explicit file list; basePath restores hive partition
-        columns when the layout is partitioned."""
+        columns when the layout is partitioned. ``lineage=True``
+        appends ``__file``/``__pos`` row-identity columns (positional
+        deletes). Avro tables route through the pure-Python OCF decoder
+        when the native spark-avro jar is absent (and always for
+        lineage — ``_metadata.row_index`` is parquet-only)."""
+        fmt = self.file_format()
+        if fmt == "avro":
+            from pg_lakehouse_spark import avro_io
+
+            if not lineage:
+                try:
+                    return (
+                        self.spark.read.schema(schema)
+                        .option("basePath", self.data_dir)
+                        .format("avro")
+                        .load(paths)
+                    )
+                except Exception as exc:
+                    if "Failed to find data source: avro" not in str(exc):
+                        raise
+            return avro_io.read_avro_files(
+                self.spark, paths, schema, lineage=lineage
+            )
         reader = (
             self.spark.read.schema(schema)
             .option("basePath", self.data_dir)
-            .format(self.file_format())
+            .format(fmt)
         )
-        return reader.load(paths)
+        df = reader.load(paths)
+        if lineage:
+            df = df.select("*", *self._lineage_select())
+        return df
 
     @staticmethod
     def _augment_nested_ids(schema: StructType, ids: dict) -> dict:
@@ -1346,11 +1394,13 @@ class LakeTable:
             lineage = with_lineage or any(
                 d.get("kind") == "position" for d in applicable
             )
-            lin = self._lineage_select() if lineage else []
+            lin = list(self._LINEAGE_COLS) if lineage else []
             if sid == snap.schema_id:
                 # project away hidden-partition dir columns (Spark
                 # appends discovered dir cols beyond the given schema)
-                part = self._read_files(schema, paths).select(*names, *lin)
+                part = self._read_files(
+                    schema, paths, lineage=lineage
+                ).select(*names, *lin)
                 parts.append(
                     self._apply_deletes(
                         part, applicable, cur_ids, keep_lineage=with_lineage
@@ -1367,7 +1417,7 @@ class LakeTable:
                 old_schema, epoch["field_ids"]
             )
             id_to_old = {fid: n for n, fid in epoch_ids.items()}
-            df = self._read_files(old_schema, paths)
+            df = self._read_files(old_schema, paths, lineage=lineage)
             proj = []
 
             from pyspark.sql.types import ArrayType, MapType
@@ -1878,6 +1928,20 @@ class LakeTable:
         safe for file selection, and input_file_name() requires a
         single-source plan (no anti-join)."""
         snap = self.snapshot()
+        if self.file_format() == "avro":
+            # the pure-Python OCF decode path surfaces no
+            # input_file_name(); lineage's __file (uuid-unique basename)
+            # identifies files instead
+            cur = self._read_entries(
+                snap, snap.files, apply_deletes=False, with_lineage=True
+            )
+            hit = cur.filter(condition).select("__file").distinct().collect()
+            by_name = {
+                os.path.basename(f["path"]): f["path"] for f in snap.files
+            }
+            return [
+                by_name[r["__file"]] for r in hit if r["__file"] in by_name
+            ]
         cur = self._read_entries(snap, snap.files, apply_deletes=False)
         hit = (
             cur.filter(condition)
@@ -2210,7 +2274,8 @@ class LakeTable:
             F.struct(*[F.col(c) for c in source.columns]).alias("__src"),
             *[F.col(c).alias(f"__k_{c}") for c in on],
         )
-        if _is_small(source):
+        small_src = _is_small(source)
+        if small_src:
             src = F.broadcast(src)
         cond = F.expr(" AND ".join(f"`{c}` = `__k_{c}`" for c in on))
         matched = target.join(src, cond, "inner")
@@ -2222,11 +2287,11 @@ class LakeTable:
             # deletes them — an insert-only merge must leave them alone
             retire_parts.append(matched.select(*key_cols))
         if when_not_matched_by_source_delete:
-            unmatched = target.join(
-                src.select(*[F.col(f"__k_{c}").alias(c) for c in on]),
-                on=on,
-                how="left_anti",
-            )
+            anti_keys = src.select(*[F.col(f"__k_{c}").alias(c) for c in on])
+            if small_src:
+                # anti join builds on the right side — broadcastable
+                anti_keys = F.broadcast(anti_keys)
+            unmatched = target.join(anti_keys, on=on, how="left_anti")
             if when_not_matched_by_source_condition is not None:
                 unmatched = unmatched.filter(
                     when_not_matched_by_source_condition
@@ -2417,20 +2482,18 @@ class LakeTable:
             F.struct(*[F.col(c) for c in source.columns]).alias("__src"),
             *[F.col(c).alias(f"__k_{c}") for c in on],
         )
-        cond = [target[c] == F.col(f"__k_{c}") for c in on]
-        joined = target.join(
-            F.broadcast(src) if _is_small(source) else src,
-            on=cond[0] if len(cond) == 1 else F.expr(
-                " AND ".join(f"`{c}` = `__k_{c}`" for c in on)
-            ),
-            how="full_outer",
+        joined = _build_merge_join(
+            target, src, on, _is_small(source), when_not_matched_insert
         )
         matched = F.col("__src").isNotNull() & F.col(on[0]).isNotNull()
         if when_matched_condition is not None:
             # WHEN MATCHED AND <cond>: rows failing the condition stay
             # untouched (they are neither updated nor deleted)
             matched = matched & when_matched_condition
-        src_only = F.col(on[0]).isNull()
+        # A source-only (insert) row has a source struct but no target
+        # match; `on[0] IS NULL` alone would also catch target rows
+        # whose merge key is NULL and wrongly clobber/drop them.
+        src_only = F.col("__src").isNotNull() & F.col(on[0]).isNull()
 
         cols = []
         for name in target.columns:
@@ -2686,13 +2749,14 @@ class LakeTable:
             f["path"] for s in self.snapshots() for f in s.files
         }
         removed = []
-        for p in glob.glob(
-            os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
-        ):
-            rel = os.path.relpath(p, self.location)
-            if rel not in live:
-                os.remove(p)
-                removed.append(rel)
+        for ext in ("parquet", "orc", "avro"):
+            for p in glob.glob(
+                os.path.join(self.data_dir, "**", f"*.{ext}"), recursive=True
+            ):
+                rel = os.path.relpath(p, self.location)
+                if rel not in live:
+                    os.remove(p)
+                    removed.append(rel)
         return removed
 
     def vacuum(self, keep_last: int = 1) -> dict:
@@ -2702,11 +2766,89 @@ class LakeTable:
         return {"expired_snapshots": expired, "removed_files": removed}
 
 
-def _is_small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
-    """Heuristic broadcast gate for merge sources. At 100 TB the real
-    signal is size stats; row-limit keeps local tests honest."""
+def _build_merge_join(
+    target: DataFrame,
+    src: DataFrame,
+    on: list[str],
+    small: bool,
+    need_inserts: bool,
+) -> DataFrame:
+    """Build the MERGE join: all (target row, source row) pairings plus
+    unmatched rows from either side, as one DataFrame with columns
+    ``target.columns + __src + __k_<key>...``.
+
+    Large source: plain full-outer sort-merge join (the Delta/Iceberg
+    CoW shape — both sides genuinely need the shuffle).
+
+    Small source: Spark cannot broadcast either side of a full-outer
+    join — a broadcast hint there is silently dropped (HintErrorLogger:
+    "build right for full outer join") and even a 10-row source forces
+    a full sort-merge shuffle of the touched target files. Equivalent
+    broadcastable formulation:
+
+        target LEFT JOIN broadcast(src)     -- matched + target-only
+        UNION ALL source-only rows          -- inserts
+
+    Source-only rows come from an anti join of the source against the
+    (small) key set present on BOTH sides, computed by a key-projected
+    broadcast semi join — a column-pruned second scan of the touched
+    files. Zero shuffles of target data either way."""
+    cond = [target[c] == F.col(f"__k_{c}") for c in on]
+    join_cond = cond[0] if len(cond) == 1 else F.expr(
+        " AND ".join(f"`{c}` = `__k_{c}`" for c in on)
+    )
+    if not small:
+        return target.join(src, on=join_cond, how="full_outer")
+    joined = target.join(F.broadcast(src), on=join_cond, how="left")
+    if need_inserts:
+        knames = [f"__k_{c}" for c in on]
+        matched_keys = (
+            target.select(*[F.col(c).alias(f"__k_{c}") for c in on])
+            .join(
+                F.broadcast(src.select(*knames).dropDuplicates()),
+                on=knames,
+                how="left_semi",
+            )
+            .dropDuplicates()
+        )
+        src_only_rows = src.join(
+            F.broadcast(matched_keys), on=knames, how="left_anti"
+        )
+        joined = joined.unionByName(
+            src_only_rows.select(
+                *[
+                    F.lit(None).cast(target.schema[c].dataType).alias(c)
+                    for c in target.columns
+                ],
+                F.col("__src"),
+                *[F.col(k) for k in knames],
+            )
+        )
+    return joined
+
+
+def _is_small(df: DataFrame, limit_bytes: int = 128 * 1024 * 1024) -> bool:
+    """Broadcast gate for merge sources — job-free.
+
+    Uses Catalyst's own optimized-plan size estimate (the same stat the
+    planner's auto-broadcast decision reads): file sources report summed
+    file sizes, in-memory LocalRelations their actual bytes. No Spark
+    job runs — at 100 TB an extra pre-merge `count()` over the source
+    would cost a full scan before the merge scans it again. The estimate
+    is conservative for filtered scans (filters don't shrink the stat
+    without CBO), which can only miss a broadcast, never mis-broadcast
+    something huge. Falls back to a bounded count only if the internal
+    stats call is unavailable."""
     try:
-        return df.limit(limit_rows + 1).count() <= limit_rows
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = stats.sizeInBytes()
+        if not isinstance(size, int):  # scala BigInt on some versions
+            size = int(size.toString())
+        return size <= limit_bytes
+    except Exception:
+        pass
+    try:
+        return df.limit(1_000_001).count() <= 1_000_000
     except Exception:
         return False
 
@@ -2724,12 +2866,10 @@ def init_table_at(
     the one snapshot format."""
     props = dict(properties or {})
     fmt = props.get("file_format", "parquet")
-    if fmt not in ("parquet", "orc"):
+    if fmt not in ("parquet", "orc", "avro"):
         raise LakehouseError(
             f"unsupported file_format {fmt!r} for lakehouse tables "
-            "(reference whitelist: parquet/orc/avro, table_ops.c:78-87; "
-            "avro needs the external spark-avro jar absent here — use "
-            "sources.py for plain avro reads where available)"
+            "(reference whitelist: parquet/orc/avro, table_ops.c:78-87)"
         )
     bad = [
         c

@@ -74,6 +74,8 @@ def test_no_driver_side_collects_in_operators():
         "similarity.py",     # cosine_topk_pandas collects the QUERY
         # set (bounded by the broadcast contract), never the corpus
         "zorder.py",         # 2 scalars per column (min/max stats)
+        "dedup.py",          # star-CC convergence signature: one
+        # (count, hash-sum) row per round — metadata, not data
         "avro_io.py",        # first-file header (schema) + one
         # counter row per partition after write — both metadata-sized
     }
@@ -213,3 +215,94 @@ def test_mor_read_broadcasts_delete_keys(spark, sf_dir, tmp_path):
     plan = tbl.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_small_source_broadcasts(spark, sf_dir, tmp_path):
+    """A small-source CoW MERGE must plan broadcast joins, never a
+    sort-merge shuffle of the touched target files: Spark drops
+    broadcast hints on full-outer joins, so the merge must use the
+    left-join ∪ anti-join formulation when the source is small."""
+    from pyspark.sql import functions as F
+
+    from pg_lakehouse_spark.lakehouse import _build_merge_join
+    from pg_lakehouse_spark.tables import table
+
+    target = table(spark, sf_dir, "orders").limit(500)
+    source = spark.range(10).select(
+        F.col("id").alias("o_orderkey"), F.lit("X").alias("o_comment")
+    )
+    src = source.select(
+        F.struct(*[F.col(c) for c in source.columns]).alias("__src"),
+        F.col("o_orderkey").alias("__k_o_orderkey"),
+    )
+    joined = _build_merge_join(
+        target, src, ["o_orderkey"], small=True, need_inserts=True
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # large-source path keeps the full-outer sort-merge shape
+    full = _build_merge_join(
+        target, src, ["o_orderkey"], small=False, need_inserts=True
+    )
+    assert "FullOuter" in full._jdf.queryExecution().executedPlan().toString()
+
+
+def test_merge_small_source_results_match_full_outer(spark, tmp_path):
+    """Both merge-join formulations must produce identical MERGE
+    results (updates + deletes-by-source + inserts + untouched rows,
+    including a NULL-key target row that must survive untouched)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    import pg_lakehouse_spark.lakehouse as lh
+
+    rows = [Row(k=i, v=f"t{i}") for i in range(20)] + [Row(k=None, v="nullkey")]
+    src_rows = [Row(k=i, v=f"s{i}") for i in range(15, 25)]
+
+    def run(force_small):
+        cat = LakeCatalog(spark, str(tmp_path / f"wh_msrc_{force_small}"))
+        tbl = cat.create_table_as(
+            "db", "t", spark.createDataFrame(rows, "k int, v string")
+        )
+        orig = lh._is_small
+        lh._is_small = lambda df, **kw: force_small
+        try:
+            tbl.merge(
+                spark.createDataFrame(src_rows, "k int, v string"),
+                on=["k"],
+                when_matched_update={"v": F.col("__src.v")},
+            )
+        finally:
+            lh._is_small = orig
+        return sorted(
+            [(r.k, r.v) for r in tbl.read().collect()],
+            key=lambda t: (t[0] is None, t[0] or 0),
+        )
+
+    small = run(True)
+    big = run(False)
+    assert small == big
+    assert (None, "nullkey") in small          # NULL-key row untouched
+    assert (15, "s15") in small and (24, "s24") in small
+
+
+def test_is_small_runs_no_job(spark, sf_dir):
+    """The merge broadcast gate must answer from Catalyst stats without
+    launching a Spark job — at scale a pre-merge count() is a full
+    extra source scan."""
+    from pg_lakehouse_spark.lakehouse import _is_small
+    from pg_lakehouse_spark.tables import table
+
+    sc = spark.sparkContext
+    df_small = table(spark, sf_dir, "nation")
+    df_local = spark.range(100).selectExpr("id", "id * 2 as v")
+    sc.setJobGroup("is_small_probe", "no jobs expected")
+    try:
+        assert _is_small(df_small) is True
+        assert _is_small(df_local) is True
+        jobs = sc.statusTracker().getJobIdsForGroup("is_small_probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"_is_small launched jobs: {jobs}"
