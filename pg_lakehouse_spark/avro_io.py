@@ -33,6 +33,7 @@ import io
 import json
 import os
 import struct
+import uuid
 import zlib
 from decimal import Decimal
 
@@ -474,15 +475,33 @@ def write_avro(
 
     import pyarrow as pa
 
-    if os.path.exists(path):
+    if mode == "ignore":
+        if os.path.exists(path):
+            return 0
+    elif mode == "append":
+        pass  # unique file names below make append safe
+    elif os.path.exists(path):
         if mode == "overwrite":
             import shutil
 
             shutil.rmtree(path)
         elif mode == "error":
             raise FileExistsError(path)
+        else:
+            raise ValueError(
+                f"unsupported write mode {mode!r}; expected one of "
+                "error/overwrite/append/ignore"
+            )
+    elif mode not in ("error", "overwrite"):
+        raise ValueError(
+            f"unsupported write mode {mode!r}; expected one of "
+            "error/overwrite/append/ignore"
+        )
     os.makedirs(path, exist_ok=True)
     schema = df.schema
+    # append must never collide with files from an earlier write that
+    # used the same partition ids
+    run = uuid.uuid4().hex[:8] if mode == "append" else None
 
     def encode(batches):
         from pyspark import TaskContext
@@ -494,10 +513,197 @@ def write_avro(
         if rows:
             sync = hashlib.md5(f"pgls-part-{pid}".encode()).digest()
             payload = encode_container(rows, schema, codec=codec, sync=sync)
-            part = os.path.join(path, f"part-{pid:05d}.avro")
+            stem = f"part-{pid:05d}" if run is None else f"part-{run}-{pid:05d}"
+            part = os.path.join(path, f"{stem}.avro")
             with open(part, "wb") as fh:
                 fh.write(payload)
             yield pa.RecordBatch.from_pylist([{"files": 1}])
 
     counts = df.mapInArrow(encode, schema="files long").collect()
     return len(counts)
+
+
+# ---------------------------------------------------------------------------
+# Lake-table support (avro as a lakehouse `file_format`, reference
+# table_ops.c:78-87): explicit-file-list reads with hive partition
+# restoration + row lineage, hive-layout writes, metadata row counts.
+# ---------------------------------------------------------------------------
+
+
+def count_rows(path: str) -> int:
+    """Row count from OCF block headers only — each block is prefixed
+    with its record count, so this seeks past the data (the parquet-
+    footer-stats analog for manifest entries)."""
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 16)
+        while True:
+            try:
+                _, _, _, off = parse_header(head)
+                break
+            except Exception:
+                more = fh.read(1 << 16)
+                if not more:
+                    raise
+                head += more
+        fh.seek(off)
+        rows = 0
+        while True:
+            b = fh.read(1)
+            if not b:
+                return rows
+            # re-read the varints through a tiny buffered window
+            window = b + fh.read(19)
+            buf = io.BytesIO(window)
+            n = _read_long(buf)
+            size = _read_long(buf)
+            rows += n
+            fh.seek(fh.tell() - len(window) + buf.tell() + size + 16)
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_value(v) -> str:
+    from urllib.parse import quote
+
+    if v is None:
+        return _HIVE_NULL
+    return quote(str(v), safe="")
+
+
+def _unhive_value(raw: str, dt: T.DataType):
+    """Recover a typed partition value from its dir encoding (int
+    family + string — matching what manifest dir-stats support)."""
+    from urllib.parse import unquote
+
+    if raw == _HIVE_NULL:
+        return None
+    v = unquote(raw)
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return int(v)
+    if s == "string":
+        return v
+    raise ValueError(
+        f"avro fallback cannot restore a partition value of type {s}; "
+        "use int-family or string partition columns with avro tables"
+    )
+
+
+def read_avro_files(
+    spark: SparkSession,
+    paths: list[str],
+    schema: T.StructType,
+    lineage: bool = False,
+) -> DataFrame:
+    """Decode an explicit list of OCF files under a KNOWN schema — the
+    lake-table read seam (`LakeTable._read_files`). Columns named by
+    hive ``col=value`` dir segments are restored from the path (the
+    writer excludes them from file data, mirroring parquet partition
+    layout); ``lineage=True`` appends ``__file``/``__pos`` (row index
+    in file order — deterministic, one decode task per file), the
+    positional-delete identity parquet gets from ``_metadata``."""
+    import pandas as pd
+
+    names = set(schema.names)
+    out_schema = schema
+    if lineage:
+        out_schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField("__file", T.StringType()),
+                T.StructField("__pos", T.LongType()),
+            ]
+        )
+    files = (
+        spark.read.format("binaryFile").load(paths).select("path", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
+                part_vals: dict[str, object] = {}
+                for seg in str(fpath).split("/"):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        if k in names:
+                            part_vals[k] = _unhive_value(v, schema[k].dataType)
+                file_fields = [
+                    f for f in schema.fields if f.name not in part_vals
+                ]
+                # decode via the file's own embedded header schema —
+                # avro's union encoding makes the byte layout
+                # nullability-sensitive, so trusting the requested
+                # schema's nullable flags over the writer's would
+                # misalign the stream (OCFs are self-describing)
+                rows = list(decode_container(bytes(raw)))
+                n = len(rows)
+                if not n:
+                    continue
+                data = {
+                    f.name: [r.get(f.name) for r in rows]
+                    for f in file_fields
+                }
+                for cname, v in part_vals.items():
+                    data[cname] = [v] * n
+                if lineage:
+                    data["__file"] = [str(fpath).rsplit("/", 1)[-1]] * n
+                    data["__pos"] = list(range(n))
+                yield pd.DataFrame(
+                    {f.name: data[f.name] for f in out_schema.fields}
+                )
+
+    return files.mapInPandas(decode, schema=out_schema)
+
+
+def write_avro_dataset(
+    df: DataFrame,
+    path: str,
+    part_cols: list[str] | None = None,
+    codec: str = "deflate",
+) -> None:
+    """Hive-layout OCF writer — the lake-table staging seam
+    (`LakeTable._stage_dataframe`). Partition columns become
+    ``col=value`` dirs and are excluded from file data (parquet
+    ``partitionBy`` semantics); each task writes one file per partition
+    combination it holds, so the table's hash write distribution still
+    yields ~1 file per partition."""
+    import hashlib
+
+    import pyarrow as pa
+
+    part_cols = list(part_cols or [])
+    schema = df.schema
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    os.makedirs(path, exist_ok=True)
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for batch in batches:
+            rows.extend(batch.to_pylist())
+        if not rows:
+            return
+        groups: dict[tuple, list] = {}
+        for r in rows:
+            key = tuple(r[c] for c in part_cols)
+            groups.setdefault(key, []).append(
+                {k: v for k, v in r.items() if k not in part_cols}
+            )
+        for gi, key in enumerate(sorted(groups, key=str)):
+            segs = [f"{c}={_hive_value(v)}" for c, v in zip(part_cols, key)]
+            d = os.path.join(path, *segs) if segs else path
+            os.makedirs(d, exist_ok=True)
+            sync = hashlib.md5(f"pgls-part-{pid}-{gi}".encode()).digest()
+            payload = encode_container(
+                groups[key], data_schema, codec=codec, sync=sync
+            )
+            with open(os.path.join(d, f"part-{pid:05d}-{gi:04d}.avro"), "wb") as fh:
+                fh.write(payload)
+        yield pa.RecordBatch.from_pylist([{"files": len(groups)}])
+
+    df.mapInArrow(encode, schema="files long").collect()

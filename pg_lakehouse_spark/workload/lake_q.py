@@ -69,12 +69,16 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lake_sql_dml",
     oracle="""
-SELECT o_orderkey AS k,
-       round(CASE WHEN o_orderkey <= 300 THEN o_totalprice * 2
-                  WHEN o_orderkey > 800 THEN o_totalprice + 999.0
-                  ELSE o_totalprice END, 2) AS price
-FROM orders
-WHERE o_orderkey <= 1200 AND o_orderkey % 10 != 0
+SELECT k, round(price, 2) AS price FROM (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey <= 300 THEN o_totalprice * 2
+                WHEN o_orderkey > 800 THEN o_totalprice + 999.0
+                ELSE o_totalprice END AS price
+    FROM orders
+    WHERE o_orderkey <= 1200 AND o_orderkey % 10 != 0
+    UNION ALL SELECT CAST(999901 AS BIGINT), CAST(111.5 AS DOUBLE)
+    UNION ALL SELECT CAST(999902 AS BIGINT), CAST(222.25 AS DOUBLE)
+) u
 """,
     tags=("lakehouse", "sql-frontend", "dml"),
 )
@@ -105,6 +109,12 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MERGE INTO db.ord AS t USING ord_changes AS s ON t.k = s.k "
         "WHEN MATCHED THEN UPDATE SET price = s.price "
         "WHEN NOT MATCHED THEN INSERT *"
+    )
+    # column-listed VALUES insert, deliberately in non-schema order
+    # (the reference README's own demo shape, README.md:31-33)
+    q.sql(
+        "INSERT INTO db.ord (price, k) VALUES (111.5, 999901), "
+        "(222.25, 999902)"
     )
     return q.sql("SELECT k, round(price, 2) AS price FROM db.ord")
 
@@ -808,3 +818,40 @@ def lake_tag_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rolled_back").alias("state"), "n"
     )
     return tagged.unionByName(rolled)
+
+
+@register(
+    "lake_avro_roundtrip",
+    oracle="""
+SELECT o_orderkey AS k,
+       round(CASE WHEN o_orderkey <= 200 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END, 2) AS price,
+       o_orderstatus AS status
+FROM orders
+WHERE o_orderkey <= 800 AND o_orderkey % 7 != 0
+""",
+    tags=("lakehouse", "avro", "dml"),
+)
+def lake_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro as a lake-table file_format (ref table_ops.c:78-87
+    whitelists parquet/orc/avro): append + CoW delete + update all over
+    OCF data files via the pure-Python codec seam; the oracle replays
+    the same end state in SQL over the parquet corpus."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "avro_rt")
+    tbl = cat.create_table_as(
+        "db",
+        "orders_avro",
+        orders.filter(F.col("o_orderkey") <= 800),
+        properties={"file_format": "avro"},
+    )
+    tbl.delete(F.col("o_orderkey") % 7 == 0)
+    tbl.update(
+        F.col("o_orderkey") <= 200,
+        {"o_totalprice": F.col("o_totalprice") + 50.0},
+    )
+    return tbl.read().select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )

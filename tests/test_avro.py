@@ -256,3 +256,25 @@ def test_property_zigzag_varint_roundtrip(n):
     avro_io._write_long(buf, n)
     buf.seek(0)
     assert avro_io._read_long(buf) == n
+
+
+def test_write_modes_append_ignore(spark, tmp_path):
+    path = str(tmp_path / "modes2")
+    avro_io.write_avro(spark.range(10), path)
+    # append adds files under unique names instead of clobbering
+    avro_io.write_avro(spark.range(5), path, mode="append")
+    assert avro_io.read_avro(spark, path).count() == 15
+    # ignore is a no-op when the target exists
+    avro_io.write_avro(spark.range(99), path, mode="ignore")
+    assert avro_io.read_avro(spark, path).count() == 15
+    with pytest.raises(ValueError, match="unsupported write mode"):
+        avro_io.write_avro(spark.range(1), path, mode="bogus")
+
+
+def test_count_rows_matches_data(spark, tmp_path):
+    path = str(tmp_path / "counted")
+    avro_io.write_avro(spark.range(1234).repartition(3), path)
+    import glob as _glob
+
+    files = _glob.glob(path + "/*.avro")
+    assert sum(avro_io.count_rows(f) for f in files) == 1234
