@@ -249,11 +249,26 @@ class LakeSQL:
 
     def _insert(self, s: str) -> Snapshot:
         m = re.match(
-            rf"INSERT\s+INTO\s+{_TBL}\s+(.+)$", s, re.IGNORECASE | re.DOTALL
+            rf"INSERT\s+INTO\s+{_TBL}\s*(\([^)]*\))?\s*(.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise LakehouseError(f"cannot parse INSERT: {s[:80]!r}")
-        ns, name, body = m.group(1), m.group(2), m.group(3).strip()
+        ns, name, col_list, body = (
+            m.group(1), m.group(2), m.group(3), m.group(4).strip()
+        )
+        if col_list and col_list[1:-1].strip().upper().startswith(
+            ("SELECT", "WITH", "VALUES", "TABLE")
+        ):
+            # `INSERT INTO t (SELECT ...) ...` — parenthesized query,
+            # not a column list
+            body, col_list = (col_list[1:-1].strip() + " " + body).strip(), None
+        elif body.startswith("(") and body.endswith(")") and body[
+            1:-1
+        ].strip().upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
+            # `INSERT INTO t (SELECT ...)` — whole body parenthesized
+            body = body[1:-1].strip()
         tbl = self.catalog.load_table(ns, name)
         if body.upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
             df = (
@@ -263,9 +278,38 @@ class LakeSQL:
             )
         else:
             raise LakehouseError(f"cannot parse INSERT body: {body[:60]!r}")
+        fields = tbl.schema().fields
+        if col_list:
+            # INSERT INTO t (c1, c2) VALUES/SELECT ... — the reference
+            # README's own demo shape (reference README.md:31-33).
+            # Listed columns bind by position; unlisted columns get NULL
+            # (PG default-less semantics).
+            cols = [c.strip() for c in col_list[1:-1].split(",") if c.strip()]
+            known = {f.name for f in fields}
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise LakehouseError(
+                    f"INSERT column(s) not in table schema: {bad}"
+                )
+            if len(set(cols)) != len(cols):
+                raise LakehouseError("duplicate column in INSERT column list")
+            if len(df.columns) != len(cols):
+                raise LakehouseError(
+                    f"INSERT arity mismatch: column list has {len(cols)} "
+                    f"columns, query produced {len(df.columns)}"
+                )
+            named = df.toDF(*cols)
+            bound = named.select(
+                *[
+                    (
+                        F.col(f.name) if f.name in cols else F.lit(None)
+                    ).cast(f.dataType).alias(f.name)
+                    for f in fields
+                ]
+            )
+            return tbl.append(bound)
         # bind by position and cast to the table schema (VALUES literals
         # infer narrow types: int, decimal)
-        fields = tbl.schema().fields
         if len(df.columns) != len(fields):
             raise LakehouseError(
                 f"INSERT arity mismatch: table has {len(fields)} columns, "
@@ -439,10 +483,21 @@ class LakeSQL:
                 "unsupported MERGE clause (supported: UPDATE SET ..., "
                 "DELETE, INSERT *): " + leftover[:80]
             )
+        seen_kinds: dict[str, int] = {}
         for cm in self._CLAUSE.finditer(clauses):
             kind = re.sub(r"\s+", " ", cm.group(1).upper())
             cond, act = cm.group(2), cm.group(3).strip()
             actu = act.upper()
+            seen_kinds[kind] = seen_kinds.get(kind, 0) + 1
+            if seen_kinds[kind] > 1:
+                # the engine merge takes ONE action per match class; a
+                # second clause would silently overwrite the first
+                # (e.g. 'WHEN MATCHED AND c THEN UPDATE ... WHEN MATCHED
+                # THEN DELETE' must not become delete-only gated on c)
+                raise LakehouseError(
+                    f"multiple WHEN {kind} clauses are not supported; "
+                    "combine them into one conditional clause"
+                )
             if kind == "MATCHED":
                 if cond:
                     kw["when_matched_condition"] = rewrite(cond)

@@ -180,3 +180,46 @@ def test_update_from_requires_keys(lsql, spark):
         lsql.sql(
             "UPDATE db.uf2 AS t SET v = 'x' FROM one AS s WHERE t.k > 0"
         )
+
+
+def test_insert_column_list_values(lsql):
+    """INSERT INTO t (cols) VALUES — the reference README's own demo
+    (reference README.md:31-33). Listed columns bind by position in any
+    order; unlisted columns land NULL."""
+    lsql.sql("CREATE TABLE db.cv (uid BIGINT, name STRING, score DOUBLE)")
+    lsql.sql("INSERT INTO db.cv (uid, name, score) VALUES (1, 'ada', 9.5)")
+    lsql.sql("INSERT INTO db.cv (score, uid) VALUES (7.0, 2)")  # reordered
+    lsql.sql("INSERT INTO db.cv (uid) SELECT 3")                # SELECT body
+    out = lsql.sql("SELECT uid, name, score FROM db.cv ORDER BY uid")
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "ada", 9.5),
+        (2, None, 7.0),
+        (3, None, None),
+    ]
+    with pytest.raises(LakehouseError, match="not in table schema"):
+        lsql.sql("INSERT INTO db.cv (uid, nope) VALUES (4, 'x')")
+    with pytest.raises(LakehouseError, match="arity mismatch"):
+        lsql.sql("INSERT INTO db.cv (uid, name) VALUES (4)")
+    with pytest.raises(LakehouseError, match="duplicate column"):
+        lsql.sql("INSERT INTO db.cv (uid, uid) VALUES (4, 5)")
+    # a parenthesized query body is NOT a column list
+    lsql.sql("INSERT INTO db.cv (SELECT 4, 'dan', 1.0)")
+    assert lsql.sql("SELECT count(*) AS c FROM db.cv").collect()[0].c == 4
+
+
+def test_merge_rejects_multiple_matched_clauses(lsql, spark):
+    """Two WHEN MATCHED clauses would silently collapse into one flag
+    set (delete-only gated on the first clause's condition) — reject
+    until per-clause actions exist in the engine."""
+    lsql.sql("CREATE TABLE db.mm (k BIGINT, v DOUBLE)")
+    lsql.sql("INSERT INTO db.mm VALUES (1, 1.0), (2, 2.0)")
+    spark.createDataFrame([Row(k=1, v=10.0), Row(k=2, v=20.0)]) \
+        .createOrReplaceTempView("mm_src")
+    with pytest.raises(LakehouseError, match="multiple WHEN MATCHED"):
+        lsql.sql(
+            "MERGE INTO db.mm AS t USING mm_src AS s ON t.k = s.k "
+            "WHEN MATCHED AND s.v > 15 THEN UPDATE SET v = s.v "
+            "WHEN MATCHED THEN DELETE"
+        )
+    # table untouched by the rejected statement
+    assert lsql.sql("SELECT count(*) AS c FROM db.mm").collect()[0].c == 2
