@@ -403,20 +403,34 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component = min node id of the connected component.
 
-    Min-label propagation over the undirected edge set: each round
-    every node takes the min of its own label and its neighbors',
-    stopping when a round changes nothing. Rounds ∝ component
-    diameter — near-dup clusters are shallow (pairs share content, so
-    most clusters are cliques of diameter 1-2), which makes this the
-    right algorithm here; for general graphs with long chains use a
-    large-star/small-star variant instead. Each round is one shuffle
-    join; ``localCheckpoint`` truncates the growing lineage so round
-    N's plan doesn't replay rounds 1..N-1.
+    ``algorithm='label'`` (default): min-label propagation over the
+    undirected edge set — each round every node takes the min of its
+    own label and its neighbors', stopping when a round changes
+    nothing. Rounds ∝ component diameter — near-dup clusters are
+    shallow (pairs share content, so most clusters are cliques of
+    diameter 1-2), which makes this the right default here.
+
+    ``algorithm='star'``: alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds regardless of diameter; use it for
+    graphs with long chains (lineage graphs, link graphs).
+
+    Either way each round is one-two shuffles; ``localCheckpoint``
+    truncates the growing lineage so round N's plan doesn't replay
+    rounds 1..N-1. Raises ``RuntimeError`` if ``max_iter`` rounds
+    exhaust before convergence — partial labels are wrong labels.
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, id1, id2, max_iter)
+    if algorithm != "label":
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; expected 'label' or 'star'"
+        )
     sym = (
         edges.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .unionByName(
@@ -431,6 +445,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["a"] == labels["node"])
@@ -453,9 +468,87 @@ def connected_components(
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} label-"
+            "propagation rounds (component diameter exceeds max_iter); "
+            "raise max_iter or use algorithm='star' (O(log n) rounds)"
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def _connected_components_star(
+    edges: DataFrame, id1: str, id2: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star alternation (public algorithm: Kiveris et
+    al. 2014). Round count is O(log n) independent of component
+    diameter — the scale path for deep-chain graphs. Each round:
+
+    - large-star: every node connects its strictly-LARGER neighbors to
+      the minimum of its closed neighborhood;
+    - small-star: every node connects its smaller-or-equal neighbors
+      (and itself) to that minimum.
+
+    Convergence: the edge multiset stops changing — detected with a
+    (count, sum-of-pair-hashes) signature, one tiny aggregate per
+    round. At the fixpoint the edges form stars whose centers are the
+    component minima."""
+    e = (
+        edges.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the full (symmetric) adjacency
+        adj = e.select("a", "b").unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = adj.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least("a", "mn").alias("mn"))
+        e = (
+            adj.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .distinct()
+        )
+        # small-star: edges now point larger -> smaller
+        mins2 = e.groupBy("a").agg(F.min("b").alias("mn"))
+        out1 = (
+            e.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        out2 = mins2.select("a", F.col("mn").alias("b"))
+        e = out1.unionByName(out2).distinct().localCheckpoint()
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: an ANSI-mode long sum of 2^63-scale hashes
+            # would overflow
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
+    return (
+        e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.col("b").alias("comp"))
+        )
+        .groupBy("node")
+        .agg(F.min("comp").alias("component"))
+    )
 
 
 def dedup_survivors(

@@ -364,3 +364,85 @@ def test_dedup_survivors_end_to_end(spark):
     )
     out = sorted(r.doc_id for r in dedup_survivors(docs, pairs).collect())
     assert out == [1, 4, 5, 7]
+
+
+def test_connected_components_star_matches_label(spark):
+    """Star and label-propagation must agree on mixed graphs (chain +
+    triangle + pair + isolated-ish star)."""
+    from pg_lakehouse_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21),
+         (30, 31), (30, 32), (30, 33)],
+        "id1 long, id2 long",
+    )
+    a = {r.node: r.component
+         for r in connected_components(edges, algorithm="label").collect()}
+    b = {r.node: r.component
+         for r in connected_components(edges, algorithm="star").collect()}
+    assert a == b
+
+
+def test_connected_components_star_deep_path(spark):
+    """A path graph of depth 60 ≫ 25: label propagation's round count
+    is diameter-bound and must REFUSE to return partial labels at
+    max_iter=25; the star variant converges in O(log n) rounds."""
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.llm.dedup import connected_components
+
+    n = 60
+    # shuffled ids so the min isn't at the head of the path
+    ids = [(i * 37) % n for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=5, algorithm="label")
+    out = {
+        r.node: r.component
+        for r in connected_components(
+            edges, max_iter=12, algorithm="star"
+        ).collect()
+    }
+    assert set(out) == set(range(n))
+    assert set(out.values()) == {0}
+
+
+def test_connected_components_star_random_graph_property(spark):
+    """Randomized cross-check: star labels == a driver-side union-find
+    on the same edge list (seeded, deterministic)."""
+    import random
+
+    from pg_lakehouse_spark.llm.dedup import connected_components
+
+    rng = random.Random(42)
+    n = 200
+    pairs = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in pairs:
+        for x in (a, b):
+            want[x] = find(x)
+    edges = spark.createDataFrame(pairs, "id1 long, id2 long")
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert got == want
