@@ -66,6 +66,7 @@ def upsert_stream_to_lake(
     keys: list[str],
     checkpoint_dir: str,
     delete_col: str | None = None,
+    order_col: str | None = None,
     trigger_once: bool = False,
     query_name: str = "lake_upsert_sink",
 ) -> StreamingQuery:
@@ -75,13 +76,21 @@ def upsert_stream_to_lake(
 
     The scale shape: with the table in merge-on-read mode each batch
     writes O(batch) rows (delete keys + postimages), never rewriting
-    the table — continuous upsert ingestion at any table size. One
-    atomic snapshot per batch, batch id in the summary for idempotent
-    replay after restart.
+    the table — continuous upsert ingestion at any table size. Batch id
+    lands in the snapshot summary for replay forensics. NOTE: with
+    ``delete_col`` set, a batch carrying both tombstones and upserts
+    commits TWO snapshots (delete merge, then upsert merge) — readers
+    between them see deletes applied before upserts; a crash between
+    them replays the whole batch on restart (both merges are
+    idempotent re-applied to the same keys).
 
-    Within a batch, the LAST row per key wins (arrival order by a
-    monotonically-increasing id) — standard CDC batch compaction so a
-    key updated twice in one batch applies once.
+    Within a batch, the row with the greatest ``order_col`` per key
+    wins — pass the CDC source's sequence/LSN/timestamp column for
+    correct cross-partition ordering. Without ``order_col`` the sink
+    falls back to ``monotonically_increasing_id()``, which orders by
+    (partition id, offset) — a heuristic that is only arrival order
+    within a single input partition; two updates to one key landing in
+    different partitions may resolve arbitrarily.
     """
     from pyspark.sql import functions as F
 
@@ -91,7 +100,11 @@ def upsert_stream_to_lake(
         if batch_df.isEmpty():
             return
         # last-write-wins compaction inside the batch
-        w = F.monotonically_increasing_id()
+        w = (
+            F.col(order_col)
+            if order_col is not None
+            else F.monotonically_increasing_id()
+        )
         latest = (
             batch_df.withColumn("__arrival", w)
             .groupBy(*keys)

@@ -10,6 +10,7 @@ tables live in :mod:`pg_lakehouse_spark.lakehouse`.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,18 +40,19 @@ def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
     return normalize_ts(df, ("ts",))
 
 
-# (session id, sf_dir, name) -> DataFrame. A DataFrame is an immutable
+# session -> {(sf_dir, name) -> DataFrame}. A DataFrame is an immutable
 # logical plan, so reuse is safe; this removes the repeated file-listing
 # + footer-schema-read (~50-100 ms) and conf RPCs that otherwise tax
-# EVERY query construction. Fixture dirs are read-only; call
+# EVERY query construction. Keyed on the session OBJECT via weakref —
+# an ``id(spark)`` key could alias a new session after the old one is
+# garbage-collected and hand back plans bound to a stopped session.
+# Entries die with their session. Fixture dirs are read-only; call
 # clear_table_cache() if a path's files are ever replaced in-session.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
-_CONFED_SESSIONS: set[int] = set()
+_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def clear_table_cache() -> None:
     _TABLE_CACHE.clear()
-    _CONFED_SESSIONS.clear()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,11 +63,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     set at runtime here because the driver's verify harness passes its
     own SparkSession, which won't carry our session-factory config.
     """
-    key = (id(spark), os.path.abspath(sf_dir), name)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    if id(spark) not in _CONFED_SESSIONS:
+    per_session = _TABLE_CACHE.get(spark)
+    if per_session is None:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             # AQE is safe on any session and keeps a default-200-partition
@@ -76,11 +76,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         except Exception:
             pass  # conf locked down → the session must already handle nanos
-        _CONFED_SESSIONS.add(id(spark))
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _restore_nanos_timestamps(df)
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

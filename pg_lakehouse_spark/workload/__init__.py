@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
+    "lake_avro_roundtrip",
     "q_anti_join",
     "q_full_outer_join",
     "q_cross_join",
