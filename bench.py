@@ -57,9 +57,15 @@ def main() -> None:
         "pg_lakehouse_spark-bench",
         shuffle_partitions=shuffle_partitions_for(dir_input_bytes(sf_dir)),
     )
-    # Warm the JVM + parquet footer caches once (excluded from timings,
-    # standard practice: we measure steady-state query time, not JVM start).
+    # Warm the JVM, the per-session table-plan cache, and every fixture
+    # table's parquet footer ONCE (excluded from timings, standard
+    # practice: we measure steady-state query time, not JVM start or
+    # first-touch file listing).
     try:
+        from pg_lakehouse_spark.tables import load_tables
+
+        for df in load_tables(spark, sf_dir, register=True).values():
+            df.select(df.columns[0]).limit(1).count()
         REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
     except Exception:
         pass

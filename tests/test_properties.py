@@ -103,9 +103,12 @@ def test_dedup_exact_keeps_min_id_per_key(spark, rows):
 
 def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
     """Differential property: a seeded random sequence of DELETE /
-    UPDATE / APPEND / MERGE applied to equality-MoR, positional-MoR
-    and copy-on-write twins must converge to identical states at
-    every step."""
+    UPDATE / APPEND / MERGE — with a schema evolution (add + update +
+    widen) and a partition-spec switch forced mid-sequence — applied to
+    equality-MoR, positional-MoR and copy-on-write twins must converge
+    to identical states at every step. Evolution mid-sequence is the
+    highest-risk composition: position deletes and equality deletes
+    must keep applying across schema epochs and layout changes."""
     import random
 
     from pyspark.sql import functions as F
@@ -126,6 +129,7 @@ def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
         properties={"write_delete_mode": "merge-on-read-positional"},
     )
     cow = cat.create_table_as("db", "cow", orders)
+    tables = (mor, cow, pos)
 
     def states_equal():
         a = {tuple(r) for r in mor.read().collect()}
@@ -133,27 +137,53 @@ def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
         c = {tuple(r) for r in pos.read().collect()}
         assert a == b == c
 
-    for step in range(6):
-        op = rng.choice(["delete", "update", "append", "merge"])
+    def conform(df):
+        """Project a source frame onto the CURRENT (possibly evolved)
+        table schema: shared columns pass through, new columns NULL."""
+        return df.select(
+            *[
+                (
+                    F.col(f.name) if f.name in df.columns else F.lit(None)
+                ).cast(f.dataType).alias(f.name)
+                for f in cow.schema().fields
+            ]
+        )
+
+    for step in range(8):
+        if step == 2:
+            op = "evolve"       # forced: schema evolution mid-sequence
+        elif step == 4:
+            op = "respec"       # forced: partition-spec switch
+        else:
+            op = rng.choice(["delete", "update", "append", "merge"])
         lo = rng.randrange(0, 280)
         hi = lo + rng.randrange(5, 40)
         cond = F.col("o_orderkey").between(lo, hi)
         if op == "delete":
-            mor.delete(cond)
-            cow.delete(cond)
-            pos.delete(cond)
+            for t_ in tables:
+                t_.delete(cond)
         elif op == "update":
             assign = {"o_totalprice": F.col("o_totalprice") + float(step + 1)}
-            mor.update(cond, assign)
-            cow.update(cond, assign)
-            pos.update(cond, assign)
+            for t_ in tables:
+                t_.update(cond, assign)
         elif op == "append":
             extra = orders.filter(cond).withColumn(
                 "o_orderkey", F.col("o_orderkey") + 100000 + step
             )
-            mor.append(extra)
-            cow.append(extra)
-            pos.append(extra)
+            for t_ in tables:
+                t_.append(conform(extra))
+        elif op == "evolve":
+            cname = f"x{step}"
+            for t_ in tables:
+                t_.add_column(cname, "int")
+            assign = {cname: F.lit(step)}
+            for t_ in tables:
+                t_.update(cond, assign)
+            for t_ in tables:
+                t_.widen_column(cname, "bigint")
+        elif op == "respec":
+            for t_ in tables:
+                t_.set_partition_spec(["o_orderstatus"])
         else:
             src = orders.filter(cond).withColumn(
                 "o_totalprice", F.col("o_totalprice") + 7.0
@@ -165,11 +195,11 @@ def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
                 },
                 when_not_matched_insert=True,
             )
-            mor.merge(src, **kwargs)
-            cow.merge(src, **kwargs)
+            mor.merge(conform(src), **kwargs)
+            cow.merge(conform(src), **kwargs)
             # positional tables run MERGE through the CoW path (merge
             # is key-addressed; positional applies to delete/update)
-            pos.merge(src, **kwargs, mode="copy-on-write")
+            pos.merge(conform(src), **kwargs, mode="copy-on-write")
         states_equal()
     # compaction folds the MoR/positional deletes, state unchanged
     mor.compact(small_file_bytes=1 << 62, min_files=1)
