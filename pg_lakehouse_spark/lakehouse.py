@@ -287,6 +287,10 @@ class LakeTable:
         self.location = location
         self.meta_dir = os.path.join(location, _META_DIR)
         self.data_dir = os.path.join(location, _DATA_DIR)
+        # which ref this handle reads/writes; "main" is the pointer
+        # file, any other name is a writable branch ref (Iceberg
+        # branch analog). See for_branch().
+        self.branch = "main"
 
     # ------------------------------------------------------------------
     # metadata plumbing
@@ -296,28 +300,61 @@ class LakeTable:
         return os.path.join(self.meta_dir, _POINTER)
 
     def current_version(self) -> int:
+        """Head version of THIS handle's ref — the pointer file for
+        main, the branch ref otherwise."""
+        if self.branch != "main":
+            heads = self.branches()
+            if self.branch not in heads:
+                raise LakehouseError(f"no such branch: {self.branch!r}")
+            return heads[self.branch]
         with open(self._pointer_path()) as f:
             return int(f.read().strip())
 
     def _meta_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"v{version}.metadata.json")
 
-    # --- named refs (Iceberg tag analog): name -> pinned version, in
-    # one lock-guarded refs file. Tagged snapshots survive expiry.
+    def _max_version(self) -> int:
+        """Highest snapshot number ever written (global across all
+        branches — version numbers are allocated from one sequence so
+        branch and main commits never collide)."""
+        vs = [
+            int(os.path.basename(p)[1:].split(".")[0])
+            for p in glob.glob(os.path.join(self.meta_dir, "v*.metadata.json"))
+        ]
+        return max(vs, default=0)
+
+    # --- named refs: tags (read-only pins) and branches (writable
+    # heads), in one lock-guarded refs file. Referenced snapshots
+    # survive expiry. Format v2 = {"__format__": 2, "tags": {...},
+    # "branches": {...}}; a flat name->version dict (v1) reads as
+    # all-tags.
 
     def _refs_path(self) -> str:
         return os.path.join(self.meta_dir, "_refs.json")
 
-    def tags(self) -> dict[str, int]:
+    def _load_refs(self) -> tuple[dict, dict]:
         if not os.path.exists(self._refs_path()):
-            return {}
+            return {}, {}
         with open(self._refs_path()) as f:
-            return json.load(f)
+            d = json.load(f)
+        if d.get("__format__") == 2:
+            return d.get("tags", {}), d.get("branches", {})
+        return d, {}
 
-    def _write_refs(self, refs: dict) -> None:
+    def tags(self) -> dict[str, int]:
+        return self._load_refs()[0]
+
+    def branches(self) -> dict[str, int]:
+        return self._load_refs()[1]
+
+    def _write_refs(self, tags: dict, branches: dict | None = None) -> None:
+        if branches is None:  # legacy single-arg call sites
+            branches = self._load_refs()[1]
         tmp = self._refs_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(refs, f)
+            json.dump(
+                {"__format__": 2, "tags": tags, "branches": branches}, f
+            )
         os.replace(tmp, self._refs_path())
 
     def tag(self, name: str, version: int | None = None) -> int:
@@ -345,11 +382,134 @@ class LakeTable:
 
     def _resolve_version(self, version) -> int:
         if isinstance(version, str):
-            refs = self.tags()
-            if version not in refs:
-                raise LakehouseError(f"no such tag: {version!r}")
-            return refs[version]
+            tags, branches = self._load_refs()
+            if version in tags:
+                return tags[version]
+            if version in branches:
+                return branches[version]
+            raise LakehouseError(f"no such tag or branch: {version!r}")
         return version
+
+    # --- branches: writable refs + write-audit-publish (Iceberg
+    # branch/fast_forward analog; the reference's catalog pointer swap
+    # generalizes to one pointer per ref).
+
+    def for_branch(self, name: str) -> "LakeTable":
+        """A handle whose reads AND writes target branch ``name``:
+        every write API (append/delete/update/merge/compact/...)
+        advances the branch ref and leaves main untouched — the WAP
+        (write-audit-publish) staging surface."""
+        import copy as _copy
+
+        if name != "main" and name not in self.branches():
+            raise LakehouseError(f"no such branch: {name!r}")
+        t = _copy.copy(self)
+        t.branch = name
+        return t
+
+    def create_branch(self, name: str, at: int | str | None = None) -> int:
+        """Fork a writable branch at a snapshot (default: current
+        main head). Metadata-only — no data is copied."""
+        lock_path = os.path.join(self.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            tags, branches = self._load_refs()
+            if name == "main" or name in branches or name in tags:
+                raise LakehouseError(f"ref already exists: {name!r}")
+            v = (
+                self.for_branch("main").current_version()
+                if at is None
+                else self._resolve_version(at)
+            )
+            self.snapshot(v)  # must exist
+            branches[name] = v
+            self._write_refs(tags, branches)
+            return v
+
+    def drop_branch(self, name: str) -> None:
+        lock_path = os.path.join(self.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            tags, branches = self._load_refs()
+            if name not in branches:
+                raise LakehouseError(f"no such branch: {name!r}")
+            del branches[name]
+            self._write_refs(tags, branches)
+
+    def _ancestry(self, version: int) -> list[int]:
+        """version and its parent chain, newest first; stops at the
+        oldest snapshot whose metadata still exists."""
+        chain, v = [], version
+        while v is not None and os.path.exists(self._meta_path(v)):
+            chain.append(v)
+            v = self.snapshot(v).parent
+        return chain
+
+    def fast_forward(self, branch: str) -> int:
+        """Publish a branch: advance main's pointer to the branch head
+        — legal only when main is an ancestor of the head (no commits
+        landed on main since the fork), which makes the publish a pure
+        pointer move, exactly Iceberg's ``fast_forward``."""
+        lock_path = os.path.join(self.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            tags, branches = self._load_refs()
+            if branch not in branches:
+                raise LakehouseError(f"no such branch: {branch!r}")
+            head = branches[branch]
+            with open(self._pointer_path()) as f:
+                main_v = int(f.read().strip())
+            if main_v != head and main_v not in self._ancestry(head):
+                raise LakehouseError(
+                    f"cannot fast-forward: main v{main_v} is not an "
+                    f"ancestor of {branch!r} head v{head} — commits "
+                    "landed on main since the fork (cherry-pick or "
+                    "re-branch instead)"
+                )
+            ptr_tmp = self._pointer_path() + ".tmp"
+            with open(ptr_tmp, "w") as f:
+                f.write(str(head))
+            os.replace(ptr_tmp, self._pointer_path())
+            return head
+
+    def cherry_pick(self, version: int | str) -> Snapshot:
+        """Re-apply one APPEND snapshot's added files onto this ref's
+        head (Iceberg ``cherrypick_snapshot``): metadata-only — the
+        data files are shared, never copied. Only append/overwrite
+        deltas are cherry-pickable; DML rewrites are not (their delta
+        is entangled with the base they rewrote)."""
+        v = self._resolve_version(version)
+        snap = self.snapshot(v)
+        if snap.operation not in ("append",):
+            raise LakehouseError(
+                f"cherry-pick supports append snapshots only, "
+                f"v{v} is {snap.operation!r}"
+            )
+        parent_files = (
+            {f["path"] for f in self.snapshot(snap.parent).files}
+            if snap.parent
+            else set()
+        )
+        head = self.snapshot()
+        nv = self._max_version() + 1
+        # re-sequence the picked files so delete files already live on
+        # THIS ref never retroactively apply to them
+        added = [
+            dict(f, seq=nv)
+            for f in snap.files
+            if f["path"] not in parent_files
+        ]
+        existing = {f["path"] for f in head.files}
+        added = [f for f in added if f["path"] not in existing]
+        return self._commit(
+            self.current_version(), "append", head.files + added,
+            head.schema_json,
+            summary={
+                "cherry_picked_from": v,
+                "added_files": len(added),
+                "added_rows": sum(f["rows"] for f in added),
+            },
+        )
 
     def rollback_to(self, version: int | str) -> Snapshot:
         """Restore a previous snapshot's state as a NEW commit (Iceberg
@@ -507,53 +667,89 @@ class LakeTable:
         lock_path = os.path.join(self.meta_dir, "_commit.lock")
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
-            current = self.current_version()
-            if current != base_version:
-                raise CommitConflict(
-                    f"table advanced to v{current} since base v{base_version}"
-                )
-            parent = self.snapshot(current) if current > 0 else None
-            evo = {
-                "schema_id": parent.schema_id if parent else 0,
-                "field_ids": parent.field_ids if parent else {},
-                "schemas": parent.schemas if parent else {},
-                "next_field_id": parent.next_field_id if parent else 0,
-            } | (schema_meta or {})
-            snap = Snapshot(
-                version=current + 1,
-                snapshot_id=current + 1,
-                parent=current if current > 0 else None,
-                operation=operation,
-                timestamp_ms=int(time.time() * 1000),
-                schema_json=schema_json,
-                files=files,
-                summary=summary or {},
-                properties=(parent.properties if parent else {})
-                | (properties or {}),
-                partition_spec=(
-                    partition_spec
-                    if partition_spec is not None
-                    else parent.partition_spec if parent else []
-                ),
-                change_files=change_files or [],
-                delete_files=(
-                    delete_files
-                    if delete_files is not None
-                    else (parent.delete_files if parent else [])
-                ),
-                **evo,
+            snap = self._prepare_snapshot(
+                base_version, operation, files, schema_json,
+                summary=summary, properties=properties,
+                schema_meta=schema_meta, change_files=change_files,
+                partition_spec=partition_spec, delete_files=delete_files,
             )
-            meta_path = self._meta_path(snap.version)
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(snap.__dict__, f)
-            os.rename(tmp, meta_path)
-            # the pointer swap IS the commit (ref pg_catalog.cpp:315-325)
-            ptr_tmp = self._pointer_path() + ".tmp"
-            with open(ptr_tmp, "w") as f:
-                f.write(str(snap.version))
-            os.replace(ptr_tmp, self._pointer_path())
+            self._publish(snap)
             return snap
+
+    def _prepare_snapshot(
+        self,
+        base_version: int,
+        operation: str,
+        files: list[dict],
+        schema_json: str,
+        summary: dict | None = None,
+        properties: dict | None = None,
+        schema_meta: dict | None = None,
+        change_files: list | None = None,
+        partition_spec: list[str] | None = None,
+        delete_files: list | None = None,
+    ) -> Snapshot:
+        """Conflict-check against this ref's head and build the new
+        Snapshot. Caller must hold the table's commit lock. Versions
+        are allocated from the GLOBAL sequence (``_max_version``), so
+        branch and main commits interleave without collision."""
+        current = self.current_version()
+        if current != base_version:
+            raise CommitConflict(
+                f"table advanced to v{current} since base v{base_version}"
+            )
+        parent = self.snapshot(current) if current > 0 else None
+        evo = {
+            "schema_id": parent.schema_id if parent else 0,
+            "field_ids": parent.field_ids if parent else {},
+            "schemas": parent.schemas if parent else {},
+            "next_field_id": parent.next_field_id if parent else 0,
+        } | (schema_meta or {})
+        if self.branch != "main":
+            summary = (summary or {}) | {"branch": self.branch}
+        return Snapshot(
+            version=self._max_version() + 1,
+            snapshot_id=self._max_version() + 1,
+            parent=current if current > 0 else None,
+            operation=operation,
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=schema_json,
+            files=files,
+            summary=summary or {},
+            properties=(parent.properties if parent else {})
+            | (properties or {}),
+            partition_spec=(
+                partition_spec
+                if partition_spec is not None
+                else parent.partition_spec if parent else []
+            ),
+            change_files=change_files or [],
+            delete_files=(
+                delete_files
+                if delete_files is not None
+                else (parent.delete_files if parent else [])
+            ),
+            **evo,
+        )
+
+    def _publish(self, snap: Snapshot) -> None:
+        """Write the metadata file, then swap this ref's pointer — the
+        swap IS the commit (ref pg_catalog.cpp:315-325). Caller must
+        hold the commit lock."""
+        meta_path = self._meta_path(snap.version)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap.__dict__, f)
+        os.rename(tmp, meta_path)
+        if self.branch != "main":
+            tags, branches = self._load_refs()
+            branches[self.branch] = snap.version
+            self._write_refs(tags, branches)
+            return
+        ptr_tmp = self._pointer_path() + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(snap.version))
+        os.replace(ptr_tmp, self._pointer_path())
 
     # ------------------------------------------------------------------
     # write paths
@@ -2712,10 +2908,12 @@ class LakeTable:
         """Drop old snapshot metadata (time travel window shrinks)."""
         snaps = self.snapshots()
         current = self.current_version()
+        tags, branches = self._load_refs()
         keep_versions = (
             {s.version for s in snaps[-keep_last:]}
             | {current}
-            | set(self.tags().values())  # tagged snapshots are pinned
+            | set(tags.values())  # tagged snapshots are pinned
+            | set(branches.values())  # branch heads stay readable
         )
         expired = []
         for s in snaps:
