@@ -2063,10 +2063,20 @@ class LakeTable:
         evolution produce no logical changes.
         """
         to_snapshot = self.current_version() if to_snapshot is None else to_snapshot
+        # walk THIS ref's parent chain, not the numeric version range —
+        # versions are allocated globally, so the range could contain
+        # other branches' snapshots
+        chain = self._ancestry(to_snapshot)
+        if from_snapshot != 0 and from_snapshot not in chain:
+            raise LakehouseError(
+                f"v{from_snapshot} is not an ancestor of v{to_snapshot} "
+                "on this ref (different branch, or expired)"
+            )
+        versions = sorted(v for v in chain if v > from_snapshot)
         parts = []
-        for v in range(from_snapshot + 1, to_snapshot + 1):
+        for v in versions:
             snap = self.snapshot(v)
-            parent = self.snapshot(v - 1) if v - 1 > 0 else None
+            parent = self.snapshot(snap.parent) if snap.parent else None
             op = snap.operation
             if snap.change_files:
                 df = self.spark.read.parquet(
@@ -2963,6 +2973,188 @@ class LakeTable:
         removed = self.remove_orphan_files()
         return {"expired_snapshots": expired, "removed_files": removed}
 
+    def _restore_head(self, version: int) -> None:
+        """Point this ref back at ``version`` (transaction rollback
+        path). Caller must hold the commit lock."""
+        if self.branch != "main":
+            tags, branches = self._load_refs()
+            branches[self.branch] = version
+            self._write_refs(tags, branches)
+            return
+        ptr_tmp = self._pointer_path() + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, self._pointer_path())
+
+
+class LakeTransaction:
+    """Multi-table atomic transaction — the reference's PG-transaction
+    semantics: every table written during the txn commits in ONE
+    all-or-nothing step (commit_ops.c:186-212 iterates each table's
+    write state inside a single PG PRE_COMMIT callback), and abort
+    deletes the staged-but-uncommitted data files
+    (commit_ops.c:217-272).
+
+    Usage::
+
+        with LakeTransaction() as tx:
+            tx.append(orders_tbl, new_orders)
+            tx.append(audit_tbl, audit_rows)
+        # exit commits both tables atomically; an exception aborts
+        # both and deletes every staged file
+
+    Mechanics: data files stage immediately (parallel Spark writes —
+    they are invisible until a snapshot lists them), so the commit
+    itself is metadata-only: take every table's commit lock in
+    deterministic order (sorted by location — no deadlocks), build all
+    snapshots, then swap the pointers; if any swap fails, already-
+    swapped pointers are restored before the locks release, so no
+    reader ever observes a partial transaction. Readers that resolve
+    table A before the swap and table B after see each table's
+    pre/post state atomically per table — the same guarantee Iceberg
+    multi-table transactions give.
+
+    Supported verbs mirror the reference's transactional surface
+    (insert/overwrite/truncate). Row-level DML inside a transaction is
+    rejected — run it as its own single-table commit.
+    """
+
+    def __init__(self):
+        self._ops: list[dict] = []  # {table, verb, entries, rows}
+        self._done = False
+
+    @staticmethod
+    def _key(table: LakeTable) -> tuple[str, str]:
+        return (os.path.realpath(table.location), table.branch)
+
+    def _stage(self, table: LakeTable, df: DataFrame, verb: str) -> None:
+        if self._done:
+            raise LakehouseError("transaction already committed/aborted")
+        table._check_schema(df)
+        df = table._sort_for_write(table._distribute_for_write(df))
+        snap = table.snapshot()
+        entries = table._stage_dataframe(
+            df, table._max_version() + 1, snap.partition_spec,
+            schema_id=snap.schema_id,
+        )
+        self._ops.append(
+            {"table": table, "verb": verb, "entries": entries}
+        )
+
+    def append(self, table: LakeTable, df: DataFrame) -> None:
+        """Queue an INSERT; files are written now, visible at commit."""
+        self._stage(table, df, "append")
+
+    def overwrite(self, table: LakeTable, df: DataFrame) -> None:
+        self._stage(table, df, "overwrite")
+
+    def truncate(self, table: LakeTable) -> None:
+        if self._done:
+            raise LakehouseError("transaction already committed/aborted")
+        self._ops.append({"table": table, "verb": "truncate", "entries": []})
+
+    def commit(self) -> list[Snapshot]:
+        """Atomically publish one snapshot per touched table."""
+        if self._done:
+            raise LakehouseError("transaction already committed/aborted")
+        self._done = True
+        if not self._ops:
+            return []
+        # fold ops per (table, branch), preserving first-touch order
+        groups: dict[tuple, dict] = {}
+        for op in self._ops:
+            g = groups.setdefault(
+                self._key(op["table"]), {"table": op["table"], "ops": []}
+            )
+            g["ops"].append(op)
+        # one lock per physical table, acquired in sorted order
+        lock_paths = sorted(
+            {
+                os.path.join(g["table"].meta_dir, "_commit.lock")
+                for g in groups.values()
+            }
+        )
+        locks = []
+        try:
+            for p in lock_paths:
+                fh = open(p, "w")
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                locks.append(fh)
+            prepared = []
+            for g in groups.values():
+                t: LakeTable = g["table"]
+                base = t.current_version()
+                head = t.snapshot(base)
+                files = list(head.files)
+                dels = list(head.delete_files)
+                added_rows = 0
+                for op in g["ops"]:
+                    if op["verb"] == "append":
+                        files = files + op["entries"]
+                        added_rows += sum(e["rows"] for e in op["entries"])
+                    elif op["verb"] == "overwrite":
+                        files = list(op["entries"])
+                        dels = []
+                        added_rows = sum(e["rows"] for e in op["entries"])
+                    else:  # truncate
+                        files, dels, added_rows = [], [], 0
+                verbs = [op["verb"] for op in g["ops"]]
+                op_name = (
+                    "append" if set(verbs) == {"append"} else "overwrite"
+                )
+                prepared.append(
+                    (
+                        t,
+                        t._prepare_snapshot(
+                            base, op_name, files, head.schema_json,
+                            summary={
+                                "txn_ops": verbs,
+                                "txn_tables": len(groups),
+                                "added_rows": added_rows,
+                            },
+                            delete_files=dels,
+                        ),
+                        base,
+                    )
+                )
+            published = []
+            try:
+                for t, snap, old in prepared:
+                    t._publish(snap)
+                    published.append((t, snap, old))
+            except BaseException:
+                for t, snap, old in reversed(published):
+                    t._restore_head(old)
+                    meta = t._meta_path(snap.version)
+                    if os.path.exists(meta):
+                        os.remove(meta)
+                raise
+            return [snap for _, snap, _ in published]
+        finally:
+            for fh in locks:
+                fh.close()
+
+    def abort(self) -> None:
+        """Delete every staged data file (ref orphan cleanup,
+        commit_ops.c:217-272) and invalidate the transaction."""
+        self._done = True
+        for op in self._ops:
+            t = op["table"]
+            for e in op["entries"]:
+                p = os.path.join(t.location, e["path"])
+                if os.path.exists(p):
+                    os.remove(p)
+        self._ops = []
+
+    def __enter__(self) -> "LakeTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self.abort()
+        elif not self._done:
+            self.commit()
+
 
 def _build_merge_join(
     target: DataFrame,
@@ -3179,6 +3371,12 @@ class LakeCatalog:
             )
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
+
+    def transaction(self) -> LakeTransaction:
+        """Begin a multi-table atomic transaction (see
+        LakeTransaction). Not bound to this catalog — tables from any
+        catalog may participate."""
+        return LakeTransaction()
 
     def list_tables(self, namespace: str | None = None) -> list[tuple[str, str]]:
         out = []

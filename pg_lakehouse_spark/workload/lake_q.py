@@ -855,3 +855,104 @@ def lake_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice"), 2).alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
+
+
+@register(
+    "lake_branch_wap",
+    oracle="""
+SELECT o_orderkey AS k,
+       round(o_totalprice, 2) AS price,
+       o_orderstatus AS status
+FROM orders
+WHERE o_orderkey <= 1200 AND o_orderkey % 7 != 0
+""",
+    tags=("lakehouse", "branch"),
+)
+def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over a branch: stage an append plus an
+    audit-fix delete on an isolated branch ref, verify main never moved
+    mid-flight, then fast-forward main to the audited head (Iceberg
+    branch/fast_forward analog; the reference's catalog pointer swap,
+    pg_catalog.cpp:315-325, generalized to one pointer per ref)."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "branch_wap")
+    tbl = cat.create_table_as(
+        "db", "orders_b", orders.filter(F.col("o_orderkey") <= 800)
+    )
+    main_rows_before = tbl.read().count()
+    tbl.create_branch("wap")
+    wap = tbl.for_branch("wap")
+    wap.append(
+        orders.filter(
+            (F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 1200)
+        )
+    )
+    # the "audit" stage: a data-quality fix applied to the staged state
+    wap.delete(F.col("o_orderkey") % 7 == 0)
+    assert tbl.read().count() == main_rows_before, "main moved during WAP"
+    tbl.fast_forward("wap")
+    return tbl.read().select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+@register(
+    "lake_txn_multi_table",
+    oracle="""
+SELECT 'a' AS src, o_orderkey AS k, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderkey <= 500
+   OR (o_orderkey > 1000 AND o_orderkey <= 1300)
+UNION ALL
+SELECT 'b' AS src, o_orderkey AS k, round(o_totalprice, 2) AS price
+FROM orders
+WHERE (o_orderkey > 500 AND o_orderkey <= 1000)
+   OR (o_orderkey > 1300 AND o_orderkey <= 1600)
+""",
+    tags=("lakehouse", "transaction"),
+)
+def lake_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic transaction (ref commit_ops.c:186-212: one PG
+    txn commits every table's write state): two appends to two tables
+    stage invisibly, then publish together; the oracle replays both
+    tables' end states."""
+    from pg_lakehouse_spark.lakehouse import LakeTransaction
+
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "txn_multi")
+    ta = cat.create_table_as(
+        "db", "a", orders.filter(F.col("o_orderkey") <= 500)
+    )
+    tb = cat.create_table_as(
+        "db", "b",
+        orders.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1000)),
+    )
+    rows_a, rows_b = ta.read().count(), tb.read().count()
+    with LakeTransaction() as tx:
+        tx.append(
+            ta,
+            orders.filter(
+                (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1300)
+            ),
+        )
+        tx.append(
+            tb,
+            orders.filter(
+                (F.col("o_orderkey") > 1300) & (F.col("o_orderkey") <= 1600)
+            ),
+        )
+        # staged but not visible: both tables must still read pre-txn
+        assert ta.read().count() == rows_a and tb.read().count() == rows_b
+    a = ta.read().select(
+        F.lit("a").alias("src"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    b = tb.read().select(
+        F.lit("b").alias("src"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    return a.unionByName(b)

@@ -1,0 +1,171 @@
+"""Multi-table atomic transactions: every table written during the
+txn commits in one all-or-nothing step (ref commit_ops.c:186-212 — one
+PG PRE_COMMIT commits each table's write state inside a single PG
+transaction) and abort deletes staged files (commit_ops.c:217-272)."""
+
+from __future__ import annotations
+
+import glob
+import os
+from unittest import mock
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.lakehouse import (
+    LakeCatalog,
+    LakehouseError,
+    LakeTransaction,
+)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def orders_df(spark, sf_dir):
+    from pg_lakehouse_spark.tables import table
+
+    return table(spark, sf_dir, "orders")
+
+
+def test_two_table_commit_is_atomic(catalog, orders_df):
+    t1 = catalog.create_table_as("db", "a", orders_df.limit(10))
+    t2 = catalog.create_table_as("db", "b", orders_df.limit(10))
+    d1 = orders_df.limit(30).subtract(orders_df.limit(10))
+    d2 = orders_df.limit(15).subtract(orders_df.limit(10))
+    with LakeTransaction() as tx:
+        tx.append(t1, d1)
+        tx.append(t2, d2)
+        # staged but invisible until commit (exit)
+        assert t1.read().count() == 10
+        assert t2.read().count() == 10
+    assert t1.read().count() == 10 + d1.count()
+    assert t2.read().count() == 10 + d2.count()
+    assert t1.snapshot().summary["txn_tables"] == 2
+
+
+def test_abort_on_exception_cleans_staged_files(catalog, orders_df):
+    t1 = catalog.create_table_as("db", "a", orders_df.limit(10))
+    t2 = catalog.create_table_as("db", "b", orders_df.limit(10))
+    v1, v2 = t1.current_version(), t2.current_version()
+    files_before = set(
+        glob.glob(os.path.join(t1.data_dir, "**", "*.parquet"), recursive=True)
+    ) | set(
+        glob.glob(os.path.join(t2.data_dir, "**", "*.parquet"), recursive=True)
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        with LakeTransaction() as tx:
+            tx.append(t1, orders_df.limit(20).subtract(orders_df.limit(10)))
+            tx.append(t2, orders_df.limit(20).subtract(orders_df.limit(10)))
+            raise RuntimeError("boom")
+    # neither table advanced, and the staged orphans are deleted
+    assert t1.current_version() == v1 and t2.current_version() == v2
+    files_after = set(
+        glob.glob(os.path.join(t1.data_dir, "**", "*.parquet"), recursive=True)
+    ) | set(
+        glob.glob(os.path.join(t2.data_dir, "**", "*.parquet"), recursive=True)
+    )
+    assert files_after == files_before
+
+
+def test_publish_failure_rolls_back_published_tables(catalog, orders_df):
+    t1 = catalog.create_table_as("db", "a", orders_df.limit(10))
+    t2 = catalog.create_table_as("db", "b", orders_df.limit(10))
+    v1, v2 = t1.current_version(), t2.current_version()
+    tx = LakeTransaction()
+    tx.append(t1, orders_df.limit(20).subtract(orders_df.limit(10)))
+    tx.append(t2, orders_df.limit(20).subtract(orders_df.limit(10)))
+
+    real_publish = type(t1)._publish
+    calls = {"n": 0}
+
+    def failing_publish(self, snap):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("disk full")
+        return real_publish(self, snap)
+
+    with mock.patch.object(type(t1), "_publish", failing_publish):
+        with pytest.raises(OSError, match="disk full"):
+            tx.commit()
+    # the FIRST table's already-swapped pointer was restored: no reader
+    # ever observes a half-committed transaction
+    assert t1.current_version() == v1 and t2.current_version() == v2
+    assert t1.read().count() == 10 and t2.read().count() == 10
+
+
+def test_mixed_verbs_fold_per_table(catalog, orders_df):
+    t = catalog.create_table_as("db", "t", orders_df.limit(10))
+    d1 = orders_df.limit(20).subtract(orders_df.limit(10))
+    d2 = orders_df.limit(25).subtract(orders_df.limit(20))
+    with LakeTransaction() as tx:
+        tx.truncate(t)
+        tx.append(t, d1)
+        tx.append(t, d2)
+    # truncate + appends fold into ONE snapshot holding only the new rows
+    assert t.read().count() == d1.count() + d2.count()
+    assert t.snapshot().summary["txn_ops"] == ["truncate", "append", "append"]
+    # change feed sees the fold as overwrite: old rows out, new rows in
+    chg = t.read_changes(t.snapshot().parent)
+    assert chg.filter(F.col("_change_type") == "delete").count() == 10
+    assert (
+        chg.filter(F.col("_change_type") == "insert").count()
+        == d1.count() + d2.count()
+    )
+
+
+def test_txn_append_then_single_table_read_changes(catalog, orders_df):
+    t1 = catalog.create_table_as("db", "a", orders_df.limit(10))
+    t2 = catalog.create_table_as("db", "b", orders_df.limit(10))
+    v1 = t1.current_version()
+    with LakeTransaction() as tx:
+        tx.append(t1, orders_df.limit(22).subtract(orders_df.limit(10)))
+        tx.append(t2, orders_df.limit(16).subtract(orders_df.limit(10)))
+    chg = t1.read_changes(v1)
+    assert chg.filter(F.col("_change_type") == "insert").count() == 12
+    assert chg.count() == 12
+
+
+def test_txn_on_branch_handle_advances_branch_only(catalog, orders_df):
+    t = catalog.create_table_as("db", "t", orders_df.limit(10))
+    t.create_branch("wap")
+    wap = t.for_branch("wap")
+    with LakeTransaction() as tx:
+        tx.append(wap, orders_df.limit(20).subtract(orders_df.limit(10)))
+    assert t.read().count() == 10
+    assert wap.read().count() == 20
+
+
+def test_txn_conflict_free_under_interleaved_writer(catalog, orders_df):
+    """A writer that lands between staging and commit doesn't conflict:
+    the txn re-bases on the head it sees at lock time."""
+    t = catalog.create_table_as("db", "t", orders_df.limit(10))
+    tx = LakeTransaction()
+    d = orders_df.limit(20).subtract(orders_df.limit(10))
+    tx.append(t, d)
+    interleaved = orders_df.limit(25).subtract(orders_df.limit(20))
+    t.append(interleaved)  # lands first
+    tx.commit()
+    assert t.read().count() == 10 + d.count() + interleaved.count()
+
+
+def test_txn_reuse_rejected(catalog, orders_df):
+    t = catalog.create_table_as("db", "t", orders_df.limit(10))
+    tx = LakeTransaction()
+    tx.append(t, orders_df.limit(12).subtract(orders_df.limit(10)))
+    tx.commit()
+    with pytest.raises(LakehouseError, match="already committed"):
+        tx.append(t, orders_df.limit(12))
+    with pytest.raises(LakehouseError, match="already committed"):
+        tx.commit()
+
+
+def test_empty_txn_is_noop(catalog, orders_df):
+    t = catalog.create_table_as("db", "t", orders_df.limit(10))
+    v = t.current_version()
+    with LakeTransaction():
+        pass
+    assert t.current_version() == v
