@@ -57,7 +57,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _META_DIR = "_lakehouse"
 _DATA_DIR = "data"
@@ -217,6 +217,30 @@ def _partition_dir_ranges(part_dirs: str, schema: StructType) -> dict:
             continue
         out[col] = [val, val]
     return out
+
+
+# --- per-file bloom filters (equality-predicate file skipping, the
+# point-lookup complement to min/max ranges: high-cardinality columns
+# whose values interleave across files — ids, hashes, uuids — defeat
+# range pruning but bloom-prune well). 32768 bits / 3 hashes ≈ 0.07%
+# false positives at ~1000 distinct values/file; the 4 KiB of manifest
+# per (file, column) is ~0.003% of a 128 MB data file.
+
+_BLOOM_BITS = 32768
+_BLOOM_K = 3
+
+
+def _bloom_pack(positions) -> str:
+    buf = bytearray(_BLOOM_BITS // 8)
+    for p in positions:
+        p = int(p)
+        buf[p >> 3] |= 1 << (p & 7)
+    return bytes(buf).hex()
+
+
+def _bloom_might_contain(hex_bits: str, positions) -> bool:
+    buf = bytes.fromhex(hex_bits)
+    return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)
 
 
 def _json_stat(v):
@@ -904,7 +928,63 @@ class LakeTable:
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
+        self._attach_blooms(entries, fmt)
         return entries
+
+    def _attach_blooms(self, entries: list[dict], fmt: str) -> None:
+        """Per-file bloom filters for the table's
+        ``bloom_filter_columns`` property: ONE distributed pass over
+        the just-staged files (cost ∝ the append delta, never the
+        table) computes k xxhash64 bit positions per row and packs
+        them executor-side — only (file, column, 512-byte bitset)
+        rows reach the driver. Equality filters consult the bitset in
+        ``read_pruned`` via the same hash, computed once per lookup
+        value with a constant-folded local plan."""
+        props = self.snapshot().properties
+        cols_prop = props.get("bloom_filter_columns", "")
+        if not cols_prop or not entries:
+            return
+        if fmt == "avro":
+            return  # pure-Python OCF path surfaces no input_file_name
+        paths = [os.path.join(self.location, e["path"]) for e in entries]
+        df = self.spark.read.format(fmt).load(paths)
+        cols = [
+            c.strip()
+            for c in cols_prop.split(",")
+            if c.strip() and c.strip() in df.columns
+        ]
+        if not cols:
+            return
+        probes = [
+            F.struct(
+                F.lit(c).alias("c"),
+                F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(_BLOOM_BITS))
+                .cast("int")
+                .alias("p"),
+            )
+            for c in cols
+            for i in range(_BLOOM_K)
+        ]
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def pack(ps):  # executor-side: positions -> hex bitset
+            return ps.apply(_bloom_pack)
+
+        rows = (
+            df.select(
+                F.input_file_name().alias("f"), F.explode(F.array(*probes)).alias("x")
+            )
+            .groupBy("f", "x.c")
+            .agg(F.collect_set("x.p").alias("ps"))
+            .select("f", "c", pack("ps").alias("bits"))
+            .collect()
+        )
+        by_name = {os.path.basename(e["path"]): e for e in entries}
+        for r in rows:
+            e = by_name.get(os.path.basename(r["f"]))
+            if e is not None:
+                e.setdefault("blooms", {})[r["c"]] = r["bits"]
 
     def _check_schema(self, df: DataFrame) -> None:
         expected = self.schema()
@@ -1901,8 +1981,9 @@ class LakeTable:
         stats coverage."""
         s = self.snapshot(snapshot)
         eq = self._bucket_eq_values(s, filters)
+        beq = self._bloom_eq_positions(s, filters)
         selected = [
-            f for f in s.files if self._entry_overlaps(f, filters, eq)
+            f for f in s.files if self._entry_overlaps(f, filters, eq, beq)
         ]
         df = self._read_entries(s, selected)
         for col_name, (lo, hi) in filters.items():
@@ -1947,11 +2028,55 @@ class LakeTable:
         row = self.spark.range(1).select(*exprs).collect()[0]
         return row.asDict()
 
+    def _bloom_eq_positions(
+        self, snap: Snapshot, filters: dict[str, tuple]
+    ) -> dict[str, list[int]]:
+        """{column: k bit positions} for every EQUALITY filter on a
+        bloom-indexed column. The filter value is hashed by the SAME
+        Spark expression the write path used (xxhash64 over the
+        column's type), via a one-row local plan — constant-folded,
+        no shuffle, no file read."""
+        props = snap.properties.get("bloom_filter_columns", "")
+        bcols = {c.strip() for c in props.split(",") if c.strip()}
+        if not bcols:
+            return {}
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        out = {}
+        for col_name, (lo, hi) in filters.items():
+            if (
+                lo is None
+                or lo != hi
+                or col_name not in bcols
+                or col_name not in schema.names
+            ):
+                continue
+            dtype = schema[col_name].dataType
+            row = (
+                self.spark.createDataFrame(
+                    [(lo,)], StructType([StructField("v", dtype)])
+                )
+                .select(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.col("v"), F.lit(i)),
+                                F.lit(_BLOOM_BITS),
+                            ).cast("int")
+                            for i in range(_BLOOM_K)
+                        ]
+                    ).alias("ps")
+                )
+                .first()
+            )
+            out[col_name] = list(row["ps"])
+        return out
+
     @staticmethod
     def _entry_overlaps(
         entry: dict,
         filters: dict[str, tuple],
         bucket_eq: dict | None = None,
+        bloom_eq: dict | None = None,
     ) -> bool:
         """True if the file may contain rows in every filter range.
 
@@ -1967,6 +2092,10 @@ class LakeTable:
         import re as _re
 
         ranges = entry.get("ranges") or {}
+        for col_name, ps in (bloom_eq or {}).items():
+            bits = (entry.get("blooms") or {}).get(col_name)
+            if bits is not None and not _bloom_might_contain(bits, ps):
+                return False
         for key, want in (bucket_eq or {}).items():
             b = ranges.get(key)
             if b is not None and b[0] == b[1] and b[0] != want:
@@ -2015,8 +2144,9 @@ class LakeTable:
         observable data-skipping metric."""
         s = self.snapshot()
         eq = self._bucket_eq_values(s, filters)
+        beq = self._bloom_eq_positions(s, filters)
         return (
-            sum(1 for f in s.files if self._entry_overlaps(f, filters, eq)),
+            sum(1 for f in s.files if self._entry_overlaps(f, filters, eq, beq)),
             len(s.files),
         )
 

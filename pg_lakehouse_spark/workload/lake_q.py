@@ -956,3 +956,41 @@ def lake_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice"), 2).alias("price"),
     )
     return a.unionByName(b)
+
+
+@register(
+    "lake_bloom_pointlookup",
+    oracle="""
+SELECT o_orderkey AS k,
+       round(o_totalprice, 2) AS price,
+       o_orderstatus AS status
+FROM orders
+WHERE o_orderkey IN (7, 33, 129, 262, 389)
+""",
+    tags=("lakehouse", "bloom", "pruning"),
+)
+def lake_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom-filter file skipping: the table's key values
+    interleave across files (range stats cannot prune), so equality
+    lookups skip files via the manifest blooms; results stay exact
+    (the predicate is re-applied row-level). Extends ref A22's stubbed
+    stats surface (iceberg_am.c:401-413) the way Parquet/Iceberg bloom
+    filters extend manifest min/max."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "bloom_pl")
+    tbl = cat.create_table(
+        "db", "orders_bloom", orders.schema,
+        properties={"bloom_filter_columns": "o_orderkey"},
+    )
+    base = orders.filter(F.col("o_orderkey") <= 2000)
+    tbl.append(base.filter(F.col("o_orderkey") % 2 == 0).repartition(1))
+    tbl.append(base.filter(F.col("o_orderkey") % 2 == 1).repartition(1))
+    out = None
+    for k in (7, 33, 129, 262, 389):
+        part = tbl.read_pruned({"o_orderkey": (k, k)})
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )

@@ -1,0 +1,125 @@
+"""Per-file bloom filters: equality-predicate file skipping for
+high-cardinality columns whose values interleave across files (where
+min/max ranges can't prune). Ref A22's stats surface, extended the way
+Parquet/Iceberg bloom filters extend manifest stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.lakehouse import (
+    LakeCatalog,
+    _bloom_might_contain,
+    _bloom_pack,
+)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def orders_df(spark, sf_dir):
+    from pg_lakehouse_spark.tables import table
+
+    return table(spark, sf_dir, "orders")
+
+
+def test_pack_and_probe_roundtrip():
+    bits = _bloom_pack([0, 7, 8, 4095])
+    assert _bloom_might_contain(bits, [0, 7, 8, 4095])
+    assert not _bloom_might_contain(bits, [1])
+    assert not _bloom_might_contain(bits, [0, 9])  # one miss kills it
+
+
+def _interleaved_table(catalog, orders_df, **props):
+    """Two files with fully-overlapping key ranges: evens and odds.
+    Range stats cannot tell them apart; blooms can."""
+    tbl = catalog.create_table(
+        "db", "bl", orders_df.schema,
+        properties={"bloom_filter_columns": "o_orderkey", **props},
+    )
+    base = orders_df.filter(F.col("o_orderkey") <= 4000)
+    tbl.append(base.filter(F.col("o_orderkey") % 2 == 0).repartition(1))
+    tbl.append(base.filter(F.col("o_orderkey") % 2 == 1).repartition(1))
+    return tbl
+
+
+def test_bloom_prunes_interleaved_point_lookup(catalog, orders_df):
+    tbl = _interleaved_table(catalog, orders_df)
+    assert all("o_orderkey" in (f.get("blooms") or {}) for f in tbl.snapshot().files)
+    keys = [
+        r["o_orderkey"]
+        for r in orders_df.filter(F.col("o_orderkey") <= 4000)
+        .limit(10)
+        .collect()
+    ]
+    hits = 0
+    for k in keys:
+        selected, total = tbl.pruned_file_count({"o_orderkey": (k, k)})
+        assert total == 2 and selected >= 1
+        hits += selected == 1
+        # correctness: the pruned read returns exactly the row
+        got = tbl.read_pruned({"o_orderkey": (k, k)}).count()
+        want = orders_df.filter(F.col("o_orderkey") == k).count()
+        assert got == want
+    # range stats alone select 2/2 every time; blooms must skip the
+    # wrong-parity file for (nearly) every probe — allow one false
+    # positive across ten probes
+    assert hits >= 9
+
+
+def test_bloom_absent_value_selects_zero_files(catalog, orders_df):
+    tbl = _interleaved_table(catalog, orders_df)
+    selected, total = tbl.pruned_file_count({"o_orderkey": (999999881, 999999881)})
+    assert total == 2 and selected == 0
+    assert tbl.read_pruned({"o_orderkey": (999999881, 999999881)}).count() == 0
+
+
+def test_bloom_string_column(catalog, orders_df):
+    tbl = catalog.create_table(
+        "db", "bls", orders_df.schema,
+        properties={"bloom_filter_columns": "o_orderpriority"},
+    )
+    tbl.append(orders_df.filter(F.col("o_orderkey") <= 2000).repartition(2))
+    present = orders_df.first()["o_orderpriority"]
+    sel_present, total = tbl.pruned_file_count(
+        {"o_orderpriority": (present, present)}
+    )
+    assert sel_present >= 1
+    sel_absent, _ = tbl.pruned_file_count(
+        {"o_orderpriority": ("9-NO-SUCH-PRIORITY", "9-NO-SUCH-PRIORITY")}
+    )
+    assert sel_absent == 0
+
+
+def test_bloom_survives_dml_rewrite(catalog, orders_df):
+    tbl = _interleaved_table(catalog, orders_df)
+    tbl.delete(F.col("o_orderkey") <= 100)
+    files = tbl.snapshot().files
+    assert files and all("o_orderkey" in (f.get("blooms") or {}) for f in files)
+    # still prunes after the rewrite
+    k = (
+        tbl.read().filter(F.col("o_orderkey") % 2 == 0).first()["o_orderkey"]
+    )
+    selected, total = tbl.pruned_file_count({"o_orderkey": (k, k)})
+    assert selected < total or total == 1
+
+
+def test_no_bloom_property_no_bloom_cost(catalog, orders_df):
+    tbl = catalog.create_table("db", "nb", orders_df.schema)
+    tbl.append(orders_df.limit(100))
+    assert all("blooms" not in f for f in tbl.snapshot().files)
+
+
+def test_range_filters_ignore_blooms(catalog, orders_df):
+    """Non-equality filters must not consult blooms (they only answer
+    point membership)."""
+    tbl = _interleaved_table(catalog, orders_df)
+    out = tbl.read_pruned({"o_orderkey": (100, 200)})
+    want = orders_df.filter(
+        F.col("o_orderkey").between(100, 200)
+    ).count()
+    assert out.count() == want
