@@ -173,3 +173,123 @@ def simhash64(text: Column, n: int = 2) -> Column:
             )
         )
     return sig
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    training-sample assembly step of a pretraining pipeline.
+
+    Emits (id, chunk_id, chunk_text, n_tokens); the last chunk may be
+    short, and a document shorter than ``window`` yields exactly one
+    chunk. Expression-only (whole-stage codegen): tokenize → sequence
+    of starts → slice + join, one explode. Map-only at any scale — no
+    shuffle, output rows ∝ tokens/stride.
+    """
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(window)) / F.lit(float(stride))) + 1).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(
+                F.slice(ws, i * stride + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(window))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return df.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_id", "c.chunk_text", "c.n_tokens"
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality measures per document:
+    duplicate-word fraction and the share of the single most frequent
+    word bigram.
+
+    The bigram mode runs explode → two hash-aggs keyed by document —
+    deliberately NOT an in-row O(len²) array scan, so a pathological
+    100k-token document costs O(len log len) distributed instead of
+    10^10 comparisons in one task."""
+    ws = words(F.col(text_col))
+    base = df.select(id_col, ws.alias("__ws"))
+    n = F.size(F.col("__ws"))
+    word_stats = base.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct("__ws")).alias("__nd"),
+    ).withColumn(
+        "dup_word_ratio",
+        floor4(
+            F.lit(1.0)
+            - F.col("__nd") / F.greatest(F.col("n_words"), F.lit(1))
+        ),
+    )
+    grams = F.zip_with(
+        F.slice(F.col("__ws"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("__ws"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counts = (
+        base.select(id_col, F.explode(grams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .count()
+    )
+    top = counts.groupBy(id_col).agg(
+        F.max("count").alias("top_bigram_n"),
+        F.sum("count").alias("n_bigrams"),
+    )
+    return (
+        word_stats.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "dup_word_ratio",
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        )
+        .withColumn(
+            "top_bigram_ratio",
+            floor4(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    F.col("top_bigram_n") / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0))
+            ),
+        )
+    )
+
+
+# PII redaction patterns — simple greedy shapes chosen to evaluate
+# identically under Java regex (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\+\d{1,2}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Mask emails / SSNs / phone numbers / IPv4s with typed tokens —
+    the pre-release scrub of a training-data pipeline. Pure
+    regexp_replace chain: codegen'd, map-only, no Python."""
+    out = text
+    for name, pat, repl in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out

@@ -584,3 +584,125 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id", text_col="text",
         bench_id_col="bench_id", bench_text_col="text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sample assembly + data-quality scrubbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunking",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, ws,
+         greatest(1, CAST(ceil((len(ws) - 32) * 1.0 / 24) AS INT) + 1) AS nc
+  FROM base
+), x AS (
+  SELECT doc_id, ws, unnest(range(0, nc)) AS i FROM c
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(list_slice(ws, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
+       CAST(least(len(ws) - i*24, 32) AS BIGINT) AS n_tokens
+FROM x
+""",
+    tags=("text-chunking",),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24) — the
+    training-sample assembly step. Expression-only map stage; output
+    rows ∝ corpus tokens / stride."""
+    from pg_lakehouse_spark.llm.text import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=32, stride=24)
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         len(list_distinct(ws)) AS nd
+  FROM base
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM base
+), counts AS (
+  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+  FROM counts GROUP BY 1
+)
+SELECT s.doc_id, s.n_words,
+       floor((1.0 - s.nd * 1.0 / greatest(s.n_words, 1)) * 10000) / 10000
+         AS dup_word_ratio,
+       CAST(coalesce(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(coalesce(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       floor(CASE WHEN coalesce(t.n_bigrams, 0) > 0
+                  THEN t.top_bigram_n * 1.0 / t.n_bigrams
+                  ELSE 0.0 END * 10000) / 10000 AS top_bigram_ratio
+FROM stats s LEFT JOIN top t USING (doc_id)
+""",
+    tags=("text-repetition",),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction and
+    top-bigram share, computed distributed (explode + hash-agg), never
+    O(len²) in-row."""
+    from pg_lakehouse_spark.llm.text import repetition_signals
+
+    docs = t(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+@register(
+    "text_pii_redaction",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               substr(text, 1, 80)
+                 || ' reach me: user' || doc_id || '@example.com or +1 555 '
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' 1234 host 10.0.' || (doc_id % 256) || '.7 ssn 123-45-6789',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+           '\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{4}', '[PHONE]', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')
+       AS redacted
+FROM documents
+""",
+    tags=("text-pii",),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before a training run: emails/SSNs/phones/IPv4s
+    masked with typed tokens. The corpus is synthetic, so the PII is
+    injected deterministically per doc, then redacted — the oracle
+    replays both steps."""
+    from pg_lakehouse_spark.llm.text import redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" reach me: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" 1234 host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789"),
+    )
+    return docs.select("doc_id", redact_pii(dirty).alias("redacted"))

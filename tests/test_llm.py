@@ -446,3 +446,88 @@ def test_connected_components_star_random_graph_property(spark):
         for r in connected_components(edges, algorithm="star").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# chunking / repetition / PII (training-sample assembly + scrub)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows(spark):
+    from pg_lakehouse_spark.llm.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: 10 tokens, starts 0,3,6 -> ceil((10-4)/3)+1 = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"
+    ]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4]
+    # doc2 shorter than the window -> exactly one (short) chunk
+    c2 = by_doc[2]
+    assert len(c2) == 1 and c2[0]["chunk_text"] == "a b c"
+    assert c2[0]["n_tokens"] == 3
+
+
+def test_chunk_documents_reassembly(spark, sf_dir):
+    """Stride == window (no overlap) must reassemble the exact token
+    stream."""
+    from pg_lakehouse_spark.llm.text import chunk_documents, words
+    from pg_lakehouse_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(20)
+    chunks = chunk_documents(docs, window=16, stride=16)
+    glued = (
+        chunks.orderBy("doc_id", "chunk_id")
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("chunk_text")).alias("glued"))
+    )
+    orig = docs.select(
+        "doc_id", F.array_join(words(F.col("text")), " ").alias("orig")
+    )
+    bad = glued.join(orig, "doc_id").filter(
+        F.col("glued") != F.col("orig")
+    )
+    assert bad.count() == 0
+
+
+def test_repetition_signals_detects_loops(spark):
+    from pg_lakehouse_spark.llm.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),          # one bigram dominates
+            (2, " ".join(f"u{i}" for i in range(40))),  # all unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert rows[1]["dup_word_ratio"] > 0.9
+    assert rows[1]["top_bigram_ratio"] > 0.4
+    assert rows[2]["dup_word_ratio"] == 0.0
+    assert rows[2]["top_bigram_ratio"] <= 0.03
+
+
+def test_redact_pii_kinds(spark):
+    from pg_lakehouse_spark.llm.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io call +1 555 0100 1234 "
+             "from 192.168.0.1 ssn 321-54-9876")],
+        "id long, text string",
+    )
+    full = df.select(redact_pii(F.col("text")).alias("t")).first()["t"]
+    assert "[EMAIL]" in full and "[PHONE]" in full
+    assert "[IP]" in full and "[SSN]" in full
+    assert "@" not in full and "192.168" not in full
+    only_email = df.select(
+        redact_pii(F.col("text"), kinds=("email",)).alias("t")
+    ).first()["t"]
+    assert "[EMAIL]" in only_email and "192.168.0.1" in only_email
