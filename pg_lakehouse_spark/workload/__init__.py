@@ -57,7 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "lake_avro_roundtrip",
     "q_anti_join",
     "q_full_outer_join",
-    "q_cross_join",
+    "lake_txn_multi_table",
     "q_range_join_bands",
     "q_asof_join",
     "q_correlated_subquery",
@@ -65,16 +65,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_except_all",
     "q_distinct_on",
     "q_topk_orders",
-    "q_like_patterns",
+    "lake_branch_wap",
     "q_filter_clause_agg",
     "q_distinct_agg",
     "q_percentiles",
     "q_grouping_sets",
     "q_cube",
     "q_pivot",
-    "q_unpivot",
+    "text_chunking",
     "q_window_topk_per_group",
-    "q_window_range_frame",
+    "lake_bloom_pointlookup",
     "q_string_functions",
     "q_pg_function_kit",
     "q_generate_series",
