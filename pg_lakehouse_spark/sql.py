@@ -19,11 +19,19 @@ a reference user can keep their SQL:
   [WHEN MATCHED [AND cond] THEN UPDATE SET a = expr, ... | DELETE]
   [WHEN NOT MATCHED THEN INSERT *]
   [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]``
-- ``SELECT ... FROM ns.t [FOR VERSION AS OF n |
-  FOR TIMESTAMP AS OF 'ts'] ...`` — lake refs (incl. time travel)
-  are bound to temp views, then the whole statement runs on Spark SQL
-  (full Catalyst surface, nothing re-implemented)
+- ``SELECT ... FROM ns.t[@branch] [FOR VERSION AS OF n |
+  FOR TIMESTAMP AS OF 'ts'] ...`` — lake refs (incl. time travel and
+  branch reads) are bound to temp views, then the whole statement runs
+  on Spark SQL (full Catalyst surface, nothing re-implemented)
 - ``VACUUM ns.t``, ``OPTIMIZE ns.t``
+- ``BEGIN; INSERT ...; INSERT ...; COMMIT`` — the PG transaction
+  surface: INSERT/TRUNCATE statements between BEGIN and COMMIT stage
+  into one LakeTransaction and publish atomically across every table
+  touched (ROLLBACK deletes the staged files); other verbs are
+  rejected inside a txn
+- ``ALTER TABLE ns.t CREATE BRANCH b [AS OF VERSION n] |
+  DROP BRANCH b | FAST FORWARD [TO] b`` plus ``ns.t@b`` references in
+  INSERT/DELETE/SELECT — the write-audit-publish surface
 
 Statement routing is keyword-based; expressions inside (predicates,
 SET clauses, the SELECT body) are handed to Spark's own parser via
@@ -75,12 +83,29 @@ class LakeSQL:
     def __init__(self, spark: SparkSession, catalog: LakeCatalog):
         self.spark = spark
         self.catalog = catalog
+        self._txn = None  # active LakeTransaction between BEGIN..COMMIT
+
+    def _load(self, ns: str, name: str, branch: str | None = None) -> LakeTable:
+        tbl = self.catalog.load_table(ns, name)
+        return tbl.for_branch(branch) if branch else tbl
 
     def sql(self, stmt: str):
         """Route one statement. Returns a DataFrame for SELECT, a
         Snapshot for DML, a LakeTable for CREATE, else None."""
         s = stmt.strip().rstrip(";").strip()
         head = s.split(None, 2)[0].upper() if s else ""
+        if head in ("BEGIN", "START"):  # BEGIN [TRANSACTION|WORK]
+            return self._begin()
+        if head == "COMMIT":
+            return self._commit_txn()
+        if head in ("ROLLBACK", "ABORT"):
+            return self._rollback_txn()
+        if self._txn is not None and head not in ("INSERT", "TRUNCATE", "SELECT", "WITH"):
+            raise LakehouseError(
+                f"{head} is not allowed inside a transaction — the "
+                "transactional surface is INSERT/TRUNCATE (mirroring the "
+                "reference's txn write state); run it outside BEGIN..COMMIT"
+            )
         if head == "SELECT" or s.upper().startswith("WITH"):
             return self._select(s)
         if head == "CREATE":
@@ -105,23 +130,54 @@ class LakeSQL:
             return self._optimize(s)
         raise LakehouseError(f"unsupported statement: {s.split(None, 1)[0]!r}")
 
-    # -- SELECT (incl. time travel) ---------------------------------------
+    # -- transactions (PG BEGIN..COMMIT; ref commit_ops.c:186-212 — one
+    # txn commits every table's write state atomically) ------------------
+
+    def _begin(self) -> None:
+        from pg_lakehouse_spark.lakehouse import LakeTransaction
+
+        if self._txn is not None:
+            raise LakehouseError("a transaction is already in progress")
+        self._txn = LakeTransaction()
+        return None
+
+    def _commit_txn(self) -> list[Snapshot]:
+        if self._txn is None:
+            raise LakehouseError("COMMIT outside a transaction")
+        tx, self._txn = self._txn, None
+        return tx.commit()
+
+    def _rollback_txn(self) -> None:
+        if self._txn is None:
+            raise LakehouseError("ROLLBACK outside a transaction")
+        tx, self._txn = self._txn, None
+        tx.abort()
+        return None
+
+    # -- SELECT (incl. time travel + @branch) ----------------------------
 
     _TT = re.compile(
-        rf"\b{_TBL}(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)"
+        rf"\b{_TBL}(?:@({_IDENT}))?(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)"
         rf"|\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
         re.IGNORECASE,
     )
 
     def _select(self, s: str) -> DataFrame:
-        """Bind every ``ns.t [FOR ... AS OF ...]`` lake reference to a
-        temp view, then run the rewritten statement on Spark SQL."""
+        """Bind every ``ns.t[@branch] [FOR ... AS OF ...]`` lake
+        reference to a temp view, then run the rewritten statement on
+        Spark SQL."""
 
         def bind(m: re.Match) -> str:
-            ns, name, ver, ts = m.group(1), m.group(2), m.group(3), m.group(4)
+            ns, name, branch, ver, ts = (
+                m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+            )
             if not self.catalog.table_exists(ns, name):
                 return m.group(0)  # not ours — leave for Spark to resolve
-            tbl = self.catalog.load_table(ns, name)
+            tbl = self._load(ns, name, branch)
+            if branch is not None and ver is None and ts is None:
+                df, view = tbl.read(), f"__lake_{ns}_{name}_b_{branch}"
+                df.createOrReplaceTempView(view)
+                return view
             if ver is not None:
                 df, view = tbl.read(int(ver)), f"__lake_{ns}_{name}_v{ver}"
             elif ts is not None:
@@ -206,7 +262,11 @@ class LakeSQL:
         m = re.match(rf"TRUNCATE\s+TABLE\s+{_TBL}$", s, re.IGNORECASE)
         if not m:
             raise LakehouseError(f"cannot parse TRUNCATE: {s[:80]!r}")
-        return self.catalog.load_table(m.group(1), m.group(2)).truncate()
+        tbl = self.catalog.load_table(m.group(1), m.group(2))
+        if self._txn is not None:
+            self._txn.truncate(tbl)
+            return None
+        return tbl.truncate()
 
     def _alter(self, s: str):
         m = re.match(rf"ALTER\s+TABLE\s+{_TBL}\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
@@ -221,6 +281,32 @@ class LakeSQL:
             self.catalog.rename_table(ns, name, tm.group(1), tm.group(2))
             return None
         tbl = self.catalog.load_table(ns, name)
+        if au.startswith("CREATE BRANCH"):
+            am = re.match(
+                rf"CREATE\s+BRANCH\s+({_IDENT})"
+                r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+                action,
+                re.IGNORECASE,
+            )
+            if not am:
+                raise LakehouseError(f"cannot parse CREATE BRANCH: {action!r}")
+            at = int(am.group(2)) if am.group(2) else None
+            tbl.create_branch(am.group(1), at=at)
+            return None
+        if au.startswith("DROP BRANCH"):
+            am = re.match(rf"DROP\s+BRANCH\s+({_IDENT})$", action, re.IGNORECASE)
+            if not am:
+                raise LakehouseError(f"cannot parse DROP BRANCH: {action!r}")
+            tbl.drop_branch(am.group(1))
+            return None
+        if au.startswith("FAST FORWARD"):
+            am = re.match(
+                rf"FAST\s+FORWARD\s+(?:TO\s+)?({_IDENT})$", action, re.IGNORECASE
+            )
+            if not am:
+                raise LakehouseError(f"cannot parse FAST FORWARD: {action!r}")
+            tbl.fast_forward(am.group(1))
+            return None
         if au.startswith("ADD COLUMN"):
             am = re.match(
                 r"ADD\s+COLUMN\s+([\w.]+)\s+(.+)$", action, re.IGNORECASE
@@ -247,16 +333,23 @@ class LakeSQL:
 
     # -- DML ---------------------------------------------------------------
 
+    def _apply_insert(self, tbl: LakeTable, df: DataFrame):
+        """Append now, or queue on the active transaction."""
+        if self._txn is not None:
+            self._txn.append(tbl, df)
+            return None
+        return tbl.append(df)
+
     def _insert(self, s: str) -> Snapshot:
         m = re.match(
-            rf"INSERT\s+INTO\s+{_TBL}\s*(\([^)]*\))?\s*(.+)$",
+            rf"INSERT\s+INTO\s+{_TBL}(?:@({_IDENT}))?\s*(\([^)]*\))?\s*(.+)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise LakehouseError(f"cannot parse INSERT: {s[:80]!r}")
-        ns, name, col_list, body = (
-            m.group(1), m.group(2), m.group(3), m.group(4).strip()
+        ns, name, branch, col_list, body = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5).strip()
         )
         if col_list and col_list[1:-1].strip().upper().startswith(
             ("SELECT", "WITH", "VALUES", "TABLE")
@@ -269,7 +362,7 @@ class LakeSQL:
         ].strip().upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
             # `INSERT INTO t (SELECT ...)` — whole body parenthesized
             body = body[1:-1].strip()
-        tbl = self.catalog.load_table(ns, name)
+        tbl = self._load(ns, name, branch)
         if body.upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
             df = (
                 self._select(body)
@@ -307,7 +400,7 @@ class LakeSQL:
                     for f in fields
                 ]
             )
-            return tbl.append(bound)
+            return self._apply_insert(tbl, bound)
         # bind by position and cast to the table schema (VALUES literals
         # infer narrow types: int, decimal)
         if len(df.columns) != len(fields):
@@ -318,18 +411,18 @@ class LakeSQL:
         bound = df.toDF(*[f.name for f in fields]).select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
         )
-        return tbl.append(bound)
+        return self._apply_insert(tbl, bound)
 
     def _delete(self, s: str) -> Snapshot:
         m = re.match(
-            rf"DELETE\s+FROM\s+{_TBL}(?:\s+WHERE\s+(.*))?$",
+            rf"DELETE\s+FROM\s+{_TBL}(?:@({_IDENT}))?(?:\s+WHERE\s+(.*))?$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise LakehouseError(f"cannot parse DELETE: {s[:80]!r}")
-        ns, name, where = m.group(1), m.group(2), m.group(3)
-        tbl = self.catalog.load_table(ns, name)
+        ns, name, branch, where = m.group(1), m.group(2), m.group(3), m.group(4)
+        tbl = self._load(ns, name, branch)
         return tbl.delete(F.expr(where) if where else F.lit(True))
 
     def _update(self, s: str) -> Snapshot:

@@ -223,3 +223,82 @@ def test_merge_rejects_multiple_matched_clauses(lsql, spark):
         )
     # table untouched by the rejected statement
     assert lsql.sql("SELECT count(*) AS c FROM db.mm").collect()[0].c == 2
+
+
+# -- transactions (BEGIN..COMMIT / ROLLBACK) ----------------------------
+
+
+def test_sql_transaction_commit_two_tables(lsql):
+    lsql.sql("CREATE TABLE db.x (k BIGINT, v STRING)")
+    lsql.sql("CREATE TABLE db.y (k BIGINT, v STRING)")
+    lsql.sql("BEGIN")
+    lsql.sql("INSERT INTO db.x VALUES (1, 'a')")
+    lsql.sql("INSERT INTO db.y VALUES (2, 'b'), (3, 'c')")
+    # staged, not visible yet
+    assert lsql.sql("SELECT * FROM db.x").count() == 0
+    assert lsql.sql("SELECT * FROM db.y").count() == 0
+    snaps = lsql.sql("COMMIT")
+    assert len(snaps) == 2
+    assert lsql.sql("SELECT * FROM db.x").count() == 1
+    assert lsql.sql("SELECT * FROM db.y").count() == 2
+
+
+def test_sql_transaction_rollback(lsql):
+    lsql.sql("CREATE TABLE db.x (k BIGINT)")
+    lsql.sql("BEGIN")
+    lsql.sql("INSERT INTO db.x VALUES (1)")
+    lsql.sql("ROLLBACK")
+    assert lsql.sql("SELECT * FROM db.x").count() == 0
+    # the txn is gone: COMMIT now errors
+    with pytest.raises(LakehouseError, match="outside a transaction"):
+        lsql.sql("COMMIT")
+
+
+def test_sql_transaction_rejects_nontransactional_verbs(lsql):
+    lsql.sql("CREATE TABLE db.x (k BIGINT)")
+    lsql.sql("BEGIN")
+    with pytest.raises(LakehouseError, match="not allowed inside"):
+        lsql.sql("DELETE FROM db.x WHERE k = 1")
+    lsql.sql("ROLLBACK")
+
+
+def test_sql_truncate_in_transaction(lsql):
+    lsql.sql("CREATE TABLE db.x (k BIGINT)")
+    lsql.sql("INSERT INTO db.x VALUES (1), (2)")
+    lsql.sql("BEGIN")
+    lsql.sql("TRUNCATE TABLE db.x")
+    lsql.sql("INSERT INTO db.x VALUES (9)")
+    assert lsql.sql("SELECT * FROM db.x").count() == 2  # still pre-txn
+    lsql.sql("COMMIT")
+    assert [r["k"] for r in lsql.sql("SELECT * FROM db.x").collect()] == [9]
+
+
+# -- branches (@branch refs + ALTER TABLE branch DDL) -------------------
+
+
+def test_sql_branch_wap_cycle(lsql):
+    lsql.sql("CREATE TABLE db.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO db.t VALUES (1, 'base')")
+    lsql.sql("ALTER TABLE db.t CREATE BRANCH wap")
+    lsql.sql("INSERT INTO db.t@wap VALUES (2, 'staged'), (3, 'bad')")
+    lsql.sql("DELETE FROM db.t@wap WHERE v = 'bad'")
+    # main untouched; branch readable via @
+    assert lsql.sql("SELECT * FROM db.t").count() == 1
+    assert (
+        lsql.sql("SELECT * FROM db.t@wap ORDER BY k").count() == 2
+    )
+    lsql.sql("ALTER TABLE db.t FAST FORWARD TO wap")
+    assert [r["k"] for r in lsql.sql("SELECT k FROM db.t ORDER BY k").collect()] == [1, 2]
+    lsql.sql("ALTER TABLE db.t DROP BRANCH wap")
+    with pytest.raises(LakehouseError, match="no such"):
+        lsql.sql("SELECT * FROM db.t@wap")
+
+
+def test_sql_branch_as_of_version(lsql):
+    lsql.sql("CREATE TABLE db.t (k BIGINT)")
+    lsql.sql("INSERT INTO db.t VALUES (1)")
+    v_after_first = 2  # create=1, first insert=2
+    lsql.sql("INSERT INTO db.t VALUES (2)")
+    lsql.sql(f"ALTER TABLE db.t CREATE BRANCH old AS OF VERSION {v_after_first}")
+    assert lsql.sql("SELECT * FROM db.t@old").count() == 1
+    assert lsql.sql("SELECT * FROM db.t").count() == 2
