@@ -12,9 +12,11 @@ import re
 import pytest
 
 from pg_lakehouse_spark.plans import (
+    formatted_plan,
     has_cartesian_product,
     pushed_filter_columns,
     scan_read_columns,
+    shuffle_exchange_count,
 )
 from pg_lakehouse_spark.workload import REGISTRY, _load_all
 
@@ -306,3 +308,40 @@ def test_is_small_runs_no_job(spark, sf_dir):
     finally:
         sc.setJobGroup(None, None)
     assert jobs == [], f"_is_small launched jobs: {jobs}"
+
+
+def test_text_chunking_is_map_only(spark, sf_dir):
+    """Chunking must be a pure map stage: no shuffle, no Python, and
+    the scan reads only the two needed columns."""
+    from pg_lakehouse_spark.llm.text import chunk_documents
+    from pg_lakehouse_spark.tables import table
+
+    out = chunk_documents(table(spark, sf_dir, "documents"), window=32, stride=24)
+    assert shuffle_exchange_count(out) == 0
+    plan = formatted_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert all(
+        cols <= {"doc_id", "text"} for cols in scan_read_columns(out)
+    )
+
+
+def test_repetition_signals_bounded_shuffles(spark, sf_dir):
+    """Repetition signals: explode + two hash-aggs + one join — at
+    most 3 shuffles keyed by doc, never an O(len^2) in-row scan."""
+    from pg_lakehouse_spark.llm.text import repetition_signals
+    from pg_lakehouse_spark.tables import table
+
+    out = repetition_signals(table(spark, sf_dir, "documents"))
+    assert shuffle_exchange_count(out) <= 3
+    assert not has_cartesian_product(out)
+
+
+def test_pii_redaction_is_map_only(spark, sf_dir):
+    from pg_lakehouse_spark.llm.text import redact_pii
+    from pg_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", redact_pii(F.col("text")).alias("r"))
+    assert shuffle_exchange_count(out) == 0
+    assert "Python" not in formatted_plan(out)

@@ -205,3 +205,66 @@ def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
     mor.compact(small_file_bytes=1 << 62, min_files=1)
     pos.compact(small_file_bytes=1 << 62, min_files=1)
     states_equal()
+
+
+def test_branch_then_publish_equals_direct_dml(spark, sf_dir, tmp_path):
+    """Differential property: a seeded random DML sequence applied on
+    an isolated branch and then fast-forwarded must produce exactly
+    the state of the same sequence applied directly to main — and
+    main must be bit-identical to its pre-branch state at every
+    intermediate step (isolation)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.tables import table
+
+    rng = random.Random(20260814)
+    orders = table(spark, sf_dir, "orders").limit(250)
+    cat = LakeCatalog(spark, str(tmp_path / "wh_branch_prop"))
+    direct = cat.create_table_as("db", "direct", orders)
+    staged = cat.create_table_as("db", "staged", orders)
+    baseline = {tuple(r) for r in staged.read().collect()}
+    staged.create_branch("wap")
+    wap = staged.for_branch("wap")
+
+    for step in range(6):
+        op = rng.choice(["delete", "update", "append", "merge"])
+        lo = rng.randrange(0, 230)
+        hi = lo + rng.randrange(5, 40)
+        cond = F.col("o_orderkey").between(lo, hi)
+        if op == "delete":
+            for t_ in (direct, wap):
+                t_.delete(cond)
+        elif op == "update":
+            assign = {"o_totalprice": F.col("o_totalprice") + float(step + 1)}
+            for t_ in (direct, wap):
+                t_.update(cond, assign)
+        elif op == "append":
+            extra = orders.filter(cond).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 200000 + step
+            )
+            for t_ in (direct, wap):
+                t_.append(extra)
+        else:
+            src = orders.filter(cond).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 3.5
+            )
+            kwargs = dict(
+                on=["o_orderkey"],
+                when_matched_update={
+                    "o_totalprice": F.col("__src.o_totalprice")
+                },
+                when_not_matched_insert=True,
+            )
+            for t_ in (direct, wap):
+                t_.merge(src, **kwargs)
+        # isolation: main of the staged table never moves mid-flight
+        assert {tuple(r) for r in staged.read().collect()} == baseline
+
+    staged.fast_forward("wap")
+    assert (
+        {tuple(r) for r in staged.read().collect()}
+        == {tuple(r) for r in direct.read().collect()}
+    )

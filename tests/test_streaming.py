@@ -542,3 +542,37 @@ def test_stream_upsert_sink_cdc_apply(spark, tmp_path):
     # batch ids recorded for idempotent replay
     summaries = [s.summary for s in tbl.snapshots()]
     assert any("stream_batch_id" in s for s in summaries if s)
+
+
+def test_stream_into_branch_then_publish(spark, sf_dir, tmp_path):
+    """Streaming write-audit-publish: micro-batches land on a branch
+    (main readers see a stable table mid-ingest), an audit checks the
+    staged rows, then fast-forward publishes the whole ingest as one
+    pointer move."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.streaming.sink import write_stream_to_lake
+    from pg_lakehouse_spark.streaming.windows import stream_events
+
+    ev_stream = stream_events(spark, sf_dir)
+    cat = LakeCatalog(spark, str(tmp_path / "wh_wap"))
+    tbl = cat.create_table("db", "events_wap", ev_stream.schema)
+    tbl.create_branch("ingest")
+    q = write_stream_to_lake(
+        ev_stream,
+        tbl.for_branch("ingest"),
+        str(tmp_path / "ckpt_wap"),
+        trigger_once=True,
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    ev = table(spark, sf_dir, "events")
+    # main untouched mid-ingest; branch holds the batch
+    assert tbl.read().count() == 0
+    staged = tbl.for_branch("ingest").read()
+    assert staged.count() == ev.count()
+    # audit passes -> publish is a metadata-only pointer move
+    assert staged.filter(F.col("ts").isNull()).count() == 0
+    tbl.fast_forward("ingest")
+    assert tbl.read().count() == ev.count()
