@@ -637,6 +637,19 @@ class LakeTable:
             "row_count bigint, total_bytes bigint",
         )
 
+    def refs_df(self) -> DataFrame:
+        """Named refs as a DataFrame (Iceberg ``t.refs`` analog):
+        tags, branches, and main, each with its pinned/head version."""
+        tags, branches = self._load_refs()
+        rows = (
+            [("main", "BRANCH", self.for_branch("main").current_version())]
+            + [(n, "TAG", v) for n, v in sorted(tags.items())]
+            + [(n, "BRANCH", v) for n, v in sorted(branches.items())]
+        )
+        return self.spark.createDataFrame(
+            rows, "name string, type string, version int"
+        )
+
     def history_df(self) -> DataFrame:
         """Commit history as a DataFrame (ref A20's ``t.snapshots``)."""
         rows = [
@@ -3044,8 +3057,14 @@ class LakeTable:
             return None
         return self.compact(small_file_bytes=small_file_bytes)
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
-        """Drop old snapshot metadata (time travel window shrinks)."""
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[int]:
+        """Drop old snapshot metadata (time travel window shrinks).
+
+        ``older_than_ms`` (Iceberg ``expire_snapshots(older_than)``
+        analog) additionally protects every snapshot committed at or
+        after that timestamp — retention by age AND by count."""
         snaps = self.snapshots()
         current = self.current_version()
         tags, branches = self._load_refs()
@@ -3055,6 +3074,10 @@ class LakeTable:
             | set(tags.values())  # tagged snapshots are pinned
             | set(branches.values())  # branch heads stay readable
         )
+        if older_than_ms is not None:
+            keep_versions |= {
+                s.version for s in snaps if s.timestamp_ms >= older_than_ms
+            }
         expired = []
         for s in snaps:
             if s.version not in keep_versions:

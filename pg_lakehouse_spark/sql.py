@@ -431,15 +431,15 @@ class LakeSQL:
         # only). The WHERE must start with the alias-qualified key
         # equalities; extra conjuncts become the matched condition.
         fm = re.match(
-            rf"UPDATE\s+{_TBL}(?:\s+AS)?\s+({_IDENT})\s+SET\s+(.*?)\s+"
+            rf"UPDATE\s+{_TBL}(?:@({_IDENT}))?(?:\s+AS)?\s+({_IDENT})\s+SET\s+(.*?)\s+"
             rf"FROM\s+(\(.*?\)|{_IDENT})(?:\s+AS)?\s+({_IDENT})\s+"
             rf"WHERE\s+(.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if fm:
-            ns, name, talias, sets, src_ref, salias, where = fm.groups()
-            tbl = self.catalog.load_table(ns, name)
+            ns, name, branch, talias, sets, src_ref, salias, where = fm.groups()
+            tbl = self._load(ns, name, branch)
             source = (
                 self._select(src_ref[1:-1].strip())
                 if src_ref.startswith("(")
@@ -490,18 +490,18 @@ class LakeSQL:
                 when_not_matched_insert=False,
             )
         m = re.match(
-            rf"UPDATE\s+{_TBL}\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            rf"UPDATE\s+{_TBL}(?:@({_IDENT}))?\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise LakehouseError(f"cannot parse UPDATE: {s[:80]!r}")
-        ns, name, sets, where = m.groups()
+        ns, name, branch, sets, where = m.groups()
         assignments = {}
         for kv in _split_top_level(sets):
             k, _, v = kv.partition("=")
             assignments[k.strip()] = F.expr(v.strip())
-        tbl = self.catalog.load_table(ns, name)
+        tbl = self._load(ns, name, branch)
         return tbl.update(
             F.expr(where) if where else F.lit(True), assignments
         )
@@ -509,7 +509,7 @@ class LakeSQL:
     # -- MERGE -------------------------------------------------------------
 
     _MERGE = re.compile(
-        rf"MERGE\s+INTO\s+{_TBL}(?:\s+AS)?\s+({_IDENT})\s+"
+        rf"MERGE\s+INTO\s+{_TBL}(?:@({_IDENT}))?(?:\s+AS)?\s+({_IDENT})\s+"
         rf"USING\s+(\(.*?\)|{_IDENT}(?:\.{_IDENT})?)(?:\s+AS)?\s+({_IDENT})\s+"
         rf"ON\s+(.*?)\s+(WHEN\s+.*)$",
         re.IGNORECASE | re.DOTALL,
@@ -526,8 +526,8 @@ class LakeSQL:
         m = self._MERGE.match(s)
         if not m:
             raise LakehouseError(f"cannot parse MERGE: {s[:80]!r}")
-        ns, name, talias, src_ref, salias, on_cond, clauses = m.groups()
-        tbl = self.catalog.load_table(ns, name)
+        ns, name, branch, talias, src_ref, salias, on_cond, clauses = m.groups()
+        tbl = self._load(ns, name, branch)
         if src_ref.startswith("("):
             source = self._select(src_ref[1:-1].strip())
         else:

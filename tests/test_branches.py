@@ -152,3 +152,51 @@ def test_branch_fork_point_at_older_snapshot(catalog, orders_df):
     tbl.append(orders_df.limit(20).subtract(orders_df.limit(10)))
     tbl.create_branch("old", at=v1)
     assert tbl.for_branch("old").read().count() == 10
+
+
+def test_sql_update_merge_on_branch(spark, tmp_path, orders_df):
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_sqlb"))
+    lsql = LakeSQL(spark, cat)
+    lsql.sql("CREATE TABLE db.t (k BIGINT, v DOUBLE)")
+    lsql.sql("INSERT INTO db.t VALUES (1, 10.0), (2, 20.0)")
+    lsql.sql("ALTER TABLE db.t CREATE BRANCH fix")
+    lsql.sql("UPDATE db.t@fix SET v = v + 1.0 WHERE k = 1")
+    spark.createDataFrame([(2, 99.0), (3, 30.0)], "k long, v double") \
+        .createOrReplaceTempView("src_b")
+    lsql.sql(
+        "MERGE INTO db.t@fix AS t USING src_b AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    # main untouched
+    assert {tuple(r) for r in lsql.sql("SELECT * FROM db.t").collect()} == {
+        (1, 10.0), (2, 20.0)
+    }
+    assert {
+        tuple(r) for r in lsql.sql("SELECT * FROM db.t@fix").collect()
+    } == {(1, 11.0), (2, 99.0), (3, 30.0)}
+
+
+def test_refs_df_lists_all_refs(catalog, orders_df):
+    tbl = catalog.create_table_as("db", "t", orders_df.limit(10))
+    tbl.tag("v1")
+    tbl.create_branch("b1")
+    rows = {(r["name"], r["type"], r["version"]) for r in tbl.refs_df().collect()}
+    v = tbl.current_version()
+    assert rows == {("main", "BRANCH", v), ("v1", "TAG", v), ("b1", "BRANCH", v)}
+
+
+def test_expire_older_than_protects_recent(catalog, orders_df):
+    import time as _time
+
+    tbl = catalog.create_table_as("db", "t", orders_df.limit(10))
+    tbl.append(orders_df.limit(20).subtract(orders_df.limit(10)))
+    cutoff = int(_time.time() * 1000) + 60_000  # everything is "recent"... not
+    # with a future cutoff nothing is protected by age; with 0 everything is
+    expired = tbl.expire_snapshots(keep_last=1, older_than_ms=0)
+    assert expired == []  # age 0 protects every snapshot
+    tbl.append(orders_df.limit(25).subtract(orders_df.limit(20)))
+    expired = tbl.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+    assert expired  # future cutoff protects nothing beyond keep_last
