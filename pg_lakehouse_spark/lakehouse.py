@@ -3152,152 +3152,251 @@ class LakeTransaction:
 
         with LakeTransaction() as tx:
             tx.append(orders_tbl, new_orders)
-            tx.append(audit_tbl, audit_rows)
-        # exit commits both tables atomically; an exception aborts
-        # both and deletes every staged file
+            tx.merge(dim_tbl, updates, on=["k"], when_matched_update=...)
+            tx.delete(audit_tbl, F.col("stale"))
+        # exit commits all three tables atomically; an exception
+        # aborts and deletes every staged file
 
-    Mechanics: data files stage immediately (parallel Spark writes —
-    they are invisible until a snapshot lists them), so the commit
-    itself is metadata-only: take every table's commit lock in
-    deterministic order (sorted by location — no deadlocks), build all
-    snapshots, then swap the pointers; if any swap fails, already-
-    swapped pointers are restored before the locks release, so no
-    reader ever observes a partial transaction. Readers that resolve
-    table A before the swap and table B after see each table's
-    pre/post state atomically per table — the same guarantee Iceberg
-    multi-table transactions give.
+    Mechanics: each touched table gets a hidden txn BRANCH forked at
+    its current head; every verb — append/overwrite/truncate AND
+    row-level delete/update/merge — applies EAGERLY to that branch
+    (Spark jobs run at call time, PG-style), so data files stage in
+    parallel but stay invisible to main readers. Commit takes every
+    table's commit lock in sorted order (no deadlocks) and publishes
+    each branch head with a pure pointer move; if a table's head moved
+    since the fork, the txn re-forks at the new head and REPLAYS its
+    recorded ops (bounded retries), because ops are closures over
+    source DataFrames. A failure mid-publish restores the
+    already-swapped pointers before the locks release — no reader
+    ever observes a partial transaction. Abort deletes every file the
+    branch chain added and the branch metadata itself.
 
-    Supported verbs mirror the reference's transactional surface
-    (insert/overwrite/truncate). Row-level DML inside a transaction is
-    rejected — run it as its own single-table commit.
+    ``tx.view(table)`` reads the in-flight state (read-your-writes).
     """
 
+    _MAX_RETRIES = 3
+
     def __init__(self):
-        self._ops: list[dict] = []  # {table, verb, entries, rows}
+        self._tables: dict[tuple, dict] = {}  # key -> {table, branch, fork, ops}
         self._done = False
 
     @staticmethod
     def _key(table: LakeTable) -> tuple[str, str]:
         return (os.path.realpath(table.location), table.branch)
 
-    def _stage(self, table: LakeTable, df: DataFrame, verb: str) -> None:
+    def _state(self, table: LakeTable) -> dict:
         if self._done:
             raise LakehouseError("transaction already committed/aborted")
-        table._check_schema(df)
-        df = table._sort_for_write(table._distribute_for_write(df))
-        snap = table.snapshot()
-        entries = table._stage_dataframe(
-            df, table._max_version() + 1, snap.partition_spec,
-            schema_id=snap.schema_id,
-        )
-        self._ops.append(
-            {"table": table, "verb": verb, "entries": entries}
-        )
+        key = self._key(table)
+        st = self._tables.get(key)
+        if st is None:
+            bname = f"__txn_{uuid.uuid4().hex[:12]}"
+            fork = table.create_branch(bname)
+            st = {
+                "table": table,
+                "branch": table.for_branch(bname),
+                "bname": bname,
+                "fork": fork,
+                "ops": [],
+            }
+            self._tables[key] = st
+        return st
+
+    def _apply(self, table: LakeTable, verb: str, op) -> None:
+        st = self._state(table)
+        op(st["branch"])
+        op._verb = verb
+        st["ops"].append(op)
+
+    # -- verbs (each records a replayable closure) ------------------------
 
     def append(self, table: LakeTable, df: DataFrame) -> None:
-        """Queue an INSERT; files are written now, visible at commit."""
-        self._stage(table, df, "append")
+        self._apply(table, "append", lambda t: t.append(df))
 
     def overwrite(self, table: LakeTable, df: DataFrame) -> None:
-        self._stage(table, df, "overwrite")
+        self._apply(table, "overwrite", lambda t: t.overwrite(df))
 
     def truncate(self, table: LakeTable) -> None:
+        self._apply(table, "truncate", lambda t: t.truncate())
+
+    def delete(self, table: LakeTable, condition, mode: str | None = None) -> None:
+        self._apply(table, "delete", lambda t: t.delete(condition, mode=mode))
+
+    def update(
+        self,
+        table: LakeTable,
+        condition,
+        assignments: dict,
+        mode: str | None = None,
+    ) -> None:
+        self._apply(
+            table, "update", lambda t: t.update(condition, assignments, mode=mode)
+        )
+
+    def merge(self, table: LakeTable, source: DataFrame, **kwargs) -> None:
+        self._apply(table, "merge", lambda t: t.merge(source, **kwargs))
+
+    def view(self, table: LakeTable) -> DataFrame:
+        """Read-your-writes: the table's in-flight txn state."""
         if self._done:
             raise LakehouseError("transaction already committed/aborted")
-        self._ops.append({"table": table, "verb": "truncate", "entries": []})
+        st = self._tables.get(self._key(table))
+        return st["branch"].read() if st else table.read()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _replay(self, st: dict) -> None:
+        """Re-fork at the current head and re-apply the recorded ops
+        (conflict path: someone committed to the table mid-txn)."""
+        self._cleanup_branch(st)
+        t: LakeTable = st["table"]
+        bname = f"__txn_{uuid.uuid4().hex[:12]}"
+        st["fork"] = t.create_branch(bname)
+        st["branch"] = t.for_branch(bname)
+        st["bname"] = bname
+        for op in st["ops"]:
+            op(st["branch"])
+
+    def _cleanup_branch(self, st: dict, drop_files: bool = True) -> None:
+        """Delete the branch chain's metadata, its ref, and (on abort)
+        every file no snapshot outside the chain references."""
+        t: LakeTable = st["table"]
+        b: LakeTable = st["branch"]
+        head = b.current_version()
+        chain = [v for v in b._ancestry(head) if v != st["fork"] and v > 0]
+        chain = [v for v in chain if v not in b._ancestry(st["fork"])]
+        chain_set = set(chain)
+        if drop_files and chain:
+            outside_refs: set[str] = set()
+            for s in t.snapshots():
+                if s.version not in chain_set:
+                    outside_refs |= {f["path"] for f in s.files}
+                    outside_refs |= {d["path"] for d in s.delete_files}
+                    outside_refs |= set(s.change_files)
+            for v in chain:
+                s = b.snapshot(v)
+                doomed = (
+                    {f["path"] for f in s.files}
+                    | {d["path"] for d in s.delete_files}
+                    | set(s.change_files)
+                ) - outside_refs
+                for rel in doomed:
+                    p = os.path.join(t.location, rel)
+                    if os.path.exists(p):
+                        os.remove(p)
+        for v in chain:
+            p = t._meta_path(v)
+            if os.path.exists(p):
+                os.remove(p)
+        # drop the ref without re-locking (callers may hold the lock)
+        tags, branches = t._load_refs()
+        if st["bname"] in branches:
+            del branches[st["bname"]]
+            t._write_refs(tags, branches)
 
     def commit(self) -> list[Snapshot]:
-        """Atomically publish one snapshot per touched table."""
+        """Atomically publish every table's txn branch. Any failure —
+        publish error or conflict-retry exhaustion — aborts the whole
+        transaction (pointers restored, staged files deleted), PG
+        commit-failure semantics."""
         if self._done:
             raise LakehouseError("transaction already committed/aborted")
         self._done = True
-        if not self._ops:
+        try:
+            out = self._commit_inner()
+            self._tables = {}
+            return out
+        except BaseException:
+            for st in self._tables.values():
+                self._cleanup_branch(st)
+            self._tables = {}
+            raise
+
+    def _commit_inner(self) -> list[Snapshot]:
+        states = list(self._tables.values())
+        if not states:
             return []
-        # fold ops per (table, branch), preserving first-touch order
-        groups: dict[tuple, dict] = {}
-        for op in self._ops:
-            g = groups.setdefault(
-                self._key(op["table"]), {"table": op["table"], "ops": []}
-            )
-            g["ops"].append(op)
-        # one lock per physical table, acquired in sorted order
         lock_paths = sorted(
             {
-                os.path.join(g["table"].meta_dir, "_commit.lock")
-                for g in groups.values()
+                os.path.join(st["table"].meta_dir, "_commit.lock")
+                for st in states
             }
         )
-        locks = []
-        try:
-            for p in lock_paths:
-                fh = open(p, "w")
-                fcntl.flock(fh, fcntl.LOCK_EX)
-                locks.append(fh)
-            prepared = []
-            for g in groups.values():
-                t: LakeTable = g["table"]
-                base = t.current_version()
-                head = t.snapshot(base)
-                files = list(head.files)
-                dels = list(head.delete_files)
-                added_rows = 0
-                for op in g["ops"]:
-                    if op["verb"] == "append":
-                        files = files + op["entries"]
-                        added_rows += sum(e["rows"] for e in op["entries"])
-                    elif op["verb"] == "overwrite":
-                        files = list(op["entries"])
-                        dels = []
-                        added_rows = sum(e["rows"] for e in op["entries"])
-                    else:  # truncate
-                        files, dels, added_rows = [], [], 0
-                verbs = [op["verb"] for op in g["ops"]]
-                op_name = (
-                    "append" if set(verbs) == {"append"} else "overwrite"
-                )
-                prepared.append(
-                    (
-                        t,
-                        t._prepare_snapshot(
-                            base, op_name, files, head.schema_json,
-                            summary={
-                                "txn_ops": verbs,
-                                "txn_tables": len(groups),
-                                "added_rows": added_rows,
-                            },
-                            delete_files=dels,
-                        ),
-                        base,
-                    )
-                )
-            published = []
+        for attempt in range(self._MAX_RETRIES + 1):
+            locks = []
             try:
-                for t, snap, old in prepared:
-                    t._publish(snap)
-                    published.append((t, snap, old))
-            except BaseException:
-                for t, snap, old in reversed(published):
-                    t._restore_head(old)
-                    meta = t._meta_path(snap.version)
-                    if os.path.exists(meta):
-                        os.remove(meta)
-                raise
-            return [snap for _, snap, _ in published]
-        finally:
-            for fh in locks:
-                fh.close()
+                for p in lock_paths:
+                    fh = open(p, "w")
+                    fcntl.flock(fh, fcntl.LOCK_EX)
+                    locks.append(fh)
+                stale = [
+                    st
+                    for st in states
+                    if st["table"].current_version() != st["fork"]
+                ]
+                if stale:
+                    if attempt >= self._MAX_RETRIES:
+                        raise CommitConflict(
+                            f"{len(stale)} table(s) advanced past the txn "
+                            f"fork after {attempt} replays"
+                        )
+                    # release locks before replaying (Spark jobs inside)
+                    for fh in locks:
+                        fh.close()
+                    locks = []
+                    for st in stale:
+                        self._replay(st)
+                    continue
+                published = []
+                heads = []
+                try:
+                    for st in states:
+                        t: LakeTable = st["table"]
+                        head_v = st["branch"].current_version()
+                        if head_v == st["fork"]:
+                            heads.append(t.snapshot(head_v))
+                            continue  # no-op member
+                        # stamp txn metadata on the head snapshot
+                        meta = t._meta_path(head_v)
+                        with open(meta) as f:
+                            d = json.load(f)
+                        d["summary"]["txn_tables"] = len(states)
+                        d["summary"]["txn_ops"] = [
+                            getattr(op, "_verb", "op") for op in st["ops"]
+                        ]
+                        d["summary"].pop("branch", None)
+                        with open(meta + ".tmp", "w") as f:
+                            json.dump(d, f)
+                        os.replace(meta + ".tmp", meta)
+                        t._restore_head(head_v)  # the publish pointer move
+                        published.append((t, st["fork"]))
+                        heads.append(Snapshot(**d))
+                    for st in states:
+                        self._cleanup_branch_ref_only(st)
+                    return heads
+                except BaseException:
+                    for t, old in reversed(published):
+                        t._restore_head(old)
+                    raise
+            finally:
+                for fh in locks:
+                    fh.close()
+        raise AssertionError("unreachable")
+
+    def _cleanup_branch_ref_only(self, st: dict) -> None:
+        t: LakeTable = st["table"]
+        tags, branches = t._load_refs()
+        if st["bname"] in branches:
+            del branches[st["bname"]]
+            t._write_refs(tags, branches)
 
     def abort(self) -> None:
-        """Delete every staged data file (ref orphan cleanup,
-        commit_ops.c:217-272) and invalidate the transaction."""
+        """Delete every staged file and the txn branches (ref orphan
+        cleanup, commit_ops.c:217-272)."""
         self._done = True
-        for op in self._ops:
-            t = op["table"]
-            for e in op["entries"]:
-                p = os.path.join(t.location, e["path"])
-                if os.path.exists(p):
-                    os.remove(p)
-        self._ops = []
+        for st in self._tables.values():
+            self._cleanup_branch(st)
+        self._tables = {}
 
     def __enter__(self) -> "LakeTransaction":
         return self

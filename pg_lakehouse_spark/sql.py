@@ -24,11 +24,12 @@ a reference user can keep their SQL:
   branch reads) are bound to temp views, then the whole statement runs
   on Spark SQL (full Catalyst surface, nothing re-implemented)
 - ``VACUUM ns.t``, ``OPTIMIZE ns.t``
-- ``BEGIN; INSERT ...; INSERT ...; COMMIT`` — the PG transaction
-  surface: INSERT/TRUNCATE statements between BEGIN and COMMIT stage
-  into one LakeTransaction and publish atomically across every table
-  touched (ROLLBACK deletes the staged files); other verbs are
-  rejected inside a txn
+- ``BEGIN; INSERT ...; DELETE ...; MERGE ...; COMMIT`` — the PG
+  transaction surface: every DML statement between BEGIN and COMMIT
+  stages into one LakeTransaction (row-level DML applies eagerly on
+  hidden txn branches) and publishes atomically across every table
+  touched (ROLLBACK deletes the staged files); DDL is rejected
+  inside a txn
 - ``ALTER TABLE ns.t CREATE BRANCH b [AS OF VERSION n] |
   DROP BRANCH b | FAST FORWARD [TO] b`` plus ``ns.t@b`` references in
   INSERT/DELETE/SELECT — the write-audit-publish surface
@@ -100,11 +101,13 @@ class LakeSQL:
             return self._commit_txn()
         if head in ("ROLLBACK", "ABORT"):
             return self._rollback_txn()
-        if self._txn is not None and head not in ("INSERT", "TRUNCATE", "SELECT", "WITH"):
+        if self._txn is not None and head not in (
+            "INSERT", "TRUNCATE", "DELETE", "UPDATE", "MERGE", "SELECT", "WITH",
+        ):
             raise LakehouseError(
                 f"{head} is not allowed inside a transaction — the "
-                "transactional surface is INSERT/TRUNCATE (mirroring the "
-                "reference's txn write state); run it outside BEGIN..COMMIT"
+                "transactional surface is DML (INSERT/TRUNCATE/DELETE/"
+                "UPDATE/MERGE); DDL runs outside BEGIN..COMMIT"
             )
         if head == "SELECT" or s.upper().startswith("WITH"):
             return self._select(s)
@@ -334,11 +337,29 @@ class LakeSQL:
     # -- DML ---------------------------------------------------------------
 
     def _apply_insert(self, tbl: LakeTable, df: DataFrame):
-        """Append now, or queue on the active transaction."""
+        """Append now, or stage on the active transaction."""
         if self._txn is not None:
             self._txn.append(tbl, df)
             return None
         return tbl.append(df)
+
+    def _apply_delete(self, tbl: LakeTable, condition):
+        if self._txn is not None:
+            self._txn.delete(tbl, condition)
+            return None
+        return tbl.delete(condition)
+
+    def _apply_update(self, tbl: LakeTable, condition, assignments):
+        if self._txn is not None:
+            self._txn.update(tbl, condition, assignments)
+            return None
+        return tbl.update(condition, assignments)
+
+    def _apply_merge(self, tbl: LakeTable, source: DataFrame, **kwargs):
+        if self._txn is not None:
+            self._txn.merge(tbl, source, **kwargs)
+            return None
+        return tbl.merge(source, **kwargs)
 
     def _insert(self, s: str) -> Snapshot:
         m = re.match(
@@ -423,7 +444,7 @@ class LakeSQL:
             raise LakehouseError(f"cannot parse DELETE: {s[:80]!r}")
         ns, name, branch, where = m.group(1), m.group(2), m.group(3), m.group(4)
         tbl = self._load(ns, name, branch)
-        return tbl.delete(F.expr(where) if where else F.lit(True))
+        return self._apply_delete(tbl, F.expr(where) if where else F.lit(True))
 
     def _update(self, s: str) -> Snapshot:
         # PG join-update: UPDATE t [AS a] SET ... FROM src [AS b]
@@ -480,7 +501,8 @@ class LakeSQL:
                 k, _, v = kv.partition("=")
                 k = re.sub(rf"^{talias}\.", "", k.strip())
                 assignments[k] = rewrite(v.strip())
-            return tbl.merge(
+            return self._apply_merge(
+                tbl,
                 source,
                 on=keys,
                 when_matched_update=assignments,
@@ -502,8 +524,8 @@ class LakeSQL:
             k, _, v = kv.partition("=")
             assignments[k.strip()] = F.expr(v.strip())
         tbl = self._load(ns, name, branch)
-        return tbl.update(
-            F.expr(where) if where else F.lit(True), assignments
+        return self._apply_update(
+            tbl, F.expr(where) if where else F.lit(True), assignments
         )
 
     # -- MERGE -------------------------------------------------------------
@@ -617,7 +639,7 @@ class LakeSQL:
                 kw["when_not_matched_by_source_delete"] = True
                 if cond:
                     kw["when_not_matched_by_source_condition"] = rewrite(cond)
-        return tbl.merge(source, on=keys, **kw)
+        return self._apply_merge(tbl, source, on=keys, **kw)
 
     # -- maintenance -------------------------------------------------------
 

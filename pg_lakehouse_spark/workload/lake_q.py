@@ -903,8 +903,9 @@ def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT 'a' AS src, o_orderkey AS k, round(o_totalprice, 2) AS price
 FROM orders
-WHERE o_orderkey <= 500
-   OR (o_orderkey > 1000 AND o_orderkey <= 1300)
+WHERE (o_orderkey <= 500
+       OR (o_orderkey > 1000 AND o_orderkey <= 1300))
+  AND o_orderkey % 9 != 0
 UNION ALL
 SELECT 'b' AS src, o_orderkey AS k, round(o_totalprice, 2) AS price
 FROM orders
@@ -915,9 +916,10 @@ WHERE (o_orderkey > 500 AND o_orderkey <= 1000)
 )
 def lake_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table atomic transaction (ref commit_ops.c:186-212: one PG
-    txn commits every table's write state): two appends to two tables
-    stage invisibly, then publish together; the oracle replays both
-    tables' end states."""
+    txn commits every table's write state): appends to two tables plus
+    a row-level DELETE — all staged invisibly (DML applies eagerly on
+    a hidden txn branch), then published together; the oracle replays
+    both tables' end states."""
     from pg_lakehouse_spark.lakehouse import LakeTransaction
 
     orders = t(spark, sf_dir, "orders")
@@ -937,6 +939,7 @@ def lake_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1300)
             ),
         )
+        tx.delete(ta, F.col("o_orderkey") % 9 == 0)
         tx.append(
             tb,
             orders.filter(

@@ -254,12 +254,21 @@ def test_sql_transaction_rollback(lsql):
         lsql.sql("COMMIT")
 
 
-def test_sql_transaction_rejects_nontransactional_verbs(lsql):
+def test_sql_transaction_dml_and_ddl_rules(lsql):
     lsql.sql("CREATE TABLE db.x (k BIGINT)")
+    lsql.sql("INSERT INTO db.x VALUES (1), (2), (3)")
     lsql.sql("BEGIN")
+    lsql.sql("DELETE FROM db.x WHERE k = 1")
+    lsql.sql("UPDATE db.x SET k = k + 10 WHERE k = 2")
+    # DML staged on the txn branch, invisible on main
+    assert lsql.sql("SELECT * FROM db.x").count() == 3
+    # DDL is rejected inside a transaction
     with pytest.raises(LakehouseError, match="not allowed inside"):
-        lsql.sql("DELETE FROM db.x WHERE k = 1")
-    lsql.sql("ROLLBACK")
+        lsql.sql("DROP TABLE db.x")
+    lsql.sql("COMMIT")
+    assert sorted(
+        r["k"] for r in lsql.sql("SELECT k FROM db.x").collect()
+    ) == [3, 12]
 
 
 def test_sql_truncate_in_transaction(lsql):

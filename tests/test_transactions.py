@@ -79,16 +79,18 @@ def test_publish_failure_rolls_back_published_tables(catalog, orders_df):
     tx.append(t1, orders_df.limit(20).subtract(orders_df.limit(10)))
     tx.append(t2, orders_df.limit(20).subtract(orders_df.limit(10)))
 
-    real_publish = type(t1)._publish
+    real_restore = type(t1)._restore_head
     calls = {"n": 0}
 
-    def failing_publish(self, snap):
+    def failing_restore(self, version):
+        # _restore_head is the publish pointer move; fail the SECOND
+        # table's publish after the first already swapped
         calls["n"] += 1
         if calls["n"] == 2:
             raise OSError("disk full")
-        return real_publish(self, snap)
+        return real_restore(self, version)
 
-    with mock.patch.object(type(t1), "_publish", failing_publish):
+    with mock.patch.object(type(t1), "_restore_head", failing_restore):
         with pytest.raises(OSError, match="disk full"):
             tx.commit()
     # the FIRST table's already-swapped pointer was restored: no reader
@@ -97,19 +99,20 @@ def test_publish_failure_rolls_back_published_tables(catalog, orders_df):
     assert t1.read().count() == 10 and t2.read().count() == 10
 
 
-def test_mixed_verbs_fold_per_table(catalog, orders_df):
+def test_mixed_verbs_apply_in_order(catalog, orders_df):
     t = catalog.create_table_as("db", "t", orders_df.limit(10))
+    fork = t.current_version()
     d1 = orders_df.limit(20).subtract(orders_df.limit(10))
     d2 = orders_df.limit(25).subtract(orders_df.limit(20))
     with LakeTransaction() as tx:
         tx.truncate(t)
         tx.append(t, d1)
         tx.append(t, d2)
-    # truncate + appends fold into ONE snapshot holding only the new rows
+    # truncate + appends applied in order: only the new rows survive
     assert t.read().count() == d1.count() + d2.count()
     assert t.snapshot().summary["txn_ops"] == ["truncate", "append", "append"]
-    # change feed sees the fold as overwrite: old rows out, new rows in
-    chg = t.read_changes(t.snapshot().parent)
+    # change feed across the whole txn: old rows out, new rows in
+    chg = t.read_changes(fork)
     assert chg.filter(F.col("_change_type") == "delete").count() == 10
     assert (
         chg.filter(F.col("_change_type") == "insert").count()
@@ -169,3 +172,77 @@ def test_empty_txn_is_noop(catalog, orders_df):
     with LakeTransaction():
         pass
     assert t.current_version() == v
+
+
+def test_txn_row_level_dml_across_tables(catalog, orders_df):
+    """DELETE/UPDATE/MERGE participate in a multi-table txn (applied
+    eagerly on hidden branches, published atomically)."""
+    t1 = catalog.create_table_as("db", "a", orders_df.limit(100))
+    t2 = catalog.create_table_as("db", "b", orders_df.limit(50))
+    cutoff = t1.read().selectExpr("percentile(o_orderkey, 0.3)").first()[0]
+    doomed = t1.read().filter(F.col("o_orderkey") <= cutoff).count()
+    src = orders_df.limit(60).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5.0
+    )
+    with LakeTransaction() as tx:
+        tx.delete(t1, F.col("o_orderkey") <= cutoff)
+        tx.update(
+            t1,
+            F.col("o_orderkey") > cutoff,
+            {"o_orderpriority": F.lit("9-TXN")},
+        )
+        tx.merge(
+            t2, src,
+            on=["o_orderkey"],
+            when_matched_update={"o_totalprice": F.col("__src.o_totalprice")},
+            when_not_matched_insert=True,
+        )
+        # invisible mid-txn; read-your-writes via tx.view
+        assert t1.read().count() == 100
+        assert tx.view(t1).count() == 100 - doomed
+    assert t1.read().count() == 100 - doomed
+    assert (
+        t1.read().filter(F.col("o_orderpriority") == "9-TXN").count()
+        == 100 - doomed
+    )
+    assert t2.read().count() == 60
+    assert t2.snapshot().summary["txn_ops"] == ["merge"]
+
+
+def test_txn_dml_abort_restores_everything(catalog, orders_df):
+    t = catalog.create_table_as("db", "t", orders_df.limit(40))
+    before = {tuple(r) for r in t.read().collect()}
+    v = t.current_version()
+    files_before = set(
+        glob.glob(os.path.join(t.data_dir, "**", "*.parquet"), recursive=True)
+    )
+    with pytest.raises(RuntimeError):
+        with LakeTransaction() as tx:
+            tx.delete(t, F.col("o_orderkey") > 0)
+            tx.append(t, orders_df.limit(45).subtract(orders_df.limit(40)))
+            raise RuntimeError("abort me")
+    assert t.current_version() == v
+    assert {tuple(r) for r in t.read().collect()} == before
+    assert t.branches() == {}  # hidden txn branch removed
+    files_after = set(
+        glob.glob(os.path.join(t.data_dir, "**", "*.parquet"), recursive=True)
+    )
+    assert files_after == files_before
+
+
+def test_txn_conflict_replays_dml(catalog, orders_df):
+    """An interleaved writer between staging and commit triggers a
+    re-fork + replay of the recorded ops; the final state is as if
+    the txn ran entirely after the interleaved write."""
+    t = catalog.create_table_as("db", "t", orders_df.limit(30))
+    tx = LakeTransaction()
+    tx.update(t, F.lit(True), {"o_orderpriority": F.lit("9-TXN")})
+    late = orders_df.limit(35).subtract(orders_df.limit(30))
+    t.append(late)  # lands between staging and commit
+    tx.commit()
+    # replay applied the update AFTER the interleaved append, so every
+    # row (including the late ones) is updated
+    assert t.read().count() == 35
+    assert (
+        t.read().filter(F.col("o_orderpriority") == "9-TXN").count() == 35
+    )
