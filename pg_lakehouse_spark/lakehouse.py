@@ -3174,11 +3174,10 @@ class LakeTransaction:
     ``tx.view(table)`` reads the in-flight state (read-your-writes).
     """
 
-    _MAX_RETRIES = 3
-
-    def __init__(self):
+    def __init__(self, max_retries: int = 10):
         self._tables: dict[tuple, dict] = {}  # key -> {table, branch, fork, ops}
         self._done = False
+        self._max_retries = max_retries
 
     @staticmethod
     def _key(table: LakeTable) -> tuple[str, str]:
@@ -3322,7 +3321,7 @@ class LakeTransaction:
                 for st in states
             }
         )
-        for attempt in range(self._MAX_RETRIES + 1):
+        for attempt in range(self._max_retries + 1):
             locks = []
             try:
                 for p in lock_paths:
@@ -3335,7 +3334,7 @@ class LakeTransaction:
                     if st["table"].current_version() != st["fork"]
                 ]
                 if stale:
-                    if attempt >= self._MAX_RETRIES:
+                    if attempt >= self._max_retries:
                         raise CommitConflict(
                             f"{len(stale)} table(s) advanced past the txn "
                             f"fork after {attempt} replays"

@@ -246,3 +246,47 @@ def test_txn_conflict_replays_dml(catalog, orders_df):
     assert (
         t.read().filter(F.col("o_orderpriority") == "9-TXN").count() == 35
     )
+
+
+def test_concurrent_appends_and_txns_no_lost_updates(catalog, orders_df):
+    """4 threads × (appends + a multi-table txn) racing on shared
+    tables: optimistic commits + lock-ordered txn publishes must land
+    every write exactly once (no lost updates, no duplicate files,
+    monotonic history)."""
+    import threading
+
+    t1 = catalog.create_table_as("db", "c1", orders_df.limit(10))
+    t2 = catalog.create_table_as("db", "c2", orders_df.limit(10))
+    base1, base2 = t1.read().count(), t2.read().count()
+    errors = []
+
+    def worker(i: int) -> None:
+        try:
+            lo = 1000 * (i + 1)
+            d1 = orders_df.limit(lo + 5).subtract(orders_df.limit(lo))
+            t1.append(d1, retries=25)
+            with LakeTransaction() as tx:
+                d2 = orders_df.limit(lo + 12).subtract(orders_df.limit(lo + 7))
+                d3 = orders_df.limit(lo + 20).subtract(orders_df.limit(lo + 16))
+                tx.append(t1, d2)
+                tx.append(t2, d3)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    # every writer's rows landed exactly once
+    assert t1.read().count() == base1 + 4 * (5 + 5)
+    assert t2.read().count() == base2 + 4 * 4
+    # no duplicate file entries, no dangling txn branches
+    for t_ in (t1, t2):
+        paths = [f["path"] for f in t_.snapshot().files]
+        assert len(paths) == len(set(paths))
+        assert t_.branches() == {}
+        # every referenced file exists on disk
+        for rel in paths:
+            assert os.path.exists(os.path.join(t_.location, rel))
