@@ -941,32 +941,64 @@ class LakeTable:
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
-        self._attach_blooms(entries, fmt)
+        self._attach_file_stats(entries, fmt)
         return entries
 
-    def _attach_blooms(self, entries: list[dict], fmt: str) -> None:
-        """Per-file bloom filters for the table's
-        ``bloom_filter_columns`` property: ONE distributed pass over
-        the just-staged files (cost ∝ the append delta, never the
-        table) computes k xxhash64 bit positions per row and packs
-        them executor-side — only (file, column, 512-byte bitset)
-        rows reach the driver. Equality filters consult the bitset in
-        ``read_pruned`` via the same hash, computed once per lookup
-        value with a constant-folded local plan."""
+    def _attach_file_stats(self, entries: list[dict], fmt: str) -> None:
+        """Optional per-file column statistics, computed in ONE
+        distributed pass over the just-staged files (cost ∝ the append
+        delta, never the table):
+
+        - ``bloom_filter_columns`` → k xxhash64 bit positions per row,
+          packed executor-side; only (file, column, 4 KiB hex bitset)
+          rows reach the driver. Equality filters consult the bitset
+          in ``read_pruned`` via the same hash, computed once per
+          lookup value with a constant-folded local plan.
+        - ``ndv_stats_columns`` → approx distinct count per (file,
+          column) (HLL under the hood) — the per-file NDV the
+          reference's ANALYZE surface stubs (iceberg_am.c:401-413),
+          exposed through ``column_stats_df`` for planner-style
+          row/selectivity estimates.
+        """
         props = self.snapshot().properties
-        cols_prop = props.get("bloom_filter_columns", "")
-        if not cols_prop or not entries:
+        bloom_prop = props.get("bloom_filter_columns", "")
+        ndv_prop = props.get("ndv_stats_columns", "")
+        if (not bloom_prop and not ndv_prop) or not entries:
             return
         if fmt == "avro":
             return  # pure-Python OCF path surfaces no input_file_name
         paths = [os.path.join(self.location, e["path"]) for e in entries]
         df = self.spark.read.format(fmt).load(paths)
-        cols = [
+        bloom_cols = [
             c.strip()
-            for c in cols_prop.split(",")
+            for c in bloom_prop.split(",")
             if c.strip() and c.strip() in df.columns
         ]
-        if not cols:
+        ndv_cols = [
+            c.strip()
+            for c in ndv_prop.split(",")
+            if c.strip() and c.strip() in df.columns
+        ]
+        if not bloom_cols and not ndv_cols:
+            return
+        by_name = {os.path.basename(e["path"]): e for e in entries}
+        base = df.select(F.input_file_name().alias("f"), *df.columns)
+        if ndv_cols:
+            rows = (
+                base.groupBy("f")
+                .agg(
+                    *[
+                        F.approx_count_distinct(c).alias(c)
+                        for c in ndv_cols
+                    ]
+                )
+                .collect()
+            )
+            for r in rows:
+                e = by_name.get(os.path.basename(r["f"]))
+                if e is not None:
+                    e["ndv"] = {c: int(r[c]) for c in ndv_cols}
+        if not bloom_cols:
             return
         probes = [
             F.struct(
@@ -975,7 +1007,7 @@ class LakeTable:
                 .cast("int")
                 .alias("p"),
             )
-            for c in cols
+            for c in bloom_cols
             for i in range(_BLOOM_K)
         ]
         from pyspark.sql.functions import pandas_udf
@@ -985,19 +1017,62 @@ class LakeTable:
             return ps.apply(_bloom_pack)
 
         rows = (
-            df.select(
-                F.input_file_name().alias("f"), F.explode(F.array(*probes)).alias("x")
-            )
+            base.select("f", F.explode(F.array(*probes)).alias("x"))
             .groupBy("f", "x.c")
             .agg(F.collect_set("x.p").alias("ps"))
             .select("f", "c", pack("ps").alias("bits"))
             .collect()
         )
-        by_name = {os.path.basename(e["path"]): e for e in entries}
         for r in rows:
             e = by_name.get(os.path.basename(r["f"]))
             if e is not None:
                 e.setdefault("blooms", {})[r["c"]] = r["bits"]
+
+    def column_stats_df(self, snapshot: int | None = None) -> DataFrame:
+        """Per-column table statistics from the manifest (the ANALYZE
+        surface the reference stubs, iceberg_am.c:294-307,401-413):
+        global min/max from per-file ranges, row count, and — for
+        ``ndv_stats_columns`` — an NDV estimate range (max per-file
+        NDV = lower bound, sum = upper bound). Metadata-only: no data
+        file is opened."""
+        s = self.snapshot(snapshot)
+        agg: dict[str, dict] = {}
+        for f in s.files:
+            for col_name, bounds in (f.get("ranges") or {}).items():
+                a = agg.setdefault(
+                    col_name,
+                    {"min": None, "max": None, "ndv_lo": 0, "ndv_hi": 0},
+                )
+                try:
+                    if a["min"] is None or bounds[0] < a["min"]:
+                        a["min"] = bounds[0]
+                    if a["max"] is None or bounds[1] > a["max"]:
+                        a["max"] = bounds[1]
+                except TypeError:
+                    pass  # mixed types across epochs: skip bounds
+            for col_name, n in (f.get("ndv") or {}).items():
+                a = agg.setdefault(
+                    col_name,
+                    {"min": None, "max": None, "ndv_lo": 0, "ndv_hi": 0},
+                )
+                a["ndv_lo"] = max(a["ndv_lo"], n)
+                a["ndv_hi"] += n
+        rows = [
+            (
+                c,
+                str(a["min"]) if a["min"] is not None else None,
+                str(a["max"]) if a["max"] is not None else None,
+                a["ndv_lo"] or None,
+                a["ndv_hi"] or None,
+                s.total_rows,
+            )
+            for c, a in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows or [],
+            "column string, min string, max string, ndv_lower bigint, "
+            "ndv_upper bigint, row_count bigint",
+        )
 
     def _check_schema(self, df: DataFrame) -> None:
         expected = self.schema()

@@ -123,3 +123,39 @@ def test_range_filters_ignore_blooms(catalog, orders_df):
         F.col("o_orderkey").between(100, 200)
     ).count()
     assert out.count() == want
+
+
+def test_ndv_stats_and_column_stats_df(catalog, orders_df):
+    tbl = catalog.create_table(
+        "db", "ndv", orders_df.schema,
+        properties={"ndv_stats_columns": "o_orderkey, o_orderstatus"},
+    )
+    tbl.append(orders_df.filter(F.col("o_orderkey") <= 2000).repartition(2))
+    files = tbl.snapshot().files
+    assert all("o_orderkey" in (f.get("ndv") or {}) for f in files)
+    stats = {r["column"]: r for r in tbl.column_stats_df().collect()}
+    true_keys = orders_df.filter(F.col("o_orderkey") <= 2000).count()
+    # approx NDV bounds bracket the truth within HLL error (~5%)
+    assert stats["o_orderkey"]["ndv_upper"] >= true_keys * 0.9
+    assert stats["o_orderkey"]["ndv_lower"] <= true_keys * 1.1
+    # o_orderstatus has ~3 distinct values; upper bound is per-file sum
+    assert stats["o_orderstatus"]["ndv_upper"] <= 3 * len(files) * 1.2
+    # min/max come from ranges for every column with bounds
+    true_min = orders_df.filter(F.col("o_orderkey") <= 2000).agg(
+        F.min("o_orderkey")
+    ).first()[0]
+    assert int(stats["o_orderkey"]["min"]) == true_min
+    assert stats["o_orderkey"]["row_count"] == true_keys
+
+
+def test_ndv_and_bloom_coexist(catalog, orders_df):
+    tbl = catalog.create_table(
+        "db", "both", orders_df.schema,
+        properties={
+            "bloom_filter_columns": "o_orderkey",
+            "ndv_stats_columns": "o_orderkey",
+        },
+    )
+    tbl.append(orders_df.limit(500).repartition(1))
+    f = tbl.snapshot().files[0]
+    assert "o_orderkey" in f["blooms"] and "o_orderkey" in f["ndv"]
