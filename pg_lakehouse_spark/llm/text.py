@@ -293,3 +293,68 @@ def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
         if kinds is None or name in kinds:
             out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies — the
+    first pass of tokenizer training / feature selection.
+
+    explode → one hash-agg keyed by term (term_freq via count,
+    doc_freq via count-distinct over doc ids); `min_df` prunes the
+    hapax tail BEFORE the top-k sort, and top-k itself is
+    TakeOrdered (no global sort materialization). Deterministic
+    order: (term_freq desc, term asc)."""
+    ws = words(F.col(text_col))
+    terms = df.select(F.col(id_col).alias("__id"), F.explode(ws).alias("term"))
+    vocab = (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("__id").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+    )
+    return vocab.orderBy(
+        F.col("term_freq").desc(), F.col("term").asc()
+    ).limit(top_k)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    max_dup_word_ratio: float = 0.95,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Composite keep/drop gate over the cheap quality signals, with a
+    deterministic first-failing-rule reject reason — the shape of a
+    production pretraining filter stage. Expression-only (array ops
+    inline), map-only at any scale."""
+    text = F.col(text_col)
+    ws = words(text)
+    n = F.size(ws)
+    nd = F.size(F.array_distinct(ws))
+    dup = F.lit(1.0) - nd / F.greatest(n, F.lit(1))
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin(STOPWORDS_EN)))
+    stop_ratio = F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0))
+    reason = (
+        F.when(n < min_words, F.lit("too_short"))
+        .when(n > max_words, F.lit("too_long"))
+        .when(dup > max_dup_word_ratio, F.lit("repetitive"))
+        .when(stop_ratio < min_stopword_ratio, F.lit("low_stopword"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        df.withColumn("n_words", n.cast("long"))
+        .withColumn("dup_word_ratio", floor4(dup))
+        .withColumn("stopword_ratio", floor4(stop_ratio))
+        .withColumn("reject_reason", reason)
+        .withColumn("keep", reason.isNull())
+    )

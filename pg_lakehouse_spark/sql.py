@@ -131,6 +131,8 @@ class LakeSQL:
             return self._vacuum(s)
         if head == "OPTIMIZE":
             return self._optimize(s)
+        if head == "ANALYZE":
+            return self._analyze(s)
         raise LakehouseError(f"unsupported statement: {s.split(None, 1)[0]!r}")
 
     # -- transactions (PG BEGIN..COMMIT; ref commit_ops.c:186-212 — one
@@ -642,6 +644,14 @@ class LakeSQL:
         return self._apply_merge(tbl, source, on=keys, **kw)
 
     # -- maintenance -------------------------------------------------------
+
+    def _analyze(self, s: str) -> DataFrame:
+        """PG ``ANALYZE ns.t`` → the manifest's per-column statistics
+        (ref A22, iceberg_am.c:294-307 stubs) as a DataFrame."""
+        m = re.match(rf"ANALYZE\s+{_TBL}$", s, re.IGNORECASE)
+        if not m:
+            raise LakehouseError(f"cannot parse ANALYZE: {s[:80]!r}")
+        return self.catalog.load_table(m.group(1), m.group(2)).column_stats_df()
 
     def _vacuum(self, s: str) -> None:
         m = re.match(rf"VACUUM\s+{_TBL}$", s, re.IGNORECASE)

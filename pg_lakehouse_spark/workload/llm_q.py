@@ -706,3 +706,83 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".7 ssn 123-45-6789"),
     )
     return docs.select("doc_id", redact_pii(dirty).alias("redacted"))
+
+
+@register(
+    "text_vocabulary",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS term_freq,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM terms GROUP BY term
+)
+SELECT term, term_freq, doc_freq
+FROM vocab
+WHERE doc_freq >= 2
+ORDER BY term_freq DESC, term ASC
+LIMIT 200
+""",
+    tags=("text-vocabulary",),
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (term/document frequencies, min_df pruning,
+    deterministic top-k) — tokenizer-training's first pass."""
+    from pg_lakehouse_spark.llm.text import vocabulary
+
+    docs = t(spark, sf_dir, "documents")
+    return vocabulary(docs, min_df=2, top_k=200)
+
+
+@register(
+    "text_quality_filter",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         1.0 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1) AS dup,
+         len(list_filter(ws, w -> list_contains(
+           ['the','and','of','to','a','in','is','it','that','this','with','for','as','on'],
+           w))) * 1.0 / greatest(len(ws), 1) AS stop_ratio
+  FROM base
+)
+SELECT doc_id, n_words,
+       floor(dup * 10000) / 10000 AS dup_word_ratio,
+       floor(stop_ratio * 10000) / 10000 AS stopword_ratio,
+       CASE WHEN n_words < 30 THEN 'too_short'
+            WHEN n_words > 1000 THEN 'too_long'
+            WHEN dup > 0.82 THEN 'repetitive'
+            WHEN stop_ratio < 0.01 THEN 'low_stopword'
+            ELSE NULL END AS reject_reason,
+       CASE WHEN n_words < 30 THEN 'too_short'
+            WHEN n_words > 1000 THEN 'too_long'
+            WHEN dup > 0.82 THEN 'repetitive'
+            WHEN stop_ratio < 0.01 THEN 'low_stopword'
+            ELSE NULL END IS NULL AS keep
+FROM sig
+""",
+    tags=("text-quality-filter",),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pretraining keep/drop gate with first-failing-rule
+    reject reasons; thresholds tuned so the synthetic corpus actually
+    splits (some docs pass, some fail)."""
+    from pg_lakehouse_spark.llm.text import quality_filter
+
+    docs = t(spark, sf_dir, "documents")
+    return quality_filter(
+        docs,
+        min_words=30,
+        max_words=1000,
+        max_dup_word_ratio=0.82,
+        min_stopword_ratio=0.01,
+    ).select(
+        "doc_id", "n_words", "dup_word_ratio", "stopword_ratio",
+        "reject_reason", "keep",
+    )

@@ -531,3 +531,32 @@ def test_redact_pii_kinds(spark):
         redact_pii(F.col("text"), kinds=("email",)).alias("t")
     ).first()["t"]
     assert "[EMAIL]" in only_email and "192.168.0.1" in only_email
+
+
+def test_quality_filter_splits_corpus(spark, sf_dir):
+    from pg_lakehouse_spark.llm.text import quality_filter
+    from pg_lakehouse_spark.tables import table
+
+    out = quality_filter(
+        table(spark, sf_dir, "documents"),
+        min_words=30, max_words=1000,
+        max_dup_word_ratio=0.82, min_stopword_ratio=0.01,
+    )
+    kept = out.filter(F.col("keep")).count()
+    dropped = out.filter(~F.col("keep")).count()
+    assert kept > 0 and dropped > 0  # thresholds actually discriminate
+    # reasons are only present on drops, and every drop has one
+    assert out.filter(F.col("keep") & F.col("reject_reason").isNotNull()).count() == 0
+    assert out.filter(~F.col("keep") & F.col("reject_reason").isNull()).count() == 0
+
+
+def test_vocabulary_min_df_and_determinism(spark):
+    from pg_lakehouse_spark.llm.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string",
+    )
+    v = {r["term"]: (r["term_freq"], r["doc_freq"]) for r in
+         vocabulary(df, min_df=2, top_k=10).collect()}
+    assert v == {"banana": (2, 2)}  # apple: df=1; durian: df=1 -> pruned

@@ -311,3 +311,15 @@ def test_sql_branch_as_of_version(lsql):
     lsql.sql(f"ALTER TABLE db.t CREATE BRANCH old AS OF VERSION {v_after_first}")
     assert lsql.sql("SELECT * FROM db.t@old").count() == 1
     assert lsql.sql("SELECT * FROM db.t").count() == 2
+
+
+def test_sql_analyze_returns_column_stats(lsql):
+    lsql.sql(
+        "CREATE TABLE db.s (k BIGINT, v STRING) "
+        "WITH (ndv_stats_columns='k')"
+    )
+    lsql.sql("INSERT INTO db.s VALUES (1, 'a'), (2, 'b'), (2, 'c')")
+    stats = {r["column"]: r for r in lsql.sql("ANALYZE db.s").collect()}
+    assert stats["k"]["row_count"] == 3
+    assert stats["k"]["ndv_upper"] >= 2
+    assert int(stats["k"]["min"]) == 1 and int(stats["k"]["max"]) == 2
