@@ -77,12 +77,11 @@ def upsert_stream_to_lake(
     The scale shape: with the table in merge-on-read mode each batch
     writes O(batch) rows (delete keys + postimages), never rewriting
     the table — continuous upsert ingestion at any table size. Batch id
-    lands in the snapshot summary for replay forensics. NOTE: with
-    ``delete_col`` set, a batch carrying both tombstones and upserts
-    commits TWO snapshots (delete merge, then upsert merge) — readers
-    between them see deletes applied before upserts; a crash between
-    them replays the whole batch on restart (both merges are
-    idempotent re-applied to the same keys).
+    lands in the snapshot summary for replay forensics. A batch
+    carrying BOTH tombstones and upserts runs the two merges inside a
+    LakeTransaction, so they publish as one atomic pointer move —
+    readers never observe deletes applied without the batch's upserts,
+    and a crash mid-batch leaves the table at the pre-batch snapshot.
 
     Within a batch, the row with the greatest ``order_col`` per key
     wins — pass the CDC source's sequence/LSN/timestamp column for
@@ -117,32 +116,41 @@ def upsert_stream_to_lake(
             )
         )
         base = table.current_version()
+        del_kwargs = dict(
+            on=keys,
+            when_matched_update=None,
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+            summary_extra={"stream_batch_id": batch_id},
+        )
+        ups_kwargs = dict(
+            on=keys,
+            when_matched_update={
+                c: F.col(f"__src.{c}") for c in data_cols if c not in keys
+            },
+            when_not_matched_insert=True,
+            summary_extra={"stream_batch_id": batch_id, "base_version": base},
+        )
         if delete_col is not None:
             dels = latest.filter(F.col(delete_col)).select(*data_cols)
             ups = latest.filter(~F.col(delete_col)).select(*data_cols)
-            if not dels.isEmpty():
-                # tombstones apply as a matched-delete merge — fully
-                # distributed, no driver-side key materialization
-                table.merge(
-                    dels,
-                    on=keys,
-                    when_matched_update=None,
-                    when_matched_delete=True,
-                    when_not_matched_insert=False,
-                    summary_extra={"stream_batch_id": batch_id},
-                )
-        else:
-            ups = latest.select(*data_cols)
+            have_dels, have_ups = not dels.isEmpty(), not ups.isEmpty()
+            if have_dels and have_ups:
+                # one atomic publish for the whole batch
+                from pg_lakehouse_spark.lakehouse import LakeTransaction
+
+                with LakeTransaction() as tx:
+                    tx.merge(table, dels, **del_kwargs)
+                    tx.merge(table, ups, **ups_kwargs)
+                return
+            if have_dels:
+                table.merge(dels, **del_kwargs)
+            if have_ups:
+                table.merge(ups, **ups_kwargs)
+            return
+        ups = latest.select(*data_cols)
         if not ups.isEmpty():
-            table.merge(
-                ups,
-                on=keys,
-                when_matched_update={
-                    c: F.col(f"__src.{c}") for c in data_cols if c not in keys
-                },
-                when_not_matched_insert=True,
-                summary_extra={"stream_batch_id": batch_id, "base_version": base},
-            )
+            table.merge(ups, **ups_kwargs)
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

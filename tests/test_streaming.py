@@ -542,6 +542,9 @@ def test_stream_upsert_sink_cdc_apply(spark, tmp_path):
     # batch ids recorded for idempotent replay
     summaries = [s.summary for s in tbl.snapshots()]
     assert any("stream_batch_id" in s for s in summaries if s)
+    # the tombstone+upsert batch published BOTH merges as one atomic
+    # pointer move (LakeTransaction), not two visible commits
+    assert any(s.get("txn_ops") == ["merge", "merge"] for s in summaries if s)
 
 
 def test_stream_into_branch_then_publish(spark, sf_dir, tmp_path):
