@@ -268,3 +268,67 @@ def test_branch_then_publish_equals_direct_dml(spark, sf_dir, tmp_path):
         {tuple(r) for r in staged.read().collect()}
         == {tuple(r) for r in direct.read().collect()}
     )
+
+
+def test_txn_grouping_equals_direct_application(spark, sf_dir, tmp_path):
+    """Differential property: grouping a random DML sequence into
+    random-size LakeTransactions must produce exactly the state of
+    applying the same ops directly, one commit each — transactions
+    change atomicity, never results."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog, LakeTransaction
+    from pg_lakehouse_spark.tables import table
+
+    rng = random.Random(20260815)
+    orders = table(spark, sf_dir, "orders").limit(200)
+    cat = LakeCatalog(spark, str(tmp_path / "wh_txn_prop"))
+    direct = cat.create_table_as("db", "direct", orders)
+    grouped = cat.create_table_as("db", "grouped", orders)
+
+    def make_op(step):
+        kind = rng.choice(["delete", "update", "append", "merge"])
+        lo = rng.randrange(0, 180)
+        hi = lo + rng.randrange(5, 30)
+        cond = F.col("o_orderkey").between(lo, hi)
+        if kind == "delete":
+            return kind, (cond,)
+        if kind == "update":
+            return kind, (
+                cond,
+                {"o_totalprice": F.col("o_totalprice") + float(step + 1)},
+            )
+        if kind == "append":
+            return kind, (
+                orders.filter(cond).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + 300000 + step
+                ),
+            )
+        return kind, (
+            orders.filter(cond).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 2.5
+            ),
+        )
+
+    merge_kwargs = dict(
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("__src.o_totalprice")},
+        when_not_matched_insert=True,
+    )
+    step = 0
+    for _group in range(4):
+        size = rng.randrange(1, 4)
+        ops = [make_op(step + i) for i in range(size)]
+        step += size
+        for kind, args in ops:  # direct twin: one commit per op
+            getattr(direct, kind)(*args, **(merge_kwargs if kind == "merge" else {}))
+        with LakeTransaction() as tx:  # grouped twin: one publish per group
+            for kind, args in ops:
+                getattr(tx, kind)(
+                    grouped, *args, **(merge_kwargs if kind == "merge" else {})
+                )
+    a = {tuple(r) for r in direct.read().collect()}
+    b = {tuple(r) for r in grouped.read().collect()}
+    assert a == b
