@@ -133,6 +133,10 @@ class LakeSQL:
             return self._optimize(s)
         if head == "ANALYZE":
             return self._analyze(s)
+        if head == "SHOW":
+            return self._show(s)
+        if head == "DESCRIBE":
+            return self._describe(s)
         raise LakehouseError(f"unsupported statement: {s.split(None, 1)[0]!r}")
 
     # -- transactions (PG BEGIN..COMMIT; ref commit_ops.c:186-212 — one
@@ -644,6 +648,37 @@ class LakeSQL:
         return self._apply_merge(tbl, source, on=keys, **kw)
 
     # -- maintenance -------------------------------------------------------
+
+    def _show(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"SHOW\s+TABLES(?:\s+IN\s+({_IDENT}))?$", s, re.IGNORECASE
+        )
+        if m:
+            rows = self.catalog.list_tables(m.group(1))
+            return self.spark.createDataFrame(
+                rows or [], "namespace string, name string"
+            )
+        m = re.match(
+            rf"SHOW\s+(?:REFS|BRANCHES)\s+(?:IN\s+)?{_TBL}$", s, re.IGNORECASE
+        )
+        if m:
+            return self.catalog.load_table(m.group(1), m.group(2)).refs_df()
+        raise LakehouseError(f"cannot parse SHOW: {s[:80]!r}")
+
+    def _describe(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"DESCRIBE\s+(?:TABLE\s+)?{_TBL}$", s, re.IGNORECASE
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse DESCRIBE: {s[:80]!r}")
+        tbl = self.catalog.load_table(m.group(1), m.group(2))
+        rows = [
+            (f.name, f.dataType.simpleString(), f.nullable)
+            for f in tbl.schema().fields
+        ]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, nullable boolean"
+        )
 
     def _analyze(self, s: str) -> DataFrame:
         """PG ``ANALYZE ns.t`` → the manifest's per-column statistics

@@ -323,3 +323,25 @@ def test_sql_analyze_returns_column_stats(lsql):
     assert stats["k"]["row_count"] == 3
     assert stats["k"]["ndv_upper"] >= 2
     assert int(stats["k"]["min"]) == 1 and int(stats["k"]["max"]) == 2
+
+
+def test_sql_show_and_describe(lsql):
+    lsql.sql("CREATE TABLE db.s1 (k BIGINT, v STRING)")
+    lsql.sql("CREATE TABLE other.s2 (k BIGINT)")
+    all_tables = {
+        (r["namespace"], r["name"])
+        for r in lsql.sql("SHOW TABLES").collect()
+    }
+    assert {("db", "s1"), ("other", "s2")} <= all_tables
+    only_db = {r["name"] for r in lsql.sql("SHOW TABLES IN db").collect()}
+    assert only_db == {"s1"}
+    desc = {
+        r["col_name"]: (r["data_type"], r["nullable"])
+        for r in lsql.sql("DESCRIBE db.s1").collect()
+    }
+    assert desc == {"k": ("bigint", True), "v": ("string", True)}
+    lsql.sql("ALTER TABLE db.s1 CREATE BRANCH b1")
+    refs = {
+        (r["name"], r["type"]) for r in lsql.sql("SHOW BRANCHES db.s1").collect()
+    }
+    assert refs == {("main", "BRANCH"), ("b1", "BRANCH")}
