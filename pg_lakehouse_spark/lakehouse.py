@@ -825,6 +825,18 @@ class LakeTable:
                 cols.update(sources(name))
         return cols
 
+    def set_properties(self, props: dict[str, str]) -> Snapshot:
+        """Metadata-only property update (ALTER TABLE ... SET
+        TBLPROPERTIES analog; the reference's WITH-options surface,
+        table_ops.c:49-184). Properties merge over the parent's."""
+        snap = self.snapshot()
+        return self._commit(
+            self.current_version(), "set-properties", snap.files,
+            snap.schema_json, properties=dict(props),
+            summary={"set_properties": sorted(props)},
+            delete_files=snap.delete_files,
+        )
+
     def set_partition_spec(self, partition_by: list[str]) -> Snapshot:
         """PARTITION EVOLUTION (Iceberg ALTER TABLE ... WRITE ORDERED/
         PARTITIONED BY analog; the reference lists partition pruning as

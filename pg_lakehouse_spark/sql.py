@@ -112,8 +112,20 @@ class LakeSQL:
         if head == "SELECT" or s.upper().startswith("WITH"):
             return self._select(s)
         if head == "CREATE":
+            if re.match(r"CREATE\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
+                return self._create_matview(s)
             return self._create(s)
+        if head == "REFRESH":
+            return self._refresh_matview(s)
         if head == "DROP":
+            if re.match(r"DROP\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
+                m = re.match(
+                    rf"DROP\s+MATERIALIZED\s+VIEW\s+{_TBL}$", s, re.IGNORECASE
+                )
+                if not m:
+                    raise LakehouseError(f"cannot parse DROP MV: {s[:80]!r}")
+                self.catalog.drop_table(m.group(1), m.group(2), purge=True)
+                return None
             return self._drop(s)
         if head == "TRUNCATE":
             return self._truncate(s)
@@ -316,6 +328,17 @@ class LakeSQL:
                 raise LakehouseError(f"cannot parse FAST FORWARD: {action!r}")
             tbl.fast_forward(am.group(1))
             return None
+        if au.startswith("SET "):
+            pm = re.match(
+                r"SET\s*\((.*)\)\s*$", action, re.IGNORECASE | re.DOTALL
+            )
+            if not pm:
+                raise LakehouseError(f"cannot parse ALTER SET: {action!r}")
+            props = {}
+            for kv in _split_top_level(pm.group(1)):
+                k, _, v = kv.partition("=")
+                props[k.strip()] = v.strip().strip("'\"")
+            return tbl.set_properties(props)
         if au.startswith("ADD COLUMN"):
             am = re.match(
                 r"ADD\s+COLUMN\s+([\w.]+)\s+(.+)$", action, re.IGNORECASE
@@ -648,6 +671,85 @@ class LakeSQL:
         return self._apply_merge(tbl, source, on=keys, **kw)
 
     # -- maintenance -------------------------------------------------------
+
+    # -- materialized views (PG CREATE/REFRESH MATERIALIZED VIEW →
+    # incremental rollups; Timescale continuous-aggregate shape) ---------
+
+    _MV = re.compile(
+        rf"CREATE\s+MATERIALIZED\s+VIEW\s+{_TBL}\s+AS\s+"
+        rf"SELECT\s+(.*?)\s+FROM\s+{_TBL}\s+GROUP\s+BY\s+.+$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _create_matview(self, s: str):
+        """``CREATE MATERIALIZED VIEW ns.mv AS SELECT
+        time_bucket('1 hour', ts) AS bucket_start, g..., agg(x) AS
+        a... FROM ns.t GROUP BY ...`` — materialized as an
+        incrementally-refreshable rollup table (partial-agg state +
+        source-version watermark; ``REFRESH MATERIALIZED VIEW``
+        advances it by the source DELTA only)."""
+        from pg_lakehouse_spark import rollup as _rollup
+
+        m = self._MV.match(s)
+        if not m:
+            raise LakehouseError(
+                f"cannot parse CREATE MATERIALIZED VIEW (need "
+                f"time_bucket + GROUP BY shape): {s[:100]!r}"
+            )
+        ns, name, select_list, sns, sname = m.groups()
+        items = _split_top_level(select_list)
+        tm = re.match(
+            rf"time_bucket\s*\(\s*'([^']+)'\s*,\s*({_IDENT})\s*\)"
+            rf"(?:\s+AS\s+({_IDENT}))?$",
+            items[0].strip(),
+            re.IGNORECASE,
+        )
+        if not tm:
+            raise LakehouseError(
+                "the first select item must be "
+                "time_bucket('<width>', <ts_col>) [AS <alias>]"
+            )
+        bucket, time_col = tm.group(1), tm.group(2)
+        group_by, metrics = [], {}
+        for item in items[1:]:
+            am = re.match(
+                rf"(sum|count|min|max)\s*\(\s*(\*|{_IDENT})\s*\)\s+AS\s+({_IDENT})$",
+                item.strip(),
+                re.IGNORECASE,
+            )
+            if am:
+                metrics[am.group(3)] = (am.group(1).lower(), am.group(2))
+            elif re.match(rf"^{_IDENT}$", item.strip()):
+                group_by.append(item.strip())
+            else:
+                raise LakehouseError(
+                    f"unsupported select item in MATERIALIZED VIEW: {item!r}"
+                )
+        if not metrics:
+            raise LakehouseError("MATERIALIZED VIEW needs at least one aggregate")
+        source = self.catalog.load_table(sns, sname)
+        mv = _rollup.create_rollup(
+            self.catalog, ns, name, source, time_col, bucket, group_by, metrics
+        )
+        mv.set_properties({"rollup_source": f"{sns}.{sname}"})
+        return mv
+
+    def _refresh_matview(self, s: str):
+        from pg_lakehouse_spark import rollup as _rollup
+
+        m = re.match(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+{_TBL}$", s, re.IGNORECASE
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse REFRESH: {s[:80]!r}")
+        mv = self.catalog.load_table(m.group(1), m.group(2))
+        src_ref = mv.snapshot().properties.get("rollup_source")
+        if not src_ref:
+            raise LakehouseError(
+                f"{m.group(1)}.{m.group(2)} is not a materialized view"
+            )
+        sns, sname = src_ref.split(".", 1)
+        return _rollup.refresh_rollup(self.catalog.load_table(sns, sname), mv)
 
     def _show(self, s: str) -> DataFrame:
         m = re.match(

@@ -345,3 +345,55 @@ def test_sql_show_and_describe(lsql):
         (r["name"], r["type"]) for r in lsql.sql("SHOW BRANCHES db.s1").collect()
     }
     assert refs == {("main", "BRANCH"), ("b1", "BRANCH")}
+
+
+def test_sql_materialized_view_lifecycle(lsql, spark):
+    lsql.sql("CREATE TABLE db.ev (ts TIMESTAMP, user_id BIGINT, amount DOUBLE)")
+    lsql.sql(
+        "INSERT INTO db.ev VALUES "
+        "(timestamp'2024-01-01 10:05:00', 1, 10.0), "
+        "(timestamp'2024-01-01 10:40:00', 1, 5.0), "
+        "(timestamp'2024-01-01 11:10:00', 2, 7.0)"
+    )
+    lsql.sql(
+        "CREATE MATERIALIZED VIEW db.ev_hourly AS "
+        "SELECT time_bucket('1 hour', ts) AS bucket_start, user_id, "
+        "sum(amount) AS total, count(*) AS n "
+        "FROM db.ev GROUP BY 1, 2"
+    )
+    out = {
+        (str(r["bucket_start"]), r["user_id"]): (r["total"], r["n"])
+        for r in lsql.sql("SELECT * FROM db.ev_hourly").collect()
+    }
+    assert out == {
+        ("2024-01-01 10:00:00", 1): (15.0, 2),
+        ("2024-01-01 11:00:00", 2): (7.0, 1),
+    }
+    # incremental refresh folds only the delta
+    lsql.sql(
+        "INSERT INTO db.ev VALUES (timestamp'2024-01-01 10:59:00', 1, 1.0)"
+    )
+    lsql.sql("REFRESH MATERIALIZED VIEW db.ev_hourly")
+    r = [
+        x for x in lsql.sql("SELECT * FROM db.ev_hourly").collect()
+        if x["user_id"] == 1 and str(x["bucket_start"]).startswith("2024-01-01 10")
+    ][0]
+    assert (r["total"], r["n"]) == (16.0, 3)
+    lsql.sql("DROP MATERIALIZED VIEW db.ev_hourly")
+    assert not lsql.catalog.table_exists("db", "ev_hourly")
+
+
+def test_sql_refresh_rejects_plain_table(lsql):
+    lsql.sql("CREATE TABLE db.plain (k BIGINT)")
+    with pytest.raises(LakehouseError, match="not a materialized view"):
+        lsql.sql("REFRESH MATERIALIZED VIEW db.plain")
+
+
+def test_sql_alter_set_properties(lsql):
+    lsql.sql("CREATE TABLE db.pr (k BIGINT)")
+    lsql.sql("ALTER TABLE db.pr SET (bloom_filter_columns='k', foo='bar')")
+    props = lsql.catalog.load_table("db", "pr").snapshot().properties
+    assert props["bloom_filter_columns"] == "k" and props["foo"] == "bar"
+    lsql.sql("INSERT INTO db.pr VALUES (1), (2)")
+    files = lsql.catalog.load_table("db", "pr").snapshot().files
+    assert all("k" in (f.get("blooms") or {}) for f in files)
