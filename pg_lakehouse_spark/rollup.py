@@ -184,8 +184,13 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
     if cur <= last:
         return rollup.snapshot()
 
-    window = [s for s in source.snapshots() if last < s.version <= cur]
-    if all(s.operation == "append" for s in window):
+    # classify via the ref's parent chain, not the numeric range —
+    # versions are globally allocated, so the range could interleave
+    # other branches' snapshots (which never affect THIS ref's state)
+    chain = source._ancestry(cur)
+    window = [source.snapshot(v) for v in chain if last < v]
+    window_is_complete = last == 0 or last in chain
+    if window_is_complete and all(s.operation == "append" for s in window):
         delta = source.read_incremental(last, cur)
         partial = _partial_agg(
             delta, spec["time_col"], spec["bucket"], group_by, metrics

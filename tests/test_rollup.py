@@ -256,3 +256,28 @@ def test_rollup_approx_distinct_hll(catalog, spark, sf_dir):
     }
     for k, (_, est) in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+def test_refresh_stays_incremental_despite_branch_dml(spark, sf_dir, tmp_path):
+    """A DML snapshot on a BRANCH of the source (its version lands
+    inside the numeric window) must not force the rollup into a full
+    recompute — window classification follows main's ancestry."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.rollup import create_rollup, refresh_rollup
+    from pg_lakehouse_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").limit(500)
+    cat = LakeCatalog(spark, str(tmp_path / "wh_rb"))
+    src = cat.create_table_as("db", "ev", ev)
+    mv = create_rollup(
+        cat, "db", "ev_roll", src, "ts", "1 hour", [],
+        {"n": ("count", "*")},
+    )
+    # branch DML between watermark and the next main append
+    src.create_branch("side")
+    src.for_branch("side").delete(F.lit(True))
+    src.append(ev.limit(50))
+    snap = refresh_rollup(src, mv)
+    assert snap.operation == "merge", (
+        "branch snapshot in the numeric window forced a full recompute"
+    )
