@@ -662,7 +662,7 @@ class LakeTable:
                 len(s.files),
                 s.total_bytes,
             )
-            for s in self.snapshots()
+            for s in self._ref_snapshots()
         ]
         return self.spark.createDataFrame(
             rows,
@@ -670,10 +670,21 @@ class LakeTable:
             "total_rows bigint, total_files int, total_bytes bigint",
         )
 
+    def _ref_snapshots(self) -> list["Snapshot"]:
+        """THIS ref's lineage (parent chain of the current head),
+        oldest first — versions are globally allocated, so the flat
+        metadata listing can interleave other branches' snapshots."""
+        chain = set(self._ancestry(self.current_version()))
+        return [s for s in self.snapshots() if s.version in chain]
+
     def version_as_of_timestamp(self, timestamp_ms: int) -> int:
-        """Latest snapshot committed at or before ``timestamp_ms`` —
-        the TIMESTAMP AS OF flavor of time travel (ref A6)."""
-        eligible = [s for s in self.snapshots() if s.timestamp_ms <= timestamp_ms]
+        """Latest snapshot on THIS ref committed at or before
+        ``timestamp_ms`` — the TIMESTAMP AS OF flavor of time travel
+        (ref A6). Scoped to the ref's ancestry so a branch commit
+        never hijacks main's time travel."""
+        eligible = [
+            s for s in self._ref_snapshots() if s.timestamp_ms <= timestamp_ms
+        ]
         if not eligible:
             raise LakehouseError(
                 f"no snapshot at or before timestamp {timestamp_ms}"

@@ -200,3 +200,23 @@ def test_expire_older_than_protects_recent(catalog, orders_df):
     tbl.append(orders_df.limit(25).subtract(orders_df.limit(20)))
     expired = tbl.expire_snapshots(keep_last=1, older_than_ms=cutoff)
     assert expired  # future cutoff protects nothing beyond keep_last
+
+
+def test_timestamp_travel_ignores_branch_snapshots(catalog, orders_df):
+    """A later branch commit must not hijack main's TIMESTAMP AS OF."""
+    import time as _time
+
+    tbl = catalog.create_table_as("db", "t", orders_df.limit(10))
+    _time.sleep(0.01)
+    tbl.create_branch("b")
+    tbl.for_branch("b").append(orders_df.limit(30).subtract(orders_df.limit(10)))
+    now_ms = int(_time.time() * 1000) + 1000
+    v = tbl.version_as_of_timestamp(now_ms)
+    assert v == tbl.current_version()  # main head, not the branch head
+    assert tbl.read_as_of(now_ms).count() == 10
+    # the branch handle's own timestamp travel sees its commit
+    assert tbl.for_branch("b").read_as_of(now_ms).count() == 30
+    # history is lineage-scoped per ref
+    main_versions = {r["version"] for r in tbl.history_df().collect()}
+    branch_head = tbl.for_branch("b").current_version()
+    assert branch_head not in main_versions
