@@ -3042,6 +3042,7 @@ class LakeTable:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         target_files: int | None = None,
+        filters: dict[str, tuple] | None = None,
     ) -> Snapshot:
         """Rewrite small files into fewer large ones (ref auto-compaction
         GUC, handler.c:64-65; Iceberg rewrite_data_files analog).
@@ -3052,15 +3053,30 @@ class LakeTable:
         ``zorder_by`` does the same via a Morton key over SEVERAL
         columns (Iceberg/Delta 'rewrite with zorder' analog): range
         filters on any participating column prune. Mutually exclusive.
+
+        ``filters`` scopes the rewrite to files whose manifest bounds
+        overlap the given {col: (lo, hi)} ranges (hidden-partition
+        transforms included) — the at-scale shape 'compact only
+        yesterday's partition' instead of scanning a petabyte table's
+        whole manifest worth of small files.
         """
         if sort_by and zorder_by:
             raise LakehouseError("sort_by and zorder_by are mutually exclusive")
         base = self.current_version()
         snap = self.snapshot(base)
-        small = [f for f in snap.files if f["bytes"] < small_file_bytes]
+        in_scope = snap.files
+        if filters is not None:
+            eq = self._bucket_eq_values(snap, filters)
+            beq = self._bloom_eq_positions(snap, filters)
+            in_scope = [
+                f for f in snap.files
+                if self._entry_overlaps(f, filters, eq, beq)
+            ]
+        small = [f for f in in_scope if f["bytes"] < small_file_bytes]
         if len(small) < min_files:
             return snap
-        keep = [f for f in snap.files if f["bytes"] >= small_file_bytes]
+        small_paths = {f["path"] for f in small}
+        keep = [f for f in snap.files if f["path"] not in small_paths]
         df = self._read_entries(snap, small)
         if target_files is None:
             target_files = max(

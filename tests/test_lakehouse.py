@@ -2148,3 +2148,35 @@ def test_avro_table_mor_modes(catalog, orders_df):
         == base.filter(~(F.col("o_orderkey") % 5 == 0)).count()
     )
     assert t2.read().filter(F.col("o_orderkey") % 5 == 0).count() == 0
+
+
+def test_partition_scoped_compaction(catalog, orders_df, spark):
+    """filters= scopes the rewrite: only files overlapping the range
+    are folded; out-of-scope small files survive untouched."""
+    tbl = catalog.create_table("db", "pc", orders_df.schema)
+    for lo in (0, 2000, 4000):
+        part = orders_df.filter(
+            F.col("o_orderkey").between(lo, lo + 1999)
+        ).repartition(3)
+        tbl.append(part)
+    before = {f["path"] for f in tbl.snapshot().files}
+    rows_before = tbl.read().count()
+    tbl.compact(
+        small_file_bytes=1 << 30, min_files=1,
+        filters={"o_orderkey": (0, 1999)},
+    )
+    after = tbl.snapshot().files
+    assert tbl.read().count() == rows_before
+    # out-of-scope files carried by reference
+    untouched = [
+        f for f in after
+        if f["path"] in before
+        and f["ranges"]["o_orderkey"][0] >= 2000
+    ]
+    assert len(untouched) >= 6
+    # in-scope files were folded into fewer new ones
+    in_scope_after = [
+        f for f in after if f["ranges"]["o_orderkey"][1] < 2000
+    ]
+    assert all(f["path"] not in before for f in in_scope_after)
+    assert len(in_scope_after) < 3
