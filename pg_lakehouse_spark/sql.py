@@ -799,14 +799,28 @@ class LakeSQL:
 
     def _optimize(self, s: str):
         m = re.match(
-            rf"OPTIMIZE\s+{_TBL}(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$",
+            rf"OPTIMIZE\s+{_TBL}"
+            rf"(?:\s+WHERE\s+({_IDENT})\s+BETWEEN\s+('[^']*'|\S+)\s+AND\s+('[^']*'|\S+))?"
+            rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$",
             s,
             re.IGNORECASE,
         )
         if not m:
             raise LakehouseError(f"cannot parse OPTIMIZE: {s[:80]!r}")
         tbl = self.catalog.load_table(m.group(1), m.group(2))
+        kwargs = {}
         if m.group(3):
-            cols = [c.strip() for c in m.group(3).split(",")]
-            return tbl.compact(zorder_by=cols)
-        return tbl.compact()
+
+            def lit(v: str):
+                if v.startswith("'"):
+                    return v[1:-1]
+                try:
+                    return int(v)
+                except ValueError:
+                    return float(v)
+
+            kwargs["filters"] = {m.group(3): (lit(m.group(4)), lit(m.group(5)))}
+        if m.group(6):
+            cols = [c.strip() for c in m.group(6).split(",")]
+            return tbl.compact(zorder_by=cols, **kwargs)
+        return tbl.compact(**kwargs)

@@ -397,3 +397,22 @@ def test_sql_alter_set_properties(lsql):
     lsql.sql("INSERT INTO db.pr VALUES (1), (2)")
     files = lsql.catalog.load_table("db", "pr").snapshot().files
     assert all("k" in (f.get("blooms") or {}) for f in files)
+
+
+def test_sql_optimize_where_scoped(lsql):
+    lsql.sql("CREATE TABLE db.opt (k BIGINT)")
+    for lo in (0, 100):
+        lsql.sql(
+            f"INSERT INTO db.opt SELECT id AS k FROM range({lo}, {lo + 50})"
+        )
+        lsql.sql(
+            f"INSERT INTO db.opt SELECT id AS k FROM range({lo + 50}, {lo + 100})"
+        )
+    tbl = lsql.catalog.load_table("db", "opt")
+    before = {f["path"] for f in tbl.snapshot().files}
+    lsql.sql("OPTIMIZE db.opt WHERE k BETWEEN 0 AND 99")
+    after = tbl.snapshot().files
+    # out-of-scope files untouched, in-scope folded
+    assert any(f["path"] in before for f in after)
+    assert any(f["path"] not in before for f in after)
+    assert lsql.sql("SELECT count(*) AS n FROM db.opt").collect()[0].n == 200
