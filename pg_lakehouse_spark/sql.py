@@ -178,23 +178,46 @@ class LakeSQL:
     # -- SELECT (incl. time travel + @branch) ----------------------------
 
     _TT = re.compile(
-        rf"\b{_TBL}(?:@({_IDENT}))?(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)"
+        rf"\b{_TBL}(?:\$({_IDENT}))?(?:@({_IDENT}))?"
+        rf"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)"
         rf"|\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
         re.IGNORECASE,
     )
 
+    _META_TABLES = {
+        "files": "files_df",
+        "snapshots": "history_df",
+        "history": "history_df",
+        "partitions": "partitions_df",
+        "refs": "refs_df",
+        "stats": "column_stats_df",
+    }
+
     def _select(self, s: str) -> DataFrame:
-        """Bind every ``ns.t[@branch] [FOR ... AS OF ...]`` lake
+        """Bind every ``ns.t[$meta][@branch] [FOR ... AS OF ...]`` lake
         reference to a temp view, then run the rewritten statement on
-        Spark SQL."""
+        Spark SQL. ``$files/$snapshots/$partitions/$refs/$stats`` are
+        the Iceberg-style metadata tables (ref A20)."""
 
         def bind(m: re.Match) -> str:
-            ns, name, branch, ver, ts = (
-                m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+            ns, name, meta, branch, ver, ts = (
+                m.group(1), m.group(2), m.group(3), m.group(4),
+                m.group(5), m.group(6),
             )
             if not self.catalog.table_exists(ns, name):
                 return m.group(0)  # not ours — leave for Spark to resolve
             tbl = self._load(ns, name, branch)
+            if meta is not None:
+                fn = self._META_TABLES.get(meta.lower())
+                if fn is None:
+                    raise LakehouseError(
+                        f"unknown metadata table ${meta}; one of "
+                        f"{sorted(self._META_TABLES)}"
+                    )
+                df = getattr(tbl, fn)()
+                view = f"__lake_{ns}_{name}_meta_{meta.lower()}"
+                df.createOrReplaceTempView(view)
+                return view
             if branch is not None and ver is None and ts is None:
                 df, view = tbl.read(), f"__lake_{ns}_{name}_b_{branch}"
                 df.createOrReplaceTempView(view)

@@ -332,3 +332,41 @@ def test_txn_grouping_equals_direct_application(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in direct.read().collect()}
     b = {tuple(r) for r in grouped.read().collect()}
     assert a == b
+
+
+def test_pruned_read_equals_full_scan_filter(spark, sf_dir, tmp_path):
+    """Differential property: for random range/point filters over a
+    bloom+NDV-indexed multi-append table, read_pruned must equal the
+    unpruned read with the same predicate — file skipping (ranges,
+    hidden transforms, blooms) may only skip files that cannot match."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.tables import table
+
+    rng = random.Random(20260816)
+    orders = table(spark, sf_dir, "orders").limit(400)
+    cat = LakeCatalog(spark, str(tmp_path / "wh_prune_prop"))
+    tbl = cat.create_table(
+        "db", "t", orders.schema,
+        properties={"bloom_filter_columns": "o_orderkey"},
+    )
+    # interleaved appends so ranges overlap heavily
+    for m in range(3):
+        tbl.append(orders.filter(F.col("o_orderkey") % 3 == m).repartition(2))
+    keys = [r["o_orderkey"] for r in orders.limit(50).collect()]
+    for _ in range(8):
+        if rng.random() < 0.5:
+            k = rng.choice(keys)
+            filters = {"o_orderkey": (k, k)}
+            cond = F.col("o_orderkey") == k
+        else:
+            lo = rng.randrange(0, 3000)
+            hi = lo + rng.randrange(1, 500)
+            filters = {"o_orderkey": (lo, hi)}
+            cond = F.col("o_orderkey").between(lo, hi)
+        got = {tuple(r) for r in tbl.read_pruned(filters).collect()}
+        want = {tuple(r) for r in tbl.read().filter(cond).collect()}
+        assert got == want, f"pruned read diverged for {filters}"

@@ -416,3 +416,25 @@ def test_sql_optimize_where_scoped(lsql):
     assert any(f["path"] in before for f in after)
     assert any(f["path"] not in before for f in after)
     assert lsql.sql("SELECT count(*) AS n FROM db.opt").collect()[0].n == 200
+
+
+def test_sql_metadata_tables(lsql):
+    lsql.sql("CREATE TABLE db.mt (k BIGINT)")
+    lsql.sql("INSERT INTO db.mt VALUES (1), (2)")
+    lsql.sql("INSERT INTO db.mt VALUES (3)")
+    files = lsql.sql("SELECT * FROM db.mt$files").collect()
+    assert len(files) == len(
+        lsql.catalog.load_table("db", "mt").snapshot().files
+    )
+    snaps = lsql.sql(
+        "SELECT operation, count(*) AS n FROM db.mt$snapshots GROUP BY 1"
+    ).collect()
+    ops = {r["operation"]: r["n"] for r in snaps}
+    assert ops.get("append") == 2 and ops.get("create") == 1
+    refs = {r["name"] for r in lsql.sql("SELECT * FROM db.mt$refs").collect()}
+    assert refs == {"main"}
+    # metadata tables join with real SQL like any relation
+    big = lsql.sql(
+        "SELECT count(*) AS n FROM db.mt$files WHERE rows >= 1"
+    ).collect()[0].n
+    assert big == len(files)
