@@ -1161,13 +1161,20 @@ class LakeTable:
                 df = df.repartitionByRange(*cols)
         return df.sortWithinPartitions(*cols)
 
-    def append(self, df: DataFrame, retries: int = 3) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        retries: int = 3,
+        summary_extra: dict | None = None,
+    ) -> Snapshot:
         """INSERT/append (ref A9+A10: write_ops.c buffering + commit).
 
         Optimistic-commit retry (ref A19 / Iceberg fast-append): an
         append conflicts with nothing — on CommitConflict the staged
         files are re-based onto the new current snapshot and the
-        commit retried; the data files are never rewritten."""
+        commit retried; the data files are never rewritten.
+        ``summary_extra`` stamps application metadata (e.g. a streaming
+        sink's batch id) atomically with the commit."""
         self._check_schema(df)
         df = self._sort_for_write(self._distribute_for_write(df))
         base = self.current_version()
@@ -1184,7 +1191,8 @@ class LakeTable:
                     base, "append", files, self.snapshot(base).schema_json
                     if base > 0 else df.schema.json(),
                     summary={"added_files": len(new_files),
-                             "added_rows": sum(f["rows"] for f in new_files)},
+                             "added_rows": sum(f["rows"] for f in new_files)}
+                    | (summary_extra or {}),
                 )
             except CommitConflict:
                 if retries <= 0:

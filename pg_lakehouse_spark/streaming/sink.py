@@ -4,8 +4,11 @@
 atomic snapshot, so readers always see a consistent table and each
 batch is traceable in the history (`history_df`). Combined with the
 checkpoint location, restarts re-deliver only unprocessed batches —
-the standard exactly-once-per-batch file-sink pattern, but landing in
-a *versioned* table instead of bare files.
+and because each commit stamps ``(stream_query, stream_batch_id)``
+into the snapshot summary, a re-delivered batch (checkpoint loss,
+crash between commit and checkpoint write) is DETECTED and skipped:
+the sink is idempotent per (query, batch id), the lakehouse version of
+the exactly-once file-sink contract.
 """
 
 from __future__ import annotations
@@ -14,6 +17,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from pg_lakehouse_spark.lakehouse import LakeTable
+
+
+def last_committed_batch_id(table: LakeTable, query_name: str) -> int | None:
+    """Newest ``stream_batch_id`` committed to ``table``'s current ref
+    by the sink named ``query_name`` (None if it never committed).
+
+    Walks the ref's parent chain — NEVER a numeric version range, which
+    can interleave other branches' snapshots (see ROUND_NOTES: branch
+    versions are global). Metadata-only: one small JSON per ancestor,
+    stops at the first hit, so the cost is O(commits since the last
+    batch from this query), typically 1-2 reads."""
+    for v in table._ancestry(table.current_version()):
+        s = table.snapshot(v).summary or {}
+        if s.get("stream_query") == query_name:
+            bid = s.get("stream_batch_id")
+            return int(bid) if bid is not None else None
+    return None
+
+
+def _is_replay(table: LakeTable, query_name: str, batch_id: int) -> bool:
+    """True when this (query, batch id) already committed — micro-batch
+    ids are monotonically increasing per checkpoint, so `<=` is the
+    replay test."""
+    last = last_committed_batch_id(table, query_name)
+    return last is not None and batch_id <= last
 
 
 def write_stream_to_lake(
@@ -25,30 +53,25 @@ def write_stream_to_lake(
 ) -> StreamingQuery:
     """Start a streaming query appending each micro-batch to ``table``.
 
-    Batch-id is recorded in the snapshot summary — an idempotency
-    breadcrumb: on restart-after-crash the last committed batch id
-    tells replay logic what's already in the table.
+    The batch id commits ATOMICALLY with the snapshot (append
+    ``summary_extra``), and replayed batch ids are skipped — together
+    these make the sink idempotent: a batch is in the table exactly
+    once no matter how many times foreachBatch re-delivers it.
     """
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        base = table.current_version()
-        snap = table.append(batch_df)
-        # annotate the freshly-committed snapshot with the batch id
-        # (summary is commit metadata; rewrite is driver-local JSON)
-        import json
-
-        meta_path = table._meta_path(snap.version)
-        with open(meta_path) as f:
-            d = json.load(f)
-        d["summary"]["stream_batch_id"] = batch_id
-        d["summary"]["base_version"] = base
-        with open(meta_path + ".tmp", "w") as f:
-            json.dump(d, f)
-        import os
-
-        os.rename(meta_path + ".tmp", meta_path)
+        if _is_replay(table, query_name, batch_id):
+            return
+        table.append(
+            batch_df,
+            summary_extra={
+                "stream_query": query_name,
+                "stream_batch_id": batch_id,
+                "base_version": table.current_version(),
+            },
+        )
 
     writer = (
         stream.writeStream.foreachBatch(append_batch)
@@ -76,12 +99,14 @@ def upsert_stream_to_lake(
 
     The scale shape: with the table in merge-on-read mode each batch
     writes O(batch) rows (delete keys + postimages), never rewriting
-    the table — continuous upsert ingestion at any table size. Batch id
-    lands in the snapshot summary for replay forensics. A batch
+    the table — continuous upsert ingestion at any table size. A batch
     carrying BOTH tombstones and upserts runs the two merges inside a
     LakeTransaction, so they publish as one atomic pointer move —
     readers never observe deletes applied without the batch's upserts,
     and a crash mid-batch leaves the table at the pre-batch snapshot.
+    Replayed batch ids (checkpoint loss / crash after commit) are
+    detected from the stamped ``(stream_query, stream_batch_id)``
+    summary and skipped, so re-delivery cannot double-apply a merge.
 
     Within a batch, the row with the greatest ``order_col`` per key
     wins — pass the CDC source's sequence/LSN/timestamp column for
@@ -97,6 +122,8 @@ def upsert_stream_to_lake(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if _is_replay(table, query_name, batch_id):
             return
         # last-write-wins compaction inside the batch
         w = (
@@ -116,12 +143,13 @@ def upsert_stream_to_lake(
             )
         )
         base = table.current_version()
+        stamp = {"stream_query": query_name, "stream_batch_id": batch_id}
         del_kwargs = dict(
             on=keys,
             when_matched_update=None,
             when_matched_delete=True,
             when_not_matched_insert=False,
-            summary_extra={"stream_batch_id": batch_id},
+            summary_extra=dict(stamp),
         )
         ups_kwargs = dict(
             on=keys,
@@ -129,7 +157,7 @@ def upsert_stream_to_lake(
                 c: F.col(f"__src.{c}") for c in data_cols if c not in keys
             },
             when_not_matched_insert=True,
-            summary_extra={"stream_batch_id": batch_id, "base_version": base},
+            summary_extra=dict(stamp, base_version=base),
         )
         if delete_col is not None:
             dels = latest.filter(F.col(delete_col)).select(*data_cols)

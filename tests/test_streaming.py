@@ -547,6 +547,105 @@ def test_stream_upsert_sink_cdc_apply(spark, tmp_path):
     assert any(s.get("txn_ops") == ["merge", "merge"] for s in summaries if s)
 
 
+def test_stream_sink_replay_skipped(spark, tmp_path):
+    """Idempotent re-delivery: losing the checkpoint replays the same
+    micro-batch ids — the sink detects the stamped (stream_query,
+    stream_batch_id) in the snapshot summary and skips, so rows land
+    exactly once."""
+    import os
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.streaming.sink import (
+        last_committed_batch_id,
+        write_stream_to_lake,
+    )
+
+    d = str(tmp_path / "replay_src")
+    os.makedirs(d)
+    sch = "k long, v string"
+    spark.createDataFrame([(1, "a"), (2, "b")], sch).coalesce(1).write.parquet(
+        os.path.join(d, "b1")
+    )
+    cat = LakeCatalog(spark, str(tmp_path / "wh_replay"))
+    tbl = cat.create_table(
+        "db", "replay_t", spark.createDataFrame([(1, "a")], sch).schema
+    )
+    src = spark.readStream.schema(sch).parquet(os.path.join(d, "*"))
+
+    def run(ckpt):
+        q = write_stream_to_lake(
+            src, tbl, str(tmp_path / ckpt), trigger_once=True
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run("ckpt1")
+    assert tbl.read().count() == 2
+    assert last_committed_batch_id(tbl, "lake_sink") == 0
+    v_after_first = tbl.current_version()
+    # checkpoint lost -> batch 0 re-delivered -> skipped, no new commit
+    run("ckpt2")
+    assert tbl.read().count() == 2
+    assert tbl.current_version() == v_after_first
+
+
+def test_stream_upsert_replay_skipped(spark, tmp_path):
+    """CDC sink idempotency: re-delivering already-committed batch ids
+    must not double-apply merges (a replayed tombstone+insert batch
+    would otherwise re-insert deleted keys via last-write-wins)."""
+    import os
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.streaming.sink import upsert_stream_to_lake
+    from pyspark.sql.types import _parse_datatype_string
+
+    d = str(tmp_path / "cdc_replay_src")
+    os.makedirs(d)
+    sch = "k long, v string, is_delete boolean"
+    spark.createDataFrame(
+        [(1, "a1", False), (2, "b1", False)], sch
+    ).coalesce(1).write.parquet(os.path.join(d, "b1"))
+    spark.createDataFrame(
+        [(1, "a2", False), (2, None, True)], sch
+    ).coalesce(1).write.parquet(os.path.join(d, "b2"))
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_cdc_replay"))
+    tbl = cat.create_table(
+        "db",
+        "cdc_replay",
+        _parse_datatype_string("k long, v string"),
+        properties={"row_key": "k", "write_delete_mode": "merge-on-read"},
+    )
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+
+    def run(ckpt):
+        q = upsert_stream_to_lake(
+            src,
+            tbl,
+            keys=["k"],
+            checkpoint_dir=str(tmp_path / ckpt),
+            delete_col="is_delete",
+            trigger_once=True,
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run("ck1")
+    assert {r.k: r.v for r in tbl.read().collect()} == {1: "a2"}
+    v = tbl.current_version()
+    run("ck2")  # replayed batches 0,1 -> both skipped
+    assert {r.k: r.v for r in tbl.read().collect()} == {1: "a2"}
+    assert tbl.current_version() == v
+
+
 def test_stream_into_branch_then_publish(spark, sf_dir, tmp_path):
     """Streaming write-audit-publish: micro-batches land on a branch
     (main readers see a stable table mid-ingest), an audit checks the
