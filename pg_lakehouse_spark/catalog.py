@@ -257,3 +257,95 @@ class RestCatalog:
             for ident in (resp or {}).get("identifiers", []):
                 out.append((ns, ident["name"]))
         return sorted(out)
+
+    # -- ref sync ----------------------------------------------------------
+    # Branch/tag refs are local files per table (lakehouse.py _refs.json).
+    # In a REST-catalog deployment the catalog owns the refs (Iceberg
+    # keeps them in the table metadata the catalog points at), so the
+    # client must be able to publish local refs and adopt remote ones.
+    # The protocol mirrors the Iceberg REST commit shape: the refs
+    # document carries a sequence number and a push states the sequence
+    # it based on (≙ `assert-ref-snapshot-id` requirements) — the server
+    # answers 409 when someone else pushed first, and sync retries from
+    # a fresh pull. Metadata-plane only: the document is a few bytes per
+    # ref, never data.
+
+    def _refs_endpoint(self, namespace: str, name: str) -> str:
+        return self._table_path(namespace, name) + "/refs"
+
+    def remote_refs(self, namespace: str, name: str) -> tuple[dict, int]:
+        """The server's refs document for a table: ({tags, branches},
+        seq). A table that never synced has seq 0 and empty refs."""
+        resp = self._request("GET", self._refs_endpoint(namespace, name))
+        if not resp:
+            return {"tags": {}, "branches": {}}, 0
+        refs = resp.get("refs") or {}
+        return (
+            {
+                "tags": dict(refs.get("tags", {})),
+                "branches": dict(refs.get("branches", {})),
+            },
+            int(resp.get("seq", 0)),
+        )
+
+    def push_refs(self, namespace: str, name: str) -> int:
+        """Publish the table's local tags/branches to the server
+        (compare-and-swap on the refs sequence; raises on a concurrent
+        push — pull first or use :meth:`sync_refs`). Returns the new
+        remote sequence."""
+        table = self.load_table(namespace, name)
+        tags, branches = table._load_refs()
+        _, seq = self.remote_refs(namespace, name)
+        resp = self._request(
+            "POST",
+            self._refs_endpoint(namespace, name),
+            {
+                "refs": {"tags": tags, "branches": branches},
+                "expected-seq": seq,
+            },
+        )
+        return int(resp["seq"])
+
+    def pull_refs(self, namespace: str, name: str) -> dict:
+        """Adopt the server's refs locally: union with remote-wins on
+        name conflicts (the catalog is the publication point, so a ref
+        someone else pushed supersedes the local pin of the same name;
+        local-only refs survive). Remote refs whose snapshot is missing
+        from this warehouse's metadata are skipped — shared-storage
+        deployments never hit this, it guards a partial mirror."""
+        import fcntl
+        import os
+
+        table = self.load_table(namespace, name)
+        remote, _ = self.remote_refs(namespace, name)
+        lock_path = os.path.join(table.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            tags, branches = table._load_refs()
+            skipped = {}
+            for kind, local in (("tags", tags), ("branches", branches)):
+                for ref, v in remote[kind].items():
+                    if os.path.exists(table._meta_path(int(v))):
+                        local[ref] = int(v)
+                    else:
+                        skipped[ref] = int(v)
+            table._write_refs(tags, branches)
+        return {"tags": tags, "branches": branches, "skipped": skipped}
+
+    def sync_refs(self, namespace: str, name: str, retries: int = 3) -> int:
+        """Converge local and remote refs: pull (remote-wins merge),
+        then push the merged set; on a concurrent-push 409 re-pull and
+        retry. Returns the remote sequence the merged set landed at."""
+        last: Exception | None = None
+        for _ in range(retries + 1):
+            self.pull_refs(namespace, name)
+            try:
+                return self.push_refs(namespace, name)
+            except LakehouseError as exc:  # 409: somebody pushed first
+                if "HTTP 409" not in str(exc):
+                    raise
+                last = exc
+        raise LakehouseError(
+            f"refs for {namespace}.{name} kept changing on the server "
+            f"({retries + 1} attempts)"
+        ) from last

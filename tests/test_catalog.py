@@ -28,6 +28,8 @@ class _RestState:
         self.warehouse = warehouse
         self.namespaces: set[str] = set()
         self.tables: dict[tuple[str, str], str] = {}  # (ns, name) -> location
+        # (ns, name) -> {"refs": {...}, "seq": int}; CAS on seq
+        self.refs: dict[tuple[str, str], dict] = {}
 
 
 def _make_handler(state: _RestState, required_token: str | None = None):
@@ -76,6 +78,14 @@ def _make_handler(state: _RestState, required_token: str | None = None):
                     if n == ns
                 ]
                 return self._json(200, {"identifiers": idents})
+            if len(parts) == 6 and parts[3] == "tables" and parts[5] == "refs":
+                key = (parts[2], parts[4])
+                if key not in state.tables:
+                    return self._json(404, {"error": "no such table"})
+                doc = state.refs.get(key)
+                if doc is None:
+                    return self._json(404, {"error": "no refs"})
+                return self._json(200, doc)
             if len(parts) == 5 and parts[3] == "tables":
                 key = (parts[2], parts[4])
                 if key in state.tables:
@@ -100,6 +110,17 @@ def _make_handler(state: _RestState, required_token: str | None = None):
                 state.namespaces.add(ns)
                 state.tables[key] = loc
                 return self._json(200, {"metadata-location": loc})
+            if len(parts) == 6 and parts[3] == "tables" and parts[5] == "refs":
+                key = (parts[2], parts[4])
+                if key not in state.tables:
+                    return self._json(404, {"error": "no such table"})
+                b = self._body()
+                cur = state.refs.get(key, {"refs": {}, "seq": 0})
+                if int(b.get("expected-seq", -1)) != cur["seq"]:
+                    return self._json(409, {"error": "seq conflict"})
+                doc = {"refs": b["refs"], "seq": cur["seq"] + 1}
+                state.refs[key] = doc
+                return self._json(200, {"seq": doc["seq"]})
             if parts == ["v1", "tables", "rename"]:
                 b = self._body()
                 src = (b["source"]["namespace"][0], b["source"]["name"])
@@ -219,6 +240,63 @@ def auth_rest_server(tmp_path_factory):
     thread.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
     srv.shutdown()
+
+
+def test_rest_ref_sync(spark, rest_server, df10):
+    """Branch/tag refs publish to and adopt from the REST catalog:
+    push CAS-bumps the server sequence, pull merges remote-wins, a
+    stale push 409s, and sync_refs converges after a concurrent push."""
+    cat = RestCatalog(spark, rest_server)
+    tbl = cat.create_table_as("refs_ns", "t_refs", df10)
+    tbl.append(df10)
+    tbl.tag("v_first", 2)
+    tbl.create_branch("dev")
+
+    # push publishes the local refs; server seq becomes 1
+    assert cat.push_refs("refs_ns", "t_refs") == 1
+    remote, seq = cat.remote_refs("refs_ns", "t_refs")
+    assert seq == 1 and remote["tags"] == {"v_first": 2}
+    assert "dev" in remote["branches"]
+
+    # a second client (same shared storage) adopts the refs on pull
+    tbl._write_refs({}, {})  # wipe local refs ≙ fresh mirror
+    merged = cat.pull_refs("refs_ns", "t_refs")
+    assert merged["tags"] == {"v_first": 2} and "dev" in merged["branches"]
+    assert tbl.tags() == {"v_first": 2}
+
+    # concurrent push moved the seq -> a stale push 409s...
+    cat._request(
+        "POST",
+        cat._refs_endpoint("refs_ns", "t_refs"),
+        {"refs": {"tags": {"other": 1}, "branches": {}}, "expected-seq": 1},
+    )
+    tbl.tag("v_local", 1)
+    with pytest.raises(LakehouseError, match="HTTP 409"):
+        # push bases on a re-read seq, so force staleness via raw POST
+        cat._request(
+            "POST",
+            cat._refs_endpoint("refs_ns", "t_refs"),
+            {"refs": {}, "expected-seq": 1},
+        )
+    # ...and sync converges: remote-wins merge of both sides, pushed
+    assert cat.sync_refs("refs_ns", "t_refs") == 3
+    remote, _ = cat.remote_refs("refs_ns", "t_refs")
+    assert remote["tags"] == {"v_first": 2, "other": 1, "v_local": 1}
+    assert "dev" in remote["branches"]
+
+    # remote ref to a snapshot this mirror doesn't have is skipped
+    cat._request(
+        "POST",
+        cat._refs_endpoint("refs_ns", "t_refs"),
+        {
+            "refs": {"tags": {"ghost": 999}, "branches": {}},
+            "expected-seq": 3,
+        },
+    )
+    merged = cat.pull_refs("refs_ns", "t_refs")
+    assert merged["skipped"] == {"ghost": 999}
+    assert "ghost" not in tbl.tags()
+    cat.drop_table("refs_ns", "t_refs", purge=True)
 
 
 def test_rest_auth_token(spark, auth_rest_server, df10):
