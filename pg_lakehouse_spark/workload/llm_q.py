@@ -786,3 +786,89 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "dup_word_ratio", "stopword_ratio",
         "reject_reason", "keep",
     )
+
+
+@register(
+    "pack_sequences_stream",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), cums AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(cb / 64.0) AS BIGINT) AS seq_in_shard,
+       CAST(cb % 64 AS BIGINT) AS begin_offset
+FROM cums
+""",
+    tags=("pack-sequences",),
+)
+def pack_sequences_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: documents laid end-to-end per
+    shard, cut into 64-token training sequences; each doc gets the
+    sequence it starts in plus its offset. One shuffle, window-only —
+    the pretraining "pack then chunk" recipe at any corpus size."""
+    from pg_lakehouse_spark.llm.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, budget=64, shards=8, shard_by="modulo"
+    ).select("doc_id", "shard", "n_tokens", "seq_in_shard", "begin_offset")
+
+
+@register(
+    "pack_bins_greedy",
+    oracle=None,  # greedy best-fit is not SQL-expressible; contract is
+    # property-tested in tests/test_llm.py (budget respected, exactly-
+    # one bin per doc, partitioning-independent determinism)
+    tags=("pack-bins",),
+)
+def pack_bins_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document bin packing (best-fit decreasing per shard) for
+    SFT-style training where examples must not straddle sequences."""
+    from pg_lakehouse_spark.llm.packing import pack_bins_greedy
+
+    docs = t(spark, sf_dir, "documents")
+    return pack_bins_greedy(docs, budget=128, shards=8).select(
+        "doc_id", "shard", "n_tokens", "bin_in_shard"
+    )
+
+
+@register(
+    "interleave_language_mix",
+    oracle="""
+WITH weighted AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                   WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.25
+                   WHEN 'zh' THEN 0.25 END AS w,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+              AS BIGINT) AS source_rank
+  FROM documents
+)
+SELECT doc_id, lang, source_rank, source_rank / w AS mix_pos
+FROM weighted
+""",
+    tags=("interleave",),
+)
+def interleave_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus interleave ("sampling
+    temperature" mix): position = rank-within-language / weight, so
+    ORDER BY mix_pos yields the training stream with languages in the
+    requested proportions. Weights are powers of two, so the float
+    math is engine-exact — no rounding shim needed."""
+    from pg_lakehouse_spark.llm.packing import interleave_sources
+
+    docs = t(spark, sf_dir, "documents")
+    return interleave_sources(
+        docs,
+        "lang",
+        {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25},
+    ).select("doc_id", "lang", "source_rank", "mix_pos")

@@ -560,3 +560,88 @@ def test_vocabulary_min_df_and_determinism(spark):
     v = {r["term"]: (r["term_freq"], r["doc_freq"]) for r in
          vocabulary(df, min_df=2, top_k=10).collect()}
     assert v == {"banana": (2, 2)}  # apple: df=1; durian: df=1 -> pruned
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing / interleaving (packing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_bins_greedy_contract(spark, sf_dir):
+    """Every doc lands in exactly one bin; no bin exceeds the budget
+    unless a single oversize doc owns it; assignment is deterministic
+    under repartitioning."""
+    from pg_lakehouse_spark.llm.packing import pack_bins_greedy
+
+    docs = table(spark, sf_dir, "documents")
+    budget = 128
+    packed = pack_bins_greedy(docs, budget=budget, shards=4)
+    assert packed.count() == docs.count()
+    assert packed.groupBy("doc_id").count().filter("count > 1").count() == 0
+    totals = packed.groupBy("shard", "bin_in_shard").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    )
+    # overfull bins must be singleton oversize docs
+    bad = totals.filter((F.col("tot") > budget) & (F.col("n") > 1))
+    assert bad.count() == 0
+    # determinism: a different input partitioning yields the same bins
+    again = pack_bins_greedy(docs.repartition(13), budget=budget, shards=4)
+    a = {(r.doc_id): (r.shard, r.bin_in_shard) for r in packed.collect()}
+    b = {(r.doc_id): (r.shard, r.bin_in_shard) for r in again.collect()}
+    assert a == b
+    # packing efficiency: used bins shouldn't exceed naive one-per-doc
+    n_bins = totals.count()
+    lower_bound = (
+        packed.agg((F.ceil(F.sum("n_tokens") / budget)).alias("lb"))
+        .collect()[0]
+        .lb
+    )
+    assert lower_bound <= n_bins < packed.count()
+
+
+def test_pack_sequences_offsets_consistent(spark, sf_dir):
+    """Stream packing invariants: begin_offset < budget; within a
+    shard, cumulative tokens reproduce (seq_in_shard, begin_offset)."""
+    from pg_lakehouse_spark.llm.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    p = pack_sequences(docs, budget=64, shards=4, shard_by="hash")
+    assert p.filter(F.col("begin_offset") >= 64).count() == 0
+    # reconstruct: start position = seq*budget + offset must be the
+    # running sum of preceding docs in the shard
+    rows = p.select(
+        "doc_id", "shard", "n_tokens", "seq_in_shard", "begin_offset"
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in shard_rows:
+            assert r.seq_in_shard * 64 + r.begin_offset == cum
+            cum += r.n_tokens
+
+
+def test_interleave_sources_proportions(spark):
+    """A weight-2 source appears ~2x as often as a weight-1 source in
+    any prefix of the interleaved order."""
+    from pg_lakehouse_spark.llm.packing import interleave_sources
+
+    rows = [(i, "big") for i in range(200)] + [
+        (1000 + i, "small") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    mixed = interleave_sources(df, "src", {"big": 2.0, "small": 1.0})
+    ordered = mixed.orderBy("mix_pos", "src", "doc_id").collect()
+    prefix = [r.src for r in ordered[:90]]
+    n_big = prefix.count("big")
+    assert 55 <= n_big <= 65  # ~2/3 of the prefix
+    # unknown sources are dropped
+    df2 = df.union(spark.createDataFrame([(5000, "ghost")], df.schema))
+    assert (
+        interleave_sources(df2, "src", {"big": 2.0, "small": 1.0})
+        .filter("src = 'ghost'")
+        .count()
+        == 0
+    )
