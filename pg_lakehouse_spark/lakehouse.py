@@ -3751,6 +3751,88 @@ class LakeCatalog:
         catalog may participate."""
         return LakeTransaction()
 
+    # -- views (PG CREATE VIEW parity: the reference's users run plain
+    # PG SQL over iceberg_am tables, and views are core PG surface; a
+    # view here is stored SQL text expanded at SELECT time by LakeSQL).
+    # Registry = one warehouse-level JSON, lock-guarded like refs; the
+    # metadata plane is bytes per view, never on the data path.
+
+    def _views_path(self) -> str:
+        return os.path.join(self.warehouse, "_views.json")
+
+    def _load_views(self) -> dict:
+        if not os.path.exists(self._views_path()):
+            return {}
+        with open(self._views_path()) as f:
+            return json.load(f)
+
+    def _write_views(self, views: dict) -> None:
+        tmp = self._views_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f)
+        os.replace(tmp, self._views_path())
+
+    def _views_lock(self):
+        return open(os.path.join(self.warehouse, "_views.lock"), "w")
+
+    def view_exists(self, namespace: str, name: str) -> bool:
+        return f"{namespace}.{name}" in self._load_views()
+
+    def create_view(
+        self,
+        namespace: str,
+        name: str,
+        sql_text: str,
+        or_replace: bool = False,
+    ) -> None:
+        """Store a named SELECT. Name-collision rules follow PG: a
+        view cannot shadow a table, and CREATE VIEW without OR REPLACE
+        fails on an existing view."""
+        if self.table_exists(namespace, name):
+            raise LakehouseError(
+                f"{namespace}.{name} is a table; views cannot shadow tables"
+            )
+        with self._views_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            views = self._load_views()
+            key = f"{namespace}.{name}"
+            if key in views and not or_replace:
+                raise LakehouseError(f"view {key} already exists")
+            views[key] = {
+                "sql": sql_text,
+                "created_ms": int(time.time() * 1000),
+            }
+            self._write_views(views)
+
+    def view_sql(self, namespace: str, name: str) -> str:
+        views = self._load_views()
+        key = f"{namespace}.{name}"
+        if key not in views:
+            raise LakehouseError(f"view {key} does not exist")
+        return views[key]["sql"]
+
+    def drop_view(
+        self, namespace: str, name: str, if_exists: bool = False
+    ) -> None:
+        with self._views_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            views = self._load_views()
+            key = f"{namespace}.{name}"
+            if key not in views:
+                if if_exists:
+                    return
+                raise LakehouseError(f"view {key} does not exist")
+            del views[key]
+            self._write_views(views)
+
+    def list_views(self, namespace: str | None = None) -> list[tuple[str, str]]:
+        out = []
+        for key in sorted(self._load_views()):
+            ns, name = key.split(".", 1)
+            if namespace is None or ns == namespace:
+                out.append((ns, name))
+        return out
+
     def list_tables(self, namespace: str | None = None) -> list[tuple[str, str]]:
         out = []
         spaces = (

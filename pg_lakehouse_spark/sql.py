@@ -33,6 +33,10 @@ a reference user can keep their SQL:
 - ``ALTER TABLE ns.t CREATE BRANCH b [AS OF VERSION n] |
   DROP BRANCH b | FAST FORWARD [TO] b`` plus ``ns.t@b`` references in
   INSERT/DELETE/SELECT — the write-audit-publish surface
+- ``CREATE [OR REPLACE] VIEW ns.v AS <select>``, ``DROP VIEW
+  [IF EXISTS] ns.v``, ``SHOW VIEWS [IN ns]`` — PG views: stored SQL
+  text validated at CREATE, macro-expanded (recursively, with cycle
+  detection) wherever ``ns.v`` appears in a SELECT
 
 Statement routing is keyword-based; expressions inside (predicates,
 SET clauses, the SELECT body) are handed to Spark's own parser via
@@ -114,6 +118,8 @@ class LakeSQL:
         if head == "CREATE":
             if re.match(r"CREATE\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
                 return self._create_matview(s)
+            if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW", s, re.IGNORECASE):
+                return self._create_view(s)
             return self._create(s)
         if head == "REFRESH":
             return self._refresh_matview(s)
@@ -125,6 +131,18 @@ class LakeSQL:
                 if not m:
                     raise LakehouseError(f"cannot parse DROP MV: {s[:80]!r}")
                 self.catalog.drop_table(m.group(1), m.group(2), purge=True)
+                return None
+            if re.match(r"DROP\s+VIEW", s, re.IGNORECASE):
+                m = re.match(
+                    rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?{_TBL}$",
+                    s,
+                    re.IGNORECASE,
+                )
+                if not m:
+                    raise LakehouseError(f"cannot parse DROP VIEW: {s[:80]!r}")
+                self.catalog.drop_view(
+                    m.group(2), m.group(3), if_exists=bool(m.group(1))
+                )
                 return None
             return self._drop(s)
         if head == "TRUNCATE":
@@ -205,6 +223,9 @@ class LakeSQL:
                 m.group(5), m.group(6),
             )
             if not self.catalog.table_exists(ns, name):
+                has_view = getattr(self.catalog, "view_exists", None)
+                if has_view and has_view(ns, name):
+                    return self._bind_view(ns, name, meta, branch, ver, ts)
                 return m.group(0)  # not ours — leave for Spark to resolve
             tbl = self._load(ns, name, branch)
             if meta is not None:
@@ -238,6 +259,31 @@ class LakeSQL:
             return view
 
         return self.spark.sql(self._TT.sub(bind, s))
+
+    def _bind_view(self, ns, name, meta, branch, ver, ts) -> str:
+        """Expand a stored view: evaluate its SELECT (recursively —
+        views may reference lake tables or other views) and bind the
+        result to a temp view. Time travel/branch/metadata suffixes
+        apply to tables, not views (PG parity: a view is a macro over
+        its defining query)."""
+        if meta or branch or ver or ts:
+            raise LakehouseError(
+                f"{ns}.{name} is a view; $meta/@branch/FOR ... AS OF "
+                "apply to lake tables only"
+            )
+        key = f"{ns}.{name}"
+        stack = getattr(self, "_view_stack", ())
+        if key in stack:
+            chain = " -> ".join([*stack, key])
+            raise LakehouseError(f"circular view reference: {chain}")
+        self._view_stack = (*stack, key)
+        try:
+            df = self._select(self.catalog.view_sql(ns, name))
+        finally:
+            self._view_stack = stack
+        view = f"__lake_view_{ns}_{name}"
+        df.createOrReplaceTempView(view)
+        return view
 
     # -- DDL ---------------------------------------------------------------
 
@@ -788,7 +834,34 @@ class LakeSQL:
         )
         if m:
             return self.catalog.load_table(m.group(1), m.group(2)).refs_df()
+        m = re.match(
+            rf"SHOW\s+VIEWS(?:\s+IN\s+({_IDENT}))?$", s, re.IGNORECASE
+        )
+        if m:
+            rows = self.catalog.list_views(m.group(1))
+            return self.spark.createDataFrame(
+                rows or [], "namespace string, name string"
+            )
         raise LakehouseError(f"cannot parse SHOW: {s[:80]!r}")
+
+    def _create_view(self, s: str):
+        m = re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+{_TBL}\s+AS\s+(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse CREATE VIEW: {s[:80]!r}")
+        or_replace, ns, name, body = (
+            bool(m.group(1)), m.group(2), m.group(3), m.group(4).strip(),
+        )
+        if not body.upper().startswith(("SELECT", "WITH")):
+            raise LakehouseError("a view body must be a SELECT")
+        # validate now (parse + analyze; no execution) so a broken view
+        # fails at CREATE, not first use — PG behavior
+        self._select(body).schema
+        self.catalog.create_view(ns, name, body, or_replace=or_replace)
+        return None
 
     def _describe(self, s: str) -> DataFrame:
         m = re.match(

@@ -997,3 +997,46 @@ def lake_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice"), 2).alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
+
+
+@register(
+    "lake_sql_views",
+    oracle="""
+SELECT region, n_orders, avg_price FROM (
+  SELECT 'hi' AS region, CAST(count(*) AS BIGINT) AS n_orders,
+         floor(avg(o_totalprice) * 100) / 100 AS avg_price
+  FROM orders WHERE o_totalprice > 150000 AND o_orderkey <= 1200
+) x
+""",
+    tags=("lakehouse", "sql-frontend", "views"),
+)
+def lake_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG view parity through the SQL frontend: CREATE VIEW stores a
+    SELECT expanded at query time; a view over the view composes, and
+    later DML on the base table is visible through both (a view is a
+    macro, never a copy). The oracle states the final SELECT directly
+    over the fixture."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "sql_views")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.ordv (k BIGINT, price DOUBLE)")
+    q.sql(
+        "INSERT INTO db.ordv SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 1500"
+    )
+    q.sql(
+        "CREATE VIEW db.pricey AS "
+        "SELECT k, price FROM db.ordv WHERE price > 150000"
+    )
+    q.sql(
+        "CREATE VIEW db.pricey_summary AS "
+        "SELECT 'hi' AS region, CAST(count(*) AS BIGINT) AS n_orders, "
+        "floor(avg(price) * 100) / 100 AS avg_price FROM db.pricey"
+    )
+    # DML after CREATE VIEW must be visible through the view chain
+    q.sql("DELETE FROM db.ordv WHERE k > 1200")
+    return q.sql(
+        "SELECT region, n_orders, avg_price FROM db.pricey_summary"
+    )

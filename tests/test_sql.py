@@ -438,3 +438,70 @@ def test_sql_metadata_tables(lsql):
         "SELECT count(*) AS n FROM db.mt$files WHERE rows >= 1"
     ).collect()[0].n
     assert big == len(files)
+
+
+def test_sql_views_lifecycle(lsql):
+    """PG view parity: CREATE VIEW stores SQL expanded at SELECT time;
+    views see DML applied after creation, compose (view over view),
+    OR REPLACE redefines, DROP VIEW removes, cycles and table
+    shadowing are rejected."""
+    lsql.sql("CREATE TABLE db.sales (k BIGINT, amt DOUBLE, region STRING)")
+    lsql.sql(
+        "INSERT INTO db.sales VALUES (1, 10.0, 'na'), (2, 20.0, 'eu'), "
+        "(3, 30.0, 'na')"
+    )
+    lsql.sql(
+        "CREATE VIEW db.na_sales AS "
+        "SELECT k, amt FROM db.sales WHERE region = 'na'"
+    )
+    assert [tuple(r) for r in lsql.sql(
+        "SELECT k, amt FROM db.na_sales ORDER BY k"
+    ).collect()] == [(1, 10.0), (3, 30.0)]
+    # a view is a macro: later DML is visible through it
+    lsql.sql("INSERT INTO db.sales VALUES (4, 40.0, 'na')")
+    assert lsql.sql("SELECT * FROM db.na_sales").count() == 3
+    # view over view
+    lsql.sql(
+        "CREATE VIEW db.big_na AS SELECT k FROM db.na_sales WHERE amt > 15"
+    )
+    assert sorted(
+        r.k for r in lsql.sql("SELECT k FROM db.big_na").collect()
+    ) == [3, 4]
+    # OR REPLACE redefines; plain CREATE on existing fails
+    with pytest.raises(LakehouseError, match="already exists"):
+        lsql.sql("CREATE VIEW db.na_sales AS SELECT 1 AS one")
+    lsql.sql(
+        "CREATE OR REPLACE VIEW db.na_sales AS "
+        "SELECT k, amt FROM db.sales WHERE region = 'eu'"
+    )
+    assert [r.k for r in lsql.sql("SELECT k FROM db.na_sales").collect()] == [2]
+    # SHOW VIEWS
+    views = {tuple(r) for r in lsql.sql("SHOW VIEWS IN db").collect()}
+    assert views == {("db", "na_sales"), ("db", "big_na")}
+    # a view cannot shadow a table; a broken body fails at CREATE
+    with pytest.raises(LakehouseError, match="shadow"):
+        lsql.sql("CREATE VIEW db.sales AS SELECT 1 AS one")
+    with pytest.raises(Exception):
+        lsql.sql("CREATE VIEW db.broken AS SELECT nope FROM db.sales")
+    assert not lsql.catalog.view_exists("db", "broken")
+    # time travel/branch suffixes are table-only
+    with pytest.raises(LakehouseError, match="lake tables only"):
+        lsql.sql("SELECT * FROM db.big_na FOR VERSION AS OF 1")
+    # DROP VIEW
+    lsql.sql("DROP VIEW db.big_na")
+    with pytest.raises(LakehouseError, match="does not exist"):
+        lsql.sql("DROP VIEW db.big_na")
+    lsql.sql("DROP VIEW IF EXISTS db.big_na")
+
+
+def test_sql_view_cycle_detected(lsql, spark):
+    lsql.sql("CREATE TABLE db.base (k BIGINT)")
+    lsql.sql("INSERT INTO db.base VALUES (1)")
+    lsql.sql("CREATE VIEW db.v1 AS SELECT k FROM db.base")
+    # redefine v1's dependency chain into a cycle: v1 -> v2 -> v1
+    lsql.sql("CREATE VIEW db.v2 AS SELECT k FROM db.v1")
+    lsql.catalog.create_view(
+        "db", "v1", "SELECT k FROM db.v2", or_replace=True
+    )
+    with pytest.raises(LakehouseError, match="circular view reference"):
+        lsql.sql("SELECT * FROM db.v1")
