@@ -115,6 +115,19 @@ class LakeSQL:
             )
         if head == "SELECT" or s.upper().startswith("WITH"):
             return self._select(s)
+        if head == "EXPLAIN":
+            # PG's inspection verb: lake refs bind exactly as in SELECT,
+            # then Spark's own EXPLAIN [EXTENDED|FORMATTED|...] renders
+            # the Catalyst plan — one row, column `plan`.
+            body = re.sub(
+                r"^EXPLAIN(\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+",
+                "",
+                s,
+                flags=re.IGNORECASE,
+            )
+            if not body.upper().startswith(("SELECT", "WITH")):
+                raise LakehouseError("EXPLAIN supports SELECT statements")
+            return self._select(s)
         if head == "CREATE":
             if re.match(r"CREATE\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
                 return self._create_matview(s)
@@ -459,7 +472,26 @@ class LakeSQL:
             return None
         return tbl.merge(source, **kwargs)
 
+    _ON_CONFLICT = re.compile(
+        rf"\s+ON\s+CONFLICT\s*\(([^)]*)\)\s+DO\s+"
+        rf"(NOTHING|UPDATE\s+SET\s+(.*))$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     def _insert(self, s: str) -> Snapshot:
+        # PG upsert: INSERT ... ON CONFLICT (k) DO NOTHING|UPDATE SET —
+        # peeled off here, executed as a keyed MERGE after binding
+        conflict = None
+        cm = self._ON_CONFLICT.search(s)
+        if cm:
+            keys = [c.strip() for c in cm.group(1).split(",") if c.strip()]
+            action = cm.group(2).strip().upper()
+            conflict = (
+                (keys, "nothing", None)
+                if action == "NOTHING"
+                else (keys, "update", cm.group(3))
+            )
+            s = s[: cm.start()].rstrip()
         m = re.match(
             rf"INSERT\s+INTO\s+{_TBL}(?:@({_IDENT}))?\s*(\([^)]*\))?\s*(.+)$",
             s,
@@ -519,7 +551,7 @@ class LakeSQL:
                     for f in fields
                 ]
             )
-            return self._apply_insert(tbl, bound)
+            return self._finish_insert(tbl, bound, conflict)
         # bind by position and cast to the table schema (VALUES literals
         # infer narrow types: int, decimal)
         if len(df.columns) != len(fields):
@@ -530,7 +562,42 @@ class LakeSQL:
         bound = df.toDF(*[f.name for f in fields]).select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
         )
-        return self._apply_insert(tbl, bound)
+        return self._finish_insert(tbl, bound, conflict)
+
+    def _finish_insert(self, tbl: LakeTable, df: DataFrame, conflict):
+        """Plain append, or the PG upsert path: ON CONFLICT maps to a
+        keyed MERGE — DO NOTHING inserts only unmatched keys, DO UPDATE
+        updates matched rows (``excluded.col`` = the incoming row, PG's
+        own alias) and inserts the rest. One merge, O(matches) on a
+        merge-on-read table."""
+        if conflict is None:
+            return self._apply_insert(tbl, df)
+        keys, action, sets = conflict
+        known = {f.name for f in tbl.schema().fields}
+        bad = [k for k in keys if k not in known]
+        if bad:
+            raise LakehouseError(f"ON CONFLICT column(s) not in table: {bad}")
+        if action == "nothing":
+            return self._apply_merge(
+                tbl, df, on=keys, when_not_matched_insert=True
+            )
+        assignments = {}
+        for kv in _split_top_level(sets):
+            k, _, v = kv.partition("=")
+            expr = re.sub(
+                rf"\bexcluded\.({_IDENT})",
+                r"__src.\1",
+                v.strip(),
+                flags=re.IGNORECASE,
+            )
+            assignments[k.strip()] = F.expr(expr)
+        return self._apply_merge(
+            tbl,
+            df,
+            on=keys,
+            when_matched_update=assignments,
+            when_not_matched_insert=True,
+        )
 
     def _delete(self, s: str) -> Snapshot:
         m = re.match(

@@ -505,3 +505,46 @@ def test_sql_view_cycle_detected(lsql, spark):
     )
     with pytest.raises(LakehouseError, match="circular view reference"):
         lsql.sql("SELECT * FROM db.v1")
+
+
+def test_sql_insert_on_conflict(lsql):
+    """PG upsert surface: ON CONFLICT (k) DO NOTHING inserts only new
+    keys; DO UPDATE SET with the `excluded` alias updates collisions
+    and inserts the rest — both as one keyed MERGE."""
+    lsql.sql("CREATE TABLE db.kv (k BIGINT, v STRING, n BIGINT)")
+    lsql.sql("INSERT INTO db.kv VALUES (1, 'a', 1), (2, 'b', 1)")
+    # DO NOTHING: k=2 collision dropped, k=3 inserted
+    lsql.sql(
+        "INSERT INTO db.kv VALUES (2, 'B', 9), (3, 'c', 1) "
+        "ON CONFLICT (k) DO NOTHING"
+    )
+    assert {(r.k, r.v, r.n) for r in lsql.sql(
+        "SELECT * FROM db.kv"
+    ).collect()} == {(1, "a", 1), (2, "b", 1), (3, "c", 1)}
+    # DO UPDATE: excluded.* is the incoming row; target cols unqualified
+    lsql.sql(
+        "INSERT INTO db.kv VALUES (3, 'C', 7), (4, 'd', 1) "
+        "ON CONFLICT (k) DO UPDATE SET v = excluded.v, n = n + 1"
+    )
+    assert {(r.k, r.v, r.n) for r in lsql.sql(
+        "SELECT * FROM db.kv"
+    ).collect()} == {(1, "a", 1), (2, "b", 1), (3, "C", 2), (4, "d", 1)}
+    with pytest.raises(LakehouseError, match="not in table"):
+        lsql.sql(
+            "INSERT INTO db.kv VALUES (9, 'x', 0) "
+            "ON CONFLICT (nope) DO NOTHING"
+        )
+
+
+def test_sql_explain(lsql):
+    lsql.sql("CREATE TABLE db.ex (k BIGINT, v DOUBLE)")
+    lsql.sql("INSERT INTO db.ex VALUES (1, 1.5)")
+    out = lsql.sql("EXPLAIN SELECT k, sum(v) FROM db.ex GROUP BY k")
+    text = "\n".join(r[0] for r in out.collect())
+    assert "Physical Plan" in text or "Aggregate" in text
+    out = lsql.sql(
+        "EXPLAIN FORMATTED SELECT k FROM db.ex WHERE k = 1"
+    )
+    assert out.count() >= 1
+    with pytest.raises(LakehouseError, match="EXPLAIN supports SELECT"):
+        lsql.sql("EXPLAIN DELETE FROM db.ex WHERE k = 1")
