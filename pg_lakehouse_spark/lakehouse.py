@@ -848,6 +848,71 @@ class LakeTable:
             delete_files=snap.delete_files,
         )
 
+    # -- CHECK constraints (PG table-constraint parity; the reference's
+    # users write them in plain PG DDL. Enforcement is Delta-style:
+    # an inline guard expression in every data-file write, so a
+    # violating row fails the write job — no extra validation scan on
+    # the hot path).
+
+    def check_constraints(self) -> dict[str, str]:
+        """Active constraints: name -> boolean SQL expression."""
+        raw = self.snapshot().properties.get("check_constraints", "{}")
+        return json.loads(raw)
+
+    def add_check_constraint(
+        self, name: str, expr: str, validate: bool = True
+    ) -> Snapshot:
+        """ADD CONSTRAINT name CHECK (expr). PG semantics: a row
+        violates only when the expression is FALSE (NULL passes).
+        ``validate`` scans existing rows once (PG's default ALTER
+        behavior; cost ∝ table, run it off-peak at scale or pass
+        False ≙ PG NOT VALID)."""
+        checks = self.check_constraints()
+        if name in checks:
+            raise LakehouseError(f"constraint {name!r} already exists")
+        if validate:
+            bad = (
+                self.read()
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise LakehouseError(
+                    f"cannot add CHECK {name!r}: existing rows violate "
+                    f"({expr})"
+                )
+        checks[name] = expr
+        return self.set_properties({"check_constraints": json.dumps(checks)})
+
+    def drop_check_constraint(self, name: str) -> Snapshot:
+        checks = self.check_constraints()
+        if name not in checks:
+            raise LakehouseError(f"no such constraint: {name!r}")
+        del checks[name]
+        return self.set_properties({"check_constraints": json.dumps(checks)})
+
+    def _apply_check_guards(self, df: DataFrame) -> DataFrame:
+        """Wrap the first output column so any row failing a CHECK
+        raises inside the write job (CASE branches evaluate lazily —
+        zero cost for passing rows, stays in codegen). Applied only to
+        full-schema row writes; key-only frames (MoR delete files)
+        don't carry the data columns constraints reference."""
+        checks = self.check_constraints()
+        if not checks or not set(self.schema().fieldNames()) <= set(df.columns):
+            return df
+        c0 = df.columns[0]
+        t0 = df.schema[c0].dataType
+        guarded = F.col(c0)
+        for name, expr in sorted(checks.items()):
+            guarded = F.when(
+                ~F.coalesce(F.expr(expr), F.lit(True)),
+                F.raise_error(
+                    F.lit(f"CHECK constraint {name} violated: ({expr})")
+                ).cast(t0),
+            ).otherwise(guarded)
+        return df.withColumn(c0, guarded.alias(c0))
+
     def set_partition_spec(self, partition_by: list[str]) -> Snapshot:
         """PARTITION EVOLUTION (Iceberg ALTER TABLE ... WRITE ORDERED/
         PARTITIONED BY analog; the reference lists partition pruning as
@@ -900,6 +965,7 @@ class LakeTable:
             self.location, f"_staging-{snapshot_hint}-{uuid.uuid4().hex[:8]}"
         )
         fmt = self.file_format()
+        df = self._apply_check_guards(df)
         part_cols = []
         for s in partition_by or []:
             src, derived, fn = _partition_field(s)

@@ -437,12 +437,49 @@ class LakeSQL:
             am = re.match(r"DROP\s+COLUMN\s+([\w.]+)$", action, re.IGNORECASE)
             return tbl.drop_column(am.group(1))
         if au.startswith("ALTER COLUMN"):
+            nm = re.match(
+                r"ALTER\s+COLUMN\s+([\w.]+)\s+(SET|DROP)\s+NOT\s+NULL$",
+                action,
+                re.IGNORECASE,
+            )
+            if nm:
+                col, verb = nm.group(1), nm.group(2).upper()
+                cname = f"notnull_{col.replace('.', '_')}"
+                if verb == "SET":
+                    return tbl.add_check_constraint(
+                        cname, f"{col} IS NOT NULL"
+                    )
+                return tbl.drop_check_constraint(cname)
             am = re.match(
                 r"ALTER\s+COLUMN\s+([\w.]+)\s+TYPE\s+(.+)$",
                 action,
                 re.IGNORECASE,
             )
             return tbl.widen_column(am.group(1), am.group(2))
+        if au.startswith("ADD CONSTRAINT"):
+            am = re.match(
+                rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)"
+                r"(\s+NOT\s+VALID)?$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not am:
+                raise LakehouseError(
+                    f"cannot parse ADD CONSTRAINT: {action[:80]!r}"
+                )
+            return tbl.add_check_constraint(
+                am.group(1), am.group(2).strip(),
+                validate=not am.group(3),
+            )
+        if au.startswith("DROP CONSTRAINT"):
+            am = re.match(
+                rf"DROP\s+CONSTRAINT\s+({_IDENT})$", action, re.IGNORECASE
+            )
+            if not am:
+                raise LakehouseError(
+                    f"cannot parse DROP CONSTRAINT: {action[:80]!r}"
+                )
+            return tbl.drop_check_constraint(am.group(1))
         raise LakehouseError(f"unsupported ALTER TABLE action: {action[:60]!r}")
 
     # -- DML ---------------------------------------------------------------

@@ -2180,3 +2180,41 @@ def test_partition_scoped_compaction(catalog, orders_df, spark):
     ]
     assert all(f["path"] not in before for f in in_scope_after)
     assert len(in_scope_after) < 3
+
+
+def test_check_constraints_enforced(spark, tmp_path):
+    """PG CHECK parity, Delta-style enforcement: the guard rides
+    inside the write job (no pre-scan); violations fail append, CoW
+    update postimages, and merge inserts; NULL passes (PG rule);
+    existing-row validation gates ADD CONSTRAINT; NOT VALID skips it."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog, LakehouseError
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_chk"))
+    tbl = cat.create_table(
+        "db", "t_chk", spark.createDataFrame([(1, 10.0)], "k long, v double").schema
+    )
+    tbl.append(spark.createDataFrame([(1, 10.0), (2, None)], "k long, v double"))
+    tbl.add_check_constraint("v_pos", "v > 0")
+    assert tbl.check_constraints() == {"v_pos": "v > 0"}
+    # NULL passes (PG), positive passes
+    tbl.append(spark.createDataFrame([(3, 5.0), (4, None)], "k long, v double"))
+    # violation fails the write job and nothing commits
+    ver = tbl.current_version()
+    with pytest.raises(Exception, match="v_pos"):
+        tbl.append(spark.createDataFrame([(5, -1.0)], "k long, v double"))
+    assert tbl.current_version() == ver
+    # CoW UPDATE rewriting rows must also respect the guard
+    with pytest.raises(Exception, match="v_pos"):
+        tbl.update(F.col("k") == 1, {"v": F.lit(-9.0)})
+    assert tbl.read().filter("k = 1").collect()[0].v == 10.0
+    # a valid update passes
+    tbl.update(F.col("k") == 1, {"v": F.lit(99.0)})
+    # add-time validation: existing NULLs pass v > 0, but k < 4 fails
+    with pytest.raises(LakehouseError, match="existing rows violate"):
+        tbl.add_check_constraint("k_small", "k < 4")
+    tbl.add_check_constraint("k_small", "k < 4", validate=False)
+    tbl.drop_check_constraint("k_small")
+    with pytest.raises(LakehouseError, match="no such constraint"):
+        tbl.drop_check_constraint("k_small")
+    # constraints survive in properties across commits
+    assert tbl.check_constraints() == {"v_pos": "v > 0"}

@@ -548,3 +548,28 @@ def test_sql_explain(lsql):
     assert out.count() >= 1
     with pytest.raises(LakehouseError, match="EXPLAIN supports SELECT"):
         lsql.sql("EXPLAIN DELETE FROM db.ex WHERE k = 1")
+
+
+def test_sql_constraints(lsql):
+    """ALTER TABLE ADD CONSTRAINT ... CHECK / DROP CONSTRAINT and the
+    NOT NULL column forms, enforced through SQL DML."""
+    lsql.sql("CREATE TABLE db.c (k BIGINT, v DOUBLE)")
+    lsql.sql("INSERT INTO db.c VALUES (1, 1.0)")
+    lsql.sql("ALTER TABLE db.c ADD CONSTRAINT v_pos CHECK (v > 0)")
+    with pytest.raises(Exception, match="v_pos"):
+        lsql.sql("INSERT INTO db.c VALUES (2, -5.0)")
+    lsql.sql("INSERT INTO db.c VALUES (2, 5.0)")
+    lsql.sql("ALTER TABLE db.c ALTER COLUMN v SET NOT NULL")
+    with pytest.raises(Exception, match="notnull_v"):
+        lsql.sql("INSERT INTO db.c VALUES (3, NULL)")
+    lsql.sql("ALTER TABLE db.c ALTER COLUMN v DROP NOT NULL")
+    lsql.sql("INSERT INTO db.c VALUES (3, NULL)")
+    lsql.sql("ALTER TABLE db.c DROP CONSTRAINT v_pos")
+    lsql.sql("INSERT INTO db.c VALUES (4, -1.0)")
+    assert lsql.sql("SELECT * FROM db.c").count() == 4
+    # NOT VALID skips existing-row validation (PG)
+    lsql.sql(
+        "ALTER TABLE db.c ADD CONSTRAINT v_pos2 CHECK (v > 0) NOT VALID"
+    )
+    with pytest.raises(LakehouseError, match="existing rows violate"):
+        lsql.sql("ALTER TABLE db.c ADD CONSTRAINT v_pos3 CHECK (v > 0)")
