@@ -1,0 +1,103 @@
+"""Streaming consumption of a lake table's change feed.
+
+``stream_changes`` turns a LakeTable into a CDC *source*: the
+Structured Streaming file source tails the table's metadata directory
+(one tiny JSON lands per commit — the snapshot pointer swap is the
+only signal needed), and each micro-batch expands its newly-seen
+snapshots into row-level changes via :meth:`LakeTable.read_changes`
+— the same distributed read as the batch changelog, so the per-batch
+cost is O(changed rows), never a table scan. Offsets/progress live in
+the stream checkpoint: restart resumes exactly after the last
+processed commit (the standard file-source exactly-once contract;
+``apply_fn`` should be idempotent per batch for crash-between-apply-
+and-checkpoint replays, e.g. MERGE into a lake table keyed on the
+change key).
+
+This is the Delta ``readStream`` + ``readChangeFeed`` shape rebuilt
+on the engine's own snapshot layout. DML commits need the table's
+``change_data_feed`` property on (as in batch ``read_changes``);
+appends/overwrites stream without it.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pg_lakehouse_spark.lakehouse import LakeTable
+
+_VERSION_RE = re.compile(r"v(\d+)\.metadata\.json$")
+
+
+def _batch_versions(batch_df: DataFrame) -> list[int]:
+    """Snapshot versions newly delivered in this micro-batch (from the
+    metadata file names; content is irrelevant here)."""
+    files = [
+        r.f
+        for r in batch_df.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    ]
+    out = []
+    for f in files:
+        m = _VERSION_RE.search(f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def stream_changes(
+    table: LakeTable,
+    apply_fn,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+    query_name: str = "lake_cdc_stream",
+) -> StreamingQuery:
+    """Start a streaming query invoking ``apply_fn(changes_df,
+    batch_id)`` for every new commit's row-level changes.
+
+    ``changes_df`` carries the table columns plus ``_change_type`` and
+    ``_commit_version`` (exactly the batch ``read_changes`` schema),
+    covering every newly-committed snapshot on the table's current ref
+    in this batch — commits from other branches are ignored until a
+    fast-forward publishes them (at which point the publish itself is
+    not a new snapshot; the branch's commits enter the ancestry and
+    are picked up as unseen metadata files if not yet processed).
+    """
+    spark = table.spark
+
+    def expand_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _batch_versions(batch_df)
+        if not versions:
+            return
+        on_ref = set(table._ancestry(table.current_version()))
+        parts = []
+        for v in sorted(versions):
+            if v not in on_ref:
+                continue  # other branch / expired
+            parent = table.snapshot(v).parent or 0
+            parts.append(table.read_changes(parent, v))
+        if not parts:
+            return
+        changes = parts[0]
+        for p in parts[1:]:
+            changes = changes.unionByName(p)
+        apply_fn(changes, batch_id)
+
+    src = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "v*.metadata.json")
+        .load(table.meta_dir)
+    )
+    writer = (
+        src.writeStream.foreachBatch(expand_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

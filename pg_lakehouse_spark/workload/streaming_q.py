@@ -227,3 +227,83 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "weighted_c",
     )
+
+
+@register(
+    "stream_cdc_pipeline",
+    oracle="""
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 2, 2)
+            ELSE round(o_totalprice, 2) END AS price
+FROM orders
+WHERE o_orderkey <= 600 AND o_orderkey % 5 != 0
+""",
+    tags=("streaming", "cdc-source"),
+)
+def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC replication over the streaming change-feed
+    source: DML lands on a source lake table (insert + update +
+    delete), `stream_changes` tails its commit log and MERGEs each
+    batch's row-level changes into a replica — the replica must equal
+    the net effect of the DML sequence (the oracle states it
+    directly). Cost per batch is O(changed rows) on both sides."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.streaming.cdc import stream_changes
+    from pg_lakehouse_spark.workload.lake_q import _scratch_catalog
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    cat = _scratch_catalog(spark, sf_dir, "cdc_pipeline")
+    src = cat.create_table(
+        "db", "cdc_src", orders.schema,
+        properties={"change_data_feed": "on", "row_key": "k",
+                    "write_delete_mode": "merge-on-read"},
+    )
+    src.append(orders.filter(F.col("k") <= 600))
+    src.update(F.col("k") % 7 == 0, {"price": F.round(F.col("price") * 2, 2)})
+    src.delete(F.col("k") % 5 == 0)
+
+    target = cat.create_table("db", "cdc_replica", orders.schema)
+
+    def apply_changes(changes, batch_id):
+        # fold each batch to the final image per key (a key may change
+        # several times across the batch's commits), then one MERGE
+        last = (
+            changes.filter(F.col("_change_type") != "update_preimage")
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("k").orderBy(
+                        F.col("_commit_version").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+        )
+        dels = last.filter(F.col("_change_type") == "delete").select("k", "price")
+        ups = last.filter(F.col("_change_type") != "delete").select("k", "price")
+        if not dels.isEmpty():
+            target.merge(
+                dels, on=["k"], when_matched_delete=True,
+                when_not_matched_insert=False,
+            )
+        if not ups.isEmpty():
+            target.merge(
+                ups, on=["k"],
+                when_matched_update={"price": F.col("__src.price")},
+                when_not_matched_insert=True,
+            )
+
+    ckpt = _os.path.join(cat.warehouse, "_cdc_ckpt")
+    q = stream_changes(src, apply_changes, ckpt, trigger_once=True)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    return target.read().select("k", "price")

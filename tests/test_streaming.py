@@ -678,3 +678,53 @@ def test_stream_into_branch_then_publish(spark, sf_dir, tmp_path):
     assert staged.filter(F.col("ts").isNull()).count() == 0
     tbl.fast_forward("ingest")
     assert tbl.read().count() == ev.count()
+
+
+def test_stream_changes_cdc_source(spark, tmp_path):
+    """Streaming the change feed: each commit's row-level changes
+    arrive exactly once across restarts; DML emits pre/post images;
+    a second run delivers only commits made after the first."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.streaming.cdc import stream_changes
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_cdcsrc"))
+    tbl = cat.create_table(
+        "db",
+        "cdc_src_t",
+        spark.createDataFrame([(1, "a")], "k long, v string").schema,
+        properties={"change_data_feed": "on"},
+    )
+    tbl.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    tbl.update(F.col("k") == 1, {"v": F.lit("a2")})
+
+    got: list = []
+
+    def collect_changes(df, batch_id):
+        got.extend(
+            (r.k, r.v, r._change_type, r._commit_version) for r in df.collect()
+        )
+
+    def run():
+        q = stream_changes(
+            tbl, collect_changes, str(tmp_path / "ckpt_cdcsrc"),
+            trigger_once=True,
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run()
+    types = {(r[0], r[2]) for r in got}
+    assert (1, "insert") in types and (2, "insert") in types
+    assert (1, "update_preimage") in types and (1, "update_postimage") in types
+    first_count = len(got)
+    # new commits after the first run: only the delta is delivered
+    tbl.delete(F.col("k") == 2)
+    run()
+    new = got[first_count:]
+    assert {(r[0], r[2]) for r in new} == {(2, "delete")}
+    # re-run with no new commits: nothing re-delivered
+    n = len(got)
+    run()
+    assert len(got) == n
