@@ -37,6 +37,16 @@ a reference user can keep their SQL:
   [IF EXISTS] ns.v``, ``SHOW VIEWS [IN ns]`` — PG views: stored SQL
   text validated at CREATE, macro-expanded (recursively, with cycle
   detection) wherever ``ns.v`` appears in a SELECT
+- ``INSERT ... ON CONFLICT (k) DO NOTHING | DO UPDATE SET ...`` — PG
+  upsert, executed as one keyed MERGE (``excluded`` = incoming row)
+- ``ALTER TABLE ns.t ADD CONSTRAINT c CHECK (expr) [NOT VALID] |
+  DROP CONSTRAINT c | ALTER COLUMN a SET/DROP NOT NULL`` — write-time
+  enforced constraints (PG NULL-passes CHECK semantics)
+- ``EXPLAIN [EXTENDED|FORMATTED] <select>`` — Catalyst plan with lake
+  refs bound
+- ``COPY ns.t | (<select>) TO 'path' [(FORMAT fmt, ...)]`` and
+  ``COPY ns.t FROM 'path' [(FORMAT fmt, ...)]`` — PG bulk I/O over
+  the parquet/orc/avro/csv/json sources
 
 Statement routing is keyword-based; expressions inside (predicates,
 SET clauses, the SELECT body) are handed to Spark's own parser via
@@ -176,6 +186,8 @@ class LakeSQL:
             return self._optimize(s)
         if head == "ANALYZE":
             return self._analyze(s)
+        if head == "COPY":
+            return self._copy(s)
         if head == "SHOW":
             return self._show(s)
         if head == "DESCRIBE":
@@ -923,6 +935,71 @@ class LakeSQL:
             )
         sns, sname = src_ref.split(".", 1)
         return _rollup.refresh_rollup(self.catalog.load_table(sns, sname), mv)
+
+    _COPY_OPTS = re.compile(
+        r"\s*(?:WITH\s*)?\(\s*(.*?)\s*\)\s*$", re.IGNORECASE | re.DOTALL
+    )
+
+    def _copy(self, s: str):
+        """PG bulk I/O: ``COPY ns.t | (SELECT ...) TO 'path' [(FORMAT
+        fmt, ...)]`` exports via the format sinks; ``COPY ns.t FROM
+        'path' [(FORMAT fmt, ...)]`` appends files into the lake table
+        (cast by position to the table schema, like PG COPY). FORMAT ∈
+        parquet|orc|avro|csv|json (PG's text/binary become csv/parquet
+        in a lakehouse); remaining options pass through to the
+        reader/writer (e.g. header, delimiter)."""
+        from pg_lakehouse_spark import sources
+
+        def parse_opts(tail: str) -> dict:
+            m = self._COPY_OPTS.search(tail)
+            opts = {}
+            if m:
+                for kv in _split_top_level(m.group(1)):
+                    if not kv.strip():
+                        continue
+                    k, _, v = kv.replace("=", " ").partition(" ")
+                    opts[k.strip().lower()] = v.strip().strip("'\"")
+            return opts
+
+        m = re.match(
+            rf"COPY\s+(\(.*\)|{_TBL})\s+TO\s+'([^']+)'(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            src_ref, path, tail = m.group(1), m.group(4), m.group(5)
+            opts = parse_opts(tail)
+            fmt = opts.pop("format", "parquet").lower()
+            mode = opts.pop("mode", "error")
+            df = (
+                self._select(src_ref[1:-1].strip())
+                if src_ref.startswith("(")
+                else self._load(m.group(2), m.group(3)).read()
+            )
+            sources.write(df, path, fmt=fmt, mode=mode, **opts)
+            return None
+        m = re.match(
+            rf"COPY\s+{_TBL}\s+FROM\s+'([^']+)'(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            ns, name, path, tail = m.groups()
+            opts = parse_opts(tail)
+            fmt = opts.pop("format", "parquet").lower()
+            tbl = self._load(ns, name)
+            df = sources.read(self.spark, path, fmt=fmt, **opts)
+            fields = tbl.schema().fields
+            if len(df.columns) != len(fields):
+                raise LakehouseError(
+                    f"COPY FROM arity mismatch: table has {len(fields)} "
+                    f"columns, files have {len(df.columns)}"
+                )
+            bound = df.toDF(*[f.name for f in fields]).select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
+            )
+            return self._apply_insert(tbl, bound)
+        raise LakehouseError(f"cannot parse COPY: {s[:80]!r}")
 
     def _show(self, s: str) -> DataFrame:
         m = re.match(

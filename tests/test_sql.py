@@ -573,3 +573,33 @@ def test_sql_constraints(lsql):
     )
     with pytest.raises(LakehouseError, match="existing rows violate"):
         lsql.sql("ALTER TABLE db.c ADD CONSTRAINT v_pos3 CHECK (v > 0)")
+
+
+def test_sql_copy_to_from(lsql, tmp_path):
+    """PG COPY parity: table and query exports to parquet/csv, and
+    COPY FROM appends files into a lake table with positional casts."""
+    lsql.sql("CREATE TABLE db.src (k BIGINT, v DOUBLE)")
+    lsql.sql("INSERT INTO db.src VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    out_pq = str(tmp_path / "exp_pq")
+    lsql.sql(f"COPY db.src TO '{out_pq}'")
+    out_csv = str(tmp_path / "exp_csv")
+    lsql.sql(
+        f"COPY (SELECT k, v * 10 AS v10 FROM db.src WHERE k <= 2) "
+        f"TO '{out_csv}' (FORMAT csv, HEADER true)"
+    )
+    lsql.sql("CREATE TABLE db.dst (key BIGINT, val DOUBLE)")
+    lsql.sql(f"COPY db.dst FROM '{out_pq}'")
+    assert {(r.key, r.val) for r in lsql.sql(
+        "SELECT * FROM db.dst"
+    ).collect()} == {(1, 1.5), (2, 2.5), (3, 3.5)}
+    # csv round-trip with options
+    lsql.sql("CREATE TABLE db.dst2 (key BIGINT, tens DOUBLE)")
+    lsql.sql(
+        f"COPY db.dst2 FROM '{out_csv}' (FORMAT csv, HEADER true)"
+    )
+    assert {(r.key, r.tens) for r in lsql.sql(
+        "SELECT * FROM db.dst2"
+    ).collect()} == {(1, 15.0), (2, 25.0)}
+    with pytest.raises(LakehouseError, match="arity mismatch"):
+        lsql.sql("CREATE TABLE db.dst3 (only BIGINT)")
+        lsql.sql(f"COPY db.dst3 FROM '{out_pq}'")
