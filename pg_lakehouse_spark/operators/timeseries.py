@@ -1,0 +1,124 @@
+"""Time-series regularization: gap-filling and interpolation.
+
+The hypertable-rollup companion (Timescale ``time_bucket_gapfill`` /
+``locf`` / ``interpolate`` shape): a bucketed series (one row per
+(series, bucket), e.g. a tumbling-window aggregate) becomes a DENSE
+series — every bucket in the query range exists for every series —
+with configurable fills per metric.
+
+Scale posture: the bucket grid is ``distinct series × sequence(min,
+max)`` — metadata-sized relative to the fact table (series count ×
+range/step), built with one two-row-aggregate broadcast and one
+explode, never a driver loop. Fills are per-series ordered windows:
+one shuffle on the series key. No reference citation — the reference
+has no time-series surface; this extends the Tier-C north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fill_gaps(
+    df: DataFrame,
+    time_col: str,
+    step: str,
+    series_cols: list[str],
+    fills: dict[str, str],
+) -> DataFrame:
+    """Densify a bucketed time series and fill the holes.
+
+    ``df`` has one row per (series, bucket); ``step`` is an INTERVAL
+    literal body (e.g. ``'1 hour'``) matching the bucketing stride.
+    ``fills`` maps metric column -> strategy:
+
+    - ``'zero'``   — 0 for missing buckets (counts/sums)
+    - ``'locf'``   — last observation carried forward (gauges)
+    - ``'linear'`` — linear interpolation between the neighboring
+      observations; edges fall back to the nearest observation
+    - ``'null'``   — leave missing (grid row only)
+
+    The grid spans the GLOBAL [min, max] bucket range (Timescale's
+    gapfill-over-query-range semantics) for every series observed.
+    Adds ``is_gap`` marking synthesized rows.
+    """
+    bad = [c for c in fills if c not in df.columns]
+    if bad:
+        raise ValueError(f"fill column(s) not in frame: {bad}")
+    step_expr = f"INTERVAL {step}"
+    bounds = df.agg(
+        F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+    )
+    series = df.select(*series_cols).distinct()
+    grid = (
+        series.crossJoin(F.broadcast(bounds))
+        .select(
+            *series_cols,
+            F.explode(
+                F.sequence(
+                    F.col("__lo"), F.col("__hi"), F.expr(step_expr)
+                )
+            ).alias(time_col),
+        )
+    )
+    joined = grid.join(
+        df.withColumn("__obs", F.lit(True)),
+        on=[*series_cols, time_col],
+        how="left",
+    )
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    out = joined
+    ts_num = F.col(time_col).cast("double")
+    for col, how in fills.items():
+        c = F.col(col)
+        if how == "zero":
+            out = out.withColumn(col, F.coalesce(c, F.lit(0)))
+        elif how == "locf":
+            out = out.withColumn(col, F.last(c, ignorenulls=True).over(back))
+        elif how == "linear":
+            prev_v = F.last(c, ignorenulls=True).over(back)
+            next_v = F.first(c, ignorenulls=True).over(fwd)
+            prev_t = F.last(
+                F.when(c.isNotNull(), ts_num), ignorenulls=True
+            ).over(back)
+            next_t = F.first(
+                F.when(c.isNotNull(), ts_num), ignorenulls=True
+            ).over(fwd)
+            interp = prev_v + (next_v - prev_v) * (ts_num - prev_t) / (
+                next_t - prev_t
+            )
+            out = out.withColumn(
+                col,
+                F.when(c.isNotNull(), c)
+                .when(prev_v.isNull(), next_v)
+                .when(next_v.isNull(), prev_v)
+                .otherwise(interp),
+            )
+        elif how == "null":
+            pass
+        else:
+            raise ValueError(
+                f"unknown fill {how!r} for {col!r}; expected "
+                "zero|locf|linear|null"
+            )
+    return out.withColumn(
+        "is_gap", F.col("__obs").isNull()
+    ).drop("__obs")
+
+
+def delta_per_series(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    series_cols: list[str],
+    out_col: str = "delta",
+) -> Column | DataFrame:
+    """Per-series first difference (counter deltas): value - lag(value)
+    ordered by time. One window shuffle on the series key."""
+    w = Window.partitionBy(*series_cols).orderBy(time_col)
+    return df.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col).over(w)
+    )

@@ -307,3 +307,63 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return target.read().select("k", "price")
+
+
+@register(
+    "ts_gapfill_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_e2
+  FROM events GROUP BY 1, 2
+), thin AS (
+  SELECT * FROM hourly WHERE n_events >= 3
+), bounds AS (
+  SELECT min(bucket) AS lo, max(bucket) AS hi FROM thin
+), grid AS (
+  SELECT s.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM thin) s
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    FROM bounds
+  ) g
+), j AS (
+  SELECT grid.event_type, grid.bucket, thin.n_events, thin.sum_e2
+  FROM grid LEFT JOIN thin USING (event_type, bucket)
+)
+SELECT epoch_us(bucket) AS bucket_us, event_type,
+       COALESCE(n_events, 0) AS n_events,
+       last_value(sum_e2 IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS sum_e2,
+       n_events IS NULL AS is_gap
+FROM j
+""",
+    tags=("timeseries", "gapfill"),
+)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled dense hourly series (Timescale time_bucket_gapfill
+    analog): sparse (series, bucket) rows densify onto the global
+    bucket grid; counts zero-fill, the gauge metric carries forward
+    (LOCF). Sum runs on the cent grid so both engines are exact."""
+    from pg_lakehouse_spark.operators.timeseries import fill_gaps
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_e2"),
+    )
+    thin = hourly.filter(F.col("n_events") >= 3)
+    filled = fill_gaps(
+        thin, "bucket", "1 HOUR", ["event_type"],
+        {"n_events": "zero", "sum_e2": "locf"},
+    )
+    return filled.select(
+        epoch_us(F.col("bucket")).alias("bucket_us"),
+        "event_type", "n_events", "sum_e2", "is_gap",
+    )

@@ -129,3 +129,50 @@ def test_range_join_modes(spark):
         spark.createDataFrame([(99,)], "v long"), ranges, "v", "lo", "hi", how="left"
     ).collect()
     assert len(outer) == 1 and outer[0]["name"] is None
+
+
+def test_fill_gaps_strategies(spark):
+    """Gap-fill semantics per strategy: zero, locf, linear (interior
+    interpolation + edge fallback), null; is_gap marks synthesized
+    rows; every series densifies onto the global grid."""
+    from pg_lakehouse_spark.operators.timeseries import (
+        delta_per_series,
+        fill_gaps,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 10, 100.0),
+        ("a", "2024-01-01 03:00:00", 40, 400.0),
+        ("b", "2024-01-01 01:00:00", 7, 70.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, t string, n long, g double"
+    ).withColumn("t", F.to_timestamp("t"))
+    out = fill_gaps(
+        df, "t", "1 HOUR", ["s"],
+        {"n": "zero", "g": "linear"},
+    ).orderBy("s", "t")
+    got = [
+        (r.s, r.t.hour, r.n, r.g, r.is_gap) for r in out.collect()
+    ]
+    # grid is global 00:00..03:00 for BOTH series
+    assert [(g[0], g[1]) for g in got] == [
+        ("a", 0), ("a", 1), ("a", 2), ("a", 3),
+        ("b", 0), ("b", 1), ("b", 2), ("b", 3),
+    ]
+    a = [g for g in got if g[0] == "a"]
+    assert [g[2] for g in a] == [10, 0, 0, 40]          # zero fill
+    assert [g[3] for g in a] == [100.0, 200.0, 300.0, 400.0]  # linear
+    assert [g[4] for g in a] == [False, True, True, False]
+    b = [g for g in got if g[0] == "b"]
+    # edges: before first obs -> next value; after last -> prev value
+    assert [g[3] for g in b] == [70.0, 70.0, 70.0, 70.0]
+    assert [g[2] for g in b] == [0, 7, 0, 0]
+    # unknown strategy rejected; unknown column rejected
+    with pytest.raises(ValueError, match="unknown fill"):
+        fill_gaps(df, "t", "1 HOUR", ["s"], {"n": "wat"})
+    with pytest.raises(ValueError, match="not in frame"):
+        fill_gaps(df, "t", "1 HOUR", ["s"], {"nope": "zero"})
+    # counter deltas
+    d = delta_per_series(df, "t", "n", ["s"]).orderBy("s", "t").collect()
+    assert [r.delta for r in d] == [None, 30, None]
