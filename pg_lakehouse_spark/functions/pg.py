@@ -108,6 +108,78 @@ def string_agg(col: Column, delim: str, order: list[Column] | None = None) -> Co
     return F.array_join(F.transform(items, lambda s: s.getField("__v")), delim)
 
 
+def array_agg(col: Column, order: list[Column] | None = None) -> Column:
+    """PG array_agg with deterministic ORDER BY (same bounded-group
+    rule as string_agg)."""
+    items = F.array_sort(
+        F.collect_list(F.struct(*(order or [col]), col.alias("__v")))
+    )
+    return F.transform(items, lambda s: s.getField("__v"))
+
+
+def width_bucket(
+    col: Column, lo: float, hi: float, n: int
+) -> Column:
+    """PG width_bucket(operand, low, high, count): equal-width
+    histogram bucket, 1-based; 0 below range, count+1 at/above high.
+    Pure expression — codegen-able, the building block for histogram
+    aggregations at any scale."""
+    width = (hi - lo) / n
+    return (
+        F.when(col < lo, F.lit(0))
+        .when(col >= hi, F.lit(n + 1))
+        .otherwise(F.floor((col - F.lit(lo)) / F.lit(width)) + 1)
+        .cast("long")
+    )
+
+
+def percentile_cont(col: Column, q: float) -> Column:
+    """PG percentile_cont(q) WITHIN GROUP — exact continuous
+    percentile (linear interpolation), Spark's exact `percentile`."""
+    return F.percentile(col, F.lit(q))
+
+
+def percentile_disc(col: Column, q: float) -> Column:
+    """PG percentile_disc(q): smallest value whose cumulative
+    distribution >= q. Composed from exact percentile over the
+    discrete rank: index = ceil(q * n) in sorted order."""
+    # array_sort(collect_list) is bounded-group only, like PG's own
+    # ordered-set aggregate memory profile
+    arr = F.array_sort(F.collect_list(col))
+    n = F.size(arr)
+    idx = F.greatest(F.ceil(F.lit(q) * n).cast("int"), F.lit(1))
+    return F.get(arr, idx - 1)
+
+
+def btrim(col: Column, chars: str | None = None) -> Column:
+    """PG btrim: strip characters (default whitespace) from both
+    ends — a two-anchor regexp, stays in codegen."""
+    if chars is None:
+        return F.trim(col)
+    esc = "".join("\\" + c if c in r"\^]-[" else c for c in chars)
+    return F.regexp_replace(col, f"^[{esc}]+|[{esc}]+$", "")
+
+
+def quote_ident(col: Column) -> Column:
+    """PG quote_ident: double-quote an identifier, doubling quotes."""
+    return F.concat(
+        F.lit('"'), F.regexp_replace(col, '"', '""'), F.lit('"')
+    )
+
+
+def quote_literal(col: Column) -> Column:
+    """PG quote_literal: single-quote a string, doubling quotes."""
+    return F.concat(
+        F.lit("'"), F.regexp_replace(col, "'", "''"), F.lit("'")
+    )
+
+
+def format_pg(fmt: str, *cols: Column) -> Column:
+    """PG format() for the %s form (its %I/%L forms compose from
+    quote_ident/quote_literal)."""
+    return F.format_string(fmt.replace("%s", "%s"), *cols)
+
+
 def _regex_escape(s: str) -> str:
     out = []
     for ch in s:

@@ -620,3 +620,56 @@ def q_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+@register(
+    "q_pg_function_kit2",
+    oracle="""
+SELECT o_orderstatus,
+       bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT)
+         AS p50_e2,
+       CAST(round(quantile_disc(o_totalprice, 0.5) * 100) AS BIGINT)
+         AS p50d_e2,
+       string_agg(pk_str, ',' ORDER BY pk_str) AS keys_csv
+FROM (
+  SELECT o_orderstatus, o_totalprice,
+         CAST(CASE WHEN o_totalprice < 1000 THEN 0
+              WHEN o_totalprice >= 301000 THEN 11
+              ELSE floor((o_totalprice - 1000) / 30000) + 1 END AS BIGINT)
+           AS bucket,
+         CAST(o_orderkey AS VARCHAR) AS pk_str
+  FROM orders WHERE o_orderkey <= 500
+) b
+GROUP BY o_orderstatus, bucket
+""",
+    tags=("functions-pg-kit",),
+)
+def q_pg_function_kit2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second PG-kit sweep: width_bucket histogramming, exact
+    percentile_cont/disc ordered-set aggregates, and ordered
+    string_agg — all Catalyst expressions (width_bucket is a CASE,
+    the percentiles Spark's exact percentile), so the histogram/
+    quantile pattern runs as one hash aggregate at any scale."""
+    from pg_lakehouse_spark.functions import pg
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    pk_str = F.col("o_orderkey").cast("string")
+    return (
+        orders.withColumn(
+            "bucket", pg.width_bucket(F.col("o_totalprice"), 1000.0, 301000.0, 10)
+        )
+        .withColumn("pk_str", pk_str)
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(pg.percentile_cont(F.col("o_totalprice"), 0.5) * 100)
+            .cast("long")
+            .alias("p50_e2"),
+            F.round(pg.percentile_disc(F.col("o_totalprice"), 0.5) * 100)
+            .cast("long")
+            .alias("p50d_e2"),
+            pg.string_agg(F.col("pk_str"), ",").alias("keys_csv"),
+        )
+    )

@@ -66,3 +66,64 @@ def test_string_agg_deterministic_order(spark):
         .collect()
     }
     assert out == {1: "a,b,c", 2: "z"}
+
+
+def test_width_bucket_edges(spark):
+    from pg_lakehouse_spark.functions import pg
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (9.9,), (10.0,), (42.0,)],
+        "x double",
+    )
+    got = [
+        r.b
+        for r in df.select(
+            pg.width_bucket(F.col("x"), 0.0, 10.0, 2).alias("b")
+        ).collect()
+    ]
+    # PG: below range -> 0, at/above high -> n+1, else 1-based bucket
+    assert got == [0, 1, 1, 2, 2, 3, 3]
+
+
+def test_btrim_quote_format(spark):
+    from pg_lakehouse_spark.functions import pg
+
+    df = spark.createDataFrame([("xxhello worldxy", 'a"b', "it's")], "s string, i string, l string")
+    r = df.select(
+        pg.btrim(F.col("s"), "xy").alias("t"),
+        pg.btrim(F.lit("  pad  ")).alias("ws"),
+        pg.quote_ident(F.col("i")).alias("qi"),
+        pg.quote_literal(F.col("l")).alias("ql"),
+        pg.format_pg("%s=%s", F.lit("k"), F.lit("v")).alias("f"),
+    ).collect()[0]
+    assert r.t == "hello world"
+    assert r.ws == "pad"
+    assert r.qi == '"a""b"'
+    assert r.ql == "'it''s'"
+    assert r.f == "k=v"
+
+
+def test_array_agg_and_percentile_disc(spark):
+    from pg_lakehouse_spark.functions import pg
+
+    df = spark.createDataFrame(
+        [("g", 3.0), ("g", 1.0), ("g", 2.0), ("h", 5.0)], "k string, v double"
+    )
+    rows = {
+        r.k: (r.arr, r.p50, r.p50c)
+        for r in df.groupBy("k")
+        .agg(
+            pg.array_agg(F.col("v")).alias("arr"),
+            pg.percentile_disc(F.col("v"), 0.5).alias("p50"),
+            pg.percentile_cont(F.col("v"), 0.5).alias("p50c"),
+        )
+        .collect()
+    }
+    assert rows["g"] == ([1.0, 2.0, 3.0], 2.0, 2.0)
+    # discrete percentile returns an ACTUAL value; continuous interpolates
+    df2 = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "k string, v double")
+    r2 = df2.groupBy("k").agg(
+        pg.percentile_disc(F.col("v"), 0.5).alias("d"),
+        pg.percentile_cont(F.col("v"), 0.5).alias("c"),
+    ).collect()[0]
+    assert r2.d == 1.0 and r2.c == 1.5
