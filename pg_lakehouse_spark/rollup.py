@@ -81,7 +81,74 @@ def time_bucket(col: Column | str, bucket: str) -> Column:
     return F.timestamp_micros(us - F.pmod(us, F.lit(w)))
 
 
-_KINDS = ("sum", "count", "min", "max", "approx_distinct")
+_KINDS = ("sum", "count", "min", "max", "approx_distinct", "approx_topk")
+
+# state capacity per tracked k: candidate summaries hold CAP_FACTOR×k
+# counters so near-boundary items survive merges (space-saving rule of
+# thumb); the state column stays a few KB per (bucket, group) row.
+_TOPK_CAP_FACTOR = 4
+
+
+def _topk_truncate_map(m, cap: int):
+    """Keep the ``cap`` highest-count entries of a map<string,long> —
+    pure expressions (map_entries → sort by count desc → slice →
+    map_from_entries), so the summary stays mergeable state that never
+    leaves the JVM."""
+    # sort key (-count, item) ascending = count desc, item ASC on ties
+    # (same tie-break as the partial window, so truncation is
+    # deterministic end-to-end)
+    ranked = F.sort_array(
+        F.transform(
+            F.map_entries(m),
+            lambda kv: F.struct(
+                (-kv["value"]).alias("nv"), kv["key"].alias("k")
+            ),
+        )
+    )
+    kept = F.slice(ranked, 1, cap)
+    return F.map_from_entries(
+        F.transform(kept, lambda s: F.struct(s["k"], -s["nv"]))
+    )
+
+
+def _partial_topk(
+    df: DataFrame,
+    time_col: str,
+    bucket: str,
+    group_by: list[str],
+    out: str,
+    src: str,
+    cap: int,
+) -> DataFrame:
+    """Candidate heavy-hitter summary for a delta: exact counts per
+    (bucket, group, item), window-truncated to the top ``cap`` items
+    per group BEFORE any collection — bounded state end-to-end even on
+    high-cardinality sources (the collect never sees more than ``cap``
+    rows per group)."""
+    from pyspark.sql.window import Window
+
+    cnt = (
+        df.filter(F.col(src).isNotNull())  # NULL is not an item (PG count)
+        .groupBy(
+            time_bucket(time_col, bucket).alias(BUCKET_COL),
+            *group_by,
+            F.col(src).cast("string").alias("__item"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(BUCKET_COL, *group_by).orderBy(
+        F.desc("__c"), F.asc("__item")
+    )
+    return (
+        cnt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .groupBy(BUCKET_COL, *group_by)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__item", "__c"))
+            ).alias(out)
+        )
+    )
 
 
 def _partial_agg(
@@ -92,7 +159,9 @@ def _partial_agg(
     metrics: dict,
 ) -> DataFrame:
     aggs = []
-    for out, (kind, src) in metrics.items():
+    topk = {}
+    for out, spec in metrics.items():
+        kind, src = spec[0], spec[1]
         if kind == "sum":
             aggs.append(F.sum(src).alias(out))
         elif kind == "count":
@@ -110,15 +179,35 @@ def _partial_agg(
             # continuous-aggregate answer to "exact distinct is not
             # mergeable partial state"
             aggs.append(F.hll_sketch_agg(F.col(src)).alias(out))
+        elif kind == "approx_topk":
+            # mergeable heavy hitters: map<item,count> candidate
+            # summary (top CAP_FACTOR×k per group); maps merge by
+            # map_zip_with count addition + re-truncation. Exact when
+            # per-group cardinality fits the capacity; otherwise a
+            # space-saving-style candidate list (counts never
+            # overestimated, frequent items retained)
+            k = int(spec[2]) if len(spec) > 2 else 10
+            topk[out] = (src, _TOPK_CAP_FACTOR * k)
         else:
             raise LakehouseError(
                 f"unsupported metric kind {kind!r}; supported: {_KINDS} "
                 "(avg = sum/count at query time; exact distinct is not "
                 "mergeable — use approx_distinct, an HLL sketch column)"
             )
-    return df.groupBy(
-        time_bucket(time_col, bucket).alias(BUCKET_COL), *group_by
-    ).agg(*aggs)
+    out_df = None
+    if aggs or not topk:
+        out_df = df.groupBy(
+            time_bucket(time_col, bucket).alias(BUCKET_COL), *group_by
+        ).agg(*aggs)
+    for out, (src, cap) in topk.items():
+        part = _partial_topk(df, time_col, bucket, group_by, out, src, cap)
+        out_df = (
+            part
+            if out_df is None
+            # state-sized join (one row per bucket×group on both sides)
+            else out_df.join(part, on=[BUCKET_COL, *group_by], how="full")
+        )
+    return out_df
 
 
 def create_rollup(
@@ -196,9 +285,25 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
             delta, spec["time_col"], spec["bucket"], group_by, metrics
         )
         updates = {}
-        for out, (kind, _src) in metrics.items():
+        for out, mspec in metrics.items():
+            kind = mspec[0]
             tgt, src = F.col(out), F.col(f"__src.{out}")
-            if kind in ("sum", "count"):
+            if kind == "approx_topk":
+                k = int(mspec[2]) if len(mspec) > 2 else 10
+                merged = F.map_zip_with(
+                    tgt,
+                    src,
+                    lambda _k, v1, v2: F.coalesce(v1, F.lit(0))
+                    + F.coalesce(v2, F.lit(0)),
+                )
+                updates[out] = (
+                    F.when(tgt.isNull(), src)
+                    .when(src.isNull(), tgt)
+                    .otherwise(
+                        _topk_truncate_map(merged, _TOPK_CAP_FACTOR * k)
+                    )
+                )
+            elif kind in ("sum", "count"):
                 # null-safe add: SUM over an all-NULL delta group is
                 # NULL and must not poison existing state
                 updates[out] = (
@@ -242,6 +347,28 @@ def read_rollup(rollup: LakeTable) -> DataFrame:
         m = spec["metrics"].get(name)
         if m is not None and m[0] == "approx_distinct":
             cols.append(F.hll_sketch_estimate(F.col(name)).alias(name))
+        elif m is not None and m[0] == "approx_topk":
+            # finalize: candidate map -> top-k array of (item, count),
+            # count-desc with item tie-break
+            k = int(m[2]) if len(m) > 2 else 10
+            ranked = F.sort_array(
+                F.transform(
+                    F.map_entries(F.col(name)),
+                    lambda kv: F.struct(
+                        (-kv["value"]).alias("ncnt"),
+                        kv["key"].alias("item"),
+                    ),
+                )
+            )
+            cols.append(
+                F.transform(
+                    F.slice(ranked, 1, k),
+                    lambda s: F.struct(
+                        s["item"].alias("item"),
+                        (-s["ncnt"]).alias("cnt"),
+                    ),
+                ).alias(name)
+            )
         else:
             cols.append(F.col(name))
     return df.select(*cols)

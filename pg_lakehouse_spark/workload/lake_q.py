@@ -1040,3 +1040,56 @@ def lake_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.sql(
         "SELECT region, n_orders, avg_price FROM db.pricey_summary"
     )
+
+
+@register(
+    "rollup_approx_topk",
+    oracle="""
+WITH counted AS (
+  SELECT date_trunc('day', ts) AS d, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT d, event_type, c,
+         row_number() OVER (PARTITION BY d ORDER BY c DESC, event_type)
+           AS rn
+  FROM counted
+)
+SELECT epoch_us(d) AS bucket_us, event_type AS item, CAST(c AS BIGINT) AS cnt
+FROM ranked WHERE rn <= 3
+""",
+    tags=("rollup", "approx-topk"),
+)
+def rollup_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters rollup metric: per-day top event types
+    accumulate as map<item,count> candidate summaries across two
+    incremental refreshes. Capacity (4×k=12) exceeds the type
+    cardinality (5), so the candidate summary is EXACT and the oracle
+    is the plain per-day top-3 — the merge path itself is what's
+    under test."""
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    cat = _scratch_catalog(spark, sf_dir, "rollup_topk")
+    src = cat.create_table_as(
+        "db", "ev_src", ev.filter(F.col("event_id") % 2 == 0)
+    )
+    roll = create_rollup(
+        cat, "db", "ev_topk", src,
+        time_col="ts", bucket="1 day", group_by=[],
+        metrics={"top_types": ("approx_topk", "event_type", 3)},
+    )
+    src.append(ev.filter(F.col("event_id") % 2 == 1))
+    refresh_rollup(src, roll)
+    out = read_rollup(roll).select(
+        epoch_us(F.col("bucket_start")).alias("bucket_us"),
+        F.explode("top_types").alias("e"),
+    )
+    return out.select(
+        "bucket_us",
+        F.col("e.item").alias("item"),
+        F.col("e.cnt").alias("cnt"),
+    )

@@ -281,3 +281,95 @@ def test_refresh_stays_incremental_despite_branch_dml(spark, sf_dir, tmp_path):
     assert snap.operation == "merge", (
         "branch snapshot in the numeric window forced a full recompute"
     )
+
+
+def test_rollup_approx_topk_mergeable(spark, sf_dir, tmp_path):
+    """Heavy-hitter rollup metric: map<item,count> candidate summaries
+    merge across incremental refreshes; with capacity >= cardinality
+    the incremental result is EXACTLY the full-recompute counts."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+    from pg_lakehouse_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    cat = LakeCatalog(spark, str(tmp_path / "wh_topk"))
+    src = cat.create_table_as(
+        "db", "ev_src", ev.filter(F.col("event_id") % 2 == 0)
+    )
+    roll = create_rollup(
+        cat, "db", "ev_daily_topk", src,
+        time_col="ts", bucket="1 day", group_by=[],
+        metrics={
+            "n": ("count", "*"),
+            "top_types": ("approx_topk", "event_type", 3),
+        },
+    )
+    src.append(ev.filter(F.col("event_id") % 2 == 1))
+    refresh_rollup(src, roll)
+    got = {
+        r.bucket_start: [(s.item, s.cnt) for s in r.top_types]
+        for r in read_rollup(roll).collect()
+    }
+    # oracle: exact per-day top-3 event types (5 types, cap=12 >= 5 ->
+    # the candidate summary is exact)
+    exact = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_day = defaultdict(list)
+    for r in exact:
+        per_day[r.d].append((r["count"], r.event_type))
+    for day, pairs in per_day.items():
+        want = [
+            (t, c)
+            for c, t in sorted(pairs, key=lambda p: (-p[0], p[1]))[:3]
+        ]
+        have = got[day]
+        assert {t: c for t, c in have} == {t: c for t, c in want}, day
+
+
+def test_rollup_approx_topk_truncation_keeps_heavy_hitter(spark, tmp_path):
+    """Under-capacity summaries: with cardinality far above the cap, a
+    genuinely dominant item still surfaces as #1 after merges and its
+    count is never overestimated."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    # 1 dominant item (300 rows) + 200 singletons, split over 2 loads
+    def mk(lo, hi, tag):
+        rows = [(i, "2024-03-01 10:00:00", "HEAVY") for i in range(lo, hi)]
+        rows += [
+            (10_000 + tag * 1000 + j, "2024-03-01 11:00:00", f"rare_{tag}_{j}")
+            for j in range(100)
+        ]
+        return spark.createDataFrame(
+            rows, "id long, ts string, item string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_topk2"))
+    src = cat.create_table_as("db", "s2", mk(0, 150, 0))
+    roll = create_rollup(
+        cat, "db", "r2", src,
+        time_col="ts", bucket="1 day", group_by=[],
+        metrics={"top_items": ("approx_topk", "item", 2)},
+    )
+    src.append(mk(150, 300, 1))
+    refresh_rollup(src, roll)
+    (row,) = read_rollup(roll).collect()
+    top = row.top_items
+    assert top[0].item == "HEAVY"
+    assert top[0].cnt <= 300  # never overestimates
+    assert top[0].cnt >= 150  # survives both loads' truncation
