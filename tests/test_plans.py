@@ -57,7 +57,9 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
         # q11/q22 broadcast-cross a 1-ROW aggregate (scalar-threshold
         # pattern) — constant-size side, scalable at any SF
         and n not in ("q_cross_join", "q11_important_stock",
-                      "q22_sales_opportunity")
+                      "q22_sales_opportunity", "ts_gapfill_hourly")
+        # ts_gapfill: the bucket-grid bounds are a 1-ROW aggregate
+        # broadcast-crossed into the series list — constant-size side
         and not n.startswith("lake_")   # DML queries build tables eagerly
     ),
 )
@@ -80,6 +82,8 @@ def test_no_driver_side_collects_in_operators():
         # (count, hash-sum) row per round — metadata, not data
         "avro_io.py",        # first-file header (schema) + one
         # counter row per partition after write — both metadata-sized
+        "cdc.py",            # newly-seen metadata FILE NAMES per
+        # micro-batch (one tiny path row per commit) — metadata plane
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
@@ -104,6 +108,8 @@ def test_no_unbounded_collect_list():
         # bounded-group contract (PG-parity aggregate)
         "lakehouse.py",  # bloom staging: collect_set of bit POSITIONS,
         # cardinality hard-capped at _BLOOM_BITS (32768) per group
+        "rollup.py",  # approx_topk candidate maps: a row_number()<=cap
+        # window filter bounds the group BEFORE the collect (4×k items)
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
@@ -347,3 +353,37 @@ def test_pii_redaction_is_map_only(spark, sf_dir):
     out = docs.select("doc_id", redact_pii(F.col("text")).alias("r"))
     assert shuffle_exchange_count(out) == 0
     assert "Python" not in formatted_plan(out)
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Stream packing is one shard shuffle + one ordered window — no
+    join, no extra exchange."""
+    from pg_lakehouse_spark.llm.packing import pack_sequences
+    from pg_lakehouse_spark.plans.inspect import (
+        formatted_plan,
+        shuffle_exchange_count,
+    )
+    from pg_lakehouse_spark.tables import table
+
+    df = pack_sequences(table(spark, sf_dir, "documents"), budget=64)
+    assert shuffle_exchange_count(df) == 1
+    assert "Join" not in formatted_plan(df)
+
+
+def test_fill_gaps_grid_is_broadcast(spark, sf_dir):
+    """Gap-fill's bounds row reaches the grid via broadcast (the grid
+    is metadata-sized); the observation join keys on the series."""
+    from pyspark.sql import functions as F
+
+    from pg_lakehouse_spark.operators.timeseries import fill_gaps
+    from pg_lakehouse_spark.plans.inspect import formatted_plan
+    from pg_lakehouse_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = fill_gaps(hourly, "bucket", "1 HOUR", ["event_type"], {"n": "zero"})
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
