@@ -1309,6 +1309,7 @@ class LakeTable:
         new_field_ids: dict,
         next_field_id: int,
         files: list[dict] | None = None,
+        properties: dict | None = None,
     ) -> Snapshot:
         base = self.current_version()
         snap = self.snapshot(base)
@@ -1331,6 +1332,14 @@ class LakeTable:
                 "schemas": schemas,
                 "next_field_id": next_field_id,
             },
+            properties=properties,
+        )
+
+    def column_defaults(self) -> dict[str, str]:
+        """Field-id -> SQL literal defaults (Iceberg v3
+        initial-default analog)."""
+        return json.loads(
+            self.snapshot().properties.get("column_defaults", "{}")
         )
 
     @staticmethod
@@ -1426,19 +1435,45 @@ class LakeTable:
             marker = ("e" if parts.pop() == "element" else "v") + marker
         return f"{ids['.'.join(parts)]}.{marker}"
 
-    def add_column(self, name: str, data_type, nullable: bool = True) -> Snapshot:
-        """ADD COLUMN: existing files read the new column as NULL. The
+    def add_column(
+        self,
+        name: str,
+        data_type,
+        nullable: bool = True,
+        default: str | None = None,
+    ) -> Snapshot:
+        """ADD COLUMN: existing files read the new column as NULL — or
+        as ``default`` (a SQL literal/expression string, the Iceberg v3
+        initial-default analog): metadata-only, no rewrite; every old
+        epoch's rows materialize the default at read time, and writes
+        that omit the column (SQL column-list INSERT) fill it too. The
         new column gets a fresh field id — re-adding a dropped name
         never resurrects old data (id-based, not name-based). A dotted
         path adds a field inside a struct at ANY depth, including
         through array-element / map-value steps (``a.b.c``,
-        ``a.element.b``, ``a.element.b.c`` ...)."""
+        ``a.element.b``, ``a.element.b.c`` ...); defaults are
+        top-level-column only."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if isinstance(data_type, str):
             data_type = _parse_datatype_string(data_type)
+        if default is not None:
+            if "." in name:
+                raise LakehouseError(
+                    "DEFAULT is supported for top-level columns only"
+                )
+            # validate the literal now (parse + type-check against the
+            # declared type) so a broken default fails at ALTER time
+            try:
+                self.spark.range(1).select(
+                    F.expr(default).cast(data_type)
+                ).collect()
+            except Exception as exc:
+                raise LakehouseError(
+                    f"invalid DEFAULT expression {default!r}: {exc}"
+                ) from exc
         ids, nxt = self._effective_field_ids(snap)
         if "." in name:
             parent_path, child, st = self._walk_path(schema, name)
@@ -1463,7 +1498,14 @@ class LakeTable:
         new_ids = ids | {name: nxt}
         if isinstance(data_type, StructType):
             new_ids = self._augment_nested_ids(new_schema, new_ids)
-        return self._evolve("add-column", new_schema, new_ids, nxt + 1)
+        props = None
+        if default is not None:
+            defaults = self.column_defaults()
+            defaults[str(nxt)] = default
+            props = {"column_defaults": json.dumps(defaults)}
+        return self._evolve(
+            "add-column", new_schema, new_ids, nxt + 1, properties=props
+        )
 
     def rename_column(self, old: str, new: str) -> Snapshot:
         """RENAME COLUMN: the field id is stable, so files written
@@ -2000,10 +2042,22 @@ class LakeTable:
                 # expressible as a cast
                 return src.cast(new_dt)
 
+            defaults = json.loads(
+                snap.properties.get("column_defaults", "{}")
+            )
             for fld in schema.fields:
-                old_name = id_to_old.get(cur_ids[fld.name])
+                fid = cur_ids[fld.name]
+                old_name = id_to_old.get(fid)
                 if old_name is None:
-                    proj.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                    # column absent in this epoch: initial-default if
+                    # declared (Iceberg v3), else NULL — metadata-only
+                    # either way, materialized in the scan projection
+                    dflt = defaults.get(str(fid))
+                    proj.append(
+                        (F.expr(dflt) if dflt else F.lit(None))
+                        .cast(fld.dataType)
+                        .alias(fld.name)
+                    )
                     continue
                 proj.append(
                     reconcile(

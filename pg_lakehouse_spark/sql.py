@@ -435,9 +435,13 @@ class LakeSQL:
             return tbl.set_properties(props)
         if au.startswith("ADD COLUMN"):
             am = re.match(
-                r"ADD\s+COLUMN\s+([\w.]+)\s+(.+)$", action, re.IGNORECASE
+                r"ADD\s+COLUMN\s+([\w.]+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$",
+                action,
+                re.IGNORECASE | re.DOTALL,
             )
-            return tbl.add_column(am.group(1), am.group(2))
+            return tbl.add_column(
+                am.group(1), am.group(2), default=am.group(3)
+            )
         if au.startswith("RENAME COLUMN"):
             am = re.match(
                 r"RENAME\s+COLUMN\s+([\w.]+)\s+TO\s+([\w.]+)$",
@@ -592,10 +596,21 @@ class LakeSQL:
                     f"columns, query produced {len(df.columns)}"
                 )
             named = df.toDF(*cols)
+            # unlisted columns take their declared DEFAULT (PG), NULL
+            # without one
+            defaults = tbl.column_defaults()
+            ids, _ = tbl._effective_field_ids(tbl.snapshot())
+
+            def missing_value(fname: str):
+                d = defaults.get(str(ids.get(fname)))
+                return F.expr(d) if d is not None else F.lit(None)
+
             bound = named.select(
                 *[
                     (
-                        F.col(f.name) if f.name in cols else F.lit(None)
+                        F.col(f.name)
+                        if f.name in cols
+                        else missing_value(f.name)
                     ).cast(f.dataType).alias(f.name)
                     for f in fields
                 ]

@@ -2218,3 +2218,41 @@ def test_check_constraints_enforced(spark, tmp_path):
         tbl.drop_check_constraint("k_small")
     # constraints survive in properties across commits
     assert tbl.check_constraints() == {"v_pos": "v > 0"}
+
+
+def test_add_column_with_default(spark, tmp_path):
+    """Iceberg v3 initial-default analog: ADD COLUMN ... DEFAULT is
+    metadata-only — old epochs read the default (not NULL), new
+    appends carry real values, DML rewrites preserve the fill, and a
+    broken default fails at ALTER time."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog, LakehouseError
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_dflt"))
+    tbl = cat.create_table(
+        "db", "t_dflt",
+        spark.createDataFrame([(1, "a")], "k long, v string").schema,
+    )
+    tbl.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    tbl.add_column("region", "string", default="'emea'")
+    tbl.add_column("score", "double", default="0.5")
+    # old files materialize defaults
+    got = {r.k: (r.region, r.score) for r in tbl.read().collect()}
+    assert got == {1: ("emea", 0.5), 2: ("emea", 0.5)}
+    # new writes carry real values; old rows keep reading defaults
+    tbl.append(
+        spark.createDataFrame(
+            [(3, "c", "apac", 0.9)], "k long, v string, region string, score double"
+        )
+    )
+    got = {r.k: r.region for r in tbl.read().collect()}
+    assert got == {1: "emea", 2: "emea", 3: "apac"}
+    # CoW update rewrites old rows -> the default value is now baked in
+    tbl.update(F.col("k") == 1, {"v": F.lit("a2")})
+    assert {
+        (r.k, r.v, r.region) for r in tbl.read().collect()
+    } == {(1, "a2", "emea"), (2, "b", "emea"), (3, "c", "apac")}
+    # invalid default rejected at ALTER; nested defaults unsupported
+    with pytest.raises(LakehouseError, match="invalid DEFAULT"):
+        tbl.add_column("bad", "long", default="not_a_column + 1")
+    with pytest.raises(LakehouseError, match="top-level"):
+        tbl.add_column("s.x", "long", default="1")

@@ -603,3 +603,18 @@ def test_sql_copy_to_from(lsql, tmp_path):
     with pytest.raises(LakehouseError, match="arity mismatch"):
         lsql.sql("CREATE TABLE db.dst3 (only BIGINT)")
         lsql.sql(f"COPY db.dst3 FROM '{out_pq}'")
+
+
+def test_sql_add_column_default(lsql):
+    lsql.sql("CREATE TABLE db.d (k BIGINT)")
+    lsql.sql("INSERT INTO db.d VALUES (1)")
+    lsql.sql("ALTER TABLE db.d ADD COLUMN tier STRING DEFAULT 'free'")
+    assert [r.tier for r in lsql.sql("SELECT * FROM db.d").collect()] == [
+        "free"
+    ]
+    # column-list INSERT fills the declared default, not NULL
+    lsql.sql("INSERT INTO db.d (k) VALUES (2)")
+    lsql.sql("INSERT INTO db.d VALUES (3, 'pro')")
+    assert {(r.k, r.tier) for r in lsql.sql("SELECT * FROM db.d").collect()} == {
+        (1, "free"), (2, "free"), (3, "pro"),
+    }
