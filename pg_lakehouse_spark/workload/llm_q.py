@@ -872,3 +872,46 @@ def interleave_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25},
     ).select("doc_id", "lang", "source_rank", "mix_pos")
+
+
+@register(
+    "text_bm25_postings",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE term <> ''
+), post AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks2 GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1
+)
+SELECT p.doc_id, p.term, p.tf, dl.dl, dfreq.df
+FROM post p
+JOIN dl USING (doc_id)
+JOIN dfreq USING (term)
+WHERE p.term IN ('the', 'data', 'model')
+""",
+    tags=("text-search", "bm25"),
+)
+def text_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics for retrieval (the integer core of
+    BM25 — tf, document length, document frequency): one explode +
+    two hash aggregates; a query's scoring touches only its own
+    terms' postings. The float BM25 ranking is property-tested
+    (tests/test_llm.py) since ln() is engine-specific at the ulp."""
+    from pg_lakehouse_spark.llm.search import build_postings, term_stats
+
+    docs = t(spark, sf_dir, "documents")
+    post = build_postings(docs)
+    stats = term_stats(post)
+    return (
+        post.filter(F.col("term").isin(["the", "data", "model"]))
+        .join(stats, "term")
+        .select("doc_id", "term", "tf", "dl", "df")
+    )

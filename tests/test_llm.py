@@ -645,3 +645,47 @@ def test_interleave_sources_proportions(spark):
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 search (search.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 semantics on a controlled corpus: a doc containing both
+    query terms outranks single-term docs; rare terms outweigh common
+    ones; scores match the closed-form reference."""
+    from pg_lakehouse_spark.llm.search import bm25_search, idf_weight
+
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple apple apple apple"),
+        (3, "banana date elderberry fig"),
+        (4, "cherry date elderberry fig grape"),
+        (5, "apple banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, "apple banana", k=5)
+    ranked = [r.doc_id for r in out.orderBy("rank").collect()]
+    # docs 1 and 5 contain both terms -> above any single-term doc
+    assert set(ranked[:2]) == {1, 5}
+    assert 4 not in ranked  # no query term at all
+    # closed-form check for doc 5 (tf=1 each, dl=2)
+    import math
+
+    n, avgdl, k1, b = 5, 18 / 5, 1.2, 0.75
+    def contrib(tf, dl, dfc):
+        return idf_weight(n, dfc) * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dl / avgdl)
+        )
+
+    want5 = contrib(1, 2, 3) + contrib(1, 2, 3)  # apple df=3, banana df=3
+    got5 = {r.doc_id: r.score for r in out.collect()}[5]
+    assert abs(got5 - want5) < 1e-9
+    # rare term beats common term at equal tf/dl: query 'cherry apple'
+    out2 = {r.doc_id: r.score for r in bm25_search(df, "cherry", k=5).collect()}
+    out3 = {r.doc_id: r.score for r in bm25_search(df, "apple", k=5).collect()}
+    assert out2[1] > out3[1]  # cherry (df=2) outweighs apple (df=3) in doc 1
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_search(df, "   ")

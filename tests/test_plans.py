@@ -84,6 +84,8 @@ def test_no_driver_side_collects_in_operators():
         # counter row per partition after write — both metadata-sized
         "cdc.py",            # newly-seen metadata FILE NAMES per
         # micro-batch (one tiny path row per commit) — metadata plane
+        "search.py",         # two scalars per query (corpus size,
+        # average doc length) — persist postings upstream at scale
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
