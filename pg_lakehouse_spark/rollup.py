@@ -261,9 +261,12 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
     """Advance the rollup to the source's current snapshot.
 
     Pure-append source history since the watermark → incremental MERGE
-    of the delta's partial aggregates (cost ∝ new data). Any other
-    source operation in the window → full recompute (overwrite).
-    Either way the new watermark commits atomically with the state.
+    of the delta's partial aggregates (cost ∝ new data). A window with
+    row-level DML still refreshes incrementally via RETRACTION deltas
+    (change feed rows weighted ±1) when every metric is sum/count and
+    the table serves a change feed. Anything else → full recompute
+    (overwrite). Either way the new watermark commits atomically with
+    the state.
     """
     spec = json.loads(rollup.snapshot().properties["rollup_spec"])
     metrics = {k: tuple(v) for k, v in spec["metrics"].items()}
@@ -328,6 +331,70 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
             summary_extra={"rollup_source_version": cur},
         )
 
+    # -- retraction IVM: a window containing row-level DML can still
+    # refresh incrementally when (a) every metric is retractable (sum/
+    # count — min/max/sketches cannot subtract), (b) a count(*) metric
+    # exists (so fully-retracted groups are detectable; read_rollup
+    # filters them), and (c) the source serves a row-level change feed
+    # for the window. Deletes/update-preimages enter with weight -1,
+    # inserts/postimages with +1 — cost ∝ changed rows, never table
+    # size. This is classic incremental view maintenance with deltas.
+    retractable = all(m[0] in ("sum", "count") for m in metrics.values())
+    has_star_count = any(
+        m[0] == "count" and m[1] == "*" for m in metrics.values()
+    )
+    dml_ok = all(
+        s.operation in ("append", "delete", "update", "merge")
+        for s in window
+    )
+    if window_is_complete and retractable and has_star_count and dml_ok:
+        try:
+            changes = source.read_changes(last, cur)
+        except LakehouseError:
+            changes = None  # feed off for some DML commit -> recompute
+        if changes is not None:
+            weight = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            signed = changes.withColumn("__w", weight)
+            aggs = []
+            for out, mspec in metrics.items():
+                kind, src = mspec[0], mspec[1]
+                if kind == "count":
+                    aggs.append(
+                        F.sum(
+                            F.lit(1) * F.col("__w")
+                            if src == "*"
+                            else F.when(
+                                F.col(src).isNotNull(), F.col("__w")
+                            ).otherwise(F.lit(0))
+                        ).cast("long").alias(out)
+                    )
+                else:
+                    aggs.append(F.sum(F.col(src) * F.col("__w")).alias(out))
+            partial = signed.groupBy(
+                time_bucket(spec["time_col"], spec["bucket"]).alias(
+                    BUCKET_COL
+                ),
+                *group_by,
+            ).agg(*aggs)
+            updates = {
+                out: F.when(F.col(out).isNull(), F.col(f"__src.{out}"))
+                .when(F.col(f"__src.{out}").isNull(), F.col(out))
+                .otherwise(F.col(out) + F.col(f"__src.{out}"))
+                for out in metrics
+            }
+            return rollup.merge(
+                partial,
+                on=[BUCKET_COL] + group_by,
+                when_matched_update=updates,
+                summary_extra={
+                    "rollup_source_version": cur,
+                    "rollup_refresh": "retraction",
+                },
+            )
+
     state = _partial_agg(
         source.read(), spec["time_col"], spec["bucket"], group_by, metrics
     )
@@ -342,6 +409,13 @@ def read_rollup(rollup: LakeTable) -> DataFrame:
     metric column is already its final value."""
     spec = json.loads(rollup.snapshot().properties["rollup_spec"])
     df = rollup.read()
+    # groups fully retracted by DML deltas remain as count=0 state rows
+    # (the merge can't delete in the same atomic commit); the user face
+    # hides them — equivalent to the group not existing
+    for out, m in spec["metrics"].items():
+        if m[0] == "count" and m[1] == "*":
+            df = df.filter(F.coalesce(F.col(out), F.lit(0)) != 0)
+            break
     cols = []
     for name in df.columns:
         m = spec["metrics"].get(name)

@@ -373,3 +373,74 @@ def test_rollup_approx_topk_truncation_keeps_heavy_hitter(spark, tmp_path):
     assert top[0].item == "HEAVY"
     assert top[0].cnt <= 300  # never overestimates
     assert top[0].cnt >= 150  # survives both loads' truncation
+
+
+def test_rollup_retraction_ivm(spark, tmp_path):
+    """Incremental view maintenance with retractions: DML on the
+    source (delete + update) refreshes the rollup via ±1-weighted
+    change-feed deltas — no recompute — and the result equals the
+    direct GROUP BY; a fully-deleted group disappears from the user
+    face."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    rows = [
+        (i, "2024-05-01 10:00:00" if i % 2 else "2024-05-02 10:00:00",
+         "g1" if i < 30 else "g2", float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts string, grp string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cat = LakeCatalog(spark, str(tmp_path / "wh_ivm"))
+    src = cat.create_table_as(
+        "db", "facts", df,
+        properties={"change_data_feed": "on", "row_key": "id",
+                    "write_delete_mode": "merge-on-read"},
+    )
+    roll = create_rollup(
+        cat, "db", "facts_daily", src,
+        time_col="ts", bucket="1 day", group_by=["grp"],
+        metrics={"n": ("count", "*"), "v_sum": ("sum", "v")},
+    )
+    # DML window: delete some of g1, update values in g2, append more,
+    # and fully retract g2's odd-day bucket
+    src.delete((F.col("grp") == "g1") & (F.col("id") < 10))
+    src.update(F.col("grp") == "g2", {"v": F.col("v") + 100.0})
+    src.append(
+        spark.createDataFrame(
+            [(100, "2024-05-03 09:00:00", "g3", 7.0)],
+            "id long, ts string, grp string, v double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+    )
+    src.delete((F.col("grp") == "g2") & (F.col("id") % 2 == 1))
+    snap = refresh_rollup(src, roll)
+    assert snap.summary.get("rollup_refresh") == "retraction"
+    got = {
+        (r.bucket_start.day, r.grp): (r.n, r.v_sum)
+        for r in read_rollup(roll).collect()
+    }
+    want = {
+        (r.d.day, r.grp): (r.n, r.s)
+        for r in src.read()
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # g2's odd-ts (day 1) bucket fully retracted -> hidden
+    assert (1, "g2") not in got
+    # a min metric forces the full-recompute path (not retractable)
+    roll2 = create_rollup(
+        cat, "db", "facts_daily_min", src,
+        time_col="ts", bucket="1 day", group_by=["grp"],
+        metrics={"n": ("count", "*"), "v_min": ("min", "v")},
+    )
+    src.delete(F.col("id") == 20)
+    snap2 = refresh_rollup(src, roll2)
+    assert snap2.summary.get("rollup_refresh") != "retraction"
+    assert snap2.operation == "overwrite"
