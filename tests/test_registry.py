@@ -36,6 +36,12 @@ FAMILY_MARKERS = {
     "split": ("split",),
     "decontamination": ("decontamination",),
     "streaming": ("streaming",),
+    # round-3 additions: each new family keeps a window slot too
+    "packing": ("pack-",),
+    "interleave": ("interleave",),
+    "timeseries": ("timeseries",),
+    "cdc-stream": ("cdc-",),
+    "views": ("views",),
 }
 
 
