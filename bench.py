@@ -46,6 +46,8 @@ HEADLINE = [
     "multimodal_decode",
     "lake_delete_update",
     "rollup_incremental",
+    "pack_sequences_stream",
+    "ts_gapfill_hourly",
 ]
 
 
