@@ -63,30 +63,56 @@ def stream_changes(
     ``changes_df`` carries the table columns plus ``_change_type`` and
     ``_commit_version`` (exactly the batch ``read_changes`` schema),
     covering every newly-committed snapshot on the table's current ref
-    in this batch — commits from other branches are ignored until a
-    fast-forward publishes them (at which point the publish itself is
-    not a new snapshot; the branch's commits enter the ancestry and
-    are picked up as unseen metadata files if not yet processed).
+    in this batch. Commits made on ANOTHER branch are parked in a
+    pending ledger (fast-forward publishing them is a pure pointer
+    move that writes no new metadata file, so the file source alone
+    would never re-deliver them); each batch re-checks the ledger
+    against the current ancestry — write-audit-publish ingests
+    therefore surface in the feed at publish time. Ledger persistence
+    is written after a successful apply: a crash between apply and
+    ledger write re-delivers parked versions (at-least-once for the
+    late-published-branch case only; the main-line path stays
+    exactly-once via the stream checkpoint).
     """
+    import json
+
     spark = table.spark
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    pending_path = os.path.join(checkpoint_dir, "_lake_pending.json")
+
+    def load_pending() -> list[int]:
+        if not os.path.exists(pending_path):
+            return []
+        with open(pending_path) as f:
+            return json.load(f)
+
+    def save_pending(versions: list[int]) -> None:
+        tmp = pending_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(versions), f)
+        os.replace(tmp, pending_path)
 
     def expand_batch(batch_df: DataFrame, batch_id: int) -> None:
-        versions = _batch_versions(batch_df)
+        versions = set(_batch_versions(batch_df)) | set(load_pending())
         if not versions:
             return
         on_ref = set(table._ancestry(table.current_version()))
-        parts = []
+        parts, parked = [], []
         for v in sorted(versions):
             if v not in on_ref:
-                continue  # other branch / expired
+                parked.append(v)  # another branch — until published
+                continue
             parent = table.snapshot(v).parent or 0
             parts.append(table.read_changes(parent, v))
-        if not parts:
-            return
-        changes = parts[0]
-        for p in parts[1:]:
-            changes = changes.unionByName(p)
-        apply_fn(changes, batch_id)
+        if parts:
+            changes = parts[0]
+            for p in parts[1:]:
+                changes = changes.unionByName(p)
+            apply_fn(changes, batch_id)
+        # expired/abandoned snapshots can never re-enter the ancestry
+        save_pending(
+            [v for v in parked if os.path.exists(table._meta_path(v))]
+        )
 
     src = (
         spark.readStream.format("text")

@@ -728,3 +728,47 @@ def test_stream_changes_cdc_source(spark, tmp_path):
     n = len(got)
     run()
     assert len(got) == n
+
+
+def test_stream_changes_delivers_published_branch(spark, tmp_path):
+    """WAP + CDC: commits land on a branch (parked by the feed — not
+    on main's ancestry), then fast-forward publishes them WITHOUT
+    writing any new metadata file; the pending ledger must surface
+    them in the next batch."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.streaming.cdc import stream_changes
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_wapcdc"))
+    tbl = cat.create_table(
+        "db", "wap_cdc",
+        spark.createDataFrame([(1, "a")], "k long, v string").schema,
+        properties={"change_data_feed": "on"},
+    )
+    got: list = []
+
+    def run():
+        q = stream_changes(
+            tbl,
+            lambda df, bid: got.extend(
+                (r.k, r._change_type) for r in df.collect()
+            ),
+            str(tmp_path / "ckpt_wapcdc"),
+            trigger_once=True,
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    tbl.create_branch("ingest")
+    b = tbl.for_branch("ingest")
+    b.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    run()
+    assert got == []  # branch commits parked, main untouched
+    tbl.fast_forward("ingest")
+    run()  # publish wrote NO metadata file; ledger must deliver
+    assert {(r[0], r[1]) for r in got} == {(1, "insert"), (2, "insert")}
+    # and they are not re-delivered afterwards
+    n = len(got)
+    run()
+    assert len(got) == n
