@@ -1173,8 +1173,37 @@ class LakeTable:
                 f"schema mismatch: table={expected.simpleString()} "
                 f"df={got.simpleString()} — writes must match the CURRENT "
                 "schema; evolve it first via add_column/rename_column/"
-                "drop_column"
+                "drop_column (or pass merge_schema=True to append/merge)"
             )
+
+    def _merge_write_schema(self, df: DataFrame) -> DataFrame:
+        """Delta ``mergeSchema`` semantics for a write: columns NEW in
+        ``df`` evolve the table (one add_column metadata commit each —
+        old rows read NULL); table columns absent from ``df`` fill
+        with NULL (or the declared DEFAULT); matching columns cast to
+        the table type. The returned frame matches the CURRENT schema
+        exactly. Top-level columns only — nested evolution stays an
+        explicit ALTER."""
+        table_names = set(self.schema().fieldNames())
+        for f in df.schema.fields:
+            if f.name not in table_names:
+                self.add_column(f.name, f.dataType, nullable=True)
+        schema = self.schema()
+        defaults = self.column_defaults()
+        ids, _ = self._effective_field_ids(self.snapshot())
+
+        def fill(fname):
+            d = defaults.get(str(ids.get(fname)))
+            return F.expr(d) if d is not None else F.lit(None)
+
+        return df.select(
+            *[
+                (F.col(f.name) if f.name in df.columns else fill(f.name))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def _distribute_for_write(self, df: DataFrame) -> DataFrame:
         """Hash-distribute ingest by partition value (Iceberg
@@ -1232,6 +1261,7 @@ class LakeTable:
         df: DataFrame,
         retries: int = 3,
         summary_extra: dict | None = None,
+        merge_schema: bool = False,
     ) -> Snapshot:
         """INSERT/append (ref A9+A10: write_ops.c buffering + commit).
 
@@ -1240,7 +1270,11 @@ class LakeTable:
         files are re-based onto the new current snapshot and the
         commit retried; the data files are never rewritten.
         ``summary_extra`` stamps application metadata (e.g. a streaming
-        sink's batch id) atomically with the commit."""
+        sink's batch id) atomically with the commit. ``merge_schema``
+        (Delta mergeSchema): new df columns evolve the table first,
+        missing ones fill with NULL/DEFAULT."""
+        if merge_schema:
+            df = self._merge_write_schema(df)
         self._check_schema(df)
         df = self._sort_for_write(self._distribute_for_write(df))
         base = self.current_version()
@@ -2991,8 +3025,15 @@ class LakeTable:
         when_not_matched_by_source_condition: Column | None = None,
         summary_extra: dict | None = None,
         mode: str | None = None,
+        merge_schema: bool = False,
     ) -> Snapshot:
         """MERGE INTO (upsert) — ref A13's roadmap 'MERGE for upsert'.
+
+        ``merge_schema`` (Delta automatic schema evolution for MERGE):
+        source columns unknown to the target evolve it first
+        (metadata-only add_column commits), and the source is reshaped
+        to the evolved schema (missing columns fill NULL/DEFAULT)
+        before the join.
 
         Copy-on-write with key-bounds file pruning: only files whose
         per-column bounds (manifest stats) overlap the source's join-key
@@ -3015,6 +3056,8 @@ class LakeTable:
         is key-addressed, so the equality-delete form is the natural
         MoR encoding; position deletes cover delete/update.
         """
+        if merge_schema:
+            source = self._merge_write_schema(source)
         if self._delete_mode(mode) == "mor":
             return self._mor_merge(
                 source, on, when_matched_update, when_matched_delete,

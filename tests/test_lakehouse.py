@@ -2256,3 +2256,50 @@ def test_add_column_with_default(spark, tmp_path):
         tbl.add_column("bad", "long", default="not_a_column + 1")
     with pytest.raises(LakehouseError, match="top-level"):
         tbl.add_column("s.x", "long", default="1")
+
+
+def test_append_and_merge_with_schema_merge(spark, tmp_path):
+    """Delta mergeSchema parity: a write carrying NEW columns evolves
+    the table (metadata-only; old rows read NULL/DEFAULT) and a write
+    MISSING columns fills them; merge evolves before joining."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog, LakehouseError
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_ms"))
+    tbl = cat.create_table(
+        "db", "t_ms",
+        spark.createDataFrame([(1, "a")], "k long, v string").schema,
+    )
+    tbl.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # extra column without the flag -> rejected
+    wide = spark.createDataFrame(
+        [(2, "b", 0.5)], "k long, v string, score double"
+    )
+    with pytest.raises(LakehouseError, match="schema mismatch"):
+        tbl.append(wide)
+    tbl.append(wide, merge_schema=True)
+    assert {(r.k, r.score) for r in tbl.read().collect()} == {
+        (1, None), (2, 0.5),
+    }
+    # narrow write after evolution: missing column fills NULL
+    tbl.append(
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        merge_schema=True,
+    )
+    assert tbl.read().filter("k = 3").collect()[0].score is None
+    # merge with a brand-new source column evolves then upserts
+    src = spark.createDataFrame(
+        [(2, "B", "eu"), (4, "d", "na")], "k long, v string, region string"
+    )
+    tbl.merge(
+        src,
+        on=["k"],
+        when_matched_update={
+            "v": F.col("__src.v"), "region": F.col("__src.region")
+        },
+        when_not_matched_insert=True,
+        merge_schema=True,
+    )
+    got = {(r.k, r.v, r.region) for r in tbl.read().collect()}
+    assert got == {
+        (1, "a", None), (2, "B", "eu"), (3, "c", None), (4, "d", "na"),
+    }
