@@ -3494,8 +3494,10 @@ class LakeTransaction:
 
     # -- verbs (each records a replayable closure) ------------------------
 
-    def append(self, table: LakeTable, df: DataFrame) -> None:
-        self._apply(table, "append", lambda t: t.append(df))
+    def append(
+        self, table: LakeTable, df: DataFrame, **kwargs
+    ) -> None:
+        self._apply(table, "append", lambda t: t.append(df, **kwargs))
 
     def overwrite(self, table: LakeTable, df: DataFrame) -> None:
         self._apply(table, "overwrite", lambda t: t.overwrite(df))

@@ -114,3 +114,100 @@ def bm25_search(
 def idf_weight(n_docs: int, df_count: int) -> float:
     """Reference idf for tests: ln(1 + (N - df + 0.5) / (df + 0.5))."""
     return math.log(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+
+
+# -- persisted postings index -------------------------------------------------
+# The search-index analog of the rollup tier: postings live in a
+# snapshot-versioned lake table and advance by the CORPUS's change feed
+# — new/updated documents re-tokenize (their postings replace), deleted
+# documents' postings retract. Cost ∝ changed documents, never corpus
+# size; the index itself is time-travelable like any lake table.
+
+
+def create_postings_table(catalog, namespace: str, name: str, source,
+                          id_col: str = "doc_id", text_col: str = "text"):
+    """Build the postings index table from the corpus table's current
+    snapshot and stamp the source-version watermark."""
+    post = build_postings(source.read(), id_col, text_col)
+    spec = {"id_col": id_col, "text_col": text_col}
+    import json as _json
+
+    tbl = catalog.create_table(
+        namespace, name, post.schema,
+        properties={"postings_spec": _json.dumps(spec),
+                    "row_key": f"{id_col},term",
+                    "write_delete_mode": "merge-on-read"},
+    )
+    tbl.append(
+        post,
+        summary_extra={"postings_source_version": source.current_version()},
+    )
+    return tbl
+
+
+def refresh_postings(source, postings):
+    """Advance the postings index by the corpus delta.
+
+    Deleted / pre-update documents MERGE-retract their postings rows
+    (merge-on-read: O(changed), no index rewrite); inserted /
+    post-update documents append freshly-tokenized postings. Both land
+    in ONE atomic transaction with the new watermark. Falls back to a
+    full rebuild (overwrite) when the corpus can't serve a row-level
+    change feed for the window."""
+    import json as _json
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError, LakeTransaction
+
+    spec = _json.loads(postings.snapshot().properties["postings_spec"])
+    id_col, text_col = spec["id_col"], spec["text_col"]
+    last = None
+    for v in postings._ancestry(postings.current_version()):
+        s = postings.snapshot(v).summary or {}
+        if "postings_source_version" in s:
+            last = int(s["postings_source_version"])
+            break
+    if last is None:
+        raise LakehouseError("not a postings table: no watermark")
+    cur = source.current_version()
+    if cur <= last:
+        return postings.snapshot()
+    stamp = {"postings_source_version": cur}
+    try:
+        changes = source.read_changes(last, cur)
+    except LakehouseError:
+        changes = None
+    if changes is None:
+        return postings.overwrite(
+            build_postings(source.read(), id_col, text_col),
+            summary_extra=stamp,
+        )
+    touched = (
+        changes.filter(F.col("_change_type") != "update_preimage")
+        .select(id_col).distinct()
+    )
+    gone = (
+        changes.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(id_col).distinct()
+    )
+    fresh = build_postings(
+        changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(id_col, text_col),
+        id_col,
+        text_col,
+    )
+    with LakeTransaction() as tx:
+        # retract every touched doc's old postings (a doc may have
+        # been deleted, or replaced by the fresh tokenization below)
+        tx.merge(
+            postings,
+            gone.unionByName(touched).distinct(),
+            on=[id_col],
+            when_matched_update=None,
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+            summary_extra=dict(stamp),
+        )
+        tx.append(postings, fresh, summary_extra=dict(stamp))
+    return postings.snapshot()

@@ -689,3 +689,55 @@ def test_bm25_ranking_properties(spark):
     assert out2[1] > out3[1]  # cherry (df=2) outweighs apple (df=3) in doc 1
     with pytest.raises(ValueError, match="empty query"):
         bm25_search(df, "   ")
+
+
+def test_postings_index_incremental_maintenance(spark, tmp_path):
+    """The postings index advances by the corpus change feed: inserts
+    tokenize only new docs, deletes retract, updates replace — result
+    equals a from-scratch build; the refresh publishes atomically and
+    the fallback path (no change feed) rebuilds."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.llm.search import (
+        build_postings,
+        create_postings_table,
+        refresh_postings,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_post"))
+    docs0 = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry cherry"), (3, "date")],
+        "doc_id long, text string",
+    )
+    src = cat.create_table_as(
+        "db", "corpus", docs0,
+        properties={"change_data_feed": "on", "row_key": "doc_id",
+                    "write_delete_mode": "merge-on-read"},
+    )
+    post = create_postings_table(cat, "db", "corpus_postings", src)
+
+    def snap_post():
+        return {
+            (r.doc_id, r.term): (r.tf, r.dl)
+            for r in post.read().collect()
+        }
+
+    def expected():
+        return {
+            (r.doc_id, r.term): (r.tf, r.dl)
+            for r in build_postings(src.read()).collect()
+        }
+
+    assert snap_post() == expected()
+    # DML mix: new doc, delete doc 3, rewrite doc 2's text
+    src.append(spark.createDataFrame([(4, "elderberry apple")],
+                                     "doc_id long, text string"))
+    src.delete(F.col("doc_id") == 3)
+    src.update(F.col("doc_id") == 2, {"text": F.lit("cherry fig")})
+    refresh_postings(src, post)
+    assert snap_post() == expected()
+    assert (3, "date") not in snap_post()
+    assert snap_post()[(2, "cherry")] == (1, 2)
+    # idempotent when already current
+    v = post.current_version()
+    refresh_postings(src, post)
+    assert post.current_version() == v
