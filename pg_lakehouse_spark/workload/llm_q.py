@@ -915,3 +915,41 @@ def text_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stats, "term")
         .select("doc_id", "term", "tf", "dl", "df")
     )
+
+
+@register(
+    "multimodal_audio",
+    oracle="""
+WITH s AS (
+  SELECT doc_id AS media_id, length(text) AS n,
+         [ord(text[i]) for i in range(1, length(text) + 1)] AS bs
+  FROM documents
+), m AS (
+  SELECT media_id, n, bs,
+         list_sum(bs) * 1.0 / n AS mu,
+         list_sum([(b - 128) * (b - 128) for b in bs]) AS ss
+  FROM s
+)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(floor(n * 1000.0 / 16000) AS BIGINT) AS duration_ms,
+       CAST(floor(sqrt(ss * 1.0 / n) * 10000) AS BIGINT) AS rms_e4,
+       CAST(len([i for i in range(1, n)
+                 if (bs[i] > mu) != (bs[i + 1] > mu)]) AS BIGINT)
+         AS crossings
+FROM m
+""",
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column pipeline: 8-bit-PCM payloads decoded to waveform
+    stats (duration, RMS, mean-crossings) in numpy over Arrow batches.
+    IEEE sqrt is correctly rounded, so even the RMS hash-matches the
+    DuckDB oracle exactly (ASCII corpus ⇒ bytes == codepoints)."""
+    from pg_lakehouse_spark.llm.multimodal import (
+        decode_audio,
+        synthesize_audio,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return decode_audio(synthesize_audio(docs, "doc_id", "text"))
