@@ -154,6 +154,8 @@ def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
             op = "evolve"       # forced: schema evolution mid-sequence
         elif step == 4:
             op = "respec"       # forced: partition-spec switch
+        elif step == 5:
+            op = "merge_evolve"  # forced: schema-merging MERGE
         else:
             op = rng.choice(["delete", "update", "append", "merge"])
         lo = rng.randrange(0, 280)
@@ -174,13 +176,34 @@ def test_mor_equals_cow_under_random_dml(spark, sf_dir, tmp_path):
                 t_.append(conform(extra))
         elif op == "evolve":
             cname = f"x{step}"
+            # one add carries an initial DEFAULT: old epochs must read
+            # it identically across CoW / equality-MoR / positional
             for t_ in tables:
                 t_.add_column(cname, "int")
+                t_.add_column(f"{cname}d", "int", default="-7")
             assign = {cname: F.lit(step)}
             for t_ in tables:
                 t_.update(cond, assign)
             for t_ in tables:
                 t_.widen_column(cname, "bigint")
+        elif op == "merge_evolve":
+            # source carries a brand-new column; merge_schema evolves
+            # all three twins before joining
+            src = orders.filter(cond).select(
+                "o_orderkey",
+                F.lit(f"tag{step}").alias(f"mtag{step}"),
+            )
+            kwargs = dict(
+                on=["o_orderkey"],
+                when_matched_update={
+                    f"mtag{step}": F.col(f"__src.mtag{step}")
+                },
+                when_not_matched_insert=False,
+                merge_schema=True,
+            )
+            mor.merge(src, **kwargs)
+            cow.merge(src, **kwargs)
+            pos.merge(src, **kwargs, mode="copy-on-write")
         elif op == "respec":
             for t_ in tables:
                 t_.set_partition_spec(["o_orderstatus"])
