@@ -1376,6 +1376,28 @@ class LakeTable:
             self.snapshot().properties.get("column_defaults", "{}")
         )
 
+    def set_column_default(self, name: str, default: str) -> Snapshot:
+        """Declare a DEFAULT for an EXISTING column (PG ALTER COLUMN
+        SET DEFAULT / CREATE-time column defaults): fills future
+        writes that omit the column (column-list INSERT,
+        merge_schema); rows already written are untouched — exactly
+        PG's non-retroactive DEFAULT."""
+        schema = self.schema()
+        if name not in schema.fieldNames():
+            raise LakehouseError(f"no such column: {name!r}")
+        try:
+            self.spark.range(1).select(
+                F.expr(default).cast(schema[name].dataType)
+            ).collect()
+        except Exception as exc:
+            raise LakehouseError(
+                f"invalid DEFAULT expression {default!r}: {exc}"
+            ) from exc
+        ids, _ = self._effective_field_ids(self.snapshot())
+        defaults = self.column_defaults()
+        defaults[str(ids[name])] = default
+        return self.set_properties({"column_defaults": json.dumps(defaults)})
+
     @staticmethod
     def _walk_path(schema: StructType, path: str):
         """Resolve an ARBITRARY-depth dotted path. Segments name struct

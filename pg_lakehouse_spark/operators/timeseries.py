@@ -122,3 +122,27 @@ def delta_per_series(
     return df.withColumn(
         out_col, F.col(value_col) - F.lag(value_col).over(w)
     )
+
+
+def sessionize(
+    df: DataFrame,
+    time_col: str,
+    key_cols: list[str],
+    gap: str,
+    session_col: str = "session_no",
+) -> DataFrame:
+    """Batch sessionization: rows of a key belong to one session until
+    a silence longer than ``gap`` (an INTERVAL body, e.g. '30 minutes')
+    — the batch twin of the streaming session window. Classic
+    lag-compare + running-sum: one shuffle on the key, two ordered
+    windows, no state. Adds ``session_col`` (1-based per key)."""
+    w = Window.partitionBy(*key_cols).orderBy(time_col)
+    prev = F.lag(time_col).over(w)
+    boundary = (
+        prev.isNull()
+        | (F.col(time_col) > prev + F.expr(f"INTERVAL {gap}"))
+    ).cast("long")
+    return df.withColumn("__b", boundary).withColumn(
+        session_col,
+        F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__b")

@@ -349,8 +349,32 @@ class LakeSQL:
             raise LakehouseError(f"cannot parse CREATE TABLE body: {rest[:80]!r}")
         from pyspark.sql.types import _parse_datatype_string
 
-        schema = _parse_datatype_string(rest[1:-1])
-        return self.catalog.create_table(
+        # PG column/table constraint grammar inside the column list:
+        #   col TYPE [NOT NULL] [DEFAULT <expr>]
+        #   [CONSTRAINT name] CHECK (<expr>)        (table-level)
+        col_defs, checks, defaults, notnull = [], {}, {}, []
+        for item in _split_top_level(rest[1:-1]):
+            it = item.strip()
+            cm = re.match(
+                rf"(?:CONSTRAINT\s+({_IDENT})\s+)?CHECK\s*\((.*)\)$",
+                it,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if cm:
+                cname = cm.group(1) or f"check_{len(checks) + 1}"
+                checks[cname] = cm.group(2).strip()
+                continue
+            dm = re.search(r"\s+DEFAULT\s+(.+)$", it, re.IGNORECASE)
+            if dm:
+                defaults[it.split(None, 1)[0]] = dm.group(1).strip()
+                it = it[: dm.start()].rstrip()
+            nn = re.search(r"\s+NOT\s+NULL$", it, re.IGNORECASE)
+            if nn:
+                notnull.append(it.split(None, 1)[0])
+                it = it[: nn.start()].rstrip()
+            col_defs.append(it)
+        schema = _parse_datatype_string(", ".join(col_defs))
+        tbl = self.catalog.create_table(
             ns,
             name,
             schema,
@@ -358,6 +382,20 @@ class LakeSQL:
             if_not_exists=if_not_exists,
             partition_by=part_by,
         )
+        # idempotent under IF NOT EXISTS re-runs: set_column_default
+        # overwrites with the same value; constraints re-add is guarded
+        for col, d in defaults.items():
+            tbl.set_column_default(col, d)
+        for col in notnull:
+            cname = f"notnull_{col}"
+            if cname not in tbl.check_constraints():
+                tbl.add_check_constraint(
+                    cname, f"{col} IS NOT NULL", validate=False
+                )
+        for cname, expr in checks.items():
+            if cname not in tbl.check_constraints():
+                tbl.add_check_constraint(cname, expr, validate=False)
+        return tbl
 
     def _drop(self, s: str) -> None:
         m = re.match(

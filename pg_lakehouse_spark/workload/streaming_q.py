@@ -367,3 +367,45 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us(F.col("bucket")).alias("bucket_us"),
         "event_type", "n_events", "sum_e2", "is_gap",
     )
+
+
+@register(
+    "ts_sessionize_users",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS b
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us
+FROM sess
+GROUP BY user_id, session_no
+""",
+    tags=("timeseries", "sessionize"),
+)
+def ts_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-minute silence cuts a session): the
+    lag-compare + running-sum formulation — one shuffle on user_id —
+    rolled up to per-session summaries. The batch twin of the
+    streaming session_window aggregate."""
+    from pg_lakehouse_spark.operators.timeseries import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", ["user_id"], "30 minutes")
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        epoch_us(F.min("ts")).alias("session_start_us"),
+        epoch_us(F.max("ts")).alias("session_end_us"),
+    )

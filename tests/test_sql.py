@@ -618,3 +618,33 @@ def test_sql_add_column_default(lsql):
     assert {(r.k, r.tier) for r in lsql.sql("SELECT * FROM db.d").collect()} == {
         (1, "free"), (2, "free"), (3, "pro"),
     }
+
+
+def test_sql_create_table_inline_constraints(lsql):
+    """PG CREATE TABLE grammar: per-column NOT NULL / DEFAULT and
+    table-level [CONSTRAINT name] CHECK clauses parse, persist, and
+    enforce."""
+    lsql.sql(
+        "CREATE TABLE db.acct ("
+        "  id BIGINT NOT NULL,"
+        "  tier STRING DEFAULT 'free',"
+        "  balance DOUBLE DEFAULT 0.0,"
+        "  CONSTRAINT bal_floor CHECK (balance >= -100),"
+        "  CHECK (id < 1000000)"
+        ")"
+    )
+    tbl = lsql.catalog.load_table("db", "acct")
+    assert set(tbl.check_constraints()) == {
+        "notnull_id", "bal_floor", "check_2",
+    }
+    lsql.sql("INSERT INTO db.acct (id) VALUES (1)")
+    row = lsql.sql("SELECT * FROM db.acct").collect()[0]
+    assert (row.id, row.tier, row.balance) == (1, "free", 0.0)
+    with pytest.raises(Exception, match="notnull_id"):
+        lsql.sql("INSERT INTO db.acct VALUES (NULL, 'x', 1.0)")
+    with pytest.raises(Exception, match="bal_floor"):
+        lsql.sql("INSERT INTO db.acct VALUES (2, 'x', -500.0)")
+    with pytest.raises(Exception, match="check_2"):
+        lsql.sql("INSERT INTO db.acct VALUES (2000000, 'x', 1.0)")
+    lsql.sql("INSERT INTO db.acct VALUES (2, 'pro', 50.0)")
+    assert lsql.sql("SELECT * FROM db.acct").count() == 2
