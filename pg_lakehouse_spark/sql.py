@@ -491,6 +491,27 @@ class LakeSQL:
             am = re.match(r"DROP\s+COLUMN\s+([\w.]+)$", action, re.IGNORECASE)
             return tbl.drop_column(am.group(1))
         if au.startswith("ALTER COLUMN"):
+            dm = re.match(
+                r"ALTER\s+COLUMN\s+([\w.]+)\s+SET\s+DEFAULT\s+(.+)$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if dm:
+                return tbl.set_column_default(dm.group(1), dm.group(2).strip())
+            dm = re.match(
+                r"ALTER\s+COLUMN\s+([\w.]+)\s+DROP\s+DEFAULT$",
+                action,
+                re.IGNORECASE,
+            )
+            if dm:
+                import json as _json
+
+                ids, _ = tbl._effective_field_ids(tbl.snapshot())
+                defaults = tbl.column_defaults()
+                defaults.pop(str(ids.get(dm.group(1))), None)
+                return tbl.set_properties(
+                    {"column_defaults": _json.dumps(defaults)}
+                )
             nm = re.match(
                 r"ALTER\s+COLUMN\s+([\w.]+)\s+(SET|DROP)\s+NOT\s+NULL$",
                 action,
@@ -1076,6 +1097,15 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 rows or [], "namespace string, name string"
             )
+        m = re.match(
+            rf"SHOW\s+CONSTRAINTS\s+(?:IN\s+)?{_TBL}$", s, re.IGNORECASE
+        )
+        if m:
+            tbl = self.catalog.load_table(m.group(1), m.group(2))
+            rows = sorted(tbl.check_constraints().items())
+            return self.spark.createDataFrame(
+                rows or [], "name string, expression string"
+            )
         raise LakehouseError(f"cannot parse SHOW: {s[:80]!r}")
 
     def _create_view(self, s: str):
@@ -1121,10 +1151,15 @@ class LakeSQL:
         return self.catalog.load_table(m.group(1), m.group(2)).column_stats_df()
 
     def _vacuum(self, s: str) -> None:
-        m = re.match(rf"VACUUM\s+{_TBL}$", s, re.IGNORECASE)
+        m = re.match(
+            rf"VACUUM\s+{_TBL}(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?$",
+            s,
+            re.IGNORECASE,
+        )
         if not m:
             raise LakehouseError(f"cannot parse VACUUM: {s[:80]!r}")
-        self.catalog.load_table(m.group(1), m.group(2)).vacuum()
+        keep = int(m.group(3)) if m.group(3) else 1
+        self.catalog.load_table(m.group(1), m.group(2)).vacuum(keep_last=keep)
         return None
 
     def _optimize(self, s: str):

@@ -648,3 +648,24 @@ def test_sql_create_table_inline_constraints(lsql):
         lsql.sql("INSERT INTO db.acct VALUES (2000000, 'x', 1.0)")
     lsql.sql("INSERT INTO db.acct VALUES (2, 'pro', 50.0)")
     assert lsql.sql("SELECT * FROM db.acct").count() == 2
+
+
+def test_sql_alter_default_show_constraints_vacuum_retain(lsql):
+    lsql.sql("CREATE TABLE db.pol (k BIGINT, tier STRING)")
+    lsql.sql("ALTER TABLE db.pol ALTER COLUMN tier SET DEFAULT 'basic'")
+    lsql.sql("INSERT INTO db.pol (k) VALUES (1)")
+    assert lsql.sql("SELECT tier FROM db.pol").collect()[0].tier == "basic"
+    lsql.sql("ALTER TABLE db.pol ALTER COLUMN tier DROP DEFAULT")
+    lsql.sql("INSERT INTO db.pol (k) VALUES (2)")
+    got = {r.k: r.tier for r in lsql.sql("SELECT * FROM db.pol").collect()}
+    assert got == {1: "basic", 2: None}
+    # SHOW CONSTRAINTS reflects adds/drops
+    lsql.sql("ALTER TABLE db.pol ADD CONSTRAINT k_pos CHECK (k > 0)")
+    rows = {tuple(r) for r in lsql.sql("SHOW CONSTRAINTS db.pol").collect()}
+    assert rows == {("k_pos", "k > 0")}
+    # VACUUM RETAIN keeps a deeper history window
+    tbl = lsql.catalog.load_table("db", "pol")
+    for i in range(3, 7):
+        lsql.sql(f"INSERT INTO db.pol (k) VALUES ({i})")
+    lsql.sql("VACUUM db.pol RETAIN 3 SNAPSHOTS")
+    assert len(tbl.snapshots()) >= 3
