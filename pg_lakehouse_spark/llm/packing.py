@@ -181,3 +181,69 @@ def interleave_sources(
         .drop("__w")
     )
     return out
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    fmt: str = "parquet",
+    seed: int = 17,
+) -> dict:
+    """Training-data handoff: write the corpus as ``num_shards``
+    hash-assigned shards (``shard=N`` hive dirs) plus a ``manifest
+    .json`` recording per-shard row counts and bytes.
+
+    Contract a data-loader relies on: shard membership is a pure
+    function of row CONTENT (xxhash64 of ``id_col``) — stable across
+    re-exports, cluster sizes, and input partitioning; within a shard,
+    rows are ordered by ``order_col`` when given (e.g. the interleave
+    ``mix_pos``), so shard files replay the curriculum order. One
+    repartition (the shard shuffle) + optional within-partition sort;
+    the manifest aggregate is one count per shard — metadata-sized.
+    """
+    import json
+    import os
+
+    from pg_lakehouse_spark import sources
+
+    shard = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(num_shards))
+    out = df.withColumn("shard", shard).repartition(num_shards, "shard")
+    if order_col is not None:
+        out = out.sortWithinPartitions("shard", order_col)
+    sources.write(out, path, fmt=fmt, mode="error", partition_by=["shard"])
+    counts = {
+        int(r.shard): int(r.n)
+        for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    shard_bytes: dict[int, int] = {}
+    for root, _dirs, files in os.walk(path):
+        base = os.path.basename(root)
+        if base.startswith("shard="):
+            sid = int(base.split("=", 1)[1])
+            shard_bytes[sid] = shard_bytes.get(sid, 0) + sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+    manifest = {
+        "format": fmt,
+        "num_shards": num_shards,
+        "id_col": id_col,
+        "order_col": order_col,
+        "seed": seed,
+        "total_rows": sum(counts.values()),
+        "shards": [
+            {
+                "shard": s,
+                "rows": counts.get(s, 0),
+                "bytes": shard_bytes.get(s, 0),
+            }
+            for s in range(num_shards)
+        ],
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

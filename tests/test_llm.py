@@ -741,3 +741,41 @@ def test_postings_index_incremental_maintenance(spark, tmp_path):
     v = post.current_version()
     refresh_postings(src, post)
     assert post.current_version() == v
+
+
+def test_export_shards_deterministic_manifest(spark, sf_dir, tmp_path):
+    """Sharded export: membership is content-hashed (identical across
+    re-exports and partitionings), the manifest accounts for every
+    row, and order_col orders rows within each shard file."""
+    import json
+    import os
+
+    from pg_lakehouse_spark.llm.packing import export_shards, interleave_sources
+
+    docs = table(spark, sf_dir, "documents")
+    mixed = interleave_sources(
+        docs, "lang", {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+    )
+    p1 = str(tmp_path / "exp1")
+    m1 = export_shards(mixed, p1, 4, order_col="mix_pos")
+    assert m1["total_rows"] == mixed.count()
+    assert sum(s["rows"] for s in m1["shards"]) == m1["total_rows"]
+    assert all(s["bytes"] > 0 for s in m1["shards"] if s["rows"])
+    with open(os.path.join(p1, "manifest.json")) as f:
+        assert json.load(f)["num_shards"] == 4
+    # determinism under repartitioning
+    p2 = str(tmp_path / "exp2")
+    export_shards(mixed.repartition(13), p2, 4, order_col="mix_pos")
+
+    def members(p, s):
+        return {
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(p, f"shard={s}")).collect()
+        }
+
+    for s in range(4):
+        assert members(p1, s) == members(p2, s)
+    # within-shard order follows order_col
+    one = spark.read.parquet(os.path.join(p1, "shard=0")).collect()
+    pos = [r.mix_pos for r in one]
+    assert pos == sorted(pos)

@@ -86,6 +86,8 @@ def test_no_driver_side_collects_in_operators():
         # micro-batch (one tiny path row per commit) — metadata plane
         "search.py",         # two scalars per query (corpus size,
         # average doc length) — persist postings upstream at scale
+        "packing.py",        # export manifest: one (shard, count) row
+        # per shard — num_shards rows of metadata, never corpus rows
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
