@@ -4020,6 +4020,47 @@ class LakeCatalog:
                 out.append((ns, name))
         return out
 
+    # -- namespaces (PG CREATE/DROP SCHEMA; ref maps PG schema ≡
+    # Iceberg namespace, catalog/pg_catalog.h:29)
+
+    def namespace_exists(self, namespace: str) -> bool:
+        return os.path.isdir(os.path.join(self.warehouse, namespace))
+
+    def create_namespace(
+        self, namespace: str, if_not_exists: bool = False
+    ) -> None:
+        path = os.path.join(self.warehouse, namespace)
+        if os.path.isdir(path):
+            if if_not_exists:
+                return
+            raise LakehouseError(f"namespace {namespace!r} already exists")
+        os.makedirs(path)
+
+    def drop_namespace(
+        self, namespace: str, cascade: bool = False, if_exists: bool = False
+    ) -> None:
+        """DROP SCHEMA [CASCADE]: without cascade, refuses while any
+        table lives in the namespace (PG's RESTRICT default)."""
+        path = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(path):
+            if if_exists:
+                return
+            raise LakehouseError(f"namespace {namespace!r} does not exist")
+        tables = self.list_tables(namespace)
+        if tables and not cascade:
+            raise LakehouseError(
+                f"namespace {namespace!r} is not empty "
+                f"({len(tables)} tables); use cascade=True"
+            )
+        shutil.rmtree(path)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
     def list_tables(self, namespace: str | None = None) -> list[tuple[str, str]]:
         out = []
         spaces = (

@@ -143,6 +143,16 @@ class LakeSQL:
                 return self._create_matview(s)
             if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW", s, re.IGNORECASE):
                 return self._create_view(s)
+            cm = re.match(
+                rf"CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})$",
+                s,
+                re.IGNORECASE,
+            )
+            if cm:
+                self.catalog.create_namespace(
+                    cm.group(2), if_not_exists=bool(cm.group(1))
+                )
+                return None
             return self._create(s)
         if head == "REFRESH":
             return self._refresh_matview(s)
@@ -154,6 +164,18 @@ class LakeSQL:
                 if not m:
                     raise LakehouseError(f"cannot parse DROP MV: {s[:80]!r}")
                 self.catalog.drop_table(m.group(1), m.group(2), purge=True)
+                return None
+            sm = re.match(
+                rf"DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?({_IDENT})(\s+CASCADE)?$",
+                s,
+                re.IGNORECASE,
+            )
+            if sm:
+                self.catalog.drop_namespace(
+                    sm.group(2),
+                    cascade=bool(sm.group(3)),
+                    if_exists=bool(sm.group(1)),
+                )
                 return None
             if re.match(r"DROP\s+VIEW", s, re.IGNORECASE):
                 m = re.match(
@@ -1096,6 +1118,12 @@ class LakeSQL:
             rows = self.catalog.list_views(m.group(1))
             return self.spark.createDataFrame(
                 rows or [], "namespace string, name string"
+            )
+        m = re.match(r"SHOW\s+SCHEMAS$", s, re.IGNORECASE)
+        if m:
+            return self.spark.createDataFrame(
+                [(n,) for n in self.catalog.list_namespaces()] or [],
+                "namespace string",
             )
         m = re.match(
             rf"SHOW\s+CONSTRAINTS\s+(?:IN\s+)?{_TBL}$", s, re.IGNORECASE

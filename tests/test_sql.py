@@ -669,3 +669,21 @@ def test_sql_alter_default_show_constraints_vacuum_retain(lsql):
         lsql.sql(f"INSERT INTO db.pol (k) VALUES ({i})")
     lsql.sql("VACUUM db.pol RETAIN 3 SNAPSHOTS")
     assert len(tbl.snapshots()) >= 3
+
+
+def test_sql_schema_ddl(lsql):
+    lsql.sql("CREATE SCHEMA staging")
+    lsql.sql("CREATE SCHEMA IF NOT EXISTS staging")
+    with pytest.raises(LakehouseError, match="already exists"):
+        lsql.sql("CREATE SCHEMA staging")
+    assert ("staging",) in {
+        tuple(r) for r in lsql.sql("SHOW SCHEMAS").collect()
+    }
+    lsql.sql("CREATE TABLE staging.t (k BIGINT)")
+    with pytest.raises(LakehouseError, match="not empty"):
+        lsql.sql("DROP SCHEMA staging")
+    lsql.sql("DROP SCHEMA staging CASCADE")
+    assert not lsql.catalog.namespace_exists("staging")
+    lsql.sql("DROP SCHEMA IF EXISTS staging")
+    with pytest.raises(LakehouseError, match="does not exist"):
+        lsql.sql("DROP SCHEMA staging")
