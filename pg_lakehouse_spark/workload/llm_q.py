@@ -953,3 +953,27 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return decode_audio(synthesize_audio(docs, "doc_id", "text"))
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=None,  # BPE training is an iterative algorithm (per-round
+    # argmax) — not SQL-expressible; correctness is pinned by
+    # tests/test_llm.py (canonical-corpus merges, lossless round-trip,
+    # determinism, compression)
+    tags=("text-bpe",),
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training end-to-end: learn 24 BPE merges from the
+    corpus word-frequency table (vocabulary-sized loop, one corpus
+    scan total), then tokenize every document map-only with the
+    learned ranks."""
+    from pg_lakehouse_spark.llm.bpe import apply_bpe, train_bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, 24)
+    return apply_bpe(docs, merges).select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )

@@ -779,3 +779,55 @@ def test_export_shards_deterministic_manifest(spark, sf_dir, tmp_path):
     one = spark.read.parquet(os.path.join(p1, "shard=0")).collect()
     pos = [r.mix_pos for r in one]
     assert pos == sorted(pos)
+
+
+# ---------------------------------------------------------------------------
+# BPE training (bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_training_classic_corpus(spark):
+    """The canonical BPE example: 'low/lower/newest/widest' corpus
+    learns (e,s) -> (es,t) -> (est,</w>) first; application with the
+    learned merges reproduces whole-word tokens for frequent words and
+    round-trips losslessly."""
+    from pg_lakehouse_spark.llm.bpe import END, apply_bpe, train_bpe
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = train_bpe(df, 10)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", END)]
+    assert ("l", "o") in merges and ("lo", "w") in merges
+    out = apply_bpe(df, merges).collect()[0].bpe_tokens
+    # 'newest' fused to a single token (most frequent word)
+    assert f"newest{END}" in out
+    # lossless: stripping markers and re-joining reproduces the text
+    rebuilt = "".join(out).replace(END, " ").strip()
+    assert rebuilt == text
+    # determinism
+    assert train_bpe(df, 10) == merges
+
+
+def test_bpe_corpus_scale_and_compression(spark, sf_dir):
+    """On the real corpus: training is vocabulary-sized work, and
+    applying the merges strictly compresses the token stream vs
+    characters while never splitting across words."""
+    from pg_lakehouse_spark.llm.bpe import END, apply_bpe, train_bpe
+
+    docs = table(spark, sf_dir, "documents").limit(60)
+    merges = train_bpe(docs, 24)
+    assert len(merges) == 24
+    toks = apply_bpe(docs, merges)
+    stats = toks.select(
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+    ).agg(F.sum("n_bpe").alias("b"), F.sum("n_chars").alias("c")).collect()[0]
+    assert stats.b < stats.c  # merges compress
+    # every token is either a learned fusion or a char/terminal
+    vocab = {a + b for a, b in merges}
+    sample = toks.select(F.explode("bpe_tokens").alias("t")).distinct().collect()
+    for r in sample:
+        t = r.t
+        assert t in vocab or len(t.rstrip(END).replace(END, "")) <= 1 or t.endswith(END) or len(t) == 1

@@ -88,6 +88,8 @@ def test_no_driver_side_collects_in_operators():
         # average doc length) — persist postings upstream at scale
         "packing.py",        # export manifest: one (shard, count) row
         # per shard — num_shards rows of metadata, never corpus rows
+        "bpe.py",            # ONE winning (a, b, count) row per merge
+        # round — the BPE training loop's driver-side coordination
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
