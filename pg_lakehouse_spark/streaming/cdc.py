@@ -92,8 +92,7 @@ def stream_changes(
             json.dump(sorted(versions), f)
         os.replace(tmp, pending_path)
 
-    def expand_batch(batch_df: DataFrame, batch_id: int) -> None:
-        versions = set(_batch_versions(batch_df)) | set(load_pending())
+    def deliver(versions: set, batch_id: int) -> None:
         if not versions:
             return
         on_ref = set(table._ancestry(table.current_version()))
@@ -113,6 +112,17 @@ def stream_changes(
         save_pending(
             [v for v in parked if os.path.exists(table._meta_path(v))]
         )
+
+    def expand_batch(batch_df: DataFrame, batch_id: int) -> None:
+        deliver(set(_batch_versions(batch_df)) | set(load_pending()), batch_id)
+
+    # Startup catch-up: a fast-forward publish moves the pointer
+    # without writing any metadata file, so parked branch versions can
+    # become deliverable with NO new file for the source to see. Check
+    # the ledger eagerly at every (re)start — a trigger-once WAP
+    # consumer therefore always observes the publish on its next run,
+    # independent of whether Spark fires an empty micro-batch.
+    deliver(set(load_pending()), -1)
 
     src = (
         spark.readStream.format("text")
