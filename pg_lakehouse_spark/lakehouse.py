@@ -966,6 +966,7 @@ class LakeTable:
         )
         fmt = self.file_format()
         df = self._apply_check_guards(df)
+        df = self._size_for_target_files(df)
         part_cols = []
         for s in partition_by or []:
             src, derived, fn = _partition_field(s)
@@ -976,11 +977,14 @@ class LakeTable:
                 # sees it
                 df = df.withColumn(derived, fn(df))
             part_cols.append(derived)
+        codec = self._write_codec()
         if fmt == "avro":
             # native writer when the spark-avro jar exists, else the
             # pure-Python OCF dataset writer (same hive layout)
             try:
                 writer = df.write.mode("overwrite").format("avro")
+                if codec:
+                    writer = writer.option("compression", codec)
                 if part_cols:
                     writer = writer.partitionBy(*part_cols)
                 writer.save(staging)
@@ -992,6 +996,8 @@ class LakeTable:
                 avro_io.write_avro_dataset(df, staging, part_cols=part_cols)
         else:
             writer = df.write.mode("overwrite").format(fmt)
+            if codec:
+                writer = writer.option("compression", codec)
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
             writer.save(staging)
@@ -1032,6 +1038,36 @@ class LakeTable:
         shutil.rmtree(staging, ignore_errors=True)
         self._attach_file_stats(entries, fmt)
         return entries
+
+    def _write_codec(self) -> str | None:
+        """``write_compression`` table property (Iceberg
+        write.parquet.compression-codec analog): zstd/gzip/snappy/
+        uncompressed… passed straight to the format writer."""
+        return self.snapshot().properties.get("write_compression")
+
+    def _size_for_target_files(self, df: DataFrame) -> DataFrame:
+        """Honor the reference's ``target_file_size`` WITH-option
+        (table_ops.c:42-43, default 128 MB): repartition the staged
+        frame so output files land near the target. Sizing uses
+        Catalyst's job-free plan-size estimate (same stat as the
+        broadcast gate) — no extra scan; the estimate is of in-memory
+        bytes, so the on-disk files run smaller (encoding+compression),
+        which errs toward more, smaller files — the safe side for
+        parallelism. Only active when the property is set; hash/sort
+        write distribution paths already size their own output."""
+        raw = self.snapshot().properties.get("target_file_size")
+        if not raw:
+            return df
+        target = int(raw)
+        try:
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            size = stats.sizeInBytes()
+            if not isinstance(size, int):
+                size = int(size.toString())
+        except Exception:
+            return df
+        n = max(1, min(10_000, -(-size // target)))  # ceil, capped
+        return df.repartition(n)
 
     def _attach_file_stats(self, entries: list[dict], fmt: str) -> None:
         """Optional per-file column statistics, computed in ONE

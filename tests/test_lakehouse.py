@@ -2303,3 +2303,36 @@ def test_append_and_merge_with_schema_merge(spark, tmp_path):
     assert got == {
         (1, "a", None), (2, "B", "eu"), (3, "c", None), (4, "d", "na"),
     }
+
+
+def test_target_file_size_and_compression(spark, tmp_path):
+    """The reference's target_file_size WITH-option (table_ops.c:42-43)
+    splits large appends into multiple near-target files with no extra
+    scan; write_compression picks the parquet codec."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_tfs"))
+    big = spark.range(200_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+    )
+    plain = cat.create_table_as("db", "plain", big)
+    sized = cat.create_table_as(
+        "db", "sized", big,
+        properties={"target_file_size": str(256 * 1024),
+                    "write_compression": "zstd"},
+    )
+    n_plain = len(plain.snapshot().files)
+    n_sized = len(sized.snapshot().files)
+    assert n_sized > n_plain  # the target split the append
+    # files land in the target's ballpark (estimate errs small-side)
+    sizes = [f["bytes"] for f in sized.snapshot().files]
+    assert max(sizes) < 4 * 256 * 1024
+    assert sized.read().count() == 200_000
+    # zstd honored in the physical files
+    import pyarrow.parquet as pq
+    import os
+
+    path = os.path.join(sized.location, sized.snapshot().files[0]["path"])
+    meta = pq.ParquetFile(path).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
