@@ -2913,6 +2913,30 @@ class LakeTable:
 
         return self._rewrite("update", condition, transform, changes=changes)
 
+    def _merge_insert_values(
+        self, tcols: list[str], values: dict[str, Column] | None
+    ) -> dict[str, Column]:
+        """Per-target-column insert expression for a merge: the
+        explicit VALUES mapping when given (unmapped columns fall to
+        their declared DEFAULT, else NULL), otherwise the source
+        column pass-through."""
+        if values is None:
+            return {c: F.col(f"__src.{c}") for c in tcols}
+        schema = self.schema()
+        defaults = self.column_defaults()
+        ids, _ = self._effective_field_ids(self.snapshot())
+        out = {}
+        for c in tcols:
+            if c in values:
+                e = values[c]
+            else:
+                d = defaults.get(str(ids.get(c)))
+                e = F.expr(d) if d is not None else F.lit(None)
+            if c in schema.fieldNames():
+                e = e.cast(schema[c].dataType)
+            out[c] = e
+        return out
+
     def _mor_merge(
         self,
         source: DataFrame,
@@ -2924,6 +2948,8 @@ class LakeTable:
         when_not_matched_by_source_condition: Column | None = None,
         summary_extra: dict | None = None,
         when_matched_condition: Column | None = None,
+        when_not_matched_condition: Column | None = None,
+        when_not_matched_values: dict[str, Column] | None = None,
     ) -> Snapshot:
         """Merge-on-read MERGE: matched target rows retire via an
         equality-delete key file; updated postimages and unmatched
@@ -2986,14 +3012,20 @@ class LakeTable:
                 )
             )
         if when_not_matched_insert:
+            ins_frame = src.join(
+                target.select(
+                    *[F.col(c).alias(f"__k_{c}") for c in on]
+                ).distinct(),
+                on=[f"__k_{c}" for c in on],
+                how="left_anti",
+            )
+            if when_not_matched_condition is not None:
+                ins_frame = ins_frame.filter(when_not_matched_condition)
+            ins_vals = self._merge_insert_values(
+                tcols, when_not_matched_values
+            )
             new_parts.append(
-                src.join(
-                    target.select(
-                        *[F.col(c).alias(f"__k_{c}") for c in on]
-                    ).distinct(),
-                    on=[f"__k_{c}" for c in on],
-                    how="left_anti",
-                ).select(*[F.col(f"__src.{c}").alias(c) for c in tcols])
+                ins_frame.select(*[ins_vals[c].alias(c) for c in tcols])
             )
         new_files = []
         if new_parts:
@@ -3084,8 +3116,18 @@ class LakeTable:
         summary_extra: dict | None = None,
         mode: str | None = None,
         merge_schema: bool = False,
+        when_not_matched_condition: Column | None = None,
+        when_not_matched_values: dict[str, Column] | None = None,
     ) -> Snapshot:
         """MERGE INTO (upsert) — ref A13's roadmap 'MERGE for upsert'.
+
+        ``when_not_matched_condition`` gates the insert clause
+        (PG/Delta ``WHEN NOT MATCHED AND cond THEN INSERT``; reference
+        source columns as ``__src.col``); unmatched source rows failing
+        it are dropped, not inserted. ``when_not_matched_values`` maps
+        target columns to insert expressions (the ``INSERT (cols)
+        VALUES (exprs)`` form); unmapped columns take their declared
+        DEFAULT, else NULL.
 
         ``merge_schema`` (Delta automatic schema evolution for MERGE):
         source columns unknown to the target evolve it first
@@ -3121,7 +3163,8 @@ class LakeTable:
                 source, on, when_matched_update, when_matched_delete,
                 when_not_matched_insert, when_not_matched_by_source_delete,
                 when_not_matched_by_source_condition, summary_extra,
-                when_matched_condition,
+                when_matched_condition, when_not_matched_condition,
+                when_not_matched_values,
             )
         base = self.current_version()
         snap = self.snapshot(base)
@@ -3170,6 +3213,17 @@ class LakeTable:
         # match; `on[0] IS NULL` alone would also catch target rows
         # whose merge key is NULL and wrongly clobber/drop them.
         src_only = F.col("__src").isNotNull() & F.col(on[0]).isNull()
+        # WHEN NOT MATCHED AND <cond>: source rows failing the gate are
+        # dropped, not inserted (NULL condition counts as failing)
+        ins = (
+            src_only
+            if when_not_matched_condition is None
+            else src_only
+            & F.coalesce(when_not_matched_condition, F.lit(False))
+        )
+        ins_vals = self._merge_insert_values(
+            target.columns, when_not_matched_values
+        )
 
         cols = []
         for name in target.columns:
@@ -3177,7 +3231,7 @@ class LakeTable:
             if when_matched_update and name in when_matched_update:
                 val = F.when(matched, when_matched_update[name]).otherwise(val)
             if when_not_matched_insert:
-                val = F.when(src_only, F.col(f"__src.{name}")).otherwise(val)
+                val = F.when(ins, ins_vals[name]).otherwise(val)
             cols.append(val.alias(name))
         target_only = F.col("__src").isNull()
         by_source_del = (
@@ -3188,7 +3242,9 @@ class LakeTable:
         out = joined
         if when_matched_delete:
             out = out.filter(~matched)
-        if not when_not_matched_insert:
+        if when_not_matched_insert:
+            out = out.filter(~src_only | ins)
+        else:
             out = out.filter(~src_only)
         if when_not_matched_by_source_delete:
             out = out.filter(~by_source_del)
@@ -3229,8 +3285,8 @@ class LakeTable:
             )
         if feed and when_not_matched_insert:
             change_parts.append(
-                joined.filter(src_only)
-                .select(*[F.col(f"__src.{c}").alias(c) for c in tcols])
+                joined.filter(ins)
+                .select(*[ins_vals[c].alias(c) for c in tcols])
                 .withColumn("_change_type", F.lit("insert"))
             )
         if feed and when_not_matched_by_source_delete:

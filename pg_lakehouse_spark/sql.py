@@ -849,7 +849,8 @@ class LakeSQL:
     _CLAUSE = re.compile(
         r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
         r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
-        r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)"
+        r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*"
+        r"|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))"
         r"(?=\s+WHEN\s|\s*$)",
         re.IGNORECASE | re.DOTALL,
     )
@@ -906,7 +907,8 @@ class LakeSQL:
         if leftover:
             raise LakehouseError(
                 "unsupported MERGE clause (supported: UPDATE SET ..., "
-                "DELETE, INSERT *): " + leftover[:80]
+                "DELETE, INSERT *, INSERT (cols) VALUES (exprs)): "
+                + leftover[:80]
             )
         seen_kinds: dict[str, int] = {}
         for cm in self._CLAUSE.finditer(clauses):
@@ -936,11 +938,33 @@ class LakeSQL:
                         assigns[k] = rewrite(v.strip())
                     kw["when_matched_update"] = assigns
             elif kind == "NOT MATCHED":
-                if actu != "INSERT *":
-                    raise LakehouseError(
-                        "only INSERT * is supported for WHEN NOT MATCHED"
+                if actu == "INSERT *":
+                    kw["when_not_matched_insert"] = True
+                else:
+                    im = re.match(
+                        r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)$",
+                        act,
+                        re.IGNORECASE | re.DOTALL,
                     )
-                kw["when_not_matched_insert"] = True
+                    if not im:
+                        raise LakehouseError(
+                            "WHEN NOT MATCHED supports INSERT * or "
+                            "INSERT (cols) VALUES (exprs): " + act[:60]
+                        )
+                    cols_l = [
+                        c.strip() for c in im.group(1).split(",") if c.strip()
+                    ]
+                    vals = _split_top_level(im.group(2))
+                    if len(cols_l) != len(vals):
+                        raise LakehouseError(
+                            "INSERT column/VALUES arity mismatch in MERGE"
+                        )
+                    kw["when_not_matched_insert"] = True
+                    kw["when_not_matched_values"] = {
+                        c: rewrite(v.strip()) for c, v in zip(cols_l, vals)
+                    }
+                if cond:
+                    kw["when_not_matched_condition"] = rewrite(cond)
             else:  # NOT MATCHED BY SOURCE
                 if actu != "DELETE":
                     raise LakehouseError(

@@ -145,10 +145,17 @@ def test_unsupported_statement_errors(lsql):
     with pytest.raises(LakehouseError, match="unsupported statement"):
         lsql.sql("GRANT ALL ON db.x TO role")
     lsql.sql("CREATE TABLE db.g (k BIGINT)")
-    with pytest.raises(LakehouseError, match="INSERT \\*"):
+    # column-list INSERT is supported grammar now; a malformed insert
+    # action still errors
+    lsql.sql(
+        "MERGE INTO db.g AS t USING (SELECT 1 AS k) AS s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
+    )
+    assert [r.k for r in lsql.sql("SELECT * FROM db.g").collect()] == [1]
+    with pytest.raises(LakehouseError, match="unsupported MERGE clause"):
         lsql.sql(
-            "MERGE INTO db.g AS t USING (SELECT 1 AS k) AS s ON t.k = s.k "
-            "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
+            "MERGE INTO db.g AS t USING (SELECT 2 AS k) AS s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN DO NOTHING"
         )
 
 
@@ -687,3 +694,43 @@ def test_sql_schema_ddl(lsql):
     lsql.sql("DROP SCHEMA IF EXISTS staging")
     with pytest.raises(LakehouseError, match="does not exist"):
         lsql.sql("DROP SCHEMA staging")
+
+
+def test_sql_merge_conditional_insert_values(lsql, spark):
+    """Full PG MERGE insert grammar: WHEN NOT MATCHED AND cond THEN
+    INSERT (cols) VALUES (exprs) — gated inserts, expression values,
+    unlisted columns fall to DEFAULT — on CoW and MoR targets."""
+    from pyspark.sql import Row
+
+    for mode_props, tname in [
+        ({}, "ci_cow"),
+        ({"row_key": "k", "write_delete_mode": "merge-on-read"}, "ci_mor"),
+    ]:
+        lsql.sql(
+            f"CREATE TABLE db.{tname} "
+            "(k BIGINT, v STRING, src STRING DEFAULT 'seed')"
+        )
+        if mode_props:
+            lsql.catalog.load_table("db", tname).set_properties(mode_props)
+        lsql.sql(
+            f"INSERT INTO db.{tname} VALUES (1, 'a', 'seed'), (2, 'b', 'seed')"
+        )
+        spark.createDataFrame(
+            [Row(k=2, v="B2", score=9), Row(k=3, v="c", score=5),
+             Row(k=4, v="d", score=1)]
+        ).createOrReplaceTempView("chg")
+        lsql.sql(
+            f"MERGE INTO db.{tname} AS t USING chg AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED AND s.score > 3 THEN "
+            "INSERT (k, v) VALUES (s.k, upper(s.v))"
+        )
+        got = {
+            (r.k, r.v, r.src)
+            for r in lsql.sql(f"SELECT * FROM db.{tname}").collect()
+        }
+        # k=3 inserted (score 5) with upper() + DEFAULT src;
+        # k=4 dropped (score 1); k=2 updated
+        assert got == {
+            (1, "a", "seed"), (2, "B2", "seed"), (3, "C", "seed"),
+        }, tname
