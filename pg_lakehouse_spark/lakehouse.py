@@ -1599,6 +1599,21 @@ class LakeTable:
             "add-column", new_schema, new_ids, nxt + 1, properties=props
         )
 
+    def _guard_constrained_column(self, name: str, action: str) -> None:
+        """PG blocks dropping/renaming a column a CHECK constraint
+        references (the constraint text would silently break and fail
+        every later write with an unrelated analysis error)."""
+        import re as _re
+
+        leaf = name.split(".")[0]
+        pat = _re.compile(rf"\b{_re.escape(leaf)}\b")
+        hit = [c for c, e in self.check_constraints().items() if pat.search(e)]
+        if hit:
+            raise LakehouseError(
+                f"cannot {action} column {leaf!r}: referenced by CHECK "
+                f"constraint(s) {hit}; drop them first"
+            )
+
     def rename_column(self, old: str, new: str) -> Snapshot:
         """RENAME COLUMN: the field id is stable, so files written
         under the old name keep resolving; per-file range stats are
@@ -1607,6 +1622,8 @@ class LakeTable:
         be the bare child name or the full path with the same parent;
         cross-struct moves are rejected)."""
         from pyspark.sql.types import StructField
+
+        self._guard_constrained_column(old, "rename")
 
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
@@ -1773,6 +1790,7 @@ class LakeTable:
         """DROP COLUMN: metadata-only; the column's id is retired and
         old files simply stop selecting it. Dotted paths drop a struct
         field at ANY depth."""
+        self._guard_constrained_column(name, "drop")
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap.schema_json))
         ids, nxt = self._effective_field_ids(snap)

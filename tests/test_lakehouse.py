@@ -2336,3 +2336,25 @@ def test_target_file_size_and_compression(spark, tmp_path):
     path = os.path.join(sized.location, sized.snapshot().files[0]["path"])
     meta = pq.ParquetFile(path).metadata
     assert meta.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_constrained_column_guards_evolution(spark, tmp_path):
+    """Renaming/dropping a column referenced by a CHECK constraint is
+    rejected (PG dependency rule) instead of breaking future writes."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog, LakehouseError
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_guard"))
+    tbl = cat.create_table(
+        "db", "g", spark.createDataFrame([(1, 2.0)], "k long, v double").schema
+    )
+    tbl.add_check_constraint("v_pos", "v > 0", validate=False)
+    with pytest.raises(LakehouseError, match="referenced by CHECK"):
+        tbl.rename_column("v", "value")
+    with pytest.raises(LakehouseError, match="referenced by CHECK"):
+        tbl.drop_column("v")
+    # unconstrained columns evolve freely; after dropping the
+    # constraint the column moves too
+    tbl.rename_column("k", "key")
+    tbl.drop_check_constraint("v_pos")
+    tbl.rename_column("v", "value")
+    assert set(tbl.schema().fieldNames()) == {"key", "value"}
