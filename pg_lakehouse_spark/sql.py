@@ -194,12 +194,29 @@ class LakeSQL:
             return self._truncate(s)
         if head == "ALTER":
             return self._alter(s)
-        if head == "INSERT":
-            return self._insert(s)
-        if head == "DELETE":
-            return self._delete(s)
-        if head == "UPDATE":
-            return self._update(s)
+        if head in ("INSERT", "DELETE", "UPDATE"):
+            # PG RETURNING: peel the clause, run the DML, then serve
+            # the affected rows from the commit's row-level changes
+            rm = re.search(
+                r"\s+RETURNING\s+(\*|[\w\s,.]+)$", s, re.IGNORECASE
+            )
+            returning = None
+            if rm:
+                if self._txn is not None:
+                    raise LakehouseError(
+                        "RETURNING is not available inside a transaction "
+                        "(rows are visible only at COMMIT)"
+                    )
+                returning = rm.group(1).strip()
+                s = s[: rm.start()].rstrip()
+            snap = {
+                "INSERT": self._insert,
+                "DELETE": self._delete,
+                "UPDATE": self._update,
+            }[head](s)
+            if returning is None:
+                return snap
+            return self._returning_rows(head, s, snap, returning)
         if head == "MERGE":
             return self._merge(s)
         if head == "VACUUM":
@@ -743,6 +760,29 @@ class LakeSQL:
             when_matched_update=assignments,
             when_not_matched_insert=True,
         )
+
+    _RETURNING_TYPES = {
+        "INSERT": ("insert",),
+        "DELETE": ("delete",),
+        "UPDATE": ("update_postimage",),
+    }
+
+    def _returning_rows(self, head, stmt, snap, returning) -> DataFrame:
+        """Affected rows of the just-committed DML: inserts derive
+        from the commit's added files; DELETE/UPDATE need the table's
+        change feed on (read_changes raises with instructions
+        otherwise — same contract as the batch changelog)."""
+        tm = re.search(rf"\b{_TBL}(?:@({_IDENT}))?", stmt)
+        tbl = self._load(tm.group(1), tm.group(2), tm.group(3))
+        # a MERGE-backed INSERT (ON CONFLICT) or multi-commit txn path
+        # still lands one visible snapshot; its parent anchors the diff
+        changes = tbl.read_changes(
+            snap.parent or 0, snap.version
+        ).filter(F.col("_change_type").isin(*self._RETURNING_TYPES[head]))
+        if returning == "*":
+            return changes.drop("_change_type", "_commit_version")
+        cols = [c.strip() for c in returning.split(",") if c.strip()]
+        return changes.select(*cols)
 
     def _delete(self, s: str) -> Snapshot:
         m = re.match(

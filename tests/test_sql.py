@@ -734,3 +734,31 @@ def test_sql_merge_conditional_insert_values(lsql, spark):
         assert got == {
             (1, "a", "seed"), (2, "B2", "seed"), (3, "C", "seed"),
         }, tname
+
+
+def test_sql_dml_returning(lsql):
+    """PG RETURNING: INSERT returns the new rows (no feed needed);
+    UPDATE returns postimages and DELETE the removed rows via the
+    change feed; rejected inside transactions."""
+    lsql.sql("CREATE TABLE db.r (k BIGINT, v STRING) WITH "
+             "(change_data_feed='on')")
+    out = lsql.sql(
+        "INSERT INTO db.r VALUES (1, 'a'), (2, 'b') RETURNING *"
+    )
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "b")}
+    out = lsql.sql(
+        "UPDATE db.r SET v = upper(v) WHERE k = 2 RETURNING k, v"
+    )
+    assert [(r.k, r.v) for r in out.collect()] == [(2, "B")]
+    out = lsql.sql("DELETE FROM db.r WHERE k = 1 RETURNING v")
+    assert [r.v for r in out.collect()] == ["a"]
+    assert lsql.sql("SELECT * FROM db.r").count() == 1
+    lsql.sql("BEGIN")
+    with pytest.raises(LakehouseError, match="not available inside"):
+        lsql.sql("INSERT INTO db.r VALUES (9, 'z') RETURNING *")
+    lsql.sql("ROLLBACK")
+    # without the feed, DELETE RETURNING explains what to enable
+    lsql.sql("CREATE TABLE db.r2 (k BIGINT)")
+    lsql.sql("INSERT INTO db.r2 VALUES (1)")
+    with pytest.raises(LakehouseError, match="change_data_feed"):
+        lsql.sql("DELETE FROM db.r2 WHERE k = 1 RETURNING *")
