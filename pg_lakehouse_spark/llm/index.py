@@ -122,3 +122,108 @@ def query_ivf_index(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def refresh_ivf_index(
+    catalog: LakeCatalog,
+    namespace: str,
+    name: str,
+    source,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+):
+    """Advance the persisted index by the corpus table's delta.
+
+    New vectors (append-only window since the stamped watermark) are
+    assigned to their NEAREST EXISTING centroid — one broadcast
+    cross-join with the tiny centroid table, cost ∝ new vectors — and
+    appended to the assignments table in one atomic commit carrying
+    the new watermark. Any non-append source history (or a missing
+    watermark) falls back to a full rebuild + re-clustering.
+
+    Incremental assignment reuses stale centroids by design (the
+    standard serving-side trade): returns {'appended': n,
+    'mean_sq_dist': d} so callers can trigger a rebuild when drift
+    grows. Deletes require a rebuild (IVF assignments are not
+    retracted here).
+    """
+    cur = source.current_version()
+
+    def rebuild():
+        build_ivf_index(
+            catalog, namespace, name, source.read(),
+            id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed,
+        )
+        at = catalog.load_table(namespace, f"{name}__assignments")
+        at.set_properties({"ivf_source_version": str(cur)})
+        return {"appended": None, "mean_sq_dist": None, "rebuilt": True}
+
+    if not catalog.table_exists(namespace, f"{name}__assignments"):
+        return rebuild()
+    at = catalog.load_table(namespace, f"{name}__assignments")
+    # watermark: newest summary stamp on the ref (appends stamp it
+    # atomically with their commit), else the build-time property
+    raw = None
+    for v in at._ancestry(at.current_version()):
+        sm = at.snapshot(v).summary or {}
+        if "ivf_source_version" in sm:
+            raw = sm["ivf_source_version"]
+            break
+    if raw is None:
+        raw = at.snapshot().properties.get("ivf_source_version")
+    if raw is None:
+        return rebuild()
+    last = int(raw)
+    if cur <= last:
+        return {"appended": 0, "mean_sq_dist": 0.0, "rebuilt": False}
+    chain = source._ancestry(cur)
+    window = [source.snapshot(v) for v in chain if last < v]
+    if last not in (0, *chain) or any(
+        s.operation != "append" for s in window
+    ):
+        return rebuild()
+
+    new = source.read_incremental(last, cur)
+    centroids = catalog.load_table(namespace, f"{name}__centroids").read()
+    c = with_double_vec(new, vec_col)
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__vec"), F.col("center"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("__dist"), F.asc("bucket"))
+    assigned = (
+        c.select(
+            F.col(id_col).alias("id"),
+            F.col("__vec"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__dist", dist)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "id", "bucket", F.col("__vec").alias("vec"),
+            _norm(F.col("__vec")).alias("norm"),
+            F.col("__dist"),
+        )
+    ).persist()
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__dist").alias("d")
+    ).collect()[0]
+    at.append(
+        assigned.drop("__dist"),
+        summary_extra={
+            "ivf_incremental_appended": int(stats.n),
+            "ivf_source_version": str(cur),
+        },
+    )
+    assigned.unpersist()
+    return {
+        "appended": int(stats.n),
+        "mean_sq_dist": float(stats.d) if stats.d is not None else 0.0,
+        "rebuilt": False,
+    }

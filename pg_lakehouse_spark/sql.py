@@ -47,6 +47,16 @@ a reference user can keep their SQL:
 - ``COPY ns.t | (<select>) TO 'path' [(FORMAT fmt, ...)]`` and
   ``COPY ns.t FROM 'path' [(FORMAT fmt, ...)]`` — PG bulk I/O over
   the parquet/orc/avro/csv/json sources
+- ``CREATE/DROP SCHEMA [CASCADE]``, ``SHOW SCHEMAS`` — namespace DDL
+- ``INSERT/UPDATE/DELETE ... RETURNING * | cols`` — affected rows
+  from the commit's row-level changes (inserts feed-free; DELETE/
+  UPDATE need ``change_data_feed``)
+- MERGE insert clause: ``WHEN NOT MATCHED [AND cond] THEN INSERT * |
+  INSERT (cols) VALUES (exprs)`` (unlisted columns take DEFAULT)
+- CREATE TABLE column grammar: ``NOT NULL`` / ``DEFAULT expr`` per
+  column, table-level ``[CONSTRAINT name] CHECK (...)``;
+  ``ALTER COLUMN SET/DROP DEFAULT``; ``SHOW CONSTRAINTS``;
+  ``VACUUM ... RETAIN N SNAPSHOTS``
 
 Statement routing is keyword-based; expressions inside (predicates,
 SET clauses, the SELECT body) are handed to Spark's own parser via

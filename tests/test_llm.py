@@ -831,3 +831,42 @@ def test_bpe_corpus_scale_and_compression(spark, sf_dir):
     for r in sample:
         t = r.t
         assert t in vocab or len(t.rstrip(END).replace(END, "")) <= 1 or t.endswith(END) or len(t) == 1
+
+
+def test_ivf_index_incremental_refresh(spark, sf_dir, tmp_path):
+    """Persisted-index maintenance: appended corpus vectors join the
+    index via nearest-existing-centroid assignment (no re-cluster);
+    queries then find them; DML forces a rebuild."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.llm.index import (
+        build_ivf_index,
+        query_ivf_index,
+        refresh_ivf_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cat = LakeCatalog(spark, str(tmp_path / "wh_ivf"))
+    src = cat.create_table_as(
+        "db", "vecs", emb.filter(F.col("vec_id") % 2 == 0)
+    )
+    build_ivf_index(cat, "db", "idx", src.read(), nlist=8)
+    cat.load_table("db", "idx__assignments").set_properties(
+        {"ivf_source_version": str(src.current_version())}
+    )
+    # append the odd half; refresh assigns them to existing centroids
+    src.append(emb.filter(F.col("vec_id") % 2 == 1))
+    r = refresh_ivf_index(cat, "db", "idx", src, nlist=8)
+    assert r["rebuilt"] is False and r["appended"] > 0
+    n_assigned = cat.load_table("db", "idx__assignments").read().count()
+    assert n_assigned == src.read().count()
+    # a planted near-duplicate of an ODD (appended) vector is found
+    probe_id = 1
+    q = src.read().filter(F.col("vec_id") == probe_id).select(
+        F.lit(999999).alias("vec_id"), "embedding"
+    )
+    hits = query_ivf_index(cat, "db", "idx", q, k=3, nprobe=4)
+    assert probe_id in {r2.neighbor_id for r2 in hits.collect()}
+    # idempotent when current; DML window -> rebuild
+    assert refresh_ivf_index(cat, "db", "idx", src, nlist=8)["appended"] == 0
+    src.delete(F.col("vec_id") == 0)
+    assert refresh_ivf_index(cat, "db", "idx", src, nlist=8)["rebuilt"]

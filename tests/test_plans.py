@@ -90,6 +90,8 @@ def test_no_driver_side_collects_in_operators():
         # per shard — num_shards rows of metadata, never corpus rows
         "bpe.py",            # ONE winning (a, b, count) row per merge
         # round — the BPE training loop's driver-side coordination
+        "index.py",          # centroid list + one (count, mean-dist)
+        # stats row per incremental refresh — metadata-sized
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
