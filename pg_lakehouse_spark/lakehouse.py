@@ -1355,6 +1355,66 @@ class LakeTable:
             delete_files=[],  # every pre-overwrite delete is retired
         )
 
+    def overwrite_partitions(
+        self, df: DataFrame, summary_extra: dict | None = None
+    ) -> Snapshot:
+        """Dynamic partition overwrite (Iceberg
+        ``overwritePartitions`` / Spark dynamic partitionOverwriteMode):
+        replace ONLY the partitions that ``df`` carries rows for;
+        untouched partitions keep their files by reference.
+
+        The touched-partition set is derived from the freshly staged
+        files' own hive directories — file NAMES, already driver-side
+        metadata — so no extra scan or collect runs. Mixed-layout
+        tables (files written under an older partition spec) are
+        rejected: a directory match against the current layout cannot
+        see logically-overlapping rows filed under the old one —
+        compact first to upgrade layouts."""
+        snap = self.snapshot()
+        if not snap.partition_spec:
+            raise LakehouseError(
+                "overwrite_partitions requires a partitioned table; "
+                "use overwrite() for full-table replacement"
+            )
+        derived = {
+            _partition_field(s)[1] for s in snap.partition_spec
+        }
+        for f in snap.files:
+            keys = {
+                p.split("=", 1)[0]
+                for p in f["path"].split(os.sep)
+                if "=" in p
+            }
+            if keys != derived:
+                raise LakehouseError(
+                    f"file {f['path']!r} was written under a different "
+                    "partition layout; compact() to upgrade layouts "
+                    "before dynamic partition overwrite"
+                )
+        self._check_schema(df)
+        df = self._sort_for_write(self._distribute_for_write(df))
+        base = self.current_version()
+        new_files = self._stage_dataframe(
+            df, base + 1, snap.partition_spec, schema_id=snap.schema_id
+        )
+        new_dirs = {os.path.dirname(f["path"]) for f in new_files}
+        keep = [
+            f
+            for f in snap.files
+            if os.path.dirname(f["path"]) not in new_dirs
+        ]
+        final = keep + new_files
+        return self._commit(
+            base, "overwrite-partitions", final, snap.schema_json,
+            summary={
+                "replaced_partitions": sorted(new_dirs),
+                "added_files": len(new_files),
+                "kept_files": len(keep),
+            }
+            | (summary_extra or {}),
+            delete_files=self._live_deletes(snap.delete_files, final),
+        )
+
     def truncate(self) -> Snapshot:
         """TRUNCATE (ref A14, iceberg_am.c:245-249) — empty snapshot,
         history retained (time travel still sees old data)."""
@@ -2577,13 +2637,25 @@ class LakeTable:
                 df = self._read_entries(snap, added).withColumn(
                     "_change_type", F.lit("insert")
                 )
-            elif op in ("overwrite", "truncate") and parent is not None:
+            elif (
+                op in ("overwrite", "truncate", "overwrite-partitions")
+                and parent is not None
+            ):
                 new_paths = {f["path"] for f in snap.files}
+                old_paths = {f["path"] for f in parent.files}
                 removed = [f for f in parent.files if f["path"] not in new_paths]
+                # full overwrite replaces every file; a dynamic
+                # partition overwrite carries untouched files by
+                # reference — only the ADDED files are inserts
+                added = (
+                    snap.files
+                    if op != "overwrite-partitions"
+                    else [f for f in snap.files if f["path"] not in old_paths]
+                )
                 dels = self._read_entries(parent, removed).withColumn(
                     "_change_type", F.lit("delete")
                 )
-                ins = self._read_entries(snap, snap.files).withColumn(
+                ins = self._read_entries(snap, added).withColumn(
                     "_change_type", F.lit("insert")
                 )
                 df = dels.unionByName(ins)

@@ -204,6 +204,8 @@ class LakeSQL:
             return self._truncate(s)
         if head == "ALTER":
             return self._alter(s)
+        if re.match(r"INSERT\s+OVERWRITE\b", s, re.IGNORECASE):
+            return self._insert_overwrite(s)
         if head in ("INSERT", "DELETE", "UPDATE"):
             # PG RETURNING: peel the clause, run the DML, then serve
             # the affected rows from the commit's row-level changes
@@ -735,6 +737,49 @@ class LakeSQL:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
         )
         return self._finish_insert(tbl, bound, conflict)
+
+    def _insert_overwrite(self, s: str):
+        """``INSERT OVERWRITE [TABLE] ns.t <query>``: partitioned
+        tables replace only the partitions the query produces rows for
+        (dynamic mode — the Iceberg/Spark default); unpartitioned
+        tables replace wholesale."""
+        m = re.match(
+            rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?{_TBL}\s+(.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse INSERT OVERWRITE: {s[:80]!r}")
+        ns, name, body = m.group(1), m.group(2), m.group(3).strip()
+        if not body.upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
+            raise LakehouseError(f"cannot parse INSERT body: {body[:60]!r}")
+        df = (
+            self._select(body)
+            if body.upper().startswith(("SELECT", "WITH"))
+            else self.spark.sql(body)
+        )
+        tbl = self.catalog.load_table(ns, name)
+        fields = tbl.schema().fields
+        if len(df.columns) != len(fields):
+            raise LakehouseError(
+                f"INSERT arity mismatch: table has {len(fields)} columns, "
+                f"query produced {len(df.columns)}"
+            )
+        bound = df.toDF(*[f.name for f in fields]).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
+        )
+        partitioned = bool(tbl.snapshot().partition_spec)
+        if self._txn is not None:
+            if partitioned:
+                raise LakehouseError(
+                    "INSERT OVERWRITE of a partitioned table is not "
+                    "supported inside a transaction"
+                )
+            self._txn.overwrite(tbl, bound)
+            return None
+        if partitioned:
+            return tbl.overwrite_partitions(bound)
+        return tbl.overwrite(bound)
 
     def _finish_insert(self, tbl: LakeTable, df: DataFrame, conflict):
         """Plain append, or the PG upsert path: ON CONFLICT maps to a

@@ -2358,3 +2358,46 @@ def test_constrained_column_guards_evolution(spark, tmp_path):
     tbl.drop_check_constraint("v_pos")
     tbl.rename_column("v", "value")
     assert set(tbl.schema().fieldNames()) == {"key", "value"}
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """overwrite_partitions replaces only the partitions the frame
+    touches; untouched partitions carry by reference; the change feed
+    reflects the partial replacement; mixed layouts are rejected."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog, LakehouseError
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_dpo"))
+    rows = [(i, "d1" if i < 50 else "d2", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, day string, v double")
+    tbl = cat.create_table(
+        "db", "dpo", df.schema, partition_by=["day"]
+    )
+    tbl.append(df)
+    before_d2 = {f["path"] for f in tbl.snapshot().files if "day=d2" in f["path"]}
+    # replace ONLY d1
+    repl = spark.createDataFrame(
+        [(1000 + i, "d1", -1.0) for i in range(5)], "k long, day string, v double"
+    )
+    snap = tbl.overwrite_partitions(repl)
+    got = tbl.read()
+    assert got.filter("day = 'd1'").count() == 5
+    assert got.filter("day = 'd2'").count() == 50
+    # d2 files untouched (carried by reference)
+    after_d2 = {f["path"] for f in tbl.snapshot().files if "day=d2" in f["path"]}
+    assert after_d2 == before_d2
+    assert snap.operation == "overwrite-partitions"
+    # change feed: 50 d1 deletes + 5 inserts, nothing for d2
+    chg = tbl.read_changes(snap.parent, snap.version)
+    assert chg.filter("_change_type = 'delete'").count() == 50
+    assert chg.filter("_change_type = 'insert'").count() == 5
+    assert chg.filter("day = 'd2'").count() == 0
+    # unpartitioned tables refuse
+    t2 = cat.create_table_as("db", "flat", df)
+    with pytest.raises(LakehouseError, match="requires a partitioned"):
+        t2.overwrite_partitions(repl)
+    # mixed layout (spec switch) rejected until compaction upgrades
+    tbl.set_partition_spec(["k"])
+    with pytest.raises(LakehouseError, match="different partition layout"):
+        tbl.overwrite_partitions(
+            spark.createDataFrame([(1, "dx", 0.0)], "k long, day string, v double")
+        )

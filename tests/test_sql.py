@@ -762,3 +762,19 @@ def test_sql_dml_returning(lsql):
     lsql.sql("INSERT INTO db.r2 VALUES (1)")
     with pytest.raises(LakehouseError, match="change_data_feed"):
         lsql.sql("DELETE FROM db.r2 WHERE k = 1 RETURNING *")
+
+
+def test_sql_insert_overwrite(lsql, spark):
+    lsql.sql(
+        "CREATE TABLE db.io (k BIGINT, day STRING) PARTITIONED BY (day)"
+    )
+    lsql.sql(
+        "INSERT INTO db.io VALUES (1, 'a'), (2, 'a'), (3, 'b')"
+    )
+    lsql.sql("INSERT OVERWRITE db.io VALUES (9, 'a')")
+    got = {(r.k, r.day) for r in lsql.sql("SELECT * FROM db.io").collect()}
+    assert got == {(9, "a"), (3, "b")}  # only partition 'a' replaced
+    lsql.sql("CREATE TABLE db.io2 (k BIGINT)")
+    lsql.sql("INSERT INTO db.io2 VALUES (1), (2)")
+    lsql.sql("INSERT OVERWRITE TABLE db.io2 SELECT 7")
+    assert [r.k for r in lsql.sql("SELECT * FROM db.io2").collect()] == [7]
