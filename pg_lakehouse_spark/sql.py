@@ -1113,12 +1113,23 @@ class LakeSQL:
         group_by, metrics = [], {}
         for item in items[1:]:
             am = re.match(
-                rf"(sum|count|min|max)\s*\(\s*(\*|{_IDENT})\s*\)\s+AS\s+({_IDENT})$",
+                rf"(sum|count|min|max|approx_distinct)\s*\(\s*(\*|{_IDENT})\s*\)"
+                rf"\s+AS\s+({_IDENT})$",
+                item.strip(),
+                re.IGNORECASE,
+            )
+            tk = re.match(
+                rf"approx_topk\s*\(\s*({_IDENT})\s*,\s*(\d+)\s*\)"
+                rf"\s+AS\s+({_IDENT})$",
                 item.strip(),
                 re.IGNORECASE,
             )
             if am:
                 metrics[am.group(3)] = (am.group(1).lower(), am.group(2))
+            elif tk:
+                metrics[tk.group(3)] = (
+                    "approx_topk", tk.group(1), int(tk.group(2)),
+                )
             elif re.match(rf"^{_IDENT}$", item.strip()):
                 group_by.append(item.strip())
             else:

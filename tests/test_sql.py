@@ -778,3 +778,36 @@ def test_sql_insert_overwrite(lsql, spark):
     lsql.sql("INSERT INTO db.io2 VALUES (1), (2)")
     lsql.sql("INSERT OVERWRITE TABLE db.io2 SELECT 7")
     assert [r.k for r in lsql.sql("SELECT * FROM db.io2").collect()] == [7]
+
+
+def test_sql_matview_approx_metrics(lsql, spark):
+    """Materialized views accept the mergeable sketch metrics:
+    approx_distinct (HLL state) and approx_topk (heavy-hitter maps);
+    incremental refresh merges sketch state, read_rollup finalizes."""
+    from pyspark.sql import functions as F
+
+    from pg_lakehouse_spark.rollup import read_rollup
+
+    rows = [
+        (i, "2024-06-01 10:00:00", f"u{i % 7}", "click" if i % 3 else "view")
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "id long, ts string, user string, et string"
+    ).withColumn("ts", F.to_timestamp("ts")).createOrReplaceTempView("evts")
+    lsql.sql("CREATE TABLE db.ev (id BIGINT, ts TIMESTAMP, user STRING, et STRING)")
+    lsql.sql("INSERT INTO db.ev SELECT * FROM evts WHERE id < 30")
+    lsql.sql(
+        "CREATE MATERIALIZED VIEW db.ev_daily AS "
+        "SELECT time_bucket('1 day', ts), "
+        "count(*) AS n, approx_distinct(user) AS uniq_users, "
+        "approx_topk(et, 2) AS top_events "
+        "FROM db.ev GROUP BY 1"
+    )
+    lsql.sql("INSERT INTO db.ev SELECT * FROM evts WHERE id >= 30")
+    lsql.sql("REFRESH MATERIALIZED VIEW db.ev_daily")
+    (row,) = read_rollup(lsql.catalog.load_table("db", "ev_daily")).collect()
+    assert row.n == 60
+    assert row.uniq_users == 7  # HLL exact at tiny cardinality
+    top = [(s.item, s.cnt) for s in row.top_events]
+    assert top == [("click", 40), ("view", 20)]
