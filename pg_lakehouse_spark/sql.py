@@ -840,6 +840,63 @@ class LakeSQL:
         return changes.select(*cols)
 
     def _delete(self, s: str) -> Snapshot:
+        # PG join-delete: DELETE FROM t [AS a] USING src [AS b]
+        # WHERE a.k = b.k [AND ...] — rows matching the source go;
+        # extra conjuncts gate which matches apply. Maps onto MERGE
+        # (matched-delete only), the same shape as UPDATE ... FROM.
+        um = re.match(
+            rf"DELETE\s+FROM\s+{_TBL}(?:@({_IDENT}))?(?:\s+AS)?\s+({_IDENT})\s+"
+            rf"USING\s+(\(.*?\)|{_IDENT})(?:\s+AS)?\s+({_IDENT})\s+"
+            rf"WHERE\s+(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if um:
+            ns, name, branch, talias, src_ref, salias, where = um.groups()
+            tbl = self._load(ns, name, branch)
+            source = (
+                self._select(src_ref[1:-1].strip())
+                if src_ref.startswith("(")
+                else self.spark.table(src_ref)
+            )
+            keys, extra = [], []
+            for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+                em = re.match(
+                    rf"\s*({_IDENT})\.({_IDENT})\s*=\s*"
+                    rf"({_IDENT})\.({_IDENT})\s*$",
+                    part,
+                )
+                pair = (
+                    {em.group(1): em.group(2), em.group(3): em.group(4)}
+                    if em
+                    else None
+                )
+                if (
+                    pair
+                    and set(pair) == {talias, salias}
+                    and pair[talias] == pair[salias]
+                ):
+                    keys.append(pair[talias])
+                else:
+                    extra.append(part)
+            if not keys:
+                raise LakehouseError(
+                    "DELETE ... USING needs alias-qualified key equalities "
+                    f"in WHERE: {where[:80]!r}"
+                )
+            cond = None
+            if extra:
+                e = " AND ".join(extra)
+                e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", e)
+                cond = F.expr(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e))
+            return self._apply_merge(
+                tbl,
+                source,  # full source: extra conjuncts may reference it
+                on=keys,
+                when_matched_delete=True,
+                when_matched_condition=cond,
+                when_not_matched_insert=False,
+            )
         m = re.match(
             rf"DELETE\s+FROM\s+{_TBL}(?:@({_IDENT}))?(?:\s+WHERE\s+(.*))?$",
             s,

@@ -811,3 +811,29 @@ def test_sql_matview_approx_metrics(lsql, spark):
     assert row.uniq_users == 7  # HLL exact at tiny cardinality
     top = [(s.item, s.cnt) for s in row.top_events]
     assert top == [("click", 40), ("view", 20)]
+
+
+def test_sql_delete_using(lsql, spark):
+    """PG join-delete: DELETE FROM t USING s WHERE t.k = s.k [AND
+    cond] — source-matched rows go; extra conjuncts (over either
+    side) gate which matches apply."""
+    lsql.sql("CREATE TABLE db.du (k BIGINT, v STRING, prot BOOLEAN)")
+    lsql.sql(
+        "INSERT INTO db.du VALUES "
+        "(1,'a',false),(2,'b',true),(3,'c',false),(4,'d',false)"
+    )
+    spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (9, True)], "k long, active boolean"
+    ).createOrReplaceTempView("dels")
+    lsql.sql(
+        "DELETE FROM db.du AS t USING dels AS s "
+        "WHERE t.k = s.k AND s.active AND NOT t.prot"
+    )
+    out = {r.k for r in lsql.sql("SELECT * FROM db.du").collect()}
+    # k=1 deleted (active, unprotected); k=2 protected; k=3 source
+    # inactive; k=4 unmatched; k=9 no target row
+    assert out == {2, 3, 4}
+    with pytest.raises(LakehouseError, match="key equalities"):
+        lsql.sql(
+            "DELETE FROM db.du AS t USING dels AS s WHERE s.active"
+        )
