@@ -1093,3 +1093,90 @@ def rollup_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.cnt").alias("cnt"),
     )
+
+
+@register(
+    "lake_dynamic_overwrite",
+    oracle="""
+SELECT o_orderkey AS k, o_orderstatus AS st,
+       round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderkey <= 800 AND o_orderstatus <> 'F'
+UNION ALL
+SELECT o_orderkey + 1000000 AS k, o_orderstatus AS st,
+       floor(o_totalprice / 2 * 100) / 100 AS price
+FROM orders
+WHERE o_orderkey <= 200 AND o_orderstatus = 'F'
+""",
+    tags=("lakehouse", "dynamic-overwrite"),
+)
+def lake_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: a frame touching ONLY the 'F'
+    partition replaces it; other partitions carry by reference. The
+    oracle states the spliced end state."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    cat = _scratch_catalog(spark, sf_dir, "dyn_overwrite")
+    tbl = cat.create_table(
+        "db", "ord_part", orders.schema, partition_by=["st"]
+    )
+    tbl.append(orders.filter(F.col("k") <= 800))
+    repl = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") <= 200) & (F.col("o_orderstatus") == "F"))
+        .select(
+            (F.col("o_orderkey") + 1000000).alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            (F.floor(F.col("o_totalprice") / 2 * 100) / 100).alias("price"),
+        )
+    )
+    tbl.overwrite_partitions(repl)
+    return tbl.read()
+
+
+@register(
+    "lake_merge_insert_values",
+    oracle="""
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey <= 400 THEN round(o_totalprice, 2)
+            ELSE round(o_totalprice + 50, 2) END AS price,
+       CASE WHEN o_orderkey <= 400 THEN 'base' ELSE 'merged' END AS src
+FROM orders
+WHERE o_orderkey <= 400
+   OR (o_orderkey > 400 AND o_orderkey <= 700 AND o_orderkey % 2 = 0)
+""",
+    tags=("lakehouse", "merge-insert-grammar"),
+)
+def lake_merge_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional column-list MERGE insert: unmatched source rows
+    pass a gate (even keys only) and insert via VALUES expressions;
+    the unlisted column falls to its declared DEFAULT."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    cat = _scratch_catalog(spark, sf_dir, "merge_ins_vals")
+    tbl = cat.create_table(
+        "db", "miv", orders.withColumn("src", F.lit("base")).schema
+    )
+    tbl.set_column_default("src", "'base'")
+    tbl.append(
+        orders.filter(F.col("k") <= 400).withColumn("src", F.lit("base"))
+    )
+    source = orders.filter((F.col("k") > 400) & (F.col("k") <= 700))
+    tbl.merge(
+        source,
+        on=["k"],
+        when_matched_update=None,
+        when_not_matched_insert=True,
+        when_not_matched_condition=F.col("__src.k") % 2 == 0,
+        when_not_matched_values={
+            "k": F.col("__src.k"),
+            "price": F.round(F.col("__src.price") + 50, 2),
+            "src": F.lit("merged"),
+        },
+    )
+    return tbl.read()
