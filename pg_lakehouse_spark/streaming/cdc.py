@@ -137,3 +137,55 @@ def stream_changes(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def replicate_changes(
+    changes: DataFrame,
+    target: LakeTable,
+    keys: list[str],
+) -> None:
+    """Apply a row-level change batch to a replica table: fold to the
+    FINAL image per key (a key may change several times across the
+    batch's commits — `_commit_version` orders them), then one
+    matched-delete MERGE for net-deleted keys and one upsert MERGE for
+    the rest. O(changed keys) on a merge-on-read replica; pair with
+    `stream_changes` for continuous replication or with batch
+    `read_changes` for catch-up copies."""
+    from pyspark.sql.window import Window
+
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", "_commit_version")
+    ]
+    last = (
+        changes.filter(F.col("_change_type") != "update_preimage")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(
+                    F.col("_commit_version").desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    dels = last.filter(F.col("_change_type") == "delete").select(*data_cols)
+    ups = last.filter(F.col("_change_type") != "delete").select(*data_cols)
+    if not dels.isEmpty():
+        target.merge(
+            dels,
+            on=keys,
+            when_matched_update=None,
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+        )
+    if not ups.isEmpty():
+        target.merge(
+            ups,
+            on=keys,
+            when_matched_update={
+                c: F.col(f"__src.{c}") for c in data_cols if c not in keys
+            },
+            when_not_matched_insert=True,
+        )

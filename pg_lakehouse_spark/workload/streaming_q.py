@@ -249,10 +249,11 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly). Cost per batch is O(changed rows) on both sides."""
     import os as _os
 
-    from pyspark.sql.window import Window
-
     from pg_lakehouse_spark.lakehouse import LakeCatalog
-    from pg_lakehouse_spark.streaming.cdc import stream_changes
+    from pg_lakehouse_spark.streaming.cdc import (
+        replicate_changes,
+        stream_changes,
+    )
     from pg_lakehouse_spark.workload.lake_q import _scratch_catalog
 
     orders = t(spark, sf_dir, "orders").select(
@@ -272,33 +273,7 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = cat.create_table("db", "cdc_replica", orders.schema)
 
     def apply_changes(changes, batch_id):
-        # fold each batch to the final image per key (a key may change
-        # several times across the batch's commits), then one MERGE
-        last = (
-            changes.filter(F.col("_change_type") != "update_preimage")
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("k").orderBy(
-                        F.col("_commit_version").desc()
-                    )
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-        )
-        dels = last.filter(F.col("_change_type") == "delete").select("k", "price")
-        ups = last.filter(F.col("_change_type") != "delete").select("k", "price")
-        if not dels.isEmpty():
-            target.merge(
-                dels, on=["k"], when_matched_delete=True,
-                when_not_matched_insert=False,
-            )
-        if not ups.isEmpty():
-            target.merge(
-                ups, on=["k"],
-                when_matched_update={"price": F.col("__src.price")},
-                when_not_matched_insert=True,
-            )
+        replicate_changes(changes, target, keys=["k"])
 
     ckpt = _os.path.join(cat.warehouse, "_cdc_ckpt")
     q = stream_changes(src, apply_changes, ckpt, trigger_once=True)
