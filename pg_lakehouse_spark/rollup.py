@@ -395,6 +395,65 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
                 },
             )
 
+    # -- partial invalidation: metrics that can't retract (min/max/
+    # sketches) still avoid a FULL recompute when the source serves a
+    # change feed — only the BUCKETS the DML touched recompute, read
+    # back from the source with a time-range predicate (partition/
+    # manifest pruning applies), then swap in atomically: matched
+    # buckets update, new buckets insert, and buckets whose rows all
+    # vanished delete via the by-source clause SCOPED to the affected
+    # set. Cost ∝ affected buckets' source slice — Timescale's
+    # invalidation-region behavior.
+    if window_is_complete and dml_ok:
+        try:
+            changes = source.read_changes(last, cur)
+        except LakehouseError:
+            changes = None
+        if changes is not None:
+            affected = [
+                r[0]
+                for r in changes.select(
+                    time_bucket(spec["time_col"], spec["bucket"]).alias("b")
+                )
+                .distinct()
+                .collect()  # bucket timestamps — metadata-sized
+            ]
+            if affected:
+                bucket_expr = time_bucket(spec["time_col"], spec["bucket"])
+                slice_df = source.read().filter(
+                    bucket_expr.isin(affected)
+                )
+                state = _partial_agg(
+                    slice_df, spec["time_col"], spec["bucket"], group_by,
+                    metrics,
+                )
+                updates = {
+                    out: F.col(f"__src.{out}") for out in metrics
+                }
+                return rollup.merge(
+                    state,
+                    on=[BUCKET_COL] + group_by,
+                    when_matched_update=updates,
+                    when_not_matched_insert=True,
+                    when_not_matched_by_source_delete=True,
+                    when_not_matched_by_source_condition=F.col(
+                        BUCKET_COL
+                    ).isin(affected),
+                    summary_extra={
+                        "rollup_source_version": cur,
+                        "rollup_refresh": "partial-invalidation",
+                        "rollup_affected_buckets": len(affected),
+                    },
+                )
+            # feed present but no logical changes: just move the mark
+            return rollup.merge(
+                rollup.read().limit(0),
+                on=[BUCKET_COL] + group_by,
+                when_matched_update=None,
+                when_not_matched_insert=False,
+                summary_extra={"rollup_source_version": cur},
+            )
+
     state = _partial_agg(
         source.read(), spec["time_col"], spec["bucket"], group_by, metrics
     )

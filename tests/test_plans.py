@@ -92,6 +92,9 @@ def test_no_driver_side_collects_in_operators():
         # round — the BPE training loop's driver-side coordination
         "index.py",          # centroid list + one (count, mean-dist)
         # stats row per incremental refresh — metadata-sized
+        "rollup.py",         # partial invalidation: the distinct
+        # AFFECTED BUCKET timestamps of a DML window — bucket count,
+        # not rows
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):

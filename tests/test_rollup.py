@@ -442,5 +442,77 @@ def test_rollup_retraction_ivm(spark, tmp_path):
     )
     src.delete(F.col("id") == 20)
     snap2 = refresh_rollup(src, roll2)
-    assert snap2.summary.get("rollup_refresh") != "retraction"
-    assert snap2.operation == "overwrite"
+    # min can't retract — but with a change feed the refresh upgrades
+    # to partial invalidation (touched buckets only), not a recompute
+    assert snap2.summary.get("rollup_refresh") == "partial-invalidation"
+    got2 = {
+        (r.bucket_start.day, r.grp): (r.n, r.v_min)
+        for r in read_rollup(roll2).collect()
+    }
+    want2 = {
+        (r.d.day, r.grp): (r.n, r.mn)
+        for r in src.read()
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("mn"))
+        .collect()
+    }
+    assert got2 == want2
+
+
+def test_rollup_partial_invalidation_minmax(spark, tmp_path):
+    """min/max rollups can't retract, but a DML window with a change
+    feed recomputes ONLY the touched buckets (partial invalidation):
+    result equals full recompute, untouched-bucket state rows carry
+    over, and a fully-emptied bucket disappears."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    rows = [
+        (i, f"2024-07-{1 + (i % 3):02d} 10:00:00", float(i)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    cat = LakeCatalog(spark, str(tmp_path / "wh_pi"))
+    src = cat.create_table_as(
+        "db", "facts_pi", df,
+        properties={"change_data_feed": "on", "row_key": "id",
+                    "write_delete_mode": "merge-on-read"},
+    )
+    roll = create_rollup(
+        cat, "db", "pi_daily", src,
+        time_col="ts", bucket="1 day", group_by=[],
+        metrics={"n": ("count", "*"), "v_min": ("min", "v"),
+                 "v_max": ("max", "v")},
+    )
+    # DML touches day 1 (delete the small values) and empties day 3
+    src.delete((F.col("id") % 3 == 0) & (F.col("v") < 30))
+    src.delete(F.col("id") % 3 == 2)
+    snap = refresh_rollup(src, roll)
+    assert snap.summary.get("rollup_refresh") == "partial-invalidation"
+    assert snap.summary.get("rollup_affected_buckets") == 2
+    got = {
+        r.bucket_start.day: (r.n, r.v_min, r.v_max)
+        for r in read_rollup(roll).collect()
+    }
+    want = {
+        r.d.day: (r.n, r.mn, r.mx)
+        for r in src.read()
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert 3 not in got  # emptied bucket gone
+    # idempotent when current
+    v = roll.current_version()
+    refresh_rollup(src, roll)
+    assert roll.current_version() == v
