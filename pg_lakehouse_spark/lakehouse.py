@@ -1278,6 +1278,32 @@ class LakeTable:
         order = self.snapshot().properties.get("write_sort_order")
         if not order:
             return df
+        import re as _re
+
+        zm = _re.match(r"^zorder\(([^)]*)\)$", order.strip(), _re.IGNORECASE)
+        if zm:
+            # multi-dimensional write clustering: files are BORN
+            # Morton-clustered so min/max bounds prune on EVERY zorder
+            # dimension from the first snapshot (the continuous
+            # counterpart of compact(zorder_by=...))
+            from pg_lakehouse_spark.operators.zorder import zorder_key
+
+            zcols = [c.strip() for c in zm.group(1).split(",") if c.strip()]
+            missing = [c for c in zcols if c not in df.columns]
+            if missing:
+                raise LakehouseError(
+                    f"write_sort_order columns not in schema: {missing}"
+                )
+            df, zkey = zorder_key(df, zcols)
+            df = df.withColumn("__z", zkey)
+            if not self.partition_spec():
+                n = self.snapshot().properties.get("write_target_files")
+                df = (
+                    df.repartitionByRange(int(n), F.col("__z"))
+                    if n is not None
+                    else df.repartitionByRange(F.col("__z"))
+                )
+            return df.sortWithinPartitions("__z").drop("__z")
         cols = [c.strip() for c in order.split(",") if c.strip()]
         missing = [c for c in cols if c not in df.columns]
         if missing:

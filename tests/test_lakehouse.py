@@ -2401,3 +2401,28 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         tbl.overwrite_partitions(
             spark.createDataFrame([(1, "dx", 0.0)], "k long, day string, v double")
         )
+
+
+def test_write_time_zorder_clustering(spark, tmp_path):
+    """write_sort_order='zorder(a,b)': ingest lands Morton-clustered
+    files whose manifest bounds prune on BOTH dimensions."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_wz"))
+    rows = [(i, i % 100, (i * 37) % 100) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    tbl = cat.create_table(
+        "db", "wz", df.schema,
+        properties={"write_sort_order": "zorder(a, b)",
+                    "write_target_files": "8"},
+    )
+    tbl.append(df)
+    assert len(tbl.snapshot().files) == 8
+    # point-ish lookups prune on each dimension independently
+    kept_a, total = tbl.pruned_file_count({"a": (10, 15)})
+    kept_b, _ = tbl.pruned_file_count({"b": (10, 15)})
+    assert kept_a < total and kept_b < total
+    assert (
+        tbl.read_pruned({"a": (10, 15)}).count()
+        == df.filter("a between 10 and 15").count()
+    )
