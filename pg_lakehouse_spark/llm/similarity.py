@@ -583,3 +583,88 @@ def ivfpq_ann_topk(
         rescored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-to-corpus approximate nearest-neighbor JOIN: for every
+    LEFT vector, its top-k cosine neighbors among the RIGHT vectors —
+    retrieval at dataset scale (both sides big), e.g. match every
+    training doc against a reference corpus.
+
+    Same IVF shape as :func:`ivf_ann_topk`, but the probe side is
+    corpus-sized, so candidates pair through a plain SHUFFLE equi-join
+    on the coarse bucket — never a broadcast of either corpus; only
+    the nlist centroids (model metadata) are broadcast. Work per left
+    row is ~nprobe·|right|/nlist scoring ops; the bucket key is the
+    shuffle key on both sides, so a hot centroid is the skew axis —
+    raise nlist (finer cells) if one bucket dominates.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    r = with_double_vec(right, vec_col)
+    rv = r.withColumn("__mlvec", array_to_vector(F.col("__vec")))
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__mlvec", predictionCol="__bucket"
+    ).fit(rv)
+    assigned = model.transform(rv).select(
+        F.col(right_id).alias("neighbor_id"),
+        F.col("__vec").alias("__cv"),
+        _norm(F.col("__vec")).alias("__cn"),
+        F.col("__bucket"),
+    )
+    centers_df = right.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in center])
+            for i, center in enumerate(model.clusterCenters())
+        ],
+        "__bucket int, __center array<double>",
+    )
+    q = with_double_vec(left, vec_col).select(
+        F.col(left_id).alias("query_id"),
+        F.col("__vec").alias("__qv"),
+        _norm(F.col("__vec")).alias("__qn"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv"), F.col("__center"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.asc("__dist"), F.asc("__bucket")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centers_df))  # centroids only — tiny
+        .withColumn("__dist", dist)
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "__qn", "__bucket")
+    )
+    # corpus × corpus: SHUFFLE join on the bucket key (no broadcast)
+    candidates = assigned.join(probes, "__bucket")
+    scored = candidates.withColumn(
+        "cosine_sim",
+        F.round(
+            _dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ),
+    ).select("query_id", "neighbor_id", "cosine_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -870,3 +870,25 @@ def test_ivf_index_incremental_refresh(spark, sf_dir, tmp_path):
     assert refresh_ivf_index(cat, "db", "idx", src, nlist=8)["appended"] == 0
     src.delete(F.col("vec_id") == 0)
     assert refresh_ivf_index(cat, "db", "idx", src, nlist=8)["rebuilt"]
+
+
+def test_ann_join_recall_vs_bruteforce(spark, sf_dir):
+    """Corpus-to-corpus ANN join: per-left-row top-k against the right
+    corpus reaches high recall vs brute force, and the plan never
+    broadcasts either corpus (only the centroid list)."""
+    from pg_lakehouse_spark.llm.similarity import ann_join, cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # disjoint id spaces (a cross-corpus join has no self-exclusion
+    # semantics; exact cosine_topk excludes same-id pairs)
+    left = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    approx = ann_join(left, emb, k=5, nlist=8, nprobe=6)
+    exact = cosine_topk(emb, left, k=5)
+    a = {
+        (r.query_id, r.neighbor_id) for r in approx.collect()
+    }
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, recall
