@@ -230,6 +230,27 @@ class LakeSQL:
                 return snap
             return self._returning_rows(head, s, snap, returning)
         if head == "MERGE":
+            rm = re.search(
+                r"\s+RETURNING\s+(\*|[\w\s,.]+)$", s, re.IGNORECASE
+            )
+            if rm:
+                if self._txn is not None:
+                    raise LakehouseError(
+                        "RETURNING is not available inside a transaction "
+                        "(rows are visible only at COMMIT)"
+                    )
+                returning = rm.group(1).strip()
+                snap = self._merge(s[: rm.start()].rstrip())
+                # PG17 MERGE RETURNING: every row the merge touched
+                tm = re.search(rf"\bMERGE\s+INTO\s+{_TBL}", s, re.IGNORECASE)
+                tbl = self._load(tm.group(1), tm.group(2))
+                changes = tbl.read_changes(
+                    snap.parent or 0, snap.version
+                ).filter(F.col("_change_type") != "update_preimage")
+                if returning == "*":
+                    return changes.drop("_commit_version")
+                cols = [c.strip() for c in returning.split(",") if c.strip()]
+                return changes.select(*cols)
             return self._merge(s)
         if head == "VACUUM":
             return self._vacuum(s)
@@ -582,6 +603,21 @@ class LakeSQL:
                 re.IGNORECASE,
             )
             return tbl.widen_column(am.group(1), am.group(2))
+        if au.startswith("WRITE "):
+            wm = re.match(
+                r"WRITE\s+(Z?)ORDERED\s+BY\s*\(([^)]*)\)$",
+                action,
+                re.IGNORECASE,
+            )
+            if not wm:
+                raise LakehouseError(
+                    f"cannot parse WRITE ORDERED BY: {action[:60]!r}"
+                )
+            cols = ", ".join(
+                c.strip() for c in wm.group(2).split(",") if c.strip()
+            )
+            order = f"zorder({cols})" if wm.group(1) else cols
+            return tbl.set_properties({"write_sort_order": order})
         if au.startswith("ADD CONSTRAINT"):
             am = re.match(
                 rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)"

@@ -398,3 +398,29 @@ def test_fill_gaps_grid_is_broadcast(spark, sf_dir):
     plan = formatted_plan(out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_join_no_corpus_broadcast(spark, sf_dir):
+    """ann_join pairs candidates via a SHUFFLE join on the coarse
+    bucket — only the centroid list broadcasts; with auto-broadcast
+    off the plan must still contain a keyed (non-broadcast) join."""
+    from pyspark.sql import functions as F
+
+    from pg_lakehouse_spark.llm.similarity import ann_join
+    from pg_lakehouse_spark.plans.inspect import formatted_plan
+    from pg_lakehouse_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    left = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    # at fixture scale the planner would auto-broadcast the small
+    # sides; disable it to expose the structural join choice that
+    # holds when both corpora are big
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ann_join(left, emb, k=3, nlist=8, nprobe=2)
+        plan = formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -837,3 +837,28 @@ def test_sql_delete_using(lsql, spark):
         lsql.sql(
             "DELETE FROM db.du AS t USING dels AS s WHERE s.active"
         )
+
+
+def test_sql_merge_returning_and_write_ordered(lsql, spark):
+    lsql.sql(
+        "CREATE TABLE db.mr (k BIGINT, v STRING) WITH "
+        "(change_data_feed='on')"
+    )
+    lsql.sql("INSERT INTO db.mr VALUES (1, 'a'), (2, 'b')")
+    spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, v string"
+    ).createOrReplaceTempView("mr_chg")
+    out = lsql.sql(
+        "MERGE INTO db.mr AS t USING mr_chg AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "RETURNING k, v, _change_type"
+    )
+    got = {(r.k, r.v, r._change_type) for r in out.collect()}
+    assert got == {(2, "B", "update_postimage"), (3, "c", "insert")}
+    # WRITE ORDERED BY / ZORDERED BY set the write clustering property
+    lsql.sql("ALTER TABLE db.mr WRITE ORDERED BY (k)")
+    tbl = lsql.catalog.load_table("db", "mr")
+    assert tbl.snapshot().properties["write_sort_order"] == "k"
+    lsql.sql("ALTER TABLE db.mr WRITE ZORDERED BY (k, v)")
+    assert tbl.snapshot().properties["write_sort_order"] == "zorder(k, v)"
