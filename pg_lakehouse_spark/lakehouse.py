@@ -1424,22 +1424,48 @@ class LakeTable:
             df, base + 1, snap.partition_spec, schema_id=snap.schema_id
         )
         new_dirs = {os.path.dirname(f["path"]) for f in new_files}
-        keep = [
-            f
-            for f in snap.files
-            if os.path.dirname(f["path"]) not in new_dirs
-        ]
-        final = keep + new_files
-        return self._commit(
-            base, "overwrite-partitions", final, snap.schema_json,
-            summary={
-                "replaced_partitions": sorted(new_dirs),
-                "added_files": len(new_files),
-                "kept_files": len(keep),
-            }
-            | (summary_extra or {}),
-            delete_files=self._live_deletes(snap.delete_files, final),
-        )
+        # optimistic retry: a concurrent commit re-bases this replace
+        # onto the new snapshot UNLESS it also wrote into a replaced
+        # partition (then the rebase would silently drop its rows —
+        # abort instead, Iceberg's overwrite-conflict semantics)
+        retries = 3
+        while True:
+            keep = [
+                f
+                for f in snap.files
+                if os.path.dirname(f["path"]) not in new_dirs
+            ]
+            final = keep + new_files
+            try:
+                return self._commit(
+                    base, "overwrite-partitions", final, snap.schema_json,
+                    summary={
+                        "replaced_partitions": sorted(new_dirs),
+                        "added_files": len(new_files),
+                        "kept_files": len(keep),
+                    }
+                    | (summary_extra or {}),
+                    delete_files=self._live_deletes(snap.delete_files, final),
+                )
+            except CommitConflict:
+                if retries <= 0:
+                    raise
+                retries -= 1
+                base = self.current_version()
+                cur = self.snapshot(base)
+                prev_paths = {f["path"] for f in snap.files}
+                added_concurrently = [
+                    f
+                    for f in cur.files
+                    if f["path"] not in prev_paths
+                    and os.path.dirname(f["path"]) in new_dirs
+                ]
+                if added_concurrently:
+                    raise CommitConflict(
+                        "dynamic overwrite is stale: a concurrent commit "
+                        "wrote into a replaced partition"
+                    )
+                snap = cur
 
     def truncate(self) -> Snapshot:
         """TRUNCATE (ref A14, iceberg_am.c:245-249) — empty snapshot,

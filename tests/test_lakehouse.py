@@ -2426,3 +2426,62 @@ def test_write_time_zorder_clustering(spark, tmp_path):
         tbl.read_pruned({"a": (10, 15)}).count()
         == df.filter("a between 10 and 15").count()
     )
+
+
+def test_dynamic_overwrite_rebases_or_aborts(spark, tmp_path):
+    """Concurrent commits: an append to an UNTOUCHED partition
+    re-bases under the overwrite; an append INTO a replaced partition
+    aborts it (rows must not silently vanish)."""
+    from pg_lakehouse_spark.lakehouse import (
+        CommitConflict,
+        LakeCatalog,
+        LakeTable,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_dpr"))
+    df = spark.createDataFrame(
+        [(i, "p1" if i % 2 else "p2") for i in range(20)], "k long, day string"
+    )
+    tbl = cat.create_table("db", "dpr", df.schema, partition_by=["day"])
+    tbl.append(df)
+    repl = spark.createDataFrame([(100, "p1")], "k long, day string")
+
+    real_commit = LakeTable._commit
+    state = {"fired": False}
+
+    def race_other_partition(self, *a, **kw):
+        if not state["fired"] and a[1] == "overwrite-partitions":
+            state["fired"] = True
+            other = LakeTable(spark, self.location)
+            other.append(
+                spark.createDataFrame([(200, "p2")], "k long, day string")
+            )
+        return real_commit(self, *a, **kw)
+
+    LakeTable._commit = race_other_partition
+    try:
+        tbl.overwrite_partitions(repl)
+    finally:
+        LakeTable._commit = real_commit
+    got = tbl.read()
+    assert got.filter("day = 'p1'").count() == 1      # replaced
+    assert got.filter("k = 200").count() == 1         # concurrent survived
+    # concurrent write INTO the replaced partition -> abort
+    state2 = {"fired": False}
+
+    def race_same_partition(self, *a, **kw):
+        if not state2["fired"] and a[1] == "overwrite-partitions":
+            state2["fired"] = True
+            other = LakeTable(spark, self.location)
+            other.append(
+                spark.createDataFrame([(300, "p1")], "k long, day string")
+            )
+        return real_commit(self, *a, **kw)
+
+    LakeTable._commit = race_same_partition
+    try:
+        with pytest.raises(CommitConflict, match="replaced partition"):
+            tbl.overwrite_partitions(repl)
+    finally:
+        LakeTable._commit = real_commit
+    assert tbl.read().filter("k = 300").count() == 1  # nothing lost
