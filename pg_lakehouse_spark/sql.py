@@ -518,6 +518,26 @@ class LakeSQL:
             at = int(am.group(2)) if am.group(2) else None
             tbl.create_branch(am.group(1), at=at)
             return None
+        if au.startswith("CREATE TAG"):
+            am = re.match(
+                rf"CREATE\s+TAG\s+({_IDENT})"
+                r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+                action,
+                re.IGNORECASE,
+            )
+            if not am:
+                raise LakehouseError(f"cannot parse CREATE TAG: {action!r}")
+            tbl.tag(
+                am.group(1),
+                int(am.group(2)) if am.group(2) else None,
+            )
+            return None
+        if au.startswith("DROP TAG"):
+            am = re.match(rf"DROP\s+TAG\s+({_IDENT})$", action, re.IGNORECASE)
+            if not am:
+                raise LakehouseError(f"cannot parse DROP TAG: {action!r}")
+            tbl.drop_tag(am.group(1))
+            return None
         if au.startswith("DROP BRANCH"):
             am = re.match(rf"DROP\s+BRANCH\s+({_IDENT})$", action, re.IGNORECASE)
             if not am:

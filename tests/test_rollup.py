@@ -516,3 +516,47 @@ def test_rollup_partial_invalidation_minmax(spark, tmp_path):
     v = roll.current_version()
     refresh_rollup(src, roll)
     assert roll.current_version() == v
+
+
+def test_hierarchical_rollups_compose(spark, sf_dir, tmp_path):
+    """Rollups stack: a DAILY rollup sources the HOURLY rollup table
+    (sum-of-counts re-aggregation), and refreshing the chain after new
+    facts equals the direct daily GROUP BY — each tier's refresh cost
+    stays ∝ its own delta."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+    from pg_lakehouse_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    cat = LakeCatalog(spark, str(tmp_path / "wh_hier"))
+    src = cat.create_table_as(
+        "db", "facts_h", ev.filter(F.col("event_id") % 2 == 0)
+    )
+    hourly = create_rollup(
+        cat, "db", "hourly", src,
+        time_col="ts", bucket="1 hour", group_by=["event_type"],
+        metrics={"n": ("count", "*")},
+    )
+    daily = create_rollup(
+        cat, "db", "daily", hourly,
+        time_col="bucket_start", bucket="1 day", group_by=["event_type"],
+        metrics={"n": ("sum", "n")},  # partial counts re-aggregate by SUM
+    )
+    src.append(ev.filter(F.col("event_id") % 2 == 1))
+    refresh_rollup(src, hourly)
+    refresh_rollup(hourly, daily)
+    got = {
+        (r.bucket_start.day, r.event_type): r.n
+        for r in read_rollup(daily).collect()
+    }
+    want = {
+        (r.d.day, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want

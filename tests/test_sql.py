@@ -862,3 +862,18 @@ def test_sql_merge_returning_and_write_ordered(lsql, spark):
     assert tbl.snapshot().properties["write_sort_order"] == "k"
     lsql.sql("ALTER TABLE db.mr WRITE ZORDERED BY (k, v)")
     assert tbl.snapshot().properties["write_sort_order"] == "zorder(k, v)"
+
+
+def test_sql_tag_ddl(lsql):
+    lsql.sql("CREATE TABLE db.tg (k BIGINT)")
+    lsql.sql("INSERT INTO db.tg VALUES (1)")
+    lsql.sql("ALTER TABLE db.tg CREATE TAG v1")
+    lsql.sql("INSERT INTO db.tg VALUES (2)")
+    tbl = lsql.catalog.load_table("db", "tg")
+    assert "v1" in tbl.tags()
+    lsql.sql("ALTER TABLE db.tg CREATE TAG genesis AS OF VERSION 1")
+    assert tbl.tags()["genesis"] == 1
+    lsql.sql("ALTER TABLE db.tg DROP TAG genesis")
+    assert "genesis" not in tbl.tags()
+    with pytest.raises(LakehouseError, match="no such tag"):
+        lsql.sql("ALTER TABLE db.tg DROP TAG genesis")
