@@ -303,6 +303,31 @@ def _file_column_ranges(path: str, fmt: str = "parquet") -> dict[str, list]:
     return ranges
 
 
+def _file_null_counts(path: str, fmt: str = "parquet") -> dict[str, int]:
+    """Per-column NULL counts from the parquet footer (PG ANALYZE's
+    ``null_frac`` numerator; also powers IS [NOT] NULL file skipping).
+    Missing statistics for a column omit it — consumers treat absence
+    conservatively."""
+    if fmt in ("orc", "avro"):
+        return {}
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None or st.null_count is None:
+                continue
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            out[name] = out.get(name, 0) + int(st.null_count)
+    return out
+
+
 class LakeTable:
     """One snapshot-versioned table."""
 
@@ -1020,6 +1045,7 @@ class LakeTable:
             # lift their (single) value into the manifest ranges so
             # metadata-level skipping covers them like any other column
             ranges = _file_column_ranges(dst, fmt)
+            nulls = _file_null_counts(dst, fmt)
             if part_dirs != ".":
                 ranges |= _partition_dir_ranges(part_dirs, df.schema)
             entries.append(
@@ -1028,6 +1054,7 @@ class LakeTable:
                     "rows": rows,
                     "bytes": nbytes,
                     "ranges": ranges,
+                    "nulls": nulls,
                     "schema_id": schema_id,
                     # sequence number: MoR delete files apply only to
                     # data files with a lower seq (pre-feature files
@@ -1182,6 +1209,16 @@ class LakeTable:
                 )
                 a["ndv_lo"] = max(a["ndv_lo"], n)
                 a["ndv_hi"] += n
+            for col_name, n in (f.get("nulls") or {}).items():
+                a = agg.setdefault(
+                    col_name,
+                    {"min": None, "max": None, "ndv_lo": 0, "ndv_hi": 0},
+                )
+                # PG ANALYZE null_frac numerator; None until every
+                # live file carries the stat (post-feature writes)
+                a["nulls"] = a.get("nulls", 0) + n
+                a["null_files"] = a.get("null_files", 0) + 1
+        n_files = len(s.files)
         rows = [
             (
                 c,
@@ -1190,13 +1227,14 @@ class LakeTable:
                 a["ndv_lo"] or None,
                 a["ndv_hi"] or None,
                 s.total_rows,
+                a.get("nulls") if a.get("null_files") == n_files else None,
             )
             for c, a in sorted(agg.items())
         ]
         return self.spark.createDataFrame(
             rows or [],
             "column string, min string, max string, ndv_lower bigint, "
-            "ndv_upper bigint, row_count bigint",
+            "ndv_upper bigint, row_count bigint, null_count bigint",
         )
 
     def _check_schema(self, df: DataFrame) -> None:
@@ -2432,19 +2470,36 @@ class LakeTable:
         self,
         filters: dict[str, tuple],
         snapshot: int | None = None,
+        is_null: list[str] | None = None,
+        not_null: list[str] | None = None,
     ) -> DataFrame:
         """Scan with manifest-level data skipping: ``filters`` maps a
         column to an inclusive (lo, hi) range (None = unbounded side);
         files whose stored column bounds don't overlap are never opened
         (ref A22 — the stats the reference stubbed, used the way
-        Iceberg manifests use them). The same predicate is re-applied
-        row-level after the scan, so results are exact regardless of
-        stats coverage."""
+        Iceberg manifests use them). ``is_null``/``not_null`` columns
+        additionally skip via per-file NULL counts (a file with zero
+        nulls can't satisfy IS NULL; an all-null file can't satisfy IS
+        NOT NULL). Every predicate is re-applied row-level after the
+        scan, so results are exact regardless of stats coverage."""
         s = self.snapshot(snapshot)
         eq = self._bucket_eq_values(s, filters)
         beq = self._bloom_eq_positions(s, filters)
+
+        def null_ok(f: dict) -> bool:
+            nulls = f.get("nulls") or {}
+            for c in is_null or []:
+                if c in nulls and nulls[c] == 0:
+                    return False
+            for c in not_null or []:
+                if c in nulls and nulls[c] == f["rows"]:
+                    return False
+            return True
+
         selected = [
-            f for f in s.files if self._entry_overlaps(f, filters, eq, beq)
+            f
+            for f in s.files
+            if self._entry_overlaps(f, filters, eq, beq) and null_ok(f)
         ]
         df = self._read_entries(s, selected)
         for col_name, (lo, hi) in filters.items():
@@ -2452,6 +2507,10 @@ class LakeTable:
                 df = df.filter(F.col(col_name) >= lo)
             if hi is not None:
                 df = df.filter(F.col(col_name) <= hi)
+        for c in is_null or []:
+            df = df.filter(F.col(c).isNull())
+        for c in not_null or []:
+            df = df.filter(F.col(c).isNotNull())
         return df
 
     def _bucket_eq_values(

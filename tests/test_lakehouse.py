@@ -2485,3 +2485,41 @@ def test_dynamic_overwrite_rebases_or_aborts(spark, tmp_path):
     finally:
         LakeTable._commit = real_commit
     assert tbl.read().filter("k = 300").count() == 1  # nothing lost
+
+
+def test_null_count_stats_and_pruning(spark, tmp_path):
+    """Per-file NULL counts: ANALYZE exposes null_count; IS NULL reads
+    skip zero-null files and IS NOT NULL skips all-null files."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_nulls"))
+    no_nulls = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    )
+    all_nulls = spark.createDataFrame(
+        [(1000 + i, None) for i in range(50)], "k long, v double"
+    )
+    mixed = spark.createDataFrame(
+        [(2000 + i, None if i % 2 else float(i)) for i in range(40)],
+        "k long, v double",
+    )
+    tbl = cat.create_table("db", "nt", no_nulls.schema)
+    for part in (no_nulls, all_nulls, mixed):
+        tbl.append(part.coalesce(1))
+    stats = {
+        r.column: r.null_count for r in tbl.column_stats_df().collect()
+    }
+    assert stats["v"] == 50 + 20
+    assert stats["k"] == 0
+    total = len(tbl.snapshot().files)
+    # IS NULL: the no-null file skips
+    sel = tbl.read_pruned({}, is_null=["v"])
+    assert sel.count() == 70
+    skipped_files = [
+        f for f in tbl.snapshot().files if (f.get("nulls") or {}).get("v") == 0
+    ]
+    assert skipped_files  # at least the no-null file is skippable
+    # IS NOT NULL: the all-null file skips
+    sel2 = tbl.read_pruned({}, not_null=["v"])
+    assert sel2.count() == 100 + 20
+    assert total == 3
