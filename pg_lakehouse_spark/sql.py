@@ -1399,18 +1399,36 @@ class LakeSQL:
         return None
 
     def _describe(self, s: str) -> DataFrame:
+        """PG ``\\d``-flavored DESCRIBE: columns with type/nullable/
+        DEFAULT, then # partition / constraint / property rows."""
         m = re.match(
             rf"DESCRIBE\s+(?:TABLE\s+)?{_TBL}$", s, re.IGNORECASE
         )
         if not m:
             raise LakehouseError(f"cannot parse DESCRIBE: {s[:80]!r}")
         tbl = self.catalog.load_table(m.group(1), m.group(2))
+        defaults = tbl.column_defaults()
+        ids, _ = tbl._effective_field_ids(tbl.snapshot())
         rows = [
-            (f.name, f.dataType.simpleString(), f.nullable)
+            (
+                f.name,
+                f.dataType.simpleString(),
+                f.nullable,
+                defaults.get(str(ids.get(f.name))),
+            )
             for f in tbl.schema().fields
         ]
+        spec = tbl.snapshot().partition_spec
+        if spec:
+            rows.append(
+                ("# partitioned by", ", ".join(spec), None, None)
+            )
+        for cname, expr in sorted(tbl.check_constraints().items()):
+            rows.append((f"# check {cname}", expr, None, None))
         return self.spark.createDataFrame(
-            rows, "col_name string, data_type string, nullable boolean"
+            rows,
+            "col_name string, data_type string, nullable boolean, "
+            "default string",
         )
 
     def _analyze(self, s: str) -> DataFrame:
