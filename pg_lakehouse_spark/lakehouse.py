@@ -2494,6 +2494,16 @@ class LakeTable:
             for c in not_null or []:
                 if c in nulls and nulls[c] == f["rows"]:
                     return False
+            # a range predicate never matches NULL: an all-null file
+            # (which also carries no min/max bounds to overlap-check)
+            # can be skipped outright
+            for c, (lo, hi) in filters.items():
+                if (
+                    (lo is not None or hi is not None)
+                    and c in nulls
+                    and nulls[c] == f["rows"]
+                ):
+                    return False
             return True
 
         selected = [

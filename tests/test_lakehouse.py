@@ -2523,3 +2523,26 @@ def test_null_count_stats_and_pruning(spark, tmp_path):
     sel2 = tbl.read_pruned({}, not_null=["v"])
     assert sel2.count() == 100 + 20
     assert total == 3
+
+
+def test_range_filter_skips_all_null_file(spark, tmp_path):
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_rn"))
+    vals = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, v double"
+    )
+    nulls = spark.createDataFrame(
+        [(100 + i, None) for i in range(50)], "k long, v double"
+    )
+    tbl = cat.create_table("db", "rn", vals.schema)
+    tbl.append(vals.coalesce(1))
+    tbl.append(nulls.coalesce(1))
+    # range filter on v: the all-null file cannot match — and indeed
+    # carries no bounds, so only the null-count rule can skip it
+    out = tbl.read_pruned({"v": (10.0, 20.0)})
+    assert out.count() == 11
+    files_with_bounds = [
+        f for f in tbl.snapshot().files if "v" in (f.get("ranges") or {})
+    ]
+    assert len(files_with_bounds) == 1  # null file has no v bounds
