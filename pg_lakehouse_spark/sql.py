@@ -308,11 +308,88 @@ class LakeSQL:
         "stats": "column_stats_df",
     }
 
+    # simple conjuncts a manifest can act on: col OP literal / BETWEEN
+    _PRUNE_CONJ = re.compile(
+        rf"^\s*({_IDENT})\s*(>=|<=|=|>|<)\s*('[^']*'|-?\d+(?:\.\d+)?)\s*$"
+    )
+    _PRUNE_BETWEEN = re.compile(
+        rf"^\s*({_IDENT})\s+BETWEEN\s+('[^']*'|-?\d+(?:\.\d+)?)"
+        r"\s+AND\s+('[^']*'|-?\d+(?:\.\d+)?)\s*$",
+        re.IGNORECASE,
+    )
+
+    def _where_filters(self, stmt: str, table_cols: set) -> dict:
+        """Extract manifest-actionable (lo, hi) ranges from a simple
+        single-table WHERE clause. Conservative: only top-level AND
+        conjuncts of ``col OP literal`` / ``col BETWEEN a AND b`` on
+        known columns contribute; anything else contributes nothing
+        (the FULL predicate always re-applies in Spark, so a partial
+        extraction can only skip files that cannot match — never
+        change results). Strict >/< relax to inclusive bounds (a
+        superset of files)."""
+        m = re.search(
+            r"\bWHERE\s+(.*?)(?:\s+GROUP\s+BY\b|\s+ORDER\s+BY\b"
+            r"|\s+HAVING\b|\s+LIMIT\b|$)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m or "(" in m.group(1) or re.search(
+            r"\bOR\b", m.group(1), re.IGNORECASE
+        ):
+            return {}
+
+        def lit(v: str):
+            if v.startswith("'"):
+                return v[1:-1]
+            return float(v) if "." in v else int(v)
+
+        filters: dict[str, list] = {}
+        for part in re.split(r"\s+AND\s+", m.group(1), flags=re.IGNORECASE):
+            cm = self._PRUNE_CONJ.match(part)
+            bm = self._PRUNE_BETWEEN.match(part)
+            if bm and bm.group(1) in table_cols:
+                col, lo, hi = bm.group(1), lit(bm.group(2)), lit(bm.group(3))
+                b = filters.setdefault(col, [None, None])
+                b[0] = lo if b[0] is None else max(b[0], lo)
+                b[1] = hi if b[1] is None else min(b[1], hi)
+                continue
+            if not cm or cm.group(1) not in table_cols:
+                continue
+            col, op, v = cm.group(1), cm.group(2), lit(cm.group(3))
+            b = filters.setdefault(col, [None, None])
+            if op in (">=", ">", "="):
+                b[0] = v if b[0] is None else max(b[0], v)
+            if op in ("<=", "<", "="):
+                b[1] = v if b[1] is None else min(b[1], v)
+        return {c: tuple(b) for c, b in filters.items()}
+
     def _select(self, s: str) -> DataFrame:
         """Bind every ``ns.t[$meta][@branch] [FOR ... AS OF ...]`` lake
         reference to a temp view, then run the rewritten statement on
         Spark SQL. ``$files/$snapshots/$partitions/$refs/$stats`` are
-        the Iceberg-style metadata tables (ref A20)."""
+        the Iceberg-style metadata tables (ref A20). A single-table
+        SELECT with a simple WHERE binds a MANIFEST-PRUNED scan (file
+        skipping on min/max/bloom/partition stats) instead of the full
+        snapshot — the full predicate still runs in Spark, so the
+        rewrite is purely a file-skipping optimization."""
+        # the pruning rewrite applies only to a SINGLE-select statement
+        # over ONE lake table (set ops / subqueries / CTEs have other
+        # WHERE clauses that must not leak into the shared binding)
+        lone_ref = None
+        if (
+            len(re.findall(r"\bSELECT\b", s, re.IGNORECASE)) == 1
+            and not re.search(
+                r"\bUNION\b|\bINTERSECT\b|\bEXCEPT\b", s, re.IGNORECASE
+            )
+        ):
+            refs = set()
+            for m2 in self._TT.finditer(s):
+                if any(m2.group(i) for i in (3, 4, 5, 6)):
+                    refs.add(None)  # meta/branch/time-travel ref
+                elif self.catalog.table_exists(m2.group(1), m2.group(2)):
+                    refs.add((m2.group(1), m2.group(2)))
+            if len(refs) == 1:
+                lone_ref = next(iter(refs))
 
         def bind(m: re.Match) -> str:
             ns, name, meta, branch, ver, ts = (
@@ -342,6 +419,12 @@ class LakeSQL:
                 return view
             if ver is not None:
                 df, view = tbl.read(int(ver)), f"__lake_{ns}_{name}_v{ver}"
+            elif ts is None and lone_ref == (ns, name):
+                filters = self._where_filters(
+                    s, set(tbl.schema().fieldNames())
+                )
+                df = tbl.read_pruned(filters) if filters else tbl.read()
+                view = f"__lake_{ns}_{name}"
             elif ts is not None:
                 import datetime
 

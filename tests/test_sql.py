@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from pg_lakehouse_spark.lakehouse import LakeCatalog, LakehouseError
 from pg_lakehouse_spark.sql import LakeSQL
@@ -877,3 +878,44 @@ def test_sql_tag_ddl(lsql):
     assert "genesis" not in tbl.tags()
     with pytest.raises(LakehouseError, match="no such tag"):
         lsql.sql("ALTER TABLE db.tg DROP TAG genesis")
+
+
+def test_sql_select_manifest_pruning(lsql, spark):
+    """A simple single-table WHERE range binds a manifest-pruned scan
+    (files outside the range never open); results stay exact, and
+    compound statements (UNION/joins/subqueries) keep the full scan."""
+    lsql.sql("CREATE TABLE db.pr (k BIGINT, v DOUBLE)")
+    tbl = lsql.catalog.load_table("db", "pr")
+    for lo in (0, 100, 200):
+        tbl.append(
+            spark.createDataFrame(
+                [(lo + i, float(lo + i)) for i in range(100)],
+                "k long, v double",
+            ).coalesce(1)
+        )
+    assert len(tbl.snapshot().files) == 3
+    # correctness across the pruned path
+    out = lsql.sql("SELECT count(*) AS n FROM db.pr WHERE k BETWEEN 150 AND 250")
+    assert out.collect()[0].n == 101
+    out = lsql.sql(
+        "SELECT sum(k) AS s FROM db.pr WHERE k >= 290 AND v < 295"
+    )
+    assert out.collect()[0].s == sum(range(290, 295))
+    # the bound view for a ranged query holds only the overlapping file
+    lsql.sql("SELECT * FROM db.pr WHERE k <= 50").collect()
+    bound = spark.table("__lake_db_pr")
+    files = {r[0] for r in bound.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1
+    # a UNION with different ranges must NOT share a pruned binding
+    out = lsql.sql(
+        "SELECT k FROM db.pr WHERE k <= 10 "
+        "UNION ALL SELECT k FROM db.pr WHERE k >= 290"
+    )
+    assert out.count() == 11 + 10
+    # equality + strings parse; unknown/aliased/OR conjuncts are
+    # conservatively ignored (full scan, exact result)
+    assert lsql.sql("SELECT * FROM db.pr WHERE k = 7").count() == 1
+    assert (
+        lsql.sql("SELECT * FROM db.pr WHERE k <= 5 OR k >= 295").count()
+        == 11
+    )
