@@ -1445,6 +1445,42 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 rows or [], "namespace string, name string"
             )
+        m = re.match(
+            rf"SHOW\s+CREATE\s+TABLE\s+{_TBL}$", s, re.IGNORECASE
+        )
+        if m:
+            tbl = self.catalog.load_table(m.group(1), m.group(2))
+            snap = tbl.snapshot()
+            defaults = tbl.column_defaults()
+            ids, _ = tbl._effective_field_ids(snap)
+            col_lines = []
+            for f in tbl.schema().fields:
+                line = f"  {f.name} {f.dataType.simpleString().upper()}"
+                d = defaults.get(str(ids.get(f.name)))
+                if d is not None:
+                    line += f" DEFAULT {d}"
+                col_lines.append(line)
+            for cname, expr in sorted(tbl.check_constraints().items()):
+                col_lines.append(f"  CONSTRAINT {cname} CHECK ({expr})")
+            ddl = (
+                f"CREATE TABLE {m.group(1)}.{m.group(2)} (\n"
+                + ",\n".join(col_lines)
+                + "\n)"
+            )
+            if snap.partition_spec:
+                ddl += f"\nPARTITIONED BY ({', '.join(snap.partition_spec)})"
+            props = {
+                k: v
+                for k, v in sorted(snap.properties.items())
+                if k not in ("check_constraints", "column_defaults")
+            }
+            if props:
+                ddl += "\nWITH (" + ", ".join(
+                    f"{k}='{v}'" for k, v in props.items()
+                ) + ")"
+            return self.spark.createDataFrame(
+                [(ddl,)], "create_statement string"
+            )
         m = re.match(r"SHOW\s+SCHEMAS$", s, re.IGNORECASE)
         if m:
             return self.spark.createDataFrame(

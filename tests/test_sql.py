@@ -919,3 +919,26 @@ def test_sql_select_manifest_pruning(lsql, spark):
         lsql.sql("SELECT * FROM db.pr WHERE k <= 5 OR k >= 295").count()
         == 11
     )
+
+
+def test_sql_show_create_table(lsql):
+    """SHOW CREATE TABLE round-trips: the emitted DDL re-creates an
+    equivalent table (columns, defaults, constraints, partitioning,
+    properties)."""
+    lsql.sql(
+        "CREATE TABLE db.sct (k BIGINT NOT NULL, tier STRING DEFAULT 'free',"
+        " day STRING, CONSTRAINT k_pos CHECK (k > 0)) "
+        "PARTITIONED BY (day) WITH (change_data_feed='on')"
+    )
+    ddl = lsql.sql("SHOW CREATE TABLE db.sct").collect()[0].create_statement
+    assert "tier STRING DEFAULT 'free'" in ddl
+    assert "CONSTRAINT k_pos CHECK (k > 0)" in ddl
+    assert "CONSTRAINT notnull_k CHECK (k IS NOT NULL)" in ddl
+    assert "PARTITIONED BY (day)" in ddl
+    assert "change_data_feed='on'" in ddl
+    # the statement itself executes (round-trip) after renaming
+    lsql.sql(ddl.replace("db.sct", "db.sct2"))
+    tbl2 = lsql.catalog.load_table("db", "sct2")
+    assert set(tbl2.check_constraints()) == {"k_pos", "notnull_k"}
+    lsql.sql("INSERT INTO db.sct2 (k, day) VALUES (5, 'a')")
+    assert lsql.sql("SELECT tier FROM db.sct2").collect()[0].tier == "free"
