@@ -57,6 +57,14 @@ a reference user can keep their SQL:
   column, table-level ``[CONSTRAINT name] CHECK (...)``;
   ``ALTER COLUMN SET/DROP DEFAULT``; ``SHOW CONSTRAINTS``;
   ``VACUUM ... RETAIN N SNAPSHOTS``
+- ``INSERT OVERWRITE [TABLE] ns.t <query>`` — dynamic partition
+  overwrite on partitioned tables, wholesale otherwise
+- ``DELETE FROM t USING s WHERE t.k = s.k [AND ...]`` — PG
+  join-delete; ``MERGE ... RETURNING`` (PG17)
+- ``ALTER TABLE ... CREATE/DROP TAG [AS OF VERSION n]``,
+  ``WRITE [Z]ORDERED BY (cols)``; ``SHOW CREATE TABLE`` (round-
+  trippable DDL); enriched ``DESCRIBE`` (defaults/partitioning/
+  constraints); simple WHERE ranges bind MANIFEST-PRUNED scans
 
 Statement routing is keyword-based; expressions inside (predicates,
 SET clauses, the SELECT body) are handed to Spark's own parser via
