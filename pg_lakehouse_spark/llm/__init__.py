@@ -11,6 +11,14 @@ Large-scale training-data operations over document/embedding tables:
                   Arrow-batched decode UDFs (decoders stubbed — codec
                   libs aren't in this container; the Spark-side schema,
                   batching, and partitioning are real).
+- ``packing``     training-batch assembly: sequence packing, greedy
+                  bin packing, weighted interleave, sharded export.
+- ``search``      BM25 keyword retrieval: postings build/maintenance
+                  (change-feed incremental) and query-scoped scoring.
+- ``bpe``         distributed BPE tokenizer training + application.
+- ``index``       persisted IVF ANN index with incremental refresh.
+- ``splits``      deterministic train/val/test splits and sampling.
+- ``decontaminate`` benchmark n-gram overlap removal.
 """
 
 from pg_lakehouse_spark.llm.dedup import (
@@ -19,7 +27,13 @@ from pg_lakehouse_spark.llm.dedup import (
     minhash_lsh_candidates,
     simhash_near_duplicates,
 )
-from pg_lakehouse_spark.llm.similarity import cosine_topk, lsh_ann_topk
+from pg_lakehouse_spark.llm.packing import (
+    interleave_sources,
+    pack_bins_greedy,
+    pack_sequences,
+)
+from pg_lakehouse_spark.llm.search import bm25_search, build_postings
+from pg_lakehouse_spark.llm.similarity import ann_join, cosine_topk, lsh_ann_topk
 from pg_lakehouse_spark.llm.text import (
     add_quality_signals,
     language_id,
@@ -34,6 +48,12 @@ __all__ = [
     "simhash_near_duplicates",
     "cosine_topk",
     "lsh_ann_topk",
+    "ann_join",
+    "pack_sequences",
+    "pack_bins_greedy",
+    "interleave_sources",
+    "bm25_search",
+    "build_postings",
     "add_quality_signals",
     "language_id",
     "shingles",

@@ -9,6 +9,11 @@ scale-correct strategy (broadcast hints, salt-for-skew).
 from pg_lakehouse_spark.operators.bucketing import bucketed_join, write_bucketed
 from pg_lakehouse_spark.operators.joins import asof_join, range_join
 from pg_lakehouse_spark.operators.skew import salted_join
+from pg_lakehouse_spark.operators.timeseries import (
+    delta_per_series,
+    fill_gaps,
+    sessionize,
+)
 from pg_lakehouse_spark.operators.topk import top_k, top_k_per_group
 
 __all__ = [
@@ -19,4 +24,7 @@ __all__ = [
     "bucketed_join",
     "write_bucketed",
     "salted_join",
+    "fill_gaps",
+    "delta_per_series",
+    "sessionize",
 ]

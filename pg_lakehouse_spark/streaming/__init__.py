@@ -8,7 +8,11 @@ real ``readStream`` queries with watermarks and asserts the streaming
 result converges to the batch result.
 """
 
-from pg_lakehouse_spark.streaming.sink import write_stream_to_lake
+from pg_lakehouse_spark.streaming.cdc import replicate_changes, stream_changes
+from pg_lakehouse_spark.streaming.sink import (
+    upsert_stream_to_lake,
+    write_stream_to_lake,
+)
 from pg_lakehouse_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -22,4 +26,7 @@ __all__ = [
     "session_agg",
     "stream_events",
     "write_stream_to_lake",
+    "upsert_stream_to_lake",
+    "stream_changes",
+    "replicate_changes",
 ]
