@@ -2634,10 +2634,17 @@ class LakeTable:
             bounds = ranges.get(col_name)
             if bounds is not None:
                 fmin, fmax = bounds
-                if lo is not None and fmax < lo:
-                    return False
-                if hi is not None and fmin > hi:
-                    return False
+                # cross-type bounds (e.g. a str literal vs int stats)
+                # are incomparable → may-overlap, never a crash: the
+                # full predicate re-applies row-level so pruning only
+                # ever has to be conservative
+                try:
+                    if lo is not None and fmax < lo:
+                        return False
+                    if hi is not None and fmin > hi:
+                        return False
+                except TypeError:
+                    pass
             prefix = col_name + "_"
             for key, (fmin, fmax) in ranges.items():
                 if not key.startswith(prefix):
@@ -2661,12 +2668,19 @@ class LakeTable:
                         tlo = lo[:w] if isinstance(lo, str) else None
                         thi = hi[:w] if isinstance(hi, str) else None
                     elif isinstance(fmin, int):
-                        tlo = (lo // w) * w if lo is not None else None
-                        thi = (hi // w) * w if hi is not None else None
-                if tlo is not None and fmax < tlo:
-                    return False
-                if thi is not None and fmin > thi:
-                    return False
+                        tlo = (
+                            (lo // w) * w if isinstance(lo, int) else None
+                        )
+                        thi = (
+                            (hi // w) * w if isinstance(hi, int) else None
+                        )
+                try:
+                    if tlo is not None and fmax < tlo:
+                        return False
+                    if thi is not None and fmin > thi:
+                        return False
+                except TypeError:
+                    pass
         return True
 
     def pruned_file_count(self, filters: dict[str, tuple]) -> tuple[int, int]:

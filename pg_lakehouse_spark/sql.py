@@ -78,6 +78,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from pg_lakehouse_spark.lakehouse import (
     LakeCatalog,
@@ -320,13 +321,72 @@ class LakeSQL:
     _PRUNE_CONJ = re.compile(
         rf"^\s*({_IDENT})\s*(>=|<=|=|>|<)\s*('[^']*'|-?\d+(?:\.\d+)?)\s*$"
     )
+    # matched with finditer BEFORE the AND-split (the naive split tears
+    # ``col BETWEEN a AND b`` into two dead fragments)
     _PRUNE_BETWEEN = re.compile(
-        rf"^\s*({_IDENT})\s+BETWEEN\s+('[^']*'|-?\d+(?:\.\d+)?)"
-        r"\s+AND\s+('[^']*'|-?\d+(?:\.\d+)?)\s*$",
+        rf"\b({_IDENT})\s+BETWEEN\s+('[^']*'|-?\d+(?:\.\d+)?)"
+        r"\s+AND\s+('[^']*'|-?\d+(?:\.\d+)?)",
         re.IGNORECASE,
     )
 
-    def _where_filters(self, stmt: str, table_cols: set) -> dict:
+    @staticmethod
+    def _cast_prune_literal(v, dtype):
+        """Coerce a SQL literal to the manifest's representation for
+        the bound column's Spark type, mirroring how file stats are
+        stored (`_file_column_ranges`: ints as int, floats as float,
+        date/timestamp as ``isoformat()`` strings). Returns None when
+        the literal can't be coerced — the caller drops the conjunct,
+        which is always safe (the full predicate re-applies in Spark).
+        Date/timestamp literals are zero-padded so the lexicographic
+        compare against stored ISO strings is order-correct (PG accepts
+        '2024-1-1'; naive string compare against '2024-01-05' would
+        wrongly skip every file)."""
+        from pyspark.sql import types as T
+
+        try:
+            if isinstance(
+                dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                return int(str(v).strip())
+            if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+                return float(v)
+            if isinstance(dtype, T.BooleanType):
+                s = str(v).strip().lower()
+                if s in ("true", "t", "1"):
+                    return True
+                if s in ("false", "f", "0"):
+                    return False
+                return None
+            if isinstance(dtype, T.DateType):
+                m = re.match(r"(\d{4})-(\d{1,2})-(\d{1,2})$", str(v).strip())
+                if not m:
+                    return None
+                y, mo, d = (int(g) for g in m.groups())
+                return f"{y:04d}-{mo:02d}-{d:02d}"
+            if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+                m = re.match(
+                    r"(\d{4})-(\d{1,2})-(\d{1,2})"
+                    r"(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2}))?(\.\d+)?)?$",
+                    str(v).strip(),
+                )
+                if not m:
+                    return None
+                y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                hh = int(m.group(4) or 0)
+                mi = int(m.group(5) or 0)
+                ss = int(m.group(6) or 0)
+                frac = m.group(7) or ""
+                return (
+                    f"{y:04d}-{mo:02d}-{d:02d}T{hh:02d}:{mi:02d}:{ss:02d}"
+                    + frac
+                )
+            if isinstance(dtype, T.StringType):
+                return str(v)
+        except (ValueError, TypeError):
+            return None
+        return None
+
+    def _where_filters(self, stmt: str, schema: StructType) -> dict:
         """Extract manifest-actionable (lo, hi) ranges from a simple
         single-table WHERE clause. Conservative: only top-level AND
         conjuncts of ``col OP literal`` / ``col BETWEEN a AND b`` on
@@ -334,7 +394,9 @@ class LakeSQL:
         (the FULL predicate always re-applies in Spark, so a partial
         extraction can only skip files that cannot match — never
         change results). Strict >/< relax to inclusive bounds (a
-        superset of files)."""
+        superset of files). Literals are cast to the bound column's
+        type first (`_cast_prune_literal`) so manifest comparisons are
+        type-correct; un-castable literals drop their conjunct."""
         m = re.search(
             r"\bWHERE\s+(.*?)(?:\s+GROUP\s+BY\b|\s+ORDER\s+BY\b"
             r"|\s+HAVING\b|\s+LIMIT\b|$)",
@@ -345,6 +407,7 @@ class LakeSQL:
             r"\bOR\b", m.group(1), re.IGNORECASE
         ):
             return {}
+        types = {f.name: f.dataType for f in schema.fields}
 
         def lit(v: str):
             if v.startswith("'"):
@@ -352,24 +415,49 @@ class LakeSQL:
             return float(v) if "." in v else int(v)
 
         filters: dict[str, list] = {}
-        for part in re.split(r"\s+AND\s+", m.group(1), flags=re.IGNORECASE):
-            cm = self._PRUNE_CONJ.match(part)
-            bm = self._PRUNE_BETWEEN.match(part)
-            if bm and bm.group(1) in table_cols:
-                col, lo, hi = bm.group(1), lit(bm.group(2)), lit(bm.group(3))
-                b = filters.setdefault(col, [None, None])
-                b[0] = lo if b[0] is None else max(b[0], lo)
-                b[1] = hi if b[1] is None else min(b[1], hi)
-                continue
-            if not cm or cm.group(1) not in table_cols:
-                continue
-            col, op, v = cm.group(1), cm.group(2), lit(cm.group(3))
+
+        def narrow(col: str, lo=None, hi=None) -> None:
             b = filters.setdefault(col, [None, None])
+            if lo is not None:
+                b[0] = lo if b[0] is None else max(b[0], lo)
+            if hi is not None:
+                b[1] = hi if b[1] is None else min(b[1], hi)
+
+        # BETWEEN conjuncts first: consume them via finditer and excise
+        # them from the clause so the AND-split can't tear them apart
+        def grab_between(bm: re.Match) -> str:
+            col = bm.group(1)
+            if col in types:
+                lo = self._cast_prune_literal(lit(bm.group(2)), types[col])
+                hi = self._cast_prune_literal(lit(bm.group(3)), types[col])
+                if lo is not None and hi is not None:
+                    narrow(col, lo, hi)
+            return ""
+
+        remainder = self._PRUNE_BETWEEN.sub(grab_between, m.group(1))
+        for part in re.split(r"\s+AND\s+", remainder, flags=re.IGNORECASE):
+            if not part.strip():
+                continue  # hole left by an excised BETWEEN
+            cm = self._PRUNE_CONJ.match(part)
+            if not cm or cm.group(1) not in types:
+                continue
+            col, op = cm.group(1), cm.group(2)
+            v = self._cast_prune_literal(lit(cm.group(3)), types[col])
+            if v is None:
+                continue
             if op in (">=", ">", "="):
-                b[0] = v if b[0] is None else max(b[0], v)
+                narrow(col, lo=v)
             if op in ("<=", "<", "="):
-                b[1] = v if b[1] is None else min(b[1], v)
-        return {c: tuple(b) for c, b in filters.items()}
+                narrow(col, hi=v)
+        out = {}
+        for c, (lo, hi) in filters.items():
+            try:
+                if lo is not None and hi is not None and lo > hi:
+                    pass  # contradictory range is fine (skips everything)
+            except TypeError:
+                continue  # incomparable narrowed bounds: drop (conservative)
+            out[c] = (lo, hi)
+        return out
 
     def _select(self, s: str) -> DataFrame:
         """Bind every ``ns.t[$meta][@branch] [FOR ... AS OF ...]`` lake
@@ -428,9 +516,7 @@ class LakeSQL:
             if ver is not None:
                 df, view = tbl.read(int(ver)), f"__lake_{ns}_{name}_v{ver}"
             elif ts is None and lone_ref == (ns, name):
-                filters = self._where_filters(
-                    s, set(tbl.schema().fieldNames())
-                )
+                filters = self._where_filters(s, tbl.schema())
                 df = tbl.read_pruned(filters) if filters else tbl.read()
                 view = f"__lake_{ns}_{name}"
             elif ts is not None:

@@ -906,6 +906,20 @@ def test_sql_select_manifest_pruning(lsql, spark):
     bound = spark.table("__lake_db_pr")
     files = {r[0] for r in bound.select(F.input_file_name()).distinct().collect()}
     assert len(files) == 1
+    # BETWEEN must also prune (r3 defect: the AND-split tore the
+    # conjunct apart so BETWEEN silently fell back to a full scan)
+    lsql.sql("SELECT * FROM db.pr WHERE k BETWEEN 120 AND 150").collect()
+    bound = spark.table("__lake_db_pr")
+    files = {r[0] for r in bound.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1
+    # ... including mixed with other conjuncts on either side
+    lsql.sql(
+        "SELECT * FROM db.pr WHERE v >= 0.0 AND k BETWEEN 220 AND 230 "
+        "AND v <= 500.0"
+    ).collect()
+    bound = spark.table("__lake_db_pr")
+    files = {r[0] for r in bound.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1
     # a UNION with different ranges must NOT share a pruned binding
     out = lsql.sql(
         "SELECT k FROM db.pr WHERE k <= 10 "
@@ -919,6 +933,63 @@ def test_sql_select_manifest_pruning(lsql, spark):
         lsql.sql("SELECT * FROM db.pr WHERE k <= 5 OR k >= 295").count()
         == 11
     )
+
+
+def test_sql_manifest_pruning_typed_literals(lsql, spark):
+    """Literals are cast to the bound column's type before manifest
+    comparison (r3 advisory): a quoted int literal on a BIGINT column
+    must not TypeError, and a non-padded date literal must not
+    lexicographically skip files. Pruning stays conservative — results
+    always match an unpruned scan."""
+    lsql.sql(
+        "CREATE TABLE db.tl (k BIGINT, d DATE, ts TIMESTAMP, s STRING)"
+    )
+    tbl = lsql.catalog.load_table("db", "tl")
+    rows = [
+        (1, "2024-01-05", "2024-01-05 08:30:00", "a"),
+        (2, "2024-02-10", "2024-02-10 09:00:00", "b"),
+    ]
+    for k, d, ts, sv in rows:
+        tbl.append(
+            spark.sql(
+                f"SELECT CAST({k} AS BIGINT) k, DATE'{d}' d, "
+                f"TIMESTAMP'{ts}' ts, '{sv}' s"
+            )
+        )
+    assert len(tbl.snapshot().files) == 2
+    # quoted int literal on BIGINT: coerced, correct, and pruned
+    out = lsql.sql("SELECT k FROM db.tl WHERE k = '2'")
+    assert [r.k for r in out.collect()] == [2]
+    bound = spark.table("__lake_db_tl")
+    files = {r[0] for r in bound.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1
+    # non-padded date literal: both rows ≥ 2024-1-1 (r3 bug: 0 rows)
+    assert lsql.sql("SELECT * FROM db.tl WHERE d >= '2024-1-1'").count() == 2
+    # padded date range actually prunes to the one overlapping file
+    lsql.sql(
+        "SELECT * FROM db.tl WHERE d BETWEEN '2024-2-1' AND '2024-2-28'"
+    ).collect()
+    bound = spark.table("__lake_db_tl")
+    files = {r[0] for r in bound.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1
+    # timestamp literal with a space separator: normalized to the
+    # manifest's isoformat-T and compared order-correctly
+    out = lsql.sql("SELECT k FROM db.tl WHERE ts >= '2024-02-01 00:00:00'")
+    assert [r.k for r in out.collect()] == [2]
+    bound = spark.table("__lake_db_tl")
+    files = {r[0] for r in bound.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1
+    # un-castable literal on an INT column: OUR pruning layer drops the
+    # conjunct (no Python TypeError); Spark's ANSI evaluation of the
+    # full predicate then raises the same invalid-cast error PG would
+    # ('invalid input syntax for type bigint') — the failure must come
+    # from the engine's typed evaluation, not the manifest compare
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        lsql.sql("SELECT * FROM db.tl WHERE k = 'x'").count()
+    # string column with a numeric-looking literal still works
+    assert lsql.sql("SELECT * FROM db.tl WHERE s >= 'b'").count() == 1
 
 
 def test_sql_show_create_table(lsql):
