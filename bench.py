@@ -85,29 +85,49 @@ def main() -> None:
     # Failure isolation: one broken query must not zero the round's
     # perf artifact — time what runs, report {"err": ...} for the rest,
     # ALWAYS print the JSON line.
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
-        spec = REGISTRY.get(name)
-        if spec is None:
-            errors[name] = "not registered"
-            continue
-        start = time.perf_counter()
-        try:
-            df = spec.fn(spark, sf_dir)
-            n = df.count()
-            assert n >= 0
-            timings[name] = round(time.perf_counter() - start, 4)
-        except Exception as exc:  # noqa: BLE001 — isolate per query
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-    total = round(sum(timings.values()), 4)
+    def timed_pass() -> tuple[dict[str, float], dict[str, str]]:
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        for name in HEADLINE:
+            spec = REGISTRY.get(name)
+            if spec is None:
+                errors[name] = "not registered"
+                continue
+            start = time.perf_counter()
+            try:
+                df = spec.fn(spark, sf_dir)
+                n = df.count()
+                assert n >= 0
+                timings[name] = round(time.perf_counter() - start, 4)
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        return timings, errors
+
+    # COLD phase: drop every dataset the warm-up loop persisted so the
+    # headline number measures real parquet-scan + shuffle work, not a
+    # warm block-manager (r3/r4 verdict: persist-bearing queries were
+    # reporting warm-cache numbers, and contention artifacts couldn't
+    # be told apart from regressions in the JSON).
+    spark.catalog.clearCache()
+    cold, errors = timed_pass()
+    # WARM phase: same queries with whatever the cold pass cached left
+    # in place — steady-state number for cache-reusing workloads.
+    warm, warm_errors = timed_pass()
+    total_cold = round(sum(cold.values()), 4)
+    total_warm = round(sum(warm.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
-                "value": total,
+                # headline value = COLD total (the honest, cache-free run)
+                "value": total_cold,
+                "value_cold": total_cold,
+                "value_warm": total_warm,
                 "unit": "sec",
-                "queries": {**timings, **{k: {"err": v} for k, v in errors.items()}},
+                "queries": {**cold, **{k: {"err": v} for k, v in errors.items()}},
+                "queries_warm": {
+                    **warm, **{k: {"err": v} for k, v in warm_errors.items()}
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -895,6 +895,7 @@ class LakeTable:
         checks = self.check_constraints()
         if name in checks:
             raise LakehouseError(f"constraint {name!r} already exists")
+        props = {}
         if validate:
             bad = (
                 self.read()
@@ -907,22 +908,77 @@ class LakeTable:
                     f"cannot add CHECK {name!r}: existing rows violate "
                     f"({expr})"
                 )
+        else:
+            # PG NOT VALID: enforced for rows written from now on, but
+            # PRE-EXISTING rows are exempt until VALIDATE CONSTRAINT —
+            # tracked so rewrites (compaction, CoW DML carry-over) never
+            # re-check rows the constraint doesn't cover yet
+            nv = self.not_validated_constraints()
+            nv.add(name)
+            props["check_not_validated"] = json.dumps(sorted(nv))
         checks[name] = expr
-        return self.set_properties({"check_constraints": json.dumps(checks)})
+        props["check_constraints"] = json.dumps(checks)
+        return self.set_properties(props)
+
+    def not_validated_constraints(self) -> set[str]:
+        """Names of CHECK constraints added NOT VALID and not yet
+        VALIDATEd (PG pg_constraint.convalidated = false analog)."""
+        raw = self.snapshot().properties.get("check_not_validated", "[]")
+        return set(json.loads(raw))
+
+    def validate_constraint(self, name: str) -> Snapshot:
+        """PG ``ALTER TABLE ... VALIDATE CONSTRAINT``: one scan over
+        current rows; on success the constraint covers all rows (so
+        e.g. query planners may trust it), on violation the flag is
+        unchanged and the error reports the expression."""
+        checks = self.check_constraints()
+        if name not in checks:
+            raise LakehouseError(f"no such constraint: {name!r}")
+        expr = checks[name]
+        bad = (
+            self.read()
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise LakehouseError(
+                f"cannot validate CHECK {name!r}: existing rows violate "
+                f"({expr})"
+            )
+        nv = self.not_validated_constraints()
+        nv.discard(name)
+        return self.set_properties(
+            {"check_not_validated": json.dumps(sorted(nv))}
+        )
 
     def drop_check_constraint(self, name: str) -> Snapshot:
         checks = self.check_constraints()
         if name not in checks:
             raise LakehouseError(f"no such constraint: {name!r}")
         del checks[name]
-        return self.set_properties({"check_constraints": json.dumps(checks)})
+        nv = self.not_validated_constraints()
+        nv.discard(name)
+        return self.set_properties({
+            "check_constraints": json.dumps(checks),
+            "check_not_validated": json.dumps(sorted(nv)),
+        })
 
-    def _apply_check_guards(self, df: DataFrame) -> DataFrame:
+    def _apply_check_guards(
+        self, df: DataFrame, only: Column | None = None
+    ) -> DataFrame:
         """Wrap the first output column so any row failing a CHECK
         raises inside the write job (CASE branches evaluate lazily —
         zero cost for passing rows, stays in codegen). Applied only to
         full-schema row writes; key-only frames (MoR delete files)
-        don't carry the data columns constraints reference."""
+        don't carry the data columns constraints reference.
+
+        ``only`` gates enforcement to the rows it marks true — DML
+        paths use it to check net-new/modified rows while carrying
+        pre-existing rows through unchecked (PG semantics: constraints
+        fire at INSERT/UPDATE, never at storage rewrites; a NOT VALID
+        constraint over old violating rows must not poison compaction
+        or unrelated updates in the same file)."""
         checks = self.check_constraints()
         if not checks or not set(self.schema().fieldNames()) <= set(df.columns):
             return df
@@ -930,8 +986,11 @@ class LakeTable:
         t0 = df.schema[c0].dataType
         guarded = F.col(c0)
         for name, expr in sorted(checks.items()):
+            viol = ~F.coalesce(F.expr(expr), F.lit(True))
+            if only is not None:
+                viol = F.coalesce(only, F.lit(False)) & viol
             guarded = F.when(
-                ~F.coalesce(F.expr(expr), F.lit(True)),
+                viol,
                 F.raise_error(
                     F.lit(f"CHECK constraint {name} violated: ({expr})")
                 ).cast(t0),
@@ -974,6 +1033,7 @@ class LakeTable:
         snapshot_hint: int,
         partition_by: list[str] | None = None,
         schema_id: int = 0,
+        guard: bool = True,
     ) -> list[dict]:
         """Write df as parquet data files; return their file entries.
 
@@ -990,7 +1050,11 @@ class LakeTable:
             self.location, f"_staging-{snapshot_hint}-{uuid.uuid4().hex[:8]}"
         )
         fmt = self.file_format()
-        df = self._apply_check_guards(df)
+        if guard:
+            # rewrite paths (compaction, CoW DML carry-over rows) pass
+            # guard=False: those rows are pre-existing, and PG never
+            # re-checks constraints at storage rewrite time
+            df = self._apply_check_guards(df)
         df = self._size_for_target_files(df)
         part_cols = []
         for s in partition_by or []:
@@ -2874,8 +2938,12 @@ class LakeTable:
         touched_entries = [f for f in snap.files if f["path"] in affected]
         touched = self._read_entries(snap, touched_entries)
         rewritten = transform(touched)
+        # guard=False: the staged frame is dominated by pre-existing
+        # carry-over rows; transforms that modify rows (UPDATE) apply
+        # check guards to exactly those rows themselves
         new_files = self._stage_dataframe(
-            rewritten, base + 1, snap.partition_spec, schema_id=snap.schema_id
+            rewritten, base + 1, snap.partition_spec,
+            schema_id=snap.schema_id, guard=False,
         )
         feed = changes is not None and self.change_feed_enabled()
         change_files = (
@@ -3120,7 +3188,14 @@ class LakeTable:
                     )
                 else:
                     cols.append(F.col(name))
-            return df.select(*cols)
+            # CHECK constraints fire on the POST-images of modified rows
+            # only — unmodified carry-over rows in the same file are
+            # pre-existing and exempt (PG: NOT VALID constraints don't
+            # cover them; validated ones already passed at their write)
+            marked = df.select(*cols, condition.alias("__modified"))
+            return self._apply_check_guards(
+                marked, only=F.col("__modified")
+            ).drop("__modified")
 
         def changes(df: DataFrame) -> DataFrame:
             pre = df.filter(condition)
@@ -3473,9 +3548,22 @@ class LakeTable:
             out = out.filter(~src_only)
         if when_not_matched_by_source_delete:
             out = out.filter(~by_source_del)
-        result = out.select(*cols)
+        # CHECK guards cover exactly the rows this merge writes anew
+        # (updated post-images + inserts); matched-but-unmodified and
+        # carried-over rows are pre-existing and exempt (PG semantics —
+        # a NOT VALID constraint over old rows must not fail the merge)
+        modified = F.lit(False)
+        if when_matched_update:
+            modified = modified | matched
+        if when_not_matched_insert:
+            modified = modified | ins
+        marked = out.select(*cols, modified.alias("__modified"))
+        result = self._apply_check_guards(
+            marked, only=F.col("__modified")
+        ).drop("__modified")
         new_files = self._stage_dataframe(
-            result, base + 1, snap.partition_spec, schema_id=snap.schema_id
+            result, base + 1, snap.partition_spec,
+            schema_id=snap.schema_id, guard=False,
         )
 
         # change feed (only when the table opted in): matched rows →
@@ -3620,9 +3708,13 @@ class LakeTable:
         else:
             df = df.repartition(target_files)
         # compaction reads epoch-aware and writes back under the
-        # current schema — it doubles as an epoch-upgrade pass
+        # current schema — it doubles as an epoch-upgrade pass.
+        # guard=False: every row is pre-existing; re-checking CHECK
+        # constraints here made a NOT VALID constraint over an old
+        # violating row fail compaction permanently (r4 ADVICE defect)
         new_files = self._stage_dataframe(
-            df, base + 1, snap.partition_spec, schema_id=snap.schema_id
+            df, base + 1, snap.partition_spec, schema_id=snap.schema_id,
+            guard=False,
         )
         # optimistic-commit retry with validation (Iceberg
         # rewrite_data_files semantics): a concurrent APPEND is fine —

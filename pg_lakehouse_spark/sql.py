@@ -322,12 +322,38 @@ class LakeSQL:
         rf"^\s*({_IDENT})\s*(>=|<=|=|>|<)\s*('[^']*'|-?\d+(?:\.\d+)?)\s*$"
     )
     # matched with finditer BEFORE the AND-split (the naive split tears
-    # ``col BETWEEN a AND b`` into two dead fragments)
+    # ``col BETWEEN a AND b`` into two dead fragments). String literals
+    # appear as \x00<i>\x00 placeholders by the time this runs (masked by
+    # ``_mask_strings``) so BETWEEN ... AND ... text INSIDE a quoted
+    # string can never match — matching raw quoted text here corrupted
+    # the surviving conjunct and silently dropped rows.
     _PRUNE_BETWEEN = re.compile(
-        rf"\b({_IDENT})\s+BETWEEN\s+('[^']*'|-?\d+(?:\.\d+)?)"
-        r"\s+AND\s+('[^']*'|-?\d+(?:\.\d+)?)",
+        rf"\b({_IDENT})\s+BETWEEN\s+(\x00\d+\x00|-?\d+(?:\.\d+)?)"
+        r"\s+AND\s+(\x00\d+\x00|-?\d+(?:\.\d+)?)",
         re.IGNORECASE,
     )
+    _STR_LIT = re.compile(r"'(?:[^']|'')*'")
+    _PLACEHOLDER = re.compile(r"\x00(\d+)\x00")
+
+    @classmethod
+    def _mask_strings(cls, text: str) -> tuple[str, list[str]]:
+        """Replace every quoted string literal (incl. PG ``''`` escapes)
+        with an opaque ``\\x00<i>\\x00`` placeholder so structural regexes
+        (BETWEEN excision, AND-split) can never match keyword text inside
+        a literal. ``_unmask_strings`` restores them per-conjunct."""
+        literals: list[str] = []
+
+        def stash(m: re.Match) -> str:
+            literals.append(m.group(0))
+            return f"\x00{len(literals) - 1}\x00"
+
+        return cls._STR_LIT.sub(stash, text), literals
+
+    @classmethod
+    def _unmask_strings(cls, text: str, literals: list[str]) -> str:
+        return cls._PLACEHOLDER.sub(
+            lambda m: literals[int(m.group(1))], text
+        )
 
     @staticmethod
     def _cast_prune_literal(v, dtype):
@@ -375,7 +401,13 @@ class LakeSQL:
                 hh = int(m.group(4) or 0)
                 mi = int(m.group(5) or 0)
                 ss = int(m.group(6) or 0)
-                frac = m.group(7) or ""
+                # normalize the fraction to datetime.isoformat() semantics
+                # (manifest stats are stored via isoformat()): omitted when
+                # zero, else exactly 6 digits — '.5' kept verbatim would
+                # compare lexicographically wrong vs a stored '.500000'
+                digits = (m.group(7) or ".")[1:]
+                micros = int((digits + "000000")[:6]) if digits else 0
+                frac = f".{micros:06d}" if micros else ""
                 return (
                     f"{y:04d}-{mo:02d}-{d:02d}T{hh:02d}:{mi:02d}:{ss:02d}"
                     + frac
@@ -403,15 +435,21 @@ class LakeSQL:
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
-        if not m or "(" in m.group(1) or re.search(
-            r"\bOR\b", m.group(1), re.IGNORECASE
-        ):
+        if not m:
+            return {}
+        # mask string literals FIRST: every structural decision below
+        # (paren/OR bail, BETWEEN excision, AND-split) must only ever see
+        # placeholders where quoted text was, or literals containing
+        # "BETWEEN 1 AND 2" / "x AND y" corrupt the extraction
+        masked, literals = self._mask_strings(m.group(1))
+        if "(" in masked or re.search(r"\bOR\b", masked, re.IGNORECASE):
             return {}
         types = {f.name: f.dataType for f in schema.fields}
 
         def lit(v: str):
+            v = self._unmask_strings(v, literals)
             if v.startswith("'"):
-                return v[1:-1]
+                return v[1:-1].replace("''", "'")
             return float(v) if "." in v else int(v)
 
         filters: dict[str, list] = {}
@@ -434,11 +472,13 @@ class LakeSQL:
                     narrow(col, lo, hi)
             return ""
 
-        remainder = self._PRUNE_BETWEEN.sub(grab_between, m.group(1))
+        remainder = self._PRUNE_BETWEEN.sub(grab_between, masked)
         for part in re.split(r"\s+AND\s+", remainder, flags=re.IGNORECASE):
             if not part.strip():
                 continue  # hole left by an excised BETWEEN
-            cm = self._PRUNE_CONJ.match(part)
+            # split on MASKED text (an AND inside a string can't tear a
+            # conjunct), then restore literals for the conjunct match
+            cm = self._PRUNE_CONJ.match(self._unmask_strings(part, literals))
             if not cm or cm.group(1) not in types:
                 continue
             col, op = cm.group(1), cm.group(2)
@@ -615,7 +655,16 @@ class LakeSQL:
                 continue
             dm = re.search(r"\s+DEFAULT\s+(.+)$", it, re.IGNORECASE)
             if dm:
-                defaults[it.split(None, 1)[0]] = dm.group(1).strip()
+                dexpr = dm.group(1).strip()
+                # PG accepts both orderings: ``DEFAULT 5 NOT NULL`` and
+                # ``NOT NULL DEFAULT 5`` — the greedy capture grabs a
+                # trailing NOT NULL, which is a constraint, not part of
+                # the default expression
+                tn = re.search(r"\s+NOT\s+NULL$", dexpr, re.IGNORECASE)
+                if tn:
+                    notnull.append(it.split(None, 1)[0])
+                    dexpr = dexpr[: tn.start()].rstrip()
+                defaults[it.split(None, 1)[0]] = dexpr
                 it = it[: dm.start()].rstrip()
             nn = re.search(r"\s+NOT\s+NULL$", it, re.IGNORECASE)
             if nn:
@@ -830,6 +879,16 @@ class LakeSQL:
                 am.group(1), am.group(2).strip(),
                 validate=not am.group(3),
             )
+        if au.startswith("VALIDATE CONSTRAINT"):
+            am = re.match(
+                rf"VALIDATE\s+CONSTRAINT\s+({_IDENT})$", action,
+                re.IGNORECASE,
+            )
+            if not am:
+                raise LakehouseError(
+                    f"cannot parse VALIDATE CONSTRAINT: {action[:80]!r}"
+                )
+            return tbl.validate_constraint(am.group(1))
         if au.startswith("DROP CONSTRAINT"):
             am = re.match(
                 rf"DROP\s+CONSTRAINT\s+({_IDENT})$", action, re.IGNORECASE

@@ -2220,6 +2220,62 @@ def test_check_constraints_enforced(spark, tmp_path):
     assert tbl.check_constraints() == {"v_pos": "v > 0"}
 
 
+def test_not_valid_check_exempts_existing_rows(spark, tmp_path):
+    """r4 ADVICE defect: ``ADD CONSTRAINT ... CHECK ... NOT VALID``
+    over a pre-existing violating row must NOT poison compaction or
+    unrelated DML rewrites (PG NOT VALID exempts existing rows). New
+    and modified rows ARE still checked, and VALIDATE CONSTRAINT scans
+    once to flip the per-constraint flag."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog, LakehouseError
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_nv"))
+    tbl = cat.create_table(
+        "db", "t_nv",
+        spark.createDataFrame([(1, -5.0)], "k long, v double").schema,
+    )
+    tbl.append(
+        spark.createDataFrame([(1, -5.0), (2, 3.0)], "k long, v double")
+    )
+    tbl.append(spark.createDataFrame([(3, 4.0)], "k long, v double"))
+    tbl.append(spark.createDataFrame([(4, 7.0)], "k long, v double"))
+    tbl.add_check_constraint("v_pos", "v > 0", validate=False)
+    assert tbl.not_validated_constraints() == {"v_pos"}
+    # NOT VALID still enforces going forward: new rows are checked
+    with pytest.raises(Exception, match="v_pos"):
+        tbl.append(spark.createDataFrame([(5, -1.0)], "k long, v double"))
+    # compaction rewrites the violating pre-existing row just fine
+    # (previously: failed permanently — the ADVICE repro)
+    before = len(tbl.snapshot().files)
+    tbl.compact(min_files=2)
+    assert len(tbl.snapshot().files) < before
+    assert tbl.read().count() == 4
+    # updating an UNRELATED row that shares a file with the violator
+    # passes; only the modified row's post-image is checked
+    tbl.update(F.col("k") == 2, {"v": F.lit(30.0)})
+    got = {r.k: r.v for r in tbl.read().collect()}
+    assert got == {1: -5.0, 2: 30.0, 3: 4.0, 4: 7.0}
+    # updating a row TO a violating value still fails
+    with pytest.raises(Exception, match="v_pos"):
+        tbl.update(F.col("k") == 3, {"v": F.lit(-4.0)})
+    # merge: carried-over violating rows are exempt; inserts checked
+    tbl.merge(
+        spark.createDataFrame([(6, 1.0)], "k long, v double"), on=["k"]
+    )
+    assert tbl.read().count() == 5
+    with pytest.raises(Exception, match="v_pos"):
+        tbl.merge(
+            spark.createDataFrame([(7, -2.0)], "k long, v double"),
+            on=["k"],
+        )
+    # VALIDATE fails while the violating row exists, succeeds once
+    # it's fixed, and clears the not-validated flag
+    with pytest.raises(LakehouseError, match="violate"):
+        tbl.validate_constraint("v_pos")
+    tbl.update(F.col("k") == 1, {"v": F.lit(5.0)})
+    tbl.validate_constraint("v_pos")
+    assert tbl.not_validated_constraints() == set()
+
+
 def test_add_column_with_default(spark, tmp_path):
     """Iceberg v3 initial-default analog: ADD COLUMN ... DEFAULT is
     metadata-only — old epochs read the default (not NULL), new
