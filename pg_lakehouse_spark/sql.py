@@ -1625,7 +1625,13 @@ class LakeSQL:
             props = {
                 k: v
                 for k, v in sorted(snap.properties.items())
-                if k not in ("check_constraints", "column_defaults")
+                # constraint/default state is emitted as DDL clauses,
+                # not WITH options (check_not_validated is internal
+                # bookkeeping and its JSON would tear the WITH parser)
+                if k not in (
+                    "check_constraints", "column_defaults",
+                    "check_not_validated",
+                )
             }
             if props:
                 ddl += "\nWITH (" + ", ".join(

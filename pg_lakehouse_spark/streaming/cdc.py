@@ -56,6 +56,7 @@ def stream_changes(
     checkpoint_dir: str,
     trigger_once: bool = False,
     query_name: str = "lake_cdc_stream",
+    ledger_poll_secs: float | None = 5.0,
 ) -> StreamingQuery:
     """Start a streaming query invoking ``apply_fn(changes_df,
     batch_id)`` for every new commit's row-level changes.
@@ -73,6 +74,18 @@ def stream_changes(
     ledger write re-delivers parked versions (at-least-once for the
     late-published-branch case only; the main-line path stays
     exactly-once via the stream checkpoint).
+
+    ``ledger_poll_secs`` keeps the ledger LIVE on a long-running
+    stream (r3 verdict item): a fast-forward publish is a pure pointer
+    move — no new metadata file, so the file source alone would never
+    fire another batch and parked versions would wait for the next
+    unrelated commit. A 1-row/s rate tick unioned into the source plus
+    a matching processing-time trigger force a batch on that cadence,
+    and every batch re-checks the ledger against the current ancestry.
+    Pass None to disable (restores the files-only trigger behavior;
+    trigger-once runs never tick — their startup catch-up already
+    re-checks). Note: enabling/disabling changes the stream's source
+    count, so it needs a fresh checkpoint directory.
     """
     import json
 
@@ -128,7 +141,18 @@ def stream_changes(
         spark.readStream.format("text")
         .option("pathGlobFilter", "v*.metadata.json")
         .load(table.meta_dir)
+        .select("value")
     )
+    tick = bool(ledger_poll_secs) and not trigger_once
+    if tick:
+        # liveness tick: rate rows carry no file name (input_file_name
+        # is empty → no versions), they only guarantee the batch fires
+        src = src.unionByName(
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .select(F.lit(None).cast("string").alias("value"))
+        )
     writer = (
         src.writeStream.foreachBatch(expand_batch)
         .queryName(query_name)
@@ -136,6 +160,8 @@ def stream_changes(
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
+    elif tick:
+        writer = writer.trigger(processingTime=f"{ledger_poll_secs} seconds")
     return writer.start()
 
 

@@ -159,3 +159,33 @@ def test_ndv_and_bloom_coexist(catalog, orders_df):
     tbl.append(orders_df.limit(500).repartition(1))
     f = tbl.snapshot().files[0]
     assert "o_orderkey" in f["blooms"] and "o_orderkey" in f["ndv"]
+
+
+def test_bloom_on_date_and_timestamp_columns(spark, catalog):
+    """r4 ADVICE: SQL-path equality filters carry str bounds; a
+    bloom-indexed DATE/TIMESTAMP column must coerce the probe
+    engine-side (try_cast) instead of TypeError-ing, and an
+    uncoercible literal must fall back to conservative keep."""
+    rows = spark.sql(
+        "SELECT explode(sequence(1, 60)) AS k"
+    ).select(
+        F.col("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("k")).alias("d"),
+        F.timestamp_seconds(1704067200 + F.col("k") * 3600).alias("ts"),
+    )
+    tbl = catalog.create_table(
+        "db", "bdt", rows.schema,
+        properties={"bloom_filter_columns": "d, ts"},
+    )
+    # two files with interleaved dates so ranges alone can't prune
+    tbl.append(rows.filter(F.col("k") % 2 == 0).repartition(1))
+    tbl.append(rows.filter(F.col("k") % 2 == 1).repartition(1))
+    # str literal on a DATE column: no crash, exact result
+    out = tbl.read_pruned({"d": ("2024-01-11", "2024-01-11")})
+    assert out.count() == 1
+    # str literal on a TIMESTAMP column
+    out = tbl.read_pruned({"ts": ("2024-01-01 05:00:00", "2024-01-01 05:00:00")})
+    assert out.count() == 1
+    # blooms actually engaged: absent value selects zero files
+    sel, total = tbl.pruned_file_count({"d": ("2030-01-01", "2030-01-01")})
+    assert total == 2 and sel == 0

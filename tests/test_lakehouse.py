@@ -2394,6 +2394,41 @@ def test_target_file_size_and_compression(spark, tmp_path):
     assert meta.row_group(0).column(0).compression.lower() == "zstd"
 
 
+def test_target_file_size_preserves_write_clustering(spark, tmp_path):
+    """r4 ADVICE scale defect: with BOTH ``target_file_size`` and
+    ``write_sort_order`` set, the sizer re-hashed the frame AFTER the
+    range-sort, silently un-clustering the files (disjoint min/max
+    bounds — the whole data-skipping asset — lost). Sizing now feeds
+    the range split, so clustering and near-target sizes compose."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_clu"))
+    # shuffled key order so a sorted outcome proves the write sorted it
+    big = spark.range(200_000).select(
+        ((F.col("id") * 48271) % 200_000).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+    )
+    tbl = cat.create_table(
+        "db", "clu",
+        big.schema,
+        properties={
+            "target_file_size": str(256 * 1024),
+            "write_sort_order": "k",
+            "write_compression": "zstd",
+        },
+    )
+    tbl.append(big)
+    files = tbl.snapshot().files
+    # sizing engaged: the append split into several near-target files
+    assert len(files) > 1
+    assert max(f["bytes"] for f in files) < 4 * 256 * 1024
+    # clustering survived: per-file k-ranges are disjoint slices
+    ranges = sorted(f["ranges"]["k"] for f in files)
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+    assert tbl.read().count() == 200_000
+
+
 def test_constrained_column_guards_evolution(spark, tmp_path):
     """Renaming/dropping a column referenced by a CHECK constraint is
     rejected (PG dependency rule) instead of breaking future writes."""
@@ -2579,6 +2614,42 @@ def test_null_count_stats_and_pruning(spark, tmp_path):
     sel2 = tbl.read_pruned({}, not_null=["v"])
     assert sel2.count() == 100 + 20
     assert total == 3
+
+
+def test_null_count_skip_epoch_gated_on_drop_readd(spark, tmp_path):
+    """r4 ADVICE defect: null-count skipping was keyed by column NAME.
+    After drop-and-re-add of a column, old files carry null_count=0
+    for the RETIRED column under the same name while their rows read
+    NULL for the new one — an ``is_null`` read silently lost them.
+    Stats now resolve by field id through the file's schema epoch."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_nid"))
+    tbl = cat.create_table(
+        "db", "nid",
+        spark.createDataFrame([(1, 1.0)], "k long, v double").schema,
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, v double"
+        ).coalesce(1)
+    )
+    tbl.drop_column("v")
+    tbl.add_column("v", "double")
+    # old-file rows read NULL for the re-added column; IS NULL must
+    # return all 10 (previously 0: the stale null_count=0 skipped them)
+    assert tbl.read_pruned({}, is_null=["v"]).count() == 10
+    # a new append with real values mixes epochs correctly
+    tbl.append(
+        spark.createDataFrame(
+            [(100, 5.0), (101, None)], "k long, v double"
+        ).coalesce(1)
+    )
+    assert tbl.read_pruned({}, is_null=["v"]).count() == 11
+    assert tbl.read_pruned({}, not_null=["v"]).count() == 1
+    # stale RANGES of the retired column must not mislead either: a
+    # range read matches only the new epoch's real values
+    assert tbl.read_pruned({"v": (0.0, 100.0)}).count() == 1
 
 
 def test_range_filter_skips_all_null_file(spark, tmp_path):

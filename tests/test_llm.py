@@ -866,10 +866,65 @@ def test_ivf_index_incremental_refresh(spark, sf_dir, tmp_path):
     )
     hits = query_ivf_index(cat, "db", "idx", q, k=3, nprobe=4)
     assert probe_id in {r2.neighbor_id for r2 in hits.collect()}
-    # idempotent when current; DML window -> rebuild
+    # idempotent when current; DML WITHOUT a change feed -> rebuild
+    # (no row-level delta to advance by)
     assert refresh_ivf_index(cat, "db", "idx", src, nlist=8)["appended"] == 0
     src.delete(F.col("vec_id") == 0)
     assert refresh_ivf_index(cat, "db", "idx", src, nlist=8)["rebuilt"]
+
+
+def test_ivf_index_dml_tombstone_retraction(spark, sf_dir, tmp_path):
+    """r3 verdict item 4: corpus DML on a change-feed source advances
+    the index by equality-delete tombstones + delta appends — cost ∝
+    delta, NO rebuild. Deleted vectors vanish from queries; updated
+    vectors retire their old assignment row and re-assign."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.llm.index import (
+        build_ivf_index,
+        query_ivf_index,
+        refresh_ivf_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cat = LakeCatalog(spark, str(tmp_path / "wh_ivf_ts"))
+    src = cat.create_table_as(
+        "db", "vecs", emb.filter(F.col("vec_id") < 60),
+        properties={"change_data_feed": "on"},
+    )
+    build_ivf_index(cat, "db", "idx", src.read(), nlist=8)
+    at = cat.load_table("db", "idx__assignments")
+    at.set_properties({"ivf_source_version": str(src.current_version())})
+    # DELETE: tombstone only, no rebuild, no re-cluster
+    src.delete(F.col("vec_id") == 3)
+    r = refresh_ivf_index(cat, "db", "idx", src, nlist=8)
+    assert r["rebuilt"] is False and r["removed"] >= 1
+    assert at.read().filter(F.col("id") == 3).count() == 0
+    assert at.read().count() == src.read().count() == 59
+    # the deleted vector never surfaces as a neighbor
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(999999).alias("vec_id"), "embedding"
+    )
+    hits = query_ivf_index(cat, "db", "idx", q, k=5, nprobe=8)
+    assert 3 not in {h.neighbor_id for h in hits.collect()}
+    # UPDATE: old assignment row retires, postimage re-assigns — one
+    # live row for the id, carrying the NEW vector
+    new_vec = emb.filter(F.col("vec_id") == 50).select("embedding").first()[0]
+    src.update(F.col("vec_id") == 5, {"embedding": F.lit(new_vec)})
+    r = refresh_ivf_index(cat, "db", "idx", src, nlist=8)
+    assert r["rebuilt"] is False and r["appended"] >= 1
+    live5 = at.read().filter(F.col("id") == 5).collect()
+    assert len(live5) == 1
+    assert [round(x, 6) for x in live5[0].vec] == [
+        round(float(x), 6) for x in new_vec
+    ]
+    # mixed window (append + delete) stays incremental too
+    src.append(emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 70)))
+    src.delete(F.col("vec_id") == 7)
+    r = refresh_ivf_index(cat, "db", "idx", src, nlist=8)
+    assert r["rebuilt"] is False
+    assert at.read().count() == src.read().count() == 68
+    # watermark advanced: immediate re-refresh is a no-op
+    assert refresh_ivf_index(cat, "db", "idx", src, nlist=8)["appended"] == 0
 
 
 def test_ann_join_recall_vs_bruteforce(spark, sf_dir):

@@ -560,3 +560,67 @@ def test_hierarchical_rollups_compose(spark, sf_dir, tmp_path):
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_rollup_approx_topk_retraction_budget(spark, tmp_path):
+    """r3 verdict item 7: approx_topk with a declared ERROR BUDGET
+    (4th spec element) refreshes through DML windows via signed
+    candidate-map deltas — no recompute. Retractions the truncated map
+    covers subtract exactly; uncertain mass (items truncated away
+    earlier) accrues in the ``__retr`` companion, and exceeding
+    budget × count(*) sweeps the affected buckets with a scoped
+    recompute that resets the counter."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    rows = [(i, "2024-06-01 10:00:00", "g1", "h1") for i in range(50)]
+    nid = 50
+    for j in range(12):  # 12 distinct tail items x2 — beyond cap 8
+        for _ in range(2):
+            rows.append((nid, "2024-06-01 11:00:00", "g1", f"x{j:02d}"))
+            nid += 1
+    df = spark.createDataFrame(
+        rows, "id long, ts string, grp string, item string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cat = LakeCatalog(spark, str(tmp_path / "wh_tkb"))
+    src = cat.create_table_as(
+        "db", "clicks", df, properties={"change_data_feed": "on"}
+    )
+    roll = create_rollup(
+        cat, "db", "clicks_daily", src,
+        time_col="ts", bucket="1 day", group_by=["grp"],
+        metrics={
+            "n": ("count", "*"),
+            "top": ("approx_topk", "item", 2, 0.05),
+        },
+    )
+    # companion exists in state, hidden from the user face
+    assert "top__retr" in roll.read().columns
+    assert "top__retr" not in read_rollup(roll).columns
+
+    # exact retraction: the deleted item is IN the candidate map
+    src.delete((F.col("item") == "h1") & (F.col("id") < 5))
+    snap = refresh_rollup(src, roll)
+    assert snap.summary.get("rollup_refresh") == "retraction"
+    face = read_rollup(roll).collect()[0]
+    assert face.n == 69
+    assert face.top[0].asDict() == {"item": "h1", "cnt": 45}
+    assert roll.read().collect()[0].top__retr == 0
+
+    # uncertain retraction past the budget: delete rows of items the
+    # cap-8 map truncated away (ranked h1,x00..x06 kept; x07+ dropped)
+    src.delete(F.col("item").isin("x09", "x10", "x11"))
+    snap = refresh_rollup(src, roll)
+    assert snap.summary.get("rollup_refresh") == "retraction+budget-sweep"
+    assert snap.summary.get("rollup_swept_buckets") == 1
+    # swept state equals a from-scratch recompute, counter reset
+    st = roll.read().collect()[0]
+    assert st.top__retr == 0
+    face = read_rollup(roll).collect()[0]
+    assert face.n == 63
+    assert face.top[0].asDict() == {"item": "h1", "cnt": 45}
+    assert face.top[1].asDict() == {"item": "x00", "cnt": 2}

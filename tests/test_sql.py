@@ -299,13 +299,26 @@ def test_sql_branch_wap_cycle(lsql):
     lsql.sql("ALTER TABLE db.t CREATE BRANCH wap")
     lsql.sql("INSERT INTO db.t@wap VALUES (2, 'staged'), (3, 'bad')")
     lsql.sql("DELETE FROM db.t@wap WHERE v = 'bad'")
+    # UPDATE and MERGE route @branch too (r3 verdict item: WAP users
+    # writing pure SQL must never need the Python API)
+    lsql.sql("UPDATE db.t@wap SET v = 'audited' WHERE k = 2")
+    lsql.sql("CREATE TABLE db.t_src (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO db.t_src VALUES (2, 'merged'), (4, 'new')")
+    lsql.sql(
+        "MERGE INTO db.t@wap AS t USING (SELECT * FROM db.t_src) AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
     # main untouched; branch readable via @
     assert lsql.sql("SELECT * FROM db.t").count() == 1
-    assert (
-        lsql.sql("SELECT * FROM db.t@wap ORDER BY k").count() == 2
-    )
+    got = {
+        (r.k, r.v)
+        for r in lsql.sql("SELECT k, v FROM db.t@wap").collect()
+    }
+    assert got == {(1, "base"), (2, "merged"), (4, "new")}
     lsql.sql("ALTER TABLE db.t FAST FORWARD TO wap")
-    assert [r["k"] for r in lsql.sql("SELECT k FROM db.t ORDER BY k").collect()] == [1, 2]
+    assert [r["k"] for r in lsql.sql("SELECT k FROM db.t ORDER BY k").collect()] == [1, 2, 4]
     lsql.sql("ALTER TABLE db.t DROP BRANCH wap")
     with pytest.raises(LakehouseError, match="no such"):
         lsql.sql("SELECT * FROM db.t@wap")

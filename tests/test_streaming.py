@@ -772,3 +772,52 @@ def test_stream_changes_delivers_published_branch(spark, tmp_path):
     n = len(got)
     run()
     assert len(got) == n
+
+
+def test_stream_changes_long_running_publish_liveness(spark, tmp_path):
+    """r3 verdict item 5 (the remaining gap): a LONG-RUNNING stream
+    that already listed a branch's metadata files must deliver them
+    after fast-forward even though the publish writes no new file —
+    the ledger re-checks on the rate-tick cadence instead of waiting
+    for the next unrelated commit or a restart."""
+    import time
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.streaming.cdc import stream_changes
+
+    cat = LakeCatalog(spark, str(tmp_path / "wh_livecdc"))
+    tbl = cat.create_table(
+        "db", "live_cdc",
+        spark.createDataFrame([(1, "a")], "k long, v string").schema,
+        properties={"change_data_feed": "on"},
+    )
+    got: list = []
+    q = stream_changes(
+        tbl,
+        lambda df, bid: got.extend(
+            (r.k, r._change_type) for r in df.collect()
+        ),
+        str(tmp_path / "ckpt_livecdc"),
+        ledger_poll_secs=1,
+    )
+    try:
+        tbl.create_branch("ingest")
+        b = tbl.for_branch("ingest")
+        b.append(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        )
+        # let the stream list + park the branch commit (ledger write)
+        deadline = time.time() + 60
+        pending = str(tmp_path / "ckpt_livecdc" / "_lake_pending.json")
+        import os as _os
+
+        while time.time() < deadline and not _os.path.exists(pending):
+            time.sleep(0.5)
+        assert got == []  # parked, not delivered pre-publish
+        tbl.fast_forward("ingest")
+        # NO further commit, NO restart: the tick must deliver
+        while time.time() < deadline and len(got) < 2:
+            time.sleep(0.5)
+        assert {(r[0], r[1]) for r in got} == {(1, "insert"), (2, "insert")}
+    finally:
+        q.stop()
