@@ -601,8 +601,14 @@ class LakeTable:
             glob.glob(os.path.join(self.meta_dir, "v*.metadata.json")),
             key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
         ):
-            with open(p) as f:
-                out.append(Snapshot(**json.load(f)))
+            try:
+                with open(p) as f:
+                    out.append(Snapshot(**json.load(f)))
+            except FileNotFoundError:
+                # a concurrent txn abort removed its private branch
+                # snapshot between the listing and the read — that
+                # snapshot was never reachable from any published ref
+                continue
         return out
 
     def schema(self) -> StructType:
@@ -4157,7 +4163,21 @@ class LakeTransaction:
 
     def _cleanup_branch(self, st: dict, drop_files: bool = True) -> None:
         """Delete the branch chain's metadata, its ref, and (on abort)
-        every file no snapshot outside the chain references."""
+        every file no snapshot outside the chain references.
+
+        Runs entirely UNDER the table's commit lock: the outside-refs
+        sweep reads every snapshot file, and concurrent cleanups /
+        commits removing or adding metadata mid-sweep raced it
+        (FileNotFoundError, or a doomed-file set computed from a torn
+        view). Every caller (abort, commit-failure path, _replay) has
+        the publish locks released, so taking it here cannot deadlock."""
+        t: LakeTable = st["table"]
+        lock_path = os.path.join(t.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            self._cleanup_branch_locked(st, drop_files)
+
+    def _cleanup_branch_locked(self, st: dict, drop_files: bool) -> None:
         t: LakeTable = st["table"]
         b: LakeTable = st["branch"]
         head = b.current_version()
@@ -4186,7 +4206,10 @@ class LakeTransaction:
             p = t._meta_path(v)
             if os.path.exists(p):
                 os.remove(p)
-        # drop the ref without re-locking (callers may hold the lock)
+        # drop the ref (the caller holds the table's commit lock, so
+        # this read-modify-write cannot race concurrent create_branch
+        # calls — an unlocked stale write here used to erase another
+        # transaction's fresh branch ref: "no such branch" mid-txn)
         tags, branches = t._load_refs()
         if st["bname"] in branches:
             del branches[st["bname"]]

@@ -1180,3 +1180,97 @@ def lake_merge_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return tbl.read()
+
+
+@register(
+    "rollup_topk_retraction",
+    oracle="""
+WITH kept AS (
+  SELECT * FROM events WHERE event_id % 4 <> 0
+), counted AS (
+  SELECT date_trunc('day', ts) AS d, event_type, count(*) AS c
+  FROM kept GROUP BY 1, 2
+), ranked AS (
+  SELECT d, event_type, c,
+         row_number() OVER (PARTITION BY d ORDER BY c DESC, event_type)
+           AS rn
+  FROM counted
+)
+SELECT epoch_us(d) AS bucket_us, event_type AS item, CAST(c AS BIGINT) AS cnt
+FROM ranked WHERE rn <= 3
+""",
+    tags=("rollup", "approx-topk", "retraction"),
+)
+def rollup_topk_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted approx_topk retraction IVM (r3 verdict item 7): a
+    DELETE window refreshes the heavy-hitter rollup through SIGNED
+    candidate-map deltas — change-feed rows weighted ±1, cost ∝
+    changed rows, no recompute. The 4th metric element is the error
+    budget; capacity (4×k=12) exceeds the event-type cardinality so
+    every retraction hits the map exactly and the oracle is the plain
+    per-day top-3 over surviving rows."""
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    cat = _scratch_catalog(spark, sf_dir, "rollup_topk_retr")
+    src = cat.create_table_as(
+        "db", "ev_src", ev, properties={"change_data_feed": "on"}
+    )
+    roll = create_rollup(
+        cat, "db", "ev_topk_r", src,
+        time_col="ts", bucket="1 day", group_by=[],
+        metrics={
+            "n": ("count", "*"),
+            "top_types": ("approx_topk", "event_type", 3, 0.5),
+        },
+    )
+    src.delete(F.col("event_id") % 4 == 0)
+    refresh_rollup(src, roll)
+    out = read_rollup(roll).select(
+        epoch_us(F.col("bucket_start")).alias("bucket_us"),
+        F.explode("top_types").alias("e"),
+    )
+    return out.select(
+        "bucket_us",
+        F.col("e.item").alias("item"),
+        F.col("e.cnt").alias("cnt"),
+    )
+
+
+@register(
+    "lake_delete_by_keys",
+    oracle="""
+SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderkey <= 900
+  AND NOT (o_orderkey % 7 = 0 AND o_custkey % 3 = 0)
+""",
+    tags=("lakehouse", "mor-delete", "cdc-apply"),
+)
+def lake_delete_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply tombstones: a KEY FRAME lands directly as a
+    merge-on-read equality-delete file (``delete_by_keys`` — O(keys),
+    NO target scan or join; ``delete(condition)`` must scan to find
+    matches). The read path anti-joins the delete file; keys matching
+    no live row (the shifted ones here) are harmless — Iceberg
+    equality-delete semantics."""
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 900).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    cat = _scratch_catalog(spark, sf_dir, "del_by_keys")
+    tbl = cat.create_table_as(
+        "db", "obk", base,
+        properties={"row_key": "k", "write_delete_mode": "merge-on-read"},
+    )
+    doomed = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_custkey") % 3 == 0)
+    ).select(F.col("o_orderkey").alias("k"))
+    ghosts = spark.range(2_000_000, 2_000_050).select(F.col("id").alias("k"))
+    tbl.delete_by_keys(doomed.unionByName(ghosts))
+    return tbl.read()
