@@ -3654,14 +3654,24 @@ class LakeTable:
         base = self.current_version()
         snap = self.snapshot(base)
 
-        agg_exprs = []
+        # ONE agg job over the source computes the key bounds the file
+        # pruning needs, plus (for free, same job) the exact row count
+        # and per-key NDV — the stats that drive the broadcast decision
+        # and the bloom refinement below. No second source scan.
+        agg_exprs = [F.count(F.lit(1)).alias("__rows")]
         for c in on:
-            agg_exprs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+            agg_exprs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.approx_count_distinct(c).alias(f"__ndv_{c}"),
+            ]
         b = source.agg(*agg_exprs).collect()[0]
         src_bounds = {
             c: (_json_stat(b[f"__min_{c}"]), _json_stat(b[f"__max_{c}"]))
             for c in on
         }
+        src_rows = int(b["__rows"])
+        src_ndv = {c: int(b[f"__ndv_{c}"]) for c in on}
 
         def overlaps(entry: dict) -> bool:
             ranges = entry.get("ranges") or {}
@@ -3680,6 +3690,9 @@ class LakeTable:
             touched = list(snap.files)  # every row is a candidate
         else:
             touched = [f for f in snap.files if overlaps(f)]
+            touched = self._merge_bloom_refine(
+                touched, source, on, src_ndv
+            )
         keep = [f for f in snap.files if f not in touched]
         target = self._read_entries(snap, touched)
         src = source.select(
@@ -3687,7 +3700,8 @@ class LakeTable:
             *[F.col(c).alias(f"__k_{c}") for c in on],
         )
         joined = _build_merge_join(
-            target, src, on, _is_small(source), when_not_matched_insert
+            target, src, on,
+            _small_by_rowcount(source, src_rows), when_not_matched_insert
         )
         matched = F.col("__src").isNotNull() & F.col(on[0]).isNotNull()
         if when_matched_condition is not None:
@@ -3815,6 +3829,72 @@ class LakeTable:
             change_files=change_files,
             delete_files=self._live_deletes(snap.delete_files, final),
         )
+
+    _MERGE_BLOOM_NDV_CAP = 1024
+
+    def _merge_bloom_refine(
+        self,
+        touched: list[dict],
+        source: DataFrame,
+        on: list[str],
+        src_ndv: dict[str, int],
+    ) -> list[dict]:
+        """NDV-driven merge file pruning: when a single-column merge
+        key is SPARSE (source NDV under the cap) and touched files
+        carry blooms for it, probe every distinct source key against
+        each file's bloom and drop files that can contain none of
+        them. Min/max bounds can't help when keys interleave across
+        files (the bloom's whole reason to exist); for the
+        CDC-apply-with-few-keys shape this collapses the rewrite set
+        from 'every overlapping file' to 'files actually holding a
+        key'. Costs one bounded distinct-collect (≤ cap rows) + one
+        local hash plan — nothing data-scale. NDV keeps the driver
+        safe: a dense source skips the refinement entirely."""
+        if len(on) != 1:
+            return touched
+        key = on[0]
+        cap = self._MERGE_BLOOM_NDV_CAP
+        if src_ndv.get(key, cap + 1) > cap:
+            return touched
+        with_bloom = [
+            f for f in touched if key in (f.get("blooms") or {})
+        ]
+        if not with_bloom:
+            return touched
+        vals = [
+            r[0]
+            for r in source.select(key).distinct().limit(cap + 1).collect()
+            if r[0] is not None
+        ]
+        if not vals or len(vals) > cap:
+            return touched  # NDV under-estimated — bail conservative
+        schema = self.schema()
+        dtype = schema[key].dataType if key in schema.names else None
+        probe_df = self.spark.createDataFrame(
+            [(v,) for v in vals], StructType([StructField("v", dtype)])
+        ) if dtype is not None else None
+        if probe_df is None:
+            return touched
+        rows = probe_df.select(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("v"), F.lit(i)),
+                        F.lit(_BLOOM_BITS),
+                    ).cast("int")
+                    for i in range(_BLOOM_K)
+                ]
+            ).alias("ps")
+        ).collect()
+        probes = [list(r["ps"]) for r in rows]
+        out = []
+        for f in touched:
+            bits = (f.get("blooms") or {}).get(key)
+            if bits is None or any(
+                _bloom_might_contain(bits, ps) for ps in probes
+            ):
+                out.append(f)
+        return out
 
     # ------------------------------------------------------------------
     # maintenance (ref A21/A11 — all TODO stubs in the reference)
@@ -4388,6 +4468,23 @@ def _build_merge_join(
             )
         )
     return joined
+
+
+def _small_by_rowcount(
+    df: DataFrame, rows: int, limit_bytes: int = 128 * 1024 * 1024
+) -> bool:
+    """Broadcast gate given an EXACT row count (the merge's key-bounds
+    agg already computed it in the same job — no extra scan): rows ×
+    Catalyst's per-row ``defaultSize`` of the schema. Strictly better
+    than the plan-size estimate for filtered sources, whose file-scan
+    stat doesn't shrink with the filter and so misses broadcasts the
+    data actually allows. Falls back to `_is_small` when the width
+    estimate is unavailable."""
+    try:
+        width = int(df._jdf.schema().defaultSize())
+        return rows * max(width, 1) <= limit_bytes
+    except Exception:
+        return _is_small(df)
 
 
 def _is_small(df: DataFrame, limit_bytes: int = 128 * 1024 * 1024) -> bool:

@@ -189,3 +189,37 @@ def test_bloom_on_date_and_timestamp_columns(spark, catalog):
     # blooms actually engaged: absent value selects zero files
     sel, total = tbl.pruned_file_count({"d": ("2030-01-01", "2030-01-01")})
     assert total == 2 and sel == 0
+
+
+def test_merge_bloom_refinement_sparse_source(catalog, orders_df):
+    """NDV-driven merge file pruning (r3 verdict item 6): a SPARSE
+    CDC-style source (few distinct keys, under the NDV cap) on a
+    bloom-indexed key with interleaved per-file ranges rewrites only
+    the files whose blooms can hold a key — min/max bounds alone
+    cannot tell the even-file from the odd-file apart and would
+    rewrite both."""
+    tbl = _interleaved_table(catalog, orders_df)
+    keys = sorted(
+        r[0]
+        for r in orders_df.filter(
+            (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") <= 4000)
+        )
+        .select("o_orderkey")
+        .collect()
+    )[:3]
+    src = orders_df.filter(F.col("o_orderkey").isin(keys)).withColumn(
+        "o_orderpriority", F.lit("patched")
+    )
+    total = tbl.read().count()
+    snap = tbl.merge(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={"o_orderpriority": F.col("__src.o_orderpriority")},
+        when_not_matched_insert=False,
+    )
+    # only the even-parity file rewrites (bounds would touch 2)
+    assert snap.summary["rewritten_files"] == 1
+    assert snap.summary["pruned_files"] >= 1
+    got = tbl.read()
+    assert got.filter(F.col("o_orderpriority") == "patched").count() == len(keys)
+    assert got.count() == total
