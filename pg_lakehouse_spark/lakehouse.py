@@ -3839,60 +3839,72 @@ class LakeTable:
         on: list[str],
         src_ndv: dict[str, int],
     ) -> list[dict]:
-        """NDV-driven merge file pruning: when a single-column merge
-        key is SPARSE (source NDV under the cap) and touched files
-        carry blooms for it, probe every distinct source key against
-        each file's bloom and drop files that can contain none of
-        them. Min/max bounds can't help when keys interleave across
-        files (the bloom's whole reason to exist); for the
-        CDC-apply-with-few-keys shape this collapses the rewrite set
-        from 'every overlapping file' to 'files actually holding a
-        key'. Costs one bounded distinct-collect (≤ cap rows) + one
-        local hash plan — nothing data-scale. NDV keeps the driver
-        safe: a dense source skips the refinement entirely."""
-        if len(on) != 1:
-            return touched
-        key = on[0]
+        """NDV-driven merge file pruning: when a merge-key column is
+        SPARSE (source NDV under the cap) and touched files carry
+        blooms for it, probe every distinct source value of that
+        column against each file's bloom. Min/max bounds can't help
+        when keys interleave across files (the bloom's whole reason to
+        exist); for the CDC-apply-with-few-keys shape this collapses
+        the rewrite set from 'every overlapping file' to 'files
+        actually holding a key'.
+
+        Multi-column keys use conjunction semantics: a target row
+        matches only if it equals the source on EVERY key column, so a
+        file whose bloom rules out all source values of ANY one key
+        column cannot hold a match and is pruned (blooms have no false
+        negatives). Each column is probed independently; dense
+        (over-cap) or bloom-less columns simply don't contribute.
+        Costs one bounded distinct-collect (≤ cap rows) + one local
+        hash plan per sparse column — nothing data-scale. NDV keeps
+        the driver safe: a fully dense source skips the refinement."""
         cap = self._MERGE_BLOOM_NDV_CAP
-        if src_ndv.get(key, cap + 1) > cap:
-            return touched
-        with_bloom = [
-            f for f in touched if key in (f.get("blooms") or {})
-        ]
-        if not with_bloom:
-            return touched
-        vals = [
-            r[0]
-            for r in source.select(key).distinct().limit(cap + 1).collect()
-            if r[0] is not None
-        ]
-        if not vals or len(vals) > cap:
-            return touched  # NDV under-estimated — bail conservative
         schema = self.schema()
-        dtype = schema[key].dataType if key in schema.names else None
-        probe_df = self.spark.createDataFrame(
-            [(v,) for v in vals], StructType([StructField("v", dtype)])
-        ) if dtype is not None else None
-        if probe_df is None:
+        cand = [
+            c
+            for c in on
+            if src_ndv.get(c, cap + 1) <= cap
+            and c in schema.names
+            and any(c in (f.get("blooms") or {}) for f in touched)
+        ]
+        if not cand:
             return touched
-        rows = probe_df.select(
-            F.array(
-                *[
-                    F.pmod(
-                        F.xxhash64(F.col("v"), F.lit(i)),
-                        F.lit(_BLOOM_BITS),
-                    ).cast("int")
-                    for i in range(_BLOOM_K)
-                ]
-            ).alias("ps")
-        ).collect()
-        probes = [list(r["ps"]) for r in rows]
+        col_probes: dict[str, list[list[int]]] = {}
+        for c in cand:
+            vals = [
+                r[0]
+                for r in source.select(c).distinct().limit(cap + 1).collect()
+                if r[0] is not None
+            ]
+            if not vals or len(vals) > cap:
+                continue  # NDV under-estimated / all-null — skip column
+            probe_df = self.spark.createDataFrame(
+                [(v,) for v in vals],
+                StructType([StructField("v", schema[c].dataType)]),
+            )
+            rows = probe_df.select(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("v"), F.lit(i)),
+                            F.lit(_BLOOM_BITS),
+                        ).cast("int")
+                        for i in range(_BLOOM_K)
+                    ]
+                ).alias("ps")
+            ).collect()
+            col_probes[c] = [list(r["ps"]) for r in rows]
+        if not col_probes:
+            return touched
         out = []
         for f in touched:
-            bits = (f.get("blooms") or {}).get(key)
-            if bits is None or any(
-                _bloom_might_contain(bits, ps) for ps in probes
-            ):
+            blooms = f.get("blooms") or {}
+            for c, probes in col_probes.items():
+                bits = blooms.get(c)
+                if bits is not None and not any(
+                    _bloom_might_contain(bits, ps) for ps in probes
+                ):
+                    break  # no source value of c in this file → prune
+            else:
                 out.append(f)
         return out
 

@@ -63,18 +63,38 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     """Fuse every adjacent (a, b) into ab — leftmost-first,
     non-overlapping, as a pure aggregate() fold (stays in the JVM)."""
-    merged = F.lit(a + b)
+    return _apply_merges(vocab, [(a, b)])
+
+
+def _apply_merges(
+    vocab: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Fuse every adjacent occurrence of ANY pair in ``pairs`` in one
+    left-to-right fold pass. Callers must pass symbol-disjoint pairs
+    (no symbol shared between two pairs, no fused output colliding
+    with another pair's symbol) — then one combined pass is exactly
+    the sequential application of each merge."""
     fused = F.aggregate(
         F.col("symbols"),
         F.expr("CAST(array() AS array<string>)"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a))
-            & (x == F.lit(b)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-        ).otherwise(F.concat(acc, F.array(x))),
+        lambda acc, x: _fold_step(acc, x, pairs),
     )
     return vocab.withColumn("symbols", fused)
+
+
+def _fold_step(acc, x, pairs: list[tuple[str, str]]):
+    """One fold step: if (last(acc), x) is a selected pair, replace
+    the tail with the fused symbol, else append x."""
+    expr = F.concat(acc, F.array(x))
+    tail = F.element_at(acc, -1)
+    for a, b in pairs:
+        expr = F.when(
+            (F.size(acc) > 0) & (tail == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(expr)
+    return expr
 
 
 def train_bpe(
@@ -82,31 +102,65 @@ def train_bpe(
     num_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    batch: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list (the tokenizer model). Deterministic: ties on
     pair count break on (a, b) lexicographically.
 
     Each round is one explode+agg over the WORD TABLE (vocabulary-
-    sized) and collects exactly one row; ``checkpoint_every`` rounds
-    the fused vocab localCheckpoints to truncate the growing
-    expression lineage (same device as connected_components)."""
+    sized) and collects one bounded row set; ``checkpoint_every``
+    applied-merge count the fused vocab localCheckpoints to truncate
+    the growing expression lineage (same device as
+    connected_components).
+
+    ``batch > 1`` selects up to that many SYMBOL-DISJOINT pairs from
+    one count table per round and fuses them in a single pass —
+    cutting the sequential round count ~batch× for large
+    vocabularies. Disjointness makes the combined pass equal to
+    applying the selected merges sequentially, but later batch
+    members are chosen against the ROUND-START counts, so the merge
+    LIST may diverge from strict one-at-a-time greedy when an early
+    merge would have spawned a higher-count pair (e.g. chains like
+    ``(x,y)`` then ``(xy,</w>)``). batch=1 is exact greedy; batched
+    training is the standard scale trade for 10k+-merge vocabularies.
+    """
     vocab = _initial_symbols(word_frequencies(df, text_col)).persist()
     vocab.count()  # materialize before the loop
     merges: list[tuple[str, str]] = []
-    for i in range(num_merges):
+    applied = 0
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
         top = (
             _pair_counts(vocab)
+            .filter(F.col("n") >= 2)
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()  # ONE (a, b, n) row per round — metadata
+            # over-fetch: overlapping candidates get skipped
+            .limit(max(want * 4, 8))
+            .collect()  # bounded rows per round — metadata-scale
         )
-        if not top or top[0].n < 2:
+        if not top:
             break
-        a, b = top[0].a, top[0].b
-        merges.append((a, b))
-        vocab = _apply_merge(vocab, a, b)
-        if (i + 1) % checkpoint_every == 0:
+        picked: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for r in top:
+            if len(picked) >= want:
+                break
+            a, b, ab = r.a, r.b, r.a + r.b
+            # disjoint from every already-picked pair: no shared
+            # symbol, and no fused output colliding with a symbol
+            # (or fused output) of another pick
+            if {a, b, ab} & used:
+                continue
+            picked.append((a, b))
+            used |= {a, b, ab}
+        if not picked:
+            break
+        merges.extend(picked)
+        vocab = _apply_merges(vocab, picked)
+        prev = applied
+        applied += len(picked)
+        if applied // checkpoint_every > prev // checkpoint_every:
             vocab = vocab.localCheckpoint()
     return merges
 

@@ -223,3 +223,39 @@ def test_merge_bloom_refinement_sparse_source(catalog, orders_df):
     got = tbl.read()
     assert got.filter(F.col("o_orderpriority") == "patched").count() == len(keys)
     assert got.count() == total
+
+
+def test_merge_bloom_refinement_multi_column_key(spark, catalog):
+    """Composite merge keys use conjunction semantics: a file is
+    pruned when ANY bloom-indexed key column rules out every source
+    value of that column — a match must equal the source on all key
+    columns. Here both files fully overlap on k1 (bounds can't help)
+    and only the blooms on k2 separate them."""
+    rows = [(i, f"g{i % 2}_{i}", float(i)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "k1 int, k2 string, v double")
+    tbl = catalog.create_table(
+        "db", "bl_mc", df.schema,
+        properties={"bloom_filter_columns": "k1,k2"},
+    )
+    # two files, k1 ranges interleave (evens/odds), k2 values disjoint
+    tbl.append(df.filter(F.col("k1") % 2 == 0).repartition(1))
+    tbl.append(df.filter(F.col("k1") % 2 == 1).repartition(1))
+    assert all(
+        {"k1", "k2"} <= set(f.get("blooms") or {})
+        for f in tbl.snapshot().files
+    )
+    src = df.filter(F.col("k1").isin(2, 4, 6)).withColumn(
+        "v", F.lit(-1.0)
+    )
+    snap = tbl.merge(
+        src,
+        on=["k1", "k2"],
+        when_matched_update={"v": F.col("__src.v")},
+        when_not_matched_insert=False,
+    )
+    # only the even file holds any (k1, k2) pair of the source
+    assert snap.summary["rewritten_files"] == 1
+    assert snap.summary["pruned_files"] >= 1
+    got = tbl.read()
+    assert got.filter(F.col("v") == -1.0).count() == 3
+    assert got.count() == 200

