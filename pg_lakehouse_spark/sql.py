@@ -318,8 +318,9 @@ class LakeSQL:
     }
 
     # simple conjuncts a manifest can act on: col OP literal / BETWEEN
+    # (string literal alternative accepts PG '' quote escapes)
     _PRUNE_CONJ = re.compile(
-        rf"^\s*({_IDENT})\s*(>=|<=|=|>|<)\s*('[^']*'|-?\d+(?:\.\d+)?)\s*$"
+        rf"^\s*({_IDENT})\s*(>=|<=|=|>|<)\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
     )
     # matched with finditer BEFORE the AND-split (the naive split tears
     # ``col BETWEEN a AND b`` into two dead fragments). String literals
@@ -470,11 +471,15 @@ class LakeSQL:
                 hi = self._cast_prune_literal(lit(bm.group(3)), types[col])
                 if lo is not None and hi is not None:
                     narrow(col, lo, hi)
-            return ""
+            # neutral token, NOT "": an empty hole would merge the two
+            # adjacent ANDs ("a AND <hole> AND b" → "a AND  AND b") and
+            # the split would glue "AND b" into one dead fragment,
+            # silently dropping b's contribution
+            return "TRUE"
 
         remainder = self._PRUNE_BETWEEN.sub(grab_between, masked)
         for part in re.split(r"\s+AND\s+", remainder, flags=re.IGNORECASE):
-            if not part.strip():
+            if not part.strip() or part.strip().upper() == "TRUE":
                 continue  # hole left by an excised BETWEEN
             # split on MASKED text (an AND inside a string can't tear a
             # conjunct), then restore literals for the conjunct match

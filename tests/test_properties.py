@@ -393,3 +393,117 @@ def test_pruned_read_equals_full_scan_filter(spark, sf_dir, tmp_path):
         got = {tuple(r) for r in tbl.read_pruned(filters).collect()}
         want = {tuple(r) for r in tbl.read().filter(cond).collect()}
         assert got == want, f"pruned read diverged for {filters}"
+
+
+# ---------------------------------------------------------------------------
+# SQL WHERE-clause range extraction (sql.py _where_filters)
+# ---------------------------------------------------------------------------
+
+_ADVERSARIAL_STRINGS = st.one_of(
+    st.sampled_from(
+        [
+            "a BETWEEN 1 AND 2",
+            "x AND y",
+            "p OR q",
+            "it''s",           # PG-escaped quote
+            "BETWEEN",
+            "AND",
+            "(paren) AND 2",
+            "k >= 5",
+            "",
+        ]
+    ),
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=126, blacklist_characters="'"
+        ),
+        max_size=12,
+    ),
+)
+
+_conjunct = st.one_of(
+    st.tuples(
+        st.just("op"),
+        st.sampled_from(["k", "v", "s"]),
+        st.sampled_from([">=", "<=", "=", ">", "<"]),
+        _ADVERSARIAL_STRINGS,
+        st.integers(min_value=-50, max_value=50),
+    ),
+    st.tuples(
+        st.just("between"),
+        st.sampled_from(["k", "v", "s"]),
+        st.just(None),
+        st.tuples(_ADVERSARIAL_STRINGS, _ADVERSARIAL_STRINGS),
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-50, max_value=50),
+        ),
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(conjuncts=st.lists(_conjunct, min_size=1, max_size=4))
+def test_where_filters_extraction_matches_reference(conjuncts):
+    """Differential parse check for the r4 wrong-results class: render
+    random simple conjuncts — with adversarial string literals
+    containing BETWEEN/AND/OR/paren/quote text — into a WHERE clause
+    and assert the extracted per-column ranges equal an independently
+    computed intersection of the conjuncts' true bounds. Any
+    corruption (keyword text inside a literal torn or excised) shows
+    up as a bogus or over-tight range."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", DoubleType()),
+            StructField("s", StringType()),
+        ]
+    )
+
+    def render_lit(col, sval, ival):
+        if col == "s":
+            return "'" + sval + "'", sval.replace("''", "'")
+        if col == "v":
+            return f"{ival}.5", float(f"{ival}.5")
+        return str(ival), ival
+
+    parts: list[str] = []
+    ref: dict[str, list] = {}
+
+    def narrow(col, lo=None, hi=None):
+        b = ref.setdefault(col, [None, None])
+        if lo is not None:
+            b[0] = lo if b[0] is None else max(b[0], lo)
+        if hi is not None:
+            b[1] = hi if b[1] is None else min(b[1], hi)
+
+    for kind, col, op, sval, ival in conjuncts:
+        if kind == "op":
+            text, sem = render_lit(col, sval, ival)
+            parts.append(f"{col} {op} {text}")
+            if op in (">=", ">", "="):
+                narrow(col, lo=sem)
+            if op in ("<=", "<", "="):
+                narrow(col, hi=sem)
+        else:
+            (s1, s2), (i1, i2) = sval, ival
+            t1, sem1 = render_lit(col, s1, i1)
+            t2, sem2 = render_lit(col, s2, i2)
+            parts.append(f"{col} BETWEEN {t1} AND {t2}")
+            narrow(col, lo=sem1, hi=sem2)
+
+    stmt = "SELECT * FROM db.t WHERE " + " AND ".join(parts)
+    sql = object.__new__(LakeSQL)
+    got = sql._where_filters(stmt, schema)
+    want = {c: (lo, hi) for c, (lo, hi) in ref.items()}
+    assert got == want, f"stmt={stmt!r}"
