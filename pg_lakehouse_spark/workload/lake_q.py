@@ -67,6 +67,63 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_merge_composite_key",
+    oracle="""
+SELECT l_orderkey AS k1, l_linenumber AS k2,
+       round(CASE WHEN l_orderkey % 100 = 0 THEN sum(l_quantity) + 50.0
+                  ELSE sum(l_quantity) END, 2) AS qty,
+       round(sum(l_extendedprice), 2) AS price
+FROM lineitem
+WHERE l_orderkey <= 800
+GROUP BY l_orderkey, l_linenumber
+""",
+    tags=("lakehouse", "merge", "bloom"),
+)
+def lake_merge_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE on a COMPOSITE key (l_orderkey, l_linenumber) against a
+    bloom-indexed table whose files fully interleave on both key
+    columns — min/max bounds overlap everywhere, so only per-file
+    bloom conjunction pruning (a file is skipped when any key column's
+    bloom rules out every source value) keeps the rewrite set at the
+    files actually holding a source key. The base pre-aggregates to
+    one row per key tuple (the synthetic lineitem repeats line
+    numbers); the sparse CDC-style source patches a handful of orders
+    and the oracle states the net effect."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 800)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum("l_quantity").alias("qty_raw"),
+            F.sum("l_extendedprice").alias("price_raw"),
+        )
+    )
+    cat = _scratch_catalog(spark, sf_dir, "merge_composite")
+    tbl = cat.create_table(
+        "db", "li_ck", li.schema,
+        properties={"bloom_filter_columns": "l_orderkey,l_linenumber"},
+    )
+    # interleaved appends: both files span the full key range
+    tbl.append(li.filter(F.col("l_orderkey") % 2 == 0).repartition(1))
+    tbl.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(1))
+    source = li.filter(F.col("l_orderkey") % 100 == 0).withColumn(
+        "qty_raw", F.col("qty_raw") + 50.0
+    )
+    tbl.merge(
+        source,
+        on=["l_orderkey", "l_linenumber"],
+        when_matched_update={"qty_raw": F.col("__src.qty_raw")},
+        when_not_matched_insert=False,
+    )
+    return tbl.read().select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.round(F.col("qty_raw"), 2).alias("qty"),
+        F.round(F.col("price_raw"), 2).alias("price"),
+    )
+
+
+@register(
     "lake_sql_dml",
     oracle="""
 SELECT k, round(price, 2) AS price FROM (
