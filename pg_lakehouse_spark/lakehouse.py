@@ -46,6 +46,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import contextlib
 import fcntl
 import glob
 import json
@@ -71,6 +72,11 @@ class LakehouseError(RuntimeError):
 class CommitConflict(LakehouseError):
     """Another writer committed since this transaction's base snapshot
     (ref: requirements validation failure, pg_catalog.cpp:277-285)."""
+
+
+class _StaleRewrite(Exception):
+    """Internal: a row-level rewrite's read set changed under it —
+    the statement re-executes against the fresh head."""
 
 
 @dataclass
@@ -3049,7 +3055,35 @@ class LakeTable:
         return str(v).lower() in ("true", "on", "1")
 
     def _rewrite(
-        self, operation: str, condition: Column, transform, changes=None
+        self, operation: str, condition: Column, transform, changes=None,
+        retries: int = 5,
+    ) -> Snapshot:
+        # Optimistic concurrency (ref A10's retry/re-base posture;
+        # Iceberg row-delta semantics), two tiers per conflict:
+        # 1. REBASE — the concurrent commit left our rewritten files
+        #    alone and added no rows matching the predicate: our read
+        #    set is intact, re-point keep at the new head and recommit.
+        # 2. RE-EXECUTE — our read set changed (files rewritten by
+        #    compaction/another DML, matching rows appended, schema or
+        #    delete files moved): discard the staged output and run the
+        #    whole statement against the fresh head — equivalent to the
+        #    statement having started after the conflicting commit,
+        #    which is exactly serializable re-execution.
+        while True:
+            try:
+                return self._rewrite_once(
+                    operation, condition, transform, changes
+                )
+            except _StaleRewrite:
+                if retries <= 0:
+                    raise CommitConflict(
+                        f"{operation} kept conflicting with concurrent "
+                        "commits (retries exhausted)"
+                    )
+                retries -= 1
+
+    def _rewrite_once(
+        self, operation: str, condition: Column, transform, changes
     ) -> Snapshot:
         base = self.current_version()
         snap = self.snapshot(base)
@@ -3071,15 +3105,92 @@ class LakeTable:
         change_files = (
             self._stage_changes(changes(touched), base + 1) if feed else []
         )
-        final = keep + new_files
-        return self._commit(
-            base, operation, final, snap.schema_json,
-            summary={"rewritten_files": len(affected),
-                     "added_files": len(new_files)}
-            | ({"change_feed": "exact"} if feed else {}),
-            change_files=change_files,
-            delete_files=self._live_deletes(snap.delete_files, final),
-        )
+        # Validate-and-publish atomically under the table's commit
+        # lock: checking the rebase conditions outside it loses races
+        # on a busy table forever (another commit can land between the
+        # validation and the commit every time). The validation probe
+        # is a small job over only the concurrently-added files; it
+        # briefly extends the lock hold, but only on actual conflicts.
+        lock_path = os.path.join(self.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if self.current_version() != base:
+                try:
+                    snap = self._validate_dml_rebase(
+                        snap, affected, condition
+                    )
+                except CommitConflict:
+                    # read set changed — drop this attempt's staged
+                    # files (they'd be orphans) and re-execute
+                    for e in new_files:
+                        with contextlib.suppress(OSError):
+                            os.remove(os.path.join(self.location, e["path"]))
+                    for p in change_files:
+                        with contextlib.suppress(OSError):
+                            os.remove(os.path.join(self.location, p))
+                    raise _StaleRewrite() from None
+                base = snap.version
+                keep = [
+                    f for f in snap.files if f["path"] not in affected
+                ]
+            final = keep + new_files
+            out = self._prepare_snapshot(
+                base, operation, final, snap.schema_json,
+                summary={"rewritten_files": len(affected),
+                         "added_files": len(new_files)}
+                | ({"change_feed": "exact"} if feed else {}),
+                change_files=change_files,
+                delete_files=self._live_deletes(snap.delete_files, final),
+            )
+            self._publish(out)
+            return out
+
+    def _validate_dml_rebase(
+        self, snap: Snapshot, affected: set[str], condition
+    ) -> Snapshot:
+        """Validate that a row-level rewrite staged against ``snap``
+        may rebase onto the current head; returns the head snapshot or
+        raises :class:`CommitConflict`. Safe iff (a) every file the
+        rewrite replaces is still live (nobody else rewrote it), (b)
+        the schema didn't evolve, (c) no MoR delete files landed (they
+        would target the pre-images we carried into new files — our
+        copies would dodge them), and (d) when a predicate is given,
+        no concurrently-added file holds a matching row (otherwise the
+        DML would silently miss rows committed before it)."""
+        cur = self.snapshot(self.current_version())
+        cur_paths = {f["path"] for f in cur.files}
+        if not affected <= cur_paths:
+            raise CommitConflict(
+                "row-level rewrite is stale: a concurrent commit rewrote "
+                "or removed files this DML read"
+            )
+        if cur.schema_id != snap.schema_id:
+            raise CommitConflict(
+                "row-level rewrite is stale: schema evolved concurrently"
+            )
+        if {d["path"] for d in (cur.delete_files or [])} != {
+            d["path"] for d in (snap.delete_files or [])
+        }:
+            raise CommitConflict(
+                "row-level rewrite is stale: delete files changed "
+                "concurrently"
+            )
+        if condition is not None:
+            snap_paths = {f["path"] for f in snap.files}
+            added = [f for f in cur.files if f["path"] not in snap_paths]
+            if added:
+                hit = (
+                    self._read_entries(cur, added, apply_deletes=False)
+                    .filter(condition)
+                    .limit(1)
+                    .count()
+                )
+                if hit:
+                    raise CommitConflict(
+                        "row-level rewrite is stale: concurrently-added "
+                        "rows match the predicate"
+                    )
+        return cur
 
     def _delete_mode(self, mode: str | None) -> str:
         mode = mode or self.snapshot().properties.get(
@@ -3603,6 +3714,7 @@ class LakeTable:
         merge_schema: bool = False,
         when_not_matched_condition: Column | None = None,
         when_not_matched_values: dict[str, Column] | None = None,
+        _attempts: int = 2,
     ) -> Snapshot:
         """MERGE INTO (upsert) — ref A13's roadmap 'MERGE for upsert'.
 
@@ -3816,18 +3928,88 @@ class LakeTable:
                 chg = chg.unionByName(p)
             change_files = self._stage_changes(chg, base + 1)
 
-        final = keep + new_files
-        return self._commit(
-            base, "merge", final, snap.schema_json,
-            summary={
-                "added_files": len(new_files),
-                "rewritten_files": len(touched),
-                "pruned_files": len(keep),
-            }
-            | ({"change_feed": "exact"} if feed else {})
-            | (summary_extra or {}),
-            change_files=change_files,
-            delete_files=self._live_deletes(snap.delete_files, final),
+        # Optimistic concurrency, same two tiers as `_rewrite` and
+        # validated ATOMICALLY under the commit lock: concurrent
+        # commits that left the touched files alone and added only
+        # files whose key bounds CANNOT hold a source key rebase
+        # cleanly (they can't change the match set); anything else —
+        # including any conflict against a full-sync (by-source
+        # delete) merge, whose read set is the whole table — discards
+        # this attempt and re-executes against the fresh head.
+        touched_paths = {f["path"] for f in touched}
+        lock_path = os.path.join(self.meta_dir, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            stale = False
+            if self.current_version() != base:
+                try:
+                    if when_not_matched_by_source_delete:
+                        raise CommitConflict(
+                            "full-sync merge cannot rebase"
+                        )
+                    cur = self._validate_dml_rebase(
+                        snap, touched_paths, None
+                    )
+                    snap_paths = {f["path"] for f in snap.files}
+                    for f in cur.files:
+                        if f["path"] not in snap_paths and overlaps(f):
+                            raise CommitConflict(
+                                "merge is stale: a concurrently-added "
+                                "file overlaps the source key range"
+                            )
+                except CommitConflict:
+                    stale = True
+                else:
+                    snap = cur
+                    base = snap.version
+                    keep = [
+                        f
+                        for f in snap.files
+                        if f["path"] not in touched_paths
+                    ]
+            if not stale:
+                final = keep + new_files
+                out = self._prepare_snapshot(
+                    base, "merge", final, snap.schema_json,
+                    summary={
+                        "added_files": len(new_files),
+                        "rewritten_files": len(touched),
+                        "pruned_files": len(keep),
+                    }
+                    | ({"change_feed": "exact"} if feed else {})
+                    | (summary_extra or {}),
+                    change_files=change_files,
+                    delete_files=self._live_deletes(
+                        snap.delete_files, final
+                    ),
+                )
+                self._publish(out)
+                return out
+        # lock released — re-execute the whole merge against the fresh
+        # head (serializable re-execution); this attempt's staged
+        # files become orphans (vacuum reclaims them)
+        if _attempts <= 0:
+            raise CommitConflict(
+                "merge kept conflicting with concurrent commits "
+                "(retries exhausted)"
+            )
+        return self.merge(
+            source, on,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_matched_condition=when_matched_condition,
+            when_not_matched_insert=when_not_matched_insert,
+            when_not_matched_by_source_delete=(
+                when_not_matched_by_source_delete
+            ),
+            when_not_matched_by_source_condition=(
+                when_not_matched_by_source_condition
+            ),
+            summary_extra=summary_extra,
+            mode=mode,
+            when_not_matched_condition=when_not_matched_condition,
+            when_not_matched_values=when_not_matched_values,
+            _attempts=_attempts - 1,
         )
 
     _MERGE_BLOOM_NDV_CAP = 1024

@@ -290,3 +290,114 @@ def test_concurrent_appends_and_txns_no_lost_updates(catalog, orders_df):
         # every referenced file exists on disk
         for rel in paths:
             assert os.path.exists(os.path.join(t_.location, rel))
+
+
+def test_concurrent_dml_compaction_and_wap_invariants(catalog, spark):
+    """Row-level DML from several writers racing a compaction loop and
+    a branch WAP cycle: whatever interleaving occurs, the final state
+    must hold the exact per-writer row accounting, a clean file
+    manifest, and a readable history. Maintenance is ALLOWED to lose
+    its optimistic race (bounded retries exhausted) — but a losing
+    compact/branch op must be a harmless no-op, never corruption."""
+    import threading
+
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, grp string, v double")
+    tbl = catalog.create_table(
+        "db", "stress", df.schema, partition_by=["grp"],
+    )
+    tbl.append(df)
+    errors: list[BaseException] = []
+    maintenance_losses: list[BaseException] = []
+
+    def writer(i: int) -> None:
+        """Each writer owns key range [10_000*(i+1), +300) in its own
+        grp partition: per iteration append 100, update 50, delete 25
+        → net +75 rows per iteration, 3 iterations."""
+        try:
+            base = 10_000 * (i + 1)
+            g = f"w{i}"
+            for it in range(3):
+                lo = base + 100 * it
+                chunk = spark.createDataFrame(
+                    [(k, g, 0.0) for k in range(lo, lo + 100)],
+                    "k long, grp string, v double",
+                )
+                tbl.append(chunk, retries=25)
+                tbl.update(
+                    (F.col("grp") == g)
+                    & F.col("k").between(lo, lo + 49),
+                    {"v": F.lit(1.0)},
+                )
+                tbl.delete(
+                    (F.col("grp") == g)
+                    & F.col("k").between(lo + 75, lo + 99)
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def maintenance() -> None:
+        for _ in range(4):
+            try:
+                tbl.compact(small_file_bytes=64 * 1024 * 1024, min_files=2)
+            except LakehouseError as e:
+                maintenance_losses.append(e)  # allowed: lost the race
+
+    def wap() -> None:
+        """Branch WAP churn: write-audit-publish with the standard
+        re-branch retry — fast-forward legitimately refuses when main
+        advanced since the fork, so a losing round drops the branch
+        and re-forks from the fresh head."""
+        try:
+            for it in range(3):
+                chunk = spark.createDataFrame(
+                    [(90_000 + 10 * it + j, "wap", -1.0) for j in range(10)],
+                    "k long, grp string, v double",
+                )
+                for attempt in range(60):
+                    b = f"audit{it}_{attempt}"
+                    tbl.create_branch(b)
+                    h = tbl.for_branch(b)
+                    h.append(chunk, retries=25)
+                    try:
+                        tbl.fast_forward(b)
+                        tbl.drop_branch(b)
+                        break
+                    except LakehouseError:
+                        tbl.drop_branch(b)  # lost the race — re-fork
+                else:
+                    raise AssertionError("WAP never published")
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = (
+        [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+        + [threading.Thread(target=maintenance), threading.Thread(target=wap)]
+    )
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    got = tbl.read()
+    # base partition untouched by every writer
+    assert got.filter(F.col("grp").startswith("g")).count() == 300
+    # each writer: 3 iterations × (100 appended − 25 deleted)
+    for i in range(3):
+        g = f"w{i}"
+        mine = got.filter(F.col("grp") == g)
+        assert mine.count() == 3 * 75, g
+        assert mine.filter(F.col("v") == 1.0).count() == 3 * 50, g
+    # WAP rows all published via fast-forward
+    assert got.filter(F.col("grp") == "wap").count() == 30
+    # manifest hygiene: unique live paths, every file on disk, no
+    # leftover branches, monotonic readable history
+    snap = tbl.snapshot()
+    paths = [f["path"] for f in snap.files]
+    assert len(paths) == len(set(paths))
+    for rel in paths:
+        assert os.path.exists(os.path.join(tbl.location, rel))
+    assert tbl.branches() == {}
+    versions = sorted(s.version for s in tbl.snapshots())
+    assert tbl.current_version() == versions[-1]
