@@ -123,6 +123,19 @@ class LakeSQL:
         tbl = self.catalog.load_table(ns, name)
         return tbl.for_branch(branch) if branch else tbl
 
+    def _source_ref_df(self, src_ref: str) -> DataFrame:
+        """Resolve a bare MERGE USING / UPDATE FROM / DELETE USING
+        source reference: a two-part ``ns.t`` binds the lake table
+        (PG reads its own tables here); anything else is a Spark
+        temp view."""
+        tm = re.match(rf"^{_TBL}$", src_ref)
+        if tm:
+            try:
+                return self._load(tm.group(1), tm.group(2)).read()
+            except LakehouseError:
+                pass  # fall through: maybe a catalog.schema temp view
+        return self.spark.table(src_ref)
+
     def sql(self, stmt: str):
         """Route one statement. Returns a DataFrame for SELECT, a
         Snapshot for DML, a LakeTable for CREATE, else None."""
@@ -217,9 +230,14 @@ class LakeSQL:
             return self._insert_overwrite(s)
         if head in ("INSERT", "DELETE", "UPDATE"):
             # PG RETURNING: peel the clause, run the DML, then serve
-            # the affected rows from the commit's row-level changes
+            # the affected rows from the commit's row-level changes.
+            # Peel on literal-masked text so 'RETURNING x'-looking text
+            # inside a trailing string literal is never torn off; the
+            # statement handed down is re-unmasked (each DML verb
+            # re-masks on entry).
+            _pm, _plits = self._mask_strings(s)
             rm = re.search(
-                r"\s+RETURNING\s+(\*|[\w\s,.]+)$", s, re.IGNORECASE
+                r"\s+RETURNING\s+(\*|[\w\s,.]+)$", _pm, re.IGNORECASE
             )
             returning = None
             if rm:
@@ -229,7 +247,9 @@ class LakeSQL:
                         "(rows are visible only at COMMIT)"
                     )
                 returning = rm.group(1).strip()
-                s = s[: rm.start()].rstrip()
+                s = self._unmask_strings(
+                    _pm[: rm.start()], _plits
+                ).rstrip()
             snap = {
                 "INSERT": self._insert,
                 "DELETE": self._delete,
@@ -239,8 +259,9 @@ class LakeSQL:
                 return snap
             return self._returning_rows(head, s, snap, returning)
         if head == "MERGE":
+            _pm, _plits = self._mask_strings(s)
             rm = re.search(
-                r"\s+RETURNING\s+(\*|[\w\s,.]+)$", s, re.IGNORECASE
+                r"\s+RETURNING\s+(\*|[\w\s,.]+)$", _pm, re.IGNORECASE
             )
             if rm:
                 if self._txn is not None:
@@ -249,7 +270,9 @@ class LakeSQL:
                         "(rows are visible only at COMMIT)"
                     )
                 returning = rm.group(1).strip()
-                snap = self._merge(s[: rm.start()].rstrip())
+                snap = self._merge(
+                    self._unmask_strings(_pm[: rm.start()], _plits).rstrip()
+                )
                 # PG17 MERGE RETURNING: every row the merge touched
                 tm = re.search(rf"\bMERGE\s+INTO\s+{_TBL}", s, re.IGNORECASE)
                 tbl = self._load(tm.group(1), tm.group(2))
@@ -606,6 +629,57 @@ class LakeSQL:
 
     # -- DDL ---------------------------------------------------------------
 
+    # PG type names → Spark DDL type names. The reference's own README
+    # fixtures use TEXT / DECIMAL / TIMESTAMP (reference README.md:28-42)
+    # — the first DDL a PG user ports must parse. SERIAL maps to the
+    # backing int type (no sequence; the lake has no auto-increment).
+    _PG_TYPES = {
+        "text": "string",
+        "bool": "boolean",
+        "int2": "smallint",
+        "int4": "int",
+        "int8": "bigint",
+        "serial": "int",
+        "smallserial": "smallint",
+        "bigserial": "bigint",
+        "real": "float",
+        "float4": "float",
+        "float8": "double",
+        "double precision": "double",
+        "numeric": "decimal",
+        "bytea": "binary",
+        "timestamptz": "timestamp",
+        "timestamp with time zone": "timestamp",
+        "timestamp without time zone": "timestamp_ntz",
+        "character varying": "varchar",
+        "character": "char",
+        "json": "string",
+        "jsonb": "string",
+        "uuid": "string",
+    }
+    _PG_TYPE_RE = re.compile(
+        r"^([A-Za-z_][A-Za-z_0-9 ]*?)"  # base name, may be multi-word
+        r"(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"  # optional (p[,s])
+        r"(\s*\[\s*\])?$",  # optional [] (PG array suffix)
+        re.DOTALL,
+    )
+
+    @classmethod
+    def _map_pg_type(cls, type_text: str) -> str:
+        """Rewrite a PG type name to Spark DDL; Spark-native names
+        (and anything unrecognized, e.g. array<...>/struct<...>) pass
+        through untouched so Spark's parser stays the authority."""
+        m = cls._PG_TYPE_RE.match(type_text.strip())
+        if not m:
+            return type_text
+        base, params, arr = m.groups()
+        key = re.sub(r"\s+", " ", base.strip().lower())
+        mapped = cls._PG_TYPES.get(key)
+        if mapped is None:
+            return type_text
+        out = mapped + (re.sub(r"\s+", "", params) if params else "")
+        return f"array<{out}>" if arr else out
+
     def _create(self, s: str):
         m = re.match(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_TBL}\s*(.*)$",
@@ -634,6 +708,24 @@ class LakeSQL:
                 k, _, v = kv.partition("=")
                 props[k.strip()] = v.strip().strip("'\"")
             rest = rest[: wm.start()].strip()
+        # the reference's access-method clause: ``USING iceberg_am``
+        # (reference README.md:27) selects the table AM — here the
+        # lakehouse IS the AM, so iceberg spellings are accepted and
+        # dropped; a bare file format maps to the file_format property.
+        um = re.search(
+            rf"\s+USING\s+({_IDENT})\s*$", rest, re.IGNORECASE
+        )
+        if um:
+            am = um.group(1).lower()
+            if am in ("parquet", "orc", "avro"):
+                props = dict(props or {})
+                props["file_format"] = am
+            elif am not in ("iceberg_am", "iceberg", "lakehouse"):
+                raise LakehouseError(
+                    f"unsupported table access method {am!r} (supported: "
+                    "iceberg_am, or a file format parquet/orc/avro)"
+                )
+            rest = rest[: um.start()].strip()
         if rest.upper().startswith("AS"):
             df = self._select(rest[2:].strip())
             return self.catalog.create_table_as(
@@ -675,7 +767,10 @@ class LakeSQL:
             if nn:
                 notnull.append(it.split(None, 1)[0])
                 it = it[: nn.start()].rstrip()
-            col_defs.append(it)
+            cname_, _, ctype_ = it.strip().partition(" ")
+            col_defs.append(
+                f"{cname_} {self._map_pg_type(ctype_)}" if ctype_ else it
+            )
         schema = _parse_datatype_string(", ".join(col_defs))
         tbl = self.catalog.create_table(
             ns,
@@ -801,7 +896,9 @@ class LakeSQL:
                 re.IGNORECASE | re.DOTALL,
             )
             return tbl.add_column(
-                am.group(1), am.group(2), default=am.group(3)
+                am.group(1),
+                self._map_pg_type(am.group(2)),
+                default=am.group(3),
             )
         if au.startswith("RENAME COLUMN"):
             am = re.match(
@@ -853,7 +950,9 @@ class LakeSQL:
                 action,
                 re.IGNORECASE,
             )
-            return tbl.widen_column(am.group(1), am.group(2))
+            return tbl.widen_column(
+                am.group(1), self._map_pg_type(am.group(2))
+            )
         if au.startswith("WRITE "):
             wm = re.match(
                 r"WRITE\s+(Z?)ORDERED\s+BY\s*\(([^)]*)\)$",
@@ -940,17 +1039,33 @@ class LakeSQL:
 
     def _insert(self, s: str) -> Snapshot:
         # PG upsert: INSERT ... ON CONFLICT (k) DO NOTHING|UPDATE SET —
-        # peeled off here, executed as a keyed MERGE after binding
+        # peeled off here, executed as a keyed MERGE after binding.
+        # Literals masked first (see _update): 'ON CONFLICT'-looking
+        # text or an unbalanced paren inside a VALUES string literal
+        # must never tear the statement split.
+        s, _lits = self._mask_strings(s)
+        U = lambda t: self._unmask_strings(t, _lits)  # noqa: E731
         conflict = None
         cm = self._ON_CONFLICT.search(s)
         if cm:
             keys = [c.strip() for c in cm.group(1).split(",") if c.strip()]
             action = cm.group(2).strip().upper()
-            conflict = (
-                (keys, "nothing", None)
-                if action == "NOTHING"
-                else (keys, "update", cm.group(3))
-            )
+            if action == "NOTHING":
+                conflict = (keys, "nothing", None)
+            else:
+                # parse DO UPDATE SET here (masked) so commas inside a
+                # string literal can't tear the assignment split
+                assignments = {}
+                for kv in _split_top_level(cm.group(3)):
+                    k, _, v = kv.partition("=")
+                    expr = re.sub(
+                        rf"\bexcluded\.({_IDENT})",
+                        r"__src.\1",
+                        v.strip(),
+                        flags=re.IGNORECASE,
+                    )
+                    assignments[k.strip()] = F.expr(U(expr))
+                conflict = (keys, "update", assignments)
             s = s[: cm.start()].rstrip()
         m = re.match(
             rf"INSERT\s+INTO\s+{_TBL}(?:@({_IDENT}))?\s*(\([^)]*\))?\s*(.+)$",
@@ -958,7 +1073,7 @@ class LakeSQL:
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
-            raise LakehouseError(f"cannot parse INSERT: {s[:80]!r}")
+            raise LakehouseError(f"cannot parse INSERT: {U(s)[:80]!r}")
         ns, name, branch, col_list, body = (
             m.group(1), m.group(2), m.group(3), m.group(4), m.group(5).strip()
         )
@@ -976,12 +1091,14 @@ class LakeSQL:
         tbl = self._load(ns, name, branch)
         if body.upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
             df = (
-                self._select(body)
+                self._select(U(body))
                 if body.upper().startswith(("SELECT", "WITH"))
-                else self.spark.sql(body)
+                else self.spark.sql(U(body))
             )
         else:
-            raise LakehouseError(f"cannot parse INSERT body: {body[:60]!r}")
+            raise LakehouseError(
+                f"cannot parse INSERT body: {U(body)[:60]!r}"
+            )
         fields = tbl.schema().fields
         if col_list:
             # INSERT INTO t (c1, c2) VALUES/SELECT ... — the reference
@@ -1095,16 +1212,7 @@ class LakeSQL:
             return self._apply_merge(
                 tbl, df, on=keys, when_not_matched_insert=True
             )
-        assignments = {}
-        for kv in _split_top_level(sets):
-            k, _, v = kv.partition("=")
-            expr = re.sub(
-                rf"\bexcluded\.({_IDENT})",
-                r"__src.\1",
-                v.strip(),
-                flags=re.IGNORECASE,
-            )
-            assignments[k.strip()] = F.expr(expr)
+        assignments = sets  # pre-parsed {col: Column} by _insert (masked)
         return self._apply_merge(
             tbl,
             df,
@@ -1141,9 +1249,13 @@ class LakeSQL:
         # WHERE a.k = b.k [AND ...] — rows matching the source go;
         # extra conjuncts gate which matches apply. Maps onto MERGE
         # (matched-delete only), the same shape as UPDATE ... FROM.
+        # Literals masked first (see _update) so WHERE/AND/USING text
+        # inside a quoted string never tears the clause split.
+        s, _lits = self._mask_strings(s)
+        U = lambda t: self._unmask_strings(t, _lits)  # noqa: E731
         um = re.match(
             rf"DELETE\s+FROM\s+{_TBL}(?:@({_IDENT}))?(?:\s+AS)?\s+({_IDENT})\s+"
-            rf"USING\s+(\(.*?\)|{_IDENT})(?:\s+AS)?\s+({_IDENT})\s+"
+            rf"USING\s+(\(.*?\)|(?:{_IDENT}\.)?{_IDENT})(?:\s+AS)?\s+({_IDENT})\s+"
             rf"WHERE\s+(.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
@@ -1152,9 +1264,9 @@ class LakeSQL:
             ns, name, branch, talias, src_ref, salias, where = um.groups()
             tbl = self._load(ns, name, branch)
             source = (
-                self._select(src_ref[1:-1].strip())
+                self._select(U(src_ref[1:-1].strip()))
                 if src_ref.startswith("(")
-                else self.spark.table(src_ref)
+                else self._source_ref_df(src_ref)
             )
             keys, extra = [], []
             for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
@@ -1185,7 +1297,7 @@ class LakeSQL:
             if extra:
                 e = " AND ".join(extra)
                 e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", e)
-                cond = F.expr(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e))
+                cond = F.expr(U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e)))
             return self._apply_merge(
                 tbl,
                 source,  # full source: extra conjuncts may reference it
@@ -1200,19 +1312,28 @@ class LakeSQL:
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
-            raise LakehouseError(f"cannot parse DELETE: {s[:80]!r}")
+            raise LakehouseError(f"cannot parse DELETE: {U(s)[:80]!r}")
         ns, name, branch, where = m.group(1), m.group(2), m.group(3), m.group(4)
         tbl = self._load(ns, name, branch)
-        return self._apply_delete(tbl, F.expr(where) if where else F.lit(True))
+        return self._apply_delete(
+            tbl, F.expr(U(where)) if where else F.lit(True)
+        )
 
     def _update(self, s: str) -> Snapshot:
         # PG join-update: UPDATE t [AS a] SET ... FROM src [AS b]
         # WHERE a.k = b.k [AND ...] — maps onto MERGE (matched-update
         # only). The WHERE must start with the alias-qualified key
         # equalities; extra conjuncts become the matched condition.
+        # Literals are masked FIRST so clause keywords (WHERE/FROM/SET/
+        # AND) and commas inside a quoted string can never tear the
+        # structural split (``SET s = 'a WHERE b' WHERE k = 1`` is
+        # valid PG); every leaf fragment is unmasked before it reaches
+        # Spark.
+        s, _lits = self._mask_strings(s)
+        U = lambda t: self._unmask_strings(t, _lits)  # noqa: E731
         fm = re.match(
             rf"UPDATE\s+{_TBL}(?:@({_IDENT}))?(?:\s+AS)?\s+({_IDENT})\s+SET\s+(.*?)\s+"
-            rf"FROM\s+(\(.*?\)|{_IDENT})(?:\s+AS)?\s+({_IDENT})\s+"
+            rf"FROM\s+(\(.*?\)|(?:{_IDENT}\.)?{_IDENT})(?:\s+AS)?\s+({_IDENT})\s+"
             rf"WHERE\s+(.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
@@ -1221,9 +1342,9 @@ class LakeSQL:
             ns, name, branch, talias, sets, src_ref, salias, where = fm.groups()
             tbl = self._load(ns, name, branch)
             source = (
-                self._select(src_ref[1:-1].strip())
+                self._select(U(src_ref[1:-1].strip()))
                 if src_ref.startswith("(")
-                else self.spark.table(src_ref)
+                else self._source_ref_df(src_ref)
             )
             keys, extra = [], []
             for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
@@ -1253,7 +1374,7 @@ class LakeSQL:
 
             def rewrite(expr: str):
                 e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr)
-                return F.expr(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e))
+                return F.expr(U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e)))
 
             assignments = {}
             for kv in _split_top_level(sets):
@@ -1276,15 +1397,15 @@ class LakeSQL:
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
-            raise LakehouseError(f"cannot parse UPDATE: {s[:80]!r}")
+            raise LakehouseError(f"cannot parse UPDATE: {U(s)[:80]!r}")
         ns, name, branch, sets, where = m.groups()
         assignments = {}
         for kv in _split_top_level(sets):
             k, _, v = kv.partition("=")
-            assignments[k.strip()] = F.expr(v.strip())
+            assignments[k.strip()] = F.expr(U(v.strip()))
         tbl = self._load(ns, name, branch)
         return self._apply_update(
-            tbl, F.expr(where) if where else F.lit(True), assignments
+            tbl, F.expr(U(where)) if where else F.lit(True), assignments
         )
 
     # -- MERGE -------------------------------------------------------------
@@ -1305,15 +1426,20 @@ class LakeSQL:
     )
 
     def _merge(self, s: str) -> Snapshot:
+        # Literals masked first (see _update): WHEN/THEN/AND/VALUES text
+        # (and parens/commas) inside a quoted string must never tear the
+        # clause grammar. Leaves unmask through ``rewrite``.
+        s, _lits = self._mask_strings(s)
+        U = lambda t: self._unmask_strings(t, _lits)  # noqa: E731
         m = self._MERGE.match(s)
         if not m:
-            raise LakehouseError(f"cannot parse MERGE: {s[:80]!r}")
+            raise LakehouseError(f"cannot parse MERGE: {U(s)[:80]!r}")
         ns, name, branch, talias, src_ref, salias, on_cond, clauses = m.groups()
         tbl = self._load(ns, name, branch)
         if src_ref.startswith("("):
-            source = self._select(src_ref[1:-1].strip())
+            source = self._select(U(src_ref[1:-1].strip()))
         else:
-            source = self.spark.table(src_ref)
+            source = self._source_ref_df(src_ref)
 
         # ON must be a conjunction of alias-qualified key equalities
         keys = []
@@ -1339,7 +1465,7 @@ class LakeSQL:
             """target alias -> bare column, source alias -> __src.col"""
             e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr)
             e = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e)
-            return F.expr(e)
+            return F.expr(U(e))
 
         kw = {
             "when_matched_update": None,
@@ -1357,7 +1483,7 @@ class LakeSQL:
             raise LakehouseError(
                 "unsupported MERGE clause (supported: UPDATE SET ..., "
                 "DELETE, INSERT *, INSERT (cols) VALUES (exprs)): "
-                + leftover[:80]
+                + U(leftover)[:80]
             )
         seen_kinds: dict[str, int] = {}
         for cm in self._CLAUSE.finditer(clauses):
@@ -1398,7 +1524,7 @@ class LakeSQL:
                     if not im:
                         raise LakehouseError(
                             "WHEN NOT MATCHED supports INSERT * or "
-                            "INSERT (cols) VALUES (exprs): " + act[:60]
+                            "INSERT (cols) VALUES (exprs): " + U(act)[:60]
                         )
                     cols_l = [
                         c.strip() for c in im.group(1).split(",") if c.strip()

@@ -507,3 +507,94 @@ def test_where_filters_extraction_matches_reference(conjuncts):
     got = sql._where_filters(stmt, schema)
     want = {c: (lo, hi) for c, (lo, hi) in ref.items()}
     assert got == want, f"stmt={stmt!r}"
+
+
+# -- r6: keyword-bearing literals through every DML verb ----------------
+# VERDICT r5 found statement-level splits (UPDATE/DELETE/MERGE/INSERT/
+# RETURNING) tearing at clause keywords inside string literals. The
+# masking fix routes every split through _mask_strings; this fuzzes the
+# whole verb surface end-to-end: write a literal, read it back intact.
+
+_DML_LITERALS = st.one_of(
+    st.sampled_from(
+        [
+            "a WHERE b",
+            "x FROM y AND z, w",
+            "WHEN MATCHED THEN DELETE",
+            "ON CONFLICT (k) DO NOTHING",
+            "note RETURNING id",
+            "SET a = 1, b = 2",
+            "USING src AS s",
+            "k BETWEEN 1 AND 2",
+            ") , (",
+            "it''s a WHERE",
+            "",
+        ]
+    ),
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=126, blacklist_characters="'"
+        ),
+        max_size=16,
+    ),
+)
+
+_mask_sql_cache = {}
+
+
+def _masked_dml_sql(spark, tmp_path_factory):
+    key = id(spark)
+    if key not in _mask_sql_cache:
+        from pg_lakehouse_spark.lakehouse import LakeCatalog
+        from pg_lakehouse_spark.sql import LakeSQL
+
+        wh = tmp_path_factory.mktemp("mask_dml_wh")
+        lsql = LakeSQL(spark, LakeCatalog(spark, str(wh)))
+        lsql.sql("CREATE TABLE db.fz (k BIGINT, s STRING, n BIGINT)")
+        lsql.sql("INSERT INTO db.fz VALUES (1, 'a', 1), (2, 'b', 2)")
+        _mask_sql_cache[key] = lsql
+    return _mask_sql_cache[key]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lit=_DML_LITERALS, lit2=_DML_LITERALS)
+def test_dml_keyword_literal_roundtrip(
+    spark, tmp_path_factory, lit, lit2
+):
+    lsql = _masked_dml_sql(spark, tmp_path_factory)
+    # the strategy emits already-escaped text ('' stays ''); the value
+    # PG stores is the unescaped form
+    want = lit.replace("''", "'")
+    want2 = lit2.replace("''", "'")
+
+    lsql.sql(f"UPDATE db.fz SET s = '{lit}' WHERE k = 1")
+    got = lsql.sql("SELECT s FROM db.fz WHERE k = 1").collect()
+    assert [r.s for r in got] == [want]
+
+    # DELETE predicate bearing the literal must not tear — and must
+    # not match (no k = 999 row exists)
+    before = lsql.sql("SELECT * FROM db.fz").count()
+    lsql.sql(f"DELETE FROM db.fz WHERE s = '{lit2}' AND k = 999")
+    assert lsql.sql("SELECT * FROM db.fz").count() == before
+
+    # upsert: literal with commas/keywords in DO UPDATE SET
+    lsql.sql(
+        f"INSERT INTO db.fz VALUES (2, 'x', 0) ON CONFLICT (k) "
+        f"DO UPDATE SET s = '{lit2}', n = excluded.n"
+    )
+    r = lsql.sql("SELECT s, n FROM db.fz WHERE k = 2").collect()[0]
+    assert (r.s, r.n) == (want2, 0)
+
+    # MERGE: literal in the matched condition and in INSERT VALUES
+    lsql.sql(
+        f"MERGE INTO db.fz AS t USING (SELECT 1 AS k) AS s ON t.k = s.k "
+        f"WHEN MATCHED AND t.s = '{lit}' THEN UPDATE SET n = 42 "
+        f"WHEN NOT MATCHED THEN INSERT (k, s, n) VALUES (s.k, '{lit2}', 0)"
+    )
+    r = lsql.sql("SELECT n FROM db.fz WHERE k = 1").collect()[0]
+    assert r.n == 42
