@@ -3105,45 +3105,74 @@ class LakeTable:
         change_files = (
             self._stage_changes(changes(touched), base + 1) if feed else []
         )
-        # Validate-and-publish atomically under the table's commit
-        # lock: checking the rebase conditions outside it loses races
-        # on a busy table forever (another commit can land between the
-        # validation and the commit every time). The validation probe
-        # is a small job over only the concurrently-added files; it
-        # briefly extends the lock hold, but only on actual conflicts.
+        # Validate-and-publish: the rebase validation includes a Spark
+        # job (predicate probe over concurrently-added files), so it
+        # runs OUTSIDE the commit lock — holding the exclusive flock
+        # through a scan would stall every other writer on the table
+        # (r5 ADVICE). The loop re-acquires the lock after each probe;
+        # if yet another commit landed meanwhile, it re-validates the
+        # (incremental) delta. Bounded: after `probes` free-running
+        # validations it degrades to validating UNDER the lock once,
+        # which guarantees progress on a pathologically busy table at
+        # the old cost.
         lock_path = os.path.join(self.meta_dir, "_commit.lock")
-        with open(lock_path, "w") as lock:
-            fcntl.flock(lock, fcntl.LOCK_EX)
-            if self.current_version() != base:
-                try:
-                    snap = self._validate_dml_rebase(
-                        snap, affected, condition
+        probes = 2
+        while True:
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                head = self.current_version()
+                if head != base and probes <= 0:
+                    # last resort: validate while holding the lock
+                    try:
+                        snap = self._validate_dml_rebase(
+                            snap, affected, condition
+                        )
+                    except CommitConflict:
+                        self._discard_staged(new_files, change_files)
+                        raise _StaleRewrite() from None
+                    base = snap.version
+                    keep = [
+                        f for f in snap.files if f["path"] not in affected
+                    ]
+                    head = base
+                if head == base:
+                    final = keep + new_files
+                    out = self._prepare_snapshot(
+                        base, operation, final, snap.schema_json,
+                        summary={"rewritten_files": len(affected),
+                                 "added_files": len(new_files)}
+                        | ({"change_feed": "exact"} if feed else {}),
+                        change_files=change_files,
+                        delete_files=self._live_deletes(
+                            snap.delete_files, final
+                        ),
                     )
-                except CommitConflict:
-                    # read set changed — drop this attempt's staged
-                    # files (they'd be orphans) and re-execute
-                    for e in new_files:
-                        with contextlib.suppress(OSError):
-                            os.remove(os.path.join(self.location, e["path"]))
-                    for p in change_files:
-                        with contextlib.suppress(OSError):
-                            os.remove(os.path.join(self.location, p))
-                    raise _StaleRewrite() from None
-                base = snap.version
-                keep = [
-                    f for f in snap.files if f["path"] not in affected
-                ]
-            final = keep + new_files
-            out = self._prepare_snapshot(
-                base, operation, final, snap.schema_json,
-                summary={"rewritten_files": len(affected),
-                         "added_files": len(new_files)}
-                | ({"change_feed": "exact"} if feed else {}),
-                change_files=change_files,
-                delete_files=self._live_deletes(snap.delete_files, final),
-            )
-            self._publish(out)
-            return out
+                    self._publish(out)
+                    return out
+            # lock released — probe the new head without blocking
+            # other writers. Validation is incremental: `snap` advances
+            # to each validated head, so the next pass scans only files
+            # added since.
+            probes -= 1
+            try:
+                snap = self._validate_dml_rebase(snap, affected, condition)
+            except CommitConflict:
+                # read set changed — drop this attempt's staged files
+                # (they'd be orphans) and re-execute
+                self._discard_staged(new_files, change_files)
+                raise _StaleRewrite() from None
+            base = snap.version
+            keep = [f for f in snap.files if f["path"] not in affected]
+
+    def _discard_staged(self, new_files, change_files) -> None:
+        """Remove a lost DML attempt's staged data/change parquet so a
+        conflict-heavy table doesn't accumulate orphans until vacuum."""
+        for e in new_files:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(self.location, e["path"]))
+        for p in change_files:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(self.location, p))
 
     def _validate_dml_rebase(
         self, snap: Snapshot, affected: set[str], condition
@@ -3986,8 +4015,11 @@ class LakeTable:
                 self._publish(out)
                 return out
         # lock released — re-execute the whole merge against the fresh
-        # head (serializable re-execution); this attempt's staged
-        # files become orphans (vacuum reclaims them)
+        # head (serializable re-execution). Drop this attempt's staged
+        # data and change files first (same as _rewrite_once's stale
+        # path): under sustained contention each lost attempt would
+        # otherwise leak a full rewrite-set of parquet until vacuum.
+        self._discard_staged(new_files, change_files)
         if _attempts <= 0:
             raise CommitConflict(
                 "merge kept conflicting with concurrent commits "
@@ -4009,6 +4041,7 @@ class LakeTable:
             mode=mode,
             when_not_matched_condition=when_not_matched_condition,
             when_not_matched_values=when_not_matched_values,
+            merge_schema=merge_schema,
             _attempts=_attempts - 1,
         )
 

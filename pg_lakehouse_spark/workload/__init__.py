@@ -53,24 +53,29 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # source pipeline), SQL views, and time-series gap-fill. Families with
 # several window slots in earlier rounds ceded duplicates to the new
 # families (the displaced queries stay oracle-checked in the local
-# suite). Everything else follows in registration order.
+# suite). r6 rotation: q_full_outer_join / q_except_all /
+# q_distinct_agg / q_generate_series (families keep another window
+# representative each) ceded to lake_hidden_partitioning /
+# lake_merge_composite_key / lake_delete_by_keys /
+# rollup_topk_retraction so the driver artifact exercises the r5
+# work. Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "lake_avro_roundtrip",
     "q_anti_join",
-    "q_full_outer_join",
+    "lake_hidden_partitioning",
     "lake_txn_multi_table",
     "q_range_join_bands",
     "q_asof_join",
     "q_correlated_subquery",
     "q_recursive_cte",
-    "q_except_all",
+    "lake_merge_composite_key",
     "q_distinct_on",
     "text_bm25_postings",
     "lake_branch_wap",
     "pack_sequences_stream",
-    "q_distinct_agg",
+    "lake_delete_by_keys",
     "q_percentiles",
     "interleave_language_mix",
     "q_cube",
@@ -80,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "lake_bloom_pointlookup",
     "ts_gapfill_hourly",
     "q_pg_function_kit",
-    "q_generate_series",
+    "rollup_topk_retraction",
     "q_pandas_udf_normalize",
     "lake_sql_views",
     "q_python_udtf_bigrams",

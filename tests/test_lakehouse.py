@@ -2673,3 +2673,157 @@ def test_range_filter_skips_all_null_file(spark, tmp_path):
         f for f in tbl.snapshot().files if "v" in (f.get("ranges") or {})
     ]
     assert len(files_with_bounds) == 1  # null file has no v bounds
+
+
+# -- r6: DML rebase probe must not stall the table (r5 ADVICE) ----------
+
+
+def test_dml_rebase_probe_runs_outside_commit_lock(catalog, orders_df):
+    """The rebase validation's predicate probe is a Spark job; holding
+    the exclusive commit flock through it would stall every other
+    writer on the table. The r6 structure probes with the lock
+    RELEASED (re-acquiring to commit), degrading to under-lock
+    validation only after repeated interleaving."""
+    import fcntl
+    import types
+
+    tbl = catalog.create_table("db", "probe_lock", orders_df.schema)
+    tbl.append(orders_df.limit(20).repartition(1))
+    other = catalog.load_table("db", "probe_lock")
+    extra = orders_df.limit(25).subtract(orders_df.limit(20)).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000
+    )
+
+    # force the conflict: a concurrent (non-matching) append lands
+    # between this DML's staging and its commit
+    orig_stage = type(tbl)._stage_dataframe
+    fired = {"done": False}
+
+    def racy(self, *a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            other.append(extra.repartition(1))
+        return orig_stage(self, *a, **k)
+
+    tbl._stage_dataframe = types.MethodType(racy, tbl)
+
+    # spy: every free-running validation must find the lock acquirable
+    orig_val = type(tbl)._validate_dml_rebase
+    seen = {"free": 0, "held": 0}
+
+    def spy(self, snap, affected, condition):
+        with open(
+            os.path.join(self.meta_dir, "_commit.lock"), "w"
+        ) as fh:
+            try:
+                fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                seen["free"] += 1
+                fcntl.flock(fh, fcntl.LOCK_UN)
+            except BlockingIOError:
+                seen["held"] += 1
+        return orig_val(self, snap, affected, condition)
+
+    tbl._validate_dml_rebase = types.MethodType(spy, tbl)
+
+    keys = [r.o_orderkey for r in orders_df.limit(5).collect()]
+    tbl.update(
+        F.col("o_orderkey").isin(keys), {"o_totalprice": F.lit(0.0)}
+    )
+    assert seen["free"] >= 1 and seen["held"] == 0, seen
+    got = tbl.read()
+    assert got.filter(F.col("o_totalprice") == 0.0).count() == 5
+    assert got.filter(F.col("o_orderkey") > 100000).count() == 5  # append survived
+
+
+def test_merge_stale_attempt_leaves_no_orphan_files(catalog, orders_df):
+    """A merge attempt that loses the race re-executes — and must
+    remove its staged parquet first (r5 ADVICE: each lost attempt
+    leaked a rewrite-set until vacuum)."""
+    import types
+
+    tbl = catalog.create_table_as(
+        "db", "morph", orders_df.limit(20).repartition(1)
+    )
+    other = catalog.load_table("db", "morph")
+    # overlapping keys → the rebase is invalid → stale → re-execute
+    overlap = orders_df.limit(25).subtract(orders_df.limit(20))
+
+    orig_stage = type(tbl)._stage_dataframe
+    fired = {"done": False}
+
+    def racy(self, *a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            other.append(overlap.repartition(1))
+        return orig_stage(self, *a, **k)
+
+    tbl._stage_dataframe = types.MethodType(racy, tbl)
+
+    src = orders_df.limit(10).select(
+        "o_orderkey", (F.col("o_totalprice") * 0 + 1.0).alias("newprice")
+    )
+    tbl.merge(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("__src.newprice")},
+        when_not_matched_insert=False,
+    )
+    assert (
+        tbl.read().filter(F.col("o_totalprice") == 1.0).count() == 10
+    )
+    # every data file on disk is referenced by some snapshot — the
+    # lost attempt's staged files were removed, not orphaned
+    referenced = set()
+    for v in range(1, tbl.current_version() + 1):
+        for f in tbl.snapshot(v).files:
+            referenced.add(os.path.normpath(f["path"]))
+    on_disk = set()
+    for root, _dirs, files in os.walk(tbl.data_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                on_disk.add(
+                    os.path.normpath(
+                        os.path.relpath(
+                            os.path.join(root, fn), tbl.location
+                        )
+                    )
+                )
+    orphans = on_disk - referenced
+    assert not orphans, orphans
+
+
+def test_merge_schema_retry_realigns_source(catalog, orders_df):
+    """merge(merge_schema=True) that loses to a concurrent schema
+    evolution re-executes WITH merge_schema (r5 ADVICE: the recursion
+    dropped it, so the insert mapping referenced __src.<new_col> the
+    un-reshaped source lacks and threw AnalysisException)."""
+    import types
+
+    tbl = catalog.create_table_as(
+        "db", "msr", orders_df.limit(10).repartition(1)
+    )
+    other = catalog.load_table("db", "msr")
+
+    orig_stage = type(tbl)._stage_dataframe
+    fired = {"done": False}
+
+    def racy(self, *a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            other.add_column("extra", "string")
+        return orig_stage(self, *a, **k)
+
+    tbl._stage_dataframe = types.MethodType(racy, tbl)
+
+    src = orders_df.limit(12).subtract(orders_df.limit(8))
+    tbl.merge(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.lit(2.0)},
+        when_not_matched_insert=True,
+        merge_schema=True,
+    )
+    got = tbl.read()
+    assert got.count() == 12
+    assert got.filter(F.col("o_totalprice") == 2.0).count() == 2
+    assert "extra" in got.columns
