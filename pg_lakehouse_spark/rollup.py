@@ -83,6 +83,83 @@ def time_bucket(col: Column | str, bucket: str) -> Column:
 
 _KINDS = ("sum", "count", "min", "max", "approx_distinct", "approx_topk")
 
+# affected-bucket sets up to this size travel as a literal IN-list
+# (exact manifest pruning); above it they'd be a driver-side literal
+# bomb (millions of buckets at fine grain), so the scope switches to a
+# broadcast semi-join plus a coarse time-range pushdown
+_BUCKET_ISIN_CAP = 4096
+
+
+def _bucket_scope(rollup, source, spec, aff_df):
+    """Resolve a frame of affected bucket timestamps (column ``__b``)
+    into a source slice and a merge by-source scope — without ever
+    collecting the bucket list when it is large.
+
+    ≤ ``_BUCKET_ISIN_CAP`` buckets: literal IN-list, so manifest
+    pruning sees the exact bucket values. Above the cap: the slice is
+    a broadcast semi-join against the bucket frame, gated by a coarse
+    ``[lo, hi + width)`` range on the RAW time column (plain
+    comparisons — they reach the parquet scan and the manifest), and
+    the merge's by-source delete is scoped to the bucket range —
+    correct because ``extend_state`` unions the in-range UNTOUCHED
+    rollup rows into the merge source, so they match and self-update
+    and only genuinely vanished buckets fall through to the delete
+    clause.
+
+    Returns ``(slice_df, by_source_cond, extend_state, n_buckets)``,
+    or ``None`` when no bucket is affected.
+    """
+    bucket_expr = time_bucket(spec["time_col"], spec["bucket"])
+    stats = aff_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__b").alias("lo"),
+        F.max("__b").alias("hi"),
+    ).collect()[0]
+    n = int(stats["n"])
+    if not n:
+        return None
+    if n <= _BUCKET_ISIN_CAP:
+        vals = [r[0] for r in aff_df.collect()]
+        return (
+            source.read().filter(bucket_expr.isin(vals)),
+            F.col(BUCKET_COL).isin(vals),
+            lambda state: state,
+            n,
+        )
+    lo, hi = stats["lo"], stats["hi"]
+    width = _bucket_width_us(spec["bucket"])
+    tcol = F.col(spec["time_col"])
+    in_range = (tcol >= F.lit(lo)) & (
+        epoch_us(tcol) < epoch_us(F.lit(hi)) + F.lit(width)
+    )
+    slice_df = (
+        source.read()
+        .filter(in_range)
+        .join(
+            F.broadcast(aff_df), bucket_expr == F.col("__b"), "left_semi"
+        )
+    )
+
+    def extend_state(state: DataFrame) -> DataFrame:
+        untouched = (
+            rollup.read()
+            .filter(F.col(BUCKET_COL).between(F.lit(lo), F.lit(hi)))
+            .join(
+                F.broadcast(aff_df),
+                F.col(BUCKET_COL) == F.col("__b"),
+                "left_anti",
+            )
+            .select(*state.columns)
+        )
+        return state.unionByName(untouched)
+
+    return (
+        slice_df,
+        F.col(BUCKET_COL).between(F.lit(lo), F.lit(hi)),
+        extend_state,
+        n,
+    )
+
 # state capacity per tracked k: candidate summaries hold CAP_FACTOR×k
 # counters so near-boundary items survive merges (space-saving rule of
 # thumb); the state column stays a few KB per (bucket, group) row.
@@ -528,21 +605,23 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
                     F.col(star).cast("double"), F.lit(0.0)
                 )
                 over_pred = p if over_pred is None else (over_pred | p)
-            over = [
-                r[0]
-                for r in rollup.read()
+            scope = _bucket_scope(
+                rollup,
+                source,
+                spec,
+                rollup.read()
                 .filter(over_pred)
-                .select(BUCKET_COL)
-                .distinct()
-                .collect()  # bucket timestamps — metadata-sized
-            ]
-            if not over:
+                .select(F.col(BUCKET_COL).alias("__b"))
+                .distinct(),
+            )
+            if scope is None:
                 return snap
-            bucket_expr2 = time_bucket(spec["time_col"], spec["bucket"])
-            slice_df = source.read().filter(bucket_expr2.isin(over))
-            state = _partial_agg(
-                slice_df, spec["time_col"], spec["bucket"], group_by,
-                metrics,
+            slice_df, by_source_cond, extend_state, n_over = scope
+            state = extend_state(
+                _partial_agg(
+                    slice_df, spec["time_col"], spec["bucket"], group_by,
+                    metrics,
+                )
             )
             return rollup.merge(
                 state,
@@ -554,13 +633,11 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
                 },
                 when_not_matched_insert=True,
                 when_not_matched_by_source_delete=True,
-                when_not_matched_by_source_condition=F.col(
-                    BUCKET_COL
-                ).isin(over),
+                when_not_matched_by_source_condition=by_source_cond,
                 summary_extra={
                     "rollup_source_version": cur,
                     "rollup_refresh": "retraction+budget-sweep",
-                    "rollup_swept_buckets": len(over),
+                    "rollup_swept_buckets": n_over,
                 },
             )
 
@@ -579,22 +656,23 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
         except LakehouseError:
             changes = None
         if changes is not None:
-            affected = [
-                r[0]
-                for r in changes.select(
-                    time_bucket(spec["time_col"], spec["bucket"]).alias("b")
-                )
-                .distinct()
-                .collect()  # bucket timestamps — metadata-sized
-            ]
-            if affected:
-                bucket_expr = time_bucket(spec["time_col"], spec["bucket"])
-                slice_df = source.read().filter(
-                    bucket_expr.isin(affected)
-                )
-                state = _partial_agg(
-                    slice_df, spec["time_col"], spec["bucket"], group_by,
-                    metrics,
+            scope = _bucket_scope(
+                rollup,
+                source,
+                spec,
+                changes.select(
+                    time_bucket(
+                        spec["time_col"], spec["bucket"]
+                    ).alias("__b")
+                ).distinct(),
+            )
+            if scope is not None:
+                slice_df, by_source_cond, extend_state, n_aff = scope
+                state = extend_state(
+                    _partial_agg(
+                        slice_df, spec["time_col"], spec["bucket"],
+                        group_by, metrics,
+                    )
                 )
                 updates = {
                     out: F.col(f"__src.{out}") for out in metrics
@@ -605,13 +683,11 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
                     when_matched_update=updates,
                     when_not_matched_insert=True,
                     when_not_matched_by_source_delete=True,
-                    when_not_matched_by_source_condition=F.col(
-                        BUCKET_COL
-                    ).isin(affected),
+                    when_not_matched_by_source_condition=by_source_cond,
                     summary_extra={
                         "rollup_source_version": cur,
                         "rollup_refresh": "partial-invalidation",
-                        "rollup_affected_buckets": len(affected),
+                        "rollup_affected_buckets": n_aff,
                     },
                 )
             # feed present but no logical changes: just move the mark

@@ -624,3 +624,109 @@ def test_rollup_approx_topk_retraction_budget(spark, tmp_path):
     assert face.n == 63
     assert face.top[0].asDict() == {"item": "h1", "cnt": 45}
     assert face.top[1].asDict() == {"item": "x00", "cnt": 2}
+
+
+def test_rollup_partial_invalidation_semijoin_past_cap(
+    spark, tmp_path, monkeypatch
+):
+    """Past _BUCKET_ISIN_CAP the affected-bucket scope must switch
+    from a literal IN-list (a driver-side bomb at millions of
+    buckets) to a broadcast semi-join + coarse range pushdown — and
+    stay exactly equal to a full recompute, including vanished
+    buckets (range-scoped by-source delete + untouched-row
+    self-update) and out-of-range buckets carrying over."""
+    import pg_lakehouse_spark.rollup as rollup_mod
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+
+    monkeypatch.setattr(rollup_mod, "_BUCKET_ISIN_CAP", 8)
+
+    # 40 hourly buckets; ids spread so DML touches 30+ distinct buckets
+    rows = [
+        (i, f"2024-07-01 {i % 24:02d}:30:00" if i % 2 == 0
+         else f"2024-07-02 {i % 16:02d}:30:00", float(i))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cat = LakeCatalog(spark, str(tmp_path / "wh_sj"))
+    src = cat.create_table_as(
+        "db", "facts_sj", df,
+        properties={"change_data_feed": "on", "row_key": "id",
+                    "write_delete_mode": "merge-on-read"},
+    )
+    roll = create_rollup(
+        cat, "db", "sj_hourly", src,
+        time_col="ts", bucket="1 hour", group_by=[],
+        metrics={"n": ("count", "*"), "v_min": ("min", "v"),
+                 "v_max": ("max", "v")},
+    )
+    # touch >8 buckets: delete every third id (hits most hours), and
+    # fully empty one bucket (2024-07-02 15:xx has only odd ids 15, 31
+    # ... with i%16==15 → ids 15,31,47,... delete them all)
+    src.delete(F.col("id") % 3 == 0)
+    src.delete((F.col("id") % 2 == 1) & (F.col("id") % 16 == 15))
+    snap = refresh_rollup(src, roll)
+    assert snap.summary.get("rollup_refresh") == "partial-invalidation"
+    assert int(snap.summary.get("rollup_affected_buckets")) > 8
+    got = {
+        r.bucket_start: (r.n, r.v_min, r.v_max)
+        for r in read_rollup(roll).collect()
+    }
+    want = {
+        r.d: (r.n, r.mn, r.mx)
+        for r in src.read()
+        .groupBy(F.date_trunc("hour", "ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_bucket_scope_plan_semijoin_and_pushdown(
+    spark, tmp_path, monkeypatch
+):
+    """Plan gate for the over-cap scope: the source slice must be a
+    broadcast LEFT SEMI join (no giant IN-list in the plan) with the
+    coarse time-range comparison pushed to the parquet scan."""
+    import pg_lakehouse_spark.rollup as rollup_mod
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.rollup import _bucket_scope
+
+    monkeypatch.setattr(rollup_mod, "_BUCKET_ISIN_CAP", 4)
+    rows = [(i, f"2024-07-01 {i % 24:02d}:30:00", float(i)) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "id long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    cat = LakeCatalog(spark, str(tmp_path / "wh_ps"))
+    src = cat.create_table_as("db", "facts_ps", df)
+    spec = {"time_col": "ts", "bucket": "1 hour"}
+    aff = (
+        src.read()
+        .select(
+            rollup_mod.time_bucket("ts", "1 hour").alias("__b")
+        )
+        .distinct()
+    )
+    scope = _bucket_scope(src, src, spec, aff)
+    assert scope is not None
+    slice_df, by_source_cond, _extend, n = scope
+    assert n > 4
+    plan = slice_df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "Broadcast" in plan, plan
+    # coarse range comparison reaches the scan (pushed filter on ts)
+    assert "PushedFilters" in plan and "ts" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
+    # the by-source condition is a range, not a 20-element IN list
+    assert " IN " not in str(by_source_cond._jc), str(by_source_cond._jc)
