@@ -3478,6 +3478,15 @@ class LakeTable:
         (``_align_to_schema``, the PG assignment cast) — without it a
         wider-typed assignment (array<double> onto array<float>) would
         silently write type-drifted files."""
+        known = set(self.schema().names)
+        bad = sorted(set(assignments) - known)
+        if bad:
+            # the apply loop iterates table columns, so an unknown
+            # assignment key would otherwise be silently DROPPED — a
+            # wrong-results class, never acceptable
+            raise LakehouseError(
+                f"UPDATE assigns to unknown column(s): {bad}"
+            )
         dm = self._delete_mode(mode)
         if dm in ("mor", "mor-pos"):
             postimage = lambda m: m.select(  # noqa: E731
@@ -3784,6 +3793,14 @@ class LakeTable:
         """
         if merge_schema:
             source = self._merge_write_schema(source)
+        if when_matched_update:
+            # the apply loop iterates target columns — an unknown
+            # assignment key would be silently dropped otherwise
+            bad = sorted(set(when_matched_update) - set(self.schema().names))
+            if bad:
+                raise LakehouseError(
+                    f"MERGE UPDATE SET assigns to unknown column(s): {bad}"
+                )
         if self._delete_mode(mode) == "mor":
             return self._mor_merge(
                 source, on, when_matched_update, when_matched_delete,

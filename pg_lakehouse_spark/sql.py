@@ -111,6 +111,39 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return out
 
 
+def _set_items(sets: str) -> list[tuple[str, str]]:
+    """Expand a SET clause into (column, value-expr) pairs, including
+    PG's tuple form ``SET (a, b) = (e1, e2)`` (pairwise expansion).
+    Input arrives literal-masked, so commas inside string literals
+    never tear the split."""
+    out: list[tuple[str, str]] = []
+    for kv in _split_top_level(sets):
+        k, _, v = kv.partition("=")
+        k, v = k.strip(), v.strip()
+        if k.startswith("(") and k.endswith(")"):
+            cols = [c.strip() for c in k[1:-1].split(",") if c.strip()]
+            if not (v.startswith("(") and v.endswith(")")):
+                raise LakehouseError(
+                    f"SET {k} needs a parenthesized value row: {v[:40]!r}"
+                )
+            inner = v[1:-1].strip()
+            if inner.upper().startswith(("SELECT", "WITH")):
+                raise LakehouseError(
+                    "SET (cols) = (sub-select) is not supported; use "
+                    "UPDATE ... FROM with per-column assignments"
+                )
+            vals = [x.strip() for x in _split_top_level(inner)]
+            if len(cols) != len(vals):
+                raise LakehouseError(
+                    f"SET tuple arity mismatch: {len(cols)} column(s), "
+                    f"{len(vals)} value(s)"
+                )
+            out.extend(zip(cols, vals))
+        else:
+            out.append((k, v))
+    return out
+
+
 class LakeSQL:
     """Execute lake DDL/DML/SELECT statements against a catalog."""
 
@@ -694,19 +727,24 @@ class LakeSQL:
             m.group(3),
             m.group(4).strip(),
         )
+        # literals masked (see _update): a DEFAULT/CHECK/WITH value
+        # containing clause keywords or parens must never tear the
+        # structural split; leaves unmask through U
+        rest, _lits = self._mask_strings(rest)
+        U = lambda t: self._unmask_strings(t, _lits)  # noqa: E731
         part_by, props = None, None
         pm = re.search(
             r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest, re.IGNORECASE
         )
         if pm:
-            part_by = [p.strip() for p in _split_top_level(pm.group(1))]
+            part_by = [U(p.strip()) for p in _split_top_level(pm.group(1))]
             rest = rest.replace(pm.group(0), "").strip()
         wm = re.search(r"WITH\s*\((.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
         if wm:
             props = {}
             for kv in _split_top_level(wm.group(1)):
                 k, _, v = kv.partition("=")
-                props[k.strip()] = v.strip().strip("'\"")
+                props[k.strip()] = U(v.strip()).strip("'\"")
             rest = rest[: wm.start()].strip()
         # the reference's access-method clause: ``USING iceberg_am``
         # (reference README.md:27) selects the table AM — here the
@@ -727,20 +765,55 @@ class LakeSQL:
                 )
             rest = rest[: um.start()].strip()
         if rest.upper().startswith("AS"):
-            df = self._select(rest[2:].strip())
+            df = self._select(U(rest[2:].strip()))
             return self.catalog.create_table_as(
                 ns, name, df, properties=props, partition_by=part_by
+            )
+        # PG ``CREATE TABLE t2 (LIKE ns.t)`` — copy the source schema
+        lm = re.match(
+            rf"\(\s*LIKE\s+{_TBL}\s*\)$", rest, re.IGNORECASE
+        )
+        if lm:
+            src_tbl = self._load(lm.group(1), lm.group(2))
+            return self.catalog.create_table(
+                ns, name, src_tbl.schema(), properties=props,
+                if_not_exists=if_not_exists, partition_by=part_by,
             )
         if not (rest.startswith("(") and rest.endswith(")")):
             raise LakehouseError(f"cannot parse CREATE TABLE body: {rest[:80]!r}")
         from pyspark.sql.types import _parse_datatype_string
 
         # PG column/table constraint grammar inside the column list:
-        #   col TYPE [NOT NULL] [DEFAULT <expr>]
+        #   col TYPE [NOT NULL] [DEFAULT <expr>] [PRIMARY KEY] [UNIQUE]
         #   [CONSTRAINT name] CHECK (<expr>)        (table-level)
+        #   [CONSTRAINT name] PRIMARY KEY (a, b) | UNIQUE (a, b)
+        # PRIMARY KEY maps to NOT NULL + the row_key table property
+        # (the identity columns merge-on-read DML keys by); UNIQUE is
+        # recorded as an INFORMATIONAL property — neither enforces
+        # uniqueness at write (the Iceberg/Delta lakehouse posture:
+        # enforcement would shuffle-join every append against the
+        # whole table).
         col_defs, checks, defaults, notnull = [], {}, {}, []
+        pk_cols: list[str] = []
+        unique_sets: list[list[str]] = []
         for item in _split_top_level(rest[1:-1]):
             it = item.strip()
+            km = re.match(
+                rf"(?:CONSTRAINT\s+{_IDENT}\s+)?"
+                rf"(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)$",
+                it,
+                re.IGNORECASE,
+            )
+            if km:
+                cols = [
+                    c.strip() for c in km.group(2).split(",") if c.strip()
+                ]
+                if km.group(1).upper().startswith("PRIMARY"):
+                    pk_cols.extend(cols)
+                    notnull.extend(cols)
+                else:
+                    unique_sets.append(cols)
+                continue
             cm = re.match(
                 rf"(?:CONSTRAINT\s+({_IDENT})\s+)?CHECK\s*\((.*)\)$",
                 it,
@@ -748,8 +821,18 @@ class LakeSQL:
             )
             if cm:
                 cname = cm.group(1) or f"check_{len(checks) + 1}"
-                checks[cname] = cm.group(2).strip()
+                checks[cname] = U(cm.group(2).strip())
                 continue
+            colname = it.split(None, 1)[0]
+            ikm = re.search(r"\s+PRIMARY\s+KEY\b", it, re.IGNORECASE)
+            if ikm:
+                pk_cols.append(colname)
+                notnull.append(colname)
+                it = (it[: ikm.start()] + it[ikm.end():]).strip()
+            ium = re.search(r"\s+UNIQUE\b", it, re.IGNORECASE)
+            if ium:
+                unique_sets.append([colname])
+                it = (it[: ium.start()] + it[ium.end():]).strip()
             dm = re.search(r"\s+DEFAULT\s+(.+)$", it, re.IGNORECASE)
             if dm:
                 dexpr = dm.group(1).strip()
@@ -759,19 +842,39 @@ class LakeSQL:
                 # the default expression
                 tn = re.search(r"\s+NOT\s+NULL$", dexpr, re.IGNORECASE)
                 if tn:
-                    notnull.append(it.split(None, 1)[0])
+                    notnull.append(colname)
                     dexpr = dexpr[: tn.start()].rstrip()
-                defaults[it.split(None, 1)[0]] = dexpr
+                defaults[colname] = U(dexpr)
                 it = it[: dm.start()].rstrip()
             nn = re.search(r"\s+NOT\s+NULL$", it, re.IGNORECASE)
             if nn:
-                notnull.append(it.split(None, 1)[0])
+                notnull.append(colname)
                 it = it[: nn.start()].rstrip()
             cname_, _, ctype_ = it.strip().partition(" ")
             col_defs.append(
                 f"{cname_} {self._map_pg_type(ctype_)}" if ctype_ else it
             )
+        if pk_cols:
+            props = dict(props or {})
+            props.setdefault("row_key", ",".join(dict.fromkeys(pk_cols)))
+        if unique_sets:
+            props = dict(props or {})
+            props.setdefault(
+                "unique_constraints",
+                ";".join(",".join(u) for u in unique_sets),
+            )
+        notnull = list(dict.fromkeys(notnull))
         schema = _parse_datatype_string(", ".join(col_defs))
+        known_cols = set(schema.names)
+        badc = [
+            c
+            for c in pk_cols + [c for u in unique_sets for c in u]
+            if c not in known_cols
+        ]
+        if badc:
+            raise LakehouseError(
+                f"constraint references unknown column(s): {sorted(set(badc))}"
+            )
         tbl = self.catalog.create_table(
             ns,
             name,
@@ -1056,15 +1159,14 @@ class LakeSQL:
                 # parse DO UPDATE SET here (masked) so commas inside a
                 # string literal can't tear the assignment split
                 assignments = {}
-                for kv in _split_top_level(cm.group(3)):
-                    k, _, v = kv.partition("=")
+                for k, v in _set_items(cm.group(3)):
                     expr = re.sub(
                         rf"\bexcluded\.({_IDENT})",
                         r"__src.\1",
-                        v.strip(),
+                        v,
                         flags=re.IGNORECASE,
                     )
-                    assignments[k.strip()] = F.expr(U(expr))
+                    assignments[k] = F.expr(U(expr))
                 conflict = (keys, "update", assignments)
             s = s[: cm.start()].rstrip()
         m = re.match(
@@ -1089,6 +1191,23 @@ class LakeSQL:
             # `INSERT INTO t (SELECT ...)` — whole body parenthesized
             body = body[1:-1].strip()
         tbl = self._load(ns, name, branch)
+        if re.fullmatch(r"DEFAULT\s+VALUES", body, re.IGNORECASE):
+            # PG: insert one row of declared defaults (NULL without one)
+            defaults = tbl.column_defaults()
+            ids, _ = tbl._effective_field_ids(tbl.snapshot())
+            bound = self.spark.range(1).select(
+                *[
+                    (
+                        F.expr(defaults[str(ids.get(f.name))])
+                        if str(ids.get(f.name)) in defaults
+                        else F.lit(None)
+                    )
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in tbl.schema().fields
+                ]
+            )
+            return self._finish_insert(tbl, bound, conflict)
         if body.upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
             df = (
                 self._select(U(body))
@@ -1377,10 +1496,9 @@ class LakeSQL:
                 return F.expr(U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e)))
 
             assignments = {}
-            for kv in _split_top_level(sets):
-                k, _, v = kv.partition("=")
-                k = re.sub(rf"^{talias}\.", "", k.strip())
-                assignments[k] = rewrite(v.strip())
+            for k, v in _set_items(sets):
+                k = re.sub(rf"^{talias}\.", "", k)
+                assignments[k] = rewrite(v)
             return self._apply_merge(
                 tbl,
                 source,
@@ -1400,9 +1518,8 @@ class LakeSQL:
             raise LakehouseError(f"cannot parse UPDATE: {U(s)[:80]!r}")
         ns, name, branch, sets, where = m.groups()
         assignments = {}
-        for kv in _split_top_level(sets):
-            k, _, v = kv.partition("=")
-            assignments[k.strip()] = F.expr(U(v.strip()))
+        for k, v in _set_items(sets):
+            assignments[k] = F.expr(U(v))
         tbl = self._load(ns, name, branch)
         return self._apply_update(
             tbl, F.expr(U(where)) if where else F.lit(True), assignments
@@ -1507,10 +1624,9 @@ class LakeSQL:
                     kw["when_matched_delete"] = True
                 elif actu.startswith("UPDATE SET"):
                     assigns = {}
-                    for a in _split_top_level(act[len("UPDATE SET"):]):
-                        k, _, v = a.partition("=")
-                        k = re.sub(rf"^{talias}\.", "", k.strip())
-                        assigns[k] = rewrite(v.strip())
+                    for k, v in _set_items(act[len("UPDATE SET"):]):
+                        k = re.sub(rf"^{talias}\.", "", k)
+                        assigns[k] = rewrite(v)
                     kw["when_matched_update"] = assigns
             elif kind == "NOT MATCHED":
                 if actu == "INSERT *":

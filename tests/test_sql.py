@@ -1313,3 +1313,85 @@ def test_alter_add_widen_pg_types(lsql):
     }
     assert got["extra"] == "string"
     assert got["small"] == "bigint"
+
+
+# -- r6: PG constraint/assignment surface -------------------------------
+
+
+def test_create_primary_key_inline_maps_to_row_key(lsql):
+    tbl = lsql.sql("CREATE TABLE db.pku (id BIGINT PRIMARY KEY, v TEXT)")
+    assert tbl.snapshot().properties.get("row_key") == "id"
+    assert "notnull_id" in tbl.check_constraints()
+    # PK powers merge-on-read DML with no further setup
+    lsql.sql(
+        "ALTER TABLE db.pku SET (write_delete_mode = 'merge-on-read')"
+    )
+    lsql.sql("INSERT INTO db.pku VALUES (1, 'x'), (2, 'y')")
+    lsql.sql("DELETE FROM db.pku WHERE id = 1")
+    assert [
+        r.id for r in lsql.sql("SELECT id FROM db.pku").collect()
+    ] == [2]
+    with pytest.raises(Exception, match="notnull_id"):
+        lsql.sql("INSERT INTO db.pku VALUES (NULL, 'z')")
+
+
+def test_create_composite_pk_and_unique(lsql):
+    tbl = lsql.sql(
+        "CREATE TABLE db.pkc (a BIGINT, b BIGINT, v TEXT UNIQUE, "
+        "PRIMARY KEY (a, b))"
+    )
+    p = tbl.snapshot().properties
+    assert p.get("row_key") == "a,b"
+    assert p.get("unique_constraints") == "v"  # informational
+    assert {"notnull_a", "notnull_b"} <= set(tbl.check_constraints())
+
+
+def test_create_pk_composes_with_default_and_literal(lsql):
+    lsql.sql(
+        "CREATE TABLE db.pkd (id BIGINT PRIMARY KEY, "
+        "s TEXT DEFAULT 'a, (PRIMARY KEY' NOT NULL)"
+    )
+    lsql.sql("INSERT INTO db.pkd (id) VALUES (1)")
+    assert (
+        lsql.sql("SELECT s FROM db.pkd").collect()[0].s
+        == "a, (PRIMARY KEY"
+    )
+
+
+def test_create_constraint_unknown_column_fails(lsql):
+    with pytest.raises(LakehouseError, match="unknown column"):
+        lsql.sql("CREATE TABLE db.badc (id BIGINT, PRIMARY KEY (missing))")
+
+
+def test_insert_default_values(lsql):
+    lsql.sql("CREATE TABLE db.dv6 (id BIGINT, v TEXT DEFAULT 'x')")
+    lsql.sql("INSERT INTO db.dv6 DEFAULT VALUES")
+    r = lsql.sql("SELECT * FROM db.dv6").collect()[0]
+    assert (r.id, r.v) == (None, "x")
+
+
+def test_create_table_like(lsql):
+    lsql.sql("CREATE TABLE db.src6 (id BIGINT, v TEXT DEFAULT 'x')")
+    lsql.sql("CREATE TABLE db.cpy6 (LIKE db.src6)")
+    got = [
+        f.name
+        for f in lsql.catalog.load_table("db", "cpy6").schema().fields
+    ]
+    assert got == ["id", "v"]
+
+
+def test_update_tuple_assignment(lsql):
+    lsql.sql("CREATE TABLE db.tup6 (a BIGINT, b BIGINT, s STRING)")
+    lsql.sql("INSERT INTO db.tup6 VALUES (1, 1, 'z')")
+    lsql.sql("UPDATE db.tup6 SET (a, b) = (2, a + 10) WHERE a = 1")
+    r = lsql.sql("SELECT * FROM db.tup6").collect()[0]
+    assert (r.a, r.b) == (2, 11)
+    with pytest.raises(LakehouseError, match="arity"):
+        lsql.sql("UPDATE db.tup6 SET (a, b) = (1, 2, 3)")
+
+
+def test_update_unknown_column_fails_loudly(lsql):
+    lsql.sql("CREATE TABLE db.unk6 (a BIGINT)")
+    lsql.sql("INSERT INTO db.unk6 VALUES (1)")
+    with pytest.raises(LakehouseError, match="unknown column"):
+        lsql.sql("UPDATE db.unk6 SET nope = 1")
