@@ -76,3 +76,44 @@ def stratified_sample(
             (F.col(strata_col) == stratum) & (bucket < int(frac * denom))
         )
     return df.filter(cond)
+
+
+def balance_by_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    order_by: Column | str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-key document cap (domain balancing): keep at most ``cap``
+    rows per ``key_col`` value — the C4/RefinedWeb counter to a few
+    giant hosts dominating the corpus.
+
+    The kept subset is DETERMINISTIC: rows rank by ``order_by``
+    (default: a multiplicative hash of ``id_col``, so the survivors
+    are an unbiased pseudo-random sample per key, stable across runs
+    and partitionings — ranking by raw id would always keep the
+    oldest crawl records). One shuffle: a window
+    ``row_number() OVER (PARTITION BY key ORDER BY rank, id)``; the
+    id tiebreak makes the ranking total. Skew note: a pathologically
+    hot key ranks on a single partition — at 100 TB, pre-filter such
+    keys with an aggregate count and exact top-``cap`` per hot key if
+    one key exceeds executor memory.
+    """
+    from pyspark.sql.window import Window
+
+    if order_by is None:
+        # multiplicative hash — expressible in any SQL engine (the
+        # oracle twin), unlike xxhash64
+        order_by = F.pmod(
+            F.col(id_col).cast("long") * 1103515245 + 12345,
+            F.lit(2147483648),
+        )
+    elif isinstance(order_by, str):
+        order_by = F.col(order_by)
+    w = Window.partitionBy(key_col).orderBy(order_by, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

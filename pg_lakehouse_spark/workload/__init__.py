@@ -53,7 +53,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # source pipeline), SQL views, and time-series gap-fill. Families with
 # several window slots in earlier rounds ceded duplicates to the new
 # families (the displaced queries stay oracle-checked in the local
-# suite). r6 rotation: q_full_outer_join / q_except_all /
+# suite). r6 rotation: q_full_outer_join / q_anti_join /
 # q_distinct_agg / q_generate_series (families keep another window
 # representative each) ceded to lake_hidden_partitioning /
 # lake_merge_composite_key / lake_delete_by_keys /
@@ -63,7 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "lake_avro_roundtrip",
-    "q_anti_join",
+    "q_except_all",
     "lake_hidden_partitioning",
     "lake_txn_multi_table",
     "q_range_join_bands",

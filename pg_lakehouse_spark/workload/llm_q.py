@@ -977,3 +977,80 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bpe_tokens").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
     )
+
+
+@register(
+    "dedup_lines_corpus",
+    oracle="""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+           AS ws
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(range(1, len(ws) + 1)) AS i
+  FROM words
+), lines AS (
+  SELECT doc_id, CAST(floor((i - 1) / 4) AS INT) AS grp,
+         string_agg(w, ' ' ORDER BY i) AS line
+  FROM toks GROUP BY doc_id, 2
+), counted AS (
+  SELECT doc_id, grp, line,
+         count(*) OVER (PARTITION BY trim(line)) AS c
+  FROM lines
+), kept AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY grp) AS text
+  FROM counted WHERE c < 2 GROUP BY doc_id
+)
+SELECT doc_id, text FROM kept WHERE length(trim(text)) > 0
+""",
+    tags=("dedup-lines",),
+)
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (RefinedWeb boilerplate removal). The
+    synthetic corpus has no newlines, so both sides first derive
+    pseudo-lines (4-word windows) identically; ``dedup_lines`` then
+    removes every line occurring twice-plus across the corpus and
+    reassembles documents in order, dropping fully-boilerplate docs."""
+    from pg_lakehouse_spark.llm.dedup import dedup_lines
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " "
+    )
+    n_lines = F.ceil(F.size(words) / F.lit(4)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * 4 + 1, 4), " "),
+    )
+    pseudo = docs.filter(F.size(words) > 0).select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+    return dedup_lines(pseudo, min_dup=2)
+
+
+@register(
+    "balance_source_cap",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang FROM ranked WHERE rn <= 10
+""",
+    tags=("domain-balance",),
+)
+def balance_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (C4/RefinedWeb domain balancing): at
+    most 10 docs per source survive, chosen by a deterministic
+    multiplicative hash of doc_id (an unbiased per-source sample,
+    stable across runs/partitionings, oracle-expressible)."""
+    from pg_lakehouse_spark.llm.splits import balance_by_key
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return balance_by_key(docs, "source", cap=10)

@@ -978,3 +978,65 @@ def test_ann_join_recall_vs_bruteforce(spark, sf_dir):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.8, recall
+
+
+# -- r6: corpus line dedup + domain balancing ---------------------------
+
+
+def test_dedup_lines_removes_boilerplate_preserves_order(spark):
+    from pg_lakehouse_spark.llm.dedup import dedup_lines
+
+    hdr = "COOKIE BANNER accept all"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hdr}\nunique prose one\nmore unique text"),
+            (2, f"{hdr}\nsecond doc body"),
+            (3, f"{hdr}"),  # all boilerplate -> dropped
+            (4, "alpha\nbeta\nalpha"),  # within-doc repetition counts
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup_lines(docs, min_dup=2).collect()
+    }
+    assert out == {
+        1: "unique prose one\nmore unique text",
+        2: "second doc body",
+        4: "beta",  # within-doc repeats count as duplicates too
+    }
+
+
+def test_dedup_lines_min_chars_exempts_short_lines(spark):
+    from pg_lakehouse_spark.llm.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a\nlong unique line"), (2, "a\nother unique line")],
+        "doc_id long, text string",
+    )
+    # "a" repeats but is under min_chars -> exempt, survives
+    out = {
+        r.doc_id: r.text
+        for r in dedup_lines(docs, min_dup=2, min_chars=2).collect()
+    }
+    assert out == {1: "a\nlong unique line", 2: "a\nother unique line"}
+
+
+def test_balance_by_key_caps_and_is_deterministic(spark):
+    from pg_lakehouse_spark.llm.splits import balance_by_key
+
+    rows = [(i, f"src{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = balance_by_key(df, "source", cap=5)
+    got = a.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {
+        "src0": 5, "src1": 5, "src2": 5
+    }
+    # stable across partitionings
+    b = balance_by_key(df.repartition(13), "source", cap=5)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+    # under-cap keys keep everything
+    c = balance_by_key(df, "source", cap=100)
+    assert c.count() == 90
