@@ -169,10 +169,36 @@ class LakeSQL:
                 pass  # fall through: maybe a catalog.schema temp view
         return self.spark.table(src_ref)
 
+    _QIDENT = re.compile(r'"((?:[^"]|"")*)"')
+
+    @classmethod
+    def _normalize_quoted_identifiers(cls, s: str) -> str:
+        """PG double-quoted identifiers → Spark form. In PG, ``"..."``
+        is ALWAYS an identifier (strings are single-quoted), but Spark
+        reads ``"id"`` as a string literal by default — so ``SELECT
+        "id" FROM t`` would silently project a constant. Simple
+        identifiers drop the quotes (Spark accepts bare keywords:
+        ``enforceReservedKeywords`` is false); anything with special
+        characters becomes a backtick identifier, which Spark-bound
+        expression positions accept and this frontend's own regex
+        grammar rejects LOUDLY (never silently). Single-quoted
+        literals are masked first — a double quote inside a string is
+        data."""
+        masked, lits = cls._mask_strings(s)
+
+        def repl(m: re.Match) -> str:
+            ident = m.group(1).replace('""', '"')
+            if re.fullmatch(_IDENT, ident):
+                return ident
+            return f"`{ident}`"
+
+        return cls._unmask_strings(cls._QIDENT.sub(repl, masked), lits)
+
     def sql(self, stmt: str):
         """Route one statement. Returns a DataFrame for SELECT, a
         Snapshot for DML, a LakeTable for CREATE, else None."""
         s = stmt.strip().rstrip(";").strip()
+        s = self._normalize_quoted_identifiers(s)
         head = s.split(None, 2)[0].upper() if s else ""
         if head in ("BEGIN", "START"):  # BEGIN [TRANSACTION|WORK]
             return self._begin()

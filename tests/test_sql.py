@@ -1395,3 +1395,30 @@ def test_update_unknown_column_fails_loudly(lsql):
     lsql.sql("INSERT INTO db.unk6 VALUES (1)")
     with pytest.raises(LakehouseError, match="unknown column"):
         lsql.sql("UPDATE db.unk6 SET nope = 1")
+
+
+# -- r6: PG double-quoted identifiers -----------------------------------
+
+
+def test_quoted_identifiers_are_identifiers_not_strings(lsql):
+    """PG: "..." is ALWAYS an identifier. Spark reads "id" as a string
+    literal by default, so without normalization SELECT "id" silently
+    projects a constant — a wrong-results class."""
+    lsql.sql('CREATE TABLE db.qi ("order" BIGINT, "select" TEXT)')
+    lsql.sql('INSERT INTO db.qi VALUES (1, \'a\'), (2, \'b\')')
+    got = lsql.sql(
+        'SELECT "order", "select" FROM db.qi WHERE "order" = 2'
+    ).collect()
+    assert [(r[0], r[1]) for r in got] == [(2, "b")]
+    lsql.sql('UPDATE db.qi SET "select" = \'z\' WHERE "order" = 1')
+    got = {r[0]: r[1] for r in lsql.sql("SELECT order, select FROM db.qi").collect()}
+    assert got == {1: "z", 2: "b"}
+    lsql.sql('DELETE FROM db.qi WHERE "order" = 1')
+    assert lsql.sql("SELECT * FROM db.qi").count() == 1
+
+
+def test_quoted_identifier_inside_string_untouched(lsql):
+    lsql.sql("CREATE TABLE db.qs (k BIGINT, s STRING)")
+    lsql.sql("INSERT INTO db.qs VALUES (1, 'he said \"order\" loudly')")
+    r = lsql.sql("SELECT s FROM db.qs").collect()[0]
+    assert r.s == 'he said "order" loudly'
