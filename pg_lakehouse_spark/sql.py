@@ -170,35 +170,111 @@ class LakeSQL:
         return self.spark.table(src_ref)
 
     _QIDENT = re.compile(r'"((?:[^"]|"")*)"')
+    # infix regex-match operators (space-delimited so the prefix
+    # bitwise-NOT ``~x`` is never touched)
+    _REGEX_OP = re.compile(r"\s(!~\*|!~|~\*|~)\s")
+    # PG type name after ``::`` — multi-word alternatives first so
+    # ``double precision`` can't half-match as ``double``
+    _COLONCAST = re.compile(
+        r"::\s*("
+        r"double\s+precision"
+        r"|character\s+varying(?:\s*\(\s*\d+\s*\))?"
+        r"|timestamp\s+with(?:out)?\s+time\s+zone"
+        r"|[A-Za-z_][A-Za-z_0-9]*"
+        r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+        r")(\s*\[\s*\])?",
+        re.IGNORECASE,
+    )
+    _EXTRACT_EPOCH = re.compile(
+        r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE
+    )
 
     @classmethod
-    def _normalize_quoted_identifiers(cls, s: str) -> str:
-        """PG double-quoted identifiers → Spark form. In PG, ``"..."``
-        is ALWAYS an identifier (strings are single-quoted), but Spark
-        reads ``"id"`` as a string literal by default — so ``SELECT
-        "id" FROM t`` would silently project a constant. Simple
-        identifiers drop the quotes (Spark accepts bare keywords:
-        ``enforceReservedKeywords`` is false); anything with special
-        characters becomes a backtick identifier, which Spark-bound
-        expression positions accept and this frontend's own regex
-        grammar rejects LOUDLY (never silently). Single-quoted
-        literals are masked first — a double quote inside a string is
-        data."""
+    def _pg_dialect(cls, s: str) -> str:
+        """Rewrite PG-isms Spark reads differently (or not at all),
+        on literal-masked text so string contents are never touched:
+
+        - ``"ident"`` — ALWAYS an identifier in PG, but a string
+          literal to Spark: ``SELECT "id" FROM t`` would silently
+          project a constant. Simple names drop the quotes (Spark
+          accepts bare keywords; ``enforceReservedKeywords`` false);
+          special-character names become backtick identifiers, which
+          Spark-bound positions accept and this frontend's own regex
+          grammar rejects LOUDLY.
+        - ``x ~ 'p'`` / ``!~`` / ``~*`` / ``!~*`` — PG regex match →
+          ``[NOT] RLIKE``; the case-insensitive forms inject ``(?i)``
+          into the pattern literal (non-literal ``~*`` patterns stay
+          unrewritten and fail loudly in Spark).
+        - ``x::text`` — PG type names map through ``_map_pg_type``.
+        - ``extract(epoch from x)`` → ``unix_micros(cast(... as
+          timestamp)) / 1e6`` (fractional-seconds double, PG
+          semantics); Spark has no EPOCH extract field.
+        """
         masked, lits = cls._mask_strings(s)
 
-        def repl(m: re.Match) -> str:
+        def qrepl(m: re.Match) -> str:
             ident = m.group(1).replace('""', '"')
             if re.fullmatch(_IDENT, ident):
                 return ident
             return f"`{ident}`"
 
-        return cls._unmask_strings(cls._QIDENT.sub(repl, masked), lits)
+        masked = cls._QIDENT.sub(qrepl, masked)
+
+        def oprepl(m: re.Match) -> str:
+            op = m.group(1)
+            tail = masked[m.end():]
+            if "*" in op:
+                lm = re.match(r"\s*\x00(\d+)\x00", " " + tail)
+                if not lm:
+                    return m.group(0)  # non-literal pattern: leave it
+                i = int(lm.group(1))
+                lits[i] = "'(?i)" + lits[i][1:]
+            return (" NOT RLIKE " if op.startswith("!") else " RLIKE ")
+
+        # iterate manually: each rewrite may shift offsets
+        while True:
+            m = cls._REGEX_OP.search(masked)
+            if not m:
+                break
+            rep = oprepl(m)
+            if rep == m.group(0):
+                break  # un-rewritable (non-literal ~*): stop, loud fail
+            masked = masked[: m.start()] + rep + masked[m.end():]
+
+        masked = cls._COLONCAST.sub(
+            lambda m: "::"
+            + cls._map_pg_type((m.group(1) + (m.group(2) or "")).strip()),
+            masked,
+        )
+
+        while True:
+            m = cls._EXTRACT_EPOCH.search(masked)
+            if not m:
+                break
+            depth, i = 1, m.end()
+            while i < len(masked) and depth:
+                if masked[i] == "(":
+                    depth += 1
+                elif masked[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                break  # unbalanced: leave it, Spark will fail loudly
+            inner = masked[m.end(): i - 1]
+            masked = (
+                masked[: m.start()]
+                + f"(unix_micros(cast(({inner.strip()}) as timestamp))"
+                " / 1000000.0)"
+                + masked[i:]
+            )
+
+        return cls._unmask_strings(masked, lits)
 
     def sql(self, stmt: str):
         """Route one statement. Returns a DataFrame for SELECT, a
         Snapshot for DML, a LakeTable for CREATE, else None."""
         s = stmt.strip().rstrip(";").strip()
-        s = self._normalize_quoted_identifiers(s)
+        s = self._pg_dialect(s)
         head = s.split(None, 2)[0].upper() if s else ""
         if head in ("BEGIN", "START"):  # BEGIN [TRANSACTION|WORK]
             return self._begin()

@@ -1422,3 +1422,50 @@ def test_quoted_identifier_inside_string_untouched(lsql):
     lsql.sql("INSERT INTO db.qs VALUES (1, 'he said \"order\" loudly')")
     r = lsql.sql("SELECT s FROM db.qs").collect()[0]
     assert r.s == 'he said "order" loudly'
+
+
+# -- r6: PG dialect expression rewrites ---------------------------------
+
+
+def test_pg_regex_match_operators(lsql):
+    lsql.sql("CREATE TABLE db.rx (k BIGINT, s TEXT)")
+    lsql.sql("INSERT INTO db.rx VALUES (1, 'Alpha'), (2, 'beta')")
+    assert [
+        r.k for r in lsql.sql("SELECT k FROM db.rx WHERE s ~ '^Al'").collect()
+    ] == [1]
+    assert [
+        r.k
+        for r in lsql.sql("SELECT k FROM db.rx WHERE s ~* '^al'").collect()
+    ] == [1]
+    assert [
+        r.k
+        for r in lsql.sql(
+            "SELECT k FROM db.rx WHERE s !~ '^Al' ORDER BY k"
+        ).collect()
+    ] == [2]
+    assert [
+        r.k
+        for r in lsql.sql("SELECT k FROM db.rx WHERE s !~* 'ETA$'").collect()
+    ] == [1]
+    # operator text inside a literal is data, not an operator
+    assert (
+        lsql.sql("SELECT k FROM db.rx WHERE s = 'a ~ b'").count() == 0
+    )
+
+
+def test_pg_coloncolon_cast_type_names(lsql):
+    lsql.sql("CREATE TABLE db.cc (k BIGINT)")
+    lsql.sql("INSERT INTO db.cc VALUES (7)")
+    r = lsql.sql(
+        "SELECT k::text AS kt, k::double precision AS kd, "
+        "'5'::bigint + k AS n FROM db.cc"
+    ).collect()[0]
+    assert (r.kt, r.kd, r.n) == ("7", 7.0, 12)
+
+
+def test_pg_extract_epoch(lsql):
+    r = lsql.sql(
+        "SELECT extract(epoch FROM timestamp '2024-01-01 00:00:00')"
+        "::bigint AS ep"
+    ).collect()[0]
+    assert r.ep == 1704067200
