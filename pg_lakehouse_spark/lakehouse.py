@@ -2610,6 +2610,32 @@ class LakeTable:
         nulls can't satisfy IS NULL; an all-null file can't satisfy IS
         NOT NULL). Every predicate is re-applied row-level after the
         scan, so results are exact regardless of stats coverage."""
+        s, selected = self.pruned_entries(
+            filters, snapshot=snapshot, is_null=is_null, not_null=not_null
+        )
+        df = self._read_entries(s, selected)
+        for col_name, (lo, hi) in filters.items():
+            if lo is not None:
+                df = df.filter(F.col(col_name) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col_name) <= hi)
+        for c in is_null or []:
+            df = df.filter(F.col(c).isNull())
+        for c in not_null or []:
+            df = df.filter(F.col(c).isNotNull())
+        return df
+
+    def pruned_entries(
+        self,
+        filters: dict[str, tuple],
+        snapshot: int | None = None,
+        is_null: list[str] | None = None,
+        not_null: list[str] | None = None,
+    ) -> tuple[Snapshot, list[dict]]:
+        """The manifest file-selection half of :meth:`read_pruned`:
+        (snapshot, surviving file entries) — metadata-only except the
+        single-row bucket/bloom hash jobs. EXPLAIN uses it to report
+        the rewrite candidate set without reading data."""
         s = self.snapshot(snapshot)
         eq = self._bucket_eq_values(s, filters)
         beq = self._bloom_eq_positions(s, filters)
@@ -2691,17 +2717,7 @@ class LakeTable:
             ) and null_ok(f, m)
 
         selected = [f for f in s.files if overlaps(f)]
-        df = self._read_entries(s, selected)
-        for col_name, (lo, hi) in filters.items():
-            if lo is not None:
-                df = df.filter(F.col(col_name) >= lo)
-            if hi is not None:
-                df = df.filter(F.col(col_name) <= hi)
-        for c in is_null or []:
-            df = df.filter(F.col(c).isNull())
-        for c in not_null or []:
-            df = df.filter(F.col(c).isNotNull())
-        return df
+        return s, selected
 
     def _bucket_eq_values(
         self, snap: Snapshot, filters: dict[str, tuple]

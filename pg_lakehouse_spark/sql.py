@@ -295,15 +295,22 @@ class LakeSQL:
         if head == "EXPLAIN":
             # PG's inspection verb: lake refs bind exactly as in SELECT,
             # then Spark's own EXPLAIN [EXTENDED|FORMATTED|...] renders
-            # the Catalyst plan — one row, column `plan`.
+            # the Catalyst plan — one row, column `plan`. DML verbs get
+            # the lake's own plan (mode + manifest pruning estimate),
+            # WITHOUT executing — PG parity.
             body = re.sub(
                 r"^EXPLAIN(\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+",
                 "",
                 s,
                 flags=re.IGNORECASE,
             )
+            bhead = body.split(None, 1)[0].upper() if body else ""
+            if bhead in ("DELETE", "UPDATE", "MERGE"):
+                return self._explain_dml(bhead, body)
             if not body.upper().startswith(("SELECT", "WITH")):
-                raise LakehouseError("EXPLAIN supports SELECT statements")
+                raise LakehouseError(
+                    "EXPLAIN supports SELECT/DELETE/UPDATE/MERGE"
+                )
             return self._select(s)
         if head == "CREATE":
             if re.match(r"CREATE\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
@@ -1464,6 +1471,83 @@ class LakeSQL:
             return changes.drop("_change_type", "_commit_version")
         cols = [c.strip() for c in returning.split(",") if c.strip()]
         return changes.select(*cols)
+
+    def _explain_dml(self, verb: str, body: str) -> DataFrame:
+        """Lake plan for a DML statement — NOT executed. Reports the
+        write mode (copy-on-write vs merge-on-read), the snapshot, and
+        the manifest-pruned rewrite candidate set for the extractable
+        part of the predicate (bounds + blooms + partition buckets,
+        metadata-only): the cost story a PG user reads EXPLAIN for.
+        The estimate is a superset of the true rewrite set — the full
+        predicate re-applies at execution."""
+        bm, _lits = self._mask_strings(body)
+        m = re.match(
+            rf"(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO)\s+{_TBL}"
+            rf"(?:@({_IDENT}))?",
+            bm,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise LakehouseError(f"cannot EXPLAIN: {body[:80]!r}")
+        ns, name, branch = m.group(1), m.group(2), m.group(3)
+        tbl = self._load(ns, name, branch)
+        snap = tbl.snapshot()
+        mode = {
+            "cow": "copy-on-write",
+            "mor": "merge-on-read (equality deletes)",
+            "mor-pos": "merge-on-read (position deletes)",
+        }[tbl._delete_mode(None)]
+        total_files = len(snap.files)
+        total_bytes = sum(f.get("bytes", 0) for f in snap.files)
+        lines = [
+            "== Lake DML Plan (not executed) ==",
+            f"operation: {verb.lower()}",
+            f"table: {ns}.{name}"
+            + (f"@{branch}" if branch else "")
+            + f", snapshot v{snap.version}",
+            f"write mode: {mode}",
+        ]
+        where = None
+        wm = re.search(r"\bWHERE\s+(.*)$", bm, re.IGNORECASE | re.DOTALL)
+        if verb != "MERGE" and wm:
+            where = self._unmask_strings(wm.group(1).strip(), _lits)
+            lines.append(f"predicate: {where}")
+            filters = self._where_filters(
+                "WHERE " + where, tbl.schema()
+            )
+            if filters:
+                shown = ", ".join(
+                    f"{c} in [{lo if lo is not None else '-inf'}, "
+                    f"{hi if hi is not None else 'inf'}]"
+                    for c, (lo, hi) in filters.items()
+                )
+                lines.append(f"manifest ranges: {shown}")
+                _, selected = tbl.pruned_entries(filters)
+            else:
+                lines.append(
+                    "manifest ranges: none extractable "
+                    "(full-scan candidate set)"
+                )
+                selected = snap.files
+        else:
+            if verb == "MERGE":
+                lines.append(
+                    "candidate set: files overlapping the source key "
+                    "bounds (computed from the source at execution)"
+                )
+            selected = snap.files
+        sel_bytes = sum(f.get("bytes", 0) for f in selected)
+        lines.append(
+            f"rewrite candidates: {len(selected)} of {total_files} files"
+            f" ({sel_bytes:,} of {total_bytes:,} bytes)"
+        )
+        if snap.delete_files:
+            lines.append(
+                f"live delete files: {len(snap.delete_files)}"
+            )
+        return self.spark.createDataFrame(
+            [("\n".join(lines),)], "plan string"
+        )
 
     def _delete(self, s: str) -> Snapshot:
         # PG join-delete: DELETE FROM t [AS a] USING src [AS b]

@@ -567,8 +567,12 @@ def test_sql_explain(lsql):
         "EXPLAIN FORMATTED SELECT k FROM db.ex WHERE k = 1"
     )
     assert out.count() >= 1
-    with pytest.raises(LakehouseError, match="EXPLAIN supports SELECT"):
-        lsql.sql("EXPLAIN DELETE FROM db.ex WHERE k = 1")
+    # DML EXPLAIN is the lake's own plan (r6) — and must not execute
+    plan = lsql.sql("EXPLAIN DELETE FROM db.ex WHERE k = 1").collect()[0][0]
+    assert "operation: delete" in plan
+    assert lsql.sql("SELECT count(*) AS n FROM db.ex").collect()[0].n == 1
+    with pytest.raises(LakehouseError, match="EXPLAIN supports"):
+        lsql.sql("EXPLAIN INSERT INTO db.ex VALUES (2, 2.5)")
 
 
 def test_sql_constraints(lsql):
@@ -1469,3 +1473,35 @@ def test_pg_extract_epoch(lsql):
         "::bigint AS ep"
     ).collect()[0]
     assert r.ep == 1704067200
+
+
+def test_explain_dml_reports_pruning_without_executing(lsql):
+    lsql.sql("CREATE TABLE db.exd (k BIGINT, s STRING)")
+    for lo in (0, 100, 200):
+        lsql.sql(
+            f"INSERT INTO db.exd SELECT id AS k, 'v' AS s "
+            f"FROM range({lo}, {lo + 100})"
+        )
+    plan = lsql.sql(
+        "EXPLAIN DELETE FROM db.exd WHERE k BETWEEN 250 AND 260"
+    ).collect()[0].plan
+    assert "operation: delete" in plan
+    assert "write mode: copy-on-write" in plan
+    assert "manifest ranges: k in [250, 260]" in plan
+    import re as _re
+
+    m = _re.search(r"rewrite candidates: (\d+) of (\d+) files", plan)
+    assert m and int(m.group(1)) < int(m.group(2))
+    # not executed
+    assert (
+        lsql.sql("SELECT count(*) AS n FROM db.exd").collect()[0].n == 300
+    )
+    up = lsql.sql(
+        "EXPLAIN UPDATE db.exd SET s = 'x' WHERE k = 5"
+    ).collect()[0].plan
+    assert "operation: update" in up and "k in [5, 5]" in up
+    mg = lsql.sql(
+        "EXPLAIN MERGE INTO db.exd AS t USING (SELECT 1 AS k) AS s "
+        "ON t.k = s.k WHEN MATCHED THEN DELETE"
+    ).collect()[0].plan
+    assert "operation: merge" in mg and "source key bounds" in mg
