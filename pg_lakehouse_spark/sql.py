@@ -74,6 +74,7 @@ semantics.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -313,6 +314,10 @@ class LakeSQL:
                 )
             return self._select(s)
         if head == "CREATE":
+            if re.match(
+                r"CREATE\s+(UNIQUE\s+)?INDEX\b", s, re.IGNORECASE
+            ):
+                return self._create_index(s)
             if re.match(r"CREATE\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
                 return self._create_matview(s)
             if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW", s, re.IGNORECASE):
@@ -331,6 +336,8 @@ class LakeSQL:
         if head == "REFRESH":
             return self._refresh_matview(s)
         if head == "DROP":
+            if re.match(r"DROP\s+INDEX\b", s, re.IGNORECASE):
+                return self._drop_index(s)
             if re.match(r"DROP\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
                 m = re.match(
                     rf"DROP\s+MATERIALIZED\s+VIEW\s+{_TBL}$", s, re.IGNORECASE
@@ -1471,6 +1478,111 @@ class LakeSQL:
             return changes.drop("_change_type", "_commit_version")
         cols = [c.strip() for c in returning.split(",") if c.strip()]
         return changes.select(*cols)
+
+    # PG CREATE INDEX → the lake's data-skipping indexes. There is no
+    # secondary-index file in a lakehouse; the honest mapping is:
+    #   btree          → min/max range stats (always maintained; the
+    #                    index registers for introspection only)
+    #   hash | bloom   → per-file bloom filters (bloom_filter_columns)
+    #   UNIQUE INDEX   → informational uniqueness (not enforced; same
+    #                    posture as UNIQUE constraints)
+    # Blooms build for files written AFTER the index exists; run
+    # OPTIMIZE/compaction to rewrite old files with blooms.
+    _CREATE_INDEX = re.compile(
+        rf"CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        rf"(?:({_IDENT})\s+)?ON\s+{_TBL}"
+        rf"(?:\s+USING\s+({_IDENT}))?\s*\(([^)]*)\)$",
+        re.IGNORECASE,
+    )
+
+    def _create_index(self, s: str):
+        m = self._CREATE_INDEX.match(s)
+        if not m:
+            raise LakehouseError(f"cannot parse CREATE INDEX: {s[:80]!r}")
+        uniq, iname, ns, name, method, col_list = m.groups()
+        cols = [c.strip() for c in col_list.split(",") if c.strip()]
+        method = (method or "bloom").lower()
+        if method not in ("bloom", "hash", "btree"):
+            raise LakehouseError(
+                f"unsupported index method {method!r} "
+                "(supported: btree -> range stats, hash/bloom -> "
+                "per-file bloom filters)"
+            )
+        tbl = self._load(ns, name)
+        known = {f.name for f in tbl.schema().fields}
+        bad = [c for c in cols if c not in known]
+        if bad:
+            raise LakehouseError(f"index column(s) not in table: {bad}")
+        iname = iname or f"{name}_{'_'.join(cols)}_idx"
+        props = tbl.snapshot().properties
+        indexes = json.loads(props.get("indexes", "{}"))
+        indexes[iname] = {"method": method, "columns": cols}
+        new_props = {"indexes": json.dumps(indexes, sort_keys=True)}
+        if method in ("bloom", "hash"):
+            have = [
+                c.strip()
+                for c in props.get("bloom_filter_columns", "").split(",")
+                if c.strip()
+            ]
+            new_props["bloom_filter_columns"] = ",".join(
+                dict.fromkeys(have + cols)
+            )
+        if uniq:
+            sets = [
+                u
+                for u in props.get("unique_constraints", "").split(";")
+                if u
+            ]
+            key = ",".join(cols)
+            if key not in sets:
+                sets.append(key)
+            new_props["unique_constraints"] = ";".join(sets)
+        tbl.set_properties(new_props)
+        return tbl
+
+    def _drop_index(self, s: str):
+        m = re.match(
+            rf"DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(?:({_IDENT})\.)?({_IDENT})$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise LakehouseError(f"cannot parse DROP INDEX: {s[:80]!r}")
+        if_exists, ns, iname = m.groups()
+        # indexes live per-table; find the owning table in the
+        # namespace (metadata-scale scan of the catalog listing)
+        for tns, tname in self.catalog.list_tables():
+            if ns and tns != ns:
+                continue
+            tbl = self.catalog.load_table(tns, tname)
+            props = tbl.snapshot().properties
+            indexes = json.loads(props.get("indexes", "{}"))
+            if iname not in indexes:
+                continue
+            dropped = indexes.pop(iname)
+            new_props = {"indexes": json.dumps(indexes, sort_keys=True)}
+            if dropped["method"] in ("bloom", "hash"):
+                still = {
+                    c
+                    for spec in indexes.values()
+                    if spec["method"] in ("bloom", "hash")
+                    for c in spec["columns"]
+                }
+                have = [
+                    c.strip()
+                    for c in props.get(
+                        "bloom_filter_columns", ""
+                    ).split(",")
+                    if c.strip()
+                ]
+                new_props["bloom_filter_columns"] = ",".join(
+                    c for c in have if c in still or c not in dropped["columns"]
+                )
+            tbl.set_properties(new_props)
+            return None
+        if if_exists:
+            return None
+        raise LakehouseError(f"index {iname!r} does not exist")
 
     def _explain_dml(self, verb: str, body: str) -> DataFrame:
         """Lake plan for a DML statement — NOT executed. Reports the

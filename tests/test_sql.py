@@ -1505,3 +1505,42 @@ def test_explain_dml_reports_pruning_without_executing(lsql):
         "ON t.k = s.k WHEN MATCHED THEN DELETE"
     ).collect()[0].plan
     assert "operation: merge" in mg and "source key bounds" in mg
+
+
+# -- r6: CREATE/DROP INDEX -> data-skipping indexes ----------------------
+
+
+def test_create_index_maps_to_bloom_columns(lsql):
+    tbl = lsql.sql("CREATE TABLE db.ix (k BIGINT, v TEXT)")
+    lsql.sql("CREATE INDEX k_idx ON db.ix USING bloom (k)")
+    p = lsql.catalog.load_table("db", "ix").snapshot().properties
+    assert p.get("bloom_filter_columns") == "k"
+    assert "k_idx" in p.get("indexes", "")
+    # blooms build for subsequent writes
+    lsql.sql("INSERT INTO db.ix SELECT id AS k, 'v' AS v FROM range(0, 500)")
+    snap = lsql.catalog.load_table("db", "ix").snapshot()
+    assert any(f.get("blooms") for f in snap.files)
+    # default method + generated name; bloom col set grows
+    lsql.sql("CREATE INDEX ON db.ix (v)")
+    p = lsql.catalog.load_table("db", "ix").snapshot().properties
+    assert p["bloom_filter_columns"] == "k,v"
+    # unique index -> informational uniqueness
+    lsql.sql("CREATE UNIQUE INDEX uq ON db.ix USING btree (k)")
+    p = lsql.catalog.load_table("db", "ix").snapshot().properties
+    assert p.get("unique_constraints") == "k"
+    # drop removes only the dropped index's bloom columns
+    lsql.sql("DROP INDEX db.k_idx")
+    p = lsql.catalog.load_table("db", "ix").snapshot().properties
+    assert "k_idx" not in p["indexes"]
+    assert p["bloom_filter_columns"] == "v"
+    lsql.sql("DROP INDEX IF EXISTS db.nope")
+    with pytest.raises(LakehouseError, match="does not exist"):
+        lsql.sql("DROP INDEX db.nope")
+
+
+def test_create_index_unknown_column_or_method(lsql):
+    lsql.sql("CREATE TABLE db.ix2 (k BIGINT)")
+    with pytest.raises(LakehouseError, match="not in table"):
+        lsql.sql("CREATE INDEX ON db.ix2 (missing)")
+    with pytest.raises(LakehouseError, match="unsupported index method"):
+        lsql.sql("CREATE INDEX ON db.ix2 USING gin (k)")
