@@ -121,6 +121,9 @@ def test_no_unbounded_collect_list():
         # cardinality hard-capped at _BLOOM_BITS (32768) per group
         "rollup.py",  # approx_topk candidate maps: a row_number()<=cap
         # window filter bounds the group BEFORE the collect (4×k items)
+        "llm/dedup.py",  # dedup_lines reassembly: the group is one
+        # DOCUMENT's surviving lines — bounded by the document itself,
+        # which already traveled as a single row value
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
