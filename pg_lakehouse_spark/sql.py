@@ -190,6 +190,39 @@ class LakeSQL:
         r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE
     )
 
+    _CAST_HEAD = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+
+    @classmethod
+    def _rewrite_cast_types(cls, masked: str) -> str:
+        """Map PG type names inside ``CAST(expr AS type)`` via a
+        balanced-paren scan: the cast's own ``AS`` is the last one at
+        depth 1, so aliases in nested subqueries (depth ≥ 2) are never
+        touched. Unmapped names pass through to Spark untouched."""
+        out, pos = masked, 0
+        while True:
+            m = cls._CAST_HEAD.search(out, pos)
+            if not m:
+                return out
+            depth, i, as_idx = 1, m.end(), None
+            while i < len(out) and depth:
+                c = out[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif depth == 1 and out[i: i + 4].upper() == " AS ":
+                    as_idx = i
+                i += 1
+            if depth or as_idx is None:
+                pos = m.end()
+                continue
+            close = i - 1
+            type_text = out[as_idx + 4: close].strip()
+            mapped = cls._map_pg_type(type_text)
+            if mapped != type_text:
+                out = out[: as_idx + 4] + mapped + out[close:]
+            pos = m.end()
+
     @classmethod
     def _pg_dialect(cls, s: str) -> str:
         """Rewrite PG-isms Spark reads differently (or not at all),
@@ -247,6 +280,7 @@ class LakeSQL:
             + cls._map_pg_type((m.group(1) + (m.group(2) or "")).strip()),
             masked,
         )
+        masked = cls._rewrite_cast_types(masked)
 
         while True:
             m = cls._EXTRACT_EPOCH.search(masked)
@@ -1641,12 +1675,28 @@ class LakeSQL:
                     "(full-scan candidate set)"
                 )
                 selected = snap.files
-        else:
-            if verb == "MERGE":
+        elif verb == "MERGE":
+            selected = snap.files
+            mm = self._MERGE.match(bm)
+            if mm:
+                try:
+                    selected = self._explain_merge_candidates(
+                        tbl, snap, mm, _lits
+                    )
+                    lines.append(
+                        "candidate set: files overlapping the source "
+                        "key bounds (one stats job over the source)"
+                    )
+                except Exception:  # noqa: BLE001 — estimate only
+                    lines.append(
+                        "candidate set: full (source bounds not "
+                        "computable at explain time)"
+                    )
+            else:
                 lines.append(
-                    "candidate set: files overlapping the source key "
-                    "bounds (computed from the source at execution)"
+                    "candidate set: full (unparsed MERGE shape)"
                 )
+        else:
             selected = snap.files
         sel_bytes = sum(f.get("bytes", 0) for f in selected)
         lines.append(
@@ -1660,6 +1710,67 @@ class LakeSQL:
         return self.spark.createDataFrame(
             [("\n".join(lines),)], "plan string"
         )
+
+    def _explain_merge_candidates(
+        self, tbl: LakeTable, snap, mm: re.Match, lits: list[str]
+    ) -> list[dict]:
+        """MERGE rewrite-candidate estimate: parse the USING source
+        and the ON keys exactly like ``_merge``, run ONE min/max agg
+        over the source (the stats lookup PG's planner does from
+        pg_statistic), and keep the files whose manifest bounds
+        overlap — the same overlap rule the real merge prunes with."""
+        U = lambda t: self._unmask_strings(t, lits)  # noqa: E731
+        _ns, _nm, _br, talias, src_ref, salias, on_cond, _cl = (
+            mm.groups()
+        )
+        source = (
+            self._select(U(src_ref[1:-1].strip()))
+            if src_ref.startswith("(")
+            else self._source_ref_df(src_ref)
+        )
+        keys = []
+        for part in re.split(r"\s+AND\s+", on_cond, flags=re.IGNORECASE):
+            em = re.match(
+                rf"\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
+                part,
+            )
+            if not em:
+                raise LakehouseError("non-equality ON")
+            pair = {em.group(1): em.group(2), em.group(3): em.group(4)}
+            if set(pair) != {talias, salias} or pair[talias] != pair[salias]:
+                raise LakehouseError("asymmetric ON")
+            keys.append(pair[talias])
+        from pg_lakehouse_spark.lakehouse import _json_stat
+
+        b = source.agg(
+            *[
+                f
+                for c in keys
+                for f in (
+                    F.min(c).alias(f"__min_{c}"),
+                    F.max(c).alias(f"__max_{c}"),
+                )
+            ]
+        ).collect()[0]
+        src_bounds = {
+            c: (_json_stat(b[f"__min_{c}"]), _json_stat(b[f"__max_{c}"]))
+            for c in keys
+        }
+
+        def overlaps(entry: dict) -> bool:
+            ranges = entry.get("ranges") or {}
+            for c, (lo, hi) in src_bounds.items():
+                if lo is None or hi is None:
+                    return True
+                bounds = ranges.get(c)
+                if bounds is None:
+                    return True
+                fmin, fmax = bounds
+                if fmax < lo or fmin > hi:
+                    return False
+            return True
+
+        return [f for f in snap.files if overlaps(f)]
 
     def _delete(self, s: str) -> Snapshot:
         # PG join-delete: DELETE FROM t [AS a] USING src [AS b]

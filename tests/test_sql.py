@@ -1544,3 +1544,44 @@ def test_create_index_unknown_column_or_method(lsql):
         lsql.sql("CREATE INDEX ON db.ix2 (missing)")
     with pytest.raises(LakehouseError, match="unsupported index method"):
         lsql.sql("CREATE INDEX ON db.ix2 USING gin (k)")
+
+
+def test_cast_as_pg_type_names(lsql):
+    lsql.sql("CREATE TABLE db.cst (k BIGINT)")
+    lsql.sql("INSERT INTO db.cst VALUES (1)")
+    r = lsql.sql(
+        "SELECT CAST(k AS TEXT) AS kt, "
+        "CAST('3.5' AS DOUBLE PRECISION) AS d, "
+        "CAST(k AS NUMERIC(10,2)) AS n FROM db.cst"
+    ).collect()[0]
+    assert (r.kt, r.d, str(r.n)) == ("1", 3.5, "1.00")
+    # nested casts map; subquery aliases (depth >= 2) stay untouched
+    r = lsql.sql(
+        "SELECT CAST(CAST(k AS TEXT) AS BIGINT) AS kk, "
+        "(SELECT 1 AS text) AS sub FROM db.cst"
+    ).collect()[0]
+    assert (r.kk, r.sub) == (1, 1)
+
+
+def test_explain_merge_prunes_by_source_bounds(lsql):
+    lsql.sql("CREATE TABLE db.exm (k BIGINT, s STRING)")
+    for lo in (0, 100, 200, 300):
+        lsql.sql(
+            f"INSERT INTO db.exm SELECT id AS k, 'v' AS s "
+            f"FROM range({lo}, {lo + 100})"
+        )
+    plan = lsql.sql(
+        "EXPLAIN MERGE INTO db.exm AS t "
+        "USING (SELECT 250 AS k, 'z' AS s) AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET s = s.s"
+    ).collect()[0].plan
+    assert "source key bounds (one stats job" in plan
+    import re as _re
+
+    m = _re.search(r"rewrite candidates: (\d+) of (\d+) files", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan
+    # nothing executed
+    assert (
+        lsql.sql("SELECT count(*) AS n FROM db.exm").collect()[0].n
+        == 400
+    )
