@@ -598,3 +598,131 @@ def test_dml_keyword_literal_roundtrip(
     )
     r = lsql.sql("SELECT n FROM db.fz WHERE k = 1").collect()[0]
     assert r.n == 42
+
+
+# -- r6: end-to-end SELECT differential vs DuckDB -----------------------
+# The unit test above checks range EXTRACTION; this drives the whole
+# SELECT path (dialect rewrite → lake binding → manifest pruning →
+# Spark execution) against DuckDB on identical rows. Any silent row
+# loss from over-pruning, literal corruption, or dialect rewriting
+# shows up as a result mismatch.
+
+_SEL_COLS = ("k", "v", "s")
+_SEL_STRS = ["alpha", "a WHERE b", "it''s", "x AND y", "", "BETWEEN",
+             "(paren)", "~ oops"]
+
+_sel_pred = st.deferred(
+    lambda: st.one_of(
+        _sel_leaf,
+        st.tuples(st.just("and"), _sel_pred, _sel_pred),
+        st.tuples(st.just("or"), _sel_pred, _sel_pred),
+        st.tuples(st.just("not"), _sel_pred),
+    )
+)
+_sel_leaf = st.one_of(
+    st.tuples(
+        st.just("cmp"),
+        st.sampled_from(_SEL_COLS),
+        st.sampled_from(["=", "<>", "<", ">", "<=", ">="]),
+        st.integers(min_value=-5, max_value=60),
+        st.sampled_from(_SEL_STRS),
+    ),
+    st.tuples(
+        st.just("between"),
+        st.sampled_from(["k", "v"]),
+        st.integers(min_value=-5, max_value=60),
+        st.integers(min_value=-5, max_value=60),
+    ),
+    st.tuples(
+        st.just("in"),
+        st.just("k"),
+        st.lists(
+            st.integers(min_value=-5, max_value=60), min_size=1, max_size=4
+        ),
+    ),
+    st.tuples(st.just("null"), st.sampled_from(_SEL_COLS), st.booleans()),
+)
+
+
+def _render_pred(node) -> str:
+    kind = node[0]
+    if kind == "and":
+        return f"({_render_pred(node[1])} AND {_render_pred(node[2])})"
+    if kind == "or":
+        return f"({_render_pred(node[1])} OR {_render_pred(node[2])})"
+    if kind == "not":
+        return f"(NOT {_render_pred(node[1])})"
+    if kind == "cmp":
+        _, col, op, ival, sval = node
+        lit = f"'{sval}'" if col == "s" else (
+            f"{ival}.25" if col == "v" else str(ival)
+        )
+        return f"{col} {op} {lit}"
+    if kind == "between":
+        _, col, a, b = node
+        fmt = (lambda x: f"{x}.25") if col == "v" else str
+        return f"{col} BETWEEN {fmt(a)} AND {fmt(b)}"
+    if kind == "in":
+        _, col, vals = node
+        return f"{col} IN ({', '.join(str(v) for v in vals)})"
+    _, col, isnull = node
+    return f"{col} IS {'' if isnull else 'NOT '}NULL"
+
+
+_sel_state = {}
+
+
+def _sel_setup(spark, tmp_path_factory):
+    if "sql" in _sel_state:
+        return _sel_state["sql"], _sel_state["duck"]
+    import duckdb
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    rows = []
+    for i in range(64):
+        s = _SEL_STRS[i % len(_SEL_STRS)].replace("''", "'")
+        rows.append(
+            (
+                i,
+                None if i % 11 == 0 else float(i) - 0.5,
+                None if i % 13 == 0 else s,
+            )
+        )
+    df = spark.createDataFrame(rows, "k long, v double, s string")
+    wh = tmp_path_factory.mktemp("sel_diff_wh")
+    lsql = LakeSQL(spark, LakeCatalog(spark, str(wh)))
+    lsql.sql("CREATE TABLE db.fzsel (k BIGINT, v DOUBLE, s STRING)")
+    tbl = lsql.catalog.load_table("db", "fzsel")
+    # several files so manifest pruning has something to skip
+    for lo in range(0, 64, 16):
+        tbl.append(
+            df.filter((df.k >= lo) & (df.k < lo + 16)).coalesce(1)
+        )
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE fzsel (k BIGINT, v DOUBLE, s VARCHAR)")
+    duck.executemany("INSERT INTO fzsel VALUES (?, ?, ?)", rows)
+    _sel_state["sql"], _sel_state["duck"] = lsql, duck
+    return lsql, duck
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_sel_pred)
+def test_select_differential_vs_duckdb(spark, tmp_path_factory, pred):
+    lsql, duck = _sel_setup(spark, tmp_path_factory)
+    where = _render_pred(pred)
+    stmt = f"SELECT k, v, s FROM db.fzsel WHERE {where} ORDER BY k"
+    got = [
+        (r.k, r.v, r.s)
+        for r in lsql.sql(stmt).collect()
+    ]
+    want = duck.execute(
+        f"SELECT k, v, s FROM fzsel WHERE {where} ORDER BY k"
+    ).fetchall()
+    assert got == want, f"where={where!r}"
