@@ -223,6 +223,142 @@ class LakeSQL:
                 out = out[: as_idx + 4] + mapped + out[close:]
             pos = m.end()
 
+    _SIMILAR_TO = re.compile(
+        r"\s(NOT\s+)?SIMILAR\s+TO\s+\x00(\d+)\x00", re.IGNORECASE
+    )
+
+    @classmethod
+    def _similar_to_regex(cls, pat: str) -> str:
+        """PG ``SIMILAR TO`` pattern → anchored Java regex, per PG's
+        own translation (similar_escape): ``%`` → ``.*``, ``_`` →
+        ``.``; regex metacharacters ``| * + ? ( ) [ ] { }`` keep their
+        regex meaning; ``.``, ``\\``, ``^``, ``$`` are LITERAL in
+        SIMILAR TO and get escaped."""
+        out = []
+        i = 0
+        while i < len(pat):
+            c = pat[i]
+            if c == "\\" and i + 1 < len(pat):
+                # escaped character: literal
+                out.append(re.escape(pat[i + 1]))
+                i += 2
+                continue
+            if c == "%":
+                out.append(".*")
+            elif c == "_":
+                out.append(".")
+            elif c in ".^$":
+                out.append("\\" + c)
+            else:
+                out.append(c)
+            i += 1
+        return "^(?:" + "".join(out) + ")$"
+
+    @classmethod
+    def _rewrite_similar_to(cls, masked: str, lits: list[str]) -> str:
+        """``X [NOT] SIMILAR TO 'pat'`` → ``X [NOT] RLIKE
+        '^(?:regex)$'`` with PG's pattern translation. Only literal
+        patterns rewrite (PG's planner constant-folds these too);
+        non-literal patterns stay and fail loudly in Spark."""
+
+        def repl(m: re.Match) -> str:
+            i = int(m.group(2))
+            pat = lits[i][1:-1].replace("''", "'")
+            rx = cls._similar_to_regex(pat)
+            lits[i] = "'" + rx.replace("'", "''") + "'"
+            neg = " NOT" if m.group(1) else ""
+            return f"{neg} RLIKE \x00{i}\x00"
+
+        return cls._SIMILAR_TO.sub(repl, masked)
+
+    # one JSON-arrow step: LHS atom (placeholder | qualified ident |
+    # a previous get_json_object(...) rewritten call ending in ')')
+    # then -> or ->> then a string-literal key or integer index
+    _JSON_ARROW = re.compile(
+        r"(->>?)\s*(\x00\d+\x00|\d+)"
+    )
+
+    @classmethod
+    def _rewrite_json_arrows(cls, masked: str, lits: list[str]) -> str:
+        """PG JSON operators on string-stored json: ``col -> 'k'`` /
+        ``col ->> 'k'`` / ``chain -> 0`` → ``get_json_object(col,
+        '$.k' / '$[0]')``. Chains left-fold naturally (the rewritten
+        call becomes the next step's operand). On string storage both
+        arrows extract text, which matches Spark's get_json_object.
+
+        Lambda safety: Spark's higher-order functions use ``->`` too
+        (``transform(a, x -> x + 1)``). A lambda body is never a bare
+        string literal or (in a chain position) a bare integer, so:
+        ``->>`` always rewrites (not Spark syntax at all); ``->``
+        rewrites with a string-literal key; integer indices rewrite
+        only mid-chain (operand ends in ``)``). A lambda whose body IS
+        exactly a literal loses its arrow and fails loudly in Spark —
+        never silently."""
+        pos = 0
+        while True:
+            m = cls._JSON_ARROW.search(masked, pos)
+            if not m:
+                return masked
+            # scan LEFT for the operand extent
+            j = m.start()
+            while j > 0 and masked[j - 1] in " \t\n":
+                j -= 1
+            end = j
+            if end == 0:
+                return masked  # malformed; leave for Spark to reject
+            is_str_key = bool(
+                re.fullmatch(r"\x00\d+\x00", m.group(2))
+            )
+            chained = masked[end - 1] == ")"
+            if m.group(1) == "->" and not is_str_key and not chained:
+                # could be a Spark lambda (x -> 1): don't touch it
+                pos = m.end()
+                continue
+            if masked[end - 1] == ")":
+                depth = 0
+                k = end - 1
+                while k >= 0:
+                    if masked[k] == ")":
+                        depth += 1
+                    elif masked[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                # include a preceding function name if present
+                fn = k
+                while fn > 0 and (
+                    masked[fn - 1].isalnum() or masked[fn - 1] in "_."
+                ):
+                    fn -= 1
+                start = fn
+            else:
+                k = end
+                while k > 0 and (
+                    masked[k - 1].isalnum()
+                    or masked[k - 1] in "_.`\x00"
+                ):
+                    k -= 1
+                start = k
+            operand = masked[start:end]
+            if not operand.strip():
+                return masked
+            key = m.group(2)
+            pm = re.fullmatch(r"\x00(\d+)\x00", key)
+            if pm:
+                i = int(pm.group(1))
+                kval = lits[i][1:-1].replace("''", "'")
+                path = "$." + kval
+            else:
+                path = f"$[{key}]"
+            lits.append("'" + path.replace("'", "''") + "'")
+            ph = f"\x00{len(lits) - 1}\x00"
+            masked = (
+                masked[:start]
+                + f"get_json_object({operand}, {ph})"
+                + masked[m.end():]
+            )
+
     @classmethod
     def _pg_dialect(cls, s: str) -> str:
         """Rewrite PG-isms Spark reads differently (or not at all),
@@ -281,6 +417,8 @@ class LakeSQL:
             masked,
         )
         masked = cls._rewrite_cast_types(masked)
+        masked = cls._rewrite_similar_to(masked, lits)
+        masked = cls._rewrite_json_arrows(masked, lits)
 
         while True:
             m = cls._EXTRACT_EPOCH.search(masked)

@@ -1585,3 +1585,70 @@ def test_explain_merge_prunes_by_source_bounds(lsql):
         lsql.sql("SELECT count(*) AS n FROM db.exm").collect()[0].n
         == 400
     )
+
+
+def test_pg_similar_to(lsql):
+    lsql.sql("CREATE TABLE db.sim (k BIGINT, s TEXT)")
+    lsql.sql("INSERT INTO db.sim VALUES (1, 'abc'), (2, 'a%c')")
+    got = lsql.sql(
+        "SELECT s FROM db.sim WHERE s SIMILAR TO 'a(b|%)c' ORDER BY k"
+    ).collect()
+    assert [r.s for r in got] == ["abc", "a%c"]
+    assert [
+        r.s
+        for r in lsql.sql(
+            "SELECT s FROM db.sim WHERE s NOT SIMILAR TO 'ab%'"
+        ).collect()
+    ] == ["a%c"]
+    # escaped % is literal
+    assert [
+        r.s
+        for r in lsql.sql(
+            "SELECT s FROM db.sim WHERE s SIMILAR TO 'a\\%c'"
+        ).collect()
+    ] == ["a%c"]
+
+
+def test_pg_json_arrows(lsql):
+    lsql.sql("CREATE TABLE db.jd (k BIGINT, data JSONB)")
+    lsql.sql(
+        'INSERT INTO db.jd VALUES '
+        '(1, \'{"name": "ada", "tags": ["x"], "meta": {"age": 36}}\'), '
+        '(2, \'{"name": "bob", "tags": [], "meta": {"age": 41}}\')'
+    )
+    assert [
+        r.n
+        for r in lsql.sql(
+            "SELECT data ->> 'name' AS n FROM db.jd ORDER BY k"
+        ).collect()
+    ] == ["ada", "bob"]
+    # chains left-fold; integer index mid-chain
+    assert [
+        r.a
+        for r in lsql.sql(
+            "SELECT data -> 'meta' ->> 'age' AS a FROM db.jd ORDER BY k"
+        ).collect()
+    ] == ["36", "41"]
+    assert [
+        r.t
+        for r in lsql.sql(
+            "SELECT data -> 'tags' -> 0 AS t FROM db.jd WHERE k = 1"
+        ).collect()
+    ] == ["x"]
+    assert [
+        r.k
+        for r in lsql.sql(
+            "SELECT k FROM db.jd WHERE data ->> 'name' = 'ada'"
+        ).collect()
+    ] == [1]
+
+
+def test_spark_lambda_arrows_survive_dialect(lsql):
+    lsql.sql("CREATE TABLE db.lam (k BIGINT)")
+    lsql.sql("INSERT INTO db.lam VALUES (1)")
+    r = lsql.sql(
+        "SELECT transform(array(1,2), x -> x + 1) AS arr, "
+        "aggregate(array(1,2,3), 0, (acc, x) -> acc + x) AS tot "
+        "FROM db.lam"
+    ).collect()[0]
+    assert (list(r.arr), r.tot) == ([2, 3], 6)
