@@ -381,6 +381,10 @@ class LakeSQL:
           semantics); Spark has no EPOCH extract field.
         """
         masked, lits = cls._mask_strings(s)
+        # strip SQL comments (masked, so '--' inside a literal is
+        # data): line comments and non-nested block comments
+        masked = re.sub(r"--[^\n]*", " ", masked)
+        masked = re.sub(r"/\*.*?\*/", " ", masked, flags=re.DOTALL)
 
         def qrepl(m: re.Match) -> str:
             ident = m.group(1).replace('""', '"')
@@ -443,11 +447,29 @@ class LakeSQL:
 
         return cls._unmask_strings(masked, lits)
 
+    def script(self, text: str) -> list:
+        """Execute a multi-statement SQL script (PG simple-query
+        style): split on top-level ``;`` — literal-masked, so
+        semicolons inside string literals are data — and run each
+        statement in order. Returns the per-statement results. A
+        failure stops the script at that statement (statements already
+        run stay committed, like psql without -1; wrap the script in
+        BEGIN..COMMIT for all-or-nothing)."""
+        masked, lits = self._mask_strings(text)
+        masked = re.sub(r"--[^\n]*", " ", masked)
+        masked = re.sub(r"/\*.*?\*/", " ", masked, flags=re.DOTALL)
+        out = []
+        for part in masked.split(";"):
+            stmt = self._unmask_strings(part, lits).strip()
+            if stmt:
+                out.append(self.sql(stmt))
+        return out
+
     def sql(self, stmt: str):
         """Route one statement. Returns a DataFrame for SELECT, a
         Snapshot for DML, a LakeTable for CREATE, else None."""
         s = stmt.strip().rstrip(";").strip()
-        s = self._pg_dialect(s)
+        s = self._pg_dialect(s).strip()
         head = s.split(None, 2)[0].upper() if s else ""
         if head in ("BEGIN", "START"):  # BEGIN [TRANSACTION|WORK]
             return self._begin()

@@ -1652,3 +1652,33 @@ def test_spark_lambda_arrows_survive_dialect(lsql):
         "FROM db.lam"
     ).collect()[0]
     assert (list(r.arr), r.tot) == ([2, 3], 6)
+
+
+def test_sql_comments_stripped(lsql):
+    lsql.sql("CREATE TABLE db.cm (k BIGINT, s STRING)")
+    lsql.sql(
+        "-- leading comment\n"
+        "INSERT INTO db.cm /* inline */ VALUES (1, '-- not a comment')"
+    )
+    r = lsql.sql(
+        "SELECT s FROM db.cm -- trailing comment\nWHERE k = 1"
+    ).collect()[0]
+    assert r.s == "-- not a comment"
+
+
+def test_sql_script_multi_statement(lsql):
+    results = lsql.script(
+        """
+        CREATE TABLE db.sc (k BIGINT, s STRING);
+        INSERT INTO db.sc VALUES (1, 'a;b');  -- semicolon in literal
+        INSERT INTO db.sc VALUES (2, 'c');
+        SELECT k, s FROM db.sc ORDER BY k;
+        """
+    )
+    rows = [(r.k, r.s) for r in results[-1].collect()]
+    assert rows == [(1, "a;b"), (2, "c")]
+    # script inside a transaction is all-or-nothing
+    lsql.script(
+        "BEGIN; INSERT INTO db.sc VALUES (3, 'd'); ROLLBACK;"
+    )
+    assert lsql.sql("SELECT count(*) AS n FROM db.sc").collect()[0].n == 2
