@@ -726,3 +726,63 @@ def test_select_differential_vs_duckdb(spark, tmp_path_factory, pred):
         f"SELECT k, v, s FROM fzsel WHERE {where} ORDER BY k"
     ).fetchall()
     assert got == want, f"where={where!r}"
+
+
+# -- r6: dialect-pass invariants ----------------------------------------
+
+_DIALECT_SAFE_TOKENS = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["SELECT", "a", "b.c", "1", "2.5", "+", "-", "*", "/", "(",
+             ")", ",", "=", "<", ">", "AND", "OR", "NOT", "WHERE",
+             "FROM", "t", "count", "sum"]
+        ),
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32,
+                max_codepoint=126,
+                blacklist_characters="'\"~:>-/",
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(tokens=_DIALECT_SAFE_TOKENS)
+def test_dialect_pass_noop_on_clean_statements(tokens):
+    """Statements containing none of the rewritten PG-isms (no quotes,
+    regex ops, :: casts, arrows, comments) must pass through the
+    dialect rewriter byte-identical — it must never corrupt already-
+    Spark-valid text."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    s = " ".join(tokens)
+    assert LakeSQL._pg_dialect(s) == s
+
+
+_DIALECT_PG_STMTS = st.sampled_from(
+    [
+        "SELECT \"order\" FROM db.t WHERE s ~* '^a' AND k::text = '1'",
+        "SELECT data ->> 'k' FROM db.t -- c\nWHERE s SIMILAR TO 'a%'",
+        "UPDATE db.t SET s = 'a WHERE b' WHERE extract(epoch from ts) > 0",
+        "SELECT CAST(k AS TEXT), x -> 'k' -> 0 FROM db.t /* block */",
+        "SELECT transform(a, x -> x + 1), s !~ 'p' FROM db.t",
+    ]
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(stmt=_DIALECT_PG_STMTS)
+def test_dialect_pass_idempotent(stmt):
+    """Applying the dialect rewrite twice equals applying it once —
+    no operator or pattern is ever double-rewritten (e.g. a second
+    (?i) injection or re-torn literal)."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    once = LakeSQL._pg_dialect(stmt)
+    assert LakeSQL._pg_dialect(once) == once
