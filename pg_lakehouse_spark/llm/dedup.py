@@ -588,13 +588,17 @@ def dedup_lines(
     Distributed shape (no driver state, survives 100 TB):
 
     1. ``posexplode(split(text))`` — map-only line explosion.
-    2. ONE shuffle on the line fingerprint: an exact occurrence count
-       per normalized 64-bit line hash (a window, so the count rides
-       the same partitioning that decides each copy's fate — no
-       broadcast of a potentially huge duplicate-line set). Lines
-       shorter than ``min_chars`` are exempt and get a per-row salted
-       partition key so they can't pile into one skewed partition.
-    3. ONE shuffle back on ``id_col``: surviving lines re-assemble in
+    2. Duplicate-line keys via ``groupBy(line_hash).count()`` —
+       map-side partial aggregation collapses a billion-copy
+       boilerplate line to one row per input partition BEFORE the
+       shuffle (a window count here would buffer the entire hot-key
+       partition in WindowExec — the skew bomb this shape avoids).
+       Only keys at ``min_dup``+ survive the filter, so the join side
+       is the (small) distinct-boilerplate set, not the corpus.
+    3. ``left_anti`` join on the line hash removes every copy; AQE
+       broadcasts the duplicate set when it's small. Lines shorter
+       than ``min_chars`` skip the join entirely (union back).
+    4. ONE shuffle back on ``id_col``: surviving lines re-assemble in
        original order via ``array_sort(collect_list(struct(pos,
        line)))`` — order restored without a sort-within-partitions
        pass.
@@ -606,8 +610,6 @@ def dedup_lines(
     """
     import re as _re
 
-    from pyspark.sql.window import Window
-
     lines = df.select(
         F.col(id_col),
         F.posexplode(
@@ -616,19 +618,17 @@ def dedup_lines(
     )
     key = F.xxhash64(F.trim(F.col("__line")))
     exempt = F.length(F.trim(F.col("__line"))) < min_chars
-    # exempt rows never aggregate together — salt their partition key
-    # per (doc, pos) so short/empty lines can't form one hot partition
-    w = Window.partitionBy(
-        F.when(exempt, F.xxhash64(F.col(id_col), F.col("__pos"))).otherwise(
-            key
-        ),
-        exempt,
+    lines = lines.withColumn("__k", key).withColumn("__ex", exempt)
+    countable = lines.filter(~F.col("__ex"))
+    dup_keys = (
+        countable.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_dup)
+        .select("__k")
     )
-    counted = lines.withColumn(
-        "__dup",
-        F.when(exempt, F.lit(1)).otherwise(F.count(F.lit(1)).over(w)),
+    survivors = countable.join(dup_keys, "__k", "left_anti").unionByName(
+        lines.filter(F.col("__ex"))
     )
-    survivors = counted.filter(F.col("__dup") < min_dup)
     docs = (
         survivors.groupBy(id_col)
         .agg(
