@@ -22,7 +22,12 @@ Layout per table::
 
     <warehouse>/<namespace>/<table>/
         data/<snapshot>-<uuid>-partNNN[.partition dirs].parquet
-        _lakehouse/v{N}.metadata.json     # full file listing + schema
+        _lakehouse/v{N}.metadata.json     # schema + file listing (small
+                                          # tables inline it; large ones
+                                          # reference manifest segments)
+        _lakehouse/manifests/m-*.json     # immutable file-list segments,
+                                          # shared by reference across
+                                          # snapshots (commit = O(delta))
         _lakehouse/VERSION                # pointer file → N (atomic swap)
 
 Commit protocol: writers stage parquet under ``data/`` (invisible —
@@ -42,6 +47,12 @@ Scale posture (100 TB):
   carried by reference into the new snapshot.
 - Commits are O(metadata). The only driver-side collects are file
   lists and counts — never data.
+- Past ``manifest.inline_max`` files the metadata itself goes
+  incremental: the file list splits into immutable manifest segments
+  reused by reference across snapshots, so a commit serializes only
+  its delta (and reading head N+1 after N parses only the new
+  segment) — at millions of files, re-writing per-file bloom/range
+  stats into every snapshot would otherwise dominate the commit path.
 """
 
 from __future__ import annotations
@@ -63,6 +74,52 @@ from pyspark.sql.types import StructField, StructType
 _META_DIR = "_lakehouse"
 _DATA_DIR = "data"
 _POINTER = "VERSION"
+
+# --- manifest segmentation (Iceberg manifest-file analog) -----------
+# Past _MANIFEST_INLINE_MAX files, a snapshot's file list is no longer
+# embedded in its metadata JSON: it is split into immutable SEGMENT
+# files under _lakehouse/manifests/, and the snapshot records only
+# small descriptors {path, file_count, row_count, byte_count}.
+# An append then writes ONE new segment (the delta) and carries the
+# parent's segments by reference — commit cost is O(delta), not
+# O(table), which is the difference between a usable and an unusable
+# commit path at 100 TB (millions of files × per-file bloom/range
+# stats would otherwise be re-serialized into every snapshot).
+# Segments are immutable, so one in-process cache serves every
+# snapshot that references them: reading snapshot N+1 after N parses
+# only the new segment. Entries hydrated from segments are SHARED
+# across snapshots — treat them as frozen; write paths must copy
+# (``dict(e, ...)`` / ``{**e, ...}``) before changing an entry.
+_MANIFEST_DIR = "manifests"
+_MANIFEST_INLINE_MAX = 2000  # per-table override: manifest.inline_max
+_MANIFEST_MAX_SEGMENTS = 64  # fold smallest segments past this
+
+_SEG_CACHE: "dict[str, list]" = {}
+_SEG_CACHE_MAX = 512
+_SEG_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _segment_read(abs_path: str) -> list[dict]:
+    """Load one manifest segment (immutable → process-wide cache)."""
+    with _SEG_CACHE_LOCK:
+        if abs_path in _SEG_CACHE:
+            return _SEG_CACHE[abs_path]
+    with open(abs_path) as f:
+        entries = json.load(f)
+    with _SEG_CACHE_LOCK:
+        if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+            # segments are never overwritten, so eviction order is
+            # irrelevant for correctness — drop an arbitrary batch
+            for k in list(_SEG_CACHE)[: _SEG_CACHE_MAX // 4]:
+                del _SEG_CACHE[k]
+        _SEG_CACHE[abs_path] = entries
+    return entries
+
+
+def _segment_seed(abs_path: str, entries: list[dict]) -> None:
+    with _SEG_CACHE_LOCK:
+        if len(_SEG_CACHE) < _SEG_CACHE_MAX:
+            _SEG_CACHE[abs_path] = entries
 
 
 class LakehouseError(RuntimeError):
@@ -106,6 +163,11 @@ class Snapshot:
     # --- change data feed: row-level change files written by DML
     # commits (delete/update/merge), consumed by read_changes().
     change_files: list = field(default_factory=list)
+    # --- manifest segmentation: when non-empty, ``files`` was too
+    # large to inline and lives in immutable segment files; each
+    # descriptor is {path (rel to meta dir), file_count, row_count,
+    # byte_count}. Hydrated lazily by LakeTable._hydrate.
+    manifests: list = field(default_factory=list)
     # --- merge-on-read equality deletes (Iceberg v2 delete files; the
     # reference states merge-on-read intent, pg_lakehouse_iceberg/
     # README.md:15). Entries {path, rows, key_names, key_ids, seq}:
@@ -599,7 +661,22 @@ class LakeTable:
             )
         with open(path) as f:
             d = json.load(f)
-        return Snapshot(**d)
+        return self._hydrate(Snapshot(**d))
+
+    def _hydrate(self, snap: Snapshot) -> Snapshot:
+        """Materialize a segmented snapshot's file list from its
+        manifest segments (cached — reading head N+1 after N parses
+        only the new delta segment). The hydrated entry dicts are
+        SHARED across every snapshot referencing the segment: readers
+        must never mutate them (write paths copy)."""
+        if snap.manifests and not snap.files:
+            files: list[dict] = []
+            for m in snap.manifests:
+                files.extend(
+                    _segment_read(os.path.join(self.meta_dir, m["path"]))
+                )
+            snap.files = files
+        return snap
 
     def snapshots(self) -> list[Snapshot]:
         out = []
@@ -609,7 +686,7 @@ class LakeTable:
         ):
             try:
                 with open(p) as f:
-                    out.append(Snapshot(**json.load(f)))
+                    out.append(self._hydrate(Snapshot(**json.load(f))))
             except FileNotFoundError:
                 # a concurrent txn abort removed its private branch
                 # snapshot between the listing and the read — that
@@ -642,6 +719,39 @@ class LakeTable:
             [(f["path"], f["rows"], f["bytes"], s.version) for f in s.files]
             or [],
             "path string, rows bigint, bytes bigint, snapshot_version int",
+        )
+
+    def manifests_df(self, snapshot: int | None = None) -> DataFrame:
+        """The snapshot's manifest SEGMENTS (Iceberg ``t.manifests``
+        analog): one row per segment with its file/row/byte totals —
+        or one synthetic ``(inline)`` row for small tables whose file
+        list is still embedded in the snapshot JSON. Metadata-only."""
+        s = self.snapshot(snapshot)
+        if s.manifests:
+            rows = [
+                (
+                    m["path"],
+                    m["file_count"],
+                    m["row_count"],
+                    m["byte_count"],
+                    s.version,
+                )
+                for m in s.manifests
+            ]
+        else:
+            rows = [
+                (
+                    "(inline)",
+                    len(s.files),
+                    s.total_rows,
+                    s.total_bytes,
+                    s.version,
+                )
+            ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, file_count bigint, row_count bigint, "
+            "byte_count bigint, snapshot_version int",
         )
 
     def partitions_df(self, snapshot: int | None = None) -> DataFrame:
@@ -817,14 +927,105 @@ class LakeTable:
             **evo,
         )
 
+    def _segment_files(self, snap: Snapshot) -> tuple[list, list]:
+        """(inline_files, manifest_descriptors) for the metadata JSON.
+
+        Small tables inline (one file, zero indirection). Past the
+        threshold — or once the parent is already segmented — the file
+        list splits into immutable segments: every parent segment whose
+        entries are ALL carried unchanged into this snapshot is reused
+        by reference (the common case: append touches nothing), and
+        only the remainder is written as one new delta segment. A DML
+        that rewrites a file breaks exactly the segments containing its
+        victims; their surviving entries move into the delta. Past
+        _MANIFEST_MAX_SEGMENTS the smallest segments fold into the
+        delta (Iceberg's manifest-merge analog) so segment count stays
+        bounded no matter how many commits the table accretes."""
+        inline_max = _MANIFEST_INLINE_MAX
+        try:
+            inline_max = int(
+                snap.properties.get("manifest.inline_max", inline_max)
+            )
+        except (TypeError, ValueError):
+            pass
+        parent_manifests: list = []
+        if snap.parent:
+            try:
+                parent_manifests = self.snapshot(snap.parent).manifests
+            except (LakehouseError, FileNotFoundError):
+                parent_manifests = []
+        if not parent_manifests and len(snap.files) <= inline_max:
+            return snap.files, []
+        cur = {e["path"]: e for e in snap.files}
+        reused, covered = [], set()
+        for m in parent_manifests:
+            try:
+                entries = _segment_read(
+                    os.path.join(self.meta_dir, m["path"])
+                )
+            except FileNotFoundError:
+                continue
+            ok = bool(entries)
+            for e in entries:
+                ce = cur.get(e["path"])
+                # identity first: unchanged entries are the very same
+                # dicts hydrated from this segment, so `is` short-
+                # circuits the deep compare of bloom/range stats
+                if ce is not e and ce != e:
+                    ok = False
+                    break
+            if ok:
+                reused.append(m)
+                covered.update(e["path"] for e in entries)
+        delta = [e for e in snap.files if e["path"] not in covered]
+        # bound segment count: fold the smallest reused segments into
+        # the delta until the total stays under the cap
+        reused.sort(key=lambda m: m["file_count"])
+        while reused and len(reused) + (1 if delta else 0) > _MANIFEST_MAX_SEGMENTS:
+            small = reused.pop(0)
+            delta = (
+                _segment_read(os.path.join(self.meta_dir, small["path"]))
+                + delta
+            )
+        # keep parent-relative order for the reused prefix
+        order = {id(m): i for i, m in enumerate(parent_manifests)}
+        reused.sort(key=lambda m: order.get(id(m), 1 << 30))
+        descriptors = list(reused)
+        if delta or not descriptors:
+            rel = os.path.join(
+                _MANIFEST_DIR,
+                f"m-{snap.version}-{uuid.uuid4().hex[:8]}.json",
+            )
+            abs_path = os.path.join(self.meta_dir, rel)
+            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+            tmp = abs_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(delta, f)
+            os.rename(tmp, abs_path)
+            _segment_seed(abs_path, delta)
+            descriptors.append(
+                {
+                    "path": rel,
+                    "file_count": len(delta),
+                    "row_count": sum(e["rows"] for e in delta),
+                    "byte_count": sum(e["bytes"] for e in delta),
+                }
+            )
+        return [], descriptors
+
     def _publish(self, snap: Snapshot) -> None:
         """Write the metadata file, then swap this ref's pointer — the
         swap IS the commit (ref pg_catalog.cpp:315-325). Caller must
         hold the commit lock."""
         meta_path = self._meta_path(snap.version)
+        inline_files, descriptors = self._segment_files(snap)
+        snap.manifests = descriptors
+        d = dict(snap.__dict__)
+        d["files"] = inline_files
+        d["manifests"] = descriptors
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(snap.__dict__, f)
+            json.dump(d, f)
         os.rename(tmp, meta_path)
         if self.branch != "main":
             tags, branches = self._load_refs()
@@ -4331,6 +4532,23 @@ class LakeTable:
                         os.remove(p)
                 expired.append(s.version)
         if expired:
+            # manifest segments referenced only by expired snapshots —
+            # under the commit lock, so a concurrent commit's freshly
+            # written (not yet referenced) segment can't be swept
+            lock_path = os.path.join(self.meta_dir, "_commit.lock")
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                live_segs = {
+                    m["path"]
+                    for s in self.snapshots()
+                    for m in s.manifests
+                }
+                for p in glob.glob(
+                    os.path.join(self.meta_dir, _MANIFEST_DIR, "*.json")
+                ):
+                    if os.path.relpath(p, self.meta_dir) not in live_segs:
+                        os.remove(p)
+        if expired:
             # delete files are inherited forward, so one may still be
             # referenced by a SURVIVING snapshot — GC only unreferenced
             live = {
@@ -4542,6 +4760,20 @@ class LakeTransaction:
                     p = os.path.join(t.location, rel)
                     if os.path.exists(p):
                         os.remove(p)
+        # manifest segments written by chain commits and referenced by
+        # no snapshot outside the chain go with the chain's metadata
+        if chain:
+            outside_segs: set[str] = set()
+            for s in t.snapshots():
+                if s.version not in chain_set:
+                    outside_segs |= {m["path"] for m in s.manifests}
+            chain_segs: set[str] = set()
+            for v in chain:  # read ALL before removing ANY (shared)
+                chain_segs |= {m["path"] for m in b.snapshot(v).manifests}
+            for rel in chain_segs - outside_segs:
+                p = os.path.join(t.meta_dir, rel)
+                if os.path.exists(p):
+                    os.remove(p)
         for v in chain:
             p = t._meta_path(v)
             if os.path.exists(p):

@@ -681,6 +681,7 @@ class LakeSQL:
         "partitions": "partitions_df",
         "refs": "refs_df",
         "stats": "column_stats_df",
+        "manifests": "manifests_df",
     }
 
     # simple conjuncts a manifest can act on: col OP literal / BETWEEN

@@ -58,7 +58,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # representative each) ceded to lake_hidden_partitioning /
 # lake_merge_composite_key / lake_delete_by_keys /
 # rollup_topk_retraction so the driver artifact exercises the r5
-# work. Everything else follows in registration order.
+# work; q_python_udtf_bigrams (UDF family keeps the pandas-UDF row)
+# and stream_session_windows (streaming keeps tumbling + CDC) ceded
+# to the new-in-r6 dedup_lines_corpus / balance_source_cap.
+# Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -88,7 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_topk_retraction",
     "q_pandas_udf_normalize",
     "lake_sql_views",
-    "q_python_udtf_bigrams",
+    "dedup_lines_corpus",
     "lake_sql_dml",
     "lake_merge_upsert",
     "lake_delete_update",
@@ -108,7 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "data_split_modulo",
     "decontaminate_overlap",
     "stream_tumbling_hourly",
-    "stream_session_windows",
+    "balance_source_cap",
     "stream_cdc_pipeline",
 )
 

@@ -1,0 +1,244 @@
+"""Manifest segmentation: past a threshold the file list leaves the
+snapshot JSON and splits into immutable, shared-by-reference segment
+files (Iceberg manifest-file analog) — commit cost O(delta), not
+O(table). These tests pin: behavioral equivalence with the inline
+path, segment REUSE across commits (the scale property), DML breaking
+only the touched segments, bounded segment counts, and GC (expiry +
+transaction abort) never touching a segment a live snapshot needs."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import pg_lakehouse_spark.lakehouse as lh
+from pg_lakehouse_spark.lakehouse import LakeCatalog, LakeTransaction
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def orders_df(spark, sf_dir):
+    from pg_lakehouse_spark.tables import table
+
+    return table(spark, sf_dir, "orders")
+
+
+SEG_PROPS = {"manifest.inline_max": "0"}  # always segment
+
+
+def _chunks(orders_df, n=4, rows=200):
+    out = []
+    for i in range(n):
+        out.append(
+            orders_df.orderBy("o_orderkey")
+            .limit((i + 1) * rows)
+            .subtract(orders_df.orderBy("o_orderkey").limit(i * rows))
+        )
+    return out
+
+
+def _seg_paths(tbl, version=None):
+    return [m["path"] for m in tbl.snapshot(version).manifests]
+
+
+def _seg_files_on_disk(tbl):
+    return sorted(
+        os.path.relpath(p, tbl.meta_dir)
+        for p in glob.glob(
+            os.path.join(tbl.meta_dir, lh._MANIFEST_DIR, "*.json")
+        )
+    )
+
+
+def test_segmented_matches_inline_end_to_end(catalog, orders_df):
+    """Same op sequence on an inline table and a segmented table must
+    be indistinguishable to every reader (current, time-travel)."""
+    base = orders_df.limit(600).cache()
+    a = catalog.create_table_as("db", "inline_t", base)
+    b = catalog.create_table_as("db", "seg_t", base, properties=SEG_PROPS)
+    for t in (a, b):
+        t.append(base.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000))
+        t.delete(F.col("o_orderstatus") == "F")
+        t.update(
+            F.col("o_totalprice") > 100_000,
+            {"o_orderpriority": F.lit("0-BIG")},
+        )
+    rows_a = sorted(a.read().collect())
+    rows_b = sorted(b.read().collect())
+    assert rows_a == rows_b
+    # the segmented head actually IS segmented and its JSON is small
+    head = b.snapshot()
+    assert head.manifests, "expected a segmented head"
+    with open(b._meta_path(head.version)) as f:
+        on_disk = json.load(f)
+    assert on_disk["files"] == []
+    # time travel to the post-append snapshot agrees
+    va = [s.version for s in a.snapshots() if s.operation == "append"][-1]
+    vb = [s.version for s in b.snapshots() if s.operation == "append"][-1]
+    assert sorted(a.read(snapshot=va).collect()) == sorted(
+        b.read(snapshot=vb).collect()
+    )
+
+
+def test_append_reuses_parent_segments(catalog, orders_df):
+    """The scale property: appending writes ONE new segment and carries
+    every parent segment by reference (same descriptor path)."""
+    chunks = _chunks(orders_df, n=3)
+    t = catalog.create_table("db", "t", chunks[0].schema, properties=SEG_PROPS)
+    t.append(chunks[0])
+    segs1 = _seg_paths(t)
+    assert len(segs1) == 1
+    t.append(chunks[1])
+    segs2 = _seg_paths(t)
+    assert segs2[: len(segs1)] == segs1  # parent segments shared
+    assert len(segs2) == 2
+    t.append(chunks[2])
+    segs3 = _seg_paths(t)
+    assert segs3[:2] == segs2
+    assert len(segs3) == 3
+    assert t.read().count() == sum(c.count() for c in chunks)
+
+
+def test_dml_breaks_only_touched_segments(catalog, orders_df):
+    """A delete whose victims all live in segment A's files must reuse
+    segment B untouched (B's descriptor path survives in the head)."""
+    lo = orders_df.filter(F.col("o_orderkey") <= 1000)
+    hi = orders_df.filter(
+        (F.col("o_orderkey") > 50_000) & (F.col("o_orderkey") <= 52_000)
+    )
+    t = catalog.create_table("db", "t2", lo.schema, properties=SEG_PROPS)
+    t.append(lo)
+    seg_lo = _seg_paths(t)[0]
+    t.append(hi)
+    seg_hi = [p for p in _seg_paths(t) if p != seg_lo][0]
+    n_hi = hi.count()
+    t.delete(F.col("o_orderkey") <= 1000)  # victims only in seg_lo files
+    head_segs = _seg_paths(t)
+    assert seg_hi in head_segs, "untouched segment must be reused"
+    assert seg_lo not in head_segs, "touched segment must be replaced"
+    assert t.read().count() == n_hi
+
+
+def test_inline_threshold_crossing(catalog, orders_df):
+    """Below the threshold the file list stays inline (zero
+    indirection); crossing it flips to segments and stays there."""
+    chunk = orders_df.limit(100)
+    t = catalog.create_table(
+        "db", "t3", chunk.schema, properties={"manifest.inline_max": "3"}
+    )
+    t.append(chunk.repartition(2))  # 2 files <= 3 → inline
+    assert not t.snapshot().manifests
+    assert t.snapshot().files
+    t.append(chunk.repartition(2))  # 4 files > 3 → segmented
+    head = t.snapshot()
+    assert head.manifests
+    with open(t._meta_path(head.version)) as f:
+        assert json.load(f)["files"] == []
+    assert t.read().count() == 200
+
+
+def test_segment_count_stays_bounded(catalog, orders_df, monkeypatch):
+    """Past the cap, the smallest segments fold into the delta — the
+    manifest-merge that keeps metadata O(bounded) over any commit
+    history."""
+    monkeypatch.setattr(lh, "_MANIFEST_MAX_SEGMENTS", 4)
+    chunk = orders_df.limit(50)
+    t = catalog.create_table("db", "t4", chunk.schema, properties=SEG_PROPS)
+    for i in range(8):
+        t.append(chunk.withColumn("o_orderkey", F.col("o_orderkey") + i * 100))
+    assert len(t.snapshot().manifests) <= 4
+    assert t.read().count() == 8 * 50
+
+
+def test_expire_gc_removes_only_unreferenced_segments(catalog, orders_df):
+    chunks = _chunks(orders_df, n=3, rows=100)
+    t = catalog.create_table("db", "t5", chunks[0].schema, properties=SEG_PROPS)
+    for c in chunks:
+        t.append(c)
+    t.delete(F.col("o_orderkey") <= 100)
+    expected_rows = t.read().count()
+    t.expire_snapshots(keep_last=1)
+    live = set(_seg_paths(t))
+    on_disk = set(_seg_files_on_disk(t))
+    assert live <= on_disk
+    assert on_disk == live, f"orphan segments survived GC: {on_disk - live}"
+    assert t.read().count() == expected_rows
+
+
+def test_txn_abort_cleans_chain_segments(catalog, orders_df):
+    base = orders_df.limit(300)
+    t = catalog.create_table_as("db", "t6", base, properties=SEG_PROPS)
+    before = _seg_files_on_disk(t)
+    rows_before = t.read().count()
+    tx = LakeTransaction()
+    tx.append(t, base.withColumn("o_orderkey", F.col("o_orderkey") + 9_000_000))
+    tx.abort()
+    assert _seg_files_on_disk(t) == before
+    assert t.read().count() == rows_before
+
+
+def test_branch_wap_on_segmented_table(catalog, orders_df):
+    base = orders_df.limit(400)
+    extra = orders_df.limit(500).subtract(base)
+    t = catalog.create_table_as("db", "t7", base, properties=SEG_PROPS)
+    t.create_branch("audit")
+    b = t.for_branch("audit")
+    b.append(extra)
+    assert t.read().count() == base.count()  # main isolated
+    assert b.read().count() == base.count() + extra.count()
+    t.fast_forward("audit")
+    assert t.read().count() == base.count() + extra.count()
+
+
+def test_schema_evolution_on_segmented_table(catalog, orders_df):
+    base = orders_df.limit(200)
+    t = catalog.create_table_as("db", "t8", base, properties=SEG_PROPS)
+    t.add_column("flag", "string")
+    t.append(
+        base.withColumn("o_orderkey", F.col("o_orderkey") + 7_000_000)
+        .withColumn("flag", F.lit("new"))
+    )
+    got = t.read()
+    assert got.count() == 400
+    assert got.filter(F.col("flag").isNull()).count() == 200
+
+
+def test_segment_cache_shares_entry_objects(catalog, orders_df):
+    """Hydrating two snapshots that share a segment must not re-parse:
+    the entry dicts are the SAME objects (this is what makes reading
+    head N+1 after N O(delta))."""
+    chunk = orders_df.limit(100)
+    t = catalog.create_table("db", "t9", chunk.schema, properties=SEG_PROPS)
+    t.append(chunk)
+    v1 = t.current_version()
+    t.append(chunk.withColumn("o_orderkey", F.col("o_orderkey") + 500_000))
+    s_old, s_new = t.snapshot(v1), t.snapshot()
+    old_ids = {id(e) for e in s_old.files}
+    shared = [e for e in s_new.files if id(e) in old_ids]
+    assert len(shared) == len(s_old.files)
+
+
+def test_manifests_metadata_table_sql(catalog, orders_df, spark):
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    t = catalog.create_table_as(
+        "db", "t10", orders_df.limit(200), properties=SEG_PROPS
+    )
+    t.append(orders_df.limit(100))
+    sql = LakeSQL(spark, catalog)
+    rows = sql.sql(
+        "SELECT path, file_count, row_count FROM db.t10$manifests"
+    ).collect()
+    assert len(rows) == len(t.snapshot().manifests)
+    assert sum(r["row_count"] for r in rows) == 300
+    catalog.create_table_as("db", "t11", orders_df.limit(50))
+    rows = sql.sql("SELECT * FROM db.t11$manifests").collect()
+    assert len(rows) == 1 and rows[0]["path"] == "(inline)"

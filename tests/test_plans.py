@@ -95,6 +95,9 @@ def test_no_driver_side_collects_in_operators():
         "rollup.py",         # partial invalidation: the distinct
         # AFFECTED BUCKET timestamps of a DML window — bucket count,
         # not rows
+        "sql.py",            # EXPLAIN MERGE: ONE min/max row over the
+        # source's join keys to report the pruned candidate set —
+        # a single stats row, never table data
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
