@@ -359,6 +359,113 @@ class LakeSQL:
                 + masked[m.end():]
             )
 
+    _DISTINCT_ON = re.compile(
+        r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE
+    )
+
+    @classmethod
+    def _rewrite_distinct_on(cls, masked: str) -> str:
+        """PG ``SELECT DISTINCT ON (exprs) list ... ORDER BY ...`` —
+        keep the FIRST row of each exprs-group in ORDER BY order (the
+        PG idiom for latest-row-per-key). Spark has no equivalent;
+        rewritten to::
+
+            SELECT list FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY exprs ORDER BY <stmt ORDER BY, else exprs>
+              ) AS __don_rn FROM <body>
+            ) __don WHERE __don_rn = 1 [ORDER BY ...] [LIMIT/OFFSET]
+
+        The inner ``*`` keeps the full FROM scope visible, so the
+        outer list and ORDER BY may reference any base column, exactly
+        as in PG. Limits (loud failures, never silent): top-level
+        SELECT only (after CTEs); no GROUP BY in the same select; no
+        table-qualified refs in the outer list (the subquery flattens
+        scope); ORDER BY cannot use select-list aliases (window scope,
+        as in PG when the alias shadows nothing)."""
+        m = cls._DISTINCT_ON.search(masked)
+        if not m:
+            return masked
+        before = masked[: m.start()]
+        if before.count("(") != before.count(")"):
+            raise LakehouseError(
+                "DISTINCT ON is supported in the top-level SELECT only"
+            )
+        i, depth = m.end(), 1
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise LakehouseError("unbalanced parens in DISTINCT ON")
+        part = masked[m.end(): i - 1].strip()
+        rest = masked[i:]
+        if cls._DISTINCT_ON.search(rest):
+            raise LakehouseError(
+                "only one DISTINCT ON per statement is supported"
+            )
+        # select list = depth-0 text up to this select's FROM
+        fm, d = None, 0
+        for t in re.finditer(r"[()]|\bFROM\b", rest, re.IGNORECASE):
+            tok = t.group(0)
+            if tok == "(":
+                d += 1
+            elif tok == ")":
+                d -= 1
+            elif d == 0:
+                fm = t
+                break
+        if fm is None:
+            raise LakehouseError("DISTINCT ON requires a FROM clause")
+        select_list = rest[: fm.start()].strip()
+        body = rest[fm.end():]
+        ob = li = None
+        d = 0
+        for t in re.finditer(
+            r"[()]|\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b|\bGROUP\s+BY\b",
+            body,
+            re.IGNORECASE,
+        ):
+            tok = t.group(0)
+            if tok == "(":
+                d += 1
+            elif tok == ")":
+                d -= 1
+            elif d == 0:
+                u = tok.upper()
+                if u.startswith("GROUP"):
+                    raise LakehouseError(
+                        "DISTINCT ON with GROUP BY is not supported"
+                    )
+                if u.startswith("ORDER"):
+                    if ob is None:
+                        ob = t
+                elif li is None:
+                    li = t
+        if ob is not None:
+            end = li.start() if li and li.start() > ob.start() else len(body)
+            order_txt = body[ob.end(): end].strip()
+            from_part = body[: ob.start()]
+            tail = body[end:].strip()
+        else:
+            order_txt = None
+            from_part = body[: li.start()] if li else body
+            tail = body[li.start():].strip() if li else ""
+        win_order = order_txt if order_txt else part
+        proj = (
+            "* EXCEPT (__don_rn)" if select_list == "*" else select_list
+        )
+        return (
+            before
+            + f"SELECT {proj} FROM (SELECT *, row_number() OVER "
+            + f"(PARTITION BY {part} ORDER BY {win_order}) AS __don_rn "
+            + f"FROM {from_part.strip()}) __don WHERE __don_rn = 1"
+            + (f" ORDER BY {order_txt}" if order_txt else "")
+            + (f" {tail}" if tail else "")
+        )
+
     @classmethod
     def _pg_dialect(cls, s: str) -> str:
         """Rewrite PG-isms Spark reads differently (or not at all),
@@ -423,6 +530,7 @@ class LakeSQL:
         masked = cls._rewrite_cast_types(masked)
         masked = cls._rewrite_similar_to(masked, lits)
         masked = cls._rewrite_json_arrows(masked, lits)
+        masked = cls._rewrite_distinct_on(masked)
 
         while True:
             m = cls._EXTRACT_EPOCH.search(masked)
@@ -467,7 +575,21 @@ class LakeSQL:
 
     def sql(self, stmt: str):
         """Route one statement. Returns a DataFrame for SELECT, a
-        Snapshot for DML, a LakeTable for CREATE, else None."""
+        Snapshot for DML, a LakeTable for CREATE, else None.
+
+        String literals carry PG ``standard_conforming_strings``
+        semantics end-to-end: a backslash in a ``'...'`` literal is
+        DATA (``'\\0'`` is backslash+zero, ``'\\'`` is one backslash),
+        never a C escape. Spark's default parser would read ``\\0`` as
+        a NUL byte — silent value corruption for any PG text bearing
+        backslashes (Windows paths, regexes) — and rejects a trailing
+        backslash outright (its lexer eats ``\\'`` even under
+        ``escapedStringLiterals``). The frontend therefore keeps all
+        text PG-raw internally and re-escapes literals via
+        :meth:`_spark_text` at every Spark parse boundary."""
+        return self._route_stmt(stmt)
+
+    def _route_stmt(self, stmt: str):
         s = stmt.strip().rstrip(";").strip()
         s = self._pg_dialect(s).strip()
         head = s.split(None, 2)[0].upper() if s else ""
@@ -723,6 +845,24 @@ class LakeSQL:
             lambda m: literals[int(m.group(1))], text
         )
 
+    @classmethod
+    def _spark_text(cls, text: str) -> str:
+        """PG-raw SQL text → Spark-parseable text: double every
+        backslash INSIDE string literals (structure untouched). PG
+        standard-conforming strings treat ``\\`` as data; Spark's
+        default parser treats it as a C escape — without this,
+        ``'\\0'`` silently becomes a NUL byte and a literal ending in
+        ``\\`` is a parse error. Applied exactly ONCE, at each Spark
+        parse boundary (``spark.sql`` / ``F.expr``); all internal
+        masking/unmasking stays raw so value extraction (manifest
+        pruning, COPY, defaults) sees what PG would store."""
+        masked, lits = cls._mask_strings(text)
+        if not lits:
+            return text
+        return cls._unmask_strings(
+            masked, [lit.replace("\\", "\\\\") for lit in lits]
+        )
+
     @staticmethod
     def _cast_prune_literal(v, dtype):
         """Coerce a SQL literal to the manifest's representation for
@@ -944,7 +1084,7 @@ class LakeSQL:
             df.createOrReplaceTempView(view)
             return view
 
-        return self.spark.sql(self._TT.sub(bind, s))
+        return self.spark.sql(self._spark_text(self._TT.sub(bind, s)))
 
     def _bind_view(self, ns, name, meta, branch, ver, ts) -> str:
         """Expand a stored view: evaluate its SELECT (recursively —
@@ -1477,7 +1617,7 @@ class LakeSQL:
                         v,
                         flags=re.IGNORECASE,
                     )
-                    assignments[k] = F.expr(U(expr))
+                    assignments[k] = F.expr(self._spark_text(U(expr)))
                 conflict = (keys, "update", assignments)
             s = s[: cm.start()].rstrip()
         m = re.match(
@@ -1509,7 +1649,7 @@ class LakeSQL:
             bound = self.spark.range(1).select(
                 *[
                     (
-                        F.expr(defaults[str(ids.get(f.name))])
+                        F.expr(self._spark_text(defaults[str(ids.get(f.name))]))
                         if str(ids.get(f.name)) in defaults
                         else F.lit(None)
                     )
@@ -1523,7 +1663,7 @@ class LakeSQL:
             df = (
                 self._select(U(body))
                 if body.upper().startswith(("SELECT", "WITH"))
-                else self.spark.sql(U(body))
+                else self.spark.sql(self._spark_text(U(body)))
             )
         else:
             raise LakehouseError(
@@ -1557,7 +1697,11 @@ class LakeSQL:
 
             def missing_value(fname: str):
                 d = defaults.get(str(ids.get(fname)))
-                return F.expr(d) if d is not None else F.lit(None)
+                return (
+                    F.expr(self._spark_text(d))
+                    if d is not None
+                    else F.lit(None)
+                )
 
             bound = named.select(
                 *[
@@ -1600,7 +1744,7 @@ class LakeSQL:
         df = (
             self._select(body)
             if body.upper().startswith(("SELECT", "WITH"))
-            else self.spark.sql(body)
+            else self.spark.sql(self._spark_text(body))
         )
         tbl = self.catalog.load_table(ns, name)
         fields = tbl.schema().fields
@@ -1986,7 +2130,11 @@ class LakeSQL:
             if extra:
                 e = " AND ".join(extra)
                 e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", e)
-                cond = F.expr(U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e)))
+                cond = F.expr(
+                    self._spark_text(
+                        U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e))
+                    )
+                )
             return self._apply_merge(
                 tbl,
                 source,  # full source: extra conjuncts may reference it
@@ -2005,7 +2153,7 @@ class LakeSQL:
         ns, name, branch, where = m.group(1), m.group(2), m.group(3), m.group(4)
         tbl = self._load(ns, name, branch)
         return self._apply_delete(
-            tbl, F.expr(U(where)) if where else F.lit(True)
+            tbl, F.expr(self._spark_text(U(where))) if where else F.lit(True)
         )
 
     def _update(self, s: str) -> Snapshot:
@@ -2063,7 +2211,11 @@ class LakeSQL:
 
             def rewrite(expr: str):
                 e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr)
-                return F.expr(U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e)))
+                return F.expr(
+                    self._spark_text(
+                        U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e))
+                    )
+                )
 
             assignments = {}
             for k, v in _set_items(sets):
@@ -2089,10 +2241,12 @@ class LakeSQL:
         ns, name, branch, sets, where = m.groups()
         assignments = {}
         for k, v in _set_items(sets):
-            assignments[k] = F.expr(U(v))
+            assignments[k] = F.expr(self._spark_text(U(v)))
         tbl = self._load(ns, name, branch)
         return self._apply_update(
-            tbl, F.expr(U(where)) if where else F.lit(True), assignments
+            tbl,
+            F.expr(self._spark_text(U(where))) if where else F.lit(True),
+            assignments,
         )
 
     # -- MERGE -------------------------------------------------------------
@@ -2152,7 +2306,7 @@ class LakeSQL:
             """target alias -> bare column, source alias -> __src.col"""
             e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr)
             e = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e)
-            return F.expr(U(e))
+            return F.expr(self._spark_text(U(e)))
 
         kw = {
             "when_matched_update": None,

@@ -1682,3 +1682,117 @@ def test_sql_script_multi_statement(lsql):
         "BEGIN; INSERT INTO db.sc VALUES (3, 'd'); ROLLBACK;"
     )
     assert lsql.sql("SELECT count(*) AS n FROM db.sc").collect()[0].n == 2
+
+
+def test_pg_distinct_on(lsql):
+    """PG SELECT DISTINCT ON — first row per group in ORDER BY order
+    (the latest-row-per-key idiom), rewritten onto row_number()."""
+    lsql.sql("CREATE TABLE db.don (k BIGINT, ts BIGINT, v TEXT)")
+    lsql.sql(
+        "INSERT INTO db.don VALUES "
+        "(1, 10, 'old'), (1, 20, 'new'), "
+        "(2, 5, 'only'), (3, 9, 'a'), (3, 9, 'a2'), (3, 1, 'b')"
+    )
+    got = lsql.sql(
+        "SELECT DISTINCT ON (k) k, v FROM db.don "
+        "ORDER BY k, ts DESC, v"
+    ).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "new"), (2, "only"), (3, "a")]
+    # WHERE composes; LIMIT applies after the distinct
+    got = lsql.sql(
+        "SELECT DISTINCT ON (k) k, v FROM db.don WHERE ts > 1 "
+        "ORDER BY k, ts DESC, v LIMIT 2"
+    ).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "new"), (2, "only")]
+    # star select drops the helper column
+    got = lsql.sql(
+        "SELECT DISTINCT ON (k) * FROM db.don ORDER BY k, ts DESC, v"
+    )
+    assert got.columns == ["k", "ts", "v"]
+    assert got.count() == 3
+    # multi-column key
+    got = lsql.sql(
+        "SELECT DISTINCT ON (k, ts) k, ts, v FROM db.don "
+        "ORDER BY k, ts, v"
+    ).collect()
+    assert len(got) == 5  # (3,9) collapses its two rows
+    # no ORDER BY: arbitrary representative, one per group
+    got = lsql.sql("SELECT DISTINCT ON (k) k, v FROM db.don").collect()
+    assert sorted(r.k for r in got) == [1, 2, 3]
+
+
+def test_pg_distinct_on_loud_failures(lsql):
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    lsql.sql("CREATE TABLE db.don2 (k BIGINT, v BIGINT)")
+    lsql.sql("INSERT INTO db.don2 VALUES (1, 2)")
+    with _pytest.raises(LakehouseError, match="top-level"):
+        lsql.sql(
+            "SELECT * FROM (SELECT DISTINCT ON (k) k FROM db.don2) x"
+        )
+    with _pytest.raises(LakehouseError, match="GROUP BY"):
+        lsql.sql(
+            "SELECT DISTINCT ON (k) k FROM db.don2 GROUP BY k"
+        )
+    # a literal containing 'DISTINCT ON (' is data, not syntax
+    got = lsql.sql(
+        "SELECT v FROM db.don2 WHERE 'DISTINCT ON (x)' <> '' "
+    ).collect()
+    assert [r.v for r in got] == [2]
+
+
+def test_pg_distinct_on_differential_vs_duckdb(lsql, spark, sf_dir, duck):
+    """DuckDB implements PG's DISTINCT ON natively — run the identical
+    statement both sides over the same orders data (latest order per
+    customer) and require identical rows."""
+    from pg_lakehouse_spark.tables import table
+
+    lsql.catalog.create_table_as(
+        "db", "don_orders", table(spark, sf_dir, "orders")
+    )
+    stmt = (
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, "
+        "o_orderstatus FROM {t} "
+        "ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC"
+    )
+    got = [
+        (r.o_custkey, r.o_orderkey, r.o_orderstatus)
+        for r in lsql.sql(stmt.format(t="db.don_orders")).collect()
+    ]
+    want = duck.execute(stmt.format(t="orders")).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert len(got) > 0
+
+
+def test_pg_backslash_literal_semantics(lsql):
+    """PG standard_conforming_strings: backslash in a '...' literal is
+    DATA. Spark's default parser would corrupt these silently ('\\0' →
+    NUL byte) or reject them ('\\' alone). Round-trip every shape
+    through INSERT / UPDATE / WHERE equality (incl. the manifest-
+    pruning path, which compares RAW values against stored stats)."""
+    lsql.sql("CREATE TABLE db.bs (k BIGINT, s STRING)")
+    vals = ["\\0", "\\", "\\\\", "C:\\path\\new", "a\\nb", "regex \\d+"]
+    for i, v in enumerate(vals):
+        lsql.sql(f"INSERT INTO db.bs VALUES ({i}, '{v}')")
+    got = {
+        r.k: r.s
+        for r in lsql.sql("SELECT k, s FROM db.bs ORDER BY k").collect()
+    }
+    assert got == dict(enumerate(vals))
+    # WHERE equality on a backslash literal (exercises _select +
+    # manifest pruning's raw value extraction)
+    for i, v in enumerate(vals):
+        rows = lsql.sql(
+            f"SELECT k FROM db.bs WHERE s = '{v}'"
+        ).collect()
+        assert [r.k for r in rows] == [i], v
+    # UPDATE assignment and predicate both carry backslashes
+    lsql.sql("UPDATE db.bs SET s = '\\win\\0' WHERE s = '\\'")
+    assert [
+        r.k
+        for r in lsql.sql(
+            "SELECT k FROM db.bs WHERE s = '\\win\\0'"
+        ).collect()
+    ] == [1]
