@@ -122,6 +122,38 @@ def _segment_seed(abs_path: str, entries: list[dict]) -> None:
             _SEG_CACHE[abs_path] = entries
 
 
+def _segment_bounds(entries: list[dict]) -> tuple[dict, int | None]:
+    """(aggregated column bounds, schema_id) for a segment descriptor.
+
+    Bounds are CONSERVATIVE or absent: a column qualifies only when
+    every entry carries a range for it and the values compare cleanly
+    (min of mins, max of maxs). Stats keys are epoch-relative, so
+    bounds are only emitted when all entries share one schema_id —
+    mixed segments return ({}, None) and the reader keeps them."""
+    if not entries:
+        return {}, None
+    sids = {e.get("schema_id", 0) for e in entries}
+    if len(sids) != 1:
+        return {}, None
+    common: set | None = None
+    for e in entries:
+        keys = set((e.get("ranges") or {}).keys())
+        common = keys if common is None else common & keys
+        if not common:
+            return {}, sids.pop()
+    bounds = {}
+    for c in common:
+        try:
+            los = [e["ranges"][c][0] for e in entries]
+            his = [e["ranges"][c][1] for e in entries]
+            if any(v is None for v in los) or any(v is None for v in his):
+                continue
+            bounds[c] = [min(los), max(his)]
+        except TypeError:
+            continue
+    return bounds, sids.pop()
+
+
 class LakehouseError(RuntimeError):
     pass
 
@@ -648,7 +680,12 @@ class LakeTable:
             delete_files=old.delete_files,
         )
 
-    def snapshot(self, version: int | str | None = None) -> Snapshot:
+    def snapshot(
+        self, version: int | str | None = None, hydrate: bool = True
+    ) -> Snapshot:
+        """``hydrate=False`` skips materializing a segmented file list
+        — for callers that prune at segment level (``pruned_entries``)
+        or need only schema/properties/refs metadata."""
         version = (
             self.current_version()
             if version is None
@@ -661,7 +698,8 @@ class LakeTable:
             )
         with open(path) as f:
             d = json.load(f)
-        return self._hydrate(Snapshot(**d))
+        snap = Snapshot(**d)
+        return self._hydrate(snap) if hydrate else snap
 
     def _hydrate(self, snap: Snapshot) -> Snapshot:
         """Materialize a segmented snapshot's file list from its
@@ -1003,12 +1041,18 @@ class LakeTable:
                 json.dump(delta, f)
             os.rename(tmp, abs_path)
             _segment_seed(abs_path, delta)
+            bounds, seg_sid = _segment_bounds(delta)
             descriptors.append(
                 {
                     "path": rel,
                     "file_count": len(delta),
                     "row_count": sum(e["rows"] for e in delta),
                     "byte_count": sum(e["bytes"] for e in delta),
+                    # aggregated column bounds → segment-level pruning
+                    # (pruned_entries skips whole segments without
+                    # parsing them); schema_id qualifies the stats keys
+                    "bounds": bounds,
+                    "schema_id": seg_sid,
                 }
             )
         return [], descriptors
@@ -2836,9 +2880,17 @@ class LakeTable:
         """The manifest file-selection half of :meth:`read_pruned`:
         (snapshot, surviving file entries) — metadata-only except the
         single-row bucket/bloom hash jobs. EXPLAIN uses it to report
-        the rewrite candidate set without reading data."""
-        s = self.snapshot(snapshot)
-        eq = self._bucket_eq_values(s, filters)
+        the rewrite candidate set without reading data.
+
+        On a SEGMENTED table the snapshot is loaded without hydration
+        and whole manifest segments are bounds-checked before their
+        entries are even parsed (the descriptor carries aggregated
+        column bounds) — a point lookup on a million-file table reads
+        only the few segments whose ranges overlap, the Iceberg
+        manifest-level-pruning analog. The returned snapshot may
+        therefore have an empty ``files`` list; callers use the entry
+        list, never ``s.files``."""
+        s = self.snapshot(snapshot, hydrate=False)
         beq = self._bloom_eq_positions(s, filters)
 
         # Stats in old-epoch file entries are keyed by the names the
@@ -2911,28 +2963,64 @@ class LakeTable:
                     return False
             return True
 
+        if s.manifests and not s.files:
+            # segment-level skip: a pseudo-entry built from the
+            # descriptor's aggregated bounds runs through the SAME
+            # overlap predicate as a file entry (blooms/buckets/nulls
+            # absent → conservative keep); a non-overlapping segment's
+            # entries are never parsed
+            candidates: list[dict] = []
+            for m in s.manifests:
+                pseudo = {
+                    "schema_id": (
+                        m["schema_id"]
+                        if m.get("schema_id") is not None
+                        else s.schema_id
+                    ),
+                    "ranges": m.get("bounds") or {},
+                    "rows": m.get("row_count", 0),
+                }
+                pm = entry_names(pseudo)
+                if self._entry_overlaps(
+                    pseudo, xlate(filters, pm), None, None
+                ) and null_ok(pseudo, pm):
+                    candidates.extend(
+                        _segment_read(
+                            os.path.join(self.meta_dir, m["path"])
+                        )
+                    )
+        else:
+            candidates = s.files
+        eq = self._bucket_eq_values(s, filters, candidates)
+
         def overlaps(f: dict) -> bool:
             m = entry_names(f)
             return self._entry_overlaps(
                 f, xlate(filters, m), eq, xlate(beq, m)
             ) and null_ok(f, m)
 
-        selected = [f for f in s.files if overlaps(f)]
+        selected = [f for f in candidates if overlaps(f)]
         return s, selected
 
     def _bucket_eq_values(
-        self, snap: Snapshot, filters: dict[str, tuple]
+        self,
+        snap: Snapshot,
+        filters: dict[str, tuple],
+        entries: list[dict] | None = None,
     ) -> dict:
         """{derived_bucket_key: bucket_of_filter_value} for every
         EQUALITY filter (lo == hi) on a column that bucket-partitions
         some live file. The hash must match the write side exactly
         (JVM xxhash64 on the column's type), so it's evaluated in one
-        single-row Spark job — metadata-scale, never data-scale."""
+        single-row Spark job — metadata-scale, never data-scale.
+        ``entries`` scopes the width scan to the candidate set (the
+        segment-pruned path passes its survivors; bucket widths only
+        matter for files that are still in play)."""
         import re as _re
 
         schema = StructType.fromJson(json.loads(snap.schema_json))
         widths: dict[str, set[int]] = {}
-        for e in snap.files:
+        for e in entries if entries is not None else snap.files:
             for name in self._entry_spec(e):
                 m = _re.match(r"^(.+)_bucket(\d+)$", name)
                 if m and m.group(1) in filters:

@@ -112,7 +112,7 @@ def test_dml_breaks_only_touched_segments(catalog, orders_df):
     segment B untouched (B's descriptor path survives in the head)."""
     lo = orders_df.filter(F.col("o_orderkey") <= 1000)
     hi = orders_df.filter(
-        (F.col("o_orderkey") > 50_000) & (F.col("o_orderkey") <= 52_000)
+        (F.col("o_orderkey") > 5_000) & (F.col("o_orderkey") <= 7_000)
     )
     t = catalog.create_table("db", "t2", lo.schema, properties=SEG_PROPS)
     t.append(lo)
@@ -242,3 +242,68 @@ def test_manifests_metadata_table_sql(catalog, orders_df, spark):
     catalog.create_table_as("db", "t11", orders_df.limit(50))
     rows = sql.sql("SELECT * FROM db.t11$manifests").collect()
     assert len(rows) == 1 and rows[0]["path"] == "(inline)"
+
+
+def test_segment_level_pruning_skips_unloaded_segments(catalog, orders_df):
+    """A point lookup must not even PARSE segments whose descriptor
+    bounds exclude it — observable through the segment cache: after a
+    cold pruned read, only the overlapping segment(s) are cached."""
+    t = catalog.create_table(
+        "db", "sp", orders_df.schema, properties=SEG_PROPS
+    )
+    # three disjoint key ranges → three segments with disjoint bounds
+    for lo, hi in ((0, 2000), (5_000, 7_000), (10_000, 12_000)):
+        t.append(
+            orders_df.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1)
+        )
+    segs = t.snapshot().manifests
+    assert len(segs) == 3
+    assert all(m.get("bounds", {}).get("o_orderkey") for m in segs)
+    overlapping = {
+        m["path"]
+        for m in segs
+        if m["bounds"]["o_orderkey"][0] <= 6_010
+        and m["bounds"]["o_orderkey"][1] >= 6_000
+    }
+    assert len(overlapping) == 1
+    # the selection itself parses ONLY the overlapping segment
+    lh._SEG_CACHE.clear()
+    _s, selected = t.pruned_entries({"o_orderkey": (6_000, 6_010)})
+    cached = {
+        os.path.relpath(p, t.meta_dir) for p in lh._SEG_CACHE.keys()
+    }
+    assert cached & {m["path"] for m in segs} == overlapping
+    assert selected and all(
+        "o_orderkey" in (e.get("ranges") or {}) for e in selected
+    )
+    # and the full read returns exactly the matching rows
+    got = t.read_pruned({"o_orderkey": (6_000, 6_010)})
+    n = got.count()
+    want = orders_df.filter(
+        F.col("o_orderkey").between(6_000, 6_010)
+    ).count()
+    assert n == want and n > 0
+
+
+def test_segment_pruning_correct_across_schema_epochs(catalog, orders_df):
+    """Bounds are epoch-qualified: after a column rename, old segments'
+    stats keys resolve by field id — a pruned read still returns
+    exactly the matching rows."""
+    base = orders_df.filter(F.col("o_orderkey") <= 3000)
+    t = catalog.create_table_as("db", "se", base, properties=SEG_PROPS)
+    t.rename_column("o_orderkey", "okey")
+    t.append(
+        orders_df.filter(
+            (F.col("o_orderkey") > 5_000) & (F.col("o_orderkey") <= 8_000)
+        ).withColumnRenamed("o_orderkey", "okey")
+    )
+    got = t.read_pruned({"okey": (5_500, 5_600)})
+    want = orders_df.filter(
+        F.col("o_orderkey").between(5_500, 5_600)
+    ).count()
+    assert got.count() == want
+    # and the pre-rename slice still reachable
+    got2 = t.read_pruned({"okey": (None, 3000)})
+    assert got2.count() == base.count()
