@@ -1331,3 +1331,57 @@ def lake_delete_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ghosts = spark.range(2_000_000, 2_000_050).select(F.col("id").alias("k"))
     tbl.delete_by_keys(doomed.unionByName(ghosts))
     return tbl.read()
+
+
+@register(
+    "lake_manifest_segments",
+    oracle="""
+SELECT o_orderkey AS k,
+       round(CASE WHEN o_orderkey <= 300 THEN o_totalprice * 2
+                  ELSE o_totalprice END, 2) AS price,
+       o_orderstatus AS status
+FROM orders
+WHERE o_orderkey <= 1800 AND o_orderkey % 5 != 0
+  AND o_orderkey BETWEEN 200 AND 1500
+ORDER BY k
+""",
+    tags=("lakehouse", "manifests", "scale"),
+)
+def lake_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented-manifest lifecycle end-to-end (r6 scale-hardening:
+    commits O(delta), segment-level bounds pruning): a table forced to
+    segment (`manifest.inline_max=0`) takes three disjoint-range
+    appends (three segments), a CoW delete and an update (breaking
+    only the touched segments), then answers a range query through
+    `read_pruned` — which skips non-overlapping SEGMENTS before even
+    parsing their entries. The oracle replays the same end state in
+    SQL over the raw corpus."""
+    orders = t(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "manifest_segments")
+    tbl = cat.create_table(
+        "db",
+        "orders_seg",
+        orders.schema,
+        properties={"manifest.inline_max": "0"},
+    )
+    for lo, hi in ((0, 600), (600, 1200), (1200, 1800)):
+        tbl.append(
+            orders.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            )
+        )
+    assert len(tbl.snapshot().manifests) >= 3  # actually segmented
+    tbl.delete(F.col("o_orderkey") % 5 == 0)
+    tbl.update(
+        F.col("o_orderkey") <= 300,
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    return (
+        tbl.read_pruned({"o_orderkey": (200, 1500)})
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .orderBy("k")
+    )

@@ -609,7 +609,7 @@ def test_dml_keyword_literal_roundtrip(
 
 _SEL_COLS = ("k", "v", "s")
 _SEL_STRS = ["alpha", "a WHERE b", "it''s", "x AND y", "", "BETWEEN",
-             "(paren)", "~ oops"]
+             "(paren)", "~ oops", "\\", "a\\0b", "C:\\dir\\name"]
 
 _sel_pred = st.deferred(
     lambda: st.one_of(
@@ -726,6 +726,41 @@ def test_select_differential_vs_duckdb(spark, tmp_path_factory, pred):
         f"SELECT k, v, s FROM fzsel WHERE {where} ORDER BY k"
     ).fetchall()
     assert got == want, f"where={where!r}"
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    part=st.sampled_from(["s", "v"]),
+    order=st.sampled_from(["k", "v"]),
+    desc=st.booleans(),
+    pred=_sel_pred,
+)
+def test_distinct_on_differential_vs_duckdb(
+    spark, tmp_path_factory, part, order, desc, pred
+):
+    """PG DISTINCT ON (rewritten onto row_number) ≡ DuckDB's native
+    DISTINCT ON, over random predicates, partition and order choices.
+    The full ORDER BY ends with k so the surviving row per group (and
+    the output order) are deterministic on both engines."""
+    lsql, duck = _sel_setup(spark, tmp_path_factory)
+    d = "DESC" if desc else "ASC"
+    where = _render_pred(pred)
+    stmt = (
+        f"SELECT DISTINCT ON ({part}) k, v, s FROM {{t}} "
+        f"WHERE {where} "
+        f"ORDER BY {part} NULLS FIRST, {order} {d} NULLS LAST, k"
+    )
+    got = [
+        (r.k, r.v, r.s)
+        for r in lsql.sql(stmt.format(t="db.fzsel")).collect()
+    ]
+    want = duck.execute(stmt.format(t="fzsel")).fetchall()
+    assert got == want, stmt
 
 
 # -- r6: dialect-pass invariants ----------------------------------------
