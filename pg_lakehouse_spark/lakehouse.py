@@ -122,6 +122,22 @@ def _segment_seed(abs_path: str, entries: list[dict]) -> None:
             _SEG_CACHE[abs_path] = entries
 
 
+_SQL_STR_LIT = __import__("re").compile(r"'(?:[^']|'')*'")
+
+
+def _pg_expr(text: str) -> Column:
+    """``F.expr`` with PG standard-conforming string semantics for
+    expressions STORED in table metadata (CHECK constraints, column
+    DEFAULTs): a backslash inside a ``'...'`` literal is data; Spark's
+    parser would treat it as a C escape, so literals are re-escaped at
+    this parse boundary (the lakehouse-side mirror of
+    ``sql.LakeSQL._spark_text``)."""
+    fixed = _SQL_STR_LIT.sub(
+        lambda m: m.group(0).replace("\\", "\\\\"), text
+    )
+    return F.expr(fixed)
+
+
 def _segment_bounds(entries: list[dict]) -> tuple[dict, int | None]:
     """(aggregated column bounds, schema_id) for a segment descriptor.
 
@@ -1156,7 +1172,7 @@ class LakeTable:
         if validate:
             bad = (
                 self.read()
-                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .filter(~F.coalesce(_pg_expr(expr), F.lit(True)))
                 .limit(1)
                 .count()
             )
@@ -1194,7 +1210,7 @@ class LakeTable:
         expr = checks[name]
         bad = (
             self.read()
-            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .filter(~F.coalesce(_pg_expr(expr), F.lit(True)))
             .limit(1)
             .count()
         )
@@ -1243,7 +1259,7 @@ class LakeTable:
         t0 = df.schema[c0].dataType
         guarded = F.col(c0)
         for name, expr in sorted(checks.items()):
-            viol = ~F.coalesce(F.expr(expr), F.lit(True))
+            viol = ~F.coalesce(_pg_expr(expr), F.lit(True))
             if only is not None:
                 viol = F.coalesce(only, F.lit(False)) & viol
             guarded = F.when(
@@ -1636,7 +1652,7 @@ class LakeTable:
 
         def fill(fname):
             d = defaults.get(str(ids.get(fname)))
-            return F.expr(d) if d is not None else F.lit(None)
+            return _pg_expr(d) if d is not None else F.lit(None)
 
         return df.select(
             *[
@@ -1946,7 +1962,7 @@ class LakeTable:
             raise LakehouseError(f"no such column: {name!r}")
         try:
             self.spark.range(1).select(
-                F.expr(default).cast(schema[name].dataType)
+                _pg_expr(default).cast(schema[name].dataType)
             ).collect()
         except Exception as exc:
             raise LakehouseError(
@@ -2083,7 +2099,7 @@ class LakeTable:
             # declared type) so a broken default fails at ALTER time
             try:
                 self.spark.range(1).select(
-                    F.expr(default).cast(data_type)
+                    _pg_expr(default).cast(data_type)
                 ).collect()
             except Exception as exc:
                 raise LakehouseError(
@@ -2687,7 +2703,7 @@ class LakeTable:
                     # either way, materialized in the scan projection
                     dflt = defaults.get(str(fid))
                     proj.append(
-                        (F.expr(dflt) if dflt else F.lit(None))
+                        (_pg_expr(dflt) if dflt else F.lit(None))
                         .cast(fld.dataType)
                         .alias(fld.name)
                     )
@@ -3863,7 +3879,7 @@ class LakeTable:
                 e = values[c]
             else:
                 d = defaults.get(str(ids.get(c)))
-                e = F.expr(d) if d is not None else F.lit(None)
+                e = _pg_expr(d) if d is not None else F.lit(None)
             if c in schema.fieldNames():
                 from pyspark.sql.types import MapType
 

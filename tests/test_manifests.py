@@ -307,3 +307,65 @@ def test_segment_pruning_correct_across_schema_epochs(catalog, orders_df):
     # and the pre-rename slice still reachable
     got2 = t.read_pruned({"okey": (None, 3000)})
     assert got2.count() == base.count()
+
+
+def test_segmented_equals_inline_under_random_dml(catalog, orders_df):
+    """Differential property: a seeded random sequence of DELETE /
+    UPDATE / APPEND / MERGE (+ forced compaction and snapshot expiry
+    mid-sequence) applied to an inline twin and a segmented twin must
+    converge to identical states at every step — segmentation is a
+    metadata layout, never a semantics change."""
+    import random
+
+    rng = random.Random(20260815)
+    base = orders_df.limit(400)
+    a = catalog.create_table_as("db", "rt_inline", base)
+    b = catalog.create_table_as("db", "rt_seg", base, properties=SEG_PROPS)
+    twins = (a, b)
+
+    def states_equal():
+        assert sorted(map(tuple, a.read().collect())) == sorted(
+            map(tuple, b.read().collect())
+        )
+
+    for step in range(10):
+        op = rng.choice(["delete", "update", "append", "merge", "compact"])
+        if step == 6:
+            op = "expire"
+        lo = rng.randrange(0, 350)
+        hi = lo + rng.randrange(5, 60)
+        cond = F.col("o_orderkey").between(lo, hi)
+        if op == "delete":
+            for t_ in twins:
+                t_.delete(cond)
+        elif op == "update":
+            assign = {"o_totalprice": F.col("o_totalprice") + float(step)}
+            for t_ in twins:
+                t_.update(cond, assign)
+        elif op == "append":
+            extra = orders_df.filter(cond).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000 * (step + 1)
+            )
+            for t_ in twins:
+                t_.append(extra)
+        elif op == "merge":
+            src = orders_df.filter(cond).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 1.5
+            )
+            kwargs = dict(
+                on=["o_orderkey"],
+                when_matched_update={
+                    "o_totalprice": F.col("__src.o_totalprice")
+                },
+                when_not_matched_insert=True,
+            )
+            for t_ in twins:
+                t_.merge(src, **kwargs)
+        elif op == "compact":
+            for t_ in twins:
+                t_.compact(small_file_bytes=1 << 62, min_files=1)
+        elif op == "expire":
+            for t_ in twins:
+                t_.expire_snapshots(keep_last=2)
+        states_equal()
+    assert b.snapshot().manifests  # the segmented twin stayed segmented

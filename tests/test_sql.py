@@ -1796,3 +1796,27 @@ def test_pg_backslash_literal_semantics(lsql):
             "SELECT k FROM db.bs WHERE s = '\\win\\0'"
         ).collect()
     ] == [1]
+
+
+def test_pg_backslash_in_defaults_and_checks(lsql):
+    """Stored expressions (column DEFAULT, CHECK constraints) are
+    parsed by the ENGINE later (outside the SQL route) — they must
+    carry the same PG backslash-is-data semantics."""
+    lsql.sql(
+        "CREATE TABLE db.bsd (k BIGINT, s STRING DEFAULT 'N\\A', "
+        "t STRING)"
+    )
+    lsql.sql("INSERT INTO db.bsd (k, t) VALUES (1, 'x')")
+    got = lsql.sql("SELECT s FROM db.bsd WHERE k = 1").collect()
+    assert [r.s for r in got] == ["N\\A"]
+    lsql.sql(
+        "ALTER TABLE db.bsd ADD CONSTRAINT no_bs CHECK (t <> '\\')"
+    )
+    lsql.sql("INSERT INTO db.bsd (k, t) VALUES (2, 'ok')")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CHECK constraint no_bs"):
+        lsql.sql("INSERT INTO db.bsd (k, t) VALUES (3, '\\')")
+    # the backslash literal in the CHECK compared as DATA: a row whose
+    # t is a backslash violates; everything else passed
+    assert lsql.sql("SELECT count(*) AS n FROM db.bsd").collect()[0].n == 2
