@@ -608,6 +608,10 @@ class LakeSQL:
                 "UPDATE/MERGE); DDL runs outside BEGIN..COMMIT"
             )
         if head == "SELECT" or s.upper().startswith("WITH"):
+            if head == "WITH":
+                handled, out = self._with_dml(s)
+                if handled:
+                    return out
             return self._select(s)
         if head == "EXPLAIN":
             # PG's inspection verb: lake refs bind exactly as in SELECT,
@@ -1010,6 +1014,75 @@ class LakeSQL:
                 continue  # incomparable narrowed bounds: drop (conservative)
             out[c] = (lo, hi)
         return out
+
+    def _with_dml(self, s: str) -> tuple[bool, object]:
+        """PG CTEs in front of DML: ``WITH x AS (SELECT ...) INSERT
+        INTO t SELECT ... FROM x`` (likewise UPDATE ... FROM x /
+        DELETE ... USING x / MERGE ... USING x). Each CTE binds as a
+        temp view (in order, so later CTEs may reference earlier
+        ones), the remaining statement routes normally, and the views
+        are dropped after — PG statement-scoped visibility,
+        approximated; a CTE name shadowing a temp view wins for the
+        statement's duration. Returns (False, None) when the main
+        statement is a plain SELECT (the normal `_select` path owns
+        CTEs there, including RECURSIVE). Data-MODIFYING CTEs
+        (``WITH x AS (DELETE ... RETURNING ...)``) are not supported
+        and fail loudly in `_select`."""
+        masked, lits = self._mask_strings(s)
+        U = lambda t: self._unmask_strings(t, lits)  # noqa: E731
+        if re.match(r"WITH\s+RECURSIVE\b", masked, re.IGNORECASE):
+            return False, None  # recursive CTEs are SELECT-only
+        i = len("WITH")
+        ctes: list[tuple[str, list[str] | None, str]] = []
+        while True:
+            hm = re.match(
+                rf"\s*({_IDENT})\s*(?:\(([^()]*)\))?\s*AS\s*"
+                rf"(?:NOT\s+MATERIALIZED\s*|MATERIALIZED\s*)?\(",
+                masked[i:],
+                re.IGNORECASE,
+            )
+            if not hm:
+                return False, None  # not a CTE shape we understand
+            name = hm.group(1)
+            cols = (
+                [c.strip() for c in hm.group(2).split(",") if c.strip()]
+                if hm.group(2)
+                else None
+            )
+            j, depth = i + hm.end(), 1
+            while j < len(masked) and depth:
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                return False, None  # unbalanced: let Spark complain
+            ctes.append((name, cols, masked[i + hm.end(): j - 1]))
+            k = j
+            while k < len(masked) and masked[k].isspace():
+                k += 1
+            if k < len(masked) and masked[k] == ",":
+                i = k + 1
+                continue
+            i = k
+            break
+        rest = masked[i:]
+        verb = rest.split(None, 1)[0].upper() if rest.strip() else ""
+        if verb not in ("INSERT", "UPDATE", "DELETE", "MERGE"):
+            return False, None
+        bound: list[str] = []
+        try:
+            for name, cols, body in ctes:
+                df = self._select(U(body.strip()))
+                if cols:
+                    df = df.toDF(*cols)
+                df.createOrReplaceTempView(name)
+                bound.append(name)
+            return True, self._route_stmt(U(rest))
+        finally:
+            for name in bound:
+                self.spark.catalog.dropTempView(name)
 
     def _select(self, s: str) -> DataFrame:
         """Bind every ``ns.t[$meta][@branch] [FOR ... AS OF ...]`` lake

@@ -1820,3 +1820,56 @@ def test_pg_backslash_in_defaults_and_checks(lsql):
     # the backslash literal in the CHECK compared as DATA: a row whose
     # t is a backslash violates; everything else passed
     assert lsql.sql("SELECT count(*) AS n FROM db.bsd").collect()[0].n == 2
+
+
+def test_with_cte_before_dml(lsql):
+    """PG CTEs in front of DML verbs: WITH x AS (...) INSERT/UPDATE/
+    DELETE/MERGE — each CTE binds for the statement, later CTEs see
+    earlier ones, and the name unbinds afterwards."""
+    lsql.sql("CREATE TABLE db.wd (k BIGINT, v DOUBLE)")
+    lsql.sql("INSERT INTO db.wd VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    # INSERT fed by chained CTEs
+    lsql.sql(
+        "WITH base AS (SELECT k, v FROM db.wd WHERE k <= 2), "
+        "boosted (k, v) AS (SELECT k + 10, v * 100 FROM base) "
+        "INSERT INTO db.wd SELECT k, v FROM boosted"
+    )
+    got = lsql.sql("SELECT k, v FROM db.wd ORDER BY k").collect()
+    assert [(r.k, r.v) for r in got] == [
+        (1, 1.0), (2, 2.0), (3, 3.0), (11, 100.0), (12, 200.0),
+    ]
+    # DELETE USING a CTE
+    lsql.sql(
+        "WITH doomed AS (SELECT k FROM db.wd WHERE v >= 100) "
+        "DELETE FROM db.wd t USING doomed d WHERE t.k = d.k"
+    )
+    assert lsql.sql("SELECT count(*) AS n FROM db.wd").collect()[0].n == 3
+    # UPDATE ... FROM a CTE
+    lsql.sql(
+        "WITH src AS (SELECT k, v * 10 AS nv FROM db.wd WHERE k = 2) "
+        "UPDATE db.wd t SET v = s.nv FROM src s WHERE t.k = s.k"
+    )
+    assert [
+        (r.k, r.v)
+        for r in lsql.sql("SELECT k, v FROM db.wd ORDER BY k").collect()
+    ] == [(1, 1.0), (2, 20.0), (3, 3.0)]
+    # MERGE USING a CTE
+    lsql.sql(
+        "WITH src AS (SELECT k, v + 0.5 AS v FROM db.wd) "
+        "MERGE INTO db.wd t USING src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    assert [
+        r.v
+        for r in lsql.sql("SELECT v FROM db.wd ORDER BY k").collect()
+    ] == [1.5, 20.5, 3.5]
+    # the CTE name did NOT leak as a session view
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        lsql.spark.table("src")
+    # plain WITH ... SELECT still routes to the select path
+    r = lsql.sql(
+        "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
+    ).collect()
+    assert [row.a for row in r] == [1]
