@@ -4743,6 +4743,8 @@ class LakeTransaction:
         self._tables: dict[tuple, dict] = {}  # key -> {table, branch, fork, ops}
         self._done = False
         self._max_retries = max_retries
+        self._savepoints: dict[str, dict] = {}
+        self._sp_seq = 0
 
     @staticmethod
     def _key(table: LakeTable) -> tuple[str, str]:
@@ -4845,6 +4847,23 @@ class LakeTransaction:
         head = b.current_version()
         chain = [v for v in b._ancestry(head) if v != st["fork"] and v > 0]
         chain = [v for v in chain if v not in b._ancestry(st["fork"])]
+        self._drop_chain_locked(t, b, chain, drop_files)
+        # drop the ref (the caller holds the table's commit lock, so
+        # this read-modify-write cannot race concurrent create_branch
+        # calls — an unlocked stale write here used to erase another
+        # transaction's fresh branch ref: "no such branch" mid-txn)
+        tags, branches = t._load_refs()
+        if st["bname"] in branches:
+            del branches[st["bname"]]
+            t._write_refs(tags, branches)
+
+    @staticmethod
+    def _drop_chain_locked(
+        t: LakeTable, b: LakeTable, chain: list[int], drop_files: bool
+    ) -> None:
+        """Remove a branch sub-chain's snapshots, plus every data/
+        change/delete file and manifest segment referenced by NO
+        snapshot outside the chain. Caller holds the commit lock."""
         chain_set = set(chain)
         if drop_files and chain:
             outside_refs: set[str] = set()
@@ -4882,14 +4901,76 @@ class LakeTransaction:
             p = t._meta_path(v)
             if os.path.exists(p):
                 os.remove(p)
-        # drop the ref (the caller holds the table's commit lock, so
-        # this read-modify-write cannot race concurrent create_branch
-        # calls — an unlocked stale write here used to erase another
-        # transaction's fresh branch ref: "no such branch" mid-txn)
-        tags, branches = t._load_refs()
-        if st["bname"] in branches:
-            del branches[st["bname"]]
-            t._write_refs(tags, branches)
+
+    # -- savepoints (PG SAVEPOINT / ROLLBACK TO / RELEASE) ----------------
+
+    def savepoint(self, name: str) -> None:
+        """Record each touched table's branch head + op count under
+        ``name`` (PG SAVEPOINT). Re-using a name replaces it, as in
+        PG."""
+        if self._done:
+            raise LakehouseError("transaction already committed/aborted")
+        self._sp_seq += 1
+        self._savepoints[name] = {
+            "order": self._sp_seq,
+            "tables": {
+                key: (st["branch"].current_version(), len(st["ops"]))
+                for key, st in self._tables.items()
+            },
+        }
+
+    def release_savepoint(self, name: str) -> None:
+        """PG RELEASE SAVEPOINT: the savepoint and every later one
+        merge into the enclosing scope — state keeps, names go."""
+        sp = self._savepoints.pop(name, None)
+        if sp is None:
+            raise LakehouseError(f"no such savepoint: {name!r}")
+        for n in [
+            n
+            for n, v in self._savepoints.items()
+            if v["order"] > sp["order"]
+        ]:
+            del self._savepoints[n]
+
+    def rollback_to_savepoint(self, name: str) -> None:
+        """PG ROLLBACK TO SAVEPOINT: undo every op recorded after the
+        savepoint — branch refs rewind to their recorded heads, the
+        abandoned sub-chains' files/segments/metadata are removed,
+        tables first touched after the savepoint unwind entirely, and
+        later savepoints are destroyed. The savepoint itself survives
+        (PG: it can be rolled back to again)."""
+        sp = self._savepoints.get(name)
+        if sp is None:
+            raise LakehouseError(f"no such savepoint: {name!r}")
+        if self._done:
+            raise LakehouseError("transaction already committed/aborted")
+        for n in [
+            n
+            for n, v in self._savepoints.items()
+            if v["order"] > sp["order"]
+        ]:
+            del self._savepoints[n]
+        for key, st in list(self._tables.items()):
+            if key not in sp["tables"]:
+                self._cleanup_branch(st)
+                del self._tables[key]
+                continue
+            head_then, n_ops = sp["tables"][key]
+            st["ops"] = st["ops"][:n_ops]
+            b: LakeTable = st["branch"]
+            if b.current_version() == head_then:
+                continue
+            t: LakeTable = st["table"]
+            lock_path = os.path.join(t.meta_dir, "_commit.lock")
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                cur = b.current_version()
+                keep = set(b._ancestry(head_then))
+                chain = [v for v in b._ancestry(cur) if v not in keep]
+                self._drop_chain_locked(t, b, chain, drop_files=True)
+                tags, branches = t._load_refs()
+                branches[st["bname"]] = head_then
+                t._write_refs(tags, branches)
 
     def commit(self) -> list[Snapshot]:
         """Atomically publish every table's txn branch. Any failure —
@@ -4899,6 +4980,7 @@ class LakeTransaction:
         if self._done:
             raise LakehouseError("transaction already committed/aborted")
         self._done = True
+        self._savepoints.clear()  # conflict replays invalidate them
         try:
             out = self._commit_inner()
             self._tables = {}

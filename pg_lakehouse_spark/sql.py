@@ -597,7 +597,38 @@ class LakeSQL:
             return self._begin()
         if head == "COMMIT":
             return self._commit_txn()
+        if head == "SAVEPOINT":
+            m = re.match(
+                rf"SAVEPOINT\s+({_IDENT})$", s, re.IGNORECASE
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse SAVEPOINT: {s[:40]!r}")
+            if self._txn is None:
+                raise LakehouseError("SAVEPOINT outside a transaction")
+            return self._txn.savepoint(m.group(1))
+        if head == "RELEASE":
+            m = re.match(
+                rf"RELEASE\s+(?:SAVEPOINT\s+)?({_IDENT})$",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse RELEASE: {s[:40]!r}")
+            if self._txn is None:
+                raise LakehouseError("RELEASE SAVEPOINT outside a transaction")
+            return self._txn.release_savepoint(m.group(1))
         if head in ("ROLLBACK", "ABORT"):
+            m = re.match(
+                rf"(?:ROLLBACK|ABORT)\s+TO\s+(?:SAVEPOINT\s+)?({_IDENT})$",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                if self._txn is None:
+                    raise LakehouseError(
+                        "ROLLBACK TO SAVEPOINT outside a transaction"
+                    )
+                return self._txn.rollback_to_savepoint(m.group(1))
             return self._rollback_txn()
         if self._txn is not None and head not in (
             "INSERT", "TRUNCATE", "DELETE", "UPDATE", "MERGE", "SELECT", "WITH",

@@ -401,3 +401,95 @@ def test_concurrent_dml_compaction_and_wap_invariants(catalog, spark):
     assert tbl.branches() == {}
     versions = sorted(s.version for s in tbl.snapshots())
     assert tbl.current_version() == versions[-1]
+
+
+def test_savepoint_rollback_and_commit(catalog, orders_df):
+    """PG savepoints: ROLLBACK TO undoes ops after the savepoint (the
+    branch rewinds, abandoned files/metadata are removed), the
+    savepoint survives for re-use, and COMMIT publishes the savepoint
+    state."""
+    import glob
+    import os
+
+    from pg_lakehouse_spark.lakehouse import LakeTransaction
+
+    base = orders_df.limit(200)
+    t = catalog.create_table_as("db", "sp_t", base)
+    extra1 = base.withColumn("o_orderkey", F.col("o_orderkey") + 10_000)
+    extra2 = base.withColumn("o_orderkey", F.col("o_orderkey") + 20_000)
+    tx = LakeTransaction()
+    tx.append(t, extra1)
+    tx.savepoint("a")
+    files_at_a = len(glob.glob(os.path.join(t.data_dir, "**", "*.parquet"),
+                               recursive=True))
+    tx.append(t, extra2)
+    tx.delete(t, F.col("o_orderkey") < 100)
+    assert tx.view(t).count() < 600
+    tx.rollback_to_savepoint("a")
+    assert tx.view(t).count() == 400  # base + extra1 only
+    # abandoned sub-chain's staged files are gone from disk
+    assert len(
+        glob.glob(os.path.join(t.data_dir, "**", "*.parquet"), recursive=True)
+    ) == files_at_a
+    # the savepoint survives: more ops, roll back again
+    tx.append(t, extra2)
+    tx.rollback_to_savepoint("a")
+    assert tx.view(t).count() == 400
+    tx.commit()
+    assert t.read().count() == 400
+
+
+def test_savepoint_unwinds_tables_touched_after(catalog, orders_df):
+    from pg_lakehouse_spark.lakehouse import LakeTransaction
+
+    base = orders_df.limit(100)
+    t1 = catalog.create_table_as("db", "sp_t1", base)
+    t2 = catalog.create_table_as("db", "sp_t2", base)
+    tx = LakeTransaction()
+    tx.append(t1, base.withColumn("o_orderkey", F.col("o_orderkey") + 1000))
+    tx.savepoint("s")
+    tx.append(t2, base.withColumn("o_orderkey", F.col("o_orderkey") + 2000))
+    assert tx.view(t2).count() == 200
+    tx.rollback_to_savepoint("s")
+    assert tx.view(t2).count() == 100  # t2 untouched again
+    assert tx.view(t1).count() == 200
+    tx.commit()
+    assert t1.read().count() == 200 and t2.read().count() == 100
+
+
+def test_savepoint_release_and_later_destroyed(catalog, orders_df):
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError, LakeTransaction
+
+    base = orders_df.limit(50)
+    t = catalog.create_table_as("db", "sp_t3", base)
+    tx = LakeTransaction()
+    tx.savepoint("a")
+    tx.append(t, base)
+    tx.savepoint("b")
+    tx.rollback_to_savepoint("a")  # destroys b
+    with _pytest.raises(LakehouseError, match="no such savepoint"):
+        tx.rollback_to_savepoint("b")
+    tx.savepoint("c")
+    tx.release_savepoint("c")
+    with _pytest.raises(LakehouseError, match="no such savepoint"):
+        tx.release_savepoint("c")
+    tx.abort()
+
+
+def test_savepoint_sql_surface(spark, catalog, orders_df):
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    lsql = LakeSQL(spark, catalog)
+    lsql.sql("CREATE TABLE db.spsql (k BIGINT)")
+    lsql.sql("BEGIN")
+    lsql.sql("INSERT INTO db.spsql VALUES (1)")
+    lsql.sql("SAVEPOINT a")
+    lsql.sql("INSERT INTO db.spsql VALUES (2), (3)")
+    lsql.sql("ROLLBACK TO SAVEPOINT a")
+    lsql.sql("INSERT INTO db.spsql VALUES (9)")
+    lsql.sql("RELEASE SAVEPOINT a")
+    lsql.sql("COMMIT")
+    got = [r.k for r in lsql.sql("SELECT k FROM db.spsql ORDER BY k").collect()]
+    assert got == [1, 9]
