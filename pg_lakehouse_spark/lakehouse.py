@@ -1564,6 +1564,56 @@ class LakeTable:
             if e is not None:
                 e.setdefault("blooms", {})[r["c"]] = r["bits"]
 
+    def rebuild_stats(self) -> Snapshot:
+        """Backfill per-file bloom/NDV statistics for data files
+        written BEFORE the stats properties were set — the build step
+        of PG's ANALYZE, and what makes ``CREATE INDEX`` on EXISTING
+        data effective without waiting for compaction to rewrite it.
+
+        One distributed pass over ONLY the files missing a requested
+        stat (cost ∝ uncovered data, once); a fully-covered table
+        returns the current snapshot without committing. Metadata-only
+        commit — no data file is rewritten. Files from older schema
+        epochs are skipped (their columns live under retired names;
+        compaction re-stats them on rewrite) — conservative, never
+        wrong."""
+        snap = self.snapshot()
+        props = snap.properties
+        bloom_cols = {
+            c.strip()
+            for c in props.get("bloom_filter_columns", "").split(",")
+            if c.strip()
+        }
+        ndv_cols = {
+            c.strip()
+            for c in props.get("ndv_stats_columns", "").split(",")
+            if c.strip()
+        }
+        if not bloom_cols and not ndv_cols:
+            return snap
+        fmt = props.get("file_format", "parquet")
+
+        def missing(e: dict) -> bool:
+            if e.get("schema_id", 0) != snap.schema_id:
+                return False  # old epoch: stats keys wouldn't match
+            return bool(bloom_cols - set((e.get("blooms") or {}))) or bool(
+                ndv_cols - set((e.get("ndv") or {}))
+            )
+
+        todo = [dict(e) for e in snap.files if missing(e)]
+        if not todo:
+            return snap
+        self._attach_file_stats(todo, fmt)
+        upd = {e["path"]: e for e in todo}
+        new_files = [upd.get(e["path"], e) for e in snap.files]
+        return self._commit(
+            snap.version,
+            "analyze",
+            new_files,
+            snap.schema_json,
+            summary={"rebuilt_stats_files": len(todo)},
+        )
+
     def column_stats_df(self, snapshot: int | None = None) -> DataFrame:
         """Per-column table statistics from the manifest (the ANALYZE
         surface the reference stubs, iceberg_am.c:294-307,401-413):

@@ -2786,11 +2786,20 @@ class LakeSQL:
 
     def _analyze(self, s: str) -> DataFrame:
         """PG ``ANALYZE ns.t`` → the manifest's per-column statistics
-        (ref A22, iceberg_am.c:294-307 stubs) as a DataFrame."""
-        m = re.match(rf"ANALYZE\s+{_TBL}$", s, re.IGNORECASE)
+        (ref A22, iceberg_am.c:294-307 stubs) as a DataFrame.
+        ``ANALYZE ns.t REBUILD`` additionally backfills per-file
+        bloom/NDV stats for files written before the stats properties
+        existed (one pass over only the uncovered files) — the build
+        step that makes CREATE INDEX effective on existing data."""
+        m = re.match(
+            rf"ANALYZE\s+{_TBL}(\s+REBUILD)?$", s, re.IGNORECASE
+        )
         if not m:
             raise LakehouseError(f"cannot parse ANALYZE: {s[:80]!r}")
-        return self.catalog.load_table(m.group(1), m.group(2)).column_stats_df()
+        tbl = self.catalog.load_table(m.group(1), m.group(2))
+        if m.group(3):
+            tbl.rebuild_stats()
+        return tbl.column_stats_df()
 
     def _vacuum(self, s: str) -> None:
         m = re.match(

@@ -259,3 +259,57 @@ def test_merge_bloom_refinement_multi_column_key(spark, catalog):
     got = tbl.read()
     assert got.filter(F.col("v") == -1.0).count() == 3
     assert got.count() == 200
+
+
+def test_rebuild_stats_backfills_existing_files(catalog, orders_df, spark):
+    """CREATE INDEX on EXISTING data: files written before the bloom
+    property have no bitsets; ANALYZE REBUILD backfills exactly the
+    uncovered files in one pass, after which point lookups prune —
+    without rewriting any data file."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    base = orders_df.filter(F.col("o_orderkey") <= 2000)
+    tbl = catalog.create_table_as("db", "bl_bf", base)  # no stats props
+    pre_files = {f["path"] for f in tbl.snapshot().files}
+    assert all(not f.get("blooms") for f in tbl.snapshot().files)
+    sql = LakeSQL(spark, catalog)
+    sql.sql("CREATE INDEX bf_idx ON db.bl_bf USING bloom (o_custkey)")
+    # index property set, but history still uncovered
+    assert all(not f.get("blooms") for f in tbl.snapshot().files)
+    sql.sql("ANALYZE db.bl_bf REBUILD")
+    snap = tbl.snapshot()
+    assert all("o_custkey" in (f.get("blooms") or {}) for f in snap.files)
+    assert {f["path"] for f in snap.files} == pre_files  # no rewrite
+    # a second rebuild is a no-op commit-wise
+    v = tbl.current_version()
+    tbl.rebuild_stats()
+    assert tbl.current_version() == v
+    # and the backfilled bitsets actually prune a point lookup
+    probe = base.select("o_custkey").first().o_custkey
+    _s, selected = tbl.pruned_entries({"o_custkey": (probe, probe)})
+    assert len(selected) <= len(snap.files)
+    got = tbl.read_pruned({"o_custkey": (probe, probe)}).count()
+    assert got == base.filter(F.col("o_custkey") == probe).count()
+
+
+def test_rebuild_stats_skips_old_epoch_files(catalog, orders_df):
+    """Files under retired schema epochs are left alone (their stats
+    keys are written-name-relative); rebuild still covers the
+    current-epoch files and results stay correct."""
+    base = orders_df.limit(300)
+    tbl = catalog.create_table_as("db", "bl_ep", base)
+    tbl.rename_column("o_custkey", "cust")
+    tbl.append(
+        orders_df.limit(600)
+        .subtract(base)
+        .withColumnRenamed("o_custkey", "cust")
+    )
+    tbl.set_properties({"bloom_filter_columns": "cust"})
+    tbl.rebuild_stats()
+    snap = tbl.snapshot()
+    for f in snap.files:
+        if f.get("schema_id", 0) == snap.schema_id:
+            assert "cust" in (f.get("blooms") or {})
+        else:
+            assert not f.get("blooms")
+    assert tbl.read().count() == 600
