@@ -650,6 +650,10 @@ class LakeSQL:
             # the Catalyst plan — one row, column `plan`. DML verbs get
             # the lake's own plan (mode + manifest pruning estimate),
             # WITHOUT executing — PG parity.
+            am = re.match(r"EXPLAIN\s+ANALYZE\s+(.*)$", s,
+                          re.IGNORECASE | re.DOTALL)
+            if am:
+                return self._explain_analyze(am.group(1).strip())
             body = re.sub(
                 r"^EXPLAIN(\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+",
                 "",
@@ -1148,6 +1152,8 @@ class LakeSQL:
                 m.group(1), m.group(2), m.group(3), m.group(4),
                 m.group(5), m.group(6),
             )
+            if ns.lower() == "information_schema":
+                return self._bind_information_schema(name.lower())
             if not self.catalog.table_exists(ns, name):
                 has_view = getattr(self.catalog, "view_exists", None)
                 if has_view and has_view(ns, name):
@@ -2782,6 +2788,112 @@ class LakeSQL:
             rows,
             "col_name string, data_type string, nullable boolean, "
             "default string",
+        )
+
+    def _bind_information_schema(self, rel: str) -> str:
+        """PG ``information_schema.tables`` / ``.columns`` /
+        ``.views`` over the lake catalog (the introspection surface PG
+        tools — psql \\d, ORMs, BI connectors — query first).
+        Metadata-only: schemas come from snapshot JSON, no data file
+        is opened. Bound as a temp view for the statement."""
+        if rel == "tables":
+            rows = [
+                (ns, t, "BASE TABLE")
+                for ns, t in self.catalog.list_tables()
+            ]
+            views = getattr(self.catalog, "list_views", None)
+            if views:
+                rows += [(ns, v, "VIEW") for ns, v in views()]
+            df = self.spark.createDataFrame(
+                rows or [],
+                "table_schema string, table_name string, "
+                "table_type string",
+            )
+        elif rel == "columns":
+            rows = []
+            for ns, t in self.catalog.list_tables():
+                schema = self.catalog.load_table(ns, t).schema()
+                for i, f in enumerate(schema.fields, start=1):
+                    rows.append(
+                        (
+                            ns,
+                            t,
+                            f.name,
+                            i,
+                            f.dataType.simpleString(),
+                            "YES" if f.nullable else "NO",
+                        )
+                    )
+            df = self.spark.createDataFrame(
+                rows or [],
+                "table_schema string, table_name string, "
+                "column_name string, ordinal_position int, "
+                "data_type string, is_nullable string",
+            )
+        elif rel == "views":
+            views = getattr(self.catalog, "list_views", None)
+            rows = [(ns, v) for ns, v in (views() if views else [])]
+            df = self.spark.createDataFrame(
+                rows or [], "table_schema string, table_name string"
+            )
+        else:
+            raise LakehouseError(
+                f"information_schema.{rel} is not implemented "
+                "(tables/columns/views are)"
+            )
+        view = f"__info_schema_{rel}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    def _explain_analyze(self, body: str) -> DataFrame:
+        """PG ``EXPLAIN ANALYZE``: EXECUTE the statement, report the
+        plan with actual row count and wall time. SELECTs run through
+        Spark's noop sink (full plan executes, nothing is collected —
+        PG discards output too) with an Observation counting rows in
+        the same pass; DML executes normally and reports the commit's
+        own summary. One ``plan`` column, PG-style text rows."""
+        import time as _time
+
+        bhead = body.split(None, 1)[0].upper() if body else ""
+        t0 = _time.perf_counter()
+        if bhead in ("SELECT", "WITH"):
+            from pyspark.sql import Observation
+
+            df = self._select(body)
+            obs = Observation()
+            t0 = _time.perf_counter()
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            ms = (_time.perf_counter() - t0) * 1000
+            plan = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("simple")
+            )
+            lines = plan.rstrip().splitlines()
+            lines += [
+                f"Actual Rows: {obs.get['rows']}",
+                f"Execution Time: {ms:.1f} ms",
+            ]
+        elif bhead in ("INSERT", "DELETE", "UPDATE", "MERGE"):
+            snap = self._route_stmt(body)
+            ms = (_time.perf_counter() - t0) * 1000
+            lines = [
+                f"{bhead} on lake table (executed)",
+                f"  snapshot: v{getattr(snap, 'version', '?')}",
+                f"  operation: {getattr(snap, 'operation', '?')}",
+            ]
+            for k, v in sorted(
+                (getattr(snap, "summary", None) or {}).items()
+            ):
+                lines.append(f"  {k}: {v}")
+            lines.append(f"Execution Time: {ms:.1f} ms")
+        else:
+            raise LakehouseError(
+                "EXPLAIN ANALYZE supports SELECT/INSERT/DELETE/UPDATE/MERGE"
+            )
+        return self.spark.createDataFrame(
+            [(ln,) for ln in lines], "plan string"
         )
 
     def _analyze(self, s: str) -> DataFrame:

@@ -1873,3 +1873,63 @@ def test_with_cte_before_dml(lsql):
         "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
     ).collect()
     assert [row.a for row in r] == [1]
+
+
+def test_explain_analyze(lsql):
+    """PG EXPLAIN ANALYZE: executes, reports actual rows + timing.
+    SELECT runs via the noop sink (nothing collected); DML commits and
+    reports the snapshot summary."""
+    lsql.sql("CREATE TABLE db.ea (k BIGINT, v DOUBLE)")
+    lsql.sql("INSERT INTO db.ea VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    rows = [
+        r.plan
+        for r in lsql.sql(
+            "EXPLAIN ANALYZE SELECT k FROM db.ea WHERE v > 1.0"
+        ).collect()
+    ]
+    assert any(ln.startswith("Actual Rows: 2") for ln in rows), rows
+    assert any(ln.startswith("Execution Time:") for ln in rows)
+    # DML variant EXECUTES (PG semantics) and reports the commit
+    rows = [
+        r.plan
+        for r in lsql.sql(
+            "EXPLAIN ANALYZE DELETE FROM db.ea WHERE k = 1"
+        ).collect()
+    ]
+    assert any("DELETE on lake table (executed)" in ln for ln in rows)
+    assert lsql.sql("SELECT count(*) AS n FROM db.ea").collect()[0].n == 2
+    # plain EXPLAIN on DML still does NOT execute
+    lsql.sql("EXPLAIN DELETE FROM db.ea WHERE k = 2")
+    assert lsql.sql("SELECT count(*) AS n FROM db.ea").collect()[0].n == 2
+
+
+def test_information_schema(lsql):
+    """PG introspection surface: information_schema.tables / .columns
+    / .views over the lake catalog, composable in any SELECT."""
+    lsql.sql("CREATE TABLE db.ist (k BIGINT, s STRING)")
+    lsql.sql("CREATE TABLE db.ist2 (x DOUBLE)")
+    lsql.sql("CREATE VIEW db.isv AS SELECT k FROM db.ist")
+    rows = lsql.sql(
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_schema = 'db' ORDER BY table_name"
+    ).collect()
+    got = {(r.table_name, r.table_type) for r in rows}
+    assert {("ist", "BASE TABLE"), ("ist2", "BASE TABLE"),
+            ("isv", "VIEW")} <= got
+    cols = lsql.sql(
+        "SELECT column_name, data_type, is_nullable, ordinal_position "
+        "FROM information_schema.columns "
+        "WHERE table_schema = 'db' AND table_name = 'ist' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [(c.column_name, c.data_type) for c in cols] == [
+        ("k", "bigint"), ("s", "string"),
+    ]
+    # composable: join against it
+    n = lsql.sql(
+        "SELECT count(*) AS n FROM information_schema.columns c "
+        "JOIN information_schema.tables t "
+        "ON c.table_name = t.table_name AND c.table_schema = t.table_schema "
+        "WHERE t.table_schema = 'db' AND t.table_name = 'ist2'"
+    ).collect()[0].n
+    assert n == 1
