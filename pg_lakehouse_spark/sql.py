@@ -152,6 +152,7 @@ class LakeSQL:
         self.spark = spark
         self.catalog = catalog
         self._txn = None  # active LakeTransaction between BEGIN..COMMIT
+        self._prepared: dict[str, tuple[str, list[str]]] = {}
 
     def _load(self, ns: str, name: str, branch: str | None = None) -> LakeTable:
         tbl = self.catalog.load_table(ns, name)
@@ -617,6 +618,75 @@ class LakeSQL:
             if self._txn is None:
                 raise LakehouseError("RELEASE SAVEPOINT outside a transaction")
             return self._txn.release_savepoint(m.group(1))
+        if head == "PREPARE":
+            m = re.match(
+                rf"PREPARE\s+({_IDENT})\s*(?:\(([^()]*)\))?\s+AS\s+(.*)$",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse PREPARE: {s[:60]!r}")
+            types = [
+                self._map_pg_type(t.strip())
+                for t in (m.group(2) or "").split(",")
+                if t.strip()
+            ]
+            self._prepared[m.group(1)] = (m.group(3).strip(), types)
+            return None
+        if head == "EXECUTE":
+            m = re.match(
+                rf"EXECUTE\s+({_IDENT})\s*(?:\((.*)\))?$",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse EXECUTE: {s[:60]!r}")
+            plan = self._prepared.get(m.group(1))
+            if plan is None:
+                raise LakehouseError(
+                    f"no such prepared statement: {m.group(1)!r}"
+                )
+            body, types = plan
+            args = (
+                _split_top_level(m.group(2)) if (m.group(2) or "").strip()
+                else []
+            )
+            masked, lits = self._mask_strings(body)
+            used = {
+                int(n) for n in re.findall(r"\$(\d+)", masked)
+            }
+            if used and max(used) > len(args):
+                raise LakehouseError(
+                    f"prepared statement {m.group(1)!r} needs "
+                    f"${max(used)} but EXECUTE passed {len(args)} args"
+                )
+
+            def sub(pm: re.Match) -> str:
+                i = int(pm.group(1)) - 1
+                a = args[i].strip()
+                if i < len(types):
+                    return f"CAST({a} AS {types[i]})"
+                return f"({a})"
+
+            stmt = self._unmask_strings(
+                re.sub(r"\$(\d+)", sub, masked), lits
+            )
+            return self._route_stmt(self._pg_dialect(stmt).strip())
+        if head == "DEALLOCATE":
+            m = re.match(
+                rf"DEALLOCATE\s+(?:PREPARE\s+)?(ALL|{_IDENT})$",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse DEALLOCATE: {s[:60]!r}")
+            if m.group(1).upper() == "ALL":
+                self._prepared.clear()
+            elif self._prepared.pop(m.group(1), None) is None:
+                raise LakehouseError(
+                    f"no such prepared statement: {m.group(1)!r}"
+                )
+            return None
         if head in ("ROLLBACK", "ABORT"):
             m = re.match(
                 rf"(?:ROLLBACK|ABORT)\s+TO\s+(?:SAVEPOINT\s+)?({_IDENT})$",

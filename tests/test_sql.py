@@ -1933,3 +1933,37 @@ def test_information_schema(lsql):
         "WHERE t.table_schema = 'db' AND t.table_name = 'ist2'"
     ).collect()[0].n
     assert n == 1
+
+
+def test_prepare_execute_deallocate(lsql):
+    """PG prepared statements: $n parameters substitute (typed casts
+    when declared), literals containing $1 stay data, EXECUTE works
+    for SELECT and DML, DEALLOCATE removes the plan."""
+    import pytest as _pytest
+
+    lsql.sql("CREATE TABLE db.pp (k BIGINT, s STRING)")
+    lsql.sql("INSERT INTO db.pp VALUES (1, 'a'), (2, 'b'), (3, '$1')")
+    lsql.sql(
+        "PREPARE q (BIGINT, TEXT) AS "
+        "SELECT k, s FROM db.pp WHERE k >= $1 AND s <> $2 ORDER BY k"
+    )
+    got = lsql.sql("EXECUTE q(2, 'b')").collect()
+    assert [(r.k, r.s) for r in got] == [(3, "$1")]
+    got = lsql.sql("EXECUTE q(1, 'zzz')").collect()
+    assert len(got) == 3
+    # untyped plan + DML EXECUTE + expression args
+    lsql.sql("PREPARE ins AS INSERT INTO db.pp VALUES ($1, $2)")
+    lsql.sql("EXECUTE ins(2 + 2, upper('x'))")
+    assert [
+        (r.k, r.s)
+        for r in lsql.sql("SELECT k, s FROM db.pp WHERE k = 4").collect()
+    ] == [(4, "X")]
+    # arity mismatch is loud
+    with _pytest.raises(Exception, match="needs"):
+        lsql.sql("EXECUTE q(1)")
+    lsql.sql("DEALLOCATE q")
+    with _pytest.raises(Exception, match="no such prepared"):
+        lsql.sql("EXECUTE q(1, 'a')")
+    lsql.sql("DEALLOCATE ALL")
+    with _pytest.raises(Exception, match="no such prepared"):
+        lsql.sql("EXECUTE ins(9, 'y')")
