@@ -183,6 +183,44 @@ def interleave_sources(
     return out
 
 
+def temperature_weights(
+    df: DataFrame, source_col: str, temperature: float
+) -> dict[str, float]:
+    """Sampling-temperature weights from the corpus itself: with
+    source share ``p_s``, temperature sampling draws with probability
+    ``q_s ∝ p_s^(1/T)`` (the multilingual-training standard — T=1
+    keeps natural proportions, T→∞ approaches uniform across
+    sources). ``interleave_sources`` consumes a per-source RATE, so
+    the weight is ``q_s / p_s ∝ count_s^(1/T − 1)``. One count
+    aggregate; only #sources rows reach the driver."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    rows = df.groupBy(source_col).count().collect()
+    ex = 1.0 / float(temperature) - 1.0
+    return {r[source_col]: float(r["count"]) ** ex for r in rows}
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    temperature: float,
+    id_col: str = "doc_id",
+    pos_col: str = "mix_pos",
+) -> DataFrame:
+    """Temperature-sampled corpus interleave: compute the weights from
+    the source counts (``temperature_weights``) and order the stream
+    by ``pos_col`` — low-resource sources are upsampled toward
+    uniform as T grows, exactly the mixing used for multilingual /
+    multi-domain training corpora."""
+    return interleave_sources(
+        df,
+        source_col,
+        temperature_weights(df, source_col, temperature),
+        id_col=id_col,
+        pos_col=pos_col,
+    )
+
+
 def export_shards(
     df: DataFrame,
     path: str,

@@ -1054,3 +1054,40 @@ def balance_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     return balance_by_key(docs, "source", cap=10)
+
+
+@register(
+    "interleave_temperature",
+    oracle="""
+WITH cnt AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1
+), w AS (
+  SELECT lang, pow(c, 1.0/2.0 - 1.0) AS w FROM cnt
+), ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+              AS BIGINT) AS source_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.source_rank,
+       round(r.source_rank / w.w, 4) AS mix_pos
+FROM ranked r JOIN w USING (lang)
+""",
+    tags=("interleave", "temperature"),
+)
+def interleave_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled corpus mix (T=2): weights derive from the
+    source counts themselves (q_s ∝ p_s^(1/T); per-source rate =
+    count^(1/T−1)), upsampling low-resource languages toward uniform —
+    the standard multilingual-training mix. Oracle recomputes the same
+    weights in SQL; both sides round mix_pos to 4 decimals (pow is
+    libm-identical here, rounding guards the division ulp)."""
+    from pg_lakehouse_spark.llm.packing import temperature_mix
+
+    docs = t(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", temperature=2.0).select(
+        "doc_id",
+        "lang",
+        "source_rank",
+        F.round(F.col("mix_pos"), 4).alias("mix_pos"),
+    )

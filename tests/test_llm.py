@@ -1040,3 +1040,34 @@ def test_balance_by_key_caps_and_is_deterministic(spark):
     # under-cap keys keep everything
     c = balance_by_key(df, "source", cap=100)
     assert c.count() == 90
+
+
+def test_temperature_mix_proportions(spark, sf_dir):
+    """T=1 reproduces natural proportions (weights all equal); larger
+    T upsamples the rarest source: in any stream prefix the rare
+    source's share sits between its natural share and uniform."""
+    from pg_lakehouse_spark.llm.packing import (
+        temperature_mix,
+        temperature_weights,
+    )
+    from pg_lakehouse_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    w1 = temperature_weights(docs, "lang", 1.0)
+    assert all(abs(w - 1.0) < 1e-12 for w in w1.values())
+    counts = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    rare = min(counts, key=counts.get)
+    total = sum(counts.values())
+    natural = counts[rare] / total
+    uniform = 1.0 / len(counts)
+    mixed = temperature_mix(docs, "lang", temperature=4.0)
+    prefix = mixed.orderBy("mix_pos", "lang", "doc_id").limit(
+        total // 4
+    )
+    share = (
+        prefix.filter(F.col("lang") == rare).count() / (total // 4)
+    )
+    assert natural < share <= uniform + 0.05, (natural, share, uniform)
