@@ -345,6 +345,52 @@ def create_rollup(
     return tbl
 
 
+def _pairwise_merge_exprs(metrics: dict) -> dict:
+    """Per-metric merge of an existing state row (``out``) with a
+    delta partial row (``__src.out``) — the associative combine every
+    incremental path shares: MERGE assignments in ``refresh_rollup``
+    and the read-time join in ``read_rollup_realtime``. Null-safe on
+    either side (a group present in only one input keeps that side)."""
+    updates = {}
+    for out, mspec in metrics.items():
+        kind = mspec[0]
+        tgt, src = F.col(out), F.col(f"__src.{out}")
+        if kind == "approx_topk":
+            k = int(mspec[2]) if len(mspec) > 2 else 10
+            merged = F.map_zip_with(
+                tgt,
+                src,
+                lambda _k, v1, v2: F.coalesce(v1, F.lit(0))
+                + F.coalesce(v2, F.lit(0)),
+            )
+            updates[out] = (
+                F.when(tgt.isNull(), src)
+                .when(src.isNull(), tgt)
+                .otherwise(
+                    _topk_truncate_map(merged, _TOPK_CAP_FACTOR * k)
+                )
+            )
+        elif kind in ("sum", "count"):
+            # null-safe add: SUM over an all-NULL delta group is
+            # NULL and must not poison existing state
+            updates[out] = (
+                F.when(tgt.isNull(), src)
+                .when(src.isNull(), tgt)
+                .otherwise(tgt + src)
+            )
+        elif kind == "min":
+            updates[out] = F.least(tgt, src)  # least/greatest skip NULLs
+        elif kind == "approx_distinct":
+            updates[out] = (
+                F.when(tgt.isNull(), src)
+                .when(src.isNull(), tgt)
+                .otherwise(F.hll_union(tgt, src))
+            )
+        else:
+            updates[out] = F.greatest(tgt, src)
+    return updates
+
+
 def _watermark(rollup: LakeTable) -> int:
     for snap in reversed(rollup.snapshots()):
         v = snap.summary.get("rollup_source_version")
@@ -385,43 +431,7 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
         partial = _partial_agg(
             delta, spec["time_col"], spec["bucket"], group_by, metrics
         )
-        updates = {}
-        for out, mspec in metrics.items():
-            kind = mspec[0]
-            tgt, src = F.col(out), F.col(f"__src.{out}")
-            if kind == "approx_topk":
-                k = int(mspec[2]) if len(mspec) > 2 else 10
-                merged = F.map_zip_with(
-                    tgt,
-                    src,
-                    lambda _k, v1, v2: F.coalesce(v1, F.lit(0))
-                    + F.coalesce(v2, F.lit(0)),
-                )
-                updates[out] = (
-                    F.when(tgt.isNull(), src)
-                    .when(src.isNull(), tgt)
-                    .otherwise(
-                        _topk_truncate_map(merged, _TOPK_CAP_FACTOR * k)
-                    )
-                )
-            elif kind in ("sum", "count"):
-                # null-safe add: SUM over an all-NULL delta group is
-                # NULL and must not poison existing state
-                updates[out] = (
-                    F.when(tgt.isNull(), src)
-                    .when(src.isNull(), tgt)
-                    .otherwise(tgt + src)
-                )
-            elif kind == "min":
-                updates[out] = F.least(tgt, src)  # least/greatest skip NULLs
-            elif kind == "approx_distinct":
-                updates[out] = (
-                    F.when(tgt.isNull(), src)
-                    .when(src.isNull(), tgt)
-                    .otherwise(F.hll_union(tgt, src))
-                )
-            else:
-                updates[out] = F.greatest(tgt, src)
+        updates = _pairwise_merge_exprs(metrics)
         return rollup.merge(
             partial,
             on=[BUCKET_COL] + group_by,
@@ -712,7 +722,71 @@ def read_rollup(rollup: LakeTable) -> DataFrame:
     (approx_distinct) are finalized to BIGINT estimates; every other
     metric column is already its final value."""
     spec = json.loads(rollup.snapshot().properties["rollup_spec"])
-    df = rollup.read()
+    return _finalize_state(rollup.read(), spec)
+
+
+def read_rollup_realtime(source: LakeTable, rollup: LakeTable) -> DataFrame:
+    """Real-time continuous-aggregate read (the TimescaleDB
+    ``materialized_only=false`` analog): the materialized state UNIONS
+    with the source data that arrived SINCE the watermark — readers
+    see up-to-the-commit results without waiting for a refresh, and
+    nothing is written.
+
+    Pure-append tail → one partial aggregate over ONLY the new data
+    (``read_incremental``), full-outer-joined against the state and
+    combined with the same per-metric merge expressions refresh uses
+    (cost ∝ new data). A tail containing row-level DML — or a
+    watermark not on this ref's ancestry — falls back to aggregating
+    the source directly at read time: always correct, one-off
+    expensive, and a signal to refresh."""
+    spec = json.loads(rollup.snapshot().properties["rollup_spec"])
+    metrics = {k: tuple(v) for k, v in spec["metrics"].items()}
+    last = _watermark(rollup)
+    cur = source.current_version()
+    if cur <= last:
+        return read_rollup(rollup)
+    chain = source._ancestry(cur)
+    window = [source.snapshot(v) for v in chain if last < v]
+    window_is_complete = last == 0 or last in chain
+    keys = [BUCKET_COL] + spec["group_by"]
+    if window_is_complete and all(s.operation == "append" for s in window):
+        delta = source.read_incremental(last, cur)
+        partial = _partial_agg(
+            delta, spec["time_col"], spec["bucket"], spec["group_by"],
+            metrics,
+        )
+        state = rollup.read()
+        # companions (__retr) are state-internal; the merged frame
+        # carries keys + metrics only
+        src = partial.select(
+            F.struct(*[F.col(c) for c in partial.columns]).alias("__src")
+        )
+        cond = None
+        for k in keys:
+            c = state[k].eqNullSafe(F.col(f"__src.{k}"))
+            cond = c if cond is None else cond & c
+        updates = _pairwise_merge_exprs(metrics)
+        merged = state.join(src, cond, "full_outer").select(
+            *[
+                F.coalesce(state[k], F.col(f"__src.{k}")).alias(k)
+                for k in keys
+            ],
+            *[updates[out].alias(out) for out in metrics],
+        )
+        return _finalize_state(merged, spec)
+    # DML in the tail (or foreign-ancestry watermark): aggregate the
+    # source directly — correct under any history, cost O(source)
+    fresh = _partial_agg(
+        source.read(), spec["time_col"], spec["bucket"],
+        spec["group_by"], metrics,
+    )
+    return _finalize_state(fresh, spec)
+
+
+def _finalize_state(df: DataFrame, spec: dict) -> DataFrame:
+    """State-shaped frame → user-facing form (shared by stored-state
+    reads and real-time merged reads; ``drop`` tolerates frames that
+    never carried the companion columns)."""
     # retraction-uncertainty companions are internal state, not output
     companions = {
         f"{out}__retr" for out in _budgeted_topk(

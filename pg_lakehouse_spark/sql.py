@@ -1230,6 +1230,25 @@ class LakeSQL:
                     return self._bind_view(ns, name, meta, branch, ver, ts)
                 return m.group(0)  # not ours — leave for Spark to resolve
             tbl = self._load(ns, name, branch)
+            if meta is not None and meta.lower() == "realtime":
+                # real-time continuous aggregate: materialized rollup
+                # state merged with the source delta since the
+                # watermark (TimescaleDB materialized_only=false)
+                from pg_lakehouse_spark import rollup as _rollup
+
+                src_ref = tbl.snapshot().properties.get("rollup_source")
+                if not src_ref:
+                    raise LakehouseError(
+                        f"{ns}.{name} is not a materialized view "
+                        "($realtime needs rollup_source)"
+                    )
+                sns, sname = src_ref.split(".", 1)
+                df = _rollup.read_rollup_realtime(
+                    self.catalog.load_table(sns, sname), tbl
+                )
+                view = f"__lake_{ns}_{name}_rt"
+                df.createOrReplaceTempView(view)
+                return view
             if meta is not None:
                 fn = self._META_TABLES.get(meta.lower())
                 if fn is None:

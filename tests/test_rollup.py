@@ -730,3 +730,71 @@ def test_bucket_scope_plan_semijoin_and_pushdown(
     )[1].split("]")[0], plan
     # the by-source condition is a range, not a 20-element IN list
     assert " IN " not in str(by_source_cond._jc), str(by_source_cond._jc)
+
+
+def test_realtime_read_pure_append(catalog, events_df):
+    """read_rollup_realtime before a refresh equals the refreshed
+    rollup read: state + append delta merge at read time, nothing
+    committed."""
+    from pg_lakehouse_spark.rollup import read_rollup, read_rollup_realtime
+
+    half = events_df.filter(F.col("event_id") % 2 == 0)
+    rest = events_df.subtract(half)
+    cat = catalog
+    src = cat.create_table_as("db", "ev_rt", half)
+    ru = create_rollup(
+        cat, "db", "ru_rt", src, "ts", "1 hour", ["event_type"], METRICS
+    )
+    v_before = ru.current_version()
+    src.append(rest)
+    rt = read_rollup_realtime(src, ru)
+    _assert_same(rt, _expected(events_df))
+    assert ru.current_version() == v_before  # read-only
+    # watermark-current: realtime == plain read
+    refresh_rollup(src, ru)
+    rt2 = read_rollup_realtime(src, ru)
+    _assert_same(rt2, read_rollup(ru))
+
+
+def test_realtime_read_with_dml_tail(catalog, events_df):
+    """A tail containing row-level DML falls back to aggregating the
+    source directly — still exact."""
+    from pg_lakehouse_spark.rollup import read_rollup_realtime
+
+    src = catalog.create_table_as("db", "ev_rt2", events_df)
+    ru = create_rollup(
+        catalog, "db", "ru_rt2", src, "ts", "1 hour", ["event_type"],
+        METRICS,
+    )
+    src.delete(F.col("value_e2") % 7 == 0)
+    src.append(
+        events_df.filter(F.col("value_e2") % 7 == 0).withColumn(
+            "value_e2", F.col("value_e2") + 1
+        )
+    )
+    rt = read_rollup_realtime(src, ru)
+    _assert_same(rt, _expected(src.read()))
+
+
+def test_realtime_sql_surface(spark, catalog, events_df):
+    """SELECT ... FROM ns.mv$realtime sees post-watermark appends;
+    the plain mv read does not until REFRESH."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    lsql = LakeSQL(spark, catalog)
+    half = events_df.filter(F.col("event_id") % 2 == 0)
+    src = catalog.create_table_as("db", "ev_rt3", half)
+    lsql.sql(
+        "CREATE MATERIALIZED VIEW db.mv_rt AS "
+        "SELECT time_bucket('1 hour', ts) AS bucket_start, event_type, "
+        "count(*) AS n FROM db.ev_rt3 GROUP BY bucket_start, event_type"
+    )
+    src.append(events_df.subtract(half))
+    stale = lsql.sql(
+        "SELECT sum(n) AS total FROM db.mv_rt"
+    ).collect()[0].total
+    live = lsql.sql(
+        "SELECT sum(n) AS total FROM db.mv_rt$realtime"
+    ).collect()[0].total
+    assert stale == half.count()
+    assert live == events_df.count()
