@@ -364,6 +364,91 @@ class LakeSQL:
         r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE
     )
 
+    @staticmethod
+    def _balanced_end(text: str, open_idx: int) -> int:
+        """Index just past the ``)`` matching ``text[open_idx] == '('``;
+        -1 when unbalanced (caller leaves the text for Spark to
+        reject loudly)."""
+        depth, i = 1, open_idx + 1
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        return i if depth == 0 else -1
+
+    @classmethod
+    def _rewrite_pg_setfns(cls, masked: str, lits: list[str]) -> str:
+        """PG set-returning/array functions Spark spells differently:
+
+        - ``unnest(x)`` → ``explode(x)`` (select item AND table
+          position — Spark accepts the table-valued form).
+        - ``generate_series(a, b[, step])`` →
+          ``explode(sequence(a, b[, step]))``.
+        - ``array_length(x, 1)`` → ``size(x)`` (dim 1 only; other
+          dims stay unrewritten → loud Spark failure).
+        - ``string_to_array(x, 'd')`` → ``split(x, '\\Qd\\E')``
+          (literal delimiter quoted for Java regex; non-literal
+          delimiters stay unrewritten → loud).
+        """
+        masked = re.sub(r"\bunnest\s*\(", "explode(", masked,
+                        flags=re.IGNORECASE)
+        while True:
+            m = re.search(r"\bgenerate_series\s*\(", masked, re.IGNORECASE)
+            if not m:
+                break
+            end = cls._balanced_end(masked, m.end() - 1)
+            if end < 0:
+                break
+            inner = masked[m.end(): end - 1]
+            masked = (
+                masked[: m.start()]
+                + f"explode(sequence({inner}))"
+                + masked[end:]
+            )
+        while True:
+            m = re.search(r"\barray_length\s*\(", masked, re.IGNORECASE)
+            if not m:
+                break
+            end = cls._balanced_end(masked, m.end() - 1)
+            if end < 0:
+                break
+            args = _split_top_level(masked[m.end(): end - 1])
+            if len(args) != 2 or args[1].strip() != "1":
+                break  # other dims: leave for Spark to reject
+            masked = (
+                masked[: m.start()]
+                + f"size({args[0].strip()})"
+                + masked[end:]
+            )
+        while True:
+            m = re.search(r"\bstring_to_array\s*\(", masked, re.IGNORECASE)
+            if not m:
+                break
+            end = cls._balanced_end(masked, m.end() - 1)
+            if end < 0:
+                break
+            args = _split_top_level(masked[m.end(): end - 1])
+            pm = (
+                re.fullmatch(r"\x00(\d+)\x00", args[1].strip())
+                if len(args) == 2
+                else None
+            )
+            if pm is None:
+                break  # non-literal delimiter: loud
+            delim = lits[int(pm.group(1))][1:-1]
+            if "\\E" in delim:
+                break  # cannot \Q-quote a delimiter containing \E
+            lits.append(f"'\\Q{delim}\\E'")
+            ph = f"\x00{len(lits) - 1}\x00"
+            masked = (
+                masked[: m.start()]
+                + f"split({args[0].strip()}, {ph})"
+                + masked[end:]
+            )
+        return masked
+
     @classmethod
     def _rewrite_distinct_on(cls, masked: str) -> str:
         """PG ``SELECT DISTINCT ON (exprs) list ... ORDER BY ...`` —
@@ -532,6 +617,7 @@ class LakeSQL:
         masked = cls._rewrite_similar_to(masked, lits)
         masked = cls._rewrite_json_arrows(masked, lits)
         masked = cls._rewrite_distinct_on(masked)
+        masked = cls._rewrite_pg_setfns(masked, lits)
 
         while True:
             m = cls._EXTRACT_EPOCH.search(masked)

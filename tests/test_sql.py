@@ -1967,3 +1967,31 @@ def test_prepare_execute_deallocate(lsql):
     lsql.sql("DEALLOCATE ALL")
     with _pytest.raises(Exception, match="no such prepared"):
         lsql.sql("EXECUTE ins(9, 'y')")
+
+
+def test_pg_set_returning_and_array_functions(lsql):
+    """PG unnest / generate_series / array_length / string_to_array
+    spell onto Spark's explode / sequence / size / split (regex-quoted
+    literal delimiter)."""
+    rows = lsql.sql("SELECT unnest(array(1, 2, 3)) AS n").collect()
+    assert [r.n for r in rows] == [1, 2, 3]
+    rows = lsql.sql(
+        "SELECT n * 10 AS x FROM generate_series(1, 3) AS t(n)"
+    ).collect()
+    assert sorted(r.x for r in rows) == [10, 20, 30]
+    rows = lsql.sql("SELECT generate_series(0, 6, 3) AS s").collect()
+    assert [r.s for r in rows] == [0, 3, 6]
+    assert (
+        lsql.sql("SELECT array_length(array(7, 8), 1) AS n").collect()[0].n
+        == 2
+    )
+    # literal delimiter containing a regex metachar splits literally
+    rows = lsql.sql(
+        "SELECT string_to_array('a.b.c', '.') AS p"
+    ).collect()
+    assert rows[0].p == ["a", "b", "c"]
+    # a literal that LOOKS like the functions is data, untouched
+    rows = lsql.sql(
+        "SELECT 'unnest(generate_series(1,2))' AS s"
+    ).collect()
+    assert rows[0].s == "unnest(generate_series(1,2))"
