@@ -618,6 +618,15 @@ class LakeSQL:
         masked = cls._rewrite_json_arrows(masked, lits)
         masked = cls._rewrite_distinct_on(masked)
         masked = cls._rewrite_pg_setfns(masked, lits)
+        # PG TABLESAMPLE SYSTEM/BERNOULLI (pct) → Spark's percent form
+        # (REPEATABLE (seed) passes through — both dialects spell it
+        # the same)
+        masked = re.sub(
+            r"\bTABLESAMPLE\s+(?:SYSTEM|BERNOULLI)\s*\(([^()]*)\)",
+            r"TABLESAMPLE (\1 PERCENT)",
+            masked,
+            flags=re.IGNORECASE,
+        )
 
         while True:
             m = cls._EXTRACT_EPOCH.search(masked)
@@ -944,6 +953,38 @@ class LakeSQL:
                 cols = [c.strip() for c in returning.split(",") if c.strip()]
                 return changes.select(*cols)
             return self._merge(s)
+        if head == "CLUSTER":
+            # PG CLUSTER t USING idx: rewrite the table physically in
+            # index order → sort-clustered full compaction (manifest
+            # bounds then prune on the index columns). Bare CLUSTER t
+            # re-clusters by the remembered index, as in PG.
+            m = re.match(
+                rf"CLUSTER\s+{_TBL}(?:\s+USING\s+({_IDENT}))?$",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse CLUSTER: {s[:60]!r}")
+            tbl = self._load(m.group(1), m.group(2))
+            props = tbl.snapshot().properties
+            iname = m.group(3) or props.get("cluster_index")
+            if not iname:
+                raise LakehouseError(
+                    "CLUSTER needs USING <index> (no previous cluster "
+                    "index remembered for this table)"
+                )
+            indexes = json.loads(props.get("indexes", "{}"))
+            idx = indexes.get(iname)
+            if idx is None:
+                raise LakehouseError(f"no such index: {iname!r}")
+            if props.get("cluster_index") != iname:
+                tbl.set_properties({"cluster_index": iname})
+            tbl.compact(
+                small_file_bytes=1 << 62,
+                min_files=1,
+                sort_by=idx["columns"],
+            )
+            return None
         if head == "VACUUM":
             return self._vacuum(s)
         if head == "OPTIMIZE":

@@ -1385,3 +1385,59 @@ def lake_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "rollup_realtime_read",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_sum_e2,
+       min(value) AS value_min, max(value) AS value_max
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("rollup", "realtime", "lakehouse"),
+)
+def rollup_realtime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate (r6): the rollup materializes a
+    THIRD of the corpus, the remaining two thirds land on the source
+    AFTER the watermark, and `read_rollup_realtime` answers with state
+    merged against the fresh delta at read time — no refresh, no
+    commit. The oracle is the direct GROUP BY over the whole corpus:
+    the read-time merge must equal full recompute exactly (cent-grid
+    integer sums)."""
+    from pg_lakehouse_spark.rollup import (
+        create_rollup,
+        read_rollup_realtime,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("value_e2", F.round(F.col("value") * 100).cast("long"))
+    )
+    cat = _scratch_catalog(spark, sf_dir, "rollup_rt")
+    src = cat.create_table_as(
+        "db", "events_src", ev.filter(F.col("event_id") % 3 == 0)
+    )
+    roll = create_rollup(
+        cat, "db", "events_hourly", src,
+        time_col="ts", bucket="1 hour", group_by=["event_type"],
+        metrics={
+            "n_events": ("count", "*"),
+            "value_sum_e2": ("sum", "value_e2"),
+            "value_min": ("min", "value"),
+            "value_max": ("max", "value"),
+        },
+    )
+    src.append(ev.filter(F.col("event_id") % 3 != 0))
+    return read_rollup_realtime(src, roll).select(
+        epoch_us(F.col("bucket_start")).alias("bucket_us"),
+        "event_type",
+        "n_events",
+        "value_sum_e2",
+        "value_min",
+        "value_max",
+    )

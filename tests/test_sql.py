@@ -1995,3 +1995,44 @@ def test_pg_set_returning_and_array_functions(lsql):
         "SELECT 'unnest(generate_series(1,2))' AS s"
     ).collect()
     assert rows[0].s == "unnest(generate_series(1,2))"
+
+
+def test_cluster_and_tablesample(lsql):
+    """PG CLUSTER t USING idx → full sort-clustered rewrite (manifest
+    bounds prune afterwards); TABLESAMPLE SYSTEM/BERNOULLI (pct) maps
+    to Spark's percent sampling."""
+    lsql.sql("CREATE TABLE db.cl (k BIGINT, v DOUBLE)")
+    lsql.sql(
+        "INSERT INTO db.cl SELECT id, cast(id as double) "
+        "FROM range(0, 1000)"
+    )
+    lsql.sql("INSERT INTO db.cl SELECT id, cast(id as double) "
+             "FROM range(1000, 2000)")
+    lsql.sql("CREATE INDEX k_idx ON db.cl USING btree (k)")
+    lsql.sql("CLUSTER db.cl USING k_idx")
+    tbl = lsql.catalog.load_table("db", "cl")
+    snap = tbl.snapshot()
+    assert snap.operation == "compact"
+    # clustered: files carry disjoint k ranges → a point probe selects
+    # a strict subset
+    _s, selected = tbl.pruned_entries({"k": (5, 5)})
+    assert len(selected) < len(snap.files) or len(snap.files) == 1
+    # bare CLUSTER re-uses the remembered index
+    lsql.sql("INSERT INTO db.cl VALUES (99999, 1.0)")
+    lsql.sql("CLUSTER db.cl")
+    assert lsql.catalog.load_table("db", "cl").snapshot().operation == "compact"
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    with _pytest.raises(LakehouseError, match="no such index"):
+        lsql.sql("CLUSTER db.cl USING nope")
+    # TABLESAMPLE: 100 percent keeps everything, 0 keeps nothing
+    n = lsql.sql(
+        "SELECT count(*) AS n FROM db.cl TABLESAMPLE SYSTEM (100)"
+    ).collect()[0].n
+    assert n == 2001
+    n0 = lsql.sql(
+        "SELECT count(*) AS n FROM db.cl TABLESAMPLE BERNOULLI (0)"
+    ).collect()[0].n
+    assert n0 == 0
