@@ -60,7 +60,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # rollup_topk_retraction so the driver artifact exercises the r5
 # work; q_python_udtf_bigrams (UDF family keeps the pandas-UDF row)
 # and stream_session_windows (streaming keeps tumbling + CDC) ceded
-# to the new-in-r6 dedup_lines_corpus / balance_source_cap.
+# to the new-in-r6 dedup_lines_corpus / balance_source_cap;
+# interleave_language_mix ceded to its newer family-mate
+# interleave_temperature and text_chunking (text family keeps
+# text_quality_signals) to lake_manifest_segments so the r6
+# manifest-segmentation work shows in the driver artifact.
 # Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
@@ -80,10 +84,10 @@ _PRIORITY: tuple[str, ...] = (
     "pack_sequences_stream",
     "lake_delete_by_keys",
     "q_percentiles",
-    "interleave_language_mix",
+    "interleave_temperature",
     "q_cube",
     "q_pivot",
-    "text_chunking",
+    "lake_manifest_segments",
     "q_window_topk_per_group",
     "lake_bloom_pointlookup",
     "ts_gapfill_hourly",
