@@ -1694,6 +1694,12 @@ class LakeSQL:
         if not m:
             raise LakehouseError(f"cannot parse TRUNCATE: {s[:80]!r}")
         tbl = self.catalog.load_table(m.group(1), m.group(2))
+        if self._fk_referenced_by(tbl):
+            raise LakehouseError(
+                "cannot TRUNCATE a table referenced by FOREIGN KEY "
+                f"constraints ({self._fk_referenced_by(tbl)}); drop "
+                "the constraints first"
+            )
         if self._txn is not None:
             self._txn.truncate(tbl)
             return None
@@ -1849,6 +1855,23 @@ class LakeSQL:
             order = f"zorder({cols})" if wm.group(1) else cols
             return tbl.set_properties({"write_sort_order": order})
         if au.startswith("ADD CONSTRAINT"):
+            fm = re.match(
+                rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+FOREIGN\s+KEY\s*"
+                rf"\(([^()]*)\)\s+REFERENCES\s+{_TBL}\s*"
+                rf"(?:\(([^()]*)\))?(\s+NOT\s+VALID)?$",
+                action,
+                re.IGNORECASE,
+            )
+            if fm:
+                return self._add_foreign_key(
+                    tbl, ns, name,
+                    fm.group(1),
+                    [c.strip() for c in fm.group(2).split(",") if c.strip()],
+                    fm.group(3), fm.group(4),
+                    [c.strip() for c in (fm.group(5) or "").split(",")
+                     if c.strip()],
+                    validate=not fm.group(6),
+                )
             am = re.match(
                 rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)"
                 r"(\s+NOT\s+VALID)?$",
@@ -1872,6 +1895,19 @@ class LakeSQL:
                 raise LakehouseError(
                     f"cannot parse VALIDATE CONSTRAINT: {action[:80]!r}"
                 )
+            fks = self._fk_defs(tbl)
+            if am.group(1) in fks:
+                import json as _json
+
+                fk = dict(fks[am.group(1)], validated=True)
+                self._fk_check_frame(
+                    tbl.read(), {am.group(1): fk}, verb="existing rows"
+                )
+                fks[am.group(1)] = fk
+                tbl.set_properties(
+                    {"foreign_keys": _json.dumps(fks, sort_keys=True)}
+                )
+                return None
             return tbl.validate_constraint(am.group(1))
         if au.startswith("DROP CONSTRAINT"):
             am = re.match(
@@ -1881,8 +1917,177 @@ class LakeSQL:
                 raise LakehouseError(
                     f"cannot parse DROP CONSTRAINT: {action[:80]!r}"
                 )
+            if self._drop_foreign_key(tbl, ns, name, am.group(1)):
+                return None
             return tbl.drop_check_constraint(am.group(1))
         raise LakehouseError(f"unsupported ALTER TABLE action: {action[:60]!r}")
+
+    # -- FOREIGN KEY constraints (PG referential integrity) ---------------
+    #
+    # Enforced at the SQL surface (where PG's executor enforces them;
+    # the engine API sits below constraints, like Iceberg/Delta which
+    # have none at all). Child-side writes pay one anti-join of the
+    # WRITE DELTA against the parent's key column (column-pruned scan,
+    # cost ∝ batch); parent-side deletes pay one semi-join of the
+    # deleted keys against the child. MATCH SIMPLE semantics: a child
+    # row with ANY NULL fk column passes, as in PG.
+
+    def _ident_of(self, tbl: LakeTable) -> str:
+        import os as _os
+
+        rel = _os.path.relpath(tbl.location, self.catalog.warehouse)
+        ns, name = rel.replace("\\", "/").split("/")[:2]
+        return f"{ns}.{name}"
+
+    def _fk_defs(self, tbl: LakeTable) -> dict:
+        import json as _json
+
+        return _json.loads(
+            tbl.snapshot().properties.get("foreign_keys", "{}")
+        )
+
+    def _fk_referenced_by(self, tbl: LakeTable) -> list[str]:
+        import json as _json
+
+        return _json.loads(
+            tbl.snapshot().properties.get("referenced_by", "[]")
+        )
+
+    def _add_foreign_key(
+        self, tbl, ns, name, cname, cols, rns, rname, rcols, validate
+    ):
+        import json as _json
+
+        parent = self.catalog.load_table(rns, rname)
+        if not rcols:
+            pk = parent.snapshot().properties.get("row_key", "")
+            rcols = [c.strip() for c in pk.split(",") if c.strip()]
+            if not rcols:
+                raise LakehouseError(
+                    "REFERENCES without a column list needs the parent "
+                    "to declare a PRIMARY KEY (row_key)"
+                )
+        if len(cols) != len(rcols):
+            raise LakehouseError(
+                f"FOREIGN KEY arity mismatch: ({cols}) vs ({rcols})"
+            )
+        known = {f.name for f in tbl.schema().fields}
+        pknown = {f.name for f in parent.schema().fields}
+        bad = [c for c in cols if c not in known] + [
+            c for c in rcols if c not in pknown
+        ]
+        if bad:
+            raise LakehouseError(f"FOREIGN KEY column(s) not found: {bad}")
+        fk = {
+            "columns": cols,
+            "ref": f"{rns}.{rname}",
+            "ref_columns": rcols,
+            "validated": bool(validate),
+        }
+        if validate:
+            self._fk_check_frame(
+                tbl.read(), {cname: fk}, verb="existing rows"
+            )
+        fks = self._fk_defs(tbl)
+        fks[cname] = fk
+        tbl.set_properties({"foreign_keys": _json.dumps(fks, sort_keys=True)})
+        refs = self._fk_referenced_by(parent)
+        tag = f"{ns}.{name}:{cname}"
+        if tag not in refs:
+            refs.append(tag)
+            parent.set_properties({"referenced_by": _json.dumps(refs)})
+        return None
+
+    def _drop_foreign_key(self, tbl, ns, name, cname) -> bool:
+        import json as _json
+
+        fks = self._fk_defs(tbl)
+        fk = fks.pop(cname, None)
+        if fk is None:
+            return False
+        tbl.set_properties({"foreign_keys": _json.dumps(fks, sort_keys=True)})
+        rns, rname = fk["ref"].split(".", 1)
+        try:
+            parent = self.catalog.load_table(rns, rname)
+            refs = [
+                r
+                for r in self._fk_referenced_by(parent)
+                if r != f"{ns}.{name}:{cname}"
+            ]
+            parent.set_properties({"referenced_by": _json.dumps(refs)})
+        except LakehouseError:
+            pass  # parent already dropped
+        return True
+
+    def _fk_check_frame(self, df: DataFrame, fks: dict, verb: str) -> None:
+        """Raise if any row of ``df`` violates a VALIDATED fk — one
+        anti-join per constraint against the parent's (column-pruned)
+        key set."""
+        for cname, fk in fks.items():
+            if not fk.get("validated", True):
+                continue
+            rns, rname = fk["ref"].split(".", 1)
+            parent = self.catalog.load_table(rns, rname)
+            keys = parent.read().select(
+                *[
+                    F.col(rc).alias(c)
+                    for c, rc in zip(fk["columns"], fk["ref_columns"])
+                ]
+            ).distinct()
+            cand = df
+            for c in fk["columns"]:
+                cand = cand.filter(F.col(c).isNotNull())
+            bad = (
+                cand.join(keys, on=fk["columns"], how="left_anti")
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise LakehouseError(
+                    f"{verb} violate(s) foreign key constraint "
+                    f"{cname!r}: ({', '.join(fk['columns'])}) not "
+                    f"present in {fk['ref']}({', '.join(fk['ref_columns'])})"
+                )
+
+    def _fk_guard_parent(self, tbl: LakeTable, condition) -> None:
+        """RESTRICT semantics for parent-side deletes: any to-be-
+        deleted key still referenced by a child row blocks the
+        statement."""
+        for tag in self._fk_referenced_by(tbl):
+            child_ref, cname = tag.rsplit(":", 1)
+            cns, cn = child_ref.split(".", 1)
+            try:
+                child = self.catalog.load_table(cns, cn)
+            except LakehouseError:
+                continue  # stale pointer: child dropped
+            fk = self._fk_defs(child).get(cname)
+            if fk is None or not fk.get("validated", True):
+                continue
+            doomed = (
+                tbl.read()
+                .filter(condition)
+                .select(
+                    *[
+                        F.col(rc).alias(c)
+                        for c, rc in zip(
+                            fk["columns"], fk["ref_columns"]
+                        )
+                    ]
+                )
+                .distinct()
+            )
+            hit = (
+                child.read()
+                .join(doomed, on=fk["columns"], how="left_semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                raise LakehouseError(
+                    f"delete on {self._ident_of(tbl)} violates foreign "
+                    f"key constraint {cname!r} on {child_ref}: key "
+                    "still referenced (RESTRICT)"
+                )
 
     # -- DML ---------------------------------------------------------------
 
@@ -1894,18 +2099,71 @@ class LakeSQL:
         return tbl.append(df)
 
     def _apply_delete(self, tbl: LakeTable, condition):
+        if self._fk_referenced_by(tbl):
+            self._fk_guard_parent(tbl, condition)
         if self._txn is not None:
             self._txn.delete(tbl, condition)
             return None
         return tbl.delete(condition)
 
     def _apply_update(self, tbl: LakeTable, condition, assignments):
+        fks = {
+            n: fk
+            for n, fk in self._fk_defs(tbl).items()
+            if set(fk["columns"]) & set(assignments)
+        }
+        if fks:
+            # postimage pre-check: the updated rows' new fk values
+            # must reference the parent BEFORE anything commits
+            post = tbl.read().filter(condition)
+            for col, expr in assignments.items():
+                post = post.withColumn(col, expr)
+            self._fk_check_frame(post, fks, verb="updated row(s)")
+        if self._fk_referenced_by(tbl):
+            # updating a referenced key is a delete of the old key
+            touched = set(assignments)
+            for tag in self._fk_referenced_by(tbl):
+                child_ref, cname = tag.rsplit(":", 1)
+                cns, cn = child_ref.split(".", 1)
+                try:
+                    fk = self._fk_defs(
+                        self.catalog.load_table(cns, cn)
+                    ).get(cname)
+                except LakehouseError:
+                    continue
+                if fk and set(fk["ref_columns"]) & touched:
+                    self._fk_guard_parent(tbl, condition)
+                    break
         if self._txn is not None:
             self._txn.update(tbl, condition, assignments)
             return None
         return tbl.update(condition, assignments)
 
-    def _apply_merge(self, tbl: LakeTable, source: DataFrame, **kwargs):
+    def _apply_merge(
+        self, tbl: LakeTable, source: DataFrame, _fk_checked=False, **kwargs
+    ):
+        if not _fk_checked:
+            fks = {
+                n: fk
+                for n, fk in self._fk_defs(tbl).items()
+                if fk.get("validated", True)
+            }
+            if fks:
+                raise LakehouseError(
+                    "MERGE into a table with validated FOREIGN KEY "
+                    "constraints is not supported (arbitrary WHEN "
+                    "clauses cannot be pre-checked); use INSERT ... ON "
+                    "CONFLICT / UPDATE, or DROP the constraint"
+                )
+            if self._fk_referenced_by(tbl) and (
+                kwargs.get("when_matched_delete")
+                or kwargs.get("when_not_matched_by_source_delete")
+            ):
+                raise LakehouseError(
+                    "MERGE with delete clauses on a table referenced "
+                    "by FOREIGN KEY constraints is not supported "
+                    "(RESTRICT cannot be pre-checked); use DELETE"
+                )
         if self._txn is not None:
             self._txn.merge(tbl, source, **kwargs)
             return None
@@ -2101,6 +2359,9 @@ class LakeSQL:
         updates matched rows (``excluded.col`` = the incoming row, PG's
         own alias) and inserts the rest. One merge, O(matches) on a
         merge-on-read table."""
+        fks = self._fk_defs(tbl)
+        if fks:
+            self._fk_check_frame(df, fks, verb="inserted row(s)")
         if conflict is None:
             return self._apply_insert(tbl, df)
         keys, action, sets = conflict
@@ -2110,15 +2371,27 @@ class LakeSQL:
             raise LakehouseError(f"ON CONFLICT column(s) not in table: {bad}")
         if action == "nothing":
             return self._apply_merge(
-                tbl, df, on=keys, when_not_matched_insert=True
+                tbl, df, on=keys, when_not_matched_insert=True,
+                _fk_checked=True,
             )
         assignments = sets  # pre-parsed {col: Column} by _insert (masked)
+        if fks:
+            upd_cols = set(assignments) & {
+                c for fk in fks.values() for c in fk["columns"]
+            }
+            if upd_cols:
+                raise LakehouseError(
+                    "ON CONFLICT DO UPDATE assigning FOREIGN KEY "
+                    f"column(s) {sorted(upd_cols)} is not supported "
+                    "on a constrained table"
+                )
         return self._apply_merge(
             tbl,
             df,
             on=keys,
             when_matched_update=assignments,
             when_not_matched_insert=True,
+            _fk_checked=True,
         )
 
     _RETURNING_TYPES = {

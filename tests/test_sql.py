@@ -2036,3 +2036,80 @@ def test_cluster_and_tablesample(lsql):
         "SELECT count(*) AS n FROM db.cl TABLESAMPLE BERNOULLI (0)"
     ).collect()[0].n
     assert n0 == 0
+
+
+def test_foreign_key_constraints(lsql):
+    """PG referential integrity on the SQL surface: child inserts
+    anti-join the parent keys (MATCH SIMPLE: NULL fk passes), parent
+    deletes RESTRICT while referenced, VALIDATE/DROP lifecycle, and
+    un-precheckable shapes (MERGE) fail loudly instead of silently
+    skipping enforcement."""
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    lsql.sql("CREATE TABLE db.parents (pid BIGINT, name TEXT)")
+    lsql.sql("INSERT INTO db.parents VALUES (1, 'a'), (2, 'b')")
+    lsql.sql("CREATE TABLE db.children (cid BIGINT, pid BIGINT)")
+    lsql.sql("INSERT INTO db.children VALUES (10, 1), (11, NULL)")
+    lsql.sql(
+        "ALTER TABLE db.children ADD CONSTRAINT fk_p "
+        "FOREIGN KEY (pid) REFERENCES db.parents (pid)"
+    )
+    # valid + NULL inserts pass; dangling insert is blocked
+    lsql.sql("INSERT INTO db.children VALUES (12, 2), (13, NULL)")
+    with _pytest.raises(LakehouseError, match="fk_p"):
+        lsql.sql("INSERT INTO db.children VALUES (14, 99)")
+    # UPDATE to a dangling key blocked; to a valid key fine
+    with _pytest.raises(LakehouseError, match="fk_p"):
+        lsql.sql("UPDATE db.children SET pid = 42 WHERE cid = 10")
+    lsql.sql("UPDATE db.children SET pid = 2 WHERE cid = 10")
+    # parent delete RESTRICT while referenced; unreferenced key fine
+    with _pytest.raises(LakehouseError, match="RESTRICT"):
+        lsql.sql("DELETE FROM db.parents WHERE pid = 2")
+    lsql.sql("DELETE FROM db.parents WHERE pid = 1")  # no child refs 1 now
+    # TRUNCATE parent blocked
+    with _pytest.raises(LakehouseError, match="TRUNCATE"):
+        lsql.sql("TRUNCATE TABLE db.parents")
+    # MERGE into the child is un-precheckable -> loud
+    with _pytest.raises(LakehouseError, match="MERGE"):
+        lsql.sql(
+            "MERGE INTO db.children t USING (SELECT 1 AS cid) s "
+            "ON t.cid = s.cid WHEN MATCHED THEN UPDATE SET pid = 7"
+        )
+    # drop the constraint: everything unblocks
+    lsql.sql("ALTER TABLE db.children DROP CONSTRAINT fk_p")
+    lsql.sql("INSERT INTO db.children VALUES (14, 99)")
+    lsql.sql("TRUNCATE TABLE db.parents")
+
+
+def test_foreign_key_not_valid_then_validate(lsql):
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    lsql.sql("CREATE TABLE db.p2 (k BIGINT)")
+    lsql.sql("INSERT INTO db.p2 VALUES (1)")
+    lsql.sql("CREATE TABLE db.c2 (k BIGINT)")
+    lsql.sql("INSERT INTO db.c2 VALUES (9)")  # dangling pre-existing
+    # NOT VALID: add succeeds despite the dangling row
+    lsql.sql(
+        "ALTER TABLE db.c2 ADD CONSTRAINT fk2 FOREIGN KEY (k) "
+        "REFERENCES db.p2 (k) NOT VALID"
+    )
+    # and is NOT enforced until validated
+    lsql.sql("INSERT INTO db.c2 VALUES (8)")
+    with _pytest.raises(LakehouseError, match="fk2"):
+        lsql.sql("ALTER TABLE db.c2 VALIDATE CONSTRAINT fk2")
+    lsql.sql("DELETE FROM db.c2 WHERE k IN (8, 9)")
+    lsql.sql("ALTER TABLE db.c2 VALIDATE CONSTRAINT fk2")
+    with _pytest.raises(LakehouseError, match="fk2"):
+        lsql.sql("INSERT INTO db.c2 VALUES (77)")
+    # add-time validation failure is loud too
+    with _pytest.raises(LakehouseError, match="fk3"):
+        lsql.sql("CREATE TABLE db.c3 (k BIGINT)")
+        lsql.sql("INSERT INTO db.c3 VALUES (123)")
+        lsql.sql(
+            "ALTER TABLE db.c3 ADD CONSTRAINT fk3 FOREIGN KEY (k) "
+            "REFERENCES db.p2 (k)"
+        )
