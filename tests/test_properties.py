@@ -821,3 +821,66 @@ def test_dialect_pass_idempotent(stmt):
 
     once = LakeSQL._pg_dialect(stmt)
     assert LakeSQL._pg_dialect(once) == once
+
+
+# -- r6: aggregate-shape differential fuzzer ----------------------------
+
+_AGG_ITEMS = st.lists(
+    st.sampled_from(
+        [
+            "count(*) AS c",
+            "count(v) AS cv",
+            "count(DISTINCT s) AS ds",
+            "sum(k) AS sk",
+            "round(sum(v), 6) AS sv",
+            "min(v) AS mv",
+            "max(s) AS ms",
+        ]
+    ),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.sampled_from(["s", "g", "s, g"]),
+    aggs=_AGG_ITEMS,
+    pred=st.one_of(st.none(), _sel_pred),
+    having=st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    limit=st.one_of(st.none(), st.integers(min_value=1, max_value=10)),
+)
+def test_aggregate_differential_vs_duckdb(
+    spark, tmp_path_factory, groups, aggs, pred, having, limit
+):
+    """Random GROUP BY / aggregate / HAVING / ORDER BY / LIMIT shapes
+    (NULL group keys included) must match DuckDB exactly. Sums stay
+    exact: k is integral, v values are halves (exact in double)."""
+    lsql, duck = _sel_setup(spark, tmp_path_factory)
+    if having is not None and "count(*) AS c" not in aggs:
+        aggs = ["count(*) AS c"] + aggs
+    sel = groups + ", " + ", ".join(aggs)
+    # g is a derived key: inject its definition in the select list
+    if "g" in groups.split(", "):
+        sel = sel.replace("g", "k % 4 AS g", 1)
+    stmt = f"SELECT {sel} FROM {{t}}"
+    if pred is not None:
+        stmt += f" WHERE {_render_pred(pred)}"
+    stmt += f" GROUP BY {groups}"
+    if having is not None:
+        stmt += f" HAVING count(*) > {having}"
+    order = ", ".join(
+        f"{c} ASC NULLS FIRST" for c in groups.split(", ")
+    )
+    stmt += f" ORDER BY {order}"
+    if limit is not None:
+        stmt += f" LIMIT {limit}"
+    got = [tuple(r) for r in lsql.sql(stmt.format(t="db.fzsel")).collect()]
+    want = [tuple(w) for w in duck.execute(stmt.format(t="fzsel")).fetchall()]
+    assert got == want, stmt
