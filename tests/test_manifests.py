@@ -369,3 +369,42 @@ def test_segmented_equals_inline_under_random_dml(catalog, orders_df):
                 t_.expire_snapshots(keep_last=2)
         states_equal()
     assert b.snapshot().manifests  # the segmented twin stayed segmented
+
+
+def test_concurrent_appends_on_segmented_table(catalog, orders_df):
+    """Four writers racing appends on a segmented table: every commit
+    lands (optimistic retry), the final state is the union, no
+    segment is orphaned, and the head's reused-segment chain is
+    consistent (hydration == sum of parts)."""
+    import threading
+
+    base = orders_df.limit(100)
+    t = catalog.create_table_as("db", "cc_seg", base, properties=SEG_PROPS)
+    errs: list[BaseException] = []
+
+    def worker(i: int) -> None:
+        try:
+            handle = lh.LakeTable(t.spark, t.location)
+            for j in range(3):
+                handle.append(
+                    base.withColumn(
+                        "o_orderkey",
+                        F.col("o_orderkey") + (i * 10 + j + 1) * 1_000,
+                    )
+                )
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    snap = t.snapshot()
+    assert t.read().count() == 100 * 13  # base + 12 appends
+    assert sum(m["row_count"] for m in snap.manifests) == 100 * 13
+    assert len(snap.files) == sum(m["file_count"] for m in snap.manifests)
+    live = set(_seg_paths(t))
+    # every referenced segment exists on disk
+    assert live <= set(_seg_files_on_disk(t))
