@@ -1573,8 +1573,27 @@ class LakeSQL:
         col_defs, checks, defaults, notnull = [], {}, {}, []
         pk_cols: list[str] = []
         unique_sets: list[list[str]] = []
+        fk_specs: list[tuple] = []  # (cname|None, cols, rns, rname, rcols)
         for item in _split_top_level(rest[1:-1]):
             it = item.strip()
+            fkm = re.match(
+                rf"(?:CONSTRAINT\s+({_IDENT})\s+)?FOREIGN\s+KEY\s*"
+                rf"\(([^()]*)\)\s+REFERENCES\s+{_TBL}\s*"
+                rf"(?:\(([^()]*)\))?$",
+                it,
+                re.IGNORECASE,
+            )
+            if fkm:
+                fk_specs.append(
+                    (
+                        fkm.group(1),
+                        [c.strip() for c in fkm.group(2).split(",") if c.strip()],
+                        fkm.group(3),
+                        fkm.group(4),
+                        [c.strip() for c in (fkm.group(5) or "").split(",") if c.strip()],
+                    )
+                )
+                continue
             km = re.match(
                 rf"(?:CONSTRAINT\s+{_IDENT}\s+)?"
                 rf"(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)$",
@@ -1610,6 +1629,22 @@ class LakeSQL:
             if ium:
                 unique_sets.append([colname])
                 it = (it[: ium.start()] + it[ium.end():]).strip()
+            irm = re.search(
+                rf"\s+REFERENCES\s+{_TBL}\s*(?:\(([^()]*)\))?",
+                it,
+                re.IGNORECASE,
+            )
+            if irm:
+                fk_specs.append(
+                    (
+                        None,
+                        [colname],
+                        irm.group(1),
+                        irm.group(2),
+                        [c.strip() for c in (irm.group(3) or "").split(",") if c.strip()],
+                    )
+                )
+                it = (it[: irm.start()] + it[irm.end():]).strip()
             dm = re.search(r"\s+DEFAULT\s+(.+)$", it, re.IGNORECASE)
             if dm:
                 dexpr = dm.group(1).strip()
@@ -1673,6 +1708,13 @@ class LakeSQL:
         for cname, expr in checks.items():
             if cname not in tbl.check_constraints():
                 tbl.add_check_constraint(cname, expr, validate=False)
+        for cname, cols, rns, rname, rcols in fk_specs:
+            cname = cname or f"fk_{'_'.join(cols)}"
+            if cname not in self._fk_defs(tbl):
+                self._add_foreign_key(
+                    tbl, ns, name, cname, cols, rns, rname, rcols,
+                    validate=True,  # trivially true: table is empty
+                )
         return tbl
 
     def _drop(self, s: str) -> None:

@@ -2113,3 +2113,26 @@ def test_foreign_key_not_valid_then_validate(lsql):
             "ALTER TABLE db.c3 ADD CONSTRAINT fk3 FOREIGN KEY (k) "
             "REFERENCES db.p2 (k)"
         )
+
+
+def test_foreign_key_in_create_table(lsql):
+    """PG DDL forms: inline `col TYPE REFERENCES p(k)` and table-level
+    `[CONSTRAINT name] FOREIGN KEY (...) REFERENCES ...` register
+    enforced constraints at CREATE time."""
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    lsql.sql("CREATE TABLE db.fp (k BIGINT PRIMARY KEY, name TEXT)")
+    lsql.sql("INSERT INTO db.fp VALUES (1, 'a')")
+    lsql.sql(
+        "CREATE TABLE db.fc (cid BIGINT, k BIGINT REFERENCES db.fp (k), "
+        "CONSTRAINT fk_named FOREIGN KEY (cid) REFERENCES db.fp)"
+    )  # the named FK omits columns -> parent PRIMARY KEY
+    lsql.sql("INSERT INTO db.fc VALUES (1, 1)")
+    with _pytest.raises(LakehouseError, match="fk_k"):
+        lsql.sql("INSERT INTO db.fc VALUES (1, 5)")
+    with _pytest.raises(LakehouseError, match="fk_named"):
+        lsql.sql("INSERT INTO db.fc VALUES (7, 1)")
+    with _pytest.raises(LakehouseError, match="RESTRICT"):
+        lsql.sql("DELETE FROM db.fp WHERE k = 1")
