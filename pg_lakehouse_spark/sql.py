@@ -447,6 +447,33 @@ class LakeSQL:
                 + f"split({args[0].strip()}, {ph})"
                 + masked[end:]
             )
+        # TimescaleDB time_bucket('<width>', ts) in plain SQL → exact
+        # integer-microsecond floor (same arithmetic the rollup tier
+        # uses). Skipped inside MATERIALIZED VIEW statements — the
+        # matview parser consumes the canonical form itself.
+        if not re.search(r"\bMATERIALIZED\s+VIEW\b", masked, re.IGNORECASE):
+            from pg_lakehouse_spark.rollup import _bucket_width_us
+
+            while True:
+                m = re.search(
+                    r"\btime_bucket\s*\(\s*\x00(\d+)\x00\s*,",
+                    masked,
+                    re.IGNORECASE,
+                )
+                if not m:
+                    break
+                op = masked.find("(", m.start())
+                end = cls._balanced_end(masked, op)
+                if end < 0:
+                    break
+                expr = masked[m.end(): end - 1].strip()
+                w = _bucket_width_us(lits[int(m.group(1))][1:-1])
+                us = f"unix_micros(cast(({expr}) as timestamp))"
+                masked = (
+                    masked[: m.start()]
+                    + f"timestamp_micros({us} - pmod({us}, {w}))"
+                    + masked[end:]
+                )
         return masked
 
     @classmethod
@@ -3343,7 +3370,15 @@ class LakeSQL:
         elif rel == "columns":
             rows = []
             for ns, t in self.catalog.list_tables():
-                schema = self.catalog.load_table(ns, t).schema()
+                tbl = self.catalog.load_table(ns, t)
+                schema = tbl.schema()
+                defaults = tbl.column_defaults()
+                ids, _ = tbl._effective_field_ids(tbl.snapshot())
+                notnull = {
+                    c.split("notnull_", 1)[1]
+                    for c in tbl.check_constraints()
+                    if c.startswith("notnull_")
+                }
                 for i, f in enumerate(schema.fields, start=1):
                     rows.append(
                         (
@@ -3352,14 +3387,16 @@ class LakeSQL:
                             f.name,
                             i,
                             f.dataType.simpleString(),
-                            "YES" if f.nullable else "NO",
+                            "NO" if f.name in notnull else "YES",
+                            defaults.get(str(ids.get(f.name))),
                         )
                     )
             df = self.spark.createDataFrame(
                 rows or [],
                 "table_schema string, table_name string, "
                 "column_name string, ordinal_position int, "
-                "data_type string, is_nullable string",
+                "data_type string, is_nullable string, "
+                "column_default string",
             )
         elif rel == "views":
             views = getattr(self.catalog, "list_views", None)

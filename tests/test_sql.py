@@ -2136,3 +2136,49 @@ def test_foreign_key_in_create_table(lsql):
         lsql.sql("INSERT INTO db.fc VALUES (7, 1)")
     with _pytest.raises(LakehouseError, match="RESTRICT"):
         lsql.sql("DELETE FROM db.fp WHERE k = 1")
+
+
+def test_information_schema_defaults_and_nullable(lsql):
+    lsql.sql(
+        "CREATE TABLE db.isd (k BIGINT NOT NULL, "
+        "s TEXT DEFAULT 'n/a', v DOUBLE)"
+    )
+    cols = {
+        r.column_name: (r.is_nullable, r.column_default)
+        for r in lsql.sql(
+            "SELECT column_name, is_nullable, column_default "
+            "FROM information_schema.columns "
+            "WHERE table_schema = 'db' AND table_name = 'isd'"
+        ).collect()
+    }
+    assert cols["k"] == ("NO", None)
+    assert cols["s"][1] == "'n/a'"
+    assert cols["v"] == ("YES", None)
+
+
+def test_time_bucket_in_plain_sql(lsql):
+    """TimescaleDB time_bucket in ordinary SELECTs — exact integer-µs
+    floor, arbitrary widths (not just date_trunc units)."""
+    lsql.sql("CREATE TABLE db.tb (ts TIMESTAMP, v BIGINT)")
+    lsql.sql(
+        "INSERT INTO db.tb VALUES "
+        "(timestamp'2026-01-01 00:07:00', 1), "
+        "(timestamp'2026-01-01 00:22:00', 2), "
+        "(timestamp'2026-01-01 00:44:00', 3)"
+    )
+    rows = lsql.sql(
+        "SELECT time_bucket('15 minutes', ts) AS b, sum(v) AS s "
+        "FROM db.tb GROUP BY b ORDER BY b"
+    ).collect()
+    assert [(str(r.b), r.s) for r in rows] == [
+        ("2026-01-01 00:00:00", 1),
+        ("2026-01-01 00:15:00", 2),
+        ("2026-01-01 00:30:00", 3),
+    ]
+    # matview creation still owns its canonical time_bucket form
+    lsql.sql(
+        "CREATE MATERIALIZED VIEW db.tb_mv AS "
+        "SELECT time_bucket('1 hour', ts) AS bucket_start, "
+        "count(*) AS n FROM db.tb GROUP BY bucket_start"
+    )
+    assert lsql.sql("SELECT sum(n) AS t FROM db.tb_mv").collect()[0].t == 3
