@@ -3254,6 +3254,13 @@ class LakeSQL:
                 col_lines.append(line)
             for cname, expr in sorted(tbl.check_constraints().items()):
                 col_lines.append(f"  CONSTRAINT {cname} CHECK ({expr})")
+            for cname, fk in sorted(self._fk_defs(tbl).items()):
+                col_lines.append(
+                    f"  CONSTRAINT {cname} FOREIGN KEY "
+                    f"({', '.join(fk['columns'])}) REFERENCES "
+                    f"{fk['ref']} ({', '.join(fk['ref_columns'])})"
+                    + ("" if fk.get("validated", True) else " NOT VALID")
+                )
             ddl = (
                 f"CREATE TABLE {m.group(1)}.{m.group(2)} (\n"
                 + ",\n".join(col_lines)
@@ -3266,10 +3273,13 @@ class LakeSQL:
                 for k, v in sorted(snap.properties.items())
                 # constraint/default state is emitted as DDL clauses,
                 # not WITH options (check_not_validated is internal
-                # bookkeeping and its JSON would tear the WITH parser)
+                # bookkeeping and its JSON would tear the WITH parser;
+                # foreign keys render as CONSTRAINT clauses above and
+                # referenced_by/cluster_index are derived state)
                 if k not in (
                     "check_constraints", "column_defaults",
-                    "check_not_validated",
+                    "check_not_validated", "foreign_keys",
+                    "referenced_by", "cluster_index",
                 )
             }
             if props:

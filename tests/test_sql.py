@@ -2182,3 +2182,27 @@ def test_time_bucket_in_plain_sql(lsql):
         "count(*) AS n FROM db.tb GROUP BY bucket_start"
     )
     assert lsql.sql("SELECT sum(n) AS t FROM db.tb_mv").collect()[0].t == 3
+
+
+def test_show_create_table_round_trips_foreign_keys(lsql):
+    """SHOW CREATE renders FKs as constraint clauses (no internal
+    properties leak), and its output re-executes to an equivalent,
+    ENFORCED table."""
+    lsql.sql("CREATE TABLE db.sp2 (k BIGINT PRIMARY KEY)")
+    lsql.sql("INSERT INTO db.sp2 VALUES (1)")
+    lsql.sql(
+        "CREATE TABLE db.sc2 (cid BIGINT, k BIGINT, "
+        "CONSTRAINT fk_sc FOREIGN KEY (k) REFERENCES db.sp2 (k))"
+    )
+    ddl = lsql.sql("SHOW CREATE TABLE db.sc2").collect()[0][0]
+    assert "FOREIGN KEY (k) REFERENCES db.sp2 (k)" in ddl
+    assert "foreign_keys=" not in ddl and "referenced_by=" not in ddl
+    clone = ddl.replace("db.sc2", "db.sc2_clone")
+    lsql.sql(clone)
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    with _pytest.raises(LakehouseError, match="fk_sc"):
+        lsql.sql("INSERT INTO db.sc2_clone VALUES (1, 42)")
+    lsql.sql("INSERT INTO db.sc2_clone VALUES (1, 1)")
