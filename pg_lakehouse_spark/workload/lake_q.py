@@ -1441,3 +1441,64 @@ def rollup_realtime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_min",
         "value_max",
     )
+
+
+@register(
+    "lake_sql_pg_surface_r6",
+    oracle="""
+WITH seed AS (
+  SELECT o_orderkey AS id, o_orderpriority AS owner,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS bal
+  FROM orders WHERE o_orderkey <= 1200
+), s2 AS (
+  SELECT id, owner,
+         CASE WHEN id % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+  FROM seed
+), s3 AS (
+  SELECT id, owner, bal,
+         CAST(CASE WHEN bal > 200000 THEN 1 ELSE 0 END AS BIGINT) AS upd
+  FROM s2
+)
+SELECT DISTINCT ON (owner) owner, id,
+       CAST(round(bal, 2) AS DOUBLE) AS balance, upd
+FROM s3
+ORDER BY owner, bal DESC, id
+""",
+    tags=("lakehouse", "sql", "pg-surface"),
+)
+def lake_sql_pg_surface_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 PG SQL surface in one flow: CREATE TABLE with PG
+    type names (TEXT/NUMERIC), a transaction whose SAVEPOINT absorbs a
+    destructive statement (ROLLBACK TO undoes `SET bal = 0`), a
+    WITH-CTE driving an UPDATE ... FROM, and a DISTINCT ON final
+    select (top account per owner). The oracle replays the surviving
+    net effect in DuckDB — which speaks PG natively."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "sql_pg_r6")
+    q = LakeSQL(spark, cat)
+    q.sql(
+        "CREATE TABLE db.accounts (id BIGINT PRIMARY KEY, owner TEXT, "
+        "bal NUMERIC(12,2), upd BIGINT DEFAULT 0)"
+    )
+    q.sql(
+        "INSERT INTO db.accounts (id, owner, bal) "
+        "SELECT o_orderkey, o_orderpriority, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 1200"
+    )
+    q.sql("BEGIN")
+    q.sql("UPDATE db.accounts SET bal = bal + 100 WHERE id % 10 = 0")
+    q.sql("SAVEPOINT s1")
+    q.sql("UPDATE db.accounts SET bal = 0 WHERE id >= 0")
+    q.sql("ROLLBACK TO SAVEPOINT s1")
+    q.sql("COMMIT")
+    q.sql(
+        "WITH hot AS (SELECT id FROM db.accounts WHERE bal > 200000) "
+        "UPDATE db.accounts t SET upd = 1 FROM hot h WHERE t.id = h.id"
+    )
+    return q.sql(
+        "SELECT DISTINCT ON (owner) owner, id, "
+        "CAST(round(bal, 2) AS DOUBLE) AS balance, upd "
+        "FROM db.accounts ORDER BY owner, bal DESC, id"
+    )
