@@ -2097,15 +2097,34 @@ class LakeSQL:
                 continue
             rns, rname = fk["ref"].split(".", 1)
             parent = self.catalog.load_table(rns, rname)
-            keys = parent.read().select(
+            cand = df
+            for c in fk["columns"]:
+                cand = cand.filter(F.col(c).isNotNull())
+            # scale fast path: one tiny bounds job over the write
+            # delta, then a manifest-pruned parent scan — a small
+            # batch against a huge clustered parent touches only the
+            # files overlapping its key range (falls back to the full
+            # column-pruned scan when bounds are unusable)
+            pread = None
+            try:
+                b = cand.agg(
+                    F.min(fk["columns"][0]).alias("lo"),
+                    F.max(fk["columns"][0]).alias("hi"),
+                ).collect()[0]
+                if b["lo"] is not None and b["hi"] is not None:
+                    pread = parent.read_pruned(
+                        {fk["ref_columns"][0]: (b["lo"], b["hi"])}
+                    )
+            except Exception:  # noqa: BLE001 — pruning is optional
+                pread = None
+            if pread is None:
+                pread = parent.read()
+            keys = pread.select(
                 *[
                     F.col(rc).alias(c)
                     for c, rc in zip(fk["columns"], fk["ref_columns"])
                 ]
             ).distinct()
-            cand = df
-            for c in fk["columns"]:
-                cand = cand.filter(F.col(c).isNotNull())
             bad = (
                 cand.join(keys, on=fk["columns"], how="left_anti")
                 .limit(1)

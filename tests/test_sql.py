@@ -2206,3 +2206,42 @@ def test_show_create_table_round_trips_foreign_keys(lsql):
     with _pytest.raises(LakehouseError, match="fk_sc"):
         lsql.sql("INSERT INTO db.sc2_clone VALUES (1, 42)")
     lsql.sql("INSERT INTO db.sc2_clone VALUES (1, 1)")
+
+
+def test_foreign_key_check_prunes_parent_scan(lsql, spark, sf_dir):
+    """The FK write-delta check consults a manifest-pruned parent
+    scan: a narrow batch against a range-clustered parent selects only
+    the overlapping file(s) — and stays correct across the boundary."""
+    from pg_lakehouse_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    parent = lsql.catalog.create_table(
+        "db", "fpp", orders.select("o_orderkey").schema
+    )
+    for lo, hi in ((0, 3000), (3000, 6000), (6000, 9000)):
+        parent.append(
+            orders.select("o_orderkey")
+            .filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            )
+            .coalesce(1)
+        )
+    lsql.sql("CREATE TABLE db.fcc (cid BIGINT, o_orderkey BIGINT)")
+    lsql.sql(
+        "ALTER TABLE db.fcc ADD CONSTRAINT fk_o FOREIGN KEY (o_orderkey) "
+        "REFERENCES db.fpp (o_orderkey)"
+    )
+    # valid batch entirely inside the middle file's range
+    lsql.sql("INSERT INTO db.fcc VALUES (1, 4000), (2, 5000)")
+    # dangling key just past the parent's max is caught
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    with _pytest.raises(LakehouseError, match="fk_o"):
+        lsql.sql("INSERT INTO db.fcc VALUES (3, 9001)")
+    # batch spanning two files still validates correctly
+    lsql.sql("INSERT INTO db.fcc VALUES (4, 2999), (5, 3001)")
+    assert (
+        lsql.sql("SELECT count(*) AS n FROM db.fcc").collect()[0].n == 4
+    )
