@@ -1024,6 +1024,44 @@ class LakeSQL:
             return self._show(s)
         if head == "DESCRIBE":
             return self._describe(s)
+        if head == "COMMENT":
+            # PG COMMENT ON TABLE ns.t IS 'txt' / COMMENT ON COLUMN
+            # ns.t.col IS 'txt' — stored in table properties (IS NULL
+            # clears), surfaced by DESCRIBE
+            lit = r"('(?:[^']|'')*'|NULL)"
+
+            def _val(txt: str) -> str:
+                return (
+                    ""
+                    if txt.upper() == "NULL"
+                    else txt[1:-1].replace("''", "'")
+                )
+
+            tm = re.match(
+                rf"COMMENT\s+ON\s+TABLE\s+{_TBL}\s+IS\s+{lit}$",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if tm:
+                return self._load(tm.group(1), tm.group(2)).set_properties(
+                    {"comment": _val(tm.group(3))}
+                )
+            cm = re.match(
+                rf"COMMENT\s+ON\s+COLUMN\s+{_TBL}\.({_IDENT})\s+IS\s+{lit}$",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if cm:
+                tbl = self._load(cm.group(1), cm.group(2))
+                known = {f.name for f in tbl.schema().fields}
+                if cm.group(3) not in known:
+                    raise LakehouseError(
+                        f"no such column: {cm.group(3)!r}"
+                    )
+                return tbl.set_properties(
+                    {f"comment.{cm.group(3)}": _val(cm.group(4))}
+                )
+            raise LakehouseError(f"cannot parse COMMENT: {s[:60]!r}")
         raise LakehouseError(f"unsupported statement: {s.split(None, 1)[0]!r}")
 
     # -- transactions (PG BEGIN..COMMIT; ref commit_ops.c:186-212 — one
@@ -3354,6 +3392,7 @@ class LakeSQL:
             raise LakehouseError(f"cannot parse DESCRIBE: {s[:80]!r}")
         tbl = self.catalog.load_table(m.group(1), m.group(2))
         defaults = tbl.column_defaults()
+        props = tbl.snapshot().properties
         ids, _ = tbl._effective_field_ids(tbl.snapshot())
         rows = [
             (
@@ -3361,20 +3400,23 @@ class LakeSQL:
                 f.dataType.simpleString(),
                 f.nullable,
                 defaults.get(str(ids.get(f.name))),
+                props.get(f"comment.{f.name}") or None,
             )
             for f in tbl.schema().fields
         ]
         spec = tbl.snapshot().partition_spec
         if spec:
             rows.append(
-                ("# partitioned by", ", ".join(spec), None, None)
+                ("# partitioned by", ", ".join(spec), None, None, None)
             )
         for cname, expr in sorted(tbl.check_constraints().items()):
-            rows.append((f"# check {cname}", expr, None, None))
+            rows.append((f"# check {cname}", expr, None, None, None))
+        if props.get("comment"):
+            rows.append(("# comment", props["comment"], None, None, None))
         return self.spark.createDataFrame(
             rows,
             "col_name string, data_type string, nullable boolean, "
-            "default string",
+            "default string, comment string",
         )
 
     def _bind_information_schema(self, rel: str) -> str:

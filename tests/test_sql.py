@@ -2245,3 +2245,24 @@ def test_foreign_key_check_prunes_parent_scan(lsql, spark, sf_dir):
     assert (
         lsql.sql("SELECT count(*) AS n FROM db.fcc").collect()[0].n == 4
     )
+
+
+def test_comment_on_table_and_column(lsql):
+    lsql.sql("CREATE TABLE db.cm (k BIGINT, s TEXT)")
+    lsql.sql("COMMENT ON TABLE db.cm IS 'it''s a table'")
+    lsql.sql("COMMENT ON COLUMN db.cm.s IS 'payload'")
+    desc = lsql.sql("DESCRIBE db.cm").collect()
+    by_col = {r.col_name: r for r in desc}
+    assert by_col["s"].comment == "payload"
+    assert by_col["# comment"].data_type == "it's a table"
+    assert by_col["k"].comment is None
+    # IS NULL clears
+    lsql.sql("COMMENT ON COLUMN db.cm.s IS NULL")
+    desc = {r.col_name: r for r in lsql.sql("DESCRIBE db.cm").collect()}
+    assert desc["s"].comment is None
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    with _pytest.raises(LakehouseError, match="no such column"):
+        lsql.sql("COMMENT ON COLUMN db.cm.zzz IS 'x'")
