@@ -4735,11 +4735,39 @@ class LakeTable:
                     removed.append(rel)
         return removed
 
+    def _gc_orphan_segments(self) -> list[str]:
+        """Remove manifest segments referenced by NO snapshot (crashed
+        commits leave them). Under the commit lock so a concurrent
+        commit's freshly written, not-yet-referenced segment can't be
+        swept."""
+        seg_dir = os.path.join(self.meta_dir, _MANIFEST_DIR)
+        if not os.path.isdir(seg_dir):
+            return []
+        lock_path = os.path.join(self.meta_dir, "_commit.lock")
+        removed = []
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            live = {
+                m["path"] for s in self.snapshots() for m in s.manifests
+            }
+            for p in glob.glob(os.path.join(seg_dir, "*.json")):
+                rel = os.path.relpath(p, self.meta_dir)
+                if rel not in live:
+                    os.remove(p)
+                    removed.append(rel)
+        return removed
+
     def vacuum(self, keep_last: int = 1) -> dict:
-        """expire + orphan cleanup (ref iceberg_vacuum_rel, A21)."""
+        """expire + orphan cleanup (ref iceberg_vacuum_rel, A21) —
+        data files AND manifest segments no snapshot references."""
         expired = self.expire_snapshots(keep_last)
         removed = self.remove_orphan_files()
-        return {"expired_snapshots": expired, "removed_files": removed}
+        seg_removed = self._gc_orphan_segments()
+        return {
+            "expired_snapshots": expired,
+            "removed_files": removed,
+            "removed_segments": seg_removed,
+        }
 
     def _restore_head(self, version: int) -> None:
         """Point this ref back at ``version`` (transaction rollback

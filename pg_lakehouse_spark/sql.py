@@ -1899,9 +1899,11 @@ class LakeSQL:
                 action,
                 re.IGNORECASE,
             )
+            self._fk_guard_column_ddl(tbl, am.group(1), "rename")
             return tbl.rename_column(am.group(1), am.group(2))
         if au.startswith("DROP COLUMN"):
             am = re.match(r"DROP\s+COLUMN\s+([\w.]+)$", action, re.IGNORECASE)
+            self._fk_guard_column_ddl(tbl, am.group(1), "drop")
             return tbl.drop_column(am.group(1))
         if au.startswith("ALTER COLUMN"):
             dm = re.match(
@@ -2125,6 +2127,35 @@ class LakeSQL:
         except LakehouseError:
             pass  # parent already dropped
         return True
+
+    def _fk_guard_column_ddl(
+        self, tbl: LakeTable, col: str, what: str
+    ) -> None:
+        """PG dependency semantics: a column participating in a
+        FOREIGN KEY — on either side — cannot be dropped or renamed
+        while the constraint exists (the stored column lists would go
+        stale and enforcement would silently detach)."""
+        for cname, fk in self._fk_defs(tbl).items():
+            if col in fk["columns"]:
+                raise LakehouseError(
+                    f"cannot {what} column {col!r}: used by FOREIGN "
+                    f"KEY constraint {cname!r} (DROP CONSTRAINT first)"
+                )
+        for tag in self._fk_referenced_by(tbl):
+            child_ref, cname = tag.rsplit(":", 1)
+            cns, cn = child_ref.split(".", 1)
+            try:
+                fk = self._fk_defs(
+                    self.catalog.load_table(cns, cn)
+                ).get(cname)
+            except LakehouseError:
+                continue
+            if fk and col in fk["ref_columns"]:
+                raise LakehouseError(
+                    f"cannot {what} column {col!r}: referenced by "
+                    f"FOREIGN KEY constraint {cname!r} on {child_ref} "
+                    "(DROP CONSTRAINT first)"
+                )
 
     def _fk_check_frame(self, df: DataFrame, fks: dict, verb: str) -> None:
         """Raise if any row of ``df`` violates a VALIDATED fk — one

@@ -408,3 +408,26 @@ def test_concurrent_appends_on_segmented_table(catalog, orders_df):
     live = set(_seg_paths(t))
     # every referenced segment exists on disk
     assert live <= set(_seg_files_on_disk(t))
+
+
+def test_vacuum_sweeps_crash_orphaned_segments(catalog, orders_df):
+    """A segment file left by a crashed commit (written, never
+    referenced) is swept by vacuum; live segments survive."""
+    t = catalog.create_table_as(
+        "db", "vseg", orders_df.limit(200), properties=SEG_PROPS
+    )
+    orphan = os.path.join(t.meta_dir, lh._MANIFEST_DIR, "m-999-dead.json")
+    with open(orphan, "w") as f:
+        f.write("[]")
+    # nothing expires (keep everything): the dedicated sweep owns it
+    out = t.vacuum(keep_last=100)
+    assert "manifests/m-999-dead.json" in out["removed_segments"]
+    assert not os.path.exists(orphan)
+    # and with expiry in play the orphan also never survives
+    with open(orphan, "w") as f:
+        f.write("[]")
+    t.append(orders_df.limit(50))
+    t.vacuum(keep_last=1)
+    assert not os.path.exists(orphan)
+    assert set(_seg_paths(t)) <= set(_seg_files_on_disk(t))
+    assert t.read().count() == 250

@@ -2266,3 +2266,26 @@ def test_comment_on_table_and_column(lsql):
 
     with _pytest.raises(LakehouseError, match="no such column"):
         lsql.sql("COMMENT ON COLUMN db.cm.zzz IS 'x'")
+
+
+def test_fk_blocks_column_drop_and_rename(lsql):
+    """Dropping/renaming a column on either side of a FOREIGN KEY is
+    blocked while the constraint exists (stale column lists would
+    silently detach enforcement)."""
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    lsql.sql("CREATE TABLE db.gp (k BIGINT PRIMARY KEY, x BIGINT)")
+    lsql.sql(
+        "CREATE TABLE db.gc (cid BIGINT, k BIGINT REFERENCES db.gp (k))"
+    )
+    with _pytest.raises(LakehouseError, match="fk_k"):
+        lsql.sql("ALTER TABLE db.gc DROP COLUMN k")
+    with _pytest.raises(LakehouseError, match="fk_k"):
+        lsql.sql("ALTER TABLE db.gc RENAME COLUMN k TO kk")
+    with _pytest.raises(LakehouseError, match="referenced by"):
+        lsql.sql("ALTER TABLE db.gp DROP COLUMN k")
+    lsql.sql("ALTER TABLE db.gp DROP COLUMN x")  # uninvolved: fine
+    lsql.sql("ALTER TABLE db.gc DROP CONSTRAINT fk_k")
+    lsql.sql("ALTER TABLE db.gc DROP COLUMN k")  # unblocked
