@@ -3326,6 +3326,26 @@ class LakeSQL:
                 rows or [], "namespace string, name string"
             )
         m = re.match(
+            rf"SHOW\s+INDEX(?:ES)?\s+(?:FROM\s+|IN\s+|ON\s+)?{_TBL}$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            import json as _json
+
+            tbl = self.catalog.load_table(m.group(1), m.group(2))
+            idx = _json.loads(
+                tbl.snapshot().properties.get("indexes", "{}")
+            )
+            rows = [
+                (n, d["method"], ", ".join(d["columns"]))
+                for n, d in sorted(idx.items())
+            ]
+            return self.spark.createDataFrame(
+                rows or [],
+                "index_name string, method string, columns string",
+            )
+        m = re.match(
             rf"SHOW\s+CREATE\s+TABLE\s+{_TBL}$", s, re.IGNORECASE
         )
         if m:

@@ -2289,3 +2289,19 @@ def test_fk_blocks_column_drop_and_rename(lsql):
     lsql.sql("ALTER TABLE db.gp DROP COLUMN x")  # uninvolved: fine
     lsql.sql("ALTER TABLE db.gc DROP CONSTRAINT fk_k")
     lsql.sql("ALTER TABLE db.gc DROP COLUMN k")  # unblocked
+
+
+def test_show_indexes(lsql):
+    lsql.sql("CREATE TABLE db.si (k BIGINT, s TEXT)")
+    lsql.sql("CREATE INDEX k_bloom ON db.si USING bloom (k)")
+    lsql.sql("CREATE INDEX s_btree ON db.si USING btree (s)")
+    rows = {
+        r.index_name: (r.method, r.columns)
+        for r in lsql.sql("SHOW INDEXES FROM db.si").collect()
+    }
+    assert rows == {
+        "k_bloom": ("bloom", "k"),
+        "s_btree": ("btree", "s"),
+    }
+    lsql.sql("DROP INDEX db.k_bloom")
+    assert len(lsql.sql("SHOW INDEXES FROM db.si").collect()) == 1
