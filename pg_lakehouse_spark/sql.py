@@ -153,6 +153,11 @@ class LakeSQL:
         self.catalog = catalog
         self._txn = None  # active LakeTransaction between BEGIN..COMMIT
         self._prepared: dict[str, tuple[str, list[str]]] = {}
+        # RETURNING support for DELETE/UPDATE on feed-less tables: the
+        # dispatcher arms capture; the applier binds the affected rows
+        # to the pre-commit snapshot (see _apply_delete/_apply_update)
+        self._capture_returning: str | None = None
+        self._returned_df: DataFrame | None = None
 
     def _load(self, ns: str, name: str, branch: str | None = None) -> LakeTable:
         tbl = self.catalog.load_table(ns, name)
@@ -363,6 +368,98 @@ class LakeSQL:
     _DISTINCT_ON = re.compile(
         r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE
     )
+
+    # ORDER BY clause scanner: sort-key separators / clause terminators
+    # at paren depth 0 (a ``)`` at depth 0 closes the enclosing scope —
+    # subquery, OVER (...), aggregate arg list)
+    _ORDER_BY = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+    _OB_TOKEN = re.compile(
+        r"[(),;]|\b(?:LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|WINDOW|"
+        r"UNION|INTERSECT|EXCEPT|FOR|HAVING)\b",
+        re.IGNORECASE,
+    )
+    _NULLS_QUAL = re.compile(r"\bNULLS\s+(?:FIRST|LAST)\s*$", re.IGNORECASE)
+    _DESC_TAIL = re.compile(r"\bDESC\s*$", re.IGNORECASE)
+
+    @classmethod
+    def _rewrite_order_nulls(cls, masked: str) -> str:
+        """PG default NULL ordering: PostgreSQL sorts NULLs LAST on
+        ASC keys and FIRST on DESC keys; Spark's defaults are the
+        exact opposite — so a bare ``ORDER BY s LIMIT 1`` over
+        {'x','y',NULL} returns the NULL row instead of PG's 'x'
+        (wrong ROWS under LIMIT/top-k, not just wrong order). Append
+        the PG qualifier to every sort key that doesn't spell one, at
+        every ORDER BY scope: statement, subquery, ``OVER (... ORDER
+        BY ...)`` windows, WITHIN GROUP, aggregate argument lists.
+        Runs on literal-masked text; keys already carrying NULLS
+        FIRST/LAST are untouched (the pass is idempotent)."""
+        out = masked
+        # last-to-first: each clause's edits land at offsets past its
+        # own ORDER BY, so earlier match positions stay valid
+        for m in reversed(list(cls._ORDER_BY.finditer(masked))):
+            segs: list[tuple[int, int]] = []
+            depth, seg_start, pos = 0, m.end(), m.end()
+            while True:
+                t = cls._OB_TOKEN.search(out, pos)
+                if not t:
+                    segs.append((seg_start, len(out)))
+                    break
+                tok = t.group(0)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    if depth == 0:
+                        segs.append((seg_start, t.start()))
+                        break
+                    depth -= 1
+                elif depth == 0:
+                    segs.append((seg_start, t.start()))
+                    if tok != ",":
+                        break  # terminator keyword or ';'
+                    seg_start = t.end()
+                pos = t.end()
+            for s0, e0 in reversed(segs):
+                key = out[s0:e0].rstrip()
+                if not key.strip() or cls._NULLS_QUAL.search(key):
+                    continue
+                ins = (
+                    " NULLS FIRST"
+                    if cls._DESC_TAIL.search(key)
+                    else " NULLS LAST"
+                )
+                at = s0 + len(key)
+                out = out[:at] + ins + out[at:]
+        return out
+
+    _ARRAY_CTOR = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+    @classmethod
+    def _rewrite_array_ctor(cls, masked: str) -> str:
+        """PG array constructor ``array[a, b, ...]`` → Spark
+        ``array(a, b, ...)``, bracket-balanced on masked text (inner
+        subscripts like ``x[1]`` keep the depth count honest; nested
+        ``array[array[...]]`` rewrites on the next iteration).
+        Unbalanced brackets are left alone — Spark rejects loudly."""
+        while True:
+            m = cls._ARRAY_CTOR.search(masked)
+            if not m:
+                return masked
+            depth, i = 1, m.end()
+            while i < len(masked) and depth:
+                if masked[i] == "[":
+                    depth += 1
+                elif masked[i] == "]":
+                    depth -= 1
+                i += 1
+            if depth:
+                return masked
+            masked = (
+                masked[: m.start()]
+                + "array("
+                + masked[m.end(): i - 1]
+                + ")"
+                + masked[i:]
+            )
 
     @staticmethod
     def _balanced_end(text: str, open_idx: int) -> int:
@@ -643,6 +740,7 @@ class LakeSQL:
         masked = cls._rewrite_cast_types(masked)
         masked = cls._rewrite_similar_to(masked, lits)
         masked = cls._rewrite_json_arrows(masked, lits)
+        masked = cls._rewrite_array_ctor(masked)
         masked = cls._rewrite_distinct_on(masked)
         masked = cls._rewrite_pg_setfns(masked, lits)
         # PG TABLESAMPLE SYSTEM/BERNOULLI (pct) → Spark's percent form
@@ -675,6 +773,10 @@ class LakeSQL:
                 " / 1000000.0)"
                 + masked[i:]
             )
+
+        # LAST: PG default NULL ordering on every ORDER BY scope (the
+        # synthesized DISTINCT ON window above gets it too)
+        masked = cls._rewrite_order_nulls(masked)
 
         return cls._unmask_strings(masked, lits)
 
@@ -946,11 +1048,16 @@ class LakeSQL:
                 s = self._unmask_strings(
                     _pm[: rm.start()], _plits
                 ).rstrip()
-            snap = {
-                "INSERT": self._insert,
-                "DELETE": self._delete,
-                "UPDATE": self._update,
-            }[head](s)
+            self._capture_returning = head if returning else None
+            self._returned_df = None
+            try:
+                snap = {
+                    "INSERT": self._insert,
+                    "DELETE": self._delete,
+                    "UPDATE": self._update,
+                }[head](s)
+            finally:
+                self._capture_returning = None
             if returning is None:
                 return snap
             return self._returning_rows(head, s, snap, returning)
@@ -1125,20 +1232,98 @@ class LakeSQL:
     )
     _STR_LIT = re.compile(r"'(?:[^']|'')*'")
     _PLACEHOLDER = re.compile(r"\x00(\d+)\x00")
+    # one left-to-right scan over the three PG literal spellings:
+    # E'...' escape strings (C escapes are decoded — PG's only literal
+    # form where backslash is NOT data), dollar-quoted $tag$...$tag$
+    # bodies (completely raw), and standard '...' with '' escapes.
+    # E needs the lookbehind so an identifier ending in e followed by
+    # a literal doesn't eat the prefix; the dollar tag backreference
+    # keeps $a$..$b$..$a$ matched to the OUTER tag, as in PG.
+    _LIT_SCAN = re.compile(
+        r"(?P<estr>(?<![A-Za-z_0-9])[eE]'(?:[^'\\]|\\.|'')*')"
+        r"|\$(?P<dtag>[A-Za-z_][A-Za-z_0-9]*|)\$(?P<dbody>.*?)\$(?P=dtag)\$"
+        r"|(?P<plain>'(?:[^']|'')*')",
+        re.DOTALL,
+    )
+    _E_SIMPLE = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t"}
+
+    @classmethod
+    def _decode_estring(cls, tok: str) -> str:
+        """Decode a PG ``E'...'`` escape-string token to its raw value:
+        C escapes (\\n \\t \\\\ \\' \\xHH \\ooo \\uXXXX \\UXXXXXXXX)
+        become their characters; an unknown escape is the character
+        itself (PG's behavior); ``''`` stays a quote."""
+        body = tok[2:-1]  # strip E' ... '
+        out, i, n = [], 0, len(body)
+        while i < n:
+            c = body[i]
+            if c == "'":  # doubled quote
+                out.append("'")
+                i += 2
+            elif c == "\\" and i + 1 < n:
+                e = body[i + 1]
+                if e in cls._E_SIMPLE:
+                    out.append(cls._E_SIMPLE[e])
+                    i += 2
+                elif e == "x":
+                    m = re.match(r"[0-9A-Fa-f]{1,2}", body[i + 2:])
+                    if m:
+                        out.append(chr(int(m.group(0), 16)))
+                        i += 2 + len(m.group(0))
+                    else:
+                        out.append("x")
+                        i += 2
+                elif e in ("u", "U"):
+                    width = 4 if e == "u" else 8
+                    m = re.match(
+                        rf"[0-9A-Fa-f]{{{width}}}", body[i + 2:]
+                    )
+                    if m:
+                        out.append(chr(int(m.group(0), 16)))
+                        i += 2 + width
+                    else:
+                        out.append(e)
+                        i += 2
+                elif e in "01234567":
+                    m = re.match(r"[0-7]{1,3}", body[i + 1:])
+                    out.append(chr(int(m.group(0), 8)))
+                    i += 1 + len(m.group(0))
+                else:  # includes \\ -> \ and \' -> '
+                    out.append(e)
+                    i += 2
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
 
     @classmethod
     def _mask_strings(cls, text: str) -> tuple[str, list[str]]:
-        """Replace every quoted string literal (incl. PG ``''`` escapes)
-        with an opaque ``\\x00<i>\\x00`` placeholder so structural regexes
-        (BETWEEN excision, AND-split) can never match keyword text inside
-        a literal. ``_unmask_strings`` restores them per-conjunct."""
+        """Replace every string literal — ``'...'`` (PG ``''``
+        escapes), ``E'...'`` escape strings (decoded), and
+        dollar-quoted ``$tag$...$tag$`` bodies — with an opaque
+        ``\\x00<i>\\x00`` placeholder so structural regexes (BETWEEN
+        excision, AND-split, clause grammars) can never match keyword
+        text inside a literal. E-strings and dollar-quotes normalize
+        to standard PG-raw ``'...'`` form at stash time, so
+        ``_unmask_strings`` restores uniform literals downstream."""
         literals: list[str] = []
 
-        def stash(m: re.Match) -> str:
-            literals.append(m.group(0))
+        def repl(m: re.Match) -> str:
+            if m.group("plain") is not None:
+                literals.append(m.group("plain"))
+            elif m.group("estr") is not None:
+                literals.append(
+                    "'"
+                    + cls._decode_estring(m.group("estr")).replace("'", "''")
+                    + "'"
+                )
+            else:  # dollar-quoted
+                literals.append(
+                    "'" + m.group("dbody").replace("'", "''") + "'"
+                )
             return f"\x00{len(literals) - 1}\x00"
 
-        return cls._STR_LIT.sub(stash, text), literals
+        return cls._LIT_SCAN.sub(repl, text), literals
 
     @classmethod
     def _unmask_strings(cls, text: str, literals: list[str]) -> str:
@@ -1522,6 +1707,7 @@ class LakeSQL:
         "float8": "double",
         "double precision": "double",
         "numeric": "decimal",
+        "decimal": "decimal",
         "bytea": "binary",
         "timestamptz": "timestamp",
         "timestamp with time zone": "timestamp",
@@ -1553,6 +1739,13 @@ class LakeSQL:
         if mapped is None:
             return type_text
         out = mapped + (re.sub(r"\s+", "", params) if params else "")
+        if out == "decimal":
+            # PG's unadorned NUMERIC/DECIMAL is arbitrary-precision;
+            # Spark's bare DECIMAL is (10,0) — which silently ROUNDS
+            # (10.5 stores as 11). Widen to Spark's maximum precision
+            # with a generous scale instead; values needing >20 integer
+            # digits or >18 fractional digits must declare NUMERIC(p,s).
+            out = "decimal(38,18)"
         return f"array<{out}>" if arr else out
 
     def _create(self, s: str):
@@ -2261,6 +2454,13 @@ class LakeSQL:
         if self._txn is not None:
             self._txn.delete(tbl, condition)
             return None
+        if self._capture_returning == "DELETE":
+            # PG RETURNING without requiring the change feed: bind the
+            # affected rows to the PRE-commit snapshot now (the file
+            # list resolves at read() time; CoW keeps the old files on
+            # disk until VACUUM, so evaluating after the commit still
+            # serves the deleted rows — one predicate-pushed scan)
+            self._returned_df = tbl.read().filter(condition)
         return tbl.delete(condition)
 
     def _apply_update(self, tbl: LakeTable, condition, assignments):
@@ -2294,6 +2494,22 @@ class LakeSQL:
         if self._txn is not None:
             self._txn.update(tbl, condition, assignments)
             return None
+        if self._capture_returning == "UPDATE":
+            # PG UPDATE ... RETURNING serves the POST-images; compute
+            # them from the pre-commit snapshot + the assignments (the
+            # same frame the CoW rewrite writes), so no change feed is
+            # needed and no-op assignments still return their rows —
+            # exactly PG
+            pre = tbl.read().filter(condition)
+            schema = tbl.schema()
+            self._returned_df = pre.select(
+                *[
+                    assignments[c].cast(schema[c].dataType).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in pre.columns
+                ]
+            )
         return tbl.update(condition, assignments)
 
     def _apply_merge(
@@ -2559,9 +2775,16 @@ class LakeSQL:
 
     def _returning_rows(self, head, stmt, snap, returning) -> DataFrame:
         """Affected rows of the just-committed DML: inserts derive
-        from the commit's added files; DELETE/UPDATE need the table's
-        change feed on (read_changes raises with instructions
-        otherwise — same contract as the batch changelog)."""
+        from the commit's added files; plain DELETE/UPDATE serve the
+        rows captured against the pre-commit snapshot by their applier
+        (no change feed required — PG's RETURNING always works);
+        merge-backed join-DML falls back to the change feed."""
+        if self._returned_df is not None:
+            rows, self._returned_df = self._returned_df, None
+            if returning == "*":
+                return rows
+            cols = [c.strip() for c in returning.split(",") if c.strip()]
+            return rows.select(*cols)
         tm = re.search(rf"\b{_TBL}(?:@({_IDENT}))?", stmt)
         tbl = self._load(tm.group(1), tm.group(2), tm.group(3))
         # a MERGE-backed INSERT (ON CONFLICT) or multi-commit txn path
@@ -2833,29 +3056,90 @@ class LakeSQL:
 
         return [f for f in snap.files if overlaps(f)]
 
+    @staticmethod
+    def _depth0_kw(text: str, kw: str) -> re.Match | None:
+        """First paren-depth-0 occurrence of a keyword — the
+        structural FROM/USING/WHERE of a join-DML statement, never
+        the same word inside a subquery, function call (``extract(x
+        FROM ts)``) or ``JOIN ... USING (k)`` (all live at depth>0).
+        Runs on masked text, so literals can't match either."""
+        pat = re.compile(rf"[()]|\b{kw}\b", re.IGNORECASE)
+        d = 0
+        for t in pat.finditer(text):
+            tok = t.group(0)
+            if tok == "(":
+                d += 1
+            elif tok == ")":
+                d -= 1
+            elif d == 0:
+                return t
+        return None
+
+    # a DML source: subquery (alias REQUIRED, as in PG) or [ns.]table
+    # with an optional [AS] alias defaulting to the bare table name —
+    # PG's most common spelling is alias-less (DELETE FROM t USING u
+    # WHERE t.k = u.k)
+    _DML_SRC = re.compile(
+        rf"^(\(.*\)|(?:{_IDENT}\.)?{_IDENT})\s*(?:(?:AS\s+)?({_IDENT}))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _dml_source(self, src_txt: str, U, verb: str):
+        """Parse ``src [AS alias]`` from a join-DML clause; returns
+        (source DataFrame, correlation name)."""
+        sm = self._DML_SRC.match(src_txt.strip())
+        if not sm:
+            raise LakehouseError(
+                f"cannot parse {verb} source: {U(src_txt)[:80]!r}"
+            )
+        src_ref, salias = sm.groups()
+        if src_ref.startswith("("):
+            if salias is None:
+                raise LakehouseError(
+                    f"a subquery source in {verb} requires an alias"
+                )
+            source = self._select(U(src_ref[1:-1].strip()))
+        else:
+            source = self._source_ref_df(src_ref)
+            if salias is None:
+                salias = src_ref.split(".")[-1]
+        return source, salias
+
     def _delete(self, s: str) -> Snapshot:
-        # PG join-delete: DELETE FROM t [AS a] USING src [AS b]
+        # PG join-delete: DELETE FROM t [[AS] a] USING src [[AS] b]
         # WHERE a.k = b.k [AND ...] — rows matching the source go;
         # extra conjuncts gate which matches apply. Maps onto MERGE
         # (matched-delete only), the same shape as UPDATE ... FROM.
-        # Literals masked first (see _update) so WHERE/AND/USING text
-        # inside a quoted string never tears the clause split.
+        # Aliases are optional on both sides (correlation defaults to
+        # the bare table name, as in PG). Literals masked first (see
+        # _update) so WHERE/AND/USING text inside a quoted string
+        # never tears the clause split.
         s, _lits = self._mask_strings(s)
         U = lambda t: self._unmask_strings(t, _lits)  # noqa: E731
-        um = re.match(
-            rf"DELETE\s+FROM\s+{_TBL}(?:@({_IDENT}))?(?:\s+AS)?\s+({_IDENT})\s+"
-            rf"USING\s+(\(.*?\)|(?:{_IDENT}\.)?{_IDENT})(?:\s+AS)?\s+({_IDENT})\s+"
-            rf"WHERE\s+(.*)$",
+        hm = re.match(
+            rf"DELETE\s+FROM\s+{_TBL}(?:@({_IDENT}))?"
+            rf"(?:\s+(?:AS\s+)?(?!USING\b|WHERE\b)({_IDENT}))?\s*(.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
-        if um:
-            ns, name, branch, talias, src_ref, salias, where = um.groups()
+        if not hm:
+            raise LakehouseError(f"cannot parse DELETE: {U(s)[:80]!r}")
+        ns, name, branch, talias, rest = hm.groups()
+        rest = rest.strip()
+        um = self._depth0_kw(rest, "USING") if rest else None
+        if um is not None and not rest[: um.start()].strip():
+            after = rest[um.end():]
+            wm = self._depth0_kw(after, "WHERE")
+            if wm is None:
+                raise LakehouseError(
+                    "DELETE ... USING requires a WHERE clause with "
+                    "key equalities"
+                )
+            where = after[wm.end():]
+            talias = talias or name
             tbl = self._load(ns, name, branch)
-            source = (
-                self._select(U(src_ref[1:-1].strip()))
-                if src_ref.startswith("(")
-                else self._source_ref_df(src_ref)
+            source, salias = self._dml_source(
+                after[: wm.start()], U, "DELETE ... USING"
             )
             keys, extra = [], []
             for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
@@ -2899,45 +3183,58 @@ class LakeSQL:
                 when_matched_condition=cond,
                 when_not_matched_insert=False,
             )
-        m = re.match(
-            rf"DELETE\s+FROM\s+{_TBL}(?:@({_IDENT}))?(?:\s+WHERE\s+(.*))?$",
-            s,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if not m:
-            raise LakehouseError(f"cannot parse DELETE: {U(s)[:80]!r}")
-        ns, name, branch, where = m.group(1), m.group(2), m.group(3), m.group(4)
+        # plain delete: rest is empty or a WHERE clause
+        where = None
+        if rest:
+            pm = re.match(r"WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+            if not pm:
+                raise LakehouseError(f"cannot parse DELETE: {U(s)[:80]!r}")
+            where = pm.group(1)
+            if talias:  # strip the correlation: the scan is unaliased
+                where = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", where)
         tbl = self._load(ns, name, branch)
         return self._apply_delete(
             tbl, F.expr(self._spark_text(U(where))) if where else F.lit(True)
         )
 
     def _update(self, s: str) -> Snapshot:
-        # PG join-update: UPDATE t [AS a] SET ... FROM src [AS b]
+        # PG join-update: UPDATE t [[AS] a] SET ... FROM src [[AS] b]
         # WHERE a.k = b.k [AND ...] — maps onto MERGE (matched-update
-        # only). The WHERE must start with the alias-qualified key
+        # only). Aliases optional (correlation defaults to the bare
+        # table name). The WHERE must contain the qualified key
         # equalities; extra conjuncts become the matched condition.
-        # Literals are masked FIRST so clause keywords (WHERE/FROM/SET/
-        # AND) and commas inside a quoted string can never tear the
-        # structural split (``SET s = 'a WHERE b' WHERE k = 1`` is
-        # valid PG); every leaf fragment is unmasked before it reaches
-        # Spark.
+        # The structural FROM/WHERE are found at paren depth 0 — a
+        # FROM inside extract()/substring()/a subquery never splits
+        # the statement. Literals are masked FIRST so clause keywords
+        # (WHERE/FROM/SET/AND) and commas inside a quoted string can
+        # never tear the structural split (``SET s = 'a WHERE b'
+        # WHERE k = 1`` is valid PG); every leaf fragment is unmasked
+        # before it reaches Spark.
         s, _lits = self._mask_strings(s)
         U = lambda t: self._unmask_strings(t, _lits)  # noqa: E731
-        fm = re.match(
-            rf"UPDATE\s+{_TBL}(?:@({_IDENT}))?(?:\s+AS)?\s+({_IDENT})\s+SET\s+(.*?)\s+"
-            rf"FROM\s+(\(.*?\)|(?:{_IDENT}\.)?{_IDENT})(?:\s+AS)?\s+({_IDENT})\s+"
-            rf"WHERE\s+(.*)$",
+        hm = re.match(
+            rf"UPDATE\s+{_TBL}(?:@({_IDENT}))?"
+            rf"(?:\s+(?:AS\s+)?(?!SET\b)({_IDENT}))?\s+SET\s+(.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
-        if fm:
-            ns, name, branch, talias, sets, src_ref, salias, where = fm.groups()
+        if not hm:
+            raise LakehouseError(f"cannot parse UPDATE: {U(s)[:80]!r}")
+        ns, name, branch, talias, rest = hm.groups()
+        fm = self._depth0_kw(rest, "FROM")
+        if fm is not None:
+            sets, after = rest[: fm.start()], rest[fm.end():]
+            wm = self._depth0_kw(after, "WHERE")
+            if wm is None:
+                raise LakehouseError(
+                    "UPDATE ... FROM requires a WHERE clause with "
+                    "key equalities"
+                )
+            where = after[wm.end():]
+            talias = talias or name
             tbl = self._load(ns, name, branch)
-            source = (
-                self._select(U(src_ref[1:-1].strip()))
-                if src_ref.startswith("(")
-                else self._source_ref_df(src_ref)
+            source, salias = self._dml_source(
+                after[: wm.start()], U, "UPDATE ... FROM"
             )
             keys, extra = [], []
             for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
@@ -2987,14 +3284,16 @@ class LakeSQL:
                 ),
                 when_not_matched_insert=False,
             )
-        m = re.match(
-            rf"UPDATE\s+{_TBL}(?:@({_IDENT}))?\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
-            s,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if not m:
-            raise LakehouseError(f"cannot parse UPDATE: {U(s)[:80]!r}")
-        ns, name, branch, sets, where = m.groups()
+        # plain update: depth-0 WHERE (if any) ends the SET list
+        wm = self._depth0_kw(rest, "WHERE")
+        sets = rest[: wm.start()] if wm is not None else rest
+        where = rest[wm.end():] if wm is not None else None
+        if talias:  # strip the correlation: the scan is unaliased
+            strip = lambda t: re.sub(  # noqa: E731
+                rf"\b{talias}\.({_IDENT})", r"\1", t
+            )
+            sets = strip(sets)
+            where = strip(where) if where else None
         assignments = {}
         for k, v in _set_items(sets):
             assignments[k] = F.expr(self._spark_text(U(v)))

@@ -750,17 +750,65 @@ def test_distinct_on_differential_vs_duckdb(
     lsql, duck = _sel_setup(spark, tmp_path_factory)
     d = "DESC" if desc else "ASC"
     where = _render_pred(pred)
-    stmt = (
-        f"SELECT DISTINCT ON ({part}) k, v, s FROM {{t}} "
-        f"WHERE {where} "
-        f"ORDER BY {part} NULLS FIRST, {order} {d} NULLS LAST, k"
+    # Spark-side keys are UNQUALIFIED: the dialect pass must inject
+    # PG's defaults (NULLS LAST on ASC, FIRST on DESC). The oracle
+    # spells them out — DuckDB's own default is nulls-last in BOTH
+    # directions, so a bare DESC key would assert the wrong engine.
+    spark_stmt = (
+        f"SELECT DISTINCT ON ({part}) k, v, s FROM db.fzsel "
+        f"WHERE {where} ORDER BY {part}, {order} {d}, k"
     )
-    got = [
-        (r.k, r.v, r.s)
-        for r in lsql.sql(stmt.format(t="db.fzsel")).collect()
-    ]
-    want = duck.execute(stmt.format(t="fzsel")).fetchall()
-    assert got == want, stmt
+    duck_stmt = (
+        f"SELECT DISTINCT ON ({part}) k, v, s FROM fzsel "
+        f"WHERE {where} ORDER BY {part} NULLS LAST, "
+        f"{order} {d} NULLS {'FIRST' if desc else 'LAST'}, k"
+    )
+    got = [(r.k, r.v, r.s) for r in lsql.sql(spark_stmt).collect()]
+    want = duck.execute(duck_stmt).fetchall()
+    assert got == want, spark_stmt
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    key=st.sampled_from(["s", "v"]),
+    direction=st.sampled_from(["", " ASC", " DESC"]),
+    qual=st.sampled_from([None, "FIRST", "LAST"]),
+    limit=st.integers(min_value=1, max_value=8),
+    pred=st.one_of(st.none(), _sel_pred),
+)
+def test_order_by_nulls_differential_vs_duckdb(
+    spark, tmp_path_factory, key, direction, qual, limit, pred
+):
+    """Bare ORDER BY over a NULLABLE key + LIMIT — the r6 silent-wrong
+    class: PG sorts NULLs last on ASC / first on DESC, Spark the
+    opposite, so the returned ROWS differ, not just their order. The
+    Spark side leaves keys unqualified at least 1/3 of the time (qual
+    None); the DuckDB oracle always spells the PG behavior explicitly
+    (DuckDB's own default is nulls-last in BOTH directions). Ties on
+    the sort key are broken by k on both sides so row sets compare
+    deterministically."""
+    lsql, duck = _sel_setup(spark, tmp_path_factory)
+    where = f" WHERE {_render_pred(pred)}" if pred is not None else ""
+    spark_q = f" NULLS {qual}" if qual else ""
+    # PG-effective placement: explicit wins; else LAST on ASC/bare,
+    # FIRST on DESC
+    eff = qual or ("FIRST" if direction == " DESC" else "LAST")
+    spark_stmt = (
+        f"SELECT k, v, s FROM db.fzsel{where} "
+        f"ORDER BY {key}{direction}{spark_q}, k LIMIT {limit}"
+    )
+    duck_stmt = (
+        f"SELECT k, v, s FROM fzsel{where} "
+        f"ORDER BY {key}{direction} NULLS {eff}, k LIMIT {limit}"
+    )
+    got = [(r.k, r.v, r.s) for r in lsql.sql(spark_stmt).collect()]
+    want = duck.execute(duck_stmt).fetchall()
+    assert got == want, spark_stmt
 
 
 # -- r6: dialect-pass invariants ----------------------------------------
@@ -875,12 +923,17 @@ def test_aggregate_differential_vs_duckdb(
     stmt += f" GROUP BY {groups}"
     if having is not None:
         stmt += f" HAVING count(*) > {having}"
-    order = ", ".join(
-        f"{c} ASC NULLS FIRST" for c in groups.split(", ")
-    )
-    stmt += f" ORDER BY {order}"
+    # Spark-side sort keys UNQUALIFIED — the dialect pass injects PG's
+    # NULLS LAST on ASC; the DuckDB oracle spells it explicitly
+    stmt += " ORDER BY {order}"
     if limit is not None:
         stmt += f" LIMIT {limit}"
-    got = [tuple(r) for r in lsql.sql(stmt.format(t="db.fzsel")).collect()]
-    want = [tuple(w) for w in duck.execute(stmt.format(t="fzsel")).fetchall()]
+    cols = groups.split(", ")
+    got = [tuple(r) for r in lsql.sql(
+        stmt.format(t="db.fzsel", order=", ".join(cols))
+    ).collect()]
+    want = [tuple(w) for w in duck.execute(stmt.format(
+        t="fzsel",
+        order=", ".join(f"{c} ASC NULLS LAST" for c in cols),
+    )).fetchall()]
     assert got == want, stmt
