@@ -170,6 +170,45 @@ def _segment_bounds(entries: list[dict]) -> tuple[dict, int | None]:
     return bounds, sids.pop()
 
 
+def _segment_blooms(entries: list[dict]) -> dict:
+    """Per-column UNION of the entries' bloom filters for a segment
+    descriptor — the point-lookup complement to ``_segment_bounds``:
+    high-cardinality keys (ids, hashes) interleave across files, so a
+    segment's aggregated min/max never prunes them, but the OR of its
+    files' blooms still answers "could this value be in ANY file
+    here?" A column qualifies only when EVERY entry carries a bloom
+    for it (a union missing one file would wrongly skip rows). Cost:
+    4 KiB per (segment, column) in the snapshot JSON, ≤64 segments —
+    bounded regardless of table size, while letting an equality probe
+    on an unsorted key skip whole unhydrated segments. Callers gate
+    on the single-schema_id rule (same as bounds: stats keys are
+    epoch-relative)."""
+    common: set | None = None
+    for e in entries:
+        keys = set((e.get("blooms") or {}).keys())
+        common = keys if common is None else common & keys
+        if not common:
+            return {}
+    out = {}
+    nbytes = _BLOOM_BITS // 8
+    for c in common or ():
+        acc = 0
+        ok = True
+        for e in entries:
+            try:
+                b = bytes.fromhex(e["blooms"][c])
+            except (ValueError, TypeError):
+                ok = False
+                break
+            if len(b) != nbytes:
+                ok = False
+                break
+            acc |= int.from_bytes(b, "little")
+        if ok:
+            out[c] = acc.to_bytes(nbytes, "little").hex()
+    return out
+
+
 class LakehouseError(RuntimeError):
     pass
 
@@ -1069,6 +1108,14 @@ class LakeTable:
                     # parsing them); schema_id qualifies the stats keys
                     "bounds": bounds,
                     "schema_id": seg_sid,
+                    # unioned per-file blooms → point lookups on
+                    # UNSORTED keys skip whole segments too (bounds
+                    # only help clustered keys); single-epoch gate as
+                    # for bounds
+                    "blooms": (
+                        _segment_blooms(delta) if seg_sid is not None
+                        else {}
+                    ),
                 }
             )
         return [], descriptors
@@ -3044,11 +3091,12 @@ class LakeTable:
                         else s.schema_id
                     ),
                     "ranges": m.get("bounds") or {},
+                    "blooms": m.get("blooms") or {},
                     "rows": m.get("row_count", 0),
                 }
                 pm = entry_names(pseudo)
                 if self._entry_overlaps(
-                    pseudo, xlate(filters, pm), None, None
+                    pseudo, xlate(filters, pm), None, xlate(beq, pm)
                 ) and null_ok(pseudo, pm):
                     candidates.extend(
                         _segment_read(

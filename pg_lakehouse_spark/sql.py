@@ -578,7 +578,7 @@ class LakeSQL:
         """PG ``SELECT DISTINCT ON (exprs) list ... ORDER BY ...`` —
         keep the FIRST row of each exprs-group in ORDER BY order (the
         PG idiom for latest-row-per-key). Spark has no equivalent;
-        rewritten to::
+        each occurrence rewrites to::
 
             SELECT list FROM (
               SELECT *, row_number() OVER (
@@ -586,21 +586,26 @@ class LakeSQL:
               ) AS __don_rn FROM <body>
             ) __don WHERE __don_rn = 1 [ORDER BY ...] [LIMIT/OFFSET]
 
+        Works at ANY select scope — top level, subqueries, CTE bodies,
+        set-operation branches — by bounding each occurrence's scope
+        at its enclosing ``)`` or a same-depth set-op keyword, and
+        rewriting innermost-first (rightmost occurrence each pass).
         The inner ``*`` keeps the full FROM scope visible, so the
         outer list and ORDER BY may reference any base column, exactly
-        as in PG. Limits (loud failures, never silent): top-level
-        SELECT only (after CTEs); no GROUP BY in the same select; no
-        table-qualified refs in the outer list (the subquery flattens
-        scope); ORDER BY cannot use select-list aliases (window scope,
-        as in PG when the alias shadows nothing)."""
-        m = cls._DISTINCT_ON.search(masked)
-        if not m:
-            return masked
+        as in PG. Limits (loud failures, never silent): no GROUP BY in
+        the same select; no table-qualified refs in the outer list
+        (the subquery flattens scope); ORDER BY cannot use select-list
+        aliases (window scope, as in PG when the alias shadows
+        nothing)."""
+        while True:
+            ms = list(cls._DISTINCT_ON.finditer(masked))
+            if not ms:
+                return masked
+            masked = cls._rewrite_one_distinct_on(masked, ms[-1])
+
+    @classmethod
+    def _rewrite_one_distinct_on(cls, masked: str, m: re.Match) -> str:
         before = masked[: m.start()]
-        if before.count("(") != before.count(")"):
-            raise LakehouseError(
-                "DISTINCT ON is supported in the top-level SELECT only"
-            )
         i, depth = m.end(), 1
         while i < len(masked) and depth:
             if masked[i] == "(":
@@ -612,13 +617,30 @@ class LakeSQL:
             raise LakehouseError("unbalanced parens in DISTINCT ON")
         part = masked[m.end(): i - 1].strip()
         rest = masked[i:]
-        if cls._DISTINCT_ON.search(rest):
-            raise LakehouseError(
-                "only one DISTINCT ON per statement is supported"
-            )
+        # this select's scope ends at the enclosing ')' (depth < 0) or
+        # a same-depth set-operation keyword; everything after passes
+        # through untouched
+        scope_end, d = len(rest), 0
+        for t in re.finditer(
+            r"[()]|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b",
+            rest,
+            re.IGNORECASE,
+        ):
+            tok = t.group(0)
+            if tok == "(":
+                d += 1
+            elif tok == ")":
+                d -= 1
+                if d < 0:
+                    scope_end = t.start()
+                    break
+            elif d == 0:
+                scope_end = t.start()
+                break
+        scope, after = rest[:scope_end], rest[scope_end:]
         # select list = depth-0 text up to this select's FROM
         fm, d = None, 0
-        for t in re.finditer(r"[()]|\bFROM\b", rest, re.IGNORECASE):
+        for t in re.finditer(r"[()]|\bFROM\b", scope, re.IGNORECASE):
             tok = t.group(0)
             if tok == "(":
                 d += 1
@@ -629,8 +651,8 @@ class LakeSQL:
                 break
         if fm is None:
             raise LakehouseError("DISTINCT ON requires a FROM clause")
-        select_list = rest[: fm.start()].strip()
-        body = rest[fm.end():]
+        select_list = scope[: fm.start()].strip()
+        body = scope[fm.end():]
         ob = li = None
         d = 0
         for t in re.finditer(
@@ -674,6 +696,7 @@ class LakeSQL:
             + f"FROM {from_part.strip()}) __don WHERE __don_rn = 1"
             + (f" ORDER BY {order_txt}" if order_txt else "")
             + (f" {tail}" if tail else "")
+            + after
         )
 
     @classmethod
@@ -2350,10 +2373,18 @@ class LakeSQL:
                     "(DROP CONSTRAINT first)"
                 )
 
+    # distinct-key cap for the FK point-lookup fast path: below it,
+    # each key probes the parent's manifest stats (bounds + blooms +
+    # bucket dirs) individually — a small OLTP-style insert against a
+    # huge parent reads only the files that may hold ITS keys, and a
+    # key NO file can hold violates with zero data read
+    _FK_POINT_LOOKUP_MAX = 64
+
     def _fk_check_frame(self, df: DataFrame, fks: dict, verb: str) -> None:
         """Raise if any row of ``df`` violates a VALIDATED fk — one
         anti-join per constraint against the parent's (column-pruned)
-        key set."""
+        key set; small single-column deltas take a per-key manifest
+        point-lookup instead (see _fk_point_check)."""
         for cname, fk in fks.items():
             if not fk.get("validated", True):
                 continue
@@ -2362,6 +2393,10 @@ class LakeSQL:
             cand = df
             for c in fk["columns"]:
                 cand = cand.filter(F.col(c).isNotNull())
+            if len(fk["columns"]) == 1 and self._fk_point_check(
+                cand, parent, fk, cname, verb
+            ):
+                continue
             # scale fast path: one tiny bounds job over the write
             # delta, then a manifest-pruned parent scan — a small
             # batch against a huge clustered parent touches only the
@@ -2398,6 +2433,63 @@ class LakeSQL:
                     f"{cname!r}: ({', '.join(fk['columns'])}) not "
                     f"present in {fk['ref']}({', '.join(fk['ref_columns'])})"
                 )
+
+    def _fk_point_check(
+        self, cand: DataFrame, parent: LakeTable, fk: dict,
+        cname: str, verb: str,
+    ) -> bool:
+        """Point-lookup FK check for a SMALL single-column write
+        delta: collect the distinct keys (bounded at cap+1 — above
+        the cap the caller falls back to the anti-join path), probe
+        each against the parent's manifest stats, and read only the
+        surviving files. A key whose probe selects ZERO files is a
+        violation proven from metadata alone (pruning is
+        conservative: a file is only skipped when its bounds/bloom/
+        bucket stats PROVE the key absent). Returns True when the
+        check ran (pass or raise); False = caller uses the scan
+        path."""
+        col, rc = fk["columns"][0], fk["ref_columns"][0]
+        try:
+            rows = (
+                cand.select(col).distinct()
+                .limit(self._FK_POINT_LOOKUP_MAX + 1).collect()
+            )
+        except Exception:  # noqa: BLE001 — fast path is optional
+            return False
+        if len(rows) > self._FK_POINT_LOOKUP_MAX:
+            return False
+        vals = [r[0] for r in rows if r[0] is not None]
+        if not vals:
+            return True  # all-null keys: MATCH SIMPLE passes
+        snap, by_path = None, {}
+        try:
+            for v in vals:
+                s2, sel = parent.pruned_entries({rc: (v, v)})
+                snap = s2
+                if not sel:
+                    raise LakehouseError(
+                        f"{verb} violate(s) foreign key constraint "
+                        f"{cname!r}: ({col}) not present in "
+                        f"{fk['ref']}({rc})"
+                    )
+                for e in sel:
+                    by_path[e["path"]] = e
+            found = {
+                r[0]
+                for r in parent._read_entries(snap, list(by_path.values()))
+                .filter(F.col(rc).isin(vals))
+                .select(rc).distinct().collect()
+            }
+        except LakehouseError:
+            raise
+        except Exception:  # noqa: BLE001 — stats/type mismatch: scan
+            return False
+        if set(vals) - found:
+            raise LakehouseError(
+                f"{verb} violate(s) foreign key constraint "
+                f"{cname!r}: ({col}) not present in {fk['ref']}({rc})"
+            )
+        return True
 
     def _fk_guard_parent(self, tbl: LakeTable, condition) -> None:
         """RESTRICT semantics for parent-side deletes: any to-be-

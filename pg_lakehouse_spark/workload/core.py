@@ -96,8 +96,11 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q3: shipping priority — customer ⋈ orders ⋈ lineitem, agg, top-k.
-# customer side is small → Catalyst broadcasts it; orders⋈lineitem is a
-# shuffle join on o_orderkey (the natural co-partition key at scale).
+# customer is filtered small at bench scale — AQE's runtime size check
+# broadcasts it there, but no HINT forces it: customer grows linearly
+# with scale factor and a forced broadcast would OOM at 100 TB.
+# orders⋈lineitem is a shuffle join on o_orderkey (the natural
+# co-partition key at scale).
 # ---------------------------------------------------------------------------
 
 
@@ -131,7 +134,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+                cust, orders.o_custkey == cust.c_custkey
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
         )
@@ -214,7 +217,8 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q5: local supplier volume — 6-way join across the star schema.
-# region/nation are tiny (broadcast); supplier is small (broadcast);
+# region/nation are tiny (safe to HINT broadcast: constant size);
+# supplier/customer grow with sf — AQE decides those at runtime;
 # the only shuffles are orders⋈lineitem and the final agg.
 # ---------------------------------------------------------------------------
 
@@ -253,11 +257,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", "n_name"
         )
     )
-    s = F.broadcast(supp.join(nr, supp.s_nationkey == nr.n_nationkey))
+    s = supp.join(nr, supp.s_nationkey == nr.n_nationkey)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey))
+        .join(cust, (orders.o_custkey == cust.c_custkey))
         .filter(cust.c_nationkey == s.s_nationkey)
         .groupBy("n_name")
         .agg(
@@ -302,7 +306,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -379,7 +383,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -421,7 +425,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(part_avg, li.l_partkey == part_avg.pk)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -461,7 +465,10 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(big.withColumnRenamed("l_orderkey", "bk"),
                     F.col("o_orderkey") == F.col("bk"), "left_semi")
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # no broadcast hint on customer: it grows linearly with scale
+        # factor (unlike region/nation) — let AQE's size check pick the
+        # strategy; at sf0.1 it still broadcasts, at 100× it won't OOM
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
@@ -1072,7 +1079,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 10000
     ).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(sn, li.l_suppkey == sn.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))

@@ -431,3 +431,40 @@ def test_vacuum_sweeps_crash_orphaned_segments(catalog, orders_df):
     assert not os.path.exists(orphan)
     assert set(_seg_paths(t)) <= set(_seg_files_on_disk(t))
     assert t.read().count() == 250
+
+
+def test_segment_bloom_pruning_on_unsorted_key(catalog, orders_df):
+    """r7: a point lookup on an INTERLEAVED key — where every
+    segment's min/max bounds span the full range, so bounds can never
+    prune — must still skip whole segments via the descriptor's
+    unioned per-file blooms, without parsing them."""
+    t = catalog.create_table(
+        "db", "sb", orders_df.schema,
+        properties=dict(SEG_PROPS, bloom_filter_columns="o_orderkey"),
+    )
+    # three appends with keys striped modulo-3 across the full range:
+    # all three segments share (nearly) identical bounds
+    base = orders_df.filter(F.col("o_orderkey") <= 12_000)
+    for i in range(3):
+        t.append(base.filter(F.col("o_orderkey") % 3 == i).coalesce(1))
+    segs = t.snapshot().manifests
+    assert len(segs) == 3
+    assert all(m.get("blooms", {}).get("o_orderkey") for m in segs)
+    # bounds overlap each other — range pruning alone keeps them all
+    bs = [m["bounds"]["o_orderkey"] for m in segs]
+    assert max(b[0] for b in bs) < min(b[1] for b in bs)
+    probe = int(
+        base.filter(F.col("o_orderkey") % 3 == 1)
+        .agg(F.min("o_orderkey")).collect()[0][0]
+    )
+    lh._SEG_CACHE.clear()
+    _s, selected = t.pruned_entries({"o_orderkey": (probe, probe)})
+    cached = {
+        os.path.relpath(p, t.meta_dir) for p in lh._SEG_CACHE.keys()
+    }
+    parsed = cached & {m["path"] for m in segs}
+    assert len(parsed) == 1, "bloom must skip the two foreign segments"
+    assert selected, "the probe's own file must survive"
+    # the surviving entries really contain the probe key's file
+    got = t.read_pruned({"o_orderkey": (probe, probe)}).count()
+    assert got >= 1

@@ -739,9 +739,10 @@ def test_select_differential_vs_duckdb(spark, tmp_path_factory, pred):
     order=st.sampled_from(["k", "v"]),
     desc=st.booleans(),
     pred=_sel_pred,
+    nested=st.booleans(),
 )
 def test_distinct_on_differential_vs_duckdb(
-    spark, tmp_path_factory, part, order, desc, pred
+    spark, tmp_path_factory, part, order, desc, pred, nested
 ):
     """PG DISTINCT ON (rewritten onto row_number) ≡ DuckDB's native
     DISTINCT ON, over random predicates, partition and order choices.
@@ -754,15 +755,23 @@ def test_distinct_on_differential_vs_duckdb(
     # PG's defaults (NULLS LAST on ASC, FIRST on DESC). The oracle
     # spells them out — DuckDB's own default is nulls-last in BOTH
     # directions, so a bare DESC key would assert the wrong engine.
-    spark_stmt = (
+    spark_inner = (
         f"SELECT DISTINCT ON ({part}) k, v, s FROM db.fzsel "
         f"WHERE {where} ORDER BY {part}, {order} {d}, k"
     )
-    duck_stmt = (
+    duck_inner = (
         f"SELECT DISTINCT ON ({part}) k, v, s FROM fzsel "
         f"WHERE {where} ORDER BY {part} NULLS LAST, "
         f"{order} {d} NULLS {'FIRST' if desc else 'LAST'}, k"
     )
+    if nested:
+        # r7: DISTINCT ON inside a subquery (scope-bounded rewrite)
+        spark_stmt = (
+            f"SELECT k, v, s FROM ({spark_inner}) q ORDER BY k"
+        )
+        duck_stmt = f"SELECT k, v, s FROM ({duck_inner}) q ORDER BY k"
+    else:
+        spark_stmt, duck_stmt = spark_inner, duck_inner
     got = [(r.k, r.v, r.s) for r in lsql.sql(spark_stmt).collect()]
     want = duck.execute(duck_stmt).fetchall()
     assert got == want, spark_stmt

@@ -1761,10 +1761,11 @@ def test_pg_distinct_on_loud_failures(lsql):
 
     lsql.sql("CREATE TABLE db.don2 (k BIGINT, v BIGINT)")
     lsql.sql("INSERT INTO db.don2 VALUES (1, 2)")
-    with _pytest.raises(LakehouseError, match="top-level"):
-        lsql.sql(
-            "SELECT * FROM (SELECT DISTINCT ON (k) k FROM db.don2) x"
-        )
+    # r7: subquery scope is now SUPPORTED, not a loud failure
+    got = lsql.sql(
+        "SELECT * FROM (SELECT DISTINCT ON (k) k FROM db.don2) x"
+    ).collect()
+    assert [r.k for r in got] == [1]
     with _pytest.raises(LakehouseError, match="GROUP BY"):
         lsql.sql(
             "SELECT DISTINCT ON (k) k FROM db.don2 GROUP BY k"
@@ -2467,3 +2468,78 @@ def test_bare_numeric_keeps_scale(lsql):
     lsql.sql("CREATE TABLE db.num2 (v NUMERIC(6,2))")
     t2 = lsql.catalog.load_table("db", "num2")
     assert t2.schema().fields[0].dataType.simpleString() == "decimal(6,2)"
+
+
+def test_fk_point_lookup_fast_path(lsql, monkeypatch):
+    """r7: a small child insert checks its FK keys via per-key
+    manifest point-lookups — only the parent files whose stats may
+    hold the keys are read, and a key NO file can hold violates from
+    metadata alone (zero parent data read)."""
+    import pg_lakehouse_spark.lakehouse as lh
+
+    lsql.sql("CREATE TABLE db.fp (k BIGINT PRIMARY KEY, pad STRING)")
+    parent = lsql.catalog.load_table("db", "fp")
+    # four clustered files: disjoint key ranges → bounds prune probes
+    for lo in (0, 100, 200, 300):
+        lsql.sql(
+            "INSERT INTO db.fp SELECT id, 'x' FROM "
+            f"(SELECT explode(sequence({lo}, {lo + 99})) AS id)"
+        )
+    assert len(parent.snapshot().files) >= 4
+    lsql.sql("CREATE TABLE db.fc (cid BIGINT, k BIGINT "
+             "REFERENCES db.fp (k))")
+
+    reads = []  # (table location, #entries) per parent scan
+    orig = lh.LakeTable._read_entries
+
+    def spy(self, snap, entries, *a, **kw):
+        if self.location == parent.location:
+            reads.append(len(entries))
+        return orig(self, snap, entries, *a, **kw)
+
+    monkeypatch.setattr(lh.LakeTable, "_read_entries", spy)
+    # two keys, both in the SECOND file's range: the probe must read
+    # strictly fewer files than the parent has
+    lsql.sql("INSERT INTO db.fc VALUES (1, 150), (2, 160)")
+    assert reads and max(reads) < len(parent.snapshot().files), reads
+    # a key outside every file's bounds: violation proven from
+    # manifest stats — no parent data files read at all
+    reads.clear()
+    with pytest.raises(LakehouseError, match="foreign key"):
+        lsql.sql("INSERT INTO db.fc VALUES (3, 9999)")
+    assert reads == [], "metadata-only violation must not read data"
+
+
+def test_distinct_on_in_subquery_and_cte(lsql):
+    """r7: DISTINCT ON beyond the top level — subqueries, CTE bodies,
+    and set-op branches each rewrite in their own scope."""
+    lsql.sql("CREATE TABLE db.don (k BIGINT, grp STRING, v BIGINT)")
+    lsql.sql("INSERT INTO db.don VALUES "
+             "(1,'a',10), (2,'a',30), (3,'b',20), (4,'b',5), (5,'c',1)")
+    # subquery: latest-per-group feeding an outer filter
+    got = {(r.grp, r.v) for r in lsql.sql(
+        "SELECT grp, v FROM (SELECT DISTINCT ON (grp) grp, v "
+        "FROM db.don ORDER BY grp, v DESC) q WHERE v > 1"
+    ).collect()}
+    assert got == {("a", 30), ("b", 20)}
+    # CTE body
+    n = lsql.sql(
+        "WITH top1 AS (SELECT DISTINCT ON (grp) grp, v FROM db.don "
+        "ORDER BY grp, v DESC) SELECT count(*) AS c FROM top1"
+    ).collect()[0].c
+    assert n == 3
+    # nested DISTINCT ON: inner picks max-v per grp, outer dedups on v
+    rows = lsql.sql(
+        "SELECT DISTINCT ON (v) v, grp FROM "
+        "(SELECT DISTINCT ON (grp) grp, v FROM db.don "
+        " ORDER BY grp, v DESC) i ORDER BY v, grp"
+    ).collect()
+    assert {(r.v, r.grp) for r in rows} == {(30, "a"), (20, "b"), (1, "c")}
+    # set-op branch: each side rewrites independently
+    rows = lsql.sql(
+        "SELECT grp FROM (SELECT DISTINCT ON (grp) grp FROM db.don "
+        "WHERE v >= 10 ORDER BY grp) a UNION "
+        "SELECT grp FROM (SELECT DISTINCT ON (grp) grp FROM db.don "
+        "WHERE v < 10 ORDER BY grp) b"
+    ).collect()
+    assert {r.grp for r in rows} == {"a", "b", "c"}
