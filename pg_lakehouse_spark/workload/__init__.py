@@ -65,6 +65,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # interleave_temperature and text_chunking (text family keeps
 # text_quality_signals) to lake_manifest_segments so the r6
 # manifest-segmentation work shows in the driver artifact.
+# r7 rotation: lake_merge_upsert (merge family keeps
+# lake_merge_composite_key), lake_delete_update (CoW DML stays via
+# lake_sql_dml; MoR via lake_mor_delete_update), lake_tag_rollback
+# (time travel keeps lake_time_travel), dedup_embedding_pairs (dedup
+# keeps exact/minhash/lines; ANN keeps embed_knn_bruteforce) and
+# data_split_modulo (splits keep balance_source_cap +
+# decontaminate_overlap) ceded to the five new-in-r7 rows:
+# lake_null_ordering_topk (PG NULL placement under LIMIT),
+# lake_dml_returning (RETURNING without the change feed),
+# lake_join_dml_aliasless (bare-name join-DML correlation),
+# lake_pg_literal_kit (dollar-quoting/E-strings/array[..]),
+# lake_segment_bloom_prune (descriptor-level bloom skipping).
 # Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
@@ -97,22 +109,22 @@ _PRIORITY: tuple[str, ...] = (
     "lake_sql_views",
     "dedup_lines_corpus",
     "lake_sql_dml",
-    "lake_merge_upsert",
-    "lake_delete_update",
+    "lake_null_ordering_topk",
+    "lake_dml_returning",
     "lake_mor_delete_update",
     "lake_time_travel",
-    "lake_tag_rollback",
+    "lake_join_dml_aliasless",
     "lake_schema_evolution",
     "lake_partition_evolution",
     "lake_change_feed",
     "rollup_incremental",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "dedup_embedding_pairs",
+    "lake_pg_literal_kit",
     "text_quality_signals",
     "embed_knn_bruteforce",
     "multimodal_decode",
-    "data_split_modulo",
+    "lake_segment_bloom_prune",
     "decontaminate_overlap",
     "stream_tumbling_hourly",
     "balance_source_cap",
