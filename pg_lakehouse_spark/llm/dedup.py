@@ -647,3 +647,67 @@ def dedup_lines(
     if drop_empty:
         docs = docs.filter(F.length(F.trim(text_col)) > 0)
     return docs
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    window: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring detection across a corpus — the
+    span-level complement to document-level dedup (the public
+    "deduplicating training data" recipe: web corpora repeat whole
+    boilerplate PASSAGES inside otherwise-distinct documents, which
+    document-hash and MinHash both miss when the surrounding text
+    differs).
+
+    Mechanism: fixed-width character windows at a fixed stride
+    (``explode(sequence(...))`` → ``substring`` → ``xxhash64``), then
+    one hash-aggregation keyed by span hash keeping spans seen in ≥
+    ``min_docs`` distinct documents. Everything is built-in Catalyst
+    expressions — no UDF, no per-row Python — and the one shuffle is
+    on the 8-byte span hash, so at 100 TB the wide text column never
+    crosses the wire; a document contributes len/stride keys of 16
+    bytes each. A stride of window/2 guarantees any duplicated
+    passage ≥ 1.5×window characters shares at least one aligned
+    window between copies.
+
+    Returns (span_hash, n_docs, n_occurrences, sample_doc) — one row
+    per cross-document repeated span, the driver table for a
+    downstream span-excision or doc-flagging pass.
+    """
+    spans = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length(F.col(text_col)) - F.lit(window - 1),
+                        F.lit(1),
+                    ),
+                    F.lit(stride),
+                )
+            ).alias("__pos"),
+            F.col(text_col),
+        )
+        .filter(F.length(F.col(text_col)) >= window)
+        .select(
+            F.col(id_col),
+            F.xxhash64(
+                F.substring(F.col(text_col), F.col("__pos"), window)
+            ).alias("span_hash"),
+        )
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("sample_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

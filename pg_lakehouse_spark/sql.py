@@ -431,6 +431,106 @@ class LakeSQL:
                 out = out[:at] + ins + out[at:]
         return out
 
+    _ORDERED_AGG = re.compile(
+        r"\b(string_agg|array_agg)\s*\(", re.IGNORECASE
+    )
+    _MODE_WG = re.compile(
+        r"\bmode\s*\(\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\b",
+        re.IGNORECASE,
+    )
+
+    @classmethod
+    def _rewrite_ordered_aggs(cls, masked: str) -> str:
+        """PG ordered-set / inline-ORDER-BY aggregates Spark spells
+        differently (or not at all):
+
+        - ``string_agg(x, d ORDER BY keys)`` → ``listagg(x, d)
+          WITHIN GROUP (ORDER BY keys)`` (Spark 4 has listagg; the
+          inline ORDER BY form is a parse error).
+        - ``array_agg(x ORDER BY k [ASC|DESC] [NULLS F/L])`` →
+          ``transform(array_sort(collect_list(struct(k, x)), <cmp>),
+          s -> s.__v)`` with an explicit comparator carrying PG's
+          null placement (array_sort's default puts null struct
+          fields FIRST; PG's ASC default is LAST). Single sort key
+          only — multi-key or DISTINCT forms stay unrewritten and
+          fail loudly in Spark.
+        - ``mode() WITHIN GROUP (ORDER BY x)`` → ``mode(x)``.
+        """
+        out = masked
+        while True:
+            m = cls._MODE_WG.search(out)
+            if not m:
+                break
+            # the sort expression runs to the WITHIN GROUP group's
+            # balanced ')': scan from its opening paren (the last '('
+            # before the matched ORDER BY keyword)
+            close = cls._balanced_end(out, out.rindex("(", 0, m.end()))
+            if close < 0:
+                break
+            expr = out[m.end(): close - 1].strip()
+            out = out[: m.start()] + f"mode({expr})" + out[close:]
+        for m in reversed(list(cls._ORDERED_AGG.finditer(out))):
+            end = cls._balanced_end(out, m.end() - 1)
+            if end < 0:
+                continue
+            inner = out[m.end(): end - 1]
+            om, d = None, 0
+            for t in re.finditer(
+                r"[()]|\bORDER\s+BY\b", inner, re.IGNORECASE
+            ):
+                tok = t.group(0)
+                if tok == "(":
+                    d += 1
+                elif tok == ")":
+                    d -= 1
+                elif d == 0:
+                    om = t
+                    break
+            if om is None:
+                continue
+            args = inner[: om.start()].rstrip().rstrip(",").rstrip()
+            keys_txt = inner[om.end():].strip()
+            if m.group(1).lower() == "string_agg":
+                rep = (
+                    f"listagg({args}) WITHIN GROUP "
+                    f"(ORDER BY {keys_txt})"
+                )
+            else:
+                if re.match(r"DISTINCT\b", args, re.IGNORECASE):
+                    continue  # loud in Spark
+                if _split_top_level(keys_txt) != [keys_txt]:
+                    continue  # multi-key: loud in Spark
+                km = re.match(
+                    r"(.*?)(?:\s+(ASC|DESC))?"
+                    r"(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+                    keys_txt,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                key = km.group(1).strip()
+                desc = (km.group(2) or "").upper() == "DESC"
+                nulls_q = (km.group(3) or "").upper()
+                nf = (
+                    -1 if nulls_q == "FIRST"
+                    else 1 if nulls_q == "LAST"
+                    else (-1 if desc else 1)  # PG defaults
+                )
+                lt = 1 if desc else -1
+                cmp = (
+                    "(l, r) -> CASE "
+                    "WHEN l.__o0 IS NULL AND r.__o0 IS NULL THEN 0 "
+                    f"WHEN l.__o0 IS NULL THEN {nf} "
+                    f"WHEN r.__o0 IS NULL THEN {-nf} "
+                    f"WHEN l.__o0 < r.__o0 THEN {lt} "
+                    f"WHEN l.__o0 > r.__o0 THEN {-lt} ELSE 0 END"
+                )
+                rep = (
+                    "transform(array_sort(collect_list("
+                    f"struct(({key}) AS __o0, ({args}) AS __v)), "
+                    f"{cmp}), s -> s.__v)"
+                )
+            out = out[: m.start()] + rep + out[end:]
+        return out
+
     _ARRAY_CTOR = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
 
     @classmethod
@@ -765,6 +865,9 @@ class LakeSQL:
         masked = cls._rewrite_json_arrows(masked, lits)
         masked = cls._rewrite_array_ctor(masked)
         masked = cls._rewrite_distinct_on(masked)
+        # BEFORE the NULLS pass: ordered-agg rewrites consume their
+        # inline ORDER BY text (mode()'s sort expr must stay bare)
+        masked = cls._rewrite_ordered_aggs(masked)
         masked = cls._rewrite_pg_setfns(masked, lits)
         # PG TABLESAMPLE SYSTEM/BERNOULLI (pct) → Spark's percent form
         # (REPEATABLE (seed) passes through — both dialects spell it

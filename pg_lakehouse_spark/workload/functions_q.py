@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_lakehouse_spark.workload import register
-from pg_lakehouse_spark.workload.util import t
+from pg_lakehouse_spark.workload.util import t, views
 
 
 @register(
@@ -609,7 +609,7 @@ GROUP BY n
     tags=("set-returning",),
 )
 def q_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg_lakehouse_spark.workload.util import t
+    from pg_lakehouse_spark.workload.util import t, views
 
     series = spark.sql("SELECT explode(sequence(0, 9)) AS n").select(
         F.col("n").cast("bigint").alias("n")
@@ -672,4 +672,39 @@ def q_pg_function_kit2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p50d_e2"),
             pg.string_agg(F.col("pk_str"), ",").alias("keys_csv"),
         )
+    )
+
+
+@register(
+    "q_ordered_aggregates",
+    oracle="""
+SELECT o_custkey,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+       string_agg(o_orderpriority, '/' ORDER BY o_totalprice DESC,
+                  o_orderkey) AS prio_by_price,
+       array_agg(o_orderkey ORDER BY o_orderkey DESC) AS keys_desc
+FROM orders
+WHERE o_orderkey <= 600
+GROUP BY o_custkey
+""",
+    tags=("agg", "ordered-agg", "sql-frontend"),
+)
+def q_ordered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG inline-ORDER-BY aggregates through the SQL frontend (r7):
+    ``string_agg(x, d ORDER BY …)`` rewrites onto Spark's listagg
+    WITHIN GROUP, ``array_agg(x ORDER BY …)`` onto an array_sort with
+    an explicit comparator carrying PG's NULL placement. DuckDB runs
+    the PG spellings natively — the oracle IS the same statement."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    q = LakeSQL(spark, LakeCatalog(spark, "/tmp/pg_lakehouse_spark_work/_fnq"))
+    return q.sql(
+        "SELECT o_custkey, "
+        "string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses, "
+        "string_agg(o_orderpriority, '/' ORDER BY o_totalprice DESC, "
+        "o_orderkey) AS prio_by_price, "
+        "array_agg(o_orderkey ORDER BY o_orderkey DESC) AS keys_desc "
+        "FROM orders WHERE o_orderkey <= 600 GROUP BY o_custkey"
     )

@@ -1091,3 +1091,39 @@ def interleave_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_rank",
         F.round(F.col("mix_pos"), 4).alias("mix_pos"),
     )
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle="""
+WITH spans AS (
+  SELECT doc_id, substr(text, CAST(pos AS INT), 64) AS span
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, length(text) - 62, 32)) AS pos
+    FROM documents WHERE length(text) >= 64
+  ) w
+)
+SELECT min(doc_id) AS sample_doc,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occurrences
+FROM spans
+GROUP BY span
+HAVING count(DISTINCT doc_id) >= 2
+""",
+    tags=("llm", "dedup", "span-dedup"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-PASSAGE detection (r7): fixed-width character
+    windows at stride window/2, hashed and hash-aggregated — finds
+    boilerplate shared across otherwise-distinct documents, which
+    document-level and MinHash dedup both miss. The engine groups by
+    an 8-byte xxhash64 of the window (the text never crosses the
+    shuffle); the oracle groups by the window TEXT itself — identical
+    result sets absent a 64-bit collision."""
+    from pg_lakehouse_spark.llm.dedup import duplicate_spans
+
+    docs = t(spark, sf_dir, "documents")
+    return duplicate_spans(
+        docs, id_col="doc_id", text_col="text", window=64, stride=32
+    ).select("sample_doc", "n_docs", "n_occurrences")

@@ -1071,3 +1071,39 @@ def test_temperature_mix_proportions(spark, sf_dir):
         prefix.filter(F.col("lang") == rare).count() / (total // 4)
     )
     assert natural < share <= uniform + 0.05, (natural, share, uniform)
+
+
+def test_duplicate_spans(spark):
+    """r7 span-level dedup: a passage shared by two docs (different
+    surrounding text) is detected; unique text is not; the plan stays
+    expression-only (no Python UDF stage)."""
+    from pg_lakehouse_spark.llm.dedup import duplicate_spans
+
+    boiler = "All rights reserved. Subscribe to our newsletter today! " * 4
+    rows = [
+        (1, "intro one " * 20 + boiler + "tail one " * 20),
+        (2, "different start " * 15 + boiler + "other ending " * 15),
+        (3, "completely unrelated text " * 40),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(
+        docs, id_col="doc_id", text_col="text", window=64, stride=32
+    )
+    hits = out.collect()
+    assert hits, "shared boilerplate must surface"
+    assert all(r.n_docs == 2 and r.sample_doc == 1 for r in hits)
+    # a doc with no shared span never appears
+    spans3 = duplicate_spans(
+        docs.filter("doc_id = 3"), window=64, stride=32, min_docs=1,
+        id_col="doc_id", text_col="text",
+    )
+    assert spans3.filter("n_docs >= 2").count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # short docs (< window) contribute nothing rather than erroring
+    short = spark.createDataFrame(
+        [(9, "tiny"), (10, "tiny")], "doc_id long, text string"
+    )
+    assert duplicate_spans(
+        short, id_col="doc_id", text_col="text"
+    ).count() == 0

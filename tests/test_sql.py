@@ -2543,3 +2543,71 @@ def test_distinct_on_in_subquery_and_cte(lsql):
         "WHERE v < 10 ORDER BY grp) b"
     ).collect()
     assert {r.grp for r in rows} == {"a", "b", "c"}
+
+
+def test_ordered_aggregates(lsql):
+    """r7: PG inline-ORDER-BY aggregates — string_agg(x, d ORDER BY
+    ...) via listagg WITHIN GROUP, array_agg(x ORDER BY ...) via an
+    explicit-comparator array_sort (PG null placement), and mode()
+    WITHIN GROUP."""
+    lsql.sql("CREATE TABLE db.oa (k BIGINT, s TEXT, v BIGINT)")
+    lsql.sql("INSERT INTO db.oa VALUES "
+             "(1,'b',2), (1,'a',3), (1,NULL,1), (2,'z',9), (2,'z',8)")
+    r = {row.k: row.agg for row in lsql.sql(
+        "SELECT k, string_agg(s, ',' ORDER BY s) AS agg "
+        "FROM db.oa GROUP BY k").collect()}
+    assert r == {1: "a,b", 2: "z,z"}
+    r = {row.k: row.agg for row in lsql.sql(
+        "SELECT k, string_agg(s, '-' ORDER BY s DESC) AS agg "
+        "FROM db.oa GROUP BY k").collect()}
+    assert r == {1: "b-a", 2: "z-z"}
+    # array_agg ASC: PG sorts NULL keys LAST (array_sort's default
+    # comparator would put them first — the comparator matters)
+    r = {row.k: row.agg for row in lsql.sql(
+        "SELECT k, array_agg(v ORDER BY s) AS agg "
+        "FROM db.oa GROUP BY k").collect()}
+    assert r == {1: [3, 2, 1], 2: [9, 8] } or r == {1: [3, 2, 1], 2: [8, 9]}
+    # DESC: NULL keys first
+    r = {row.k: row.agg for row in lsql.sql(
+        "SELECT k, array_agg(v ORDER BY s DESC) AS agg "
+        "FROM db.oa WHERE k = 1 GROUP BY k").collect()}
+    assert r == {1: [1, 2, 3]}
+    # explicit NULLS override respected
+    r = lsql.sql(
+        "SELECT array_agg(v ORDER BY s NULLS FIRST) AS agg "
+        "FROM db.oa WHERE k = 1").collect()[0].agg
+    assert r == [1, 3, 2]
+    # mode() WITHIN GROUP
+    assert lsql.sql(
+        "SELECT mode() WITHIN GROUP (ORDER BY s) AS md FROM db.oa "
+        "WHERE k = 2").collect()[0].md == "z"
+    # unordered forms pass through untouched
+    assert lsql.sql(
+        "SELECT string_agg(s, '|') AS agg FROM db.oa WHERE k = 2"
+    ).collect()[0].agg == "z|z"
+
+
+def test_ordered_aggregates_vs_duckdb(lsql):
+    """Differential: DuckDB implements the PG forms natively."""
+    import duckdb
+
+    rows = [(i % 4, None if i % 9 == 0 else chr(97 + i % 7), i)
+            for i in range(40)]
+    lsql.sql("CREATE TABLE db.oad (k BIGINT, s TEXT, v BIGINT)")
+    lsql.sql("INSERT INTO db.oad VALUES " + ", ".join(
+        f"({k}, {'NULL' if s is None else repr(s)}, {v})"
+        for k, s, v in rows))
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE oad (k BIGINT, s VARCHAR, v BIGINT)")
+    duck.executemany("INSERT INTO oad VALUES (?,?,?)", rows)
+    for stmt in [
+        "SELECT k, string_agg(s, ',' ORDER BY s, v) AS a FROM {t} "
+        "GROUP BY k ORDER BY k",
+        "SELECT k, string_agg(s, '/' ORDER BY v DESC) AS a FROM {t} "
+        "GROUP BY k ORDER BY k",
+        "SELECT k, array_agg(v ORDER BY v DESC) AS a FROM {t} "
+        "GROUP BY k ORDER BY k",
+    ]:
+        got = [tuple(r) for r in lsql.sql(stmt.format(t="db.oad")).collect()]
+        want = [tuple(w) for w in duck.execute(stmt.format(t="oad")).fetchall()]
+        assert got == want, stmt
