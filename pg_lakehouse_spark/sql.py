@@ -431,6 +431,119 @@ class LakeSQL:
                 out = out[:at] + ins + out[at:]
         return out
 
+    # PG→Java datetime format tokens for to_char (longest-first; an
+    # alphabetic run matching none of these aborts the rewrite so a
+    # numeric-format to_char('999D99') is never silently mistranslated)
+    _TO_CHAR_TOKENS: tuple[tuple[str, str], ...] = (
+        ("YYYY", "yyyy"), ("YY", "yy"),
+        ("MONTH", "MMMM"), ("Month", "MMMM"), ("MON", "MMM"),
+        ("Mon", "MMM"), ("MM", "MM"),
+        ("DDD", "DDD"), ("DD", "dd"),
+        ("DAY", "EEEE"), ("Day", "EEEE"), ("DY", "EEE"), ("Dy", "EEE"),
+        ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
+        ("MI", "mm"), ("SSSS", ""), ("SS", "ss"),
+        ("MS", "SSS"), ("US", "SSSSSS"),
+        ("A.M.", "a"), ("P.M.", "a"), ("AM", "a"), ("PM", "a"),
+        ("TZ", "z"), ("WW", "ww"), ("Q", "Q"),
+    )
+    _TO_CHAR = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
+
+    @classmethod
+    def _pg_datefmt_to_java(cls, fmt: str) -> str | None:
+        """Translate a PG to_char datetime pattern to the Java
+        DateTimeFormatter pattern date_format wants; None when the
+        pattern contains anything outside the known token set (the
+        caller leaves the call unrewritten — loud, never silently
+        wrong)."""
+        out, i, n = [], 0, len(fmt)
+        while i < n:
+            for pg, java in cls._TO_CHAR_TOKENS:
+                if fmt.startswith(pg, i):
+                    if not java:
+                        return None
+                    out.append(java)
+                    i += len(pg)
+                    break
+            else:
+                c = fmt[i]
+                if c.isalnum():
+                    return None  # unknown token: don't guess
+                if c == "'":
+                    return None  # quoted literals: unsupported
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    @classmethod
+    def _rewrite_to_char(cls, masked: str, lits: list[str]) -> str:
+        """``to_char(expr, 'PG datetime pattern')`` →
+        ``date_format(expr, '<java pattern>')`` for literal patterns
+        made of known tokens; everything else passes through."""
+        out = masked
+        for m in reversed(list(cls._TO_CHAR.finditer(masked))):
+            end = cls._balanced_end(out, m.end() - 1)
+            if end < 0:
+                continue
+            args = _split_top_level(out[m.end(): end - 1])
+            if len(args) != 2:
+                continue
+            pm = re.fullmatch(r"\s*\x00(\d+)\x00\s*", args[1])
+            if not pm:
+                continue
+            fmt = lits[int(pm.group(1))][1:-1].replace("''", "'")
+            java = cls._pg_datefmt_to_java(fmt)
+            if java is None:
+                continue
+            lits.append("'" + java + "'")
+            ph = f"\x00{len(lits) - 1}\x00"
+            out = (
+                out[: m.start()]
+                + f"date_format({args[0].strip()}, {ph})"
+                + out[end:]
+            )
+        return out
+
+    # expr = ANY(...) / expr <> ALL(...) — PG's array/subquery
+    # quantifiers. Simple (possibly qualified) identifier lhs only;
+    # anything fancier stays unrewritten and fails loudly.
+    _ANY_ALL = re.compile(
+        rf"({_IDENT}(?:\.{_IDENT})?)\s*(=|<>|!=)\s*(ANY|ALL)\s*\(",
+        re.IGNORECASE,
+    )
+
+    @classmethod
+    def _rewrite_any_all(cls, masked: str) -> str:
+        out = masked
+        for m in reversed(list(cls._ANY_ALL.finditer(masked))):
+            end = cls._balanced_end(out, m.end() - 1)
+            if end < 0:
+                continue
+            lhs, op, quant = m.group(1), m.group(2), m.group(3).upper()
+            inner = out[m.end(): end - 1].strip()
+            is_sub = bool(re.match(r"(SELECT|WITH)\b", inner, re.IGNORECASE))
+            if op == "=" and quant == "ANY":
+                rep = (
+                    f"{lhs} IN ({inner})" if is_sub
+                    else f"array_contains(({inner}), {lhs})"
+                )
+            elif op in ("<>", "!=") and quant == "ALL":
+                rep = (
+                    f"{lhs} NOT IN ({inner})" if is_sub
+                    else f"(NOT array_contains(({inner}), {lhs}))"
+                )
+            else:
+                continue  # = ALL / <> ANY: rare, loud in Spark
+            out = out[: m.start()] + rep + out[end:]
+        return out
+
+    # expr AT TIME ZONE 'zone' → convert_timezone('zone', expr): the
+    # PG timestamptz→wall-clock-in-zone direction (Spark's 2-arg form
+    # converts from the session zone). Identifier lhs only.
+    _AT_TZ = re.compile(
+        rf"((?:{_IDENT}\.)?{_IDENT})\s+AT\s+TIME\s+ZONE\s+(\x00\d+\x00)",
+        re.IGNORECASE,
+    )
+
     _ORDERED_AGG = re.compile(
         r"\b(string_agg|array_agg)\s*\(", re.IGNORECASE
     )
@@ -869,6 +982,34 @@ class LakeSQL:
         # inline ORDER BY text (mode()'s sort expr must stay bare)
         masked = cls._rewrite_ordered_aggs(masked)
         masked = cls._rewrite_pg_setfns(masked, lits)
+        masked = cls._rewrite_to_char(masked, lits)
+        masked = cls._rewrite_any_all(masked)
+        masked = cls._AT_TZ.sub(
+            lambda m: f"convert_timezone({m.group(2)}, {m.group(1)})",
+            masked,
+        )
+        # SQL-standard FETCH (PG's documented LIMIT spelling): the
+        # combined OFFSET..FETCH form must emit Spark's LIMIT-first
+        # order; bare OFFSET n ROWS drops the noise word
+        masked = re.sub(
+            r"\bOFFSET\s+(\d+)\s+ROWS?\s+"
+            r"FETCH\s+(?:FIRST|NEXT)\s*(\d*)\s*ROWS?\s+ONLY",
+            lambda m: f"LIMIT {m.group(2) or 1} OFFSET {m.group(1)}",
+            masked,
+            flags=re.IGNORECASE,
+        )
+        masked = re.sub(
+            r"\bFETCH\s+(?:FIRST|NEXT)\s*(\d*)\s*ROWS?\s+ONLY",
+            lambda m: f"LIMIT {m.group(1) or 1}",
+            masked,
+            flags=re.IGNORECASE,
+        )
+        masked = re.sub(
+            r"\bOFFSET\s+(\d+)\s+ROWS?\b",
+            r"OFFSET \1",
+            masked,
+            flags=re.IGNORECASE,
+        )
         # PG TABLESAMPLE SYSTEM/BERNOULLI (pct) → Spark's percent form
         # (REPEATABLE (seed) passes through — both dialects spell it
         # the same)
@@ -1064,6 +1205,12 @@ class LakeSQL:
                 if handled:
                     return out
             return self._select(s)
+        if head == "TABLE":
+            # PG shorthand: TABLE ns.t ≡ SELECT * FROM ns.t
+            return self._select("SELECT * FROM " + s.split(None, 1)[1])
+        if head == "VALUES":
+            # PG top-level VALUES list ≡ SELECT * over the inline table
+            return self._select("SELECT * FROM " + s)
         if head == "EXPLAIN":
             # PG's inspection verb: lake refs bind exactly as in SELECT,
             # then Spark's own EXPLAIN [EXTENDED|FORMATTED|...] renders

@@ -2611,3 +2611,45 @@ def test_ordered_aggregates_vs_duckdb(lsql):
         got = [tuple(r) for r in lsql.sql(stmt.format(t="db.oad")).collect()]
         want = [tuple(w) for w in duck.execute(stmt.format(t="oad")).fetchall()]
         assert got == want, stmt
+
+
+def test_pg_idiom_kit_r7(lsql):
+    """r7 dialect coverage: FETCH FIRST/NEXT (SQL-standard LIMIT),
+    = ANY / <> ALL over arrays and subqueries, AT TIME ZONE,
+    to_char datetime patterns, TABLE shorthand, top-level VALUES."""
+    lsql.sql("CREATE TABLE db.idio (k BIGINT, s TEXT, ts TIMESTAMP)")
+    lsql.sql("INSERT INTO db.idio VALUES "
+             "(1, 'ab', TIMESTAMP '2024-01-02 03:04:05'), "
+             "(2, NULL, NULL), "
+             "(3, 'cd', TIMESTAMP '2024-06-07 08:09:10')")
+    k = lambda stmt: [r[0] for r in lsql.sql(stmt).collect()]  # noqa: E731
+    assert k("SELECT k FROM db.idio ORDER BY k "
+             "FETCH FIRST 2 ROWS ONLY") == [1, 2]
+    assert k("SELECT k FROM db.idio ORDER BY k "
+             "FETCH FIRST ROW ONLY") == [1]
+    assert k("SELECT k FROM db.idio ORDER BY k "
+             "OFFSET 1 ROWS FETCH NEXT 1 ROWS ONLY") == [2]
+    assert k("SELECT k FROM db.idio ORDER BY k OFFSET 2 ROWS") == [3]
+    assert k("SELECT k FROM db.idio WHERE k = ANY(array[1,3]) "
+             "ORDER BY k") == [1, 3]
+    assert k("SELECT k FROM db.idio WHERE k <> ALL(array[1,3]) "
+             "ORDER BY k") == [2]
+    assert k("SELECT k FROM db.idio "
+             "WHERE k = ANY(SELECT 1 AS x) ORDER BY k") == [1]
+    assert k("SELECT to_char(ts, 'YYYY-MM-DD HH24:MI:SS') "
+             "FROM db.idio WHERE k = 1") == ["2024-01-02 03:04:05"]
+    assert k("SELECT to_char(ts, 'Mon DD, YYYY') "
+             "FROM db.idio WHERE k = 1") == ["Jan 02, 2024"]
+    # numeric to_char patterns stay unrewritten — they fall through to
+    # Spark's own numeric to_char, which handles them natively
+    got = lsql.sql(
+        "SELECT to_char(k, '999') AS c FROM db.idio WHERE k = 1"
+    ).collect()[0].c
+    assert got.strip() == "1"
+    # AT TIME ZONE renders the instant in the named zone
+    z = lsql.sql("SELECT ts AT TIME ZONE 'UTC' AS z FROM db.idio "
+                 "WHERE k = 1").collect()[0].z
+    assert str(z).startswith("2024-01-02")
+    assert len(lsql.sql("TABLE db.idio").collect()) == 3
+    rows = lsql.sql("VALUES (1, 'a'), (2, 'b')").collect()
+    assert sorted((r[0], r[1]) for r in rows) == [(1, "a"), (2, "b")]
