@@ -711,3 +711,72 @@ def duplicate_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def span_duplication_share(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    window: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication score built on :func:`duplicate_spans`
+    — the actionable form for corpus filtering: ``dup_share`` is the
+    fraction of a document's windows that also occur in ≥ ``min_docs``
+    other documents' text (the public boilerplate-share heuristic:
+    drop or down-weight documents past a threshold instead of trying
+    to excise spans).
+
+    Plan shape: ONE span explosion reused for both sides of a
+    self-semi-join on the 8-byte span hash — the corpus-wide duplicate
+    span set is an aggregation output (never collected), and the join
+    key is the hash, so text never shuffles. At 100 TB this is two
+    hash-shuffles of 16-byte rows plus a broadcast-eligible duplicate
+    set when the boilerplate dictionary is small.
+    """
+    spans = (
+        docs.filter(F.length(F.col(text_col)) >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length(F.col(text_col)) - F.lit(window - 1),
+                    F.lit(stride),
+                )
+            ).alias("__pos"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.xxhash64(
+                F.substring(F.col(text_col), F.col("__pos"), window)
+            ).alias("span_hash"),
+        )
+    )
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("span_hash")
+    )
+    flagged = spans.join(dup, "span_hash", "left_semi").groupBy(
+        id_col
+    ).agg(F.count(F.lit(1)).alias("dup_spans"))
+    totals = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_spans")
+    )
+    return (
+        totals.join(flagged, id_col, "left")
+        .select(
+            id_col,
+            "total_spans",
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.round(
+                F.coalesce("dup_spans", F.lit(0))
+                / F.col("total_spans"),
+                6,
+            ).alias("dup_share"),
+        )
+    )

@@ -76,7 +76,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # lake_dml_returning (RETURNING without the change feed),
 # lake_join_dml_aliasless (bare-name join-DML correlation),
 # lake_pg_literal_kit (dollar-quoting/E-strings/array[..]),
-# lake_segment_bloom_prune (descriptor-level bloom skipping).
+# lake_segment_bloom_prune (descriptor-level bloom skipping). NOTE:
+# the split family's only window row is data_split_modulo
+# (balance_source_cap is the domain-balance family), so the fifth
+# cede is dedup_lines_corpus instead — dedup keeps exact + minhash
+# in-window, lines stays oracle-checked in the registry.
 # Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
@@ -107,7 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_topk_retraction",
     "q_pandas_udf_normalize",
     "lake_sql_views",
-    "dedup_lines_corpus",
+    "data_split_modulo",
     "lake_sql_dml",
     "lake_null_ordering_topk",
     "lake_dml_returning",

@@ -1127,3 +1127,41 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(
         docs, id_col="doc_id", text_col="text", window=64, stride=32
     ).select("sample_doc", "n_docs", "n_occurrences")
+
+
+@register(
+    "dedup_span_share",
+    oracle="""
+WITH spans AS (
+  SELECT doc_id, substr(text, CAST(pos AS INT), 64) AS span
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, length(text) - 62, 32)) AS pos
+    FROM documents WHERE length(text) >= 64
+  ) w
+), dup AS (
+  SELECT span FROM spans GROUP BY span
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id,
+       count(*) AS total_spans,
+       count(*) FILTER (WHERE d.span IS NOT NULL) AS dup_spans,
+       round(count(*) FILTER (WHERE d.span IS NOT NULL)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_share
+FROM spans s LEFT JOIN dup d USING (span)
+GROUP BY s.doc_id
+HAVING count(*) FILTER (WHERE d.span IS NOT NULL) > 0
+""",
+    tags=("llm", "dedup", "span-dedup", "quality"),
+)
+def dedup_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share (r7): fraction of a document's
+    64-char windows repeated in other documents — the actionable
+    filtering score built on the span index (one span explosion, two
+    8-byte hash shuffles; text never crosses the wire)."""
+    from pg_lakehouse_spark.llm.dedup import span_duplication_share
+
+    docs = t(spark, sf_dir, "documents")
+    return span_duplication_share(
+        docs, id_col="doc_id", text_col="text", window=64, stride=32
+    ).filter(F.col("dup_spans") > 0)

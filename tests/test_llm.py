@@ -1107,3 +1107,27 @@ def test_duplicate_spans(spark):
     assert duplicate_spans(
         short, id_col="doc_id", text_col="text"
     ).count() == 0
+
+
+def test_span_duplication_share(spark):
+    """r7: per-doc boilerplate share — docs sharing a passage score
+    dup_share > 0, unique docs 0; join runs on the hash (no text in
+    the shuffle), no Python UDF stage."""
+    from pg_lakehouse_spark.llm.dedup import span_duplication_share
+
+    boiler = "standard legal disclaimer text repeated verbatim " * 4
+    rows = [
+        (1, boiler + "unique tail one " * 30),
+        (2, "unique head two " * 30 + boiler),
+        (3, "entirely original writing " * 40),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_duplication_share(
+        docs, id_col="doc_id", text_col="text", window=64, stride=32
+    )
+    by_id = {r.doc_id: r for r in out.collect()}
+    assert by_id[1].dup_spans > 0 and by_id[2].dup_spans > 0
+    assert 0 < by_id[1].dup_share < 1
+    assert by_id[3].dup_spans == 0 and by_id[3].dup_share == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
