@@ -158,6 +158,22 @@ class LakeSQL:
         # to the pre-commit snapshot (see _apply_delete/_apply_update)
         self._capture_returning: str | None = None
         self._returned_df: DataFrame | None = None
+        # PG session settings (SET/RESET/SHOW): timezone is WIRED to
+        # Spark's session zone (it changes timestamp rendering);
+        # everything else is stored for SHOW and otherwise advisory —
+        # psql bootstrap scripts SET half a dozen of these and must
+        # not die on the first line
+        self._settings: dict[str, str] = {}
+        self._settings_defaults: dict[str, str] = {
+            "search_path": '"$user", public',
+            "timezone": spark.conf.get(
+                "spark.sql.session.timeZone", "Etc/UTC"
+            ),
+            "standard_conforming_strings": "on",
+            "server_version": "16.0 (pg_lakehouse_spark)",
+            "statement_timeout": "0",
+            "client_encoding": "UTF8",
+        }
 
     def _load(self, ns: str, name: str, branch: str | None = None) -> LakeTable:
         tbl = self.catalog.load_table(ns, name)
@@ -977,6 +993,11 @@ class LakeSQL:
         masked = cls._rewrite_similar_to(masked, lits)
         masked = cls._rewrite_json_arrows(masked, lits)
         masked = cls._rewrite_array_ctor(masked)
+        # PG row constructor → Spark struct (row_number etc. are
+        # untouched: the match needs an immediate open paren)
+        masked = re.sub(
+            r"\bROW\s*\(", "struct(", masked, flags=re.IGNORECASE
+        )
         masked = cls._rewrite_distinct_on(masked)
         # BEFORE the NULLS pass: ordered-agg rewrites consume their
         # inline ORDER BY text (mode()'s sort expr must stay bare)
@@ -1205,6 +1226,49 @@ class LakeSQL:
                 if handled:
                     return out
             return self._select(s)
+        if head == "SET":
+            m = re.match(
+                r"SET\s+(?:SESSION\s+|LOCAL\s+)?(?:"
+                r"TIME\s+ZONE\s+(.+)"
+                rf"|({_IDENT}(?:\.{_IDENT})?)\s*(?:=|\s+TO\s+)\s*(.+)"
+                r")$",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse SET: {s[:60]!r}")
+            name = ("timezone" if m.group(1) else m.group(2)).lower()
+            raw = (m.group(1) or m.group(3)).strip()
+            val = raw.strip("'\"")
+            if val.upper() == "DEFAULT":
+                self._settings.pop(name, None)
+                val = self._settings_defaults.get(name)
+            else:
+                self._settings[name] = val
+            if name == "timezone" and val is not None:
+                self.spark.conf.set("spark.sql.session.timeZone", val)
+            return None
+        if head == "RESET":
+            m = re.match(
+                rf"RESET\s+(ALL|{_IDENT}(?:\.{_IDENT})?)$",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse RESET: {s[:60]!r}")
+            names = (
+                list(self._settings)
+                if m.group(1).upper() == "ALL"
+                else [m.group(1).lower()]
+            )
+            for name in names:
+                self._settings.pop(name, None)
+                if name == "timezone":
+                    self.spark.conf.set(
+                        "spark.sql.session.timeZone",
+                        self._settings_defaults["timezone"],
+                    )
+            return None
         if head == "TABLE":
             # PG shorthand: TABLE ns.t ≡ SELECT * FROM ns.t
             return self._select("SELECT * FROM " + s.split(None, 1)[1])
@@ -2263,7 +2327,14 @@ class LakeSQL:
         return None
 
     def _truncate(self, s: str) -> Snapshot:
-        m = re.match(rf"TRUNCATE\s+TABLE\s+{_TBL}$", s, re.IGNORECASE)
+        # PG: the TABLE keyword is optional (TRUNCATE t); RESTART/
+        # CONTINUE IDENTITY are accepted noise (no sequences here)
+        m = re.match(
+            rf"TRUNCATE\s+(?:TABLE\s+)?{_TBL}"
+            r"(?:\s+(?:RESTART|CONTINUE)\s+IDENTITY)?$",
+            s,
+            re.IGNORECASE,
+        )
         if not m:
             raise LakehouseError(f"cannot parse TRUNCATE: {s[:80]!r}")
         tbl = self.catalog.load_table(m.group(1), m.group(2))
@@ -2350,10 +2421,15 @@ class LakeSQL:
             return tbl.set_properties(props)
         if au.startswith("ADD COLUMN"):
             am = re.match(
-                r"ADD\s+COLUMN\s+([\w.]+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$",
+                r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"([\w.]+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$",
                 action,
                 re.IGNORECASE | re.DOTALL,
             )
+            if "IF NOT EXISTS" in au and am.group(1).split(".")[0] in {
+                f.name for f in tbl.schema().fields
+            }:
+                return None  # PG: silently skip an existing column
             return tbl.add_column(
                 am.group(1),
                 self._map_pg_type(am.group(2)),
@@ -2368,7 +2444,15 @@ class LakeSQL:
             self._fk_guard_column_ddl(tbl, am.group(1), "rename")
             return tbl.rename_column(am.group(1), am.group(2))
         if au.startswith("DROP COLUMN"):
-            am = re.match(r"DROP\s+COLUMN\s+([\w.]+)$", action, re.IGNORECASE)
+            am = re.match(
+                r"DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?([\w.]+)$",
+                action,
+                re.IGNORECASE,
+            )
+            if "IF EXISTS" in au and am.group(1).split(".")[0] not in {
+                f.name for f in tbl.schema().fields
+            }:
+                return None  # PG: silently skip a missing column
             self._fk_guard_column_ddl(tbl, am.group(1), "drop")
             return tbl.drop_column(am.group(1))
         if au.startswith("ALTER COLUMN"):
@@ -2885,7 +2969,7 @@ class LakeSQL:
         return tbl.merge(source, **kwargs)
 
     _ON_CONFLICT = re.compile(
-        rf"\s+ON\s+CONFLICT\s*\(([^)]*)\)\s+DO\s+"
+        rf"\s+ON\s+CONFLICT\s*(?:\(([^)]*)\)\s*)?DO\s+"
         rf"(NOTHING|UPDATE\s+SET\s+(.*))$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -2901,10 +2985,40 @@ class LakeSQL:
         conflict = None
         cm = self._ON_CONFLICT.search(s)
         if cm:
-            keys = [c.strip() for c in cm.group(1).split(",") if c.strip()]
+            keys = [
+                c.strip()
+                for c in (cm.group(1) or "").split(",")
+                if c.strip()
+            ]
             action = cm.group(2).strip().upper()
+            if not keys and action != "NOTHING":
+                # PG itself rejects targetless DO UPDATE (no way to
+                # infer the arbiter constraint)
+                raise LakehouseError(
+                    "ON CONFLICT DO UPDATE requires a conflict target "
+                    "column list"
+                )
             if action == "NOTHING":
-                conflict = (keys, "nothing", None)
+                if not keys:
+                    # targetless DO NOTHING: PG skips rows conflicting
+                    # on ANY unique constraint — here, the declared
+                    # PRIMARY KEY (row_key). A table without one has
+                    # no constraint to conflict with: plain insert.
+                    rk = None
+                    tm0 = re.match(
+                        rf"INSERT\s+INTO\s+{_TBL}", s, re.IGNORECASE
+                    )
+                    if tm0:
+                        rk = (
+                            self._load(tm0.group(1), tm0.group(2))
+                            .snapshot()
+                            .properties.get("row_key")
+                        )
+                    keys = [
+                        c.strip() for c in (rk or "").split(",")
+                        if c.strip()
+                    ]
+                conflict = (keys, "nothing", None) if keys else None
             else:
                 # parse DO UPDATE SET here (masked) so commas inside a
                 # string literal can't tear the assignment split
@@ -4053,6 +4167,26 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 rows or [], "name string, expression string"
             )
+        if re.match(r"SHOW\s+ALL$", s, re.IGNORECASE):
+            eff = dict(self._settings_defaults, **self._settings)
+            return self.spark.createDataFrame(
+                sorted(eff.items()), "name string, setting string"
+            )
+        m = re.match(
+            rf"SHOW\s+(TIME\s+ZONE|{_IDENT}(?:\.{_IDENT})?)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            name = m.group(1).lower()
+            if re.fullmatch(r"time\s+zone", name):
+                name = "timezone"
+            eff = dict(self._settings_defaults, **self._settings)
+            if name in eff:
+                # PG titles the single column after the setting
+                return self.spark.createDataFrame(
+                    [(eff[name],)], f"`{name}` string"
+                )
         raise LakehouseError(f"cannot parse SHOW: {s[:80]!r}")
 
     def _create_view(self, s: str):

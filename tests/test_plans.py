@@ -97,7 +97,12 @@ def test_no_driver_side_collects_in_operators():
         # not rows
         "sql.py",            # EXPLAIN MERGE: ONE min/max row over the
         # source's join keys to report the pruned candidate set —
-        # a single stats row, never table data
+        # a single stats row, never table data; FK point-lookup path
+        # collects the write delta's distinct keys, hard-capped at
+        # _FK_POINT_LOOKUP_MAX + 1
+        "lake_q.py",         # lake_segment_bloom_prune collects its
+        # PROBE KEY list: o_orderkey <= 3000 AND % 997 = 0 — at most
+        # 4 keys at any scale factor (the filter range is fixed)
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
@@ -127,6 +132,9 @@ def test_no_unbounded_collect_list():
         "llm/dedup.py",  # dedup_lines reassembly: the group is one
         # DOCUMENT's surviving lines — bounded by the document itself,
         # which already traveled as a single row value
+        "sql.py",  # the array_agg(ORDER BY) dialect rewrite EMITS
+        # collect_list text — PG-parity aggregate, same explicitly-
+        # ordered bounded-group contract as functions/pg.py
     }
     offenders = []
     for root, _dirs, files in os.walk(PKG_ROOT):
@@ -147,12 +155,14 @@ def test_no_unbounded_collect_list():
 
 
 def test_broadcast_hints_on_dim_joins(spark, sf_dir):
-    """q5's nation/region/supplier joins must be broadcast, not
-    shuffled — dims don't grow with fact data."""
-    from pg_lakehouse_spark.plans.inspect import formatted_plan
-
+    """q5's nation/region/supplier/customer joins must end up
+    broadcast, not shuffled — r7 dropped the forced hints on the
+    scale-linear dims (customer, supplier), so the guarantee moved
+    from the STATIC plan to AQE's runtime size check: assert on the
+    final adaptive plan after execution."""
     df = REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir)
-    plan = formatted_plan(df)
+    df.collect()  # materialize so AQE finalizes the join strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     # the only sort-merge-eligible join is the fact-fact one
     assert plan.count("SortMergeJoin") <= 1

@@ -2653,3 +2653,51 @@ def test_pg_idiom_kit_r7(lsql):
     assert len(lsql.sql("TABLE db.idio").collect()) == 3
     rows = lsql.sql("VALUES (1, 'a'), (2, 'b')").collect()
     assert sorted((r[0], r[1]) for r in rows) == [(1, "a"), (2, "b")]
+
+
+def test_pg_session_and_ddl_corners_r7(lsql, spark):
+    """r7 second probe batch: bare TRUNCATE, targetless ON CONFLICT
+    DO NOTHING (PK arbiter), ADD/DROP COLUMN IF [NOT] EXISTS,
+    SET/RESET/SHOW session settings (timezone wired to Spark),
+    row() constructor."""
+    lsql.sql("CREATE TABLE db.corner (k BIGINT PRIMARY KEY, s TEXT)")
+    lsql.sql("INSERT INTO db.corner VALUES (1, 'a')")
+    # targetless DO NOTHING arbitrates on the declared PRIMARY KEY
+    lsql.sql("INSERT INTO db.corner VALUES (1, 'dup'), (2, 'b') "
+             "ON CONFLICT DO NOTHING")
+    got = sorted((r.k, r.s) for r in lsql.sql("TABLE db.corner").collect())
+    assert got == [(1, "a"), (2, "b")]
+    # targetless DO UPDATE is a loud error, as in PG
+    with pytest.raises(LakehouseError, match="conflict target"):
+        lsql.sql("INSERT INTO db.corner VALUES (9, 'x') "
+                 "ON CONFLICT DO UPDATE SET s = 'x'")
+    # a table with no PK has nothing to conflict with: plain insert
+    lsql.sql("CREATE TABLE db.corner2 (k BIGINT)")
+    lsql.sql("INSERT INTO db.corner2 VALUES (1)")
+    lsql.sql("INSERT INTO db.corner2 VALUES (1) ON CONFLICT DO NOTHING")
+    assert lsql.sql("SELECT count(*) AS c FROM db.corner2"
+                    ).collect()[0].c == 2
+    lsql.sql("TRUNCATE db.corner2")  # TABLE keyword optional
+    assert lsql.sql("SELECT count(*) AS c FROM db.corner2"
+                    ).collect()[0].c == 0
+    lsql.sql("ALTER TABLE db.corner ADD COLUMN IF NOT EXISTS s TEXT")
+    lsql.sql("ALTER TABLE db.corner ADD COLUMN IF NOT EXISTS w BIGINT")
+    lsql.sql("ALTER TABLE db.corner DROP COLUMN IF EXISTS nosuch")
+    assert [f.name for f in
+            lsql.catalog.load_table("db", "corner").schema().fields
+            ] == ["k", "s", "w"]
+    # session settings: timezone changes Spark's session zone
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    lsql.sql("SET TIME ZONE 'America/New_York'")
+    assert spark.conf.get("spark.sql.session.timeZone") == \
+        "America/New_York"
+    assert lsql.sql("SHOW timezone").collect()[0][0] == "America/New_York"
+    lsql.sql("RESET timezone")
+    assert spark.conf.get("spark.sql.session.timeZone") != \
+        "America/New_York"
+    spark.conf.set("spark.sql.session.timeZone", prev)
+    lsql.sql("SET search_path TO db")  # advisory, must not die
+    assert lsql.sql("SHOW search_path").collect()[0][0] == "db"
+    assert lsql.sql("SHOW ALL").count() >= 6
+    r = lsql.sql("SELECT row(1, 'x') AS r").collect()[0].r
+    assert tuple(r) == (1, "x")
