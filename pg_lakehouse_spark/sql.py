@@ -211,6 +211,108 @@ class LakeSQL:
     _EXTRACT_EPOCH = re.compile(
         r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE
     )
+    # extract(DOW/ISODOW FROM x): Spark's DOW is 1-7 Sunday-first —
+    # PG's is 0-6 Sunday-first (and ISODOW 1-7 Monday-first, which
+    # Spark's extract doesn't know at all). Returning Spark's value
+    # unchanged is a SILENT off-by-one on every weekday computation.
+    _EXTRACT_DOW = re.compile(
+        r"\bEXTRACT\s*\(\s*(DOW|ISODOW)\s+FROM\b", re.IGNORECASE
+    )
+    _DATE_PART_DOW = re.compile(
+        r"\bDATE_PART\s*\(\s*(\x00\d+\x00)\s*,", re.IGNORECASE
+    )
+
+    @classmethod
+    def _rewrite_extract_dow(cls, masked: str, lits: list[str]) -> str:
+        """Both spellings — ``extract(dow from x)`` and
+        ``date_part('dow', x)`` — emit PG's numbering: dow 0-6
+        (Sunday=0) via ``dayofweek(x) - 1``; isodow 1-7 (Monday=1)
+        via ``(dayofweek(x) + 5) % 7 + 1``."""
+
+        def rewrite_one(out: str, start: int, inner_start: int,
+                        field: str) -> str | None:
+            depth, i = 1, inner_start
+            while i < len(out) and depth:
+                if out[i] == "(":
+                    depth += 1
+                elif out[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                return None
+            expr = out[inner_start: i - 1].strip()
+            rep = (
+                f"(dayofweek({expr}) - 1)"
+                if field == "dow"
+                else f"(pmod(dayofweek({expr}) + 5, 7) + 1)"
+            )
+            return out[:start] + rep + out[i:]
+
+        while True:
+            m = cls._EXTRACT_DOW.search(masked)
+            if not m:
+                break
+            new = rewrite_one(
+                masked, m.start(), m.end(), m.group(1).lower()
+            )
+            if new is None:
+                break
+            masked = new
+        for m in reversed(list(cls._DATE_PART_DOW.finditer(masked))):
+            idx = int(m.group(1).strip("\x00"))
+            field = lits[idx][1:-1].lower()
+            if field not in ("dow", "isodow"):
+                continue
+            new = rewrite_one(masked, m.start(), m.end(), field)
+            if new is not None:
+                masked = new
+        return masked
+
+    # agg(...) FILTER (WHERE cond) OVER — PG allows FILTER on window
+    # aggregates; Spark doesn't ("not supported yet"). Rewritten to
+    # the CASE-inside-the-aggregate equivalent.
+    @classmethod
+    def _rewrite_window_filter(cls, masked: str) -> str:
+        out = masked
+        pat = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE)
+        # right-to-left: each edit spans only its own agg..OVER region
+        for fm in reversed(list(pat.finditer(out))):
+            popen = out.index("(", fm.start())
+            fend = cls._balanced_end(out, popen)
+            if fend < 0:
+                continue
+            # FILTER on a GROUP aggregate is Spark-native; only the
+            # window form (followed by OVER) needs the rewrite
+            if not re.match(r"\s*OVER\b", out[fend:], re.IGNORECASE):
+                continue
+            cond = re.sub(
+                r"^\s*WHERE\b", "", out[popen + 1: fend - 1].strip(),
+                flags=re.IGNORECASE,
+            ).strip()
+            # back-scan: the aggregate call immediately precedes FILTER
+            head = out[: fm.start()].rstrip()
+            if not head.endswith(")"):
+                continue
+            depth, j = 0, len(head) - 1
+            while j >= 0:
+                if head[j] == ")":
+                    depth += 1
+                elif head[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            nm = re.search(rf"({_IDENT})\s*$", head[:j])
+            if not nm or depth != 0:
+                continue
+            fn, args = nm.group(1), head[j + 1: -1].strip()
+            inner = (
+                f"CASE WHEN {cond} THEN 1 END"
+                if args == "*" or not args
+                else f"CASE WHEN {cond} THEN {args} END"
+            )
+            out = head[: nm.start(1)] + f"{fn}({inner})" + out[fend:]
+        return out
 
     _CAST_HEAD = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
 
@@ -523,7 +625,7 @@ class LakeSQL:
     # quantifiers. Simple (possibly qualified) identifier lhs only;
     # anything fancier stays unrewritten and fails loudly.
     _ANY_ALL = re.compile(
-        rf"({_IDENT}(?:\.{_IDENT})?)\s*(=|<>|!=)\s*(ANY|ALL)\s*\(",
+        rf"({_IDENT}(?:\.{_IDENT})?)\s*(=|<>|!=)\s*(ANY|SOME|ALL)\s*\(",
         re.IGNORECASE,
     )
 
@@ -535,6 +637,8 @@ class LakeSQL:
             if end < 0:
                 continue
             lhs, op, quant = m.group(1), m.group(2), m.group(3).upper()
+            if quant == "SOME":
+                quant = "ANY"  # SQL-standard synonym
             inner = out[m.end(): end - 1].strip()
             is_sub = bool(re.match(r"(SELECT|WITH)\b", inner, re.IGNORECASE))
             if op == "=" and quant == "ANY":
@@ -1004,6 +1108,8 @@ class LakeSQL:
         masked = cls._rewrite_ordered_aggs(masked)
         masked = cls._rewrite_pg_setfns(masked, lits)
         masked = cls._rewrite_to_char(masked, lits)
+        masked = cls._rewrite_extract_dow(masked, lits)
+        masked = cls._rewrite_window_filter(masked)
         masked = cls._rewrite_any_all(masked)
         masked = cls._AT_TZ.sub(
             lambda m: f"convert_timezone({m.group(2)}, {m.group(1)})",

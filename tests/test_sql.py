@@ -2701,3 +2701,47 @@ def test_pg_session_and_ddl_corners_r7(lsql, spark):
     assert lsql.sql("SHOW ALL").count() >= 6
     r = lsql.sql("SELECT row(1, 'x') AS r").collect()[0].r
     assert tuple(r) == (1, "x")
+
+
+def test_extract_dow_and_window_filter_r7(lsql):
+    """r7 silent-wrongness fixes: extract(dow) must use PG's 0-6
+    Sunday-first numbering (Spark's native DOW is 1-7 — off by one on
+    every weekday computation), isodow is 1-7 Monday-first, and
+    FILTER (WHERE ...) works on window aggregates via the CASE
+    rewrite. Values pinned against DuckDB, whose date_part('dow') is
+    PG-compatible."""
+    import duckdb
+
+    lsql.sql("CREATE TABLE db.dw (k BIGINT, g TEXT, ts TIMESTAMP)")
+    # 2024-01-07 is a Sunday, 2024-01-08 a Monday
+    lsql.sql("INSERT INTO db.dw VALUES "
+             "(1,'a',TIMESTAMP '2024-01-07 10:00:00'), "
+             "(2,'a',TIMESTAMP '2024-01-08 10:00:00'), "
+             "(3,'b',TIMESTAMP '2024-01-13 10:00:00')")
+    got = {r.k: (r.d, r.i) for r in lsql.sql(
+        "SELECT k, extract(dow FROM ts) AS d, "
+        "extract(isodow FROM ts) AS i FROM db.dw").collect()}
+    assert got == {1: (0, 7), 2: (1, 1), 3: (6, 6)}
+    # date_part spelling matches, and DuckDB agrees
+    duck = duckdb.connect()
+    want = duck.execute(
+        "SELECT CAST(date_part('dow', TIMESTAMP '2024-01-07 10:00:00')"
+        " AS BIGINT), CAST(date_part('isodow', "
+        "TIMESTAMP '2024-01-07 10:00:00') AS BIGINT)").fetchone()
+    got1 = lsql.sql(
+        "SELECT date_part('dow', ts) AS d, date_part('isodow', ts) AS i"
+        " FROM db.dw WHERE k = 1").collect()[0]
+    assert (got1.d, got1.i) == want == (0, 7)
+    # window FILTER
+    rows = {(r.k): (r.c, r.s) for r in lsql.sql(
+        "SELECT k, count(*) FILTER (WHERE k > 1) OVER (PARTITION BY g)"
+        " AS c, sum(k) FILTER (WHERE k > 1) OVER (PARTITION BY g) AS s"
+        " FROM db.dw").collect()}
+    assert rows == {1: (1, 2), 2: (1, 2), 3: (1, 3)}
+    # group-aggregate FILTER stays on Spark's native path
+    assert lsql.sql("SELECT count(*) FILTER (WHERE k > 1) AS c "
+                    "FROM db.dw").collect()[0].c == 2
+    # SOME is an ANY synonym
+    assert [r.k for r in lsql.sql(
+        "SELECT k FROM db.dw WHERE k = SOME(array[1,3]) ORDER BY k"
+    ).collect()] == [1, 3]
