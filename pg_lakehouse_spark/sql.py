@@ -90,6 +90,17 @@ from pg_lakehouse_spark.lakehouse import (
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
 _TBL = rf"({_IDENT})\.({_IDENT})"
+# words that can precede a '(' without being a function name — used by
+# operand-capturing rewrites (the power operator) to avoid swallowing a
+# keyword as a call
+_SQL_KEYWORDS = {
+    "select", "where", "when", "then", "else", "and", "or", "not",
+    "in", "on", "join", "from", "by", "as", "case", "end", "having",
+    "union", "all", "distinct", "between", "is", "like", "ilike",
+    "exists", "any", "some", "values", "over", "filter", "intersect",
+    "except", "limit", "offset", "group", "order", "partition",
+    "returning", "using", "set",
+}
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -621,6 +632,96 @@ class LakeSQL:
             )
         return out
 
+    _POW_OPERAND = re.compile(
+        rf"(\x00\d+\x00|\d+(?:\.\d+)?|{_IDENT}(?:\.{_IDENT})*)\s*$"
+    )
+    _POW_R_OPERAND = re.compile(
+        rf"(\x00\d+\x00|\d+(?:\.\d+)?|{_IDENT}(?:\.{_IDENT})*)(\s*\()?"
+    )
+
+    @classmethod
+    def _rewrite_power_op(cls, masked: str) -> str:
+        """PG ``^`` is exponentiation; Spark's ``^`` is bitwise XOR —
+        passing it through returns silently WRONG numbers (2 ^ 3 = 1).
+        Rewritten to ``power(l, r)`` by capturing the adjacent
+        operands (literal / identifier / parenthesized group /
+        function call); an operand shape this can't capture raises
+        loudly rather than XOR-ing. Scans right-to-left so chains
+        keep PG's right associativity (a ^ b ^ c = a ^ (b ^ c))."""
+        while True:
+            i = masked.rfind("^")
+            if i < 0:
+                return masked
+            # left operand
+            l_end = i
+            while l_end > 0 and masked[l_end - 1].isspace():
+                l_end -= 1
+            if l_end and masked[l_end - 1] == ")":
+                depth, j = 0, l_end - 1
+                while j >= 0:
+                    if masked[j] == ")":
+                        depth += 1
+                    elif masked[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                if depth != 0:
+                    raise LakehouseError(
+                        "cannot rewrite PG '^' (power): unbalanced "
+                        "left operand"
+                    )
+                # a function call only when the name touches the '('
+                # and isn't a keyword (SELECT (1+1) ^ x must capture
+                # just the parenthesized group)
+                fm = re.search(rf"({_IDENT})$", masked[:j])
+                l_start = (
+                    fm.start(1)
+                    if fm and fm.group(1).lower() not in _SQL_KEYWORDS
+                    else j
+                )
+            else:
+                lm = cls._POW_OPERAND.search(masked[:l_end])
+                if not lm or lm.group(1).lower() in _SQL_KEYWORDS:
+                    raise LakehouseError(
+                        "cannot rewrite PG '^' (power) here; spell "
+                        "power(x, y) explicitly"
+                    )
+                l_start = lm.start(1)
+            # right operand (optional unary sign)
+            r_start = i + 1
+            while r_start < len(masked) and masked[r_start].isspace():
+                r_start += 1
+            rs = r_start
+            if rs < len(masked) and masked[rs] in "+-":
+                rs += 1
+            if rs < len(masked) and masked[rs] == "(":
+                r_end = cls._balanced_end(masked, rs)
+            else:
+                rm = cls._POW_R_OPERAND.match(masked[rs:])
+                if not rm:
+                    raise LakehouseError(
+                        "cannot rewrite PG '^' (power) here; spell "
+                        "power(x, y) explicitly"
+                    )
+                if rm.group(2):  # function call: name(...)
+                    r_end = cls._balanced_end(
+                        masked, rs + rm.end(2) - 1
+                    )
+                else:
+                    r_end = rs + rm.end(1)
+            if r_end < 0:
+                raise LakehouseError(
+                    "cannot rewrite PG '^' (power): unbalanced right "
+                    "operand"
+                )
+            masked = (
+                masked[:l_start]
+                + f"power({masked[l_start:l_end]}, "
+                f"{masked[r_start:r_end]})"
+                + masked[r_end:]
+            )
+
     # expr = ANY(...) / expr <> ALL(...) — PG's array/subquery
     # quantifiers. Simple (possibly qualified) identifier lhs only;
     # anything fancier stays unrewritten and fails loudly.
@@ -1109,6 +1210,7 @@ class LakeSQL:
         masked = cls._rewrite_pg_setfns(masked, lits)
         masked = cls._rewrite_to_char(masked, lits)
         masked = cls._rewrite_extract_dow(masked, lits)
+        masked = cls._rewrite_power_op(masked)
         masked = cls._rewrite_window_filter(masked)
         masked = cls._rewrite_any_all(masked)
         masked = cls._AT_TZ.sub(

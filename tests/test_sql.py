@@ -2745,3 +2745,23 @@ def test_extract_dow_and_window_filter_r7(lsql):
     assert [r.k for r in lsql.sql(
         "SELECT k FROM db.dw WHERE k = SOME(array[1,3]) ORDER BY k"
     ).collect()] == [1, 3]
+
+
+def test_power_operator_r7(lsql):
+    """PG '^' is exponentiation; Spark's is bitwise XOR — passed
+    through it returns silently wrong numbers (2 ^ 3 would be 1).
+    The rewrite captures operands and keeps PG's right associativity
+    and tighter-than-multiplication precedence."""
+    lsql.sql("CREATE TABLE db.pw (x BIGINT)")
+    lsql.sql("INSERT INTO db.pw VALUES (3)")
+    one = lambda stmt: lsql.sql(stmt).collect()[0][0]  # noqa: E731
+    assert one("SELECT 2 ^ 3 AS p") == 8.0
+    assert one("SELECT x ^ 2 + 1 AS p FROM db.pw") == 10.0
+    assert one("SELECT (1 + 1) ^ x AS p FROM db.pw") == 8.0
+    assert one("SELECT 2 ^ abs(x) AS p FROM db.pw") == 8.0
+    # right-associative chain: 2 ^ (1 ^ 2) = 2, not (2 ^ 1) ^ 2 = 4
+    assert one("SELECT 2 ^ 1 ^ 2 AS p") == 2.0
+    # binds tighter than '*', as in PG
+    assert one("SELECT 2 * 3 ^ 2 AS p") == 18.0
+    # PG: unary minus binds looser: -2 ^ 2 = -(2^2)
+    assert one("SELECT -2 ^ 2 AS p") == -4.0
