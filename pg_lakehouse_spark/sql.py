@@ -317,6 +317,11 @@ class LakeSQL:
             if not nm or depth != 0:
                 continue
             fn, args = nm.group(1), head[j + 1: -1].strip()
+            if _split_top_level(args) != [args] and args:
+                # multi-argument aggregate (corr, covar, ...): a CASE
+                # wrap would be wrong — leave it for Spark's loud
+                # "not supported yet" instead of silently mangling
+                continue
             inner = (
                 f"CASE WHEN {cond} THEN 1 END"
                 if args == "*" or not args

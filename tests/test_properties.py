@@ -864,6 +864,14 @@ _DIALECT_PG_STMTS = st.sampled_from(
         "UPDATE db.t SET s = 'a WHERE b' WHERE extract(epoch from ts) > 0",
         "SELECT CAST(k AS TEXT), x -> 'k' -> 0 FROM db.t /* block */",
         "SELECT transform(a, x -> x + 1), s !~ 'p' FROM db.t",
+        # r7 rewrites must also be one-shot
+        "SELECT array[1,2], E'a\\tb', $$it's$$ FROM db.t ORDER BY a DESC",
+        "SELECT string_agg(s, ',' ORDER BY s), 2 ^ 3 FROM db.t "
+        "FETCH FIRST 2 ROWS ONLY",
+        "SELECT extract(dow FROM ts), mode() WITHIN GROUP (ORDER BY s),"
+        " count(*) FILTER (WHERE k > 0) OVER (PARTITION BY g) FROM db.t",
+        "SELECT row(1, 'x'), k = ANY(array[1,2]) FROM db.t "
+        "OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY",
     ]
 )
 
