@@ -1013,6 +1013,156 @@ class LakeSQL:
         return masked
 
     @classmethod
+    def _call_sites(cls, masked: str, fname: str):
+        """(match, args, end) for each ``fname(...)`` call, last to
+        first so in-place edits keep earlier offsets valid."""
+        out = []
+        for m in re.finditer(
+            rf"\b{fname}\s*\(", masked, re.IGNORECASE
+        ):
+            end = cls._balanced_end(masked, masked.index("(", m.start()))
+            if end < 0:
+                continue
+            inner = masked[masked.index("(", m.start()) + 1: end - 1]
+            out.append((m, _split_top_level(inner), end))
+        return reversed(out)
+
+    @classmethod
+    def _rewrite_pg_fn_kit(cls, masked: str, lits: list[str]) -> str:
+        """PG functions Spark spells differently (or lacks):
+
+        - ``to_date/to_timestamp(x, 'PG pattern')`` — the pattern
+          translates through ``_pg_datefmt_to_java``; untranslated it
+          is a Java pattern where ``YYYY`` means WEEK YEAR and ``DD``
+          day-of-year (Spark raises the week-based-pattern error —
+          loud, but valid PG rejected).
+        - ``array_cat`` → ``concat``; ``age(a, b)`` → ``a - b``
+          (day-time interval; PG's symbolic years/months interval has
+          no Spark analog — documented divergence).
+        - ``format('%s...', args)`` → ``format_string`` when the
+          template only uses %s/%% (``%I``/``%L`` stay loud).
+        - ``json[b]_build_object(k, v, ...)`` →
+          ``to_json(named_struct(...))``.
+        - ``regexp_split_to_table(s, pat)`` → ``explode(split(...))``;
+          ``string_to_table(s, 'd')`` likewise with the literal
+          delimiter regex-quoted.
+        - ``quote_literal(x)`` / ``quote_ident(x)`` — PG's SQL-quoting
+          helpers as concat/replace compositions.
+        - ``date_bin('stride', ts, origin)`` — origin-anchored exact
+          µs floor (PG14), same arithmetic as time_bucket.
+        """
+        def lit_of(arg: str) -> str | None:
+            pm = re.fullmatch(r"\s*\x00(\d+)\x00\s*", arg)
+            return lits[int(pm.group(1))][1:-1].replace("''", "'") if pm else None
+
+        def new_lit(raw: str) -> str:
+            lits.append("'" + raw.replace("'", "''") + "'")
+            return f"\x00{len(lits) - 1}\x00"
+
+        for fn in ("to_date", "to_timestamp"):
+            for m, args, end in cls._call_sites(masked, fn):
+                if len(args) != 2:
+                    continue
+                fmt = lit_of(args[1])
+                java = cls._pg_datefmt_to_java(fmt) if fmt else None
+                if java is None:
+                    continue
+                masked = (
+                    masked[: m.start()]
+                    + f"{fn}({args[0].strip()}, {new_lit(java)})"
+                    + masked[end:]
+                )
+        masked = re.sub(
+            r"\barray_cat\s*\(", "concat(", masked, flags=re.IGNORECASE
+        )
+        for m, args, end in cls._call_sites(masked, "age"):
+            if len(args) != 2:
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"(cast({args[0].strip()} as timestamp) - "
+                f"cast({args[1].strip()} as timestamp))"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "format"):
+            tpl = lit_of(args[0]) if args else None
+            if tpl is None or re.search(r"%[^s%]", tpl):
+                continue  # %I/%L etc: loud in Spark
+            masked = (
+                masked[: m.start()]
+                + "format_string("
+                + masked[masked.index("(", m.start()) + 1:]
+            )
+        for m, args, end in cls._call_sites(
+            masked, "jsonb?_build_object"
+        ):
+            masked = (
+                masked[: m.start()]
+                + f"to_json(named_struct({', '.join(a.strip() for a in args)}))"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(
+            masked, "regexp_split_to_table"
+        ):
+            if len(args) != 2:
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"explode(split({args[0].strip()}, {args[1].strip()}))"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "string_to_table"):
+            d = lit_of(args[1]) if len(args) == 2 else None
+            if d is None:
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"explode(split({args[0].strip()}, "
+                + f"{new_lit(re.escape(d))}))"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "quote_literal"):
+            if len(args) != 1:
+                continue
+            q, qq = new_lit("'"), new_lit("''")
+            masked = (
+                masked[: m.start()]
+                + f"concat({q}, replace(cast(({args[0].strip()}) as "
+                f"string), {q}, {qq}), {q})"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "quote_ident"):
+            if len(args) != 1:
+                continue
+            d, dd = new_lit('"'), new_lit('""')
+            masked = (
+                masked[: m.start()]
+                + f"concat({d}, replace(cast(({args[0].strip()}) as "
+                f"string), {d}, {dd}), {d})"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "date_bin"):
+            if len(args) != 3:
+                continue
+            stride = lit_of(args[0])
+            if stride is None:
+                continue
+            from pg_lakehouse_spark.rollup import _bucket_width_us
+
+            try:
+                w = _bucket_width_us(stride)
+            except Exception:  # noqa: BLE001 — unknown width: loud
+                continue
+            us_t = f"unix_micros(cast(({args[1].strip()}) as timestamp))"
+            us_o = f"unix_micros(cast(({args[2].strip()}) as timestamp))"
+            masked = (
+                masked[: m.start()]
+                + f"timestamp_micros({us_t} - pmod({us_t} - {us_o}, {w}))"
+                + masked[end:]
+            )
+        return masked
+
+    @classmethod
     def _rewrite_distinct_on(cls, masked: str) -> str:
         """PG ``SELECT DISTINCT ON (exprs) list ... ORDER BY ...`` —
         keep the FIRST row of each exprs-group in ORDER BY order (the
@@ -1213,6 +1363,7 @@ class LakeSQL:
         # inline ORDER BY text (mode()'s sort expr must stay bare)
         masked = cls._rewrite_ordered_aggs(masked)
         masked = cls._rewrite_pg_setfns(masked, lits)
+        masked = cls._rewrite_pg_fn_kit(masked, lits)
         masked = cls._rewrite_to_char(masked, lits)
         masked = cls._rewrite_extract_dow(masked, lits)
         masked = cls._rewrite_power_op(masked)

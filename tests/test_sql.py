@@ -2765,3 +2765,41 @@ def test_power_operator_r7(lsql):
     assert one("SELECT 2 * 3 ^ 2 AS p") == 18.0
     # PG: unary minus binds looser: -2 ^ 2 = -(2^2)
     assert one("SELECT -2 ^ 2 AS p") == -4.0
+
+
+def test_pg_function_kit_r7(lsql):
+    """r7 battery-3 fixes: to_date/to_timestamp PG patterns (Java
+    'YYYY' means WEEK year — valid PG was rejected loudly), array_cat,
+    age, format('%s'), json_build_object, split-to-table SRFs,
+    quote_literal/ident, date_bin."""
+    import datetime
+
+    lsql.sql("CREATE TABLE db.fk7 (k BIGINT, s TEXT, ts TIMESTAMP)")
+    lsql.sql("INSERT INTO db.fk7 VALUES "
+             "(1, \"it's\", TIMESTAMP '2024-01-02 03:17:05')")
+    one = lambda stmt: lsql.sql(stmt).collect()[0][0]  # noqa: E731
+    assert one("SELECT to_date('2024-01-02', 'YYYY-MM-DD') AS d") == \
+        datetime.date(2024, 1, 2)
+    assert one("SELECT to_timestamp('02/01/2024 05:06', "
+               "'DD/MM/YYYY HH24:MI') AS t") == \
+        datetime.datetime(2024, 1, 2, 5, 6)
+    assert one("SELECT array_cat(array[1,2], array[3]) AS a") == [1, 2, 3]
+    assert one("SELECT age(TIMESTAMP '2024-01-02', "
+               "TIMESTAMP '2024-01-01') AS a") == \
+        datetime.timedelta(days=1)
+    assert one("SELECT format('%s=%s', s, k) AS f FROM db.fk7") == \
+        "it's=1"
+    assert one("SELECT json_build_object('a', k, 'b', s) AS j "
+               "FROM db.fk7") == '{"a":1,"b":"it\'s"}'
+    assert [r[0] for r in lsql.sql(
+        "SELECT regexp_split_to_table('a1b22c', '[0-9]+') AS x"
+    ).collect()] == ["a", "b", "c"]
+    # string_to_table's delimiter is LITERAL (the '.' must not be a
+    # regex wildcard)
+    assert [r[0] for r in lsql.sql(
+        "SELECT string_to_table('a.b', '.') AS x").collect()] == ["a", "b"]
+    assert one("SELECT quote_literal(s) AS q FROM db.fk7") == "'it''s'"
+    assert one("SELECT quote_ident('a\"b') AS q") == '"a""b"'
+    assert one("SELECT date_bin('15 minutes', ts, "
+               "TIMESTAMP '2001-01-01') AS b FROM db.fk7") == \
+        datetime.datetime(2024, 1, 2, 3, 15)
