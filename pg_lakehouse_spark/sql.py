@@ -1426,6 +1426,25 @@ class LakeSQL:
                 + masked[i:]
             )
 
+        # PG row-locking clauses are meaningless here (optimistic
+        # concurrency, no row locks): FOR UPDATE/SHARE variants strip
+        # as documented no-ops — the keyword set can't collide with
+        # time travel's FOR VERSION/TIMESTAMP AS OF
+        masked = re.sub(
+            r"\bFOR\s+(?:NO\s+KEY\s+UPDATE|UPDATE|KEY\s+SHARE|SHARE)"
+            rf"(?:\s+OF\s+{_IDENT}(?:\s*,\s*{_IDENT})*)?"
+            r"(?:\s+NOWAIT|\s+SKIP\s+LOCKED)?",
+            " ",
+            masked,
+            flags=re.IGNORECASE,
+        )
+        # PG inheritance noise word: FROM ONLY t / UPDATE ONLY t /
+        # DELETE FROM ONLY t — no table inheritance exists here
+        masked = re.sub(
+            r"\b(FROM|UPDATE)\s+ONLY\b", r"\1", masked,
+            flags=re.IGNORECASE,
+        )
+
         # LAST: PG default NULL ordering on every ORDER BY scope (the
         # synthesized DISTINCT ON window above gets it too)
         masked = cls._rewrite_order_nulls(masked)
@@ -1632,6 +1651,20 @@ class LakeSQL:
                         "spark.sql.session.timeZone",
                         self._settings_defaults["timezone"],
                     )
+            return None
+        if head == "LOCK":
+            # PG LOCK TABLE: no row/table locks exist in an
+            # optimistic-concurrency lakehouse — validate the target
+            # and acknowledge (the same advisory posture as SET)
+            m = re.match(
+                rf"LOCK\s+(?:TABLE\s+)?{_TBL}(?:\s*,\s*{_TBL})*"
+                r"(?:\s+IN\s+[A-Za-z ]+?\s+MODE)?(?:\s+NOWAIT)?$",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse LOCK: {s[:60]!r}")
+            self._load(m.group(1), m.group(2))  # raises if absent
             return None
         if head == "TABLE":
             # PG shorthand: TABLE ns.t ≡ SELECT * FROM ns.t
@@ -3436,6 +3469,17 @@ class LakeSQL:
                 ]
             )
             return self._finish_insert(tbl, bound, conflict)
+        if re.match(r"VALUES\b", body, re.IGNORECASE) and re.search(
+            r"\bDEFAULT\b", body, re.IGNORECASE
+        ):
+            # PG: DEFAULT as a VALUES item takes the column's declared
+            # default (NULL without one) — substituted per position
+            tcols = (
+                [c.strip() for c in col_list[1:-1].split(",") if c.strip()]
+                if col_list
+                else [f.name for f in tbl.schema().fields]
+            )
+            body = self._values_defaults(tbl, body, tcols)
         if body.upper().startswith(("SELECT", "WITH", "VALUES", "TABLE")):
             df = (
                 self._select(U(body))
@@ -3502,6 +3546,52 @@ class LakeSQL:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
         )
         return self._finish_insert(tbl, bound, conflict)
+
+    def _values_defaults(
+        self, tbl: LakeTable, body: str, tcols: list[str]
+    ) -> str:
+        """Substitute bare ``DEFAULT`` items in a (masked) VALUES list
+        with the target column's declared default expression (NULL
+        without one). Tuples whose arity doesn't match pass through —
+        the arity check downstream raises the proper error."""
+        defaults = tbl.column_defaults()
+        ids, _ = tbl._effective_field_ids(tbl.snapshot())
+
+        def dflt(col: str) -> str:
+            d = defaults.get(str(ids.get(col)))
+            return f"({d})" if d is not None else "NULL"
+
+        i = body.upper().index("VALUES") + 6
+        out, n = [body[:i]], len(body)
+        while i < n:
+            while i < n and (body[i].isspace() or body[i] == ","):
+                out.append(body[i])
+                i += 1
+            if i >= n:
+                break
+            if body[i] != "(":
+                out.append(body[i:])
+                break
+            end = self._balanced_end(body, i)
+            if end < 0:
+                out.append(body[i:])
+                break
+            args = _split_top_level(body[i + 1: end - 1])
+            if len(args) != len(tcols):
+                out.append(body[i:end])
+            else:
+                out.append(
+                    "("
+                    + ", ".join(
+                        dflt(tcols[j])
+                        if a.strip().upper() == "DEFAULT"
+                        else a.strip()
+                        for j, a in enumerate(args)
+                    )
+                    + ")"
+                )
+            i = end
+        return "".join(out)
 
     def _insert_overwrite(self, s: str):
         """``INSERT OVERWRITE [TABLE] ns.t <query>``: partitioned
@@ -4114,10 +4204,21 @@ class LakeSQL:
             )
             sets = strip(sets)
             where = strip(where) if where else None
+        tbl = self._load(ns, name, branch)
+        defaults = tbl.column_defaults()
+        ids, _ = tbl._effective_field_ids(tbl.snapshot())
         assignments = {}
         for k, v in _set_items(sets):
-            assignments[k] = F.expr(self._spark_text(U(v)))
-        tbl = self._load(ns, name, branch)
+            if v.strip().upper() == "DEFAULT":
+                # PG: SET col = DEFAULT restores the declared default
+                d = defaults.get(str(ids.get(k)))
+                assignments[k] = (
+                    F.expr(self._spark_text(d))
+                    if d is not None
+                    else F.lit(None)
+                )
+            else:
+                assignments[k] = F.expr(self._spark_text(U(v)))
         return self._apply_update(
             tbl,
             F.expr(self._spark_text(U(where))) if where else F.lit(True),

@@ -2803,3 +2803,36 @@ def test_pg_function_kit_r7(lsql):
     assert one("SELECT date_bin('15 minutes', ts, "
                "TIMESTAMP '2001-01-01') AS b FROM db.fk7") == \
         datetime.datetime(2024, 1, 2, 3, 15)
+
+
+def test_lock_clauses_and_default_keyword_r7(lsql):
+    """r7 battery-4: FOR UPDATE/SHARE and LOCK TABLE are documented
+    no-ops (optimistic concurrency — no row locks to take); DEFAULT
+    works as a VALUES item and in SET; ONLY is accepted noise."""
+    lsql.sql("CREATE TABLE db.b4 (k BIGINT, s TEXT DEFAULT 'd', "
+             "v BIGINT DEFAULT 7)")
+    lsql.sql("INSERT INTO db.b4 VALUES (1, 'a', 1)")
+    assert [r.k for r in lsql.sql(
+        "SELECT k FROM db.b4 WHERE k = 1 FOR UPDATE").collect()] == [1]
+    assert [r.k for r in lsql.sql(
+        "SELECT k FROM db.b4 FOR SHARE SKIP LOCKED").collect()] == [1]
+    assert lsql.sql("LOCK TABLE db.b4 IN ACCESS EXCLUSIVE MODE") is None
+    with pytest.raises(LakehouseError):
+        lsql.sql("LOCK TABLE db.nosuch")
+    lsql.sql("INSERT INTO db.b4 VALUES (2, DEFAULT, DEFAULT)")
+    lsql.sql("INSERT INTO db.b4 (v, k) VALUES (DEFAULT, 3)")
+    got = {r.k: (r.s, r.v) for r in lsql.sql("TABLE db.b4").collect()}
+    assert got[2] == ("d", 7)
+    assert got[3] == ("d", 7)  # unlisted s -> its DEFAULT (PG), DEFAULT item too
+    lsql.sql("UPDATE db.b4 SET s = DEFAULT, v = v + 1 WHERE k = 1")
+    got = {r.k: (r.s, r.v) for r in lsql.sql("TABLE db.b4").collect()}
+    assert got[1] == ("d", 2)
+    lsql.sql("DELETE FROM ONLY db.b4 WHERE k = 3")
+    lsql.sql("UPDATE ONLY db.b4 SET v = 0 WHERE k = 2")
+    got = {r.k: r.v for r in lsql.sql("TABLE db.b4").collect()}
+    assert got == {1: 2, 2: 0}
+    # time travel's FOR VERSION AS OF must survive the lock-strip
+    v1 = lsql.catalog.load_table("db", "b4").current_version()
+    assert lsql.sql(
+        f"SELECT count(*) AS c FROM db.b4 FOR VERSION AS OF {v1}"
+    ).collect()[0].c == 2
