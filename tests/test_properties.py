@@ -954,3 +954,37 @@ def test_aggregate_differential_vs_duckdb(
         order=", ".join(f"{c} ASC NULLS LAST" for c in cols),
     )).fetchall()]
     assert got == want, stmt
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    epoch_s=st.integers(min_value=0, max_value=2_000_000_000),
+    field=st.sampled_from(
+        ["year", "month", "day", "hour", "minute", "second",
+         "quarter", "dow", "isodow", "doy"]
+    ),
+)
+def test_date_part_differential_vs_duckdb(
+    spark, tmp_path_factory, epoch_s, field
+):
+    """r7: every extract/date_part field must match DuckDB's
+    PG-compatible numbering over random timestamps — dow/isodow are
+    where Spark's native numbering silently diverges (+1 / absent)."""
+    import datetime
+
+    lsql, duck = _sel_setup(spark, tmp_path_factory)
+    ts = datetime.datetime.utcfromtimestamp(epoch_s).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    got = lsql.sql(
+        f"SELECT extract({field} FROM TIMESTAMP '{ts}') AS x"
+    ).collect()[0].x
+    want = duck.execute(
+        f"SELECT date_part('{field}', TIMESTAMP '{ts}')"
+    ).fetchone()[0]
+    assert int(got) == int(want), (field, ts)
