@@ -1141,6 +1141,9 @@ class LakeSQL:
                 f"string), {d}, {dd}), {d})"
                 + masked[end:]
             )
+        masked = re.sub(
+            r"\bpg_typeof\s*\(", "typeof(", masked, flags=re.IGNORECASE
+        )
         for m, args, end in cls._call_sites(masked, "date_bin"):
             if len(args) != 3:
                 continue
@@ -1485,9 +1488,32 @@ class LakeSQL:
         :meth:`_spark_text` at every Spark parse boundary."""
         return self._route_stmt(stmt)
 
+    # PG admin introspection with a LITERAL table arg — resolved from
+    # the catalog at parse time (they need instance state, unlike the
+    # classmethod dialect rewrites)
+    _ADMIN_FN = re.compile(
+        rf"\b(pg_table_size|pg_total_relation_size|obj_description)"
+        rf"\s*\(\s*'({_IDENT})\.({_IDENT})'\s*\)",
+        re.IGNORECASE,
+    )
+
+    def _admin_fns(self, s: str) -> str:
+        def repl(m: re.Match) -> str:
+            fn = m.group(1).lower()
+            tbl = self._load(m.group(2), m.group(3))
+            if fn == "obj_description":
+                c = tbl.snapshot().properties.get("comment")
+                return "NULL" if c is None else "'" + c.replace("'", "''") + "'"
+            snap = tbl.snapshot()
+            return str(sum(f["bytes"] for f in snap.files) or 0)
+
+        return self._ADMIN_FN.sub(repl, s)
+
     def _route_stmt(self, stmt: str):
         s = stmt.strip().rstrip(";").strip()
         s = self._pg_dialect(s).strip()
+        if self._ADMIN_FN.search(s):
+            s = self._admin_fns(s)
         head = s.split(None, 2)[0].upper() if s else ""
         if head in ("BEGIN", "START"):  # BEGIN [TRANSACTION|WORK]
             return self._begin()

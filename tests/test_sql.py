@@ -2836,3 +2836,19 @@ def test_lock_clauses_and_default_keyword_r7(lsql):
     assert lsql.sql(
         f"SELECT count(*) AS c FROM db.b4 FOR VERSION AS OF {v1}"
     ).collect()[0].c == 2
+
+
+def test_admin_introspection_r7(lsql):
+    """pg_typeof → typeof; pg_table_size / obj_description resolve
+    from catalog metadata."""
+    lsql.sql("CREATE TABLE db.adm (k BIGINT)")
+    lsql.sql("INSERT INTO db.adm VALUES (1), (2)")
+    assert lsql.sql("SELECT pg_typeof(k) AS t FROM db.adm"
+                    ).collect()[0].t == "bigint"
+    size = lsql.sql("SELECT pg_table_size('db.adm') AS s").collect()[0].s
+    assert size > 0
+    assert lsql.sql("SELECT obj_description('db.adm') AS c"
+                    ).collect()[0].c is None
+    lsql.sql("COMMENT ON TABLE db.adm IS 'it''s a table'")
+    assert lsql.sql("SELECT obj_description('db.adm') AS c"
+                    ).collect()[0].c == "it's a table"
