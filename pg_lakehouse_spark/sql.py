@@ -1622,7 +1622,11 @@ class LakeSQL:
                 return self._txn.rollback_to_savepoint(m.group(1))
             return self._rollback_txn()
         if self._txn is not None and head not in (
-            "INSERT", "TRUNCATE", "DELETE", "UPDATE", "MERGE", "SELECT", "WITH",
+            "INSERT", "TRUNCATE", "DELETE", "UPDATE", "MERGE", "SELECT",
+            "WITH",
+            # PG allows these inside a transaction (LOCK in fact
+            # REQUIRES one); SET LOCAL is the idiomatic spelling
+            "SET", "RESET", "SHOW", "LOCK", "TABLE", "VALUES",
         ):
             raise LakehouseError(
                 f"{head} is not allowed inside a transaction — the "

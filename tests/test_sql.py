@@ -2852,3 +2852,22 @@ def test_admin_introspection_r7(lsql):
     lsql.sql("COMMENT ON TABLE db.adm IS 'it''s a table'")
     assert lsql.sql("SELECT obj_description('db.adm') AS c"
                     ).collect()[0].c == "it's a table"
+
+
+def test_set_lock_inside_transaction_r7(lsql):
+    """PG allows SET LOCAL / SHOW / LOCK / SELECT inside a transaction
+    (LOCK in fact requires one) — they must not hit the DDL-in-txn
+    rejection."""
+    lsql.sql("CREATE TABLE db.txs (k BIGINT)")
+    lsql.sql("BEGIN")
+    lsql.sql("SET LOCAL statement_timeout = 100")
+    lsql.sql("LOCK TABLE db.txs IN SHARE MODE")
+    lsql.sql("INSERT INTO db.txs VALUES (1)")
+    assert lsql.sql("SHOW statement_timeout").collect()[0][0] == "100"
+    lsql.sql("COMMIT")
+    assert lsql.sql("SELECT count(*) AS c FROM db.txs").collect()[0].c == 1
+    # DDL is still rejected inside a txn
+    lsql.sql("BEGIN")
+    with pytest.raises(LakehouseError, match="not allowed inside"):
+        lsql.sql("CREATE TABLE db.txs2 (k BIGINT)")
+    lsql.sql("ROLLBACK")
