@@ -1599,6 +1599,13 @@ class LakeTable:
         def pack(ps):  # executor-side: positions -> hex bitset
             return ps.apply(_bloom_pack)
 
+        # driver-memory bound (r6 verdict design note): this collect
+        # carries one 8 KiB hex string per (file, column) of the
+        # COMMIT DELTA only — a 10k-file bulk load with 4 bloom
+        # columns is ~320 MB transient, and steady-state appends are
+        # a few files; the full table's blooms never assemble on the
+        # driver (they live sharded across manifest segments, hydrated
+        # per segment on demand)
         rows = (
             base.select("f", F.explode(F.array(*probes)).alias("x"))
             .groupBy("f", "x.c")
