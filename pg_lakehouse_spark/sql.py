@@ -4796,10 +4796,48 @@ class LakeSQL:
             df = self.spark.createDataFrame(
                 rows or [], "table_schema string, table_name string"
             )
+        elif rel in ("table_constraints", "key_column_usage"):
+            cons, keycols = [], []
+            for ns, t in self.catalog.list_tables():
+                tbl = self.catalog.load_table(ns, t)
+                props = tbl.snapshot().properties
+                rk = [
+                    c.strip()
+                    for c in (props.get("row_key") or "").split(",")
+                    if c.strip()
+                ]
+                if rk:
+                    cons.append((ns, f"{t}_pkey", ns, t, "PRIMARY KEY"))
+                    keycols += [
+                        (ns, f"{t}_pkey", ns, t, c, i)
+                        for i, c in enumerate(rk, start=1)
+                    ]
+                for cname, fk in self._fk_defs(tbl).items():
+                    cons.append((ns, cname, ns, t, "FOREIGN KEY"))
+                    keycols += [
+                        (ns, cname, ns, t, c, i)
+                        for i, c in enumerate(fk["columns"], start=1)
+                    ]
+                for cname in tbl.check_constraints():
+                    cons.append((ns, cname, ns, t, "CHECK"))
+            if rel == "table_constraints":
+                df = self.spark.createDataFrame(
+                    cons or [],
+                    "constraint_schema string, constraint_name string, "
+                    "table_schema string, table_name string, "
+                    "constraint_type string",
+                )
+            else:
+                df = self.spark.createDataFrame(
+                    keycols or [],
+                    "constraint_schema string, constraint_name string, "
+                    "table_schema string, table_name string, "
+                    "column_name string, ordinal_position int",
+                )
         else:
             raise LakehouseError(
-                f"information_schema.{rel} is not implemented "
-                "(tables/columns/views are)"
+                f"information_schema.{rel} is not implemented (tables/"
+                "columns/views/table_constraints/key_column_usage are)"
             )
         view = f"__info_schema_{rel}"
         df.createOrReplaceTempView(view)

@@ -2871,3 +2871,30 @@ def test_set_lock_inside_transaction_r7(lsql):
     with pytest.raises(LakehouseError, match="not allowed inside"):
         lsql.sql("CREATE TABLE db.txs2 (k BIGINT)")
     lsql.sql("ROLLBACK")
+
+
+def test_information_schema_constraints_r7(lsql):
+    """information_schema.table_constraints / key_column_usage — the
+    views ORMs and migration tools join to discover PKs and FKs."""
+    lsql.sql("CREATE TABLE db.icp (k BIGINT PRIMARY KEY, v BIGINT, "
+             "CONSTRAINT pos CHECK (v > 0))")
+    lsql.sql("CREATE TABLE db.icc (ck BIGINT REFERENCES db.icp (k))")
+    cons = {
+        (r.constraint_name, r.table_name, r.constraint_type)
+        for r in lsql.sql(
+            "SELECT * FROM information_schema.table_constraints "
+            "WHERE table_schema = 'db' AND table_name IN ('icp','icc')"
+        ).collect()
+    }
+    assert ("icp_pkey", "icp", "PRIMARY KEY") in cons
+    assert ("pos", "icp", "CHECK") in cons
+    assert any(t == "icc" and ct == "FOREIGN KEY" for _, t, ct in cons)
+    kc = {
+        (r.constraint_name, r.column_name, r.ordinal_position)
+        for r in lsql.sql(
+            "SELECT * FROM information_schema.key_column_usage "
+            "WHERE table_name IN ('icp','icc')"
+        ).collect()
+    }
+    assert ("icp_pkey", "k", 1) in kc
+    assert any(c == "ck" for _, c, _p in kc)
