@@ -614,10 +614,12 @@ class LakeSQL:
         ``date_format(expr, '<java pattern>')`` for literal patterns
         made of known tokens; everything else passes through."""
         out = masked
+        floor = len(masked) + 1
         for m in reversed(list(cls._TO_CHAR.finditer(masked))):
             end = cls._balanced_end(out, m.end() - 1)
-            if end < 0:
+            if end < 0 or end > floor:  # nested same-fn: skip outer
                 continue
+            floor = m.start()
             args = _split_top_level(out[m.end(): end - 1])
             if len(args) != 2:
                 continue
@@ -808,10 +810,12 @@ class LakeSQL:
                 break
             expr = out[m.end(): close - 1].strip()
             out = out[: m.start()] + f"mode({expr})" + out[close:]
+        floor = len(out) + 1
         for m in reversed(list(cls._ORDERED_AGG.finditer(out))):
             end = cls._balanced_end(out, m.end() - 1)
-            if end < 0:
+            if end < 0 or end > floor:  # nested agg: skip outer
                 continue
+            floor = m.start()
             inner = out[m.end(): end - 1]
             om, d = None, 0
             for t in re.finditer(
@@ -1015,7 +1019,11 @@ class LakeSQL:
     @classmethod
     def _call_sites(cls, masked: str, fname: str):
         """(match, args, end) for each ``fname(...)`` call, last to
-        first so in-place edits keep earlier offsets valid."""
+        first so in-place edits keep earlier offsets valid. A site
+        that CONTAINS a later-yielded (nested same-function) site is
+        dropped: editing the inner call shifts the outer's recorded
+        end, so the outer is left alone (unrewritten — loud downstream
+        — rather than corrupted)."""
         out = []
         for m in re.finditer(
             rf"\b{fname}\s*\(", masked, re.IGNORECASE
@@ -1025,7 +1033,13 @@ class LakeSQL:
                 continue
             inner = masked[masked.index("(", m.start()) + 1: end - 1]
             out.append((m, _split_top_level(inner), end))
-        return reversed(out)
+        sites, floor = [], len(masked) + 1
+        for m, args, end in reversed(out):
+            if end > floor:
+                continue
+            sites.append((m, args, end))
+            floor = m.start()
+        return sites
 
     @classmethod
     def _rewrite_pg_fn_kit(cls, masked: str, lits: list[str]) -> str:
@@ -1366,7 +1380,15 @@ class LakeSQL:
         # inline ORDER BY text (mode()'s sort expr must stay bare)
         masked = cls._rewrite_ordered_aggs(masked)
         masked = cls._rewrite_pg_setfns(masked, lits)
-        masked = cls._rewrite_pg_fn_kit(masked, lits)
+        # to fixpoint (bounded): nested same-function calls rewrite
+        # inner-first; the outer site's offsets go stale, so it waits
+        # for the next pass (every kit rewrite is stable under
+        # re-application — translated patterns no longer match)
+        for _ in range(4):
+            new = cls._rewrite_pg_fn_kit(masked, lits)
+            if new == masked:
+                break
+            masked = new
         masked = cls._rewrite_to_char(masked, lits)
         masked = cls._rewrite_extract_dow(masked, lits)
         masked = cls._rewrite_power_op(masked)
