@@ -647,6 +647,78 @@ class LakeSQL:
     )
 
     @classmethod
+    def _capture_left(cls, masked: str, i: int) -> tuple[int, int] | None:
+        """(start, end) of the simple operand ending just before
+        position ``i``: literal / number / qualified identifier /
+        parenthesized group / function call. None = uncapturable."""
+        l_end = i
+        while l_end > 0 and masked[l_end - 1].isspace():
+            l_end -= 1
+        if l_end and masked[l_end - 1] in ")]":
+            close, od = masked[l_end - 1], 0
+            op = "(" if close == ")" else "["
+            j = l_end - 1
+            while j >= 0:
+                if masked[j] == close:
+                    od += 1
+                elif masked[j] == op:
+                    od -= 1
+                    if od == 0:
+                        break
+                j -= 1
+            if od != 0:
+                return None
+            # function-call / subscripted-base name only when it
+            # touches the bracket and isn't a keyword
+            fm = re.search(rf"({_IDENT})$", masked[:j])
+            return (
+                fm.start(1)
+                if fm and fm.group(1).lower() not in _SQL_KEYWORDS
+                else j
+            ), l_end
+        lm = cls._POW_OPERAND.search(masked[:l_end])
+        if not lm or lm.group(1).lower() in _SQL_KEYWORDS:
+            return None
+        return lm.start(1), l_end
+
+    @classmethod
+    def _capture_right(
+        cls, masked: str, i: int, signed: bool = False
+    ) -> tuple[int, int] | None:
+        """(start, end) of the simple operand starting at/after
+        position ``i`` (optionally allowing a unary sign)."""
+        r_start = i
+        n = len(masked)
+        while r_start < n and masked[r_start].isspace():
+            r_start += 1
+        rs = r_start
+        if signed and rs < n and masked[rs] in "+-":
+            rs += 1
+        if rs < n and masked[rs] == "(":
+            r_end = cls._balanced_end(masked, rs)
+            return None if r_end < 0 else (r_start, r_end)
+        rm = cls._POW_R_OPERAND.match(masked[rs:])
+        if not rm or rm.group(1).lower() in _SQL_KEYWORDS:
+            return None
+        if rm.group(2):  # function call / ARRAY( constructor
+            r_end = cls._balanced_end(masked, rs + rm.end(2) - 1)
+            return None if r_end < 0 else (r_start, r_end)
+        r_end = rs + rm.end(1)
+        # subscript / PG array-constructor bracket directly after
+        while r_end < n and masked[r_end] == "[":
+            depth, k = 1, r_end + 1
+            while k < n and depth:
+                if masked[k] == "[":
+                    depth += 1
+                elif masked[k] == "]":
+                    depth -= 1
+                k += 1
+            if depth:
+                return None
+            r_end = k
+        return r_start, r_end
+
+    @classmethod
     def _rewrite_power_op(cls, masked: str) -> str:
         """PG ``^`` is exponentiation; Spark's ``^`` is bitwise XOR —
         passing it through returns silently WRONG numbers (2 ^ 3 = 1).
@@ -659,75 +731,59 @@ class LakeSQL:
             i = masked.rfind("^")
             if i < 0:
                 return masked
-            # left operand
-            l_end = i
-            while l_end > 0 and masked[l_end - 1].isspace():
-                l_end -= 1
-            if l_end and masked[l_end - 1] == ")":
-                depth, j = 0, l_end - 1
-                while j >= 0:
-                    if masked[j] == ")":
-                        depth += 1
-                    elif masked[j] == "(":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                    j -= 1
-                if depth != 0:
-                    raise LakehouseError(
-                        "cannot rewrite PG '^' (power): unbalanced "
-                        "left operand"
-                    )
-                # a function call only when the name touches the '('
-                # and isn't a keyword (SELECT (1+1) ^ x must capture
-                # just the parenthesized group)
-                fm = re.search(rf"({_IDENT})$", masked[:j])
-                l_start = (
-                    fm.start(1)
-                    if fm and fm.group(1).lower() not in _SQL_KEYWORDS
-                    else j
-                )
-            else:
-                lm = cls._POW_OPERAND.search(masked[:l_end])
-                if not lm or lm.group(1).lower() in _SQL_KEYWORDS:
-                    raise LakehouseError(
-                        "cannot rewrite PG '^' (power) here; spell "
-                        "power(x, y) explicitly"
-                    )
-                l_start = lm.start(1)
-            # right operand (optional unary sign)
-            r_start = i + 1
-            while r_start < len(masked) and masked[r_start].isspace():
-                r_start += 1
-            rs = r_start
-            if rs < len(masked) and masked[rs] in "+-":
-                rs += 1
-            if rs < len(masked) and masked[rs] == "(":
-                r_end = cls._balanced_end(masked, rs)
-            else:
-                rm = cls._POW_R_OPERAND.match(masked[rs:])
-                if not rm:
-                    raise LakehouseError(
-                        "cannot rewrite PG '^' (power) here; spell "
-                        "power(x, y) explicitly"
-                    )
-                if rm.group(2):  # function call: name(...)
-                    r_end = cls._balanced_end(
-                        masked, rs + rm.end(2) - 1
-                    )
-                else:
-                    r_end = rs + rm.end(1)
-            if r_end < 0:
+            left = cls._capture_left(masked, i)
+            right = cls._capture_right(masked, i + 1, signed=True)
+            if left is None or right is None:
                 raise LakehouseError(
-                    "cannot rewrite PG '^' (power): unbalanced right "
-                    "operand"
+                    "cannot rewrite PG '^' (power) here; spell "
+                    "power(x, y) explicitly"
                 )
+            (l_start, l_end), (r_start, r_end) = left, right
             masked = (
                 masked[:l_start]
                 + f"power({masked[l_start:l_end]}, "
                 f"{masked[r_start:r_end]})"
                 + masked[r_end:]
             )
+
+    # PG array operators: && overlap, @> contains, <@ contained-by.
+    # Spark has no spellings for these (its && is a logical-AND alias,
+    # which PG does not have — so every && through this PG surface is
+    # array/range intent). jsonb containment shares @>'s spelling in
+    # PG; here json is string-typed, so @> is the ARRAY operator.
+    _ARRAY_OP = re.compile(r"&&|@>|<@")
+
+    @classmethod
+    def _rewrite_array_ops(cls, masked: str) -> str:
+        while True:
+            hits = list(cls._ARRAY_OP.finditer(masked))
+            if not hits:
+                return masked
+            m = hits[-1]
+            left = cls._capture_left(masked, m.start())
+            right = cls._capture_right(masked, m.end())
+            if left is None or right is None:
+                raise LakehouseError(
+                    f"cannot rewrite PG array operator "
+                    f"{m.group(0)!r} here; spell arrays_overlap/"
+                    "array_contains explicitly"
+                )
+            (l_start, l_end), (r_start, r_end) = left, right
+            l_txt = masked[l_start:l_end]
+            r_txt = masked[r_start:r_end]
+            if m.group(0) == "&&":
+                rep = f"arrays_overlap(({l_txt}), ({r_txt}))"
+            elif m.group(0) == "@>":
+                rep = (
+                    f"forall(({r_txt}), __pgx -> "
+                    f"array_contains(({l_txt}), __pgx))"
+                )
+            else:  # <@
+                rep = (
+                    f"forall(({l_txt}), __pgx -> "
+                    f"array_contains(({r_txt}), __pgx))"
+                )
+            masked = masked[:l_start] + rep + masked[r_end:]
 
     # expr = ANY(...) / expr <> ALL(...) — PG's array/subquery
     # quantifiers. Simple (possibly qualified) identifier lhs only;
@@ -1370,6 +1426,7 @@ class LakeSQL:
         masked = cls._rewrite_similar_to(masked, lits)
         masked = cls._rewrite_json_arrows(masked, lits)
         masked = cls._rewrite_array_ctor(masked)
+        masked = cls._rewrite_array_ops(masked)
         # PG row constructor → Spark struct (row_number etc. are
         # untouched: the match needs an immediate open paren)
         masked = re.sub(

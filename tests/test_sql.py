@@ -2898,3 +2898,24 @@ def test_information_schema_constraints_r7(lsql):
     }
     assert ("icp_pkey", "k", 1) in kc
     assert any(c == "ck" for _, c, _p in kc)
+
+
+def test_pg_array_operators_r7(lsql):
+    """PG array operators: && overlap, @> contains, <@ contained-by —
+    Spark has no spellings (its && is a logical-AND alias PG doesn't
+    have, so array intent is unambiguous through this surface)."""
+    lsql.sql("CREATE TABLE db.aop (k BIGINT, tags ARRAY<STRING>)")
+    lsql.sql("INSERT INTO db.aop VALUES "
+             "(1, array['a','b']), (2, array['c']), (3, array[])")
+    q = lambda stmt: [r.k for r in lsql.sql(stmt).collect()]  # noqa: E731
+    assert q("SELECT k FROM db.aop WHERE tags && array['b','z'] "
+             "ORDER BY k") == [1]
+    assert q("SELECT k FROM db.aop WHERE tags @> array['a'] "
+             "ORDER BY k") == [1]
+    assert q("SELECT k FROM db.aop WHERE tags <@ array['a','b','c'] "
+             "ORDER BY k") == [1, 2, 3]
+    assert lsql.sql("SELECT array[1,2] && array[2,3] AS o"
+                    ).collect()[0].o is True
+    # chained with other predicates
+    assert q("SELECT k FROM db.aop WHERE k > 0 AND tags && array['c']"
+             ) == [2]
