@@ -793,10 +793,35 @@ class LakeSQL:
         re.IGNORECASE,
     )
 
+    # x [NOT] LIKE/ILIKE ANY|ALL(array[...]) — PG pattern lists
+    _LIKE_ANY_ALL = re.compile(
+        rf"({_IDENT}(?:\.{_IDENT})?)\s+(NOT\s+)?(LIKE|ILIKE)\s+"
+        rf"(ANY|SOME|ALL)\s*\(",
+        re.IGNORECASE,
+    )
+
     @classmethod
     def _rewrite_any_all(cls, masked: str) -> str:
         out = masked
-        for m in reversed(list(cls._ANY_ALL.finditer(masked))):
+        for m in reversed(list(cls._LIKE_ANY_ALL.finditer(masked))):
+            end = cls._balanced_end(out, out.index("(", m.end() - 1))
+            if end < 0:
+                continue
+            lhs, neg = m.group(1), bool(m.group(2))
+            op = m.group(3).upper()
+            quant = m.group(4).upper().replace("SOME", "ANY")
+            inner = out[m.end(): end - 1].strip()
+            body = (
+                f"(({lhs}) LIKE __pgp)"
+                if op == "LIKE"
+                else f"ilike(({lhs}), __pgp)"
+            )
+            fn = "exists" if quant == "ANY" else "forall"
+            rep = f"{fn}(({inner}), __pgp -> {body})"
+            if neg:
+                rep = f"(NOT {rep})"
+            out = out[: m.start()] + rep + out[end:]
+        for m in reversed(list(cls._ANY_ALL.finditer(out))):
             end = cls._balanced_end(out, m.end() - 1)
             if end < 0:
                 continue
@@ -819,6 +844,62 @@ class LakeSQL:
                 continue  # = ALL / <> ANY: rare, loud in Spark
             out = out[: m.start()] + rep + out[end:]
         return out
+
+    _BETWEEN_SYM = re.compile(
+        r"\bBETWEEN\s+SYMMETRIC\b", re.IGNORECASE
+    )
+    # simple (paren-free) operand lists only; fancier forms stay loud
+    _OVERLAPS = re.compile(
+        r"\(([^()]*)\)\s+OVERLAPS\s+\(([^()]*)\)", re.IGNORECASE
+    )
+
+    @classmethod
+    def _rewrite_range_preds(cls, masked: str) -> str:
+        """PG range predicates Spark lacks: ``BETWEEN SYMMETRIC a AND
+        b`` (bounds in either order) and ``(s1, e1) OVERLAPS (s2,
+        e2)`` (half-open interval overlap: s1 < e2 AND s2 < e1)."""
+        while True:
+            m = cls._BETWEEN_SYM.search(masked)
+            if not m:
+                break
+            lo = cls._capture_right(masked, m.end(), signed=True)
+            if lo is None:
+                raise LakehouseError(
+                    "cannot rewrite BETWEEN SYMMETRIC here"
+                )
+            am = re.match(r"\s*AND\b", masked[lo[1]:], re.IGNORECASE)
+            if not am:
+                raise LakehouseError(
+                    "cannot rewrite BETWEEN SYMMETRIC here"
+                )
+            hi = cls._capture_right(
+                masked, lo[1] + am.end(), signed=True
+            )
+            if hi is None:
+                raise LakehouseError(
+                    "cannot rewrite BETWEEN SYMMETRIC here"
+                )
+            a = masked[lo[0]: lo[1]]
+            b = masked[hi[0]: hi[1]]
+            masked = (
+                masked[: m.start()]
+                + f"BETWEEN least({a}, {b}) AND greatest({a}, {b})"
+                + masked[hi[1]:]
+            )
+
+        def ovl(m: re.Match) -> str:
+            l = _split_top_level(m.group(1))
+            r = _split_top_level(m.group(2))
+            if len(l) != 2 or len(r) != 2:
+                return m.group(0)  # not the 2-tuple form: leave loud
+            s1, e1, s2, e2 = (x.strip() for x in (*l, *r))
+            # PG normalizes each pair (the earlier value is the start)
+            return (
+                f"(least({s1}, {e1}) < greatest({s2}, {e2}) "
+                f"AND least({s2}, {e2}) < greatest({s1}, {e1}))"
+            )
+
+        return cls._OVERLAPS.sub(ovl, masked)
 
     # expr AT TIME ZONE 'zone' → convert_timezone('zone', expr): the
     # PG timestamptz→wall-clock-in-zone direction (Spark's 2-arg form
@@ -1214,6 +1295,15 @@ class LakeSQL:
         masked = re.sub(
             r"\bpg_typeof\s*\(", "typeof(", masked, flags=re.IGNORECASE
         )
+        for nn in ("num_nonnulls", "num_nulls"):
+            for m, args, end in cls._call_sites(masked, nn):
+                if not args or not any(a.strip() for a in args):
+                    continue
+                cond = "IS NOT NULL" if nn == "num_nonnulls" else "IS NULL"
+                terms = " + ".join(
+                    f"cast(({a.strip()}) {cond} as int)" for a in args
+                )
+                masked = masked[: m.start()] + f"({terms})" + masked[end:]
         for m, args, end in cls._call_sites(masked, "date_bin"):
             if len(args) != 3:
                 continue
@@ -1396,6 +1486,15 @@ class LakeSQL:
 
         masked = cls._QIDENT.sub(qrepl, masked)
 
+        # PG's operator spellings of LIKE — rewritten BEFORE the regex
+        # ops so '~~' can never be torn into two '~' regex matches
+        # (which would silently turn LIKE wildcards into regex syntax)
+        for pg_op, spark_op in (
+            ("!~~\*", " NOT ILIKE "), ("!~~", " NOT LIKE "),
+            ("~~\*", " ILIKE "), ("~~", " LIKE "),
+        ):
+            masked = re.sub(pg_op, spark_op, masked)
+
         def oprepl(m: re.Match) -> str:
             op = m.group(1)
             tail = masked[m.end():]
@@ -1447,6 +1546,7 @@ class LakeSQL:
                 break
             masked = new
         masked = cls._rewrite_to_char(masked, lits)
+        masked = cls._rewrite_range_preds(masked)
         masked = cls._rewrite_extract_dow(masked, lits)
         masked = cls._rewrite_power_op(masked)
         masked = cls._rewrite_window_filter(masked)

@@ -2919,3 +2919,34 @@ def test_pg_array_operators_r7(lsql):
     # chained with other predicates
     assert q("SELECT k FROM db.aop WHERE k > 0 AND tags && array['c']"
              ) == [2]
+
+
+def test_pg_operators_battery6_r7(lsql):
+    """r7 battery-6: PG's ~~ operator family (the OPERATOR spellings
+    of LIKE — torn into regex ops they'd silently change wildcard
+    semantics), LIKE/ILIKE pattern lists over arrays, BETWEEN
+    SYMMETRIC, OVERLAPS, num_nonnulls/num_nulls."""
+    lsql.sql("CREATE TABLE db.b6 (k BIGINT, s TEXT, d DATE)")
+    lsql.sql("INSERT INTO db.b6 VALUES "
+             "(1, 'a.c', DATE '2024-01-05'), (2, 'abc', DATE '2024-02-05')")
+    q = lambda stmt: [r.k for r in lsql.sql(stmt).collect()]  # noqa: E731
+    # '~~' is LIKE: '.' is a literal dot, NOT regex any-char
+    assert q("SELECT k FROM db.b6 WHERE s ~~ 'a.c' ORDER BY k") == [1]
+    assert q("SELECT k FROM db.b6 WHERE s !~~ 'a.c' ORDER BY k") == [2]
+    assert q("SELECT k FROM db.b6 WHERE s ~~* 'A.C' ORDER BY k") == [1]
+    assert q("SELECT k FROM db.b6 WHERE s !~~* 'A%' ORDER BY k") == []
+    # '~' stays regex: 'a.c' as a REGEX matches both rows
+    assert q("SELECT k FROM db.b6 WHERE s ~ 'a.c' ORDER BY k") == [1, 2]
+    assert q("SELECT k FROM db.b6 WHERE k BETWEEN SYMMETRIC 2 AND 1 "
+             "ORDER BY k") == [1, 2]
+    assert q("SELECT k FROM db.b6 WHERE (d, d) OVERLAPS "
+             "(DATE '2024-01-31', DATE '2024-01-01') ORDER BY k") == [1]
+    assert q("SELECT k FROM db.b6 WHERE s LIKE ANY(array['a.%','zz']) "
+             "ORDER BY k") == [1]
+    assert q("SELECT k FROM db.b6 WHERE s ILIKE ALL(array['A%','%C']) "
+             "ORDER BY k") == [1, 2]
+    assert q("SELECT k FROM db.b6 WHERE s NOT LIKE ALL(array['a%']) "
+             "ORDER BY k") == []
+    r = lsql.sql("SELECT num_nonnulls(1, NULL, 'x') AS n, "
+                 "num_nulls(NULL, 1) AS m").collect()[0]
+    assert (r.n, r.m) == (2, 1)
