@@ -190,6 +190,22 @@ class LakeSQL:
         tbl = self.catalog.load_table(ns, name)
         return tbl.for_branch(branch) if branch else tbl
 
+    @staticmethod
+    def _schema_path_exists(schema, dotted: str) -> bool:
+        """Whether a possibly-dotted column path (``a`` / ``a.b.c``)
+        resolves through the schema's struct fields."""
+        from pyspark.sql.types import StructType
+
+        cur = schema
+        for part in dotted.split("."):
+            if not isinstance(cur, StructType):
+                return False
+            by_name = {f.name: f.dataType for f in cur.fields}
+            if part not in by_name:
+                return False
+            cur = by_name[part]
+        return True
+
     def _source_ref_df(self, src_ref: str) -> DataFrame:
         """Resolve a bare MERGE USING / UPDATE FROM / DELETE USING
         source reference: a two-part ``ns.t`` binds the lake table
@@ -509,7 +525,7 @@ class LakeSQL:
     _ORDER_BY = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
     _OB_TOKEN = re.compile(
         r"[(),;]|\b(?:LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|WINDOW|"
-        r"UNION|INTERSECT|EXCEPT|FOR|HAVING)\b",
+        r"UNION|INTERSECT|EXCEPT|FOR|HAVING|RETURNING|ON|INTO)\b",
         re.IGNORECASE,
     )
     _NULLS_QUAL = re.compile(r"\bNULLS\s+(?:FIRST|LAST)\s*$", re.IGNORECASE)
@@ -582,19 +598,36 @@ class LakeSQL:
     )
     _TO_CHAR = re.compile(r"\bto_char\s*\(", re.IGNORECASE)
 
+    # all-caps name tokens PG renders UPPERCASE ('JANUARY', 'MON')
+    # where Java's MMMM/EEE render capitalized — the whole result is
+    # wrapped in upper() (PG's blank-padding to 9 chars is a known,
+    # documented divergence; FM-prefixed tokens match exactly)
+    _TO_CHAR_UPPER = ("MONTH", "MON", "DAY", "DY")
+    _TO_CHAR_MIXED = ("Month", "Mon", "Day", "Dy")
+
     @classmethod
-    def _pg_datefmt_to_java(cls, fmt: str) -> str | None:
+    def _pg_datefmt_to_java(cls, fmt: str) -> tuple[str, bool] | None:
         """Translate a PG to_char datetime pattern to the Java
-        DateTimeFormatter pattern date_format wants; None when the
-        pattern contains anything outside the known token set (the
-        caller leaves the call unrewritten — loud, never silently
-        wrong)."""
+        DateTimeFormatter pattern date_format wants; the bool is
+        whether the result must be wrapped in upper() (all-caps PG
+        name tokens). None when the pattern contains anything outside
+        the known token set, or mixes all-caps and capitalized name
+        tokens (one upper() can't render both) — the caller leaves
+        the call unrewritten: loud, never silently wrong."""
         out, i, n = [], 0, len(fmt)
+        needs_upper = has_mixed = False
         while i < n:
+            if fmt.startswith("FM", i):  # PG fill-mode: no padding —
+                i += 2                   # Java's default; just skip
+                continue
             for pg, java in cls._TO_CHAR_TOKENS:
                 if fmt.startswith(pg, i):
                     if not java:
                         return None
+                    if pg in cls._TO_CHAR_UPPER:
+                        needs_upper = True
+                    elif pg in cls._TO_CHAR_MIXED:
+                        has_mixed = True
                     out.append(java)
                     i += len(pg)
                     break
@@ -606,7 +639,9 @@ class LakeSQL:
                     return None  # quoted literals: unsupported
                 out.append(c)
                 i += 1
-        return "".join(out)
+        if needs_upper and has_mixed:
+            return None
+        return "".join(out), needs_upper
 
     @classmethod
     def _rewrite_to_char(cls, masked: str, lits: list[str]) -> str:
@@ -627,16 +662,16 @@ class LakeSQL:
             if not pm:
                 continue
             fmt = lits[int(pm.group(1))][1:-1].replace("''", "'")
-            java = cls._pg_datefmt_to_java(fmt)
-            if java is None:
+            tj = cls._pg_datefmt_to_java(fmt)
+            if tj is None:
                 continue
+            java, needs_upper = tj
             lits.append("'" + java + "'")
             ph = f"\x00{len(lits) - 1}\x00"
-            out = (
-                out[: m.start()]
-                + f"date_format({args[0].strip()}, {ph})"
-                + out[end:]
-            )
+            rep = f"date_format({args[0].strip()}, {ph})"
+            if needs_upper:
+                rep = f"upper({rep})"
+            out = out[: m.start()] + rep + out[end:]
         return out
 
     _POW_OPERAND = re.compile(
@@ -647,10 +682,44 @@ class LakeSQL:
     )
 
     @classmethod
-    def _capture_left(cls, masked: str, i: int) -> tuple[int, int] | None:
+    def _capture_left(
+        cls, masked: str, i: int, signed: bool = False
+    ) -> tuple[int, int] | None:
         """(start, end) of the simple operand ending just before
         position ``i``: literal / number / qualified identifier /
-        parenthesized group / function call. None = uncapturable."""
+        parenthesized group / function call. With ``signed``, a
+        preceding UNARY +/- is part of the operand (PG precedence:
+        unary minus binds tighter than ``^``, so -2 ^ 2 = 4).
+        None = uncapturable."""
+        span = cls._capture_left_base(masked, i)
+        if span is None or not signed:
+            return span
+        l_start, l_end = span
+        j = l_start
+        while j > 0 and masked[j - 1].isspace():
+            j -= 1
+        if j and masked[j - 1] in "+-":
+            # unary iff what precedes the sign is not a value tail
+            # (identifier/number/literal/closing bracket => binary);
+            # a keyword tail (WHEN, AND, SELECT, ...) is unary
+            k = j - 1
+            while k > 0 and masked[k - 1].isspace():
+                k -= 1
+            prev = masked[k - 1] if k else ""
+            wordm = re.search(rf"({_IDENT})$", masked[:k])
+            is_value_tail = bool(prev) and (
+                prev.isalnum() or prev in ")]_\x00"
+            )
+            if wordm and wordm.group(1).lower() in _SQL_KEYWORDS:
+                is_value_tail = False
+            if not is_value_tail:
+                return j - 1, l_end
+        return span
+
+    @classmethod
+    def _capture_left_base(
+        cls, masked: str, i: int
+    ) -> tuple[int, int] | None:
         l_end = i
         while l_end > 0 and masked[l_end - 1].isspace():
             l_end -= 1
@@ -725,13 +794,16 @@ class LakeSQL:
         Rewritten to ``power(l, r)`` by capturing the adjacent
         operands (literal / identifier / parenthesized group /
         function call); an operand shape this can't capture raises
-        loudly rather than XOR-ing. Scans right-to-left so chains
-        keep PG's right associativity (a ^ b ^ c = a ^ (b ^ c))."""
+        loudly rather than XOR-ing. Scans LEFT-to-right so chains
+        keep PG's LEFT associativity (a ^ b ^ c = (a ^ b) ^ c —
+        PG docs: '^' is left-associative, unlike math convention),
+        and a preceding unary sign joins the left operand (PG: unary
+        minus binds tighter than '^', so -2 ^ 2 = 4)."""
         while True:
-            i = masked.rfind("^")
+            i = masked.find("^")
             if i < 0:
                 return masked
-            left = cls._capture_left(masked, i)
+            left = cls._capture_left(masked, i, signed=True)
             right = cls._capture_right(masked, i + 1, signed=True)
             if left is None or right is None:
                 raise LakehouseError(
@@ -1215,9 +1287,12 @@ class LakeSQL:
                 if len(args) != 2:
                     continue
                 fmt = lit_of(args[1])
-                java = cls._pg_datefmt_to_java(fmt) if fmt else None
-                if java is None:
+                tj = cls._pg_datefmt_to_java(fmt) if fmt else None
+                if tj is None:
                     continue
+                # parse direction: only the Java pattern matters (the
+                # upper() flag is for rendering)
+                java = tj[0]
                 masked = (
                     masked[: m.start()]
                     + f"{fn}({args[0].strip()}, {new_lit(java)})"
@@ -1490,8 +1565,8 @@ class LakeSQL:
         # ops so '~~' can never be torn into two '~' regex matches
         # (which would silently turn LIKE wildcards into regex syntax)
         for pg_op, spark_op in (
-            ("!~~\*", " NOT ILIKE "), ("!~~", " NOT LIKE "),
-            ("~~\*", " ILIKE "), ("~~", " LIKE "),
+            (r"!~~\*", " NOT ILIKE "), ("!~~", " NOT LIKE "),
+            (r"~~\*", " ILIKE "), ("~~", " LIKE "),
         ):
             masked = re.sub(pg_op, spark_op, masked)
 
@@ -1832,7 +1907,10 @@ class LakeSQL:
             name = ("timezone" if m.group(1) else m.group(2)).lower()
             raw = (m.group(1) or m.group(3)).strip()
             val = raw.strip("'\"")
-            if val.upper() == "DEFAULT":
+            # LOCAL is PG's SET TIME ZONE synonym for DEFAULT — storing
+            # the literal string would poison spark.sql.session.timeZone
+            # with an invalid zone id
+            if val.upper() in ("DEFAULT", "LOCAL"):
                 self._settings.pop(name, None)
                 val = self._settings_defaults.get(name)
             else:
@@ -3032,9 +3110,12 @@ class LakeSQL:
                 action,
                 re.IGNORECASE | re.DOTALL,
             )
-            if "IF NOT EXISTS" in au and am.group(1).split(".")[0] in {
-                f.name for f in tbl.schema().fields
-            }:
+            # IF NOT EXISTS must resolve the FULL dotted path: checking
+            # only the top-level name silently no-ops ``ADD COLUMN a.b``
+            # whenever struct ``a`` exists even though ``a.b`` is absent
+            if "IF NOT EXISTS" in au and self._schema_path_exists(
+                tbl.schema(), am.group(1)
+            ):
                 return None  # PG: silently skip an existing column
             return tbl.add_column(
                 am.group(1),
@@ -3055,9 +3136,9 @@ class LakeSQL:
                 action,
                 re.IGNORECASE,
             )
-            if "IF EXISTS" in au and am.group(1).split(".")[0] not in {
-                f.name for f in tbl.schema().fields
-            }:
+            if "IF EXISTS" in au and not self._schema_path_exists(
+                tbl.schema(), am.group(1)
+            ):
                 return None  # PG: silently skip a missing column
             self._fk_guard_column_ddl(tbl, am.group(1), "drop")
             return tbl.drop_column(am.group(1))

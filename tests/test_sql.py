@@ -2750,8 +2750,9 @@ def test_extract_dow_and_window_filter_r7(lsql):
 def test_power_operator_r7(lsql):
     """PG '^' is exponentiation; Spark's is bitwise XOR — passed
     through it returns silently wrong numbers (2 ^ 3 would be 1).
-    The rewrite captures operands and keeps PG's right associativity
-    and tighter-than-multiplication precedence."""
+    The rewrite captures operands and keeps PG's LEFT associativity
+    (PG docs: unlike math convention), unary-minus-binds-tighter
+    precedence, and tighter-than-multiplication precedence."""
     lsql.sql("CREATE TABLE db.pw (x BIGINT)")
     lsql.sql("INSERT INTO db.pw VALUES (3)")
     one = lambda stmt: lsql.sql(stmt).collect()[0][0]  # noqa: E731
@@ -2759,12 +2760,19 @@ def test_power_operator_r7(lsql):
     assert one("SELECT x ^ 2 + 1 AS p FROM db.pw") == 10.0
     assert one("SELECT (1 + 1) ^ x AS p FROM db.pw") == 8.0
     assert one("SELECT 2 ^ abs(x) AS p FROM db.pw") == 8.0
-    # right-associative chain: 2 ^ (1 ^ 2) = 2, not (2 ^ 1) ^ 2 = 4
-    assert one("SELECT 2 ^ 1 ^ 2 AS p") == 2.0
+    # LEFT-associative chain, as PG documents: (2 ^ 1) ^ 2 = 4
+    assert one("SELECT 2 ^ 1 ^ 2 AS p") == 4.0
+    assert one("SELECT 2 ^ 3 ^ 2 AS p") == 64.0
     # binds tighter than '*', as in PG
     assert one("SELECT 2 * 3 ^ 2 AS p") == 18.0
-    # PG: unary minus binds looser: -2 ^ 2 = -(2^2)
-    assert one("SELECT -2 ^ 2 AS p") == -4.0
+    # PG: unary minus binds TIGHTER than '^': -2 ^ 2 = (-2)^2 = 4
+    assert one("SELECT -2 ^ 2 AS p") == 4.0
+    # ... but a binary minus is not a sign: 1 - 2 ^ 2 = -3
+    assert one("SELECT 1 - 2 ^ 2 AS p") == -3.0
+    assert one("SELECT x - 2 ^ 2 AS p FROM db.pw") == -1.0
+    # sign after a keyword is unary: CASE WHEN scope
+    assert one("SELECT CASE WHEN true THEN -2 ^ 2 ELSE 0 END AS p") \
+        == 4.0
 
 
 def test_pg_function_kit_r7(lsql):
@@ -2950,3 +2958,61 @@ def test_pg_operators_battery6_r7(lsql):
     r = lsql.sql("SELECT num_nonnulls(1, NULL, 'x') AS n, "
                  "num_nulls(NULL, 1) AS m").collect()[0]
     assert (r.n, r.m) == (2, 1)
+
+
+def test_advice_fixes_r8(lsql):
+    """r8 ADVICE batch: all-caps to_char name tokens render UPPERCASE
+    as PG does (MONTH -> 'JANUARY', Dy -> 'Sat'); FM prefix passes
+    through; SET TIME ZONE LOCAL restores the default like DEFAULT;
+    INSERT ... ORDER BY ... RETURNING keeps the RETURNING list intact
+    (ORDER BY NULLS-qualifier must stop at RETURNING); nested ADD
+    COLUMN IF NOT EXISTS resolves the FULL dotted path."""
+    lsql.sql("CREATE TABLE db.adv8 (k BIGINT, d DATE)")
+    lsql.sql("INSERT INTO db.adv8 VALUES (1, DATE '2024-01-06')")
+    one = lambda stmt: lsql.sql(stmt).collect()[0][0]  # noqa: E731
+    # PG: to_char(date'2024-01-06','MONTH') = 'JANUARY  ' (upper);
+    # the blank padding is a documented divergence, the CASE is not
+    assert one("SELECT to_char(d, 'MONTH') AS c FROM db.adv8").strip() \
+        == "JANUARY"
+    assert one("SELECT to_char(d, 'Month') AS c FROM db.adv8").strip() \
+        == "January"
+    assert one("SELECT to_char(d, 'DY') AS c FROM db.adv8").strip() \
+        == "SAT"
+    assert one("SELECT to_char(d, 'FMMonth DD') AS c FROM db.adv8") \
+        == "January 06"
+    assert one("SELECT to_char(d, 'MON-YYYY') AS c FROM db.adv8") \
+        == "JAN-2024"
+    # mixing all-caps and capitalized name tokens stays unrewritten
+    # (loud: Spark's numeric to_char rejects it) — never half-upper
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        lsql.sql("SELECT to_char(d, 'MONTH Day') AS c FROM db.adv8") \
+            .collect()
+    # SET TIME ZONE LOCAL == SET TIME ZONE DEFAULT (PG synonym); the
+    # literal string 'LOCAL' must never reach session.timeZone
+    default_tz = lsql.sql("SHOW timezone").collect()[0][0]
+    lsql.sql("SET TIME ZONE 'America/New_York'")
+    lsql.sql("SET TIME ZONE LOCAL")
+    assert lsql.sql("SHOW timezone").collect()[0][0] == default_tz
+    assert lsql.spark.conf.get("spark.sql.session.timeZone") != "LOCAL"
+    # ORDER BY in an INSERT source must not leak NULLS LAST into the
+    # RETURNING list
+    rows = lsql.sql(
+        "INSERT INTO db.adv8 SELECT k + 1, d FROM db.adv8 "
+        "ORDER BY k RETURNING k"
+    ).collect()
+    assert [r.k for r in rows] == [2]
+    # dotted IF NOT EXISTS: struct a exists but a.b does not -> the
+    # ADD must still happen (old code silently no-opped)
+    lsql.sql("ALTER TABLE db.adv8 ADD COLUMN a STRUCT<x: BIGINT>")
+    lsql.sql("ALTER TABLE db.adv8 ADD COLUMN IF NOT EXISTS a.y BIGINT")
+    tbl = lsql.catalog.load_table("db", "adv8")
+    a_fields = {
+        f.name
+        for f in dict(
+            (f.name, f.dataType) for f in tbl.schema().fields
+        )["a"].fields
+    }
+    assert a_fields == {"x", "y"}
+    # ... and re-adding an existing nested field still no-ops
+    lsql.sql("ALTER TABLE db.adv8 ADD COLUMN IF NOT EXISTS a.y BIGINT")
