@@ -187,7 +187,10 @@ class LakeSQL:
         }
 
     def _load(self, ns: str, name: str, branch: str | None = None) -> LakeTable:
-        tbl = self.catalog.load_table(ns, name)
+        # PG folds unquoted identifiers to lowercase — every ref that
+        # reaches here came from unquoted SQL text (_TBL never matches
+        # quoted identifiers), so folding is always PG-correct
+        tbl = self.catalog.load_table(ns.lower(), name.lower())
         return tbl.for_branch(branch) if branch else tbl
 
     @staticmethod
@@ -2014,7 +2017,9 @@ class LakeSQL:
                 )
                 if not m:
                     raise LakehouseError(f"cannot parse DROP MV: {s[:80]!r}")
-                self.catalog.drop_table(m.group(1), m.group(2), purge=True)
+                self.catalog.drop_table(
+                    m.group(1).lower(), m.group(2).lower(), purge=True
+                )
                 return None
             sm = re.match(
                 rf"DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?({_IDENT})(\s+CASCADE)?$",
@@ -2037,7 +2042,8 @@ class LakeSQL:
                 if not m:
                     raise LakehouseError(f"cannot parse DROP VIEW: {s[:80]!r}")
                 self.catalog.drop_view(
-                    m.group(2), m.group(3), if_exists=bool(m.group(1))
+                    m.group(2).lower(), m.group(3).lower(),
+                    if_exists=bool(m.group(1))
                 )
                 return None
             return self._drop(s)
@@ -2234,6 +2240,48 @@ class LakeSQL:
         "stats": "column_stats_df",
         "manifests": "manifests_df",
     }
+
+    # keywords that may legally follow a FROM-item without being its
+    # alias — anything else after a bare lake ref IS an explicit alias
+    _CORR_STOP = frozenset(
+        "where group order having limit offset fetch union intersect "
+        # TABLESAMPLE is deliberately absent: Spark's grammar wants
+        # the sample clause BEFORE the alias, so a sampled ref keeps
+        # its bare view binding (no implicit correlation — loud if
+        # the bare name is then used as a qualifier)
+        "except join inner left right full cross natural on using for "
+        "window qualify returning when then else end and "
+        "or not set values with select from lateral semi anti "
+        "asof".split()
+    )
+
+    def _decorate_lake_ref(self, s: str, m: re.Match, view: str) -> str:
+        """PG's implicit correlation name: an un-aliased table in a
+        FROM/JOIN position is addressable by its bare (folded) name —
+        ``SELECT t.k FROM db.t`` and ``WHERE EXISTS (SELECT 1 FROM
+        db.u WHERE u.k = t.k)`` are the most common spellings in
+        hand-written PG. The binder substitutes a ``__lake_db_t``
+        temp view, so emit ``__lake_db_t AS t`` unless an explicit
+        alias already follows. A match in a COLUMN-qualifier position
+        (``SELECT db.t.k`` — schema-qualified column ref, legal PG
+        against an unaliased table) rewrites to the correlation name
+        itself so it resolves against the FROM-item's alias."""
+        corr = m.group(2).lower()
+        tail = s[m.end():]
+        if re.match(rf"\s*\.\s*(?:{_IDENT}|\*|\")", tail):
+            return corr  # column-qualifier position: db.t.k / db.t.*
+        head = s[: m.start()].rstrip()
+        if not (
+            head.endswith(",")
+            or re.search(r"\b(?:FROM|JOIN)$", head, re.IGNORECASE)
+        ):
+            return view  # not a FROM-item position: leave as-is
+        am = re.match(rf"\s*(\"|\(|{_IDENT})", tail)
+        if am:
+            tok = am.group(1)
+            if tok in ('"', "(") or tok.lower() not in self._CORR_STOP:
+                return view  # explicit alias present (binds itself)
+        return f"{view} AS {corr}"
 
     # simple conjuncts a manifest can act on: col OP literal / BETWEEN
     # (string literal alternative accepts PG '' quote escapes)
@@ -2610,23 +2658,34 @@ class LakeSQL:
             for m2 in self._TT.finditer(s):
                 if any(m2.group(i) for i in (3, 4, 5, 6)):
                     refs.add(None)  # meta/branch/time-travel ref
-                elif self.catalog.table_exists(m2.group(1), m2.group(2)):
-                    refs.add((m2.group(1), m2.group(2)))
+                elif self.catalog.table_exists(
+                    m2.group(1).lower(), m2.group(2).lower()
+                ):
+                    refs.add((m2.group(1).lower(), m2.group(2).lower()))
             if len(refs) == 1:
                 lone_ref = next(iter(refs))
 
         def bind(m: re.Match) -> str:
+            view = bind_target(m)
+            if view is None:
+                return m.group(0)  # not ours — leave for Spark
+            return self._decorate_lake_ref(s, m, view)
+
+        def bind_target(m: re.Match) -> str | None:
             ns, name, meta, branch, ver, ts = (
-                m.group(1), m.group(2), m.group(3), m.group(4),
-                m.group(5), m.group(6),
+                # PG folds unquoted identifiers to lowercase (_TBL
+                # never matches quoted ones, so folding is always
+                # PG-correct here); quoted refs don't reach bind
+                m.group(1).lower(), m.group(2).lower(), m.group(3),
+                m.group(4), m.group(5), m.group(6),
             )
-            if ns.lower() == "information_schema":
-                return self._bind_information_schema(name.lower())
+            if ns == "information_schema":
+                return self._bind_information_schema(name)
             if not self.catalog.table_exists(ns, name):
                 has_view = getattr(self.catalog, "view_exists", None)
                 if has_view and has_view(ns, name):
                     return self._bind_view(ns, name, meta, branch, ver, ts)
-                return m.group(0)  # not ours — leave for Spark to resolve
+                return None  # not ours — leave for Spark to resolve
             tbl = self._load(ns, name, branch)
             if meta is not None and meta.lower() == "realtime":
                 # real-time continuous aggregate: materialized rollup
@@ -2779,8 +2838,8 @@ class LakeSQL:
             raise LakehouseError(f"cannot parse CREATE TABLE: {s[:80]!r}")
         if_not_exists, ns, name, rest = (
             bool(m.group(1)),
-            m.group(2),
-            m.group(3),
+            m.group(2).lower(),  # PG folds unquoted identifiers
+            m.group(3).lower(),
             m.group(4).strip(),
         )
         # literals masked (see _update): a DEFAULT/CHECK/WITH value
@@ -3005,6 +3064,7 @@ class LakeSQL:
         if not m:
             raise LakehouseError(f"cannot parse DROP TABLE: {s[:80]!r}")
         if_exists, ns, name, purge = m.groups()
+        ns, name = ns.lower(), name.lower()  # PG identifier folding
         if if_exists and not self.catalog.table_exists(ns, name):
             return None
         self.catalog.drop_table(ns, name, purge=bool(purge))
@@ -3021,7 +3081,7 @@ class LakeSQL:
         )
         if not m:
             raise LakehouseError(f"cannot parse TRUNCATE: {s[:80]!r}")
-        tbl = self.catalog.load_table(m.group(1), m.group(2))
+        tbl = self._load(m.group(1), m.group(2))
         if self._fk_referenced_by(tbl):
             raise LakehouseError(
                 "cannot TRUNCATE a table referenced by FOREIGN KEY "
@@ -3037,15 +3097,20 @@ class LakeSQL:
         m = re.match(rf"ALTER\s+TABLE\s+{_TBL}\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
         if not m:
             raise LakehouseError(f"cannot parse ALTER TABLE: {s[:80]!r}")
-        ns, name, action = m.group(1), m.group(2), m.group(3).strip()
+        ns, name, action = (
+            m.group(1).lower(), m.group(2).lower(), m.group(3).strip()
+        )  # PG identifier folding
         au = action.upper()
         if au.startswith("RENAME TO"):
             tm = re.match(rf"RENAME\s+TO\s+{_TBL}$", action, re.IGNORECASE)
             if not tm:
                 raise LakehouseError(f"cannot parse RENAME TO: {action!r}")
-            self.catalog.rename_table(ns, name, tm.group(1), tm.group(2))
+            self.catalog.rename_table(
+                ns.lower(), name.lower(),
+                tm.group(1).lower(), tm.group(2).lower(),
+            )
             return None
-        tbl = self.catalog.load_table(ns, name)
+        tbl = self._load(ns, name)
         if au.startswith("CREATE BRANCH"):
             am = re.match(
                 rf"CREATE\s+BRANCH\s+({_IDENT})"
@@ -3903,7 +3968,7 @@ class LakeSQL:
             if body.upper().startswith(("SELECT", "WITH"))
             else self.spark.sql(self._spark_text(body))
         )
-        tbl = self.catalog.load_table(ns, name)
+        tbl = self._load(ns, name)
         fields = tbl.schema().fields
         if len(df.columns) != len(fields):
             raise LakehouseError(
@@ -4220,7 +4285,8 @@ class LakeSQL:
             )
             if not em:
                 raise LakehouseError("non-equality ON")
-            pair = {em.group(1): em.group(2), em.group(3): em.group(4)}
+            pair = {em.group(1).lower(): em.group(2).lower(),
+                    em.group(3).lower(): em.group(4).lower()}
             if set(pair) != {talias, salias} or pair[talias] != pair[salias]:
                 raise LakehouseError("asymmetric ON")
             keys.append(pair[talias])
@@ -4303,7 +4369,9 @@ class LakeSQL:
             source = self._source_ref_df(src_ref)
             if salias is None:
                 salias = src_ref.split(".")[-1]
-        return source, salias
+        # PG folds unquoted identifiers: the correlation name is the
+        # folded alias (comparisons against WHERE qualifiers fold too)
+        return source, salias.lower()
 
     def _delete(self, s: str) -> Snapshot:
         # PG join-delete: DELETE FROM t [[AS] a] USING src [[AS] b]
@@ -4336,7 +4404,7 @@ class LakeSQL:
                     "key equalities"
                 )
             where = after[wm.end():]
-            talias = talias or name
+            talias = (talias or name).lower()
             tbl = self._load(ns, name, branch)
             source, salias = self._dml_source(
                 after[: wm.start()], U, "DELETE ... USING"
@@ -4349,7 +4417,8 @@ class LakeSQL:
                     part,
                 )
                 pair = (
-                    {em.group(1): em.group(2), em.group(3): em.group(4)}
+                    {em.group(1).lower(): em.group(2).lower(),
+                     em.group(3).lower(): em.group(4).lower()}
                     if em
                     else None
                 )
@@ -4369,10 +4438,12 @@ class LakeSQL:
             cond = None
             if extra:
                 e = " AND ".join(extra)
-                e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", e)
+                e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", e,
+                            flags=re.IGNORECASE)
                 cond = F.expr(
                     self._spark_text(
-                        U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e))
+                        U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e,
+                             flags=re.IGNORECASE))
                     )
                 )
             return self._apply_merge(
@@ -4391,7 +4462,8 @@ class LakeSQL:
                 raise LakehouseError(f"cannot parse DELETE: {U(s)[:80]!r}")
             where = pm.group(1)
             if talias:  # strip the correlation: the scan is unaliased
-                where = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", where)
+                where = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", where,
+                               flags=re.IGNORECASE)
         tbl = self._load(ns, name, branch)
         return self._apply_delete(
             tbl, F.expr(self._spark_text(U(where))) if where else F.lit(True)
@@ -4431,7 +4503,7 @@ class LakeSQL:
                     "key equalities"
                 )
             where = after[wm.end():]
-            talias = talias or name
+            talias = (talias or name).lower()
             tbl = self._load(ns, name, branch)
             source, salias = self._dml_source(
                 after[: wm.start()], U, "UPDATE ... FROM"
@@ -4444,7 +4516,8 @@ class LakeSQL:
                     part,
                 )
                 pair = (
-                    {em.group(1): em.group(2), em.group(3): em.group(4)}
+                    {em.group(1).lower(): em.group(2).lower(),
+                     em.group(3).lower(): em.group(4).lower()}
                     if em
                     else None
                 )
@@ -4463,16 +4536,18 @@ class LakeSQL:
                 )
 
             def rewrite(expr: str):
-                e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr)
+                e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr,
+                           flags=re.IGNORECASE)
                 return F.expr(
                     self._spark_text(
-                        U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e))
+                        U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e,
+                             flags=re.IGNORECASE))
                     )
                 )
 
             assignments = {}
             for k, v in _set_items(sets):
-                k = re.sub(rf"^{talias}\.", "", k)
+                k = re.sub(rf"^{talias}\.", "", k, flags=re.IGNORECASE)
                 assignments[k] = rewrite(v)
             return self._apply_merge(
                 tbl,
@@ -4490,7 +4565,7 @@ class LakeSQL:
         where = rest[wm.end():] if wm is not None else None
         if talias:  # strip the correlation: the scan is unaliased
             strip = lambda t: re.sub(  # noqa: E731
-                rf"\b{talias}\.({_IDENT})", r"\1", t
+                rf"\b{talias}\.({_IDENT})", r"\1", t, flags=re.IGNORECASE
             )
             sets = strip(sets)
             where = strip(where) if where else None
@@ -4542,6 +4617,7 @@ class LakeSQL:
         if not m:
             raise LakehouseError(f"cannot parse MERGE: {U(s)[:80]!r}")
         ns, name, branch, talias, src_ref, salias, on_cond, clauses = m.groups()
+        talias, salias = talias.lower(), salias.lower()  # PG ident folding
         tbl = self._load(ns, name, branch)
         if src_ref.startswith("("):
             source = self._select(U(src_ref[1:-1].strip()))
@@ -4559,7 +4635,7 @@ class LakeSQL:
                 raise LakehouseError(
                     f"MERGE ON must be alias-qualified equalities: {part!r}"
                 )
-            a1, c1, a2, c2 = em.groups()
+            a1, c1, a2, c2 = (g.lower() for g in em.groups())
             pair = {a1: c1, a2: c2}
             if set(pair) != {talias, salias} or pair[talias] != pair[salias]:
                 raise LakehouseError(
@@ -4570,8 +4646,10 @@ class LakeSQL:
 
         def rewrite(expr: str):
             """target alias -> bare column, source alias -> __src.col"""
-            e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr)
-            e = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e)
+            e = re.sub(rf"\b{salias}\.({_IDENT})", r"__src.\1", expr,
+                           flags=re.IGNORECASE)
+            e = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e,
+               flags=re.IGNORECASE)
             return F.expr(self._spark_text(U(e)))
 
         kw = {
@@ -4615,7 +4693,7 @@ class LakeSQL:
                 elif actu.startswith("UPDATE SET"):
                     assigns = {}
                     for k, v in _set_items(act[len("UPDATE SET"):]):
-                        k = re.sub(rf"^{talias}\.", "", k)
+                        k = re.sub(rf"^{talias}\.", "", k, flags=re.IGNORECASE)
                         assigns[k] = rewrite(v)
                     kw["when_matched_update"] = assigns
             elif kind == "NOT MATCHED":
@@ -4683,6 +4761,9 @@ class LakeSQL:
                 f"time_bucket + GROUP BY shape): {s[:100]!r}"
             )
         ns, name, select_list, sns, sname = m.groups()
+        ns, name, sns, sname = (
+            ns.lower(), name.lower(), sns.lower(), sname.lower()
+        )  # PG identifier folding
         items = _split_top_level(select_list)
         tm = re.match(
             rf"time_bucket\s*\(\s*'([^']+)'\s*,\s*({_IDENT})\s*\)"
@@ -4739,7 +4820,7 @@ class LakeSQL:
         )
         if not m:
             raise LakehouseError(f"cannot parse REFRESH: {s[:80]!r}")
-        mv = self.catalog.load_table(m.group(1), m.group(2))
+        mv = self._load(m.group(1), m.group(2))
         src_ref = mv.snapshot().properties.get("rollup_source")
         if not src_ref:
             raise LakehouseError(
@@ -4818,7 +4899,9 @@ class LakeSQL:
             rf"SHOW\s+TABLES(?:\s+IN\s+({_IDENT}))?$", s, re.IGNORECASE
         )
         if m:
-            rows = self.catalog.list_tables(m.group(1))
+            rows = self.catalog.list_tables(
+                m.group(1).lower() if m.group(1) else m.group(1)
+            )
             return self.spark.createDataFrame(
                 rows or [], "namespace string, name string"
             )
@@ -4826,7 +4909,7 @@ class LakeSQL:
             rf"SHOW\s+(?:REFS|BRANCHES)\s+(?:IN\s+)?{_TBL}$", s, re.IGNORECASE
         )
         if m:
-            return self.catalog.load_table(m.group(1), m.group(2)).refs_df()
+            return self._load(m.group(1), m.group(2)).refs_df()
         m = re.match(
             rf"SHOW\s+VIEWS(?:\s+IN\s+({_IDENT}))?$", s, re.IGNORECASE
         )
@@ -4843,7 +4926,7 @@ class LakeSQL:
         if m:
             import json as _json
 
-            tbl = self.catalog.load_table(m.group(1), m.group(2))
+            tbl = self._load(m.group(1), m.group(2))
             idx = _json.loads(
                 tbl.snapshot().properties.get("indexes", "{}")
             )
@@ -4859,7 +4942,7 @@ class LakeSQL:
             rf"SHOW\s+CREATE\s+TABLE\s+{_TBL}$", s, re.IGNORECASE
         )
         if m:
-            tbl = self.catalog.load_table(m.group(1), m.group(2))
+            tbl = self._load(m.group(1), m.group(2))
             snap = tbl.snapshot()
             defaults = tbl.column_defaults()
             ids, _ = tbl._effective_field_ids(snap)
@@ -4917,7 +5000,7 @@ class LakeSQL:
             rf"SHOW\s+CONSTRAINTS\s+(?:IN\s+)?{_TBL}$", s, re.IGNORECASE
         )
         if m:
-            tbl = self.catalog.load_table(m.group(1), m.group(2))
+            tbl = self._load(m.group(1), m.group(2))
             rows = sorted(tbl.check_constraints().items())
             return self.spark.createDataFrame(
                 rows or [], "name string, expression string"
@@ -4953,7 +5036,8 @@ class LakeSQL:
         if not m:
             raise LakehouseError(f"cannot parse CREATE VIEW: {s[:80]!r}")
         or_replace, ns, name, body = (
-            bool(m.group(1)), m.group(2), m.group(3), m.group(4).strip(),
+            bool(m.group(1)), m.group(2).lower(), m.group(3).lower(),
+            m.group(4).strip(),
         )
         if not body.upper().startswith(("SELECT", "WITH")):
             raise LakehouseError("a view body must be a SELECT")
@@ -4971,7 +5055,7 @@ class LakeSQL:
         )
         if not m:
             raise LakehouseError(f"cannot parse DESCRIBE: {s[:80]!r}")
-        tbl = self.catalog.load_table(m.group(1), m.group(2))
+        tbl = self._load(m.group(1), m.group(2))
         defaults = tbl.column_defaults()
         props = tbl.snapshot().properties
         ids, _ = tbl._effective_field_ids(tbl.snapshot())
@@ -5166,7 +5250,7 @@ class LakeSQL:
         )
         if not m:
             raise LakehouseError(f"cannot parse ANALYZE: {s[:80]!r}")
-        tbl = self.catalog.load_table(m.group(1), m.group(2))
+        tbl = self._load(m.group(1), m.group(2))
         if m.group(3):
             tbl.rebuild_stats()
         return tbl.column_stats_df()
@@ -5180,7 +5264,7 @@ class LakeSQL:
         if not m:
             raise LakehouseError(f"cannot parse VACUUM: {s[:80]!r}")
         keep = int(m.group(3)) if m.group(3) else 1
-        self.catalog.load_table(m.group(1), m.group(2)).vacuum(keep_last=keep)
+        self._load(m.group(1), m.group(2)).vacuum(keep_last=keep)
         return None
 
     def _optimize(self, s: str):
@@ -5193,7 +5277,7 @@ class LakeSQL:
         )
         if not m:
             raise LakehouseError(f"cannot parse OPTIMIZE: {s[:80]!r}")
-        tbl = self.catalog.load_table(m.group(1), m.group(2))
+        tbl = self._load(m.group(1), m.group(2))
         kwargs = {}
         if m.group(3):
 

@@ -1710,3 +1710,52 @@ def lake_segment_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = tbl.read_pruned({"k": (int(v), int(v))})
         out = df if out is None else out.unionByName(df)
     return out
+
+
+@register(
+    "lake_implicit_correlation",
+    oracle="""
+WITH co AS (
+    SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS price
+    FROM orders WHERE o_orderkey <= 2000
+), cc AS (
+    SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderkey <= 500
+)
+SELECT co.k AS k,
+       round(co.price, 2) AS price,
+       (SELECT max(cc.k) FROM cc) AS max_cust
+FROM co
+WHERE EXISTS (SELECT 1 FROM cc WHERE cc.k = co.cust)
+  AND co.k % 3 = 0
+""",
+    tags=("sql-frontend", "pg-correlation"),
+)
+def lake_implicit_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 verdict headline: PG's implicit correlation name — an
+    un-aliased ``FROM db.t`` is addressable by its bare name
+    (``co.k``), including inside bare-name correlated subqueries
+    (EXISTS, scalar), and unquoted identifiers fold to lowercase
+    (``DB.Co`` resolves db.co). Every spelling here previously died
+    with UNRESOLVED_COLUMN / TABLE_OR_VIEW_NOT_FOUND."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "implicit_corr")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.co (k BIGINT, cust BIGINT, price DOUBLE)")
+    q.sql(
+        "INSERT INTO db.co SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 2000"
+    )
+    q.sql("CREATE TABLE db.cc (k BIGINT)")
+    q.sql(
+        "INSERT INTO db.cc SELECT DISTINCT o_custkey "
+        "FROM orders WHERE o_orderkey <= 500"
+    )
+    return q.sql(
+        "SELECT co.k AS k, round(co.price, 2) AS price, "
+        "       (SELECT max(cc.k) FROM DB.cc) AS max_cust "
+        "FROM DB.Co "
+        "WHERE EXISTS (SELECT 1 FROM db.cc WHERE cc.k = co.cust) "
+        "  AND co.k % 3 = 0"
+    )

@@ -988,3 +988,48 @@ def test_date_part_differential_vs_duckdb(
         f"SELECT date_part('{field}', TIMESTAMP '{ts}')"
     ).fetchone()[0]
     assert int(got) == int(want), (field, ts)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=_sel_pred,
+    qual=st.sampled_from(["fzsel", "FZSEL", "FzSel"]),
+    refcase=st.sampled_from(["db.fzsel", "DB.fzsel", "db.FZSEL", "Db.FzSel"]),
+)
+def test_bare_name_qualification_differential_vs_duckdb(
+    spark, tmp_path_factory, pred, qual, refcase
+):
+    """r8: PG's implicit correlation name + identifier case folding —
+    every column qualified by the bare (mixed-case) table name, over
+    a mixed-case un-aliased lake ref, must match DuckDB running the
+    same spelling (DuckDB folds identifiers case-insensitively like
+    PG). Quote-aware qualification: string literals are never
+    touched."""
+    import re as _re
+
+    lsql, duck = _sel_setup(spark, tmp_path_factory)
+    where = _render_pred(pred)
+
+    def qualify(text: str) -> str:
+        parts = text.split("'")
+        for i in range(0, len(parts), 2):  # even indexes: outside quotes
+            parts[i] = _re.sub(r"\b([kvs])\b", rf"{qual}.\1", parts[i])
+        return "'".join(parts)
+
+    qwhere = qualify(where)
+    sel = f"SELECT {qual}.k, {qual}.v, {qual}.s"
+    got = [
+        (r.k, r.v, r.s)
+        for r in lsql.sql(
+            f"{sel} FROM {refcase} WHERE {qwhere} ORDER BY {qual}.k"
+        ).collect()
+    ]
+    want = duck.execute(
+        f"{sel} FROM fzsel WHERE {qwhere} ORDER BY {qual}.k"
+    ).fetchall()
+    assert got == want, f"where={qwhere!r} ref={refcase!r}"

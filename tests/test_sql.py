@@ -3016,3 +3016,76 @@ def test_advice_fixes_r8(lsql):
     assert a_fields == {"x", "y"}
     # ... and re-adding an existing nested field still no-ops
     lsql.sql("ALTER TABLE db.adv8 ADD COLUMN IF NOT EXISTS a.y BIGINT")
+
+
+def test_implicit_correlation_r8(lsql):
+    """PG's implicit correlation name (r7 verdict headline): an
+    un-aliased table in a FROM/JOIN position is addressable by its
+    bare name — ``SELECT t.k FROM db.t`` is among the most common
+    spellings in hand-written PG. The binder now emits
+    ``__lake_db_t AS t``; schema-qualified column refs
+    (``db.t.k``) rewrite to the correlation name so they keep
+    resolving against the aliased FROM-item."""
+    lsql.sql("CREATE TABLE db.ict (k BIGINT, s TEXT)")
+    lsql.sql("INSERT INTO db.ict VALUES (1,'a'), (2,'b')")
+    lsql.sql("CREATE TABLE db.icu (k BIGINT, v BIGINT)")
+    lsql.sql("INSERT INTO db.icu VALUES (1, 10), (3, 30)")
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    assert rows("SELECT ict.k FROM db.ict ORDER BY ict.k") == [(1,), (2,)]
+    assert rows("SELECT icu.v FROM db.icu WHERE icu.k = 1") == [(10,)]
+    # bare-name correlated subqueries — EXISTS and scalar
+    assert rows(
+        "SELECT ict.k FROM db.ict WHERE EXISTS "
+        "(SELECT 1 FROM db.icu WHERE icu.k = ict.k)"
+    ) == [(1,)]
+    assert rows(
+        "SELECT (SELECT max(icu.k) FROM db.icu) AS m, ict.k "
+        "FROM db.ict ORDER BY ict.k"
+    ) == [(3, 1), (3, 2)]
+    # schema-qualified column refs still work (PG allows them against
+    # an unaliased table)
+    assert rows("SELECT db.ict.k FROM db.ict ORDER BY db.ict.k") \
+        == [(1,), (2,)]
+    assert rows("SELECT ict.* FROM db.ict ORDER BY ict.k LIMIT 1") \
+        == [(1, "a")]
+    # explicit aliases keep working and hide the bare name (PG parity)
+    assert rows("SELECT x.k FROM db.ict x ORDER BY x.k") == [(1,), (2,)]
+    assert rows("SELECT x.k FROM db.ict AS x ORDER BY 1") == [(1,), (2,)]
+    # joins: both bare names live side by side
+    assert rows(
+        "SELECT ict.k, icu.v FROM db.ict JOIN db.icu ON ict.k = icu.k"
+    ) == [(1, 10)]
+    assert rows(
+        "SELECT count(*) AS n FROM db.ict, db.icu WHERE ict.k = icu.k"
+    ) == [(1,)]
+    # the implicit name also binds for views and metadata tables
+    lsql.sql("CREATE VIEW db.icv AS SELECT ict.k AS a FROM db.ict")
+    assert rows("SELECT icv.a FROM db.icv WHERE icv.a = 2") == [(2,)]
+    assert lsql.sql(
+        "SELECT count(*) AS n FROM db.ict$files"
+    ).collect()[0][0] >= 1
+
+
+def test_identifier_case_folding_r8(lsql):
+    """PG folds unquoted identifiers to lowercase: ``SELECT s FROM
+    DB.t`` must resolve db.t; DML/DDL targets fold the same way.
+    Mixed-case alias qualifiers in join-DML fold too."""
+    lsql.sql("CREATE TABLE DB.Cf (k BIGINT, s TEXT)")  # folds to db.cf
+    lsql.sql("INSERT INTO db.CF VALUES (1,'a'), (2,'b')")
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    assert rows("SELECT s FROM DB.cf WHERE k = 1") == [("a",)]
+    assert rows("SELECT CF.s FROM Db.Cf WHERE cf.k = 1") == [("a",)]
+    lsql.sql("UPDATE DB.Cf SET s = 'z' WHERE k = 2")
+    assert rows("SELECT s FROM db.cf WHERE k = 2") == [("z",)]
+    lsql.sql("CREATE TABLE db.cfu (k BIGINT)")
+    lsql.sql("INSERT INTO db.cfu VALUES (2)")
+    lsql.sql("DELETE FROM DB.CF USING db.CFU WHERE CF.k = CFU.k")
+    assert rows("SELECT k FROM db.cf") == [(1,)]
+    lsql.sql("ALTER TABLE DB.cf ADD COLUMN w BIGINT")
+    assert "w" in [
+        f.name for f in lsql.catalog.load_table("db", "cf").schema().fields
+    ]
+    lsql.sql("DROP TABLE DB.CFU")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        lsql.sql("SELECT k FROM db.cfu").collect()
