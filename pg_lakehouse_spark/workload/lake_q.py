@@ -1759,3 +1759,35 @@ def lake_implicit_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE EXISTS (SELECT 1 FROM db.cc WHERE cc.k = co.cust) "
         "  AND co.k % 3 = 0"
     )
+
+
+@register(
+    "lake_fetch_with_ties",
+    oracle="""
+SELECT k, d FROM (
+    SELECT o_orderkey AS k,
+           cast(cast(o_orderdate AS date) AS varchar) AS d,
+           rank() OVER (ORDER BY cast(o_orderdate AS date)) AS r
+    FROM orders
+) WHERE r <= 25
+""",
+    tags=("sql-frontend", "fetch-with-ties"),
+)
+def lake_fetch_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 verdict #7: ``FETCH FIRST n ROWS WITH TIES`` — the LIMIT
+    that extends over rows tying with the n-th sort key (PG 13+,
+    previously a loud ParseException). o_orderdate is tie-heavy, so
+    the result is strictly larger than LIMIT 25; the sort key is
+    deliberately NOT in the select list (PG resolves ORDER BY
+    against the FROM relation)."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "fetch_ties")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.ft (k BIGINT, od DATE)")
+    q.sql("INSERT INTO db.ft SELECT o_orderkey, o_orderdate FROM orders")
+    return q.sql(
+        "SELECT ft.k AS k, cast(ft.od AS string) AS d FROM db.ft "
+        "ORDER BY ft.od FETCH FIRST 25 ROWS WITH TIES"
+    )

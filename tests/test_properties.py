@@ -1033,3 +1033,37 @@ def test_bare_name_qualification_differential_vs_duckdb(
         f"{sel} FROM fzsel WHERE {qwhere} ORDER BY {qual}.k"
     ).fetchall()
     assert got == want, f"where={qwhere!r} ref={refcase!r}"
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n=st.integers(1, 12), desc=st.booleans(), pred=_sel_pred)
+def test_fetch_with_ties_differential_vs_duckdb(
+    spark, tmp_path_factory, n, desc, pred
+):
+    """r8: FETCH FIRST n ROWS WITH TIES over a tie-heavy key (s
+    repeats across rows and is NULL every 13th) must return exactly
+    the rank()<=n row multiset DuckDB computes with PG null
+    placement."""
+    lsql, duck = _sel_setup(spark, tmp_path_factory)
+    where = _render_pred(pred)
+    key = "s DESC" if desc else "s"
+    nulls = "NULLS FIRST" if desc else "NULLS LAST"  # PG defaults
+    got = sorted(
+        (r.k, r.s)
+        for r in lsql.sql(
+            f"SELECT k, s FROM db.fzsel WHERE {where} "
+            f"ORDER BY {key} FETCH FIRST {n} ROWS WITH TIES"
+        ).collect()
+    )
+    want = sorted(
+        duck.execute(
+            f"SELECT k, s FROM fzsel WHERE {where} "
+            f"QUALIFY rank() OVER (ORDER BY {key} {nulls}) <= {n}"
+        ).fetchall()
+    )
+    assert got == want, f"n={n} desc={desc} where={where!r}"

@@ -3089,3 +3089,99 @@ def test_identifier_case_folding_r8(lsql):
     import pytest as _pytest
     with _pytest.raises(Exception):
         lsql.sql("SELECT k FROM db.cfu").collect()
+
+
+def test_any_all_operand_capture_r8(lsql):
+    """r7 verdict #2: ANY/ALL operand capture widened past
+    identifier-only LHS — literals, signed numbers, parenthesized
+    expressions and function calls now rewrite; the non-array LIKE
+    list form is left untouched (Spark evaluates its native
+    pattern-list LIKE ALL with the same per-pattern semantics)."""
+    lsql.sql("CREATE TABLE db.aa8 (k BIGINT, s TEXT)")
+    lsql.sql("INSERT INTO db.aa8 VALUES (1,'abc'), (2,'zzz'), (5,'q')")
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT 2 = ANY(array[1,2,3]) AS b") is True
+    assert one("SELECT 5 <> ALL (SELECT k FROM db.aa8 WHERE k < 5) AS b") \
+        is True
+    assert one("SELECT 5 <> ALL (SELECT k FROM db.aa8) AS b") is False
+    assert one("SELECT (1 + 1) = ANY(array[2]) AS b") is True
+    assert one("SELECT abs(-2) = ANY(array[1,2]) AS b") is True
+    assert one("SELECT -1 = ANY(array[-1]) AS b") is True
+    assert one("SELECT 'x' = ANY(array['x','y']) AS b") is True
+    assert one("SELECT 'abc' LIKE ANY(array['a%','zz']) AS b") is True
+    # PG-invalid bare pattern list: no mangled __pgp lambda — Spark's
+    # native LIKE ALL list form evaluates it per-pattern
+    assert one("SELECT 'abc' NOT LIKE ALL ('z%','q%') AS b") is True
+    assert one("SELECT 'zzz' NOT LIKE ALL ('z%','q%') AS b") is False
+
+
+def test_chained_at_time_zone_r8(lsql):
+    """r7 verdict #5: ``ts AT TIME ZONE 'src' AT TIME ZONE 'dst'`` —
+    PG's standard wall-time conversion idiom — now renders as Spark's
+    3-arg convert_timezone(src, dst, ntz). Values checked against
+    DuckDB's PG-compatible semantics (UTC noon -> 07:00 New York)."""
+    lsql.sql("CREATE TABLE db.tz8 (k BIGINT, ts TIMESTAMP WITHOUT TIME ZONE)")
+    lsql.sql("INSERT INTO db.tz8 VALUES (1, TIMESTAMP '2024-01-01 12:00:00')")
+    one = lambda q: str(lsql.sql(q).collect()[0][0])  # noqa: E731
+    assert one(
+        "SELECT cast(ts AT TIME ZONE 'UTC' AT TIME ZONE "
+        "'America/New_York' AS string) AS w FROM db.tz8"
+    ) == "2024-01-01 07:00:00"
+    assert one(
+        "SELECT cast(ts AT TIME ZONE 'UTC' AT TIME ZONE "
+        "'Asia/Tokyo' AS string) AS w FROM db.tz8"
+    ) == "2024-01-01 21:00:00"
+    # typed-literal lhs captures the TIMESTAMP keyword too (DST zone)
+    assert one(
+        "SELECT cast(TIMESTAMP '2024-06-01 00:30:00' AT TIME ZONE "
+        "'Europe/Berlin' AT TIME ZONE 'UTC' AS string) AS w"
+    ) == "2024-05-31 22:30:00"
+    # single application unchanged
+    assert one(
+        "SELECT cast(ts AT TIME ZONE 'UTC' AS string) AS z FROM db.tz8"
+    ) == "2024-01-01 12:00:00"
+
+
+def test_fetch_with_ties_r8(lsql):
+    """r7 verdict #7: FETCH FIRST n ROWS WITH TIES — LIMIT extended
+    over rows tying with the n-th on the ORDER BY keys, via a
+    partition-pruned rank() bound. Unprojected sort keys graft into
+    the select list as PG resolves them against the FROM."""
+    lsql.sql("CREATE TABLE db.wt8 (k BIGINT, g TEXT, v BIGINT)")
+    lsql.sql(
+        "INSERT INTO db.wt8 VALUES (1,'a',10), (2,'b',10), (3,'a',10), "
+        "(4,'b',20), (5,'a',20), (6,'b',30), (7,'a',40), (8,'b',40)"
+    )
+    rows = lambda q: sorted(  # noqa: E731
+        tuple(r) for r in lsql.sql(q).collect()
+    )
+    assert rows(
+        "SELECT v FROM db.wt8 ORDER BY v FETCH FIRST 2 ROWS WITH TIES"
+    ) == [(10,), (10,), (10,)]
+    assert rows(
+        "SELECT v FROM db.wt8 ORDER BY v DESC FETCH FIRST ROW WITH TIES"
+    ) == [(40,), (40,)]
+    # ordinal key and multi-key (g breaks the v tie)
+    assert rows(
+        "SELECT v FROM db.wt8 ORDER BY 1 FETCH NEXT 4 ROWS WITH TIES"
+    ) == [(10,), (10,), (10,), (20,), (20,)]
+    assert rows(
+        "SELECT g, v FROM db.wt8 ORDER BY v, g "
+        "FETCH FIRST 2 ROWS WITH TIES"
+    ) == [("a", 10), ("a", 10)]
+    # unprojected sort key: PG resolves it against the FROM relation
+    assert rows(
+        "SELECT k FROM db.wt8 ORDER BY v DESC FETCH FIRST 2 ROWS WITH TIES"
+    ) == [(7,), (8,)]
+    # expression key not in the select list
+    assert rows(
+        "SELECT g FROM db.wt8 ORDER BY v % 20 FETCH FIRST 2 ROWS "
+        "WITH TIES"
+    ) == [("a",), ("a",), ("b",), ("b",)]
+    # DISTINCT body with an unprojected key stays loud
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="WITH TIES|DISTINCT"):
+        lsql.sql(
+            "SELECT DISTINCT g FROM db.wt8 ORDER BY v "
+            "FETCH FIRST 1 ROWS WITH TIES"
+        ).collect()
