@@ -998,6 +998,54 @@ class LakeSQL:
 
         return cls._OVERLAPS.sub(ovl, masked)
 
+    # PG's subquery array constructor: ARRAY(SELECT x FROM ...) →
+    # a scalar subquery aggregating into an array. PG returns '{}'
+    # for an empty result where array_agg is NULL, hence coalesce.
+    _ARRAY_SUBQ = re.compile(
+        r"\bARRAY\s*\(\s*(?=SELECT\b)", re.IGNORECASE
+    )
+
+    @classmethod
+    def _rewrite_array_subquery(cls, masked: str) -> str:
+        """``ARRAY(SELECT expr FROM ...)`` →
+        ``(SELECT coalesce(array_agg(__pgx), array()) FROM
+        (<body with expr aliased __pgx>) __pgarr)``. Only plain
+        single-item SELECT bodies without a depth-0 ORDER BY are
+        owned (PG guarantees element order under ORDER BY; Spark's
+        array_agg does not, so the ordered spelling stays loud
+        rather than silently shuffling elements)."""
+        out = masked
+        for m in reversed(list(cls._ARRAY_SUBQ.finditer(masked))):
+            op = out.index("(", m.start())
+            end = cls._balanced_end(out, op)
+            if end < 0:
+                continue
+            body = out[op + 1: end - 1].strip()
+            if cls._depth0_kw(body, "ORDER") is not None:
+                continue  # ordered: leave loud (see docstring)
+            if re.match(r"SELECT\s+DISTINCT\b", body, re.IGNORECASE):
+                sel_end = len("SELECT DISTINCT")
+                distinct = "DISTINCT "
+            else:
+                sel_end = len("SELECT")
+                distinct = ""
+            fm = cls._depth0_kw(body, "FROM")
+            items = _split_top_level(
+                body[sel_end: fm.start()] if fm else body[sel_end:]
+            )
+            if len(items) != 1:
+                continue  # multi-column ARRAY(SELECT): leave loud
+            inner = (
+                f"SELECT {distinct}({items[0].strip()}) AS __pgx "
+                + (body[fm.start():] if fm else "")
+            )
+            rep = (
+                "(SELECT coalesce(array_agg(__pgx), array()) "
+                f"FROM ({inner}) __pgarr)"
+            )
+            out = out[: m.start()] + rep + out[end:]
+        return out
+
     # expr AT TIME ZONE 'zone' → convert_timezone('zone', expr): the
     # PG timestamptz→wall-clock-in-zone direction (Spark's 2-arg form
     # converts from the session zone). The CHAINED form — ``ts AT
@@ -1682,6 +1730,7 @@ class LakeSQL:
         masked = cls._rewrite_similar_to(masked, lits)
         masked = cls._rewrite_json_arrows(masked, lits)
         masked = cls._rewrite_array_ctor(masked)
+        masked = cls._rewrite_array_subquery(masked)
         masked = cls._rewrite_array_ops(masked)
         # PG row constructor → Spark struct (row_number etc. are
         # untouched: the match needs an immediate open paren)
@@ -2361,8 +2410,13 @@ class LakeSQL:
 
     # simple conjuncts a manifest can act on: col OP literal / BETWEEN
     # (string literal alternative accepts PG '' quote escapes)
+    # the optional qualifier covers PG's now-bound implicit
+    # correlation spelling (``WHERE u.k = 2`` on a lone ``db.u``);
+    # the consumer rejects it when the "qualifier" is itself a
+    # column (struct-field access, not a correlation)
     _PRUNE_CONJ = re.compile(
-        rf"^\s*({_IDENT})\s*(>=|<=|=|>|<)\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+        rf"^\s*(?:({_IDENT})\.)?({_IDENT})\s*(>=|<=|=|>|<)\s*"
+        rf"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
     )
     # matched with finditer BEFORE the AND-split (the naive split tears
     # ``col BETWEEN a AND b`` into two dead fragments). String literals
@@ -2371,7 +2425,8 @@ class LakeSQL:
     # string can never match — matching raw quoted text here corrupted
     # the surviving conjunct and silently dropped rows.
     _PRUNE_BETWEEN = re.compile(
-        rf"\b({_IDENT})\s+BETWEEN\s+(\x00\d+\x00|-?\d+(?:\.\d+)?)"
+        rf"\b(?:({_IDENT})\.)?({_IDENT})\s+BETWEEN\s+"
+        rf"(\x00\d+\x00|-?\d+(?:\.\d+)?)"
         r"\s+AND\s+(\x00\d+\x00|-?\d+(?:\.\d+)?)",
         re.IGNORECASE,
     )
@@ -2603,10 +2658,12 @@ class LakeSQL:
         # BETWEEN conjuncts first: consume them via finditer and excise
         # them from the clause so the AND-split can't tear them apart
         def grab_between(bm: re.Match) -> str:
-            col = bm.group(1)
-            if col in types:
-                lo = self._cast_prune_literal(lit(bm.group(2)), types[col])
-                hi = self._cast_prune_literal(lit(bm.group(3)), types[col])
+            qual, col = bm.group(1), bm.group(2)
+            # a qualifier that is itself a column is a struct-field
+            # access (a.b), not a correlation name — skip
+            if col in types and (qual is None or qual not in types):
+                lo = self._cast_prune_literal(lit(bm.group(3)), types[col])
+                hi = self._cast_prune_literal(lit(bm.group(4)), types[col])
                 if lo is not None and hi is not None:
                     narrow(col, lo, hi)
             # neutral token, NOT "": an empty hole would merge the two
@@ -2622,10 +2679,12 @@ class LakeSQL:
             # split on MASKED text (an AND inside a string can't tear a
             # conjunct), then restore literals for the conjunct match
             cm = self._PRUNE_CONJ.match(self._unmask_strings(part, literals))
-            if not cm or cm.group(1) not in types:
+            if not cm or cm.group(2) not in types:
                 continue
-            col, op = cm.group(1), cm.group(2)
-            v = self._cast_prune_literal(lit(cm.group(3)), types[col])
+            if cm.group(1) is not None and cm.group(1) in types:
+                continue  # struct-field access, not a correlation
+            col, op = cm.group(2), cm.group(3)
+            v = self._cast_prune_literal(lit(cm.group(4)), types[col])
             if v is None:
                 continue
             if op in (">=", ">", "="):
@@ -3170,6 +3229,28 @@ class LakeSQL:
                 checks[cname] = U(cm.group(2).strip())
                 continue
             colname = it.split(None, 1)[0]
+            # column-level CHECK (PG docs use this spelling first):
+            # ``k BIGINT [CONSTRAINT name] CHECK (expr)`` — peeled
+            # BEFORE the DEFAULT capture (whose greedy tail would
+            # swallow a trailing CHECK) and routed to the same
+            # enforcement path as the table-level form
+            while True:
+                ccm = re.search(
+                    rf"\s+(?:CONSTRAINT\s+({_IDENT})\s+)?CHECK\s*\(",
+                    it,
+                    re.IGNORECASE,
+                )
+                if not ccm:
+                    break
+                op = it.index("(", ccm.end() - 1)
+                cend = self._balanced_end(it, op)
+                if cend < 0:
+                    raise LakehouseError(
+                        f"unbalanced CHECK in column definition: {U(it)!r}"
+                    )
+                cname = ccm.group(1) or f"check_{len(checks) + 1}"
+                checks[cname] = U(it[op + 1: cend - 1].strip())
+                it = (it[: ccm.start()] + it[cend:]).strip()
             ikm = re.search(r"\s+PRIMARY\s+KEY\b", it, re.IGNORECASE)
             if ikm:
                 pk_cols.append(colname)
@@ -4252,10 +4333,11 @@ class LakeSQL:
 
     def _returning_rows(self, head, stmt, snap, returning) -> DataFrame:
         """Affected rows of the just-committed DML: inserts derive
-        from the commit's added files; plain DELETE/UPDATE serve the
-        rows captured against the pre-commit snapshot by their applier
-        (no change feed required — PG's RETURNING always works);
-        merge-backed join-DML falls back to the change feed."""
+        from the commit's added files; plain AND join DML
+        (DELETE ... USING / UPDATE ... FROM) serve rows captured
+        against the pre-commit snapshot by their applier (no change
+        feed required — PG's RETURNING always works); only
+        ON-CONFLICT merges fall back to the change feed."""
         if self._returned_df is not None:
             rows, self._returned_df = self._returned_df, None
             if returning == "*":
@@ -4585,6 +4667,74 @@ class LakeSQL:
         # folded alias (comparisons against WHERE qualifiers fold too)
         return source, salias.lower()
 
+    def _join_dml_on(self, keys, extra, salias, talias, U):
+        """Join condition between the pre-commit target (``__tgt``)
+        and the DML source (``__src``) — the same key equalities and
+        extra conjuncts the MERGE applies, for serving RETURNING
+        without a change feed."""
+        on = None
+        for k in keys:
+            e = F.col(f"__tgt.{k}") == F.col(f"__src.{k}")
+            on = e if on is None else on & e
+        if extra:
+            x = " AND ".join(extra)
+            x = re.sub(
+                rf"\b{salias}\.({_IDENT})", r"__src.\1", x,
+                flags=re.IGNORECASE,
+            )
+            x = re.sub(
+                rf"\b{talias}\.({_IDENT})", r"__tgt.\1", x,
+                flags=re.IGNORECASE,
+            )
+            on = on & F.expr(self._spark_text(U(x)))
+        return on
+
+    def _join_dml_postimage(
+        self, tbl, source, keys, extra, salias, talias, sets, U
+    ):
+        """POST-images of an UPDATE ... FROM, computed from the
+        pre-commit snapshot joined with the source (the same frame
+        the MERGE rewrite writes) — PG's join-update RETURNING with
+        no change feed. One row per matched target row (a surrogate
+        row id dedupes multi-match sources, as the merge keeps one
+        match)."""
+        schema = tbl.schema()
+        tgt = (
+            tbl.read()
+            .withColumn("__rid", F.monotonically_increasing_id())
+            .alias("__tgt")
+        )
+        j = tgt.join(
+            source.alias("__src"),
+            self._join_dml_on(keys, extra, salias, talias, U),
+            "inner",
+        )
+        assign = {}
+        for k, v in _set_items(sets):
+            k = re.sub(rf"^{talias}\.", "", k, flags=re.IGNORECASE)
+            e = re.sub(
+                rf"\b{salias}\.({_IDENT})", r"__src.\1", v,
+                flags=re.IGNORECASE,
+            )
+            e = re.sub(
+                rf"\b{talias}\.({_IDENT})", r"__tgt.\1", e,
+                flags=re.IGNORECASE,
+            )
+            assign[k] = F.expr(self._spark_text(U(e)))
+        cols = [
+            (
+                assign[f.name].cast(f.dataType)
+                if f.name in assign
+                else F.col(f"__tgt.{f.name}")
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+        return (
+            j.select(F.col("__tgt.__rid").alias("__rid"), *cols)
+            .dropDuplicates(["__rid"])
+            .drop("__rid")
+        )
+
     def _delete(self, s: str) -> Snapshot:
         # PG join-delete: DELETE FROM t [[AS] a] USING src [[AS] b]
         # WHERE a.k = b.k [AND ...] — rows matching the source go;
@@ -4657,6 +4807,17 @@ class LakeSQL:
                         U(re.sub(rf"\b{talias}\.({_IDENT})", r"\1", e,
                              flags=re.IGNORECASE))
                     )
+                )
+            if self._capture_returning == "DELETE" and self._txn is None:
+                # feed-free join-DML RETURNING: the deleted rows are
+                # the pre-commit target rows with >= 1 source match
+                # (left-semi on the same ON the MERGE applies); CoW
+                # keeps the old files until VACUUM, so evaluating
+                # after the commit still serves them
+                self._returned_df = tbl.read().alias("__tgt").join(
+                    source.alias("__src"),
+                    self._join_dml_on(keys, extra, salias, talias, U),
+                    "left_semi",
                 )
             return self._apply_merge(
                 tbl,
@@ -4761,6 +4922,12 @@ class LakeSQL:
             for k, v in _set_items(sets):
                 k = re.sub(rf"^{talias}\.", "", k, flags=re.IGNORECASE)
                 assignments[k] = rewrite(v)
+            if self._capture_returning == "UPDATE" and self._txn is None:
+                # feed-free join-DML RETURNING: post-images from the
+                # pre-commit snapshot + the assignments
+                self._returned_df = self._join_dml_postimage(
+                    tbl, source, keys, extra, salias, talias, sets, U
+                )
             return self._apply_merge(
                 tbl,
                 source,

@@ -81,6 +81,22 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (balance_source_cap is the domain-balance family), so the fifth
 # cede is dedup_lines_corpus instead — dedup keeps exact + minhash
 # in-window, lines stays oracle-checked in the registry.
+# r8 rotation (5 in / 5 out): in come the verdict-requested r7-built
+# rows q_ordered_aggregates, dedup_duplicate_spans, dedup_span_share
+# plus the two new-in-r8 rows lake_implicit_correlation (the r7
+# verdict headline: bare-name correlation + identifier case folding)
+# and lake_fetch_with_ties. Ceded family duplicates:
+# lake_delete_by_keys (delete family keeps lake_sql_dml CoW +
+# lake_mor_delete_update MoR), lake_manifest_segments and
+# lake_bloom_pointlookup (the segment/bloom family keeps
+# lake_segment_bloom_prune, which asserts the prune inside the
+# artifact; the FK point-lookup fast path stays spy-asserted in
+# tests/test_manifests.py), lake_join_dml_aliasless (bare-name
+# correlation is subsumed by the broader lake_implicit_correlation;
+# join-DML itself stays exercised through the feed-free RETURNING
+# parity tests), lake_null_ordering_topk (NULL placement keeps the
+# de-pinned differential fuzzers + the WITH TIES row's explicit
+# NULLS handling; the row stays oracle-checked locally).
 # Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
@@ -98,14 +114,14 @@ _PRIORITY: tuple[str, ...] = (
     "text_bm25_postings",
     "lake_branch_wap",
     "pack_sequences_stream",
-    "lake_delete_by_keys",
+    "q_ordered_aggregates",
     "q_percentiles",
     "interleave_temperature",
     "q_cube",
     "q_pivot",
-    "lake_manifest_segments",
+    "dedup_duplicate_spans",
     "q_window_topk_per_group",
-    "lake_bloom_pointlookup",
+    "dedup_span_share",
     "ts_gapfill_hourly",
     "q_pg_function_kit",
     "rollup_topk_retraction",
@@ -113,11 +129,11 @@ _PRIORITY: tuple[str, ...] = (
     "lake_sql_views",
     "data_split_modulo",
     "lake_sql_dml",
-    "lake_null_ordering_topk",
+    "lake_fetch_with_ties",
     "lake_dml_returning",
     "lake_mor_delete_update",
     "lake_time_travel",
-    "lake_join_dml_aliasless",
+    "lake_implicit_correlation",
     "lake_schema_evolution",
     "lake_partition_evolution",
     "lake_change_feed",

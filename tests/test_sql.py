@@ -3185,3 +3185,174 @@ def test_fetch_with_ties_r8(lsql):
             "SELECT DISTINCT g FROM db.wt8 ORDER BY v "
             "FETCH FIRST 1 ROWS WITH TIES"
         ).collect()
+
+
+def test_column_level_check_r8(lsql):
+    """r7 verdict #3: column-level CHECK — ``k BIGINT CHECK (k > 0)``
+    (the spelling PG docs use first) parses, enforces on INSERT, and
+    SHOW CREATE TABLE round-trips it (as the equivalent table-level
+    constraint)."""
+    import pytest as _pytest
+
+    lsql.sql(
+        "CREATE TABLE db.ck8 ("
+        " k BIGINT CHECK (k > 0),"
+        " v BIGINT NOT NULL CONSTRAINT v_small CHECK (v < 100) DEFAULT 5,"
+        " s TEXT CHECK (s IN ('a', 'b')) CHECK (length(s) = 1)"
+        ")"
+    )
+    lsql.sql("INSERT INTO db.ck8 VALUES (1, 5, 'a')")
+    with _pytest.raises(Exception, match="check|CHECK"):
+        lsql.sql("INSERT INTO db.ck8 VALUES (-1, 5, 'a')")
+    with _pytest.raises(Exception, match="check|CHECK|v_small"):
+        lsql.sql("INSERT INTO db.ck8 VALUES (1, 500, 'a')")
+    with _pytest.raises(Exception, match="check|CHECK"):
+        lsql.sql("INSERT INTO db.ck8 VALUES (1, 5, 'zz')")
+    # PG NULL-passes CHECK semantics hold for the column form too
+    lsql.sql("INSERT INTO db.ck8 VALUES (NULL, 5, NULL)")
+    assert lsql.sql("SELECT count(*) AS n FROM db.ck8").collect()[0][0] == 2
+    ddl = lsql.sql("SHOW CREATE TABLE db.ck8").collect()[0][0]
+    assert "CHECK (k > 0)" in ddl and "v_small" in ddl
+    # the round-trip DDL parses back
+    lsql.sql(ddl.replace("db.ck8", "db.ck8_rt"))
+    with _pytest.raises(Exception, match="check|CHECK"):
+        lsql.sql("INSERT INTO db.ck8_rt VALUES (-1, 5, 'a')")
+
+
+def test_join_dml_returning_feed_free_r8(lsql):
+    """r7 verdict #8: DELETE ... USING ... RETURNING and UPDATE ...
+    FROM ... RETURNING on a DEFAULT table (no change feed) — served
+    from the pre-commit snapshot joined with the source, exactly the
+    frame the MERGE writes. Update returns POST-images."""
+    lsql.sql("CREATE TABLE db.jr (k BIGINT, v DOUBLE)")
+    lsql.sql("INSERT INTO db.jr VALUES (1,10.0), (2,20.0), (3,30.0), (4,40.0)")
+    lsql.sql("CREATE TABLE db.js (k BIGINT, f DOUBLE)")
+    lsql.sql("INSERT INTO db.js VALUES (1,2.0), (2,3.0), (3,4.0)")
+    got = sorted(
+        tuple(r)
+        for r in lsql.sql(
+            "UPDATE db.jr SET v = jr.v * js.f FROM db.js "
+            "WHERE jr.k = js.k AND js.f > 2.0 RETURNING k, v"
+        ).collect()
+    )
+    assert got == [(2, 60.0), (3, 120.0)]
+    got = sorted(
+        tuple(r)
+        for r in lsql.sql(
+            "DELETE FROM db.jr USING db.js WHERE jr.k = js.k "
+            "AND js.f >= 3.0 RETURNING *"
+        ).collect()
+    )
+    assert got == [(2, 60.0), (3, 120.0)]
+    assert sorted(
+        r.k for r in lsql.sql("SELECT k FROM db.jr").collect()
+    ) == [1, 4]
+    # aliased spelling, RETURNING column subset
+    got = [
+        tuple(r)
+        for r in lsql.sql(
+            "DELETE FROM db.jr a USING db.js b WHERE a.k = b.k RETURNING k"
+        ).collect()
+    ]
+    assert got == [(1,)]
+
+
+def test_join_dml_returning_parity_with_feed(lsql):
+    """Feed-free join-DML RETURNING must return the same rows the
+    change-feed path records for an identical table WITH the feed."""
+    for name, props in (("jf_on", " WITH (change_feed='true')"), ("jf_off", "")):
+        lsql.sql(f"CREATE TABLE db.{name} (k BIGINT, v BIGINT){props}")
+        lsql.sql(f"INSERT INTO db.{name} VALUES (1,1), (2,2), (3,3)")
+    lsql.sql("CREATE TABLE db.jf_src (k BIGINT, d BIGINT)")
+    lsql.sql("INSERT INTO db.jf_src VALUES (2, 20), (3, 30)")
+    out = {}
+    for name in ("jf_on", "jf_off"):
+        out[name] = sorted(
+            tuple(r)
+            for r in lsql.sql(
+                f"UPDATE db.{name} SET v = {name}.v + jf_src.d "
+                f"FROM db.jf_src WHERE {name}.k = jf_src.k RETURNING k, v"
+            ).collect()
+        )
+    assert out["jf_on"] == out["jf_off"] == [(2, 22), (3, 33)]
+    for name in ("jf_on", "jf_off"):
+        out[name] = sorted(
+            tuple(r)
+            for r in lsql.sql(
+                f"DELETE FROM db.{name} USING db.jf_src "
+                f"WHERE {name}.k = jf_src.k AND jf_src.d = 20 RETURNING k, v"
+            ).collect()
+        )
+    assert out["jf_on"] == out["jf_off"] == [(2, 22)]
+
+
+def test_manifest_pruning_qualified_where_r8(lsql, spark):
+    """r8: the pruner accepts correlation-qualified conjuncts
+    (``WHERE pq.k = 2`` — the spelling the implicit correlation name
+    makes common) and still refuses struct-field accesses whose
+    qualifier is itself a column."""
+    lsql.sql("CREATE TABLE db.pq (k BIGINT, v DOUBLE)")
+    tbl = lsql.catalog.load_table("db", "pq")
+    for lo in (0, 100, 200):
+        tbl.append(
+            spark.createDataFrame(
+                [(lo + i, float(lo + i)) for i in range(100)],
+                "k long, v double",
+            ).coalesce(1)
+        )
+    assert lsql.sql(
+        "SELECT count(*) AS n FROM db.pq WHERE pq.k BETWEEN 150 AND 250"
+    ).collect()[0].n == 101
+    lsql.sql("SELECT pq.k FROM db.pq WHERE pq.k <= 50").collect()
+    bound = spark.table("__lake_db_pq")
+    files = {
+        r[0] for r in bound.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(files) == 1
+    lsql.sql(
+        "SELECT * FROM db.pq WHERE pq.v >= 0.0 AND pq.k BETWEEN 220 AND 230"
+    ).collect()
+    bound = spark.table("__lake_db_pq")
+    files = {
+        r[0] for r in bound.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(files) == 1
+    # struct-field access: qualifier is a column -> no (wrong) pruning
+    lsql.sql("CREATE TABLE db.pqs (a STRUCT<k: BIGINT>, k BIGINT)")
+    t2 = lsql.catalog.load_table("db", "pqs")
+    for lo in (0, 100):
+        t2.append(
+            spark.createDataFrame(
+                [((lo + i,), lo + i) for i in range(10)],
+                "a struct<k: bigint>, k bigint",
+            ).coalesce(1)
+        )
+    # a.k = 105 must NOT narrow top-level k (that would skip the
+    # file holding a.k = 105)
+    assert lsql.sql(
+        "SELECT count(*) AS n FROM db.pqs WHERE a.k = 105"
+    ).collect()[0].n == 1
+
+
+def test_array_subquery_constructor_r8(lsql):
+    """r8: ARRAY(SELECT ...) — PG's subquery array constructor —
+    rewrites to a scalar array_agg subquery; empty results give '{}'
+    (not NULL) as PG does; the ORDER BY spelling stays loud (Spark's
+    array_agg cannot guarantee PG's element order)."""
+    import pytest as _pytest
+
+    lsql.sql("CREATE TABLE db.arq (k BIGINT, g TEXT)")
+    lsql.sql("INSERT INTO db.arq VALUES (1,'a'), (2,'a'), (3,'b')")
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert sorted(one("SELECT ARRAY(SELECT k FROM db.arq WHERE k > 1) AS a")) \
+        == [2, 3]
+    assert one("SELECT ARRAY(SELECT k FROM db.arq WHERE k > 99) AS a") == []
+    assert sorted(one("SELECT ARRAY(SELECT DISTINCT g FROM db.arq) AS a")) \
+        == ["a", "b"]
+    assert sorted(
+        one("SELECT ARRAY(SELECT k * 2 FROM db.arq WHERE g = 'a') AS a")
+    ) == [2, 4]
+    with _pytest.raises(Exception):
+        lsql.sql(
+            "SELECT ARRAY(SELECT k FROM db.arq ORDER BY k DESC) AS a"
+        ).collect()
