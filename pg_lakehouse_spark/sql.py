@@ -1273,19 +1273,37 @@ class LakeSQL:
         """
         masked = re.sub(r"\bunnest\s*\(", "explode(", masked,
                         flags=re.IGNORECASE)
-        while True:
-            m = re.search(r"\bgenerate_series\s*\(", masked, re.IGNORECASE)
-            if not m:
-                break
-            end = cls._balanced_end(masked, m.end() - 1)
-            if end < 0:
-                break
-            inner = masked[m.end(): end - 1]
-            masked = (
-                masked[: m.start()]
-                + f"explode(sequence({inner}))"
-                + masked[end:]
-            )
+        # sites collected up front and edited LAST-TO-FIRST: the
+        # emitted correlation alias itself spells
+        # ``generate_series(...)``, which a restart-from-the-top scan
+        # would re-match and corrupt
+        for m, _args, end in cls._call_sites(masked, "generate_series"):
+            inner = masked[masked.index("(", m.start()) + 1: end - 1]
+            rep = f"explode(sequence({inner}))"
+            # FROM-position: PG names the output column (and implicit
+            # correlation) ``generate_series``; a bare alias keeps the
+            # PG column name too (``FROM generate_series(1,3) g`` →
+            # ``g.generate_series``). An explicit column alias list
+            # passes through untouched.
+            head = masked[: m.start()].rstrip()
+            if head.endswith(",") or re.search(
+                r"\b(?:FROM|JOIN)$", head, re.IGNORECASE
+            ):
+                tail = masked[end:]
+                am = re.match(
+                    rf"\s*(?:AS\s+)?({_IDENT})\s*(\()?", tail
+                )
+                alias, consumed = "generate_series", 0
+                if am and am.group(1).lower() not in cls._CORR_STOP:
+                    if am.group(2):
+                        alias = None  # explicit column list: leave
+                    else:
+                        alias = am.group(1)
+                        consumed = am.end(1)
+                if alias is not None:
+                    rep = f"{rep} AS {alias}(generate_series)"
+                    end += consumed
+            masked = masked[: m.start()] + rep + masked[end:]
         while True:
             m = re.search(r"\barray_length\s*\(", masked, re.IGNORECASE)
             if not m:
@@ -1526,6 +1544,130 @@ class LakeSQL:
             masked = (
                 masked[: m.start()]
                 + f"timestamp_micros({us_t} - pmod({us_t} - {us_o}, {w}))"
+                + masked[end:]
+            )
+        # PG substring(s FROM 'pattern') — the POSIX-regex form (the
+        # int form is ANSI and Spark-native): returns the first match,
+        # or capture group 1 when the pattern has one; NULL when there
+        # is no match (RLIKE guard — regexp_extract alone returns ''
+        # and would conflate no-match with an empty match).
+        for m, args, end in cls._call_sites(masked, "substring"):
+            if len(args) != 1:
+                continue
+            am = re.match(
+                r"(?s)^(.*)\s+FROM\s+(\x00\d+\x00)\s*$",
+                args[0],
+                re.IGNORECASE,
+            )
+            if not am:
+                continue
+            x, ph = am.group(1).strip(), am.group(2)
+            pat = lits[int(re.fullmatch(r"\x00(\d+)\x00", ph).group(1))]
+            grp = 1 if re.search(r"(?<!\\)\((?!\?)", pat[1:-1]) else 0
+            masked = (
+                masked[: m.start()]
+                + f"(CASE WHEN ({x}) RLIKE {ph} THEN "
+                f"regexp_extract({x}, {ph}, {grp}) ELSE NULL END)"
+                + masked[end:]
+            )
+        # PG log(x) is BASE-10; Spark's 1-arg log is NATURAL — passed
+        # through it returns silently WRONG numbers (r8 battery find).
+        # 2-arg log(b, x) means base-b in both dialects.
+        for m, args, end in cls._call_sites(masked, "log"):
+            if len(args) == 1:
+                masked = (
+                    masked[: m.start()]
+                    + f"log10({args[0].strip()})"
+                    + masked[end:]
+                )
+        # strpos(s, sub) → instr (same order, 1-based, 0 = no match)
+        masked = re.sub(
+            r"\bstrpos\s*\(", "instr(", masked, flags=re.IGNORECASE
+        )
+        # starts_with → startswith (PG 11+ spelling)
+        masked = re.sub(
+            r"\bstarts_with\s*\(", "startswith(", masked,
+            flags=re.IGNORECASE,
+        )
+        # PG numeric trunc: 1-arg truncates toward zero; 2-arg with an
+        # integer literal scale truncates to that many decimals.
+        # (date_trunc is untouched — \btrunc never matches inside it;
+        # Spark's own trunc(date, 'fmt') keeps its string-literal arg.)
+        for m, args, end in cls._call_sites(masked, "trunc"):
+            if len(args) == 1:
+                a = args[0].strip()
+                masked = (
+                    masked[: m.start()]
+                    + f"(CASE WHEN ({a}) < 0 THEN ceil({a}) "
+                    f"ELSE floor({a}) END)"
+                    + masked[end:]
+                )
+            elif len(args) == 2 and re.fullmatch(
+                r"\s*-?\d+\s*", args[1]
+            ):
+                a, scale = args[0].strip(), 10 ** int(args[1])
+                masked = (
+                    masked[: m.start()]
+                    + f"(CASE WHEN ({a}) < 0 "
+                    f"THEN ceil(({a}) * {scale}) / {scale} "
+                    f"ELSE floor(({a}) * {scale}) / {scale} END)"
+                    + masked[end:]
+                )
+        # PG regexp_replace: WITHOUT the 'g' flag only the FIRST match
+        # is replaced — Spark always replaces ALL (silent wrongness if
+        # passed through). 'g' → Spark's native behavior; 'i' →
+        # (?i)-prefixed pattern; first-only emulated by anchoring a
+        # non-greedy prefix capture (literal pattern/replacement
+        # without capture refs only — anything else raises loudly).
+        for m, args, end in cls._call_sites(masked, "regexp_replace"):
+            if len(args) not in (3, 4):
+                continue
+            if len(args) == 4 and re.fullmatch(r"\s*-?\d+\s*", args[3]):
+                continue  # Spark/PG position form — and the kit's own
+                #           stable output (", 1)") — pass through
+            pat, rep = lit_of(args[1]), lit_of(args[2])
+            flags = lit_of(args[3]) if len(args) == 4 else ""
+            if len(args) == 4 and (
+                flags is None or not set(flags) <= {"g", "i"}
+            ):
+                raise LakehouseError(
+                    "regexp_replace flags must be a literal made of "
+                    "'g'/'i' here (PG semantics); got "
+                    f"{args[3].strip()!r}"
+                )
+            ci = "(?i)" if "i" in (flags or "") else ""
+            if "g" in (flags or ""):
+                if ci and pat is None:
+                    raise LakehouseError(
+                        "regexp_replace with the 'i' flag needs a "
+                        "literal pattern (the flag folds into it)"
+                    )
+                p_txt = (
+                    new_lit(ci + pat) if pat is not None
+                    else args[1].strip()
+                )
+                masked = (
+                    masked[: m.start()]
+                    + f"regexp_replace({args[0].strip()}, {p_txt}, "
+                    f"{args[2].strip()}, 1)"
+                    + masked[end:]
+                )
+                continue
+            # replace-FIRST-only (PG's default without 'g')
+            if pat is None or rep is None or "(" in pat or "$" in rep \
+                    or "\\" in rep:
+                raise LakehouseError(
+                    "PG regexp_replace replaces only the FIRST match; "
+                    "this shape can't be rewritten — add the 'g' flag "
+                    "for replace-all, or use a literal pattern without "
+                    "groups and a literal replacement"
+                )
+            first_pat = new_lit(f"^((?s).*?)(?:{ci}{pat})")
+            first_rep = new_lit("$1" + rep)
+            masked = (
+                masked[: m.start()]
+                + f"regexp_replace({args[0].strip()}, {first_pat}, "
+                f"{first_rep}, 1)"
                 + masked[end:]
             )
         return masked
@@ -2236,7 +2378,11 @@ class LakeSQL:
                 ).filter(F.col("_change_type") != "update_preimage")
                 if returning == "*":
                     return changes.drop("_commit_version")
-                cols = [c.strip() for c in returning.split(",") if c.strip()]
+                cols = [
+            c.strip().rsplit(".", 1)[-1]
+            for c in returning.split(",")
+            if c.strip()
+        ]
                 return changes.select(*cols)
             return self._merge(s)
         if head == "CLUSTER":
@@ -4342,7 +4488,11 @@ class LakeSQL:
             rows, self._returned_df = self._returned_df, None
             if returning == "*":
                 return rows
-            cols = [c.strip() for c in returning.split(",") if c.strip()]
+            cols = [
+            c.strip().rsplit(".", 1)[-1]
+            for c in returning.split(",")
+            if c.strip()
+        ]
             return rows.select(*cols)
         tm = re.search(rf"\b{_TBL}(?:@({_IDENT}))?", stmt)
         tbl = self._load(tm.group(1), tm.group(2), tm.group(3))
@@ -4353,7 +4503,11 @@ class LakeSQL:
         ).filter(F.col("_change_type").isin(*self._RETURNING_TYPES[head]))
         if returning == "*":
             return changes.drop("_change_type", "_commit_version")
-        cols = [c.strip() for c in returning.split(",") if c.strip()]
+        cols = [
+            c.strip().rsplit(".", 1)[-1]
+            for c in returning.split(",")
+            if c.strip()
+        ]
         return changes.select(*cols)
 
     # PG CREATE INDEX → the lake's data-skipping indexes. There is no
@@ -4667,6 +4821,25 @@ class LakeSQL:
         # folded alias (comparisons against WHERE qualifiers fold too)
         return source, salias.lower()
 
+    @staticmethod
+    def _strip_dml_qualifiers(text, ns, name, talias):
+        """Remove column qualifiers a plain (join-less) DML scan
+        can't resolve: the explicit alias if one was given, else
+        PG's implicit correlation name — the bare table name — and
+        the schema-qualified ``ns.name.col`` spelling."""
+        if talias:
+            return re.sub(
+                rf"\b{talias}\.({_IDENT})", r"\1", text,
+                flags=re.IGNORECASE,
+            )
+        text = re.sub(
+            rf"\b{ns}\.{name}\.({_IDENT})", r"\1", text,
+            flags=re.IGNORECASE,
+        )
+        return re.sub(
+            rf"\b{name}\.({_IDENT})", r"\1", text, flags=re.IGNORECASE
+        )
+
     def _join_dml_on(self, keys, extra, salias, talias, U):
         """Join condition between the pre-commit target (``__tgt``)
         and the DML source (``__src``) — the same key equalities and
@@ -4834,9 +5007,11 @@ class LakeSQL:
             if not pm:
                 raise LakehouseError(f"cannot parse DELETE: {U(s)[:80]!r}")
             where = pm.group(1)
-            if talias:  # strip the correlation: the scan is unaliased
-                where = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", where,
-                               flags=re.IGNORECASE)
+            # strip the correlation: the scan is unaliased. PG exposes
+            # the bare (and schema-qualified) table name when no alias
+            # is given — ``DELETE FROM db.t WHERE t.k = 1`` /
+            # ``WHERE db.t.k = 1`` are both valid PG
+            where = self._strip_dml_qualifiers(where, ns, name, talias)
         tbl = self._load(ns, name, branch)
         return self._apply_delete(
             tbl, F.expr(self._spark_text(U(where))) if where else F.lit(True)
@@ -4942,12 +5117,17 @@ class LakeSQL:
         wm = self._depth0_kw(rest, "WHERE")
         sets = rest[: wm.start()] if wm is not None else rest
         where = rest[wm.end():] if wm is not None else None
-        if talias:  # strip the correlation: the scan is unaliased
-            strip = lambda t: re.sub(  # noqa: E731
-                rf"\b{talias}\.({_IDENT})", r"\1", t, flags=re.IGNORECASE
-            )
-            sets = strip(sets)
-            where = strip(where) if where else None
+        # strip the correlation: the scan is unaliased. PG exposes the
+        # bare/schema-qualified table name when no alias is given
+        # (``UPDATE db.t SET s = upper(t.s) WHERE t.k = 1``). A
+        # qualified SET target (``SET t.s = ...``, which PG rejects)
+        # strips to the same column — lenient, never wrong.
+        sets = self._strip_dml_qualifiers(sets, ns, name, talias)
+        where = (
+            self._strip_dml_qualifiers(where, ns, name, talias)
+            if where
+            else None
+        )
         tbl = self._load(ns, name, branch)
         defaults = tbl.column_defaults()
         ids, _ = tbl._effective_field_ids(tbl.snapshot())

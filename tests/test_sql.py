@@ -3356,3 +3356,79 @@ def test_array_subquery_constructor_r8(lsql):
         lsql.sql(
             "SELECT ARRAY(SELECT k FROM db.arq ORDER BY k DESC) AS a"
         ).collect()
+
+
+def test_plain_dml_bare_name_qualifiers_r8(lsql):
+    """r8 follow-up to the correlation work: plain (join-less) DML
+    accepts PG's bare-name and schema-qualified column qualifiers —
+    ``UPDATE db.t SET s = upper(t.s) WHERE t.k = 1``, ``DELETE FROM
+    db.t WHERE db.t.k = 2`` — and RETURNING may qualify columns."""
+    lsql.sql("CREATE TABLE db.pdml (k BIGINT, s TEXT)")
+    lsql.sql("INSERT INTO db.pdml VALUES (1,'a'), (2,'b'), (3,'c')")
+    lsql.sql("UPDATE db.pdml SET s = upper(pdml.s) WHERE pdml.k = 2")
+    lsql.sql("DELETE FROM db.pdml WHERE db.pdml.k = 3")
+    got = [
+        tuple(r)
+        for r in lsql.sql(
+            "DELETE FROM db.pdml WHERE pdml.k = 1 RETURNING pdml.k, pdml.s"
+        ).collect()
+    ]
+    assert got == [(1, "a")]
+    assert sorted(
+        tuple(r) for r in lsql.sql("SELECT k, s FROM db.pdml").collect()
+    ) == [(2, "B")]
+    # explicit alias still hides the bare name — alias strips, and an
+    # unknown qualifier stays loud
+    lsql.sql("UPDATE db.pdml x SET s = x.s || '!' WHERE x.k = 2")
+    assert lsql.sql("SELECT s FROM db.pdml").collect()[0][0] == "B!"
+
+
+def test_fn_kit_battery_r8(lsql):
+    """r8 probe-battery fixes: PG log(x) is BASE-10 (Spark's is
+    natural — silent wrong numbers passed through); strpos /
+    starts_with; numeric trunc (toward zero, optional scale);
+    regexp_replace replaces only the FIRST match without 'g' and
+    honors 'i'; substring(s FROM 'regex') with PG's group-1 and
+    NULL-on-no-match semantics; generate_series names its output
+    column generate_series in FROM position."""
+    from decimal import Decimal
+
+    lsql.sql("CREATE TABLE db.fb8 (k BIGINT, s TEXT, v DOUBLE)")
+    lsql.sql(
+        "INSERT INTO db.fb8 VALUES (1,'alpha',100.0), (2,'Beta',-2.25), "
+        "(3,NULL,NULL), (4,'aXa',2.567)"
+    )
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    rows = lambda q: sorted(  # noqa: E731
+        (tuple(r) for r in lsql.sql(q).collect()), key=str
+    )
+    assert one("SELECT log(100.0) AS r") == 2.0           # base-10!
+    assert one("SELECT log(2, 8.0) AS r") == 3.0          # base-b form
+    assert one("SELECT strpos('alpha', 'ph') AS r") == 3
+    assert one("SELECT starts_with('alpha', 'al') AS r") is True
+    assert one("SELECT trunc(2.567) AS r") == Decimal("2")
+    assert one("SELECT trunc(-2.567) AS r") == Decimal("-2")
+    assert float(one("SELECT trunc(2.567, 2) AS r")) == 2.56
+    assert float(one("SELECT trunc(-2.567, 2) AS r")) == -2.56
+    # PG: no 'g' -> FIRST match only; 'g' -> all; 'i' -> case-fold
+    assert one("SELECT regexp_replace('aaa', 'a', 'b') AS r") == "baa"
+    assert one("SELECT regexp_replace('aaa', 'a', 'b', 'g') AS r") == "bbb"
+    assert one("SELECT regexp_replace('Aaa', 'a', 'b', 'i') AS r") == "baa"
+    assert one("SELECT regexp_replace('AaA', 'a', 'b', 'gi') AS r") == "bbb"
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="FIRST|flags"):
+        lsql.sql("SELECT regexp_replace('x', '(a)', '$1!') AS r").collect()
+    # substring regex form: group 1 when present, NULL on no match
+    assert one("SELECT substring('alpha' from 'l.h') AS r") == "lph"
+    assert one("SELECT substring('aXa' from 'X([a-z])') AS r") == "a"
+    assert one("SELECT substring('alpha' from 'zzz') AS r") is None
+    assert rows("SELECT k, substring(s from 2 for 2) AS r FROM db.fb8") \
+        == [(1, "lp"), (2, "et"), (3, None), (4, "Xa")]
+    # generate_series: PG column name in FROM position
+    assert rows("SELECT generate_series AS g FROM generate_series(1, 3)") \
+        == [(1,), (2,), (3,)]
+    assert rows(
+        "SELECT g.generate_series AS x FROM generate_series(2, 4) g"
+    ) == [(2,), (3,), (4,)]
+    assert rows("SELECT n FROM generate_series(1, 2) AS t(n)") \
+        == [(1,), (2,)]
