@@ -246,7 +246,9 @@ class LakeSQL:
     # Spark's extract doesn't know at all). Returning Spark's value
     # unchanged is a SILENT off-by-one on every weekday computation.
     _EXTRACT_DOW = re.compile(
-        r"\bEXTRACT\s*\(\s*(DOW|ISODOW)\s+FROM\b", re.IGNORECASE
+        r"\bEXTRACT\s*\(\s*(DOW|ISODOW|CENTURY|DECADE|MILLENNIUM"
+        r"|MILLISECONDS?|MICROSECONDS?)\s+FROM\b",
+        re.IGNORECASE,
     )
     _DATE_PART_DOW = re.compile(
         r"\bDATE_PART\s*\(\s*(\x00\d+\x00)\s*,", re.IGNORECASE
@@ -254,10 +256,36 @@ class LakeSQL:
 
     @classmethod
     def _rewrite_extract_dow(cls, masked: str, lits: list[str]) -> str:
-        """Both spellings — ``extract(dow from x)`` and
-        ``date_part('dow', x)`` — emit PG's numbering: dow 0-6
-        (Sunday=0) via ``dayofweek(x) - 1``; isodow 1-7 (Monday=1)
-        via ``(dayofweek(x) + 5) % 7 + 1``."""
+        """Both spellings — ``extract(field from x)`` and
+        ``date_part('field', x)`` — for the PG fields Spark lacks:
+        dow 0-6 (Sunday=0), isodow 1-7 (Monday=1), century / decade /
+        millennium (PG's year-1-anchored arithmetic), and
+        milliseconds / microseconds (the seconds-within-minute field
+        scaled, fraction included — NOT the epoch)."""
+
+        _FIELD_REPS = {
+            "dow": lambda e: f"(dayofweek({e}) - 1)",
+            "isodow": lambda e: f"(pmod(dayofweek({e}) + 5, 7) + 1)",
+            "century": lambda e: (
+                f"(cast(floor((year({e}) - 1) / 100) + 1 AS bigint))"
+            ),
+            "millennium": lambda e: (
+                f"(cast(floor((year({e}) - 1) / 1000) + 1 AS bigint))"
+            ),
+            "decade": lambda e: (
+                f"(cast(floor(year({e}) / 10) AS bigint))"
+            ),
+            "milliseconds": lambda e: (
+                f"(pmod(unix_micros(cast(({e}) AS timestamp)), "
+                "60000000) / 1000.0)"
+            ),
+            "microseconds": lambda e: (
+                f"(pmod(unix_micros(cast(({e}) AS timestamp)), "
+                "60000000))"
+            ),
+        }
+        _FIELD_REPS["millisecond"] = _FIELD_REPS["milliseconds"]
+        _FIELD_REPS["microsecond"] = _FIELD_REPS["microseconds"]
 
         def rewrite_one(out: str, start: int, inner_start: int,
                         field: str) -> str | None:
@@ -271,11 +299,7 @@ class LakeSQL:
             if depth:
                 return None
             expr = out[inner_start: i - 1].strip()
-            rep = (
-                f"(dayofweek({expr}) - 1)"
-                if field == "dow"
-                else f"(pmod(dayofweek({expr}) + 5, 7) + 1)"
-            )
+            rep = _FIELD_REPS[field](expr)
             return out[:start] + rep + out[i:]
 
         while True:
@@ -291,7 +315,7 @@ class LakeSQL:
         for m in reversed(list(cls._DATE_PART_DOW.finditer(masked))):
             idx = int(m.group(1).strip("\x00"))
             field = lits[idx][1:-1].lower()
-            if field not in ("dow", "isodow"):
+            if field not in _FIELD_REPS:
                 continue
             new = rewrite_one(masked, m.start(), m.end(), field)
             if new is not None:
@@ -453,6 +477,35 @@ class LakeSQL:
         only mid-chain (operand ends in ``)``). A lambda whose body IS
         exactly a literal loses its arrow and fails loudly in Spark —
         never silently."""
+        # path operators first: ``j #> '{b,c,1}'`` / ``#>>`` → one
+        # get_json_object with the path folded to $.b.c[1] (numeric
+        # segments are 0-based array indexes in both dialects).
+        # Literal simple-segment paths only; anything else stays loud.
+        for m in reversed(
+            list(re.finditer(r"(#>>?)\s*(\x00\d+\x00)", masked))
+        ):
+            left = cls._capture_left(masked, m.start())
+            if left is None:
+                continue
+            idx = int(m.group(2).strip("\x00"))
+            path = lits[idx][1:-1].replace("''", "'").strip()
+            if not (path.startswith("{") and path.endswith("}")):
+                continue
+            segs = [s.strip() for s in path[1:-1].split(",")]
+            if not all(re.fullmatch(r"\w+", s) for s in segs):
+                continue
+            jp = "$" + "".join(
+                f"[{s}]" if re.fullmatch(r"\d+", s) else f".{s}"
+                for s in segs
+            )
+            lits.append("'" + jp + "'")
+            ph = f"\x00{len(lits) - 1}\x00"
+            b = masked[left[0]: left[1]]
+            masked = (
+                masked[: left[0]]
+                + f"get_json_object({b}, {ph})"
+                + masked[m.end():]
+            )
         pos = 0
         while True:
             m = cls._JSON_ARROW.search(masked, pos)
@@ -998,6 +1051,76 @@ class LakeSQL:
 
         return cls._OVERLAPS.sub(ovl, masked)
 
+    @classmethod
+    def _rewrite_subscripts(cls, masked: str) -> str:
+        """PG array subscripts are 1-BASED and out-of-range (incl.
+        zero/negative) yields NULL; Spark's ``[]`` is 0-based and
+        ANSI-raises — passed through, every ``a[i]`` returns the
+        WRONG ELEMENT. Rewritten to 1-based ``try_element_at`` with
+        a NULL guard for non-positive indexes; a masked string
+        literal index is a MAP key (try_element_at handles both).
+        PG slices ``a[lo:hi]`` (inclusive, clamping) become
+        ``slice(a, lo, greatest(0, hi - lo + 1))``. Runs AFTER the
+        array[...]-constructor pass, so every surviving bracket
+        after a value tail is a subscript; ``::int[]`` type-suffix
+        brackets are empty and skipped."""
+        pos = 0
+        while True:
+            i = masked.find("[", pos)
+            if i < 0:
+                return masked
+            j = i
+            while j > 0 and masked[j - 1] in " \t":
+                j -= 1
+            prev = masked[j - 1] if j else ""
+            if not (prev.isalnum() or prev in ")]_\x00"):
+                pos = i + 1
+                continue  # not a value tail: not a subscript
+            wm = re.search(rf"({_IDENT})$", masked[:j])
+            if wm and wm.group(1).lower() in _SQL_KEYWORDS:
+                pos = i + 1
+                continue
+            depth, k = 1, i + 1
+            while k < len(masked) and depth:
+                if masked[k] == "[":
+                    depth += 1
+                elif masked[k] == "]":
+                    depth -= 1
+                k += 1
+            if depth:
+                return masked  # unbalanced: leave loud
+            inner = masked[i + 1: k - 1].strip()
+            if not inner:
+                pos = k
+                continue  # type suffix (::int[])
+            base = cls._capture_left(masked, i)
+            if base is None:
+                pos = k
+                continue  # uncapturable base: leave loud
+            b = masked[base[0]: base[1]]
+            sl = re.split(r"(?<!:):(?!:)", inner)
+            if len(sl) == 2:  # PG slice a[lo:hi]
+                lo = sl[0].strip() or "1"
+                hi = sl[1].strip() or f"size(({b}))"
+                rep = (
+                    f"slice(({b}), ({lo}), "
+                    f"greatest(0, ({hi}) - ({lo}) + 1))"
+                )
+            elif re.fullmatch(r"\x00\d+\x00", inner):
+                rep = f"try_element_at(({b}), {inner})"  # map key
+            elif re.fullmatch(r"\d+", inner) and int(inner) >= 1:
+                # index 0 still raises even in try_element_at — the
+                # non-positive literals take the CASE guard below
+                rep = f"try_element_at(({b}), {inner})"
+            else:
+                rep = (
+                    f"(CASE WHEN ({inner}) >= 1 THEN "
+                    f"try_element_at(({b}), cast(({inner}) AS int)) "
+                    "ELSE NULL END)"
+                )
+            masked = masked[: base[0]] + rep + masked[k:]
+            pos = base[0]
+
     # PG's subquery array constructor: ARRAY(SELECT x FROM ...) →
     # a scalar subquery aggregating into an array. PG returns '{}'
     # for an empty result where array_agg is NULL, hence coalesce.
@@ -1301,7 +1424,13 @@ class LakeSQL:
                         alias = am.group(1)
                         consumed = am.end(1)
                 if alias is not None:
-                    rep = f"{rep} AS {alias}(generate_series)"
+                    # subquery form, NOT ``AS x(generate_series)``:
+                    # that spelling re-matches generate_series( and a
+                    # re-applied dialect pass would corrupt it
+                    rep = (
+                        f"(SELECT col AS generate_series FROM {rep})"
+                        f" AS {alias}"
+                    )
                     end += consumed
             masked = masked[: m.start()] + rep + masked[end:]
         while True:
@@ -1446,9 +1575,80 @@ class LakeSQL:
                     + f"{fn}({args[0].strip()}, {new_lit(java)})"
                     + masked[end:]
                 )
+        # PG concat() IGNORES NULL arguments (unlike ||, and unlike
+        # Spark's concat which nulls the whole result) → concat_ws''.
+        # Runs BEFORE the array_cat mapping, whose flatten output
+        # must never re-match here (kit runs to a fixpoint).
         masked = re.sub(
-            r"\barray_cat\s*\(", "concat(", masked, flags=re.IGNORECASE
+            r"\bconcat\s*\(", "concat_ws('', ", masked,
+            flags=re.IGNORECASE,
         )
+        # array_cat(a, b) → flatten(array(a, b)) — NOT concat, which
+        # the NULL-skipping concat rewrite above would re-capture
+        for m, args, end in cls._call_sites(masked, "array_cat"):
+            if len(args) != 2:
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"flatten(array({args[0].strip()}, "
+                f"{args[1].strip()}))"
+                + masked[end:]
+            )
+        # PG arg order is array_prepend(elem, arr); emitted as the
+        # arg-order-free array_insert so the kit's fixpoint
+        # re-application can't swap it back
+        for m, args, end in cls._call_sites(masked, "array_prepend"):
+            if len(args) != 2:
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"array_insert(({args[1].strip()}), 1, "
+                f"({args[0].strip()}))"
+                + masked[end:]
+            )
+        # array_to_string(arr, sep[, null_text]) → array_join (same
+        # 2- and 3-arg semantics)
+        masked = re.sub(
+            r"\barray_to_string\s*\(", "array_join(", masked,
+            flags=re.IGNORECASE,
+        )
+        # array_upper(a, 1) → size(a); array_lower(a, 1) → 1 (PG
+        # arrays here are always 1-based, dim 1; other dims stay loud)
+        for fn2, rep2 in (("array_upper", "size({a})"),
+                          ("array_lower", "1")):
+            for m, args, end in cls._call_sites(masked, fn2):
+                if len(args) != 2 or args[1].strip() != "1":
+                    continue
+                masked = (
+                    masked[: m.start()]
+                    + rep2.format(a=args[0].strip())
+                    + masked[end:]
+                )
+        # to_hex → lowercase hex (PG emits lowercase)
+        for m, args, end in cls._call_sites(masked, "to_hex"):
+            if len(args) == 1:
+                masked = (
+                    masked[: m.start()]
+                    + f"lower(hex({args[0].strip()}))"
+                    + masked[end:]
+                )
+        # encode/decode(x, 'base64'|'hex') — PG's bytea codecs
+        for fn2, b64, hx in (
+            ("encode", "base64({a})", "lower(hex({a}))"),
+            ("decode", "unbase64({a})", "unhex({a})"),
+        ):
+            for m, args, end in cls._call_sites(masked, fn2):
+                if len(args) != 2:
+                    continue
+                fmt = lit_of(args[1])
+                if fmt not in ("base64", "hex"):
+                    continue  # escape etc.: leave loud
+                tpl = b64 if fmt == "base64" else hx
+                masked = (
+                    masked[: m.start()]
+                    + tpl.format(a=args[0].strip())
+                    + masked[end:]
+                )
         for m, args, end in cls._call_sites(masked, "age"):
             if len(args) != 2:
                 continue
@@ -1873,6 +2073,7 @@ class LakeSQL:
         masked = cls._rewrite_json_arrows(masked, lits)
         masked = cls._rewrite_array_ctor(masked)
         masked = cls._rewrite_array_subquery(masked)
+        masked = cls._rewrite_subscripts(masked)
         masked = cls._rewrite_array_ops(masked)
         # PG row constructor → Spark struct (row_number etc. are
         # untouched: the match needs an immediate open paren)

@@ -3432,3 +3432,63 @@ def test_fn_kit_battery_r8(lsql):
     ) == [(2,), (3,), (4,)]
     assert rows("SELECT n FROM generate_series(1, 2) AS t(n)") \
         == [(1,), (2,)]
+
+
+def test_fn_kit_battery3_r8(lsql):
+    """r8 battery 3: PG 1-based array subscripts (+slices, map keys),
+    NULL-ignoring concat, to_hex lowercase, encode/decode, PG
+    array_prepend arg order, array_to_string, array_upper/lower,
+    exotic extract fields, json #> / #>> path operators."""
+    lsql.sql("CREATE TABLE db.b38 (k BIGINT, a TEXT)")
+    lsql.sql("INSERT INTO db.b38 VALUES (2, 'x')")
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    # PG subscripts are 1-BASED (Spark's [] is 0-based: silent
+    # off-by-one passed through); out-of-range/non-positive -> NULL
+    assert one("SELECT (array['a','b','c'])[2] AS r") == "b"
+    assert one("SELECT (array['a','b','c'])[9] AS r") is None
+    assert one("SELECT (array['a','b','c'])[0] AS r") is None
+    assert one("SELECT (array[10,20,30])[k] AS r FROM db.b38") == 20
+    # PG slice: inclusive ends, clamping, empty when hi < lo
+    assert one("SELECT (array[1,2,3,4])[2:3] AS r") == [2, 3]
+    assert one("SELECT (array[1,2,3])[:2] AS r") == [1, 2]
+    assert one("SELECT (array[1,2,3])[2:] AS r") == [2, 3]
+    assert one("SELECT (array[1,2,3])[3:1] AS r") == []
+    # PG concat ignores NULLs; || stays NULL-propagating
+    assert one("SELECT concat('a', NULL, 'b') AS r") == "ab"
+    assert one("SELECT 'a' || NULL AS r") is None
+    assert one("SELECT concat('x-', k) AS r FROM db.b38") == "x-2"
+    assert one("SELECT to_hex(255) AS r") == "ff"
+    assert one("SELECT encode('abc', 'base64') AS r") == "YWJj"
+    assert bytes(one("SELECT decode('YWJj', 'base64') AS r")) == b"abc"
+    assert one("SELECT encode('ab', 'hex') AS r") == "6162"
+    assert one("SELECT array_prepend(0, array[1,2]) AS r") == [0, 1, 2]
+    assert one("SELECT array_append(array[1,2], 3) AS r") == [1, 2, 3]
+    assert one("SELECT array_cat(array[1], array[2,3]) AS r") == [1, 2, 3]
+    assert one("SELECT array_to_string(array[1,2,3], '-') AS r") == "1-2-3"
+    assert one(
+        "SELECT array_to_string(array['a',NULL,'b'], ',', '_') AS r"
+    ) == "a,_,b"
+    assert one("SELECT array_upper(array[7,8], 1) AS r") == 2
+    assert one("SELECT array_lower(array[7,8], 1) AS r") == 1
+    # exotic extract fields (PG year-1-anchored century arithmetic)
+    assert one("SELECT extract(century from DATE '2024-06-01') AS r") == 21
+    assert one("SELECT extract(century from DATE '2000-06-01') AS r") == 20
+    assert one("SELECT extract(decade from DATE '2024-06-01') AS r") == 202
+    assert one(
+        "SELECT extract(millennium from DATE '2024-06-01') AS r"
+    ) == 3
+    assert float(one(
+        "SELECT extract(milliseconds from "
+        "TIMESTAMP '2024-01-01 00:00:01.5') AS r"
+    )) == 1500.0
+    assert one(
+        "SELECT extract(microseconds from "
+        "TIMESTAMP '2024-01-01 00:00:01.5') AS r"
+    ) == 1500000
+    assert one(
+        "SELECT date_part('century', DATE '2024-06-01') AS r"
+    ) == 21
+    # json path operators
+    j = '\'{"b": {"c": [10, 20]}}\''
+    assert one(f"SELECT {j} #>> '{{b,c,1}}' AS r") == "20"
+    assert one(f"SELECT {j} #> '{{b,c}}' AS r") == "[10,20]"
