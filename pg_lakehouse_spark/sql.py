@@ -2063,6 +2063,16 @@ class LakeSQL:
                 break  # un-rewritable (non-literal ~*): stop, loud fail
             masked = masked[: m.start()] + rep + masked[m.end():]
 
+        # '<value>'::interval → an interval LITERAL: Spark's
+        # CalendarIntervalType (what the cast would yield) cannot
+        # even be collected to Python; the literal parses to the
+        # day-time/year-month types that can
+        masked = re.sub(
+            r"(\x00\d+\x00)\s*::\s*interval\b",
+            r"interval \1",
+            masked,
+            flags=re.IGNORECASE,
+        )
         masked = cls._COLONCAST.sub(
             lambda m: "::"
             + cls._map_pg_type((m.group(1) + (m.group(2) or "")).strip()),
@@ -2098,6 +2108,32 @@ class LakeSQL:
         masked = cls._rewrite_range_preds(masked)
         masked = cls._rewrite_extract_dow(masked, lits)
         masked = cls._rewrite_power_op(masked)
+        # PG '#' is bitwise XOR (its '^' being power): emitted as
+        # Spark's '^' — safe only AFTER the power pass consumed every
+        # PG '^'
+        while True:
+            hm = re.search(r"#(?!>)", masked)
+            if not hm:
+                break
+            left = cls._capture_left(masked, hm.start())
+            right = cls._capture_right(masked, hm.end(), signed=True)
+            if left is None or right is None:
+                raise LakehouseError(
+                    "cannot rewrite PG '#' (bitwise XOR) here"
+                )
+            masked = (
+                masked[: left[0]]
+                + f"(({masked[left[0]: left[1]]}) ^ "
+                f"({masked[right[0]: right[1]]}))"
+                + masked[right[1]:]
+            )
+        # PG allows an empty window — OVER () — on the rank family;
+        # Spark demands ORDER BY there. A constant key makes every
+        # row a peer, which also preserves aggregate-over-() framing.
+        masked = re.sub(
+            r"\bOVER\s*\(\s*\)", "OVER (ORDER BY 1)", masked,
+            flags=re.IGNORECASE,
+        )
         masked = cls._rewrite_window_filter(masked)
         masked = cls._rewrite_any_all(masked)
         masked = cls._rewrite_at_time_zone(masked)
@@ -2424,6 +2460,24 @@ class LakeSQL:
                 raise LakehouseError(f"cannot parse LOCK: {s[:60]!r}")
             self._load(m.group(1), m.group(2))  # raises if absent
             return None
+        if head in ("GRANT", "REVOKE"):
+            # single-user engine: privileges are meaningless, but PG
+            # apps/migration scripts issue these constantly — accepted
+            # as documented no-ops (the LOCK/FOR UPDATE posture)
+            return None
+        if head == "CHECKPOINT":
+            return None  # every commit is already durable
+        if head == "DISCARD":
+            m = re.match(
+                r"DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)$",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise LakehouseError(f"cannot parse DISCARD: {s[:60]!r}")
+            if m.group(1).upper() == "ALL":
+                return self.sql("RESET ALL")  # PG: DISCARD ALL ⊇ RESET
+            return None
         if head == "TABLE":
             # PG shorthand: TABLE ns.t ≡ SELECT * FROM ns.t
             return self._select("SELECT * FROM " + s.split(None, 1)[1])
@@ -2470,9 +2524,21 @@ class LakeSQL:
             )
             if cm:
                 self.catalog.create_namespace(
-                    cm.group(2), if_not_exists=bool(cm.group(1))
+                    cm.group(2).lower(),  # PG identifier folding
+                    if_not_exists=bool(cm.group(1)),
                 )
                 return None
+            tm = re.match(
+                rf"CREATE\s+(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+"
+                rf"TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+(.*)$",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if tm:
+                return self._create_temp_table(
+                    tm.group(2).lower(), tm.group(3).strip(),
+                    bool(tm.group(1)),
+                )
             return self._create(s)
         if head == "REFRESH":
             return self._refresh_matview(s)
@@ -5786,6 +5852,48 @@ class LakeSQL:
                     [(eff[name],)], f"`{name}` string"
                 )
         raise LakehouseError(f"cannot parse SHOW: {s[:80]!r}")
+
+    def _create_temp_table(self, name: str, rest: str, if_not_exists):
+        """PG CREATE TEMP TABLE → a session-scoped Spark temp view
+        (PG temp tables are session-scoped too, in pg_temp). The
+        CTAS form materializes the SELECT; the column-definition
+        form binds an EMPTY typed view. Temp views are read-only —
+        a later INSERT INTO a bare temp name fails loudly (the DML
+        grammar requires ns.table), which is the documented bound
+        of this mapping."""
+        rest = re.sub(
+            r"\s+ON\s+COMMIT\s+(?:PRESERVE\s+ROWS|DELETE\s+ROWS|DROP)$",
+            "",
+            rest,
+            flags=re.IGNORECASE,
+        ).strip()
+        if if_not_exists and any(
+            v.name == name for v in self.spark.catalog.listTables()
+            if v.isTemporary
+        ):
+            return None
+        if rest.upper().startswith("AS"):
+            df = self._select(rest[2:].strip())
+            df.createOrReplaceTempView(name)
+            return None
+        if rest.startswith("(") and rest.endswith(")"):
+            from pyspark.sql.types import _parse_datatype_string
+
+            cols = []
+            for item in _split_top_level(rest[1:-1]):
+                cname, _, ctype = item.strip().partition(" ")
+                ctype = re.sub(
+                    r"\s+(NOT\s+NULL|PRIMARY\s+KEY|UNIQUE)\b.*$", "",
+                    ctype, flags=re.IGNORECASE,
+                )
+                cols.append(f"{cname} {self._map_pg_type(ctype.strip())}")
+            schema = _parse_datatype_string(", ".join(cols))
+            self.spark.createDataFrame([], schema) \
+                .createOrReplaceTempView(name)
+            return None
+        raise LakehouseError(
+            f"cannot parse CREATE TEMP TABLE body: {rest[:80]!r}"
+        )
 
     def _create_view(self, s: str):
         m = re.match(

@@ -833,7 +833,7 @@ _DIALECT_SAFE_TOKENS = st.lists(
             alphabet=st.characters(
                 min_codepoint=32,
                 max_codepoint=126,
-                blacklist_characters="'\"~:>-/^$@&",
+                blacklist_characters="'\"~:>-/^$@&#[]",
             ),
             min_size=1,
             max_size=8,

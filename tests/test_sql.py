@@ -143,8 +143,9 @@ def test_truncate_vacuum_optimize(lsql):
 
 
 def test_unsupported_statement_errors(lsql):
+    # (GRANT/REVOKE became documented no-ops in r8 — battery 4)
     with pytest.raises(LakehouseError, match="unsupported statement"):
-        lsql.sql("GRANT ALL ON db.x TO role")
+        lsql.sql("LISTEN channel_x")
     lsql.sql("CREATE TABLE db.g (k BIGINT)")
     # column-list INSERT is supported grammar now; a malformed insert
     # action still errors
@@ -3492,3 +3493,44 @@ def test_fn_kit_battery3_r8(lsql):
     j = '\'{"b": {"c": [10, 20]}}\''
     assert one(f"SELECT {j} #>> '{{b,c,1}}' AS r") == "20"
     assert one(f"SELECT {j} #> '{{b,c}}' AS r") == "[10,20]"
+
+
+def test_statement_surface_battery4_r8(lsql):
+    """r8 battery 4: statement-level PG surface — GRANT/REVOKE/
+    CHECKPOINT/DISCARD as documented no-ops (DISCARD ALL ≡ RESET
+    ALL), CREATE TEMP TABLE (CTAS → session temp view; column-def →
+    empty typed view), '...'::interval literals, the '#' XOR
+    operator (PG's '^' being power), and rank-family window
+    functions over an empty OVER ()."""
+    lsql.sql("CREATE TABLE db.b48 (k BIGINT, s TEXT)")
+    lsql.sql("INSERT INTO db.b48 VALUES (1,'a'), (2,'b')")
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert lsql.sql("GRANT SELECT ON db.b48 TO analyst") is None
+    assert lsql.sql("REVOKE SELECT ON db.b48 FROM analyst") is None
+    assert lsql.sql("CHECKPOINT") is None
+    lsql.sql("SET statement_timeout = '100'")
+    lsql.sql("DISCARD ALL")
+    assert lsql.sql("SHOW statement_timeout").collect()[0][0] == "0"
+    lsql.sql("CREATE TEMP TABLE tmp48 AS SELECT k * 10 AS kk FROM db.b48")
+    assert sorted(
+        r.kk for r in lsql.sql("SELECT kk FROM tmp48").collect()
+    ) == [10, 20]
+    lsql.sql("CREATE TEMP TABLE tmp48e (a BIGINT, b TEXT NOT NULL)")
+    assert lsql.sql("SELECT count(*) AS n FROM tmp48e").collect()[0][0] == 0
+    import datetime
+    assert one("SELECT '90 minutes'::interval AS r") == \
+        datetime.timedelta(minutes=90)
+    assert one("SELECT 5 # 3 AS x") == 6
+    assert one("SELECT 5 # 3 # 1 AS x") == 7
+    assert one("SELECT 5 & 3 AS a") == 1
+    assert one("SELECT 1 << 4 AS sl") == 16
+    rows = lsql.sql(
+        "SELECT k, row_number() OVER () AS rn FROM db.b48"
+    ).collect()
+    assert sorted(r.rn for r in rows) == [1, 2]
+    # aggregates over () keep whole-partition framing
+    assert [
+        r.t for r in lsql.sql(
+            "SELECT sum(k) OVER () AS t FROM db.b48"
+        ).collect()
+    ] == [3, 3]
