@@ -1301,8 +1301,9 @@ class LakeSQL:
                     f"(ORDER BY {keys_txt})"
                 )
             else:
-                if re.match(r"DISTINCT\b", args, re.IGNORECASE):
-                    continue  # loud in Spark
+                distinct = bool(re.match(r"DISTINCT\b", args, re.IGNORECASE))
+                if distinct:
+                    args = args[len("DISTINCT"):].strip()
                 if _split_top_level(keys_txt) != [keys_txt]:
                     continue  # multi-key: loud in Spark
                 km = re.match(
@@ -1328,11 +1329,21 @@ class LakeSQL:
                     f"WHEN l.__o0 < r.__o0 THEN {lt} "
                     f"WHEN l.__o0 > r.__o0 THEN {-lt} ELSE 0 END"
                 )
+                if distinct and re.sub(r"\s+", "", key) != re.sub(
+                    r"\s+", "", args
+                ):
+                    # PG itself rejects DISTINCT with an ORDER BY
+                    # expression outside the argument list
+                    continue  # loud in Spark
                 rep = (
                     "transform(array_sort(collect_list("
                     f"struct(({key}) AS __o0, ({args}) AS __v)), "
                     f"{cmp}), s -> s.__v)"
                 )
+                if distinct:
+                    # sorted first, so array_distinct (which keeps
+                    # FIRST occurrences) preserves the order
+                    rep = f"array_distinct({rep})"
             out = out[: m.start()] + rep + out[end:]
         return out
 
@@ -2246,7 +2257,25 @@ class LakeSQL:
         backslash outright (its lexer eats ``\\'`` even under
         ``escapedStringLiterals``). The frontend therefore keeps all
         text PG-raw internally and re-escapes literals via
-        :meth:`_spark_text` at every Spark parse boundary."""
+        :meth:`_spark_text` at every Spark parse boundary.
+
+        Multi-statement SCRIPTS (psql-style ``a; b; c``) run each
+        statement in order and return the LAST one's result, as PG
+        does. The split happens on literal-masked, comment-stripped
+        text so a ``;`` inside a string or comment never tears a
+        statement."""
+        masked, lits = self._mask_strings(stmt)
+        masked = re.sub(r"--[^\n]*", " ", masked)
+        masked = re.sub(r"/\*.*?\*/", " ", masked, flags=re.DOTALL)
+        core = masked.strip().rstrip(";")
+        if ";" in core:
+            out = None
+            for part in core.split(";"):
+                if part.strip():
+                    out = self._route_stmt(
+                        self._unmask_strings(part, lits)
+                    )
+            return out
         return self._route_stmt(stmt)
 
     # PG admin introspection with a LITERAL table arg — resolved from

@@ -3534,3 +3534,38 @@ def test_statement_surface_battery4_r8(lsql):
             "SELECT sum(k) OVER () AS t FROM db.b48"
         ).collect()
     ] == [3, 3]
+
+
+def test_battery5_r8(lsql):
+    """r8 battery 5: array_agg(DISTINCT x ORDER BY x), multi-statement
+    scripts (psql-style; last statement's result returned; ';' inside
+    literals never tears), numeric cast rounding (PG rounds, checked
+    in-engine since DuckDB truncates)."""
+    from decimal import Decimal
+
+    lsql.sql("CREATE TABLE db.b58 (k BIGINT, s TEXT)")
+    lsql.sql("INSERT INTO db.b58 VALUES (1,'b'), (2,'a'), (3,'b'), (4,NULL)")
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT array_agg(DISTINCT s ORDER BY s) AS r FROM db.b58 "
+        "WHERE s IS NOT NULL"
+    ) == ["a", "b"]
+    assert one(
+        "SELECT array_agg(DISTINCT s ORDER BY s DESC) AS r FROM db.b58 "
+        "WHERE s IS NOT NULL"
+    ) == ["b", "a"]
+    import pytest as _pytest
+    with _pytest.raises(Exception):  # PG rejects this shape too
+        lsql.sql(
+            "SELECT array_agg(DISTINCT s ORDER BY k) AS r FROM db.b58"
+        ).collect()
+    # scripts: sequential execution, last result wins
+    out = lsql.sql(
+        "CREATE TABLE db.scr (k BIGINT); "
+        "INSERT INTO db.scr VALUES (1), (2); "
+        "SELECT sum(k) AS s FROM db.scr;"
+    )
+    assert out.collect()[0].s == 3
+    assert one("SELECT 'a;b' AS r; SELECT 'x;y' AS r") == "x;y"
+    assert one("SELECT cast(2.567 AS numeric(5,2)) AS r") == \
+        Decimal("2.57")
