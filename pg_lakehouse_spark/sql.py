@@ -5136,6 +5136,73 @@ class LakeSQL:
             rf"\b{name}\.({_IDENT})", r"\1", text, flags=re.IGNORECASE
         )
 
+    def _subquery_where_dml(
+        self, ns, name, branch, talias, where_raw, verb, set_items=None
+    ):
+        """Plain DELETE/UPDATE whose WHERE (or SET) embeds a
+        subquery — ``WHERE EXISTS (SELECT 1 FROM db.u WHERE u.k =
+        t.k)``, ``SET v = (SELECT max(...) ...)`` — evaluated by the
+        FULL SQL frontend (lake refs bind, implicit correlation
+        names apply, outer refs resolve by the target's correlation)
+        and committed as a snapshot OVERWRITE of the kept/post-image
+        rows. A full rewrite, deliberately: a subquery predicate
+        cannot be file-pruned anyway (PG scans too), and correctness
+        (PG scoping + 3VL: deleted where TRUE, kept where FALSE or
+        NULL) comes whole from the SELECT engine."""
+        tbl = self._load(ns, name, branch)
+        if self._fk_referenced_by(tbl) or (
+            set_items is not None and self._fk_defs(tbl)
+        ):
+            raise LakehouseError(
+                "subquery DML on FOREIGN-KEY-constrained tables is "
+                "not supported; use an explicit join form"
+            )
+        corr = (talias or name).lower()
+        src = (
+            f"{ns}.{name}"
+            + (f"@{branch}" if branch else "")
+            + (f" AS {talias}" if talias else "")
+        )
+        cond = (
+            f"coalesce(({where_raw}), false)" if where_raw else "true"
+        )
+        if verb == "DELETE":
+            keep = self._select(f"SELECT * FROM {src} WHERE NOT {cond}")
+            if self._capture_returning == "DELETE" and self._txn is None:
+                self._returned_df = self._select(
+                    f"SELECT * FROM {src} WHERE {cond}"
+                )
+        else:
+            schema = tbl.schema()
+            assigns = dict(set_items or ())
+            post, ret = [], []
+            for f in schema.fields:
+                base = f"{corr}.{f.name}"
+                if f.name in assigns:
+                    new = (
+                        f"cast(({assigns[f.name]}) AS "
+                        f"{f.dataType.simpleString()})"
+                    )
+                    post.append(
+                        f"CASE WHEN {cond} THEN {new} "
+                        f"ELSE {base} END AS {f.name}"
+                    )
+                    ret.append(f"{new} AS {f.name}")
+                else:
+                    post.append(f"{base} AS {f.name}")
+                    ret.append(f"{base} AS {f.name}")
+            keep = self._select(
+                f"SELECT {', '.join(post)} FROM {src}"
+            )
+            if self._capture_returning == "UPDATE" and self._txn is None:
+                self._returned_df = self._select(
+                    f"SELECT {', '.join(ret)} FROM {src} WHERE {cond}"
+                )
+        if self._txn is not None:
+            self._txn.overwrite(tbl, keep)
+            return None
+        return tbl.overwrite(keep)
+
     def _join_dml_on(self, keys, extra, salias, talias, U):
         """Join condition between the pre-commit target (``__tgt``)
         and the DML source (``__src``) — the same key equalities and
@@ -5303,6 +5370,13 @@ class LakeSQL:
             if not pm:
                 raise LakehouseError(f"cannot parse DELETE: {U(s)[:80]!r}")
             where = pm.group(1)
+            if re.search(r"\(\s*SELECT\b", where, re.IGNORECASE):
+                # subquery predicate: full SQL-engine evaluation
+                # (qualifier stripping would corrupt subquery scopes)
+                return self._subquery_where_dml(
+                    ns.lower(), name.lower(), branch, talias,
+                    U(where), "DELETE",
+                )
             # strip the correlation: the scan is unaliased. PG exposes
             # the bare (and schema-qualified) table name when no alias
             # is given — ``DELETE FROM db.t WHERE t.k = 1`` /
@@ -5413,6 +5487,18 @@ class LakeSQL:
         wm = self._depth0_kw(rest, "WHERE")
         sets = rest[: wm.start()] if wm is not None else rest
         where = rest[wm.end():] if wm is not None else None
+        if re.search(r"\(\s*SELECT\b", rest, re.IGNORECASE):
+            # subquery in SET or WHERE: full SQL-engine evaluation
+            # (qualifier stripping would corrupt subquery scopes)
+            strip_k = rf"^(?:{talias or name})\."
+            items = [
+                (re.sub(strip_k, "", k, flags=re.IGNORECASE), U(v))
+                for k, v in _set_items(sets)
+            ]
+            return self._subquery_where_dml(
+                ns.lower(), name.lower(), branch, talias,
+                U(where) if where else None, "UPDATE", items,
+            )
         # strip the correlation: the scan is unaliased. PG exposes the
         # bare/schema-qualified table name when no alias is given
         # (``UPDATE db.t SET s = upper(t.s) WHERE t.k = 1``). A

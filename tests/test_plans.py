@@ -440,3 +440,28 @@ def test_ann_join_no_corpus_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fetch_with_ties_pre_prunes_partitions(spark, tmp_path):
+    """The WITH TIES rank window would otherwise be a single global
+    partition over the whole input; the plan must carry the
+    per-input-partition top-n pre-prune (a spark_partition_id()-keyed
+    window) BEFORE the global tie window, so the single-partition
+    stage sees at most n x num_partitions rows at 100 TB."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.plans.inspect import formatted_plan
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    lsql = LakeSQL(spark, LakeCatalog(spark, str(tmp_path / "wh")))
+    lsql.sql("CREATE TABLE db.wtp (k BIGINT, v BIGINT)")
+    lsql.sql("INSERT INTO db.wtp SELECT id, id % 7 FROM range(1000)")
+    df = lsql.sql(
+        "SELECT k FROM db.wtp ORDER BY v FETCH FIRST 5 ROWS WITH TIES"
+    )
+    plan = formatted_plan(df)
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    # two windows: the pre-prune and the global tie rank
+    assert plan.count("Window") >= 2, plan
+    # and the result is correct: every id%7==0 row ties with the 5th
+    vals = [r.k % 7 for r in df.collect()]
+    assert len(vals) == 143 and set(vals) == {0}

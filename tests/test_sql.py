@@ -3569,3 +3569,48 @@ def test_battery5_r8(lsql):
     assert one("SELECT 'a;b' AS r; SELECT 'x;y' AS r") == "x;y"
     assert one("SELECT cast(2.567 AS numeric(5,2)) AS r") == \
         Decimal("2.57")
+
+
+def test_subquery_dml_r8(lsql):
+    """r8 battery 6: plain DELETE/UPDATE with subqueries in WHERE or
+    SET — correlated EXISTS/IN over lake refs, scalar-subquery
+    assignments — evaluated by the full SQL engine and committed as
+    a snapshot overwrite; PG 3VL holds (NULL predicate rows are
+    KEPT); RETURNING and transactions compose."""
+    lsql.sql("CREATE TABLE db.sq (k BIGINT, v BIGINT, s TEXT)")
+    lsql.sql(
+        "INSERT INTO db.sq VALUES (1, 10, 'a'), (2, 20, 'b'), "
+        "(3, NULL, 'c'), (4, 40, 'd')"
+    )
+    lsql.sql("CREATE TABLE db.squ (k BIGINT, f BIGINT)")
+    lsql.sql("INSERT INTO db.squ VALUES (1, 100), (3, 300)")
+    rows = lambda q: sorted(  # noqa: E731
+        tuple(r) for r in lsql.sql(q).collect()
+    )
+    # correlated EXISTS update with a bare-name outer ref
+    lsql.sql(
+        "UPDATE db.sq SET s = 'hit' WHERE EXISTS "
+        "(SELECT 1 FROM db.squ WHERE squ.k = sq.k)"
+    )
+    assert rows("SELECT k, s FROM db.sq") == [
+        (1, "hit"), (2, "b"), (3, "hit"), (4, "d")
+    ]
+    # scalar subquery in SET
+    lsql.sql(
+        "UPDATE db.sq SET v = (SELECT max(squ.f) FROM db.squ) WHERE k = 2"
+    )
+    assert rows("SELECT k, v FROM db.sq WHERE k = 2") == [(2, 300)]
+    # 3VL: v > 15 is NULL for k=3 -> that row is KEPT by the delete
+    got = rows(
+        "DELETE FROM db.sq WHERE v > 15 AND k IN "
+        "(SELECT squ.k FROM db.squ UNION ALL SELECT 2) RETURNING k"
+    )
+    assert got == [(2,)]
+    assert rows("SELECT k FROM db.sq") == [(1,), (3,), (4,)]
+    # inside a transaction: staged, invisible until COMMIT
+    lsql.sql("BEGIN")
+    lsql.sql(
+        "DELETE FROM db.sq WHERE k IN (SELECT squ.k FROM db.squ)"
+    )
+    lsql.sql("COMMIT")
+    assert rows("SELECT k FROM db.sq") == [(4,)]
