@@ -3829,12 +3829,18 @@ class LakeSQL:
         return tbl.truncate()
 
     def _alter(self, s: str):
-        m = re.match(rf"ALTER\s+TABLE\s+{_TBL}\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        m = re.match(
+            rf"ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?{_TBL}\s+(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
         if not m:
             raise LakehouseError(f"cannot parse ALTER TABLE: {s[:80]!r}")
         ns, name, action = (
-            m.group(1).lower(), m.group(2).lower(), m.group(3).strip()
+            m.group(2).lower(), m.group(3).lower(), m.group(4).strip()
         )  # PG identifier folding
+        if m.group(1) and not self.catalog.table_exists(ns, name):
+            return None  # PG: ALTER TABLE IF EXISTS skips silently
         au = action.upper()
         if au.startswith("RENAME TO"):
             tm = re.match(rf"RENAME\s+TO\s+{_TBL}$", action, re.IGNORECASE)
@@ -3892,6 +3898,16 @@ class LakeSQL:
                 raise LakehouseError(f"cannot parse FAST FORWARD: {action!r}")
             tbl.fast_forward(am.group(1))
             return None
+        if au.startswith("SET SCHEMA"):
+            sm = re.match(
+                rf"SET\s+SCHEMA\s+({_IDENT})$", action, re.IGNORECASE
+            )
+            if not sm:
+                raise LakehouseError(
+                    f"cannot parse SET SCHEMA: {action[:60]!r}"
+                )
+            self.catalog.rename_table(ns, name, sm.group(1).lower(), name)
+            return None
         if au.startswith("SET "):
             pm = re.match(
                 r"SET\s*\((.*)\)\s*$", action, re.IGNORECASE | re.DOTALL
@@ -3904,6 +3920,11 @@ class LakeSQL:
                 props[k.strip()] = v.strip().strip("'\"")
             return tbl.set_properties(props)
         if au.startswith("ADD COLUMN"):
+            # a trailing NOT NULL is a constraint, not part of the
+            # type or the DEFAULT expression (PG accepts either order)
+            action = re.sub(
+                r"\s+NOT\s+NULL(?=\s|$)", "", action, flags=re.IGNORECASE
+            )
             am = re.match(
                 r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                 r"([\w.]+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$",
@@ -3978,10 +3999,30 @@ class LakeSQL:
                     )
                 return tbl.drop_check_constraint(cname)
             am = re.match(
-                r"ALTER\s+COLUMN\s+([\w.]+)\s+TYPE\s+(.+)$",
+                r"ALTER\s+COLUMN\s+([\w.]+)\s+TYPE\s+(.+?)"
+                r"(?:\s+USING\s+(.+))?$",
                 action,
-                re.IGNORECASE,
+                re.IGNORECASE | re.DOTALL,
             )
+            if am.group(3):
+                # accept PG's identity-cast idiom (what migration
+                # tools emit to satisfy "cannot be cast implicitly"):
+                # USING col::type / CAST(col AS type) over the SAME
+                # column. A transforming USING expression would need
+                # a data rewrite — loud.
+                u = am.group(3).strip()
+                col_rx = re.escape(am.group(1))
+                if not re.fullmatch(
+                    rf"(?:{col_rx}\s*::\s*[\w() ]+"
+                    rf"|cast\s*\(\s*{col_rx}\s+as\s+[\w() ]+\s*\))",
+                    u,
+                    re.IGNORECASE,
+                ):
+                    raise LakehouseError(
+                        "ALTER COLUMN TYPE USING supports only the "
+                        "identity cast (USING col::newtype); "
+                        f"got {u[:60]!r}"
+                    )
             return tbl.widen_column(
                 am.group(1), self._map_pg_type(am.group(2))
             )
@@ -4057,15 +4098,61 @@ class LakeSQL:
             return tbl.validate_constraint(am.group(1))
         if au.startswith("DROP CONSTRAINT"):
             am = re.match(
-                rf"DROP\s+CONSTRAINT\s+({_IDENT})$", action, re.IGNORECASE
+                rf"DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?({_IDENT})$",
+                action,
+                re.IGNORECASE,
             )
             if not am:
                 raise LakehouseError(
                     f"cannot parse DROP CONSTRAINT: {action[:80]!r}"
                 )
-            if self._drop_foreign_key(tbl, ns, name, am.group(1)):
+            if self._drop_foreign_key(tbl, ns, name, am.group(2)):
                 return None
-            return tbl.drop_check_constraint(am.group(1))
+            if am.group(1) and am.group(2) not in tbl.check_constraints():
+                return None  # PG: IF EXISTS skips silently
+            return tbl.drop_check_constraint(am.group(2))
+        if au.startswith("OWNER TO"):
+            return None  # single-user engine: ownership is a no-op
+        rm2 = re.match(
+            rf"RENAME\s+CONSTRAINT\s+({_IDENT})\s+TO\s+({_IDENT})$",
+            action,
+            re.IGNORECASE,
+        )
+        if rm2:
+            a, b = rm2.group(1), rm2.group(2)
+            checks = tbl.check_constraints()
+            if a not in checks:
+                raise LakehouseError(
+                    f"no such CHECK constraint: {a!r} (FOREIGN KEY "
+                    "renames are not supported)"
+                )
+            expr = checks[a]
+            tbl.drop_check_constraint(a)
+            # the rows already satisfied the expression under the
+            # old name — no re-validation scan
+            return tbl.add_check_constraint(b, expr, validate=False)
+        km = re.match(
+            rf"ADD\s+(?:CONSTRAINT\s+{_IDENT}\s+)?"
+            rf"(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)$",
+            action,
+            re.IGNORECASE,
+        )
+        if km:
+            cols = [c.strip() for c in km.group(2).split(",") if c.strip()]
+            known = {f.name for f in tbl.schema().fields}
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise LakehouseError(
+                    f"constraint references unknown column(s): {bad}"
+                )
+            if km.group(1).upper().startswith("PRIMARY"):
+                # same posture as CREATE TABLE: PRIMARY KEY maps to
+                # the row_key identity columns (MoR DML keys)
+                return tbl.set_properties({"row_key": ",".join(cols)})
+            props = tbl.snapshot().properties
+            us = [u for u in props.get("unique_constraints", "").split(";") if u]
+            us.append(",".join(cols))
+            return tbl.set_properties({"unique_constraints": ";".join(us)})
         raise LakehouseError(f"unsupported ALTER TABLE action: {action[:60]!r}")
 
     # -- FOREIGN KEY constraints (PG referential integrity) ---------------

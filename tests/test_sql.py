@@ -3614,3 +3614,49 @@ def test_subquery_dml_r8(lsql):
     )
     lsql.sql("COMMIT")
     assert rows("SELECT k FROM db.sq") == [(4,)]
+
+
+def test_alter_surface_battery7_r8(lsql):
+    """r8 battery 7: ALTER TABLE migration-script shapes — IF EXISTS,
+    DROP CONSTRAINT IF EXISTS, OWNER TO (no-op), SET SCHEMA (namespace
+    move), RENAME CONSTRAINT (CHECKs), ADD PRIMARY KEY/UNIQUE, the
+    identity-cast USING idiom, ADD COLUMN ... DEFAULT x NOT NULL."""
+    import pytest as _pytest
+
+    lsql.sql("CREATE TABLE db.al7 (k BIGINT, v INT)")
+    lsql.sql("INSERT INTO db.al7 VALUES (1, 5)")
+    assert lsql.sql("ALTER TABLE IF EXISTS db.nope7 ADD COLUMN x INT") is None
+    lsql.sql("ALTER TABLE db.al7 OWNER TO someone")
+    lsql.sql("ALTER TABLE db.al7 ADD CONSTRAINT pos CHECK (v > 0)")
+    lsql.sql("ALTER TABLE db.al7 RENAME CONSTRAINT pos TO positive")
+    tbl = lsql.catalog.load_table("db", "al7")
+    assert "positive" in tbl.check_constraints()
+    assert "pos" not in tbl.check_constraints()
+    with _pytest.raises(Exception, match="positive"):
+        lsql.sql("INSERT INTO db.al7 VALUES (2, -1)")
+    lsql.sql("ALTER TABLE db.al7 DROP CONSTRAINT IF EXISTS positive")
+    lsql.sql("ALTER TABLE db.al7 DROP CONSTRAINT IF EXISTS positive")
+    lsql.sql("INSERT INTO db.al7 VALUES (2, -1)")
+    # identity-cast USING (the alembic idiom) rides the widening path
+    lsql.sql("ALTER TABLE db.al7 ALTER COLUMN v TYPE BIGINT USING v::bigint")
+    with _pytest.raises(Exception, match="identity cast|widen"):
+        lsql.sql(
+            "ALTER TABLE db.al7 ALTER COLUMN v TYPE BIGINT USING v + 1"
+        )
+    lsql.sql("ALTER TABLE db.al7 ADD PRIMARY KEY (k)")
+    assert lsql.catalog.load_table(
+        "db", "al7"
+    ).snapshot().properties.get("row_key") == "k"
+    lsql.sql("ALTER TABLE db.al7 ADD UNIQUE (v)")
+    lsql.sql(
+        "ALTER TABLE db.al7 ADD COLUMN m NUMERIC(10,2) DEFAULT 1.5 NOT NULL"
+    )
+    assert str(
+        lsql.sql("SELECT m FROM db.al7 WHERE k = 1").collect()[0][0]
+    ) == "1.50"
+    # namespace move + folding
+    lsql.sql("CREATE SCHEMA db2")
+    lsql.sql("ALTER TABLE db.al7 SET SCHEMA DB2")
+    assert lsql.sql("SELECT count(*) AS n FROM db2.al7").collect()[0][0] == 2
+    with _pytest.raises(Exception):
+        lsql.sql("SELECT count(*) FROM db.al7").collect()
