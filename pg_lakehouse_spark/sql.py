@@ -2624,9 +2624,7 @@ class LakeSQL:
             # statement handed down is re-unmasked (each DML verb
             # re-masks on entry).
             _pm, _plits = self._mask_strings(s)
-            rm = re.search(
-                r"\s+RETURNING\s+(\*|[\w\s,.]+)$", _pm, re.IGNORECASE
-            )
+            rm = self._depth0_kw(_pm, "RETURNING")
             returning = None
             if rm:
                 if self._txn is not None:
@@ -2634,7 +2632,9 @@ class LakeSQL:
                         "RETURNING is not available inside a transaction "
                         "(rows are visible only at COMMIT)"
                     )
-                returning = rm.group(1).strip()
+                returning = self._unmask_strings(
+                    _pm[rm.end():], _plits
+                ).strip()
                 s = self._unmask_strings(
                     _pm[: rm.start()], _plits
                 ).rstrip()
@@ -2653,16 +2653,16 @@ class LakeSQL:
             return self._returning_rows(head, s, snap, returning)
         if head == "MERGE":
             _pm, _plits = self._mask_strings(s)
-            rm = re.search(
-                r"\s+RETURNING\s+(\*|[\w\s,.]+)$", _pm, re.IGNORECASE
-            )
+            rm = self._depth0_kw(_pm, "RETURNING")
             if rm:
                 if self._txn is not None:
                     raise LakehouseError(
                         "RETURNING is not available inside a transaction "
                         "(rows are visible only at COMMIT)"
                     )
-                returning = rm.group(1).strip()
+                returning = self._unmask_strings(
+                    _pm[rm.end():], _plits
+                ).strip()
                 snap = self._merge(
                     self._unmask_strings(_pm[: rm.start()], _plits).rstrip()
                 )
@@ -2672,14 +2672,10 @@ class LakeSQL:
                 changes = tbl.read_changes(
                     snap.parent or 0, snap.version
                 ).filter(F.col("_change_type") != "update_preimage")
-                if returning == "*":
-                    return changes.drop("_commit_version")
-                cols = [
-            c.strip().rsplit(".", 1)[-1]
-            for c in returning.split(",")
-            if c.strip()
-        ]
-                return changes.select(*cols)
+                # '*' keeps _change_type (the merge action tag)
+                return self._serve_returning(
+                    changes.drop("_commit_version"), returning
+                )
             return self._merge(s)
         if head == "CLUSTER":
             # PG CLUSTER t USING idx: rewrite the table physically in
@@ -4592,20 +4588,39 @@ class LakeSQL:
                         c.strip() for c in (rk or "").split(",")
                         if c.strip()
                     ]
-                conflict = (keys, "nothing", None) if keys else None
+                conflict = (keys, "nothing", None, None) if keys else None
             else:
                 # parse DO UPDATE SET here (masked) so commas inside a
-                # string literal can't tear the assignment split
-                assignments = {}
-                for k, v in _set_items(cm.group(3)):
-                    expr = re.sub(
-                        rf"\bexcluded\.({_IDENT})",
-                        r"__src.\1",
-                        v,
+                # string literal can't tear the assignment split; a
+                # depth-0 WHERE ends the SET list (PG: conflicting
+                # rows failing the condition are left UNCHANGED)
+                set_txt = cm.group(3)
+                tm1 = re.match(rf"INSERT\s+INTO\s+{_TBL}", s, re.IGNORECASE)
+                tns = tm1.group(1).lower() if tm1 else ""
+                tnm = tm1.group(2).lower() if tm1 else ""
+
+                def excl_to_src(txt: str) -> str:
+                    txt = re.sub(
+                        rf"\bexcluded\.({_IDENT})", r"__src.\1", txt,
                         flags=re.IGNORECASE,
                     )
-                    assignments[k] = F.expr(self._spark_text(U(expr)))
-                conflict = (keys, "update", assignments)
+                    return self._strip_dml_qualifiers(txt, tns, tnm, None)
+
+                cwm = self._depth0_kw(set_txt, "WHERE")
+                cond = None
+                if cwm is not None:
+                    cond = F.expr(
+                        self._spark_text(
+                            U(excl_to_src(set_txt[cwm.end():].strip()))
+                        )
+                    )
+                    set_txt = set_txt[: cwm.start()]
+                assignments = {}
+                for k, v in _set_items(set_txt):
+                    assignments[k] = F.expr(
+                        self._spark_text(U(excl_to_src(v)))
+                    )
+                conflict = (keys, "update", assignments, cond)
             s = s[: cm.start()].rstrip()
         m = re.match(
             rf"INSERT\s+INTO\s+{_TBL}(?:@({_IDENT}))?\s*(\([^)]*\))?\s*(.+)$",
@@ -4824,7 +4839,7 @@ class LakeSQL:
             self._fk_check_frame(df, fks, verb="inserted row(s)")
         if conflict is None:
             return self._apply_insert(tbl, df)
-        keys, action, sets = conflict
+        keys, action, sets, cond = conflict
         known = {f.name for f in tbl.schema().fields}
         bad = [k for k in keys if k not in known]
         if bad:
@@ -4850,9 +4865,30 @@ class LakeSQL:
             df,
             on=keys,
             when_matched_update=assignments,
+            when_matched_condition=cond,
             when_not_matched_insert=True,
             _fk_checked=True,
         )
+
+    def _serve_returning(self, df, returning):
+        """Project a RETURNING list over the affected-rows frame.
+        PG allows arbitrary expressions (``RETURNING k * 2,
+        upper(s) AS us``); simple (possibly alias-qualified) column
+        refs keep the bare column, everything else goes through
+        selectExpr. Split on masked text so commas inside string
+        literals never tear an item."""
+        if returning == "*":
+            return df
+        masked, lits = self._mask_strings(returning)
+        exprs = []
+        for item in _split_top_level(masked):
+            item = item.strip()
+            if re.fullmatch(r"[\w.]+", item):
+                item = item.rsplit(".", 1)[-1]
+            exprs.append(
+                self._spark_text(self._unmask_strings(item, lits))
+            )
+        return df.selectExpr(*exprs)
 
     _RETURNING_TYPES = {
         "INSERT": ("insert",),
@@ -4869,14 +4905,7 @@ class LakeSQL:
         ON-CONFLICT merges fall back to the change feed."""
         if self._returned_df is not None:
             rows, self._returned_df = self._returned_df, None
-            if returning == "*":
-                return rows
-            cols = [
-            c.strip().rsplit(".", 1)[-1]
-            for c in returning.split(",")
-            if c.strip()
-        ]
-            return rows.select(*cols)
+            return self._serve_returning(rows, returning)
         tm = re.search(rf"\b{_TBL}(?:@({_IDENT}))?", stmt)
         tbl = self._load(tm.group(1), tm.group(2), tm.group(3))
         # a MERGE-backed INSERT (ON CONFLICT) or multi-commit txn path
@@ -4884,14 +4913,9 @@ class LakeSQL:
         changes = tbl.read_changes(
             snap.parent or 0, snap.version
         ).filter(F.col("_change_type").isin(*self._RETURNING_TYPES[head]))
-        if returning == "*":
-            return changes.drop("_change_type", "_commit_version")
-        cols = [
-            c.strip().rsplit(".", 1)[-1]
-            for c in returning.split(",")
-            if c.strip()
-        ]
-        return changes.select(*cols)
+        return self._serve_returning(
+            changes.drop("_change_type", "_commit_version"), returning
+        )
 
     # PG CREATE INDEX → the lake's data-skipping indexes. There is no
     # secondary-index file in a lakehouse; the honest mapping is:

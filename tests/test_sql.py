@@ -3660,3 +3660,46 @@ def test_alter_surface_battery7_r8(lsql):
     assert lsql.sql("SELECT count(*) AS n FROM db2.al7").collect()[0][0] == 2
     with _pytest.raises(Exception):
         lsql.sql("SELECT count(*) FROM db.al7").collect()
+
+
+def test_insert_surface_battery8_r8(lsql):
+    """r8 battery 8: RETURNING with arbitrary EXPRESSIONS
+    (``RETURNING k * 2, upper(s) AS us`` — previously only bare
+    column lists peeled) and ``ON CONFLICT (k) DO UPDATE SET ...
+    WHERE cond`` (conflicting rows failing the condition are left
+    unchanged, as PG)."""
+    lsql.sql(
+        "CREATE TABLE db.in8 (k BIGINT, s TEXT DEFAULT 'd', "
+        "v BIGINT DEFAULT 9)"
+    )
+    rows = lambda q: sorted(  # noqa: E731
+        tuple(r) for r in lsql.sql(q).collect()
+    )
+    assert rows("INSERT INTO db.in8 (k) VALUES (1) RETURNING k * 2") \
+        == [(2,)]
+    assert rows(
+        "INSERT INTO db.in8 (k) VALUES (2) "
+        "RETURNING upper(s) AS us, v + 1 AS w"
+    ) == [("D", 10)]
+    assert rows(
+        "UPDATE db.in8 SET v = 7 WHERE k = 2 RETURNING v * 10 AS r"
+    ) == [(70,)]
+    assert rows(
+        "DELETE FROM db.in8 WHERE k = 2 RETURNING concat(s, k) AS t"
+    ) == [("d2",)]
+    # a literal containing ', RETURNING' must not tear the list
+    assert rows(
+        "INSERT INTO db.in8 (k, s) VALUES (3, 'x, RETURNING y') "
+        "RETURNING s"
+    ) == [("x, RETURNING y",)]
+    # conditional upsert: PG leaves failing conflicts unchanged
+    lsql.sql(
+        "INSERT INTO db.in8 (k, v) VALUES (1, 50) ON CONFLICT (k) "
+        "DO UPDATE SET v = EXCLUDED.v WHERE db.in8.v < 100"
+    )
+    assert rows("SELECT v FROM db.in8 WHERE k = 1") == [(50,)]
+    lsql.sql(
+        "INSERT INTO db.in8 (k, v) VALUES (1, 77) ON CONFLICT (k) "
+        "DO UPDATE SET v = EXCLUDED.v WHERE in8.v > 1000"
+    )
+    assert rows("SELECT v FROM db.in8 WHERE k = 1") == [(50,)]
