@@ -1791,3 +1791,54 @@ def lake_fetch_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT ft.k AS k, cast(ft.od AS string) AS d FROM db.ft "
         "ORDER BY ft.od FETCH FIRST 25 ROWS WITH TIES"
     )
+
+
+@register(
+    "lake_subquery_dml",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey AS k, o_totalprice AS price, o_custkey AS cust
+    FROM orders WHERE o_orderkey <= 800
+), vip AS (
+    SELECT DISTINCT o_custkey AS cust
+    FROM orders WHERE o_totalprice > 250000
+)
+SELECT k,
+       round(CASE WHEN cust IN (SELECT cust FROM vip)
+                  THEN price * 2 ELSE price END, 2) AS price
+FROM base
+WHERE NOT (k % 5 = 0
+           AND EXISTS (SELECT 1 FROM vip WHERE vip.cust = base.cust))
+""",
+    tags=("sql-frontend", "subquery-dml"),
+)
+def lake_subquery_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: plain UPDATE/DELETE with correlated subqueries in WHERE —
+    everyday PG (``WHERE EXISTS (SELECT 1 FROM db.v WHERE v.c =
+    t.c)``), previously TABLE_OR_VIEW_NOT_FOUND. Evaluated by the
+    full SQL frontend over the aliased scan and committed as a
+    snapshot overwrite."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "subquery_dml")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.sq (k BIGINT, price DOUBLE, cust BIGINT)")
+    q.sql(
+        "INSERT INTO db.sq SELECT o_orderkey, o_totalprice, o_custkey "
+        "FROM orders WHERE o_orderkey <= 800"
+    )
+    q.sql("CREATE TABLE db.vip (cust BIGINT)")
+    q.sql(
+        "INSERT INTO db.vip SELECT DISTINCT o_custkey FROM orders "
+        "WHERE o_totalprice > 250000"
+    )
+    q.sql(
+        "UPDATE db.sq SET price = sq.price * 2 WHERE EXISTS "
+        "(SELECT 1 FROM db.vip WHERE vip.cust = sq.cust)"
+    )
+    q.sql(
+        "DELETE FROM db.sq WHERE sq.k % 5 = 0 AND EXISTS "
+        "(SELECT 1 FROM db.vip WHERE vip.cust = sq.cust)"
+    )
+    return q.sql("SELECT sq.k AS k, round(sq.price, 2) AS price FROM db.sq")
