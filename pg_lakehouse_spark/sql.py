@@ -1102,9 +1102,12 @@ class LakeSQL:
             if len(sl) == 2:  # PG slice a[lo:hi]
                 lo = sl[0].strip() or "1"
                 hi = sl[1].strip() or f"size(({b}))"
+                # PG clamps bounds to the array (lower bound 1):
+                # a[0:2] == a[1:2], a[2:99] runs to the end
+                lo_c = f"greatest(1, ({lo}))"
                 rep = (
-                    f"slice(({b}), ({lo}), "
-                    f"greatest(0, ({hi}) - ({lo}) + 1))"
+                    f"slice(({b}), {lo_c}, "
+                    f"greatest(0, ({hi}) - {lo_c} + 1))"
                 )
             elif re.fullmatch(r"\x00\d+\x00", inner):
                 rep = f"try_element_at(({b}), {inner})"  # map key

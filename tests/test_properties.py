@@ -1067,3 +1067,43 @@ def test_fetch_with_ties_differential_vs_duckdb(
         ).fetchall()
     )
     assert got == want, f"n={n} desc={desc} where={where!r}"
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    arr=st.lists(st.integers(-5, 5), min_size=0, max_size=6),
+    idx=st.integers(0, 8),
+    lo=st.integers(0, 7),
+    hi=st.integers(0, 7),
+)
+def test_subscript_slice_differential_vs_duckdb(
+    spark, tmp_path_factory, arr, idx, lo, hi
+):
+    """r8: PG 1-based subscripts and inclusive clamping slices over
+    the rewritten a[i] / a[lo:hi] spellings must match DuckDB's
+    PG-compatible list semantics (NULL out of range, empty when
+    hi < lo). Negative indexes are excluded: DUCKDB extends them
+    Python-style from the end, where PG (and this engine) return
+    NULL — the engine side is pinned separately in
+    test_fn_kit_battery3_r8."""
+    import duckdb as _duck
+
+    lsql, _ = _sel_setup(spark, tmp_path_factory)
+    lit = "array[" + ", ".join(str(x) for x in arr) + "]"
+    dlit = "[" + ", ".join(str(x) for x in arr) + "]"
+    got = lsql.sql(
+        f"SELECT ({lit})[{idx}] AS e, ({lit})[{lo}:{hi}] AS s"
+    ).collect()[0]
+    want = _duck.sql(
+        f"SELECT ({dlit})[{idx}] AS e, ({dlit})[{lo}:{hi}] AS s"
+    ).fetchone()
+    # DuckDB slices clamp like PG; element NULL out-of-range
+    assert got.e == want[0], f"elem arr={arr} idx={idx}"
+    assert list(got.s or []) == list(want[1] or []), (
+        f"slice arr={arr} lo={lo} hi={hi} got={got.s} want={want[1]}"
+    )
