@@ -1998,6 +1998,39 @@ class LakeSQL:
             order_txt = None
             from_part = body[: li.start()] if li else body
             tail = body[li.start():].strip() if li else ""
+        # the __don subquery flattens scope, so correlation-qualified
+        # refs (``DISTINCT ON (t.g) t.g ... ORDER BY t.g`` — the
+        # natural spelling under implicit correlation names) must
+        # drop their qualifiers in the pieces that live OUTSIDE the
+        # body; columns are unique across the flattened ``*``.
+        # ``t.*`` is deliberately NOT stripped (with a join it would
+        # silently change the projected column set — loud instead).
+        corrs = set()
+        for m2 in re.finditer(
+            rf"(?:\bFROM\s+|\bJOIN\s+|,)\s*({_IDENT})"
+            rf"(?:\s*\.\s*({_IDENT}))?(?:\s+(?:AS\s+)?({_IDENT}))?",
+            "FROM " + from_part,
+            re.IGNORECASE,
+        ):
+            a, b, al = m2.groups()
+            if al and al.lower() not in cls._CORR_STOP:
+                corrs.add(al.lower())
+            elif b:
+                corrs.add(b.lower())
+            elif a and a.lower() not in _SQL_KEYWORDS:
+                corrs.add(a.lower())
+
+        def unqual(txt: str) -> str:
+            for c in corrs:
+                txt = re.sub(
+                    rf"\b{c}\s*\.\s*(?={_IDENT})", "", txt,
+                    flags=re.IGNORECASE,
+                )
+            return txt
+
+        part = unqual(part)
+        select_list = unqual(select_list)
+        order_txt = unqual(order_txt) if order_txt else None
         win_order = order_txt if order_txt else part
         proj = (
             "* EXCEPT (__don_rn)" if select_list == "*" else select_list

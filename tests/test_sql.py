@@ -3703,3 +3703,29 @@ def test_insert_surface_battery8_r8(lsql):
         "DO UPDATE SET v = EXCLUDED.v WHERE in8.v > 1000"
     )
     assert rows("SELECT v FROM db.in8 WHERE k = 1") == [(50,)]
+
+
+def test_distinct_on_qualified_refs_r8(lsql):
+    """r8 battery 10: DISTINCT ON with correlation-qualified refs —
+    the natural spelling under implicit correlation names
+    (``DISTINCT ON (t.g) t.g ... ORDER BY t.g, t.v DESC``) — strips
+    the qualifiers outside the flattened subquery; ``t.*`` stays
+    loud (with a join it would change the projected set)."""
+    lsql.sql("CREATE TABLE db.dq (k BIGINT, g TEXT, v BIGINT)")
+    lsql.sql("INSERT INTO db.dq VALUES (1,'a',5),(2,'a',9),(3,'b',7)")
+    got = sorted(
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT DISTINCT ON (dq.g) dq.g, dq.v FROM db.dq "
+            "ORDER BY dq.g, dq.v DESC"
+        ).collect()
+    )
+    assert got == [("a", 9), ("b", 7)]
+    got = sorted(
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT DISTINCT ON (x.g) x.g, x.k FROM db.dq AS x "
+            "ORDER BY x.g, x.k"
+        ).collect()
+    )
+    assert got == [("a", 1), ("b", 3)]
