@@ -979,6 +979,13 @@ class LakeSQL:
             op = m.group(1)
             quant = m.group(2).upper().replace("SOME", "ANY")
             inner = out[m.end(): end - 1].strip()
+            # PG allows redundant parens around the subquery:
+            # ANY((SELECT ...)) — peel them before classifying
+            while (
+                inner.startswith("(")
+                and cls._balanced_end(inner, 0) == len(inner)
+            ):
+                inner = inner[1:-1].strip()
             is_sub = bool(re.match(r"(SELECT|WITH)\b", inner, re.IGNORECASE))
             if op == "=" and quant == "ANY":
                 rep = (

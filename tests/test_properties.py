@@ -1107,3 +1107,40 @@ def test_subscript_slice_differential_vs_duckdb(
     assert list(got.s or []) == list(want[1] or []), (
         f"slice arr={arr} lo={lo} hi={hi} got={got.s} want={want[1]}"
     )
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lhs=st.sampled_from(["k", "v", "2", "-1", "(k + 1)", "abs(k - 60)"]),
+    op=st.sampled_from(["=", "<>", "!="]),
+    quant=st.sampled_from(["ANY", "SOME", "ALL"]),
+    vals=st.lists(st.integers(-2, 70), min_size=1, max_size=4),
+    sub=st.booleans(),
+)
+def test_any_all_differential_vs_duckdb(
+    spark, tmp_path_factory, lhs, op, quant, vals, sub
+):
+    """r8: quantifier rewrites over every captured operand shape
+    (identifier, literal, signed number, paren expression, function
+    call) × array/subquery RHS must match DuckDB. Unsupported
+    combinations (= ALL / <> ANY over arrays) are expected loud on
+    BOTH engines' shared subset — they're skipped via the same rule
+    the rewrite uses."""
+    if (op == "=") != (quant in ("ANY", "SOME")):
+        return  # = ALL / <> ANY stay unrewritten (loud) by design
+    lsql, duck = _sel_setup(spark, tmp_path_factory)
+    arr = "array[" + ", ".join(str(x) for x in vals) + "]"
+    # the subquery keeps PG's redundant-paren spelling:
+    # ANY((SELECT ...)) must classify as a subquery, not an array
+    rhs = f"(SELECT k FROM {{T}} WHERE k % 7 = 0)" if sub else arr
+    q = (
+        f"SELECT k FROM {{T}} WHERE {lhs} {op} {quant}({rhs}) ORDER BY k"
+    )
+    got = [r.k for r in lsql.sql(q.format(T="db.fzsel")).collect()]
+    want = [r[0] for r in duck.execute(q.format(T="fzsel")).fetchall()]
+    assert got == want, f"q={q} got={got[:8]} want={want[:8]}"
