@@ -1791,6 +1791,92 @@ class LakeSQL:
                 f"regexp_extract({x}, {ph}, {grp}) ELSE NULL END)"
                 + masked[end:]
             )
+        # PG 2-arg ltrim/rtrim are (string, chars); Spark's are
+        # (trimStr, srcStr) — REVERSED, so passed through they trim
+        # the wrong operand (silently wrong strings). Emitted as the
+        # unambiguous TRIM(LEADING/TRAILING x FROM y) form, which is
+        # also stable under the kit's fixpoint. (btrim's arg order
+        # happens to agree between the dialects.)
+        for fn2, side in (("ltrim", "LEADING"), ("rtrim", "TRAILING")):
+            for m, args, end in cls._call_sites(masked, fn2):
+                if len(args) != 2:
+                    continue
+                masked = (
+                    masked[: m.start()]
+                    + f"TRIM({side} {args[1].strip()} "
+                    f"FROM {args[0].strip()})"
+                    + masked[end:]
+                )
+        # PG left/right accept NEGATIVE counts (all but the last/first
+        # n chars); Spark returns ''. Emitted as substring arithmetic
+        # (no left(/right( in the output: fixpoint-stable).
+        for m, args, end in cls._call_sites(masked, "left"):
+            if len(args) != 2:
+                continue
+            s2, n2 = args[0].strip(), args[1].strip()
+            masked = (
+                masked[: m.start()]
+                + f"substring({s2}, 1, CASE WHEN ({n2}) >= 0 THEN ({n2})"
+                f" ELSE greatest(0, char_length({s2}) + ({n2})) END)"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "right"):
+            if len(args) != 2:
+                continue
+            s2, n2 = args[0].strip(), args[1].strip()
+            masked = (
+                masked[: m.start()]
+                + f"substring({s2}, CASE WHEN ({n2}) >= 0 THEN "
+                f"greatest(1, char_length({s2}) - ({n2}) + 1) "
+                f"ELSE 1 - ({n2}) END)"
+                + masked[end:]
+            )
+        # PG substr/substring clamp a non-positive START to position 1
+        # while consuming length from the ORIGINAL start (substr(s, 0,
+        # 3) = 'ab'); Spark's 0 behaves like 1 and negatives count
+        # from the END — silently different slices. Positive-literal
+        # starts (the overwhelmingly common case) pass through.
+        for fn2 in ("substring", "substr"):
+            for m, args, end in cls._call_sites(masked, fn2):
+                if len(args) not in (2, 3):
+                    continue
+                st2 = args[1].strip()
+                if re.fullmatch(r"\+?\d+", st2) and int(st2) >= 1:
+                    continue  # positive literal: native semantics agree
+                if st2.startswith("greatest(1,"):
+                    continue  # already-clamped emission (fixpoint)
+                s2 = args[0].strip()
+                if len(args) == 2:
+                    rep = f"{fn2}({s2}, greatest(1, ({st2})))"
+                else:
+                    ln2 = args[2].strip()
+                    rep = (
+                        f"{fn2}({s2}, greatest(1, ({st2})), "
+                        f"greatest(0, ({st2}) + ({ln2}) "
+                        f"- greatest(1, ({st2}))))"
+                    )
+                masked = masked[: m.start()] + rep + masked[end:]
+        # PG initcap capitalizes at EVERY non-alphanumeric boundary
+        # ('hello-world' -> 'Hello-World'); Spark only at whitespace.
+        # Split keeping delimiters (lookaround boundaries), then
+        # capitalize each token.
+        for m, args, end in cls._call_sites(masked, "initcap"):
+            if len(args) != 1:
+                continue
+            s2 = args[0].strip()
+            bnd = new_lit(
+                r"(?<=[\p{L}\p{Nd}])(?=[^\p{L}\p{Nd}])"
+                r"|(?<=[^\p{L}\p{Nd}])(?=[\p{L}\p{Nd}])"
+            )
+            masked = (
+                masked[: m.start()]
+                # NULL guard: concat_ws would fold NULL input to ''
+                + f"(CASE WHEN ({s2}) IS NULL THEN NULL ELSE "
+                f"concat_ws('', transform(split({s2}, {bnd}), "
+                "__w -> concat(upper(substring(__w, 1, 1)), "
+                "lower(substring(__w, 2))))) END)"
+                + masked[end:]
+            )
         # PG log(x) is BASE-10; Spark's 1-arg log is NATURAL — passed
         # through it returns silently WRONG numbers (r8 battery find).
         # 2-arg log(b, x) means base-b in both dialects.

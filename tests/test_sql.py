@@ -3729,3 +3729,30 @@ def test_distinct_on_qualified_refs_r8(lsql):
         ).collect()
     )
     assert got == [("a", 1), ("b", 3)]
+
+
+def test_string_semantics_battery11_r8(lsql):
+    """r8 battery 11: PG string-function semantics Spark spells or
+    behaves differently — 2-arg ltrim/rtrim have REVERSED arg order
+    in Spark (silently trimmed the wrong operand), left/right accept
+    negative counts in PG, substr clamps non-positive starts while
+    consuming length from the original start, initcap capitalizes at
+    every non-alphanumeric boundary."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT ltrim('xxabcxx', 'x') AS r") == "abcxx"
+    assert one("SELECT rtrim('xxabcxx', 'x') AS r") == "xxabc"
+    assert one("SELECT ltrim('  a ') AS r") == "a "
+    assert one("SELECT left('abcde', -2) AS r") == "abc"
+    assert one("SELECT right('abcde', -2) AS r") == "cde"
+    assert one("SELECT left('abcde', 2) AS r") == "ab"
+    assert one("SELECT right('abcde', 99) AS r") == "abcde"
+    assert one("SELECT left('abc', -99) AS r") == ""
+    assert one("SELECT substr('abcde', 0, 3) AS r") == "ab"
+    assert one("SELECT substr('abcde', -1, 3) AS r") == "a"
+    assert one("SELECT substring('abcde', -1) AS r") == "abcde"
+    assert one("SELECT substr('abcde', 2, 2) AS r") == "bc"
+    assert one("SELECT initcap('hello-world foo_bar 3rd') AS r") \
+        == "Hello-World Foo_Bar 3rd"
+    assert one("SELECT initcap('HÉLLO wörld') AS r") == "Héllo Wörld"
+    assert one("SELECT initcap(NULL) AS r") is None
+    assert one("SELECT initcap('') AS r") == ""
