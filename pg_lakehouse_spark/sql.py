@@ -6191,6 +6191,18 @@ class LakeSQL:
             return self.spark.createDataFrame(
                 sorted(eff.items()), "name string, setting string"
             )
+        cm = re.match(
+            rf"SHOW\s+COLUMNS\s+(?:IN|FROM)\s+{_TBL}$", s, re.IGNORECASE
+        )
+        if cm:
+            tbl = self._load(cm.group(1), cm.group(2))
+            return self.spark.createDataFrame(
+                [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in tbl.schema().fields
+                ],
+                "column_name string, data_type string, nullable boolean",
+            )
         m = re.match(
             rf"SHOW\s+(TIME\s+ZONE|{_IDENT}(?:\.{_IDENT})?)$",
             s,

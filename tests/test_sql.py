@@ -3756,3 +3756,14 @@ def test_string_semantics_battery11_r8(lsql):
     assert one("SELECT initcap('HÉLLO wörld') AS r") == "Héllo Wörld"
     assert one("SELECT initcap(NULL) AS r") is None
     assert one("SELECT initcap('') AS r") == ""
+
+
+def test_show_columns_r8(lsql):
+    """r8: SHOW COLUMNS IN/FROM ns.t (psql/ORM introspection)."""
+    lsql.sql("CREATE TABLE db.shc (k BIGINT, s TEXT)")
+    rows = [tuple(r) for r in lsql.sql("SHOW COLUMNS IN db.shc").collect()]
+    assert rows == [("k", "bigint", True), ("s", "string", True)]
+    assert [
+        r.column_name
+        for r in lsql.sql("SHOW COLUMNS FROM DB.SHC").collect()
+    ] == ["k", "s"]
