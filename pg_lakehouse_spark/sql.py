@@ -2557,6 +2557,14 @@ class LakeSQL:
                 handled, out = self._with_dml(s)
                 if handled:
                     return out
+            if head == "SELECT":
+                # PG SELECT ... INTO new_table ≡ CREATE TABLE AS
+                # (depth-0 scan on masked text: an 'INTO' inside a
+                # literal or subquery never matches)
+                _im_m, _im_l = self._mask_strings(s)
+                im = self._depth0_kw(_im_m, "INTO")
+                if im is not None:
+                    return self._select_into(_im_m, _im_l, im)
             return self._select(s)
         if head == "SET":
             m = re.match(
@@ -3277,10 +3285,18 @@ class LakeSQL:
         are dropped after — PG statement-scoped visibility,
         approximated; a CTE name shadowing a temp view wins for the
         statement's duration. Returns (False, None) when the main
-        statement is a plain SELECT (the normal `_select` path owns
-        CTEs there, including RECURSIVE). Data-MODIFYING CTEs
-        (``WITH x AS (DELETE ... RETURNING ...)``) are not supported
-        and fail loudly in `_select`."""
+        statement is a plain SELECT over SELECT-only CTEs (the
+        normal `_select` path owns those, including RECURSIVE).
+
+        Data-MODIFYING CTEs run too (r8): ``WITH moved AS (DELETE
+        ... RETURNING *) INSERT INTO archive SELECT * FROM moved`` --
+        the archive idiom. Each DML CTE executes in order; its
+        RETURNING frame is MATERIALIZED (cached + counted) before
+        later statements can mutate the same tables, approximating
+        PG's all-CTEs-see-the-statement-snapshot rule; a DML CTE
+        without RETURNING executes but binds nothing (PG forbids
+        referencing it). With a DML CTE present the main statement
+        may be any verb, including SELECT."""
         masked, lits = self._mask_strings(s)
         U = lambda t: self._unmask_strings(t, lits)  # noqa: E731
         if re.match(r"WITH\s+RECURSIVE\b", masked, re.IGNORECASE):
@@ -3322,20 +3338,50 @@ class LakeSQL:
             break
         rest = masked[i:]
         verb = rest.split(None, 1)[0].upper() if rest.strip() else ""
-        if verb not in ("INSERT", "UPDATE", "DELETE", "MERGE"):
+        dml_verbs = ("INSERT", "UPDATE", "DELETE", "MERGE")
+        has_dml_cte = any(
+            re.match(r"(INSERT|UPDATE|DELETE|MERGE)\b", body.strip(),
+                     re.IGNORECASE)
+            for _, _, body in ctes
+        )
+        if verb not in dml_verbs and not has_dml_cte:
             return False, None
         bound: list[str] = []
+        cached = []
         try:
             for name, cols, body in ctes:
-                df = self._select(U(body.strip()))
+                body = body.strip()
+                if re.match(
+                    r"(INSERT|UPDATE|DELETE|MERGE)\b", body,
+                    re.IGNORECASE,
+                ):
+                    out = self.sql(U(body))
+                    if out is None or not hasattr(out, "cache"):
+                        continue  # no RETURNING: nothing to bind
+                    # materialize NOW: later CTEs / the main statement
+                    # may mutate the same tables
+                    df = out.cache()
+                    df.count()
+                    cached.append(df)
+                else:
+                    df = self._select(U(body))
                 if cols:
                     df = df.toDF(*cols)
                 df.createOrReplaceTempView(name)
                 bound.append(name)
-            return True, self._route_stmt(U(rest))
+            result = self._route_stmt(U(rest))
+            if hasattr(result, "cache") and cached:
+                # a SELECT result may still reference the cached CTE
+                # frames — materialize it before they unpersist
+                result = self.spark.createDataFrame(
+                    result.collect(), result.schema
+                )
+            return True, result
         finally:
             for name in bound:
                 self.spark.catalog.dropTempView(name)
+            for df in cached:
+                df.unpersist()
 
     def _select(self, s: str) -> DataFrame:
         """Bind every ``ns.t[$meta][@branch] [FOR ... AS OF ...]`` lake
@@ -3667,8 +3713,11 @@ class LakeSQL:
         return f"array<{out}>" if arr else out
 
     def _create(self, s: str):
+        # UNLOGGED is PG's no-WAL hint — every lake table is
+        # "unlogged" in that sense; accepted and dropped
         m = re.match(
-            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_TBL}\s*(.*)$",
+            rf"CREATE\s+(?:UNLOGGED\s+)?TABLE\s+"
+            rf"(IF\s+NOT\s+EXISTS\s+)?{_TBL}\s*(.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -3935,7 +3984,8 @@ class LakeSQL:
         # CONTINUE IDENTITY are accepted noise (no sequences here)
         m = re.match(
             rf"TRUNCATE\s+(?:TABLE\s+)?{_TBL}"
-            r"(?:\s+(?:RESTART|CONTINUE)\s+IDENTITY)?$",
+            r"(?:\s+(?:RESTART|CONTINUE)\s+IDENTITY)?"
+            r"(?:\s+(?:CASCADE|RESTRICT))?$",
             s,
             re.IGNORECASE,
         )
@@ -6219,6 +6269,34 @@ class LakeSQL:
                     [(eff[name],)], f"`{name}` string"
                 )
         raise LakehouseError(f"cannot parse SHOW: {s[:80]!r}")
+
+    def _select_into(self, masked: str, lits: list, im: re.Match):
+        """PG's (old-style) ``SELECT ... INTO [TEMP] new_table FROM
+        ...`` — CREATE TABLE AS with the INTO clause excised. TEMP
+        (or a schema-less name, which PG would put in the temp-ish
+        search path head) binds a session temp view; ``ns.t``
+        creates a lake table."""
+        tm = re.match(
+            rf"\s*(TEMP(?:ORARY)?\s+|UNLOGGED\s+)?(?:TABLE\s+)?"
+            rf"(?:({_IDENT})\s*\.\s*)?({_IDENT})",
+            masked[im.end():],
+            re.IGNORECASE,
+        )
+        if not tm:
+            raise LakehouseError(
+                f"cannot parse SELECT INTO target: "
+                f"{masked[im.end():][:60]!r}"
+            )
+        temp = bool(tm.group(1)) and tm.group(1).strip().upper() != "UNLOGGED"
+        ns = tm.group(2).lower() if tm.group(2) else None
+        name = tm.group(3).lower()
+        sel = masked[: im.start()] + " " + masked[im.end() + tm.end():]
+        df = self._select(self._unmask_strings(sel, lits))
+        if temp or ns is None:
+            df.createOrReplaceTempView(name)
+            return None
+        self.catalog.create_table_as(ns, name, df)
+        return None
 
     def _create_temp_table(self, name: str, rest: str, if_not_exists):
         """PG CREATE TEMP TABLE → a session-scoped Spark temp view

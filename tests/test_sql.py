@@ -3767,3 +3767,43 @@ def test_show_columns_r8(lsql):
         r.column_name
         for r in lsql.sql("SHOW COLUMNS FROM DB.SHC").collect()
     ] == ["k", "s"]
+
+
+def test_battery13_r8(lsql):
+    """r8 battery 13: data-modifying CTEs (the archive idiom —
+    DELETE ... RETURNING consumed by the main statement, with the
+    frame materialized before later mutations), SELECT ... INTO
+    (old-style CTAS; TEMP variant binds a session view), TRUNCATE
+    CASCADE/IDENTITY noise, CREATE UNLOGGED TABLE."""
+    lsql.sql("CREATE TABLE db.ev (k BIGINT, s TEXT)")
+    lsql.sql("INSERT INTO db.ev VALUES (1,'old'), (2,'old'), (3,'new')")
+    lsql.sql("CREATE TABLE db.arch (k BIGINT, s TEXT)")
+    # the archive idiom: move rows in ONE statement
+    lsql.sql(
+        "WITH moved AS (DELETE FROM db.ev WHERE s = 'old' RETURNING *) "
+        "INSERT INTO db.arch SELECT * FROM moved"
+    )
+    assert sorted(r.k for r in lsql.sql("SELECT k FROM db.ev").collect()) \
+        == [3]
+    assert sorted(r.k for r in lsql.sql("SELECT k FROM db.arch").collect()) \
+        == [1, 2]
+    # DML CTE + SELECT main statement
+    got = sorted(
+        tuple(r)
+        for r in lsql.sql(
+            "WITH u AS (UPDATE db.ev SET s = 'bumped' WHERE k = 3 "
+            "RETURNING k, s) SELECT * FROM u"
+        ).collect()
+    )
+    assert got == [(3, "bumped")]
+    # SELECT INTO: lake table and TEMP variants
+    lsql.sql("SELECT ev.k * 10 AS kk INTO db.ev10 FROM db.ev")
+    assert [r.kk for r in lsql.sql("SELECT kk FROM db.ev10").collect()] \
+        == [30]
+    lsql.sql("SELECT k INTO TEMP tt13 FROM db.ev")
+    assert [r.k for r in lsql.sql("SELECT k FROM tt13").collect()] == [3]
+    lsql.sql("TRUNCATE db.ev10 RESTART IDENTITY CASCADE")
+    assert lsql.sql("SELECT count(*) AS n FROM db.ev10").collect()[0][0] == 0
+    lsql.sql("CREATE UNLOGGED TABLE db.ul13 (k BIGINT)")
+    lsql.sql("INSERT INTO db.ul13 VALUES (1)")
+    assert lsql.sql("SELECT count(*) AS n FROM db.ul13").collect()[0][0] == 1
