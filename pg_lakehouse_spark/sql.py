@@ -2416,6 +2416,38 @@ class LakeSQL:
         re.IGNORECASE,
     )
 
+    # session-setting functions with literal args, resolved at parse
+    # time like the table-size admin fns; privilege checks are
+    # constant TRUE on a single-user engine
+    _SETTING_FN = re.compile(
+        r"\b(?:current_setting\s*\(\s*'([^']+)'\s*\)"
+        r"|set_config\s*\(\s*'([^']+)'\s*,\s*'([^']*)'\s*,"
+        r"\s*(?:true|false)\s*\))",
+        re.IGNORECASE,
+    )
+    _PRIV_FN = re.compile(
+        r"\bhas_(?:table|schema|database|column)_privilege"
+        r"\s*\([^()]*\)",
+        re.IGNORECASE,
+    )
+
+    def _setting_fns(self, s: str) -> str:
+        def repl(m: re.Match) -> str:
+            if m.group(1) is not None:  # current_setting('name')
+                eff = dict(self._settings_defaults, **self._settings)
+                name = m.group(1).lower()
+                if name not in eff:
+                    raise LakehouseError(
+                        f"unrecognized configuration parameter {name!r}"
+                    )
+                return "'" + str(eff[name]).replace("'", "''") + "'"
+            name, val = m.group(2).lower(), m.group(3)
+            self.sql(f"SET {name} = '{val}'")  # set_config applies it
+            return "'" + val.replace("'", "''") + "'"
+
+        s = self._SETTING_FN.sub(repl, s)
+        return self._PRIV_FN.sub("TRUE", s)
+
     def _admin_fns(self, s: str) -> str:
         def repl(m: re.Match) -> str:
             fn = m.group(1).lower()
@@ -2433,6 +2465,8 @@ class LakeSQL:
         s = self._pg_dialect(s).strip()
         if self._ADMIN_FN.search(s):
             s = self._admin_fns(s)
+        if self._SETTING_FN.search(s) or self._PRIV_FN.search(s):
+            s = self._setting_fns(s)
         head = s.split(None, 2)[0].upper() if s else ""
         if head in ("BEGIN", "START"):  # BEGIN [TRANSACTION|WORK]
             return self._begin()
@@ -3429,6 +3463,8 @@ class LakeSQL:
             )
             if ns == "information_schema":
                 return self._bind_information_schema(name)
+            if ns == "pg_catalog":
+                return self._bind_pg_catalog(name)
             if not self.catalog.table_exists(ns, name):
                 has_view = getattr(self.catalog, "view_exists", None)
                 if has_view and has_view(ns, name):
@@ -3488,6 +3524,32 @@ class LakeSQL:
             df.createOrReplaceTempView(view)
             return view
 
+        # bare pg_catalog relations (PG's search_path exposes them
+        # unqualified — ORM reflection queries use both spellings)
+        def bind_bare_pg(m: re.Match) -> str:
+            head = s[: m.start()].rstrip()
+            if not (
+                head.endswith(",")
+                or re.search(r"\b(?:FROM|JOIN)$", head, re.IGNORECASE)
+            ):
+                return m.group(0)
+            rel = m.group(1).lower()
+            view = self._bind_pg_catalog(rel)
+            tail = s[m.end():]
+            am = re.match(rf"\s*({_IDENT})", tail)
+            if am and (
+                am.group(1).upper() == "AS"
+                or am.group(1).lower() not in self._CORR_STOP
+            ):
+                return view  # explicit alias follows
+            return f"{view} AS {rel}"
+
+        s = re.sub(
+            r"(?<![\w.$])(pg_class|pg_namespace|pg_tables|pg_views)"
+            r"\b(?!\s*[.($])",
+            bind_bare_pg,
+            s,
+        )
         bound = self._TT.sub(bind, s)
         masked, _lits = self._mask_strings(bound)
         wt = self._FETCH_TIES.search(masked)
@@ -6396,6 +6458,55 @@ class LakeSQL:
             "col_name string, data_type string, nullable boolean, "
             "default string, comment string",
         )
+
+    def _bind_pg_catalog(self, rel: str) -> str | None:
+        """Minimal ``pg_catalog`` relations ORMs/BI reflect against
+        (SQLAlchemy, psql \\d internals): pg_namespace / pg_class /
+        pg_tables / pg_views. OIDs are deterministic surrogates
+        (stable within a statement, joinable across these views —
+        which is all reflection queries do with them)."""
+        tables = sorted(self.catalog.list_tables())
+        lv = getattr(self.catalog, "list_views", None)
+        views = sorted(lv()) if lv else []
+        nss = sorted({ns for ns, _ in tables} | {ns for ns, _ in views})
+        ns_oid = {ns: 1000 + i for i, ns in enumerate(nss)}
+        if rel == "pg_namespace":
+            df = self.spark.createDataFrame(
+                [(ns_oid[ns], ns) for ns in nss] or [],
+                "oid bigint, nspname string",
+            )
+        elif rel == "pg_class":
+            rows = [
+                (10000 + i, t, ns_oid[ns], "r")
+                for i, (ns, t) in enumerate(tables)
+            ] + [
+                (20000 + i, v, ns_oid[ns], "v")
+                for i, (ns, v) in enumerate(views)
+            ]
+            df = self.spark.createDataFrame(
+                rows or [],
+                "oid bigint, relname string, relnamespace bigint, "
+                "relkind string",
+            )
+        elif rel == "pg_tables":
+            df = self.spark.createDataFrame(
+                [(ns, t, "spark") for ns, t in tables] or [],
+                "schemaname string, tablename string, tableowner string",
+            )
+        elif rel == "pg_views":
+            df = self.spark.createDataFrame(
+                [
+                    (ns, v, "spark", self.catalog.view_sql(ns, v))
+                    for ns, v in views
+                ] or [],
+                "schemaname string, viewname string, viewowner string, "
+                "definition string",
+            )
+        else:
+            return None  # unknown pg_catalog relation: loud downstream
+        view = f"__lake_pg_catalog_{rel}"
+        df.createOrReplaceTempView(view)
+        return view
 
     def _bind_information_schema(self, rel: str) -> str:
         """PG ``information_schema.tables`` / ``.columns`` /

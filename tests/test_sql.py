@@ -3807,3 +3807,36 @@ def test_battery13_r8(lsql):
     lsql.sql("CREATE UNLOGGED TABLE db.ul13 (k BIGINT)")
     lsql.sql("INSERT INTO db.ul13 VALUES (1)")
     assert lsql.sql("SELECT count(*) AS n FROM db.ul13").collect()[0][0] == 1
+
+
+def test_pg_catalog_reflection_r8(lsql):
+    """r8 battery 14: the reflection surface ORMs hit on connect —
+    pg_catalog.pg_tables/pg_class/pg_namespace/pg_views (qualified
+    AND bare, with joinable surrogate OIDs), current_setting /
+    set_config with literal args, privilege checks as constant
+    TRUE."""
+    lsql.sql("CREATE TABLE db.rf (k BIGINT)")
+    lsql.sql("CREATE VIEW db.rfv AS SELECT k FROM db.rf")
+    rows = lambda q: sorted(  # noqa: E731
+        tuple(r) for r in lsql.sql(q).collect()
+    )
+    assert ("db", "rf", "spark") in rows(
+        "SELECT * FROM pg_catalog.pg_tables"
+    )
+    got = rows(
+        "SELECT c.relname, n.nspname, c.relkind FROM pg_class c "
+        "JOIN pg_namespace n ON n.oid = c.relnamespace"
+    )
+    assert ("rf", "db", "r") in got and ("rfv", "db", "v") in got
+    assert rows("SELECT viewname FROM pg_views") == [("rfv",)]
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    lsql.sql("SET statement_timeout = '250'")
+    assert one("SELECT current_setting('statement_timeout') AS r") == "250"
+    assert one(
+        "SELECT set_config('statement_timeout', '99', false) AS r"
+    ) == "99"
+    assert lsql.sql("SHOW statement_timeout").collect()[0][0] == "99"
+    assert one("SELECT has_table_privilege('db.rf', 'SELECT') AS r") is True
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="unrecognized"):
+        lsql.sql("SELECT current_setting('no_such_guc') AS r")
