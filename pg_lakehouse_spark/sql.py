@@ -2586,6 +2586,10 @@ class LakeSQL:
                 "transactional surface is DML (INSERT/TRUNCATE/DELETE/"
                 "UPDATE/MERGE); DDL runs outside BEGIN..COMMIT"
             )
+        if s.startswith("("):
+            # PG parenthesized query expression heading a set op:
+            # (SELECT ... UNION ...) INTERSECT SELECT ...
+            return self._select(s)
         if head == "SELECT" or s.upper().startswith("WITH"):
             if head == "WITH":
                 handled, out = self._with_dml(s)
@@ -3426,6 +3430,9 @@ class LakeSQL:
         skipping on min/max/bloom/partition stats) instead of the full
         snapshot — the full predicate still runs in Spark, so the
         rewrite is purely a file-skipping optimization."""
+        rcte = self._match_recursive_union(s)
+        if rcte is not None:
+            return self._recursive_union_distinct(*rcte)
         # the pruning rewrite applies only to a SINGLE-select statement
         # over ONE lake table (set ops / subqueries / CTEs have other
         # WHERE clauses that must not leak into the shared binding)
@@ -3687,6 +3694,90 @@ class LakeSQL:
             .orderBy(*sort_cols)
             .drop("__pg_rk", *drop_cols)
         )
+
+    def _match_recursive_union(self, s: str):
+        """Detect ``WITH RECURSIVE name [(cols)] AS (base UNION step)
+        main`` with a DISTINCT union — PG's cycle-safe graph-closure
+        idiom, which Spark's native recursion does not support (UNION
+        ALL only). Returns the parsed pieces or None (native path)."""
+        masked, lits = self._mask_strings(s)
+        m = re.match(
+            rf"\s*WITH\s+RECURSIVE\s+({_IDENT})\s*(?:\(([^()]*)\))?"
+            rf"\s*AS\s*\(",
+            masked,
+            re.IGNORECASE,
+        )
+        if not m:
+            return None
+        op = masked.index("(", m.end() - 1)
+        end = self._balanced_end(masked, op)
+        if end < 0:
+            return None
+        body = masked[op + 1: end - 1]
+        main = masked[end:].strip()
+        if main.startswith(","):
+            return None  # multiple CTEs: Spark-native path (loud)
+        d, um = 0, None
+        for t in re.finditer(
+            r"[()]|\bUNION(\s+ALL)?\b", body, re.IGNORECASE
+        ):
+            tok = t.group(0)
+            if tok == "(":
+                d += 1
+            elif tok == ")":
+                d -= 1
+            elif d == 0:
+                if t.group(1):
+                    return None  # UNION ALL: Spark handles natively
+                um = t
+                break
+        if um is None:
+            return None
+        U = lambda t: self._unmask_strings(t, lits)  # noqa: E731
+        cols = (
+            [c.strip() for c in m.group(2).split(",") if c.strip()]
+            if m.group(2)
+            else None
+        )
+        return (
+            m.group(1).lower(), cols,
+            U(body[: um.start()]), U(body[um.end():]), U(main),
+        )
+
+    def _recursive_union_distinct(self, name, cols, base, step, main):
+        """Driver-controlled fixpoint for UNION-DISTINCT recursion:
+        seed with the base term, then repeatedly evaluate the step
+        over the NEW frontier only and keep rows not seen before —
+        exactly PG's recursive UNION evaluation, which terminates on
+        cyclic data where UNION ALL would loop. Each iteration is one
+        distributed job over the (shrinking) frontier; the
+        accumulated set stays cached."""
+        acc = self._select(base)
+        if cols:
+            acc = acc.toDF(*cols)
+        acc = acc.distinct().cache()
+        acc.count()
+        # PG names the CTE's columns from the NON-recursive term; the
+        # step's own output names are irrelevant
+        out_cols = acc.columns
+        frontier = acc
+        for _ in range(100000):
+            frontier.createOrReplaceTempView(name)
+            new = self._select(step).toDF(*out_cols)
+            new = new.distinct().subtract(acc).cache()
+            if new.isEmpty():
+                new.unpersist()
+                break
+            nxt = acc.union(new).cache()
+            nxt.count()
+            acc.unpersist()
+            acc, frontier = nxt, new
+        else:
+            raise LakehouseError(
+                "recursive CTE did not converge within 100000 iterations"
+            )
+        acc.createOrReplaceTempView(name)
+        return self._select(main)
 
     def _bind_view(self, ns, name, meta, branch, ver, ts) -> str:
         """Expand a stored view: evaluate its SELECT (recursively —
@@ -6338,6 +6429,11 @@ class LakeSQL:
         (or a schema-less name, which PG would put in the temp-ish
         search path head) binds a session temp view; ``ns.t``
         creates a lake table."""
+        if self._txn is not None:
+            raise LakehouseError(
+                "SELECT INTO creates a table — DDL runs outside "
+                "BEGIN..COMMIT (same posture as CREATE TABLE AS)"
+            )
         tm = re.match(
             rf"\s*(TEMP(?:ORARY)?\s+|UNLOGGED\s+)?(?:TABLE\s+)?"
             rf"(?:({_IDENT})\s*\.\s*)?({_IDENT})",
@@ -6494,9 +6590,10 @@ class LakeSQL:
                 "schemaname string, tablename string, tableowner string",
             )
         elif rel == "pg_views":
+            vsql = getattr(self.catalog, "view_sql", lambda *a: None)
             df = self.spark.createDataFrame(
                 [
-                    (ns, v, "spark", self.catalog.view_sql(ns, v))
+                    (ns, v, "spark", vsql(ns, v))
                     for ns, v in views
                 ] or [],
                 "schemaname string, viewname string, viewowner string, "

@@ -1842,3 +1842,40 @@ def lake_subquery_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT 1 FROM db.vip WHERE vip.cust = sq.cust)"
     )
     return q.sql("SELECT sq.k AS k, round(sq.price, 2) AS price FROM db.sq")
+
+
+@register(
+    "lake_recursive_union_graph",
+    oracle="""
+WITH RECURSIVE reach AS (
+    SELECT o_custkey AS node FROM orders WHERE o_orderkey = 1
+    UNION
+    SELECT o.o_custkey
+    FROM orders o JOIN reach r ON o.o_orderkey % 1000 = r.node
+)
+SELECT node FROM reach
+""",
+    tags=("sql-frontend", "recursive-union"),
+)
+def lake_recursive_union_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: WITH RECURSIVE ... UNION (DISTINCT) — PG's cycle-safe
+    closure idiom over a cyclic synthetic edge relation (orderkey %
+    1000 creates cycles at sf>=0.01), driver-side fixpoint with the
+    shrinking-frontier evaluation. Spark's native recursion supports
+    UNION ALL only and would loop forever on this data."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "recursive_union")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.gr (k BIGINT, cust BIGINT)")
+    q.sql(
+        "INSERT INTO db.gr SELECT o_orderkey, o_custkey FROM orders"
+    )
+    return q.sql(
+        "WITH RECURSIVE reach AS ("
+        " SELECT gr.cust AS node FROM db.gr WHERE gr.k = 1"
+        " UNION"
+        " SELECT g.cust FROM db.gr g JOIN reach r ON g.k % 1000 = r.node"
+        ") SELECT node FROM reach"
+    )

@@ -3840,3 +3840,43 @@ def test_pg_catalog_reflection_r8(lsql):
     import pytest as _pytest
     with _pytest.raises(Exception, match="unrecognized"):
         lsql.sql("SELECT current_setting('no_such_guc') AS r")
+
+
+def test_recursive_union_distinct_r8(lsql):
+    """r8 battery 15: WITH RECURSIVE ... UNION (DISTINCT) — PG's
+    cycle-safe graph-closure idiom, which Spark's native recursion
+    rejects (UNION ALL only). Driver-side fixpoint: the step runs
+    over the shrinking frontier, terminating on cyclic data; CTE
+    column names come from the non-recursive term."""
+    lsql.sql("CREATE TABLE db.edges (src BIGINT, dst BIGINT)")
+    lsql.sql("INSERT INTO db.edges VALUES (1,2),(2,3),(3,1),(3,4)")
+    got = [
+        r.node
+        for r in lsql.sql(
+            "WITH RECURSIVE reach AS ("
+            " SELECT dst AS node FROM db.edges WHERE src = 1"
+            " UNION"
+            " SELECT e.dst FROM db.edges e JOIN reach r ON e.src = r.node"
+            ") SELECT node FROM reach ORDER BY node"
+        ).collect()
+    ]
+    assert got == [1, 2, 3, 4]  # cycle 1->2->3->1 terminates
+    row = lsql.sql(
+        "WITH RECURSIVE r (n) AS "
+        "(SELECT 1 UNION SELECT n + 1 FROM r WHERE n < 5) "
+        "SELECT count(*) AS c, sum(n) AS s FROM r"
+    ).collect()[0]
+    assert (row.c, row.s) == (5, 15)
+    # UNION ALL recursion still takes Spark's native path
+    assert lsql.sql(
+        "WITH RECURSIVE r AS (SELECT 1 AS n "
+        "UNION ALL SELECT n + 1 FROM r WHERE n < 4) "
+        "SELECT sum(n) AS s FROM r"
+    ).collect()[0].s == 10
+    # parenthesized set-op heads route as queries
+    assert [
+        tuple(r)
+        for r in lsql.sql(
+            "(SELECT 1 AS x UNION SELECT 2) INTERSECT SELECT 1"
+        ).collect()
+    ] == [(1,)]
