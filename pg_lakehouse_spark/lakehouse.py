@@ -2944,6 +2944,14 @@ class LakeTable:
         s = self.snapshot(snapshot)
         return self._read_entries(s, s.files)
 
+    def lineage_scan(self) -> DataFrame:
+        """Current-snapshot scan with ``__file``/``__pos`` row-identity
+        columns appended (existing deletes applied) — the frame a
+        caller filters to hand ``_mor_positional_dml`` a pre-computed
+        match set (r9 subquery-DML path)."""
+        s = self.snapshot()
+        return self._read_entries(s, s.files, with_lineage=True)
+
     def read_incremental(
         self, from_snapshot: int, to_snapshot: int | None = None
     ) -> DataFrame:
@@ -3682,8 +3690,9 @@ class LakeTable:
     def _mor_dml(
         self,
         operation: str,
-        condition: Column,
+        condition: Column | None,
         postimage=None,
+        matched: DataFrame | None = None,
     ) -> Snapshot:
         """Merge-on-read DML (Iceberg v2 equality deletes; the
         reference's merge-on-read intent, pg_lakehouse_iceberg/
@@ -3691,12 +3700,16 @@ class LakeTable:
         O(matches), never a data-file rewrite — plus, for UPDATE, the
         postimage rows as ordinary appends. The new data files carry a
         HIGHER sequence number than the delete, so they are exempt
-        from it (Iceberg's sequence-number rule)."""
+        from it (Iceberg's sequence-number rule). ``matched`` (r9)
+        lets a caller supply the match frame directly — the subquery
+        DML path computes it through the SQL frontend, where the
+        predicate is not expressible as a Column."""
         base = self.current_version()
         snap = self.snapshot(base)
         key_cols = self._row_key(snap)
         ids, _ = self._effective_field_ids(snap)
-        matched = self.read().filter(condition)
+        if matched is None:
+            matched = self.read().filter(condition)
         rel, rows = self._stage_delete_file(
             matched.select(*key_cols).distinct(), base + 1
         )
@@ -3805,19 +3818,24 @@ class LakeTable:
     def _mor_positional_dml(
         self,
         operation: str,
-        condition: Column,
+        condition: Column | None,
         postimage=None,
+        matched: DataFrame | None = None,
     ) -> Snapshot:
         """Merge-on-read DML via POSITION deletes (Iceberg v2's second
         delete type): matched rows are recorded as (file name, row
         index) — no ``row_key`` table property needed, which is the
         point: positional MoR works on tables with no identifier
         columns. Costs one scan to find the rows (inherent — the
-        positions must be discovered) and writes O(matches)."""
+        positions must be discovered) and writes O(matches).
+        ``matched`` (r9) supplies a pre-computed match frame carrying
+        ``__file``/``__pos`` (from ``lineage_scan()``) for predicates
+        the Column algebra can't express (subquery DML)."""
         base = self.current_version()
         snap = self.snapshot(base)
-        scan = self._read_entries(snap, snap.files, with_lineage=True)
-        matched = scan.filter(condition)
+        if matched is None:
+            scan = self._read_entries(snap, snap.files, with_lineage=True)
+            matched = scan.filter(condition)
         rel, rows = self._stage_delete_file(
             matched.select("__file", "__pos").distinct(), base + 1
         )

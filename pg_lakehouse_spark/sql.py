@@ -3559,10 +3559,205 @@ class LakeSQL:
         )
         bound = self._TT.sub(bind, s)
         masked, _lits = self._mask_strings(bound)
+        masked = self._rewrite_typed_arith(masked, _lits)
+        bound = self._unmask_strings(masked, _lits)
         wt = self._FETCH_TIES.search(masked)
         if wt:
             return self._fetch_with_ties(masked, _lits, wt)
         return self.spark.sql(self._spark_text(bound))
+
+    # ------------------------------------------------------------------
+    # trial-typed operator rewrites (r9): PG integer division and
+    # date - date. Both are SILENT divergences that no DuckDB
+    # differential can see (DuckDB shares Spark's float-division and
+    # interval-subtraction behavior) — only PG-pinned unit tests hold
+    # them. Typing is trial-resolution against a frame built from the
+    # statement's own FROM clause (analysis only, never a job), the
+    # same machinery _fetch_with_ties uses for ORDER BY keys.
+    # ------------------------------------------------------------------
+
+    _INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+    def _typing_frame(self, masked: str, lits: list[str]):
+        """A DataFrame whose schema carries the statement's FROM-scope
+        columns, for static typing of operand expressions. None when
+        the scope can't be reconstructed (multi-SELECT statements,
+        set ops, unparseable FROM) — callers must fail OPEN to the
+        unrewritten text. Single-SELECT only: a subquery's scope-local
+        or correlated names wouldn't resolve against the outer frame,
+        and a wrong frame must never mistype an operand."""
+        if len(re.findall(r"\bSELECT\b", masked, re.IGNORECASE)) != 1:
+            return None
+        for kw in ("UNION", "INTERSECT", "EXCEPT"):
+            if self._depth0_kw(masked, kw) is not None:
+                return None
+        fm = self._depth0_kw(masked, "FROM")
+        if fm is None:
+            return self.spark.range(1).select()
+        tail = masked[fm.end():]
+        end = len(tail)
+        for kw in (
+            "WHERE", "GROUP", "HAVING", "WINDOW", "ORDER",
+            "LIMIT", "OFFSET", "FETCH", "FOR",
+        ):
+            m = self._depth0_kw(tail, kw)
+            if m is not None:
+                end = min(end, m.start())
+        frm = self._unmask_strings(tail[:end], lits).strip()
+        if not frm:
+            return None
+        try:
+            return self.spark.sql(
+                self._spark_text(f"SELECT * FROM {frm}")
+            )
+        except Exception:
+            return None
+
+    def _rewrite_typed_arith(self, masked: str, lits: list[str]) -> str:
+        """PG ``int / int`` truncates toward zero (7/2 = 3, -7/2 = -3);
+        Spark's ``/`` always yields double. PG ``date - date`` is an
+        integer day count; Spark's is an INTERVAL. Each ``/`` (and
+        ``-``) whose operands statically type integral (resp. date)
+        rewrites to ``div(l, r)`` (Spark's IntegralDivide — verified
+        trunc-toward-zero like PG) resp. ``datediff(l, r)``. Integer
+        literals type directly; other operands trial-resolve against
+        the FROM-scope frame. Uncapturable or untypable operands fail
+        OPEN to Spark's native operator (never loudly): a missed
+        rewrite leaves the pre-r9 behavior, a wrong one would corrupt
+        float math."""
+        if "/" not in masked and "-" not in masked:
+            return masked
+        frame_memo: list = []  # lazy: [] unbuilt, [df|None] built
+        type_memo: dict[str, str] = {}
+
+        def frame():
+            if not frame_memo:
+                frame_memo.append(self._typing_frame(masked, lits))
+            return frame_memo[0]
+
+        def dtype_of(txt: str) -> str | None:
+            """'integral' | 'date' | 'other' | None (=unknown)."""
+            t = txt.strip()
+            if t[:1] in "+-":
+                t = t[1:].lstrip()
+            if re.fullmatch(r"\d+", t):
+                return "integral"
+            if re.fullmatch(r"\d*\.\d+(?:[eE][+-]?\d+)?|\d+\.?[eE][+-]?\d+", t):
+                return "other"
+            if t.startswith("\x00"):
+                return "other"  # string literal
+            if txt in type_memo:
+                return type_memo[txt]
+            fr = frame()
+            out: str | None = None
+            if fr is not None:
+                try:
+                    dt = fr.select(
+                        F.expr(
+                            self._spark_text(
+                                self._unmask_strings(txt, lits)
+                            )
+                        )
+                    ).schema[0].dataType
+                    nm = dt.simpleString()
+                    if nm in self._INTEGRAL_TYPES:
+                        out = "integral"
+                    elif nm == "date":
+                        out = "date"
+                    else:
+                        out = "other"
+                except Exception:
+                    out = None
+            type_memo[txt] = out
+            return out
+
+        def chain_left(i: int) -> tuple[int, int] | None:
+            """Left operand of / extends through the whole preceding
+            * / % chain — equal precedence, left-assoc in PG, so in
+            100*7/2 the dividend is (100*7), not 7. None when any
+            chain operand is uncapturable (fail open: a partial span
+            would divide the WRONG subexpression)."""
+            left = self._capture_left(masked, i, signed=True)
+            if left is None:
+                return None
+            l_start, l_end = left
+            while True:
+                l_start = typed_lit_left(l_start)
+                j = l_start
+                while j > 0 and masked[j - 1].isspace():
+                    j -= 1
+                if j == 0 or masked[j - 1] not in "*/%":
+                    return l_start, l_end
+                if masked[j - 1] == "/" and j >= 2 and masked[j - 2] == "|":
+                    return None  # |/ (PG sqrt) — not a chain
+                prior = self._capture_left(masked, j - 1, signed=True)
+                if prior is None:
+                    return None
+                l_start = prior[0]
+
+        _PLACEHOLDER = re.compile(r"\x00\d+\x00")
+        _LIT_KW = re.compile(
+            r"\b(DATE|TIMESTAMP|TIME)\s*$", re.IGNORECASE
+        )
+
+        def typed_lit_left(l_start: int) -> int:
+            """DATE '...' masks to DATE + placeholder; pull the type
+            keyword into the operand span so probing sees the typed
+            literal, not a bare string."""
+            if _PLACEHOLDER.match(masked, l_start):
+                kw = _LIT_KW.search(masked, 0, l_start)
+                if kw:
+                    return kw.start(1)
+            return l_start
+
+        def typed_lit_right(span: tuple[int, int]) -> tuple[int, int]:
+            r_start, r_end = span
+            if masked[r_start:r_end].upper() in ("DATE", "TIMESTAMP", "TIME"):
+                m2 = re.match(r"\s*\x00\d+\x00", masked[r_end:])
+                if m2:
+                    return r_start, r_end + m2.end()
+            return span
+
+        # date pass FIRST: (d1 - d2) / 2 must see the datediff's
+        # integer before the division pass types its dividend
+        for op, want, fn in (("-", "date", "datediff"), ("/", "integral", "div")):
+            i = 0
+            while True:
+                i = masked.find(op, i)
+                if i < 0:
+                    break
+                prev = masked[i - 1] if i else ""
+                nxt = masked[i + 1] if i + 1 < len(masked) else ""
+                # not part of a multi-char operator: |/ ||/ (sqrt),
+                # -> ->> (json), <-> , -- (stripped already); a '-'
+                # preceded by an operator is UNARY, never date math.
+                if op == "/" and prev == "|":
+                    i += 1
+                    continue
+                if op == "-" and (prev in "|<>-=!+*/" or nxt in ">-"):
+                    i += 1
+                    continue
+                left = (
+                    chain_left(i)
+                    if op == "/"
+                    else self._capture_left(masked, i, signed=True)
+                )
+                right = self._capture_right(masked, i + 1, signed=True)
+                if left is None or right is None:
+                    i += 1
+                    continue
+                if op == "-":
+                    left = (typed_lit_left(left[0]), left[1])
+                    right = typed_lit_right(right)
+                lt = masked[left[0]:left[1]]
+                rt = masked[right[0]:right[1]]
+                if dtype_of(lt) == want and dtype_of(rt) == want:
+                    rep = f"{fn}({lt}, {rt})"
+                    masked = masked[: left[0]] + rep + masked[right[1]:]
+                    i = left[0] + len(rep)
+                else:
+                    i += 1
+        return masked
 
     # SQL-standard FETCH FIRST n ROWS WITH TIES (PG 13+): LIMIT that
     # extends over rows tying with the n-th on the ORDER BY keys
@@ -5609,6 +5804,22 @@ class LakeSQL:
         cond = (
             f"coalesce(({where_raw}), false)" if where_raw else "true"
         )
+        # Scale path (r9, verdict What's-wrong #3): on MoR tables the
+        # matched rows route through the existing O(matches) delete-
+        # file machinery (A12/A13) instead of a full-snapshot
+        # overwrite — at 100 TB, a subquery DELETE matching 0.1% of
+        # rows must not rewrite 100 TB. The match set is computed by
+        # the FULL SQL frontend over the table's lineage scan (same
+        # PG scoping + 3VL), so subquery predicates keep their exact
+        # semantics; CoW tables keep the overwrite below (their
+        # contract is a rewrite), as do in-transaction statements
+        # (the txn buffer works on whole snapshots).
+        if self._txn is None and branch is None:
+            dm = tbl._delete_mode(None)
+            if dm in ("mor", "mor-pos"):
+                return self._subquery_dml_mor(
+                    tbl, dm, ns, name, corr, cond, verb, set_items
+                )
         if verb == "DELETE":
             keep = self._select(f"SELECT * FROM {src} WHERE NOT {cond}")
             if self._capture_returning == "DELETE" and self._txn is None:
@@ -5645,6 +5856,70 @@ class LakeSQL:
             self._txn.overwrite(tbl, keep)
             return None
         return tbl.overwrite(keep)
+
+    def _subquery_dml_mor(
+        self, tbl, dm, ns, name, corr, cond, verb, set_items
+    ):
+        """Subquery-WHERE DML on a merge-on-read table: the SQL
+        frontend evaluates the predicate over the table's scan (for
+        positional mode, the lineage scan carrying ``__file``/
+        ``__pos``) to produce the MATCH SET, which the existing A12/
+        A13 machinery commits as a delete file + (for UPDATE)
+        postimage appends — write cost O(matches), zero data-file
+        rewrites. Mirrors the join-DML MERGE path's scale posture."""
+        view = f"__lake_{ns}_{name}_sqdml"
+        scan = tbl.lineage_scan() if dm == "mor-pos" else tbl.read()
+        scan.createOrReplaceTempView(view)
+        # a fully-qualified target column (db.t.k) can't resolve
+        # against the bound view; fold it onto the correlation name
+        cond = re.sub(
+            rf"\b{re.escape(ns)}\s*\.\s*{re.escape(name)}\s*\.",
+            f"{corr}.",
+            cond,
+            flags=re.IGNORECASE,
+        )
+        try:
+            matched = self._select(
+                f"SELECT * FROM {view} AS {corr} WHERE {cond}"
+            )
+            post = None
+            if verb == "UPDATE":
+                schema = tbl.schema()
+                assigns = dict(set_items or ())
+                exprs = [
+                    (
+                        f"cast(({assigns[f.name]}) AS "
+                        f"{f.dataType.simpleString()}) AS {f.name}"
+                        if f.name in assigns
+                        else f"{corr}.{f.name} AS {f.name}"
+                    )
+                    for f in schema.fields
+                ]
+                post = self._select(
+                    f"SELECT {', '.join(exprs)} FROM {view} "
+                    f"AS {corr} WHERE {cond}"
+                )
+            if self._capture_returning == verb:
+                self._returned_df = (
+                    post
+                    if verb == "UPDATE"
+                    else (
+                        matched.drop("__file", "__pos")
+                        if dm == "mor-pos"
+                        else matched
+                    )
+                )
+            postimage = (lambda _m: post) if post is not None else None
+            if dm == "mor-pos":
+                return tbl._mor_positional_dml(
+                    verb.lower(), None, postimage=postimage,
+                    matched=matched,
+                )
+            return tbl._mor_dml(
+                verb.lower(), None, postimage=postimage, matched=matched
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def _join_dml_on(self, keys, extra, salias, talias, U):
         """Join condition between the pre-commit target (``__tgt``)

@@ -682,7 +682,8 @@ SELECT o_custkey,
        string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
        string_agg(o_orderpriority, '/' ORDER BY o_totalprice DESC,
                   o_orderkey) AS prio_by_price,
-       array_agg(o_orderkey ORDER BY o_orderkey DESC) AS keys_desc
+       array_to_string(array_agg(o_orderkey ORDER BY o_orderkey DESC),
+                       ',') AS keys_desc
 FROM orders
 WHERE o_orderkey <= 600
 GROUP BY o_custkey
@@ -694,7 +695,13 @@ def q_ordered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``string_agg(x, d ORDER BY …)`` rewrites onto Spark's listagg
     WITHIN GROUP, ``array_agg(x ORDER BY …)`` onto an array_sort with
     an explicit comparator carrying PG's NULL placement. DuckDB runs
-    the PG spellings natively — the oracle IS the same statement."""
+    the PG spellings natively — the oracle IS the same statement.
+
+    The ordered array is projected through ``array_to_string`` on BOTH
+    sides (r9): the driver's pandas canonicalizer sorts rows across
+    all columns and cannot hash ndarray cells, so driver-window rows
+    must be scalar-only. Ordered-array semantics stay fully exercised
+    — a wrong element order changes the joined string."""
     from pg_lakehouse_spark.lakehouse import LakeCatalog
     from pg_lakehouse_spark.sql import LakeSQL
 
@@ -705,6 +712,7 @@ def q_ordered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses, "
         "string_agg(o_orderpriority, '/' ORDER BY o_totalprice DESC, "
         "o_orderkey) AS prio_by_price, "
-        "array_agg(o_orderkey ORDER BY o_orderkey DESC) AS keys_desc "
+        "array_to_string(array_agg(o_orderkey ORDER BY o_orderkey DESC), "
+        "',') AS keys_desc "
         "FROM orders WHERE o_orderkey <= 600 GROUP BY o_custkey"
     )

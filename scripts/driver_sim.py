@@ -24,6 +24,32 @@ from tests.oracle_utils import normalize  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+def driver_canon(df, name: str) -> None:
+    """Replicate the real driver's pandas canonicalization (r9).
+
+    The driver sorts the result frame across ALL columns with pandas
+    ``sort_values`` before hashing; ndarray/list/dict cells make that
+    throw (``TypeError: unhashable type``) — exactly how
+    q_ordered_aggregates went driver-red in r8 while this sim's
+    repr-based normalize stayed green. Fail loudly here on any
+    non-scalar cell, then run the actual sort so sim-green ⇒
+    driver-green.
+    """
+    import numpy as np
+
+    for col in df.columns:
+        for v in df[col].head(50):
+            if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+                raise TypeError(
+                    f"{name}: column {col!r} holds non-scalar cells "
+                    f"({type(v).__name__}) — the real driver's "
+                    "sort_values canonicalizer rejects these; project "
+                    "through array_to_string/to_json"
+                )
+    if len(df):
+        df.sort_values(by=list(df.columns), kind="mergesort")
+
+
 def main() -> int:
     # deliberately a VANILLA session — no engine conf — because the
     # real driver passes its own SparkSession; every query must work
@@ -59,8 +85,10 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         try:
             sdf = fn(spark, SF_DIR).toPandas()
+            driver_canon(sdf, name)
             if name in oracles:
                 ddf = con.execute(oracles[name]).df()
+                driver_canon(ddf, name + " (oracle)")
                 ok = (
                     sorted(sdf.columns) == sorted(ddf.columns)
                     and len(sdf) == len(ddf)

@@ -3880,3 +3880,138 @@ def test_recursive_union_distinct_r8(lsql):
             "(SELECT 1 AS x UNION SELECT 2) INTERSECT SELECT 1"
         ).collect()
     ] == [(1,)]
+
+
+def test_pg_integer_division_r9(lsql):
+    """PG integer division truncates toward zero (`7/2` = 3,
+    `-7/2` = -3) — the last known silent divergence after r8's nine
+    battery fixes, and DuckDB-INVISIBLE (DuckDB floats like Spark),
+    so PG-pinned assertions are the only gate. The typed rewrite
+    trial-resolves operand dtypes against the statement's FROM frame
+    and emits `div`; the dividend extends through the left-assoc
+    `* / %` chain. Ref: pg_lakehouse reference SQL surface (PG
+    numeric / operator, src/backend int4div semantics)."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    # literals, signs, chains
+    assert one("SELECT 7/2 AS x") == 3
+    assert one("SELECT -7/2 AS x") == -3
+    assert one("SELECT 7/-2 AS x") == -3
+    assert one("SELECT 100*7/2 AS x") == 350     # (100*7)/2, not 100*(7/2)
+    assert one("SELECT 8/2/2 AS x") == 2         # left-assoc
+    assert one("SELECT 7/2*2 AS x") == 6         # (7/2)*2
+    assert one("SELECT (2+5)/2 AS x") == 3
+    assert one("SELECT 1 + 9/4 AS x") == 3
+    # float on either side stays float
+    assert one("SELECT 7.0/2 AS x") == 3.5
+    assert one("SELECT 7/2.0 AS x") == 3.5
+    assert one("SELECT 1.5*4/2 AS x") == 3.0
+    # column-typed operands through the FROM-frame trial resolution
+    lsql.sql("CREATE TABLE db.idiv (k BIGINT, i BIGINT, d DOUBLE)")
+    lsql.sql("INSERT INTO db.idiv VALUES (1, 7, 7.0), (2, 9, 9.0)")
+    assert one("SELECT i/2 AS x FROM db.idiv WHERE k = 1") == 3
+    assert one("SELECT d/2 AS x FROM db.idiv WHERE k = 1") == 3.5
+    assert one("SELECT sum(i)/count(*) AS x FROM db.idiv") == 8  # 16/2
+    assert one("SELECT count(*) FILTER (WHERE i/2 = 3) AS x FROM db.idiv") == 1
+    # WHERE-side division
+    assert one("SELECT k FROM db.idiv WHERE i/4 = 2") == 2
+
+
+def test_pg_date_minus_date_r9(lsql):
+    """PG `date - date` is an INTEGER day count; Spark's native is an
+    INTERVAL. Same typed-operand machinery as integer division:
+    both sides must statically type DATE (typed literals `DATE '...'`
+    included — the mask peels them to placeholders, so the rewrite
+    re-attaches the type keyword). date ± int and timestamp math are
+    untouched."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT DATE '2024-03-01' - DATE '2024-02-01' AS x") == 29
+    assert one("SELECT DATE '2024-01-01' - DATE '2024-01-31' AS x") == -30
+    lsql.sql("CREATE TABLE db.ddt (k BIGINT, d1 DATE, d2 DATE)")
+    lsql.sql(
+        "INSERT INTO db.ddt VALUES (1, DATE '2024-06-10', DATE '2024-06-01')"
+    )
+    assert one("SELECT d1 - d2 AS x FROM db.ddt") == 9
+    assert one("SELECT d1 - DATE '2024-06-03' AS x FROM db.ddt") == 7
+    # composition: the result is an int, usable in arithmetic (the
+    # old INTERVAL result failed loudly here)
+    assert one("SELECT (d1 - d2) * 2 AS x FROM db.ddt") == 18
+    assert one("SELECT (d1 - d2) / 2 AS x FROM db.ddt") == 4  # int div too
+    # date - int stays date (Spark native, PG-equal)
+    import datetime
+    assert one("SELECT d1 - 5 AS x FROM db.ddt") == datetime.date(2024, 6, 5)
+    # int - int untouched
+    assert one("SELECT 10 - 3 AS x") == 7
+
+
+def test_subquery_dml_mor_no_rewrite_r9(lsql):
+    """r9 scale gate (verdict What's-wrong #3): subquery-WHERE DML on
+    a merge-on-read table writes a DELETE FILE + (UPDATE) postimage
+    appends — ZERO data files rewritten — instead of the full-table
+    overwrite. At 100 TB a DELETE matching 0.1% of rows must cost
+    O(matches); mirrors test_mor_delete_no_rewrite for the subquery
+    path."""
+    lsql.sql(
+        "CREATE TABLE db.sqm (k BIGINT, v BIGINT) "
+        "WITH (write_delete_mode='merge-on-read-positional')"
+    )
+    lsql.sql(
+        "INSERT INTO db.sqm SELECT id AS k, id * 10 AS v "
+        "FROM range(1000)"
+    )
+    lsql.sql("CREATE TABLE db.sqmu (k BIGINT)")
+    lsql.sql("INSERT INTO db.sqmu VALUES (3), (7), (999)")
+    tbl = lsql.catalog.load_table("db", "sqm")
+    files_before = {f["path"] for f in tbl.snapshot().files}
+
+    # subquery DELETE: <1% of rows -> no data-file rewrite
+    lsql.sql(
+        "DELETE FROM db.sqm WHERE EXISTS "
+        "(SELECT 1 FROM db.sqmu WHERE sqmu.k = sqm.k)"
+    )
+    snap = tbl.snapshot()
+    assert {f["path"] for f in snap.files} == files_before  # ZERO rewrites
+    assert len(snap.delete_files) == 1
+    assert snap.delete_files[0]["kind"] == "position"
+    assert snap.delete_files[0]["rows"] == 3
+    rows = lambda q: sorted(  # noqa: E731
+        tuple(r) for r in lsql.sql(q).collect()
+    )
+    assert rows("SELECT count(*) AS n FROM db.sqm") == [(997,)]
+    assert rows("SELECT k FROM db.sqm WHERE k IN (3, 7, 999)") == []
+
+    # subquery UPDATE: postimage appends only; originals not rewritten
+    lsql.sql(
+        "UPDATE db.sqm SET v = (SELECT max(sqmu.k) FROM db.sqmu) "
+        "WHERE k IN (SELECT sqmu.k - 2 FROM db.sqmu)"
+    )
+    snap2 = tbl.snapshot()
+    assert files_before <= {f["path"] for f in snap2.files}  # appends only
+    assert len(snap2.delete_files) == 2
+    assert rows("SELECT k, v FROM db.sqm WHERE v = 999") == [
+        (1, 999), (5, 999), (997, 999)
+    ]
+    assert rows("SELECT count(*) AS n FROM db.sqm") == [(997,)]
+
+    # RETURNING rides the MoR path too
+    got = rows(
+        "DELETE FROM db.sqm WHERE k < (SELECT min(sqmu.k) FROM db.sqmu) "
+        "RETURNING k"
+    )
+    assert got == [(0,), (1,), (2,)]
+    assert rows("SELECT count(*) AS n FROM db.sqm") == [(994,)]
+
+    # equality-MoR mode routes through the key-file path
+    lsql.sql(
+        "CREATE TABLE db.sqe (k BIGINT, v BIGINT) "
+        "WITH (write_delete_mode='merge-on-read', row_key='k')"
+    )
+    lsql.sql("INSERT INTO db.sqe SELECT id, id FROM range(100)")
+    tbe = lsql.catalog.load_table("db", "sqe")
+    fb = {f["path"] for f in tbe.snapshot().files}
+    lsql.sql(
+        "DELETE FROM db.sqe WHERE k IN (SELECT sqmu.k FROM db.sqmu)"
+    )
+    se = tbe.snapshot()
+    assert {f["path"] for f in se.files} == fb
+    assert len(se.delete_files) == 1
+    assert rows("SELECT count(*) AS n FROM db.sqe") == [(98,)]
