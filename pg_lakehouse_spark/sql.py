@@ -941,6 +941,119 @@ class LakeSQL:
         re.IGNORECASE,
     )
 
+    # row-constructor comparison: ``(a, b) OP (c, d)`` — PG's keyset-
+    # pagination idiom. Spark has no row comparison outside IN, so the
+    # pair expands to PG's documented element-wise evaluation:
+    # ordering ops become the lexicographic strict/equal chain
+    # (left-to-right, stopping at the first unequal pair — 3VL NULL
+    # propagation matches PG's "stop at null pair"); ``=`` is the AND
+    # of pairwise equality, ``<>`` the OR of pairwise inequality.
+    _ROW_CMP_OP = re.compile(
+        r"\)\s*(<=|>=|<>|!=|<|>|=)\s*(?:ROW\s*)?\(", re.IGNORECASE
+    )
+
+    @staticmethod
+    def _in_set_clause(masked: str, pos: int) -> bool:
+        """True when the nearest same-depth clause keyword behind
+        ``pos`` is SET — i.e. ``(a,b) = (..)`` is an UPDATE tuple
+        assignment, not a row-comparison predicate."""
+        depth = 0
+        for tok in reversed(list(re.finditer(
+            r"[()]|\b(?:SET|WHERE|SELECT|ON|HAVING|WHEN|BY|RETURNING"
+            r"|VALUES|AND|OR|NOT|THEN|ELSE)\b",
+            masked[:pos], re.IGNORECASE,
+        ))):
+            t = tok.group(0)
+            if t == ")":
+                depth += 1
+            elif t == "(":
+                if depth == 0:
+                    return False
+                depth -= 1
+            elif depth == 0:
+                return t.upper() == "SET"
+        return False
+
+    @classmethod
+    def _rewrite_row_comparisons(cls, masked: str) -> str:
+        for _ in range(64):  # several row comparisons per statement
+            hit = None
+            for m in cls._ROW_CMP_OP.finditer(masked):
+                lclose = masked.index(")", m.start())
+                # find the matching '(' of the LEFT group
+                depth, j = 1, lclose - 1
+                while j >= 0 and depth:
+                    if masked[j] == ")":
+                        depth += 1
+                    elif masked[j] == "(":
+                        depth -= 1
+                    j -= 1
+                if depth:
+                    continue
+                l_open = j + 1
+                # a function call / subquery is not a row constructor;
+                # PG's explicit ROW(...) spelling is. A preceding WORD
+                # only disqualifies when it is a plausible function
+                # name — clause keywords (WHERE/AND/SELECT/THEN/...)
+                # legitimately precede a row constructor.
+                head = masked[:l_open].rstrip()
+                rm = re.search(r"\bROW\s*$", head, re.IGNORECASE)
+                if rm is not None:
+                    l_open = rm.start()
+                else:
+                    wm = re.search(r"([A-Za-z_][\w$]*)\s*$", head)
+                    if wm is not None and (
+                        wm.group(1).lower() not in _SQL_KEYWORDS
+                    ):
+                        continue  # function call
+                    if wm is None and head[-1:] in ")]\x00":
+                        continue  # chained/indexed expression
+                r_open = masked.index("(", m.end() - 1)
+                r_end = cls._balanced_end(masked, r_open)
+                if r_end < 0:
+                    continue
+                ls = _split_top_level(masked[l_open + 1: lclose])
+                rs = _split_top_level(masked[r_open + 1: r_end - 1])
+                if len(ls) < 2 or len(ls) != len(rs):
+                    continue
+                if any(
+                    re.match(r"\s*(?:SELECT|WITH)\b", s, re.IGNORECASE)
+                    for s in (ls[0], rs[0])
+                ):
+                    continue  # row subquery: leave for Spark (loud)
+                if m.group(1) == "=" and cls._in_set_clause(
+                    masked, l_open
+                ):
+                    continue  # UPDATE tuple assignment, not a predicate
+                hit = (l_open, r_end, m.group(1), ls, rs)
+                break
+            if hit is None:
+                return masked
+            l_open, r_end, op, ls, rs = hit
+            if op == "=":
+                body = " AND ".join(
+                    f"(({a}) = ({b}))" for a, b in zip(ls, rs)
+                )
+            elif op in ("<>", "!="):
+                body = " OR ".join(
+                    f"(({a}) <> ({b}))" for a, b in zip(ls, rs)
+                )
+            else:
+                strict = op[0]  # '<' or '>'
+
+                def lex(i: int) -> str:
+                    a, b = ls[i], rs[i]
+                    if i == len(ls) - 1:
+                        return f"(({a}) {op} ({b}))"
+                    return (
+                        f"((({a}) {strict} ({b})) OR "
+                        f"((({a}) = ({b})) AND {lex(i + 1)}))"
+                    )
+
+                body = lex(0)
+            masked = masked[:l_open] + f"({body})" + masked[r_end:]
+        return masked
+
     @classmethod
     def _rewrite_any_all(cls, masked: str) -> str:
         out = masked
@@ -1142,11 +1255,16 @@ class LakeSQL:
     def _rewrite_array_subquery(cls, masked: str) -> str:
         """``ARRAY(SELECT expr FROM ...)`` →
         ``(SELECT coalesce(array_agg(__pgx), array()) FROM
-        (<body with expr aliased __pgx>) __pgarr)``. Only plain
-        single-item SELECT bodies without a depth-0 ORDER BY are
-        owned (PG guarantees element order under ORDER BY; Spark's
-        array_agg does not, so the ordered spelling stays loud
-        rather than silently shuffling elements)."""
+        (<body with expr aliased __pgx>) __pgarr)``.
+
+        The ORDERED spelling ``ARRAY(SELECT expr FROM ... ORDER BY
+        keys)`` — PG GUARANTEES element order — projects each sort
+        key alongside the element and emits ``array_agg(__pgx ORDER
+        BY __pgk0 ..., ...)``; the ordered-aggregate pass (which runs
+        AFTER this one) turns that into the comparator array_sort
+        with PG null placement. DISTINCT+ORDER, grouped/limited
+        bodies, and multi-item selects stay loud rather than silently
+        shuffling elements."""
         out = masked
         for m in reversed(list(cls._ARRAY_SUBQ.finditer(masked))):
             op = out.index("(", m.start())
@@ -1154,26 +1272,67 @@ class LakeSQL:
             if end < 0:
                 continue
             body = out[op + 1: end - 1].strip()
-            if cls._depth0_kw(body, "ORDER") is not None:
-                continue  # ordered: leave loud (see docstring)
+            om = cls._depth0_kw(body, "ORDER")
             if re.match(r"SELECT\s+DISTINCT\b", body, re.IGNORECASE):
+                if om is not None:
+                    continue  # DISTINCT + ORDER: leave loud
                 sel_end = len("SELECT DISTINCT")
                 distinct = "DISTINCT "
             else:
                 sel_end = len("SELECT")
                 distinct = ""
             fm = cls._depth0_kw(body, "FROM")
-            items = _split_top_level(
+            order_keys: list[tuple[str, str]] = []
+            if om is not None:
+                if fm is None or om.start() < fm.start() or any(
+                    cls._depth0_kw(body, kw) is not None
+                    for kw in ("GROUP", "HAVING", "LIMIT", "OFFSET",
+                               "UNION", "INTERSECT", "EXCEPT")
+                ):
+                    continue  # shapes where key projection would
+                    # change semantics: leave loud
+                otxt = body[om.start():]
+                obm = re.match(r"ORDER\s+BY\s+", otxt, re.IGNORECASE)
+                if not obm:
+                    continue
+                for k in _split_top_level(otxt[obm.end():]):
+                    km = re.match(
+                        r"(.*?)((?:\s+ASC|\s+DESC)?"
+                        r"(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+                        k, re.IGNORECASE | re.DOTALL,
+                    )
+                    order_keys.append(
+                        (km.group(1).strip(), km.group(2).strip())
+                    )
+                if len(order_keys) != 1:
+                    continue  # multi-key: the ordered-agg comparator
+                    # downstream is single-key only — leave loud
+                body = body[: om.start()].rstrip()
+            sel_items = _split_top_level(
                 body[sel_end: fm.start()] if fm else body[sel_end:]
             )
-            if len(items) != 1:
+            if len(sel_items) != 1:
                 continue  # multi-column ARRAY(SELECT): leave loud
+            key_proj = "".join(
+                f", ({kx}) AS __pgk{i}"
+                for i, (kx, _) in enumerate(order_keys)
+            )
             inner = (
-                f"SELECT {distinct}({items[0].strip()}) AS __pgx "
+                f"SELECT {distinct}({sel_items[0].strip()}) AS __pgx"
+                + key_proj + " "
                 + (body[fm.start():] if fm else "")
             )
+            agg_order = ", ".join(
+                f"__pgk{i} {d}".strip()
+                for i, (_, d) in enumerate(order_keys)
+            )
+            agg = (
+                f"array_agg(__pgx ORDER BY {agg_order})"
+                if order_keys
+                else "array_agg(__pgx)"
+            )
             rep = (
-                "(SELECT coalesce(array_agg(__pgx), array()) "
+                f"(SELECT coalesce({agg}, array()) "
                 f"FROM ({inner}) __pgarr)"
             )
             out = out[: m.start()] + rep + out[end:]
@@ -1415,6 +1574,40 @@ class LakeSQL:
           (literal delimiter quoted for Java regex; non-literal
           delimiters stay unrewritten → loud).
         """
+        # unnest(x) WITH ORDINALITY [[AS] alias[(val, ord)]] →
+        # posexplode subquery (PG's ordinality is 1-based bigint;
+        # default names are unnest/ordinality). A preceding FROM-list
+        # comma becomes an explicit LATERAL so a correlated argument
+        # (PG's implicit-lateral SRF) keeps resolving — Spark accepts
+        # the outer reference even through the nested posexplode
+        # subquery. Must run BEFORE the blind unnest→explode sub.
+        for m, _oargs, end in cls._call_sites(masked, "unnest"):
+            om = re.match(
+                r"\s*WITH\s+ORDINALITY\b", masked[end:], re.IGNORECASE
+            )
+            if not om or len(_oargs) != 1:
+                continue  # multi-arg zip form stays loud
+            inner = masked[masked.index("(", m.start()) + 1: end - 1]
+            tail_at = end + om.end()
+            alias, c1, c2 = "unnest", "unnest", "ordinality"
+            consumed = 0
+            am = re.match(
+                rf"\s*(?:AS\s+)?({_IDENT})"
+                rf"(?:\s*\(\s*({_IDENT})\s*,\s*({_IDENT})\s*\))?",
+                masked[tail_at:], re.IGNORECASE,
+            )
+            if am and am.group(1).lower() not in cls._CORR_STOP:
+                alias = am.group(1)
+                if am.group(2):
+                    c1, c2 = am.group(2), am.group(3)
+                consumed = am.end()
+            head = masked[: m.start()].rstrip()
+            lat = "LATERAL " if head.endswith(",") else ""
+            rep = (
+                f"{lat}(SELECT col AS {c1}, pos + 1 AS {c2} "
+                f"FROM (SELECT posexplode({inner}))) AS {alias}"
+            )
+            masked = masked[: m.start()] + rep + masked[tail_at + consumed:]
         masked = re.sub(r"\bunnest\s*\(", "explode(", masked,
                         flags=re.IGNORECASE)
         # sites collected up front and edited LAST-TO-FIRST: the
@@ -1430,7 +1623,31 @@ class LakeSQL:
             # ``g.generate_series``). An explicit column alias list
             # passes through untouched.
             head = masked[: m.start()].rstrip()
-            if head.endswith(",") or re.search(
+            # a trailing comma is only a FROM-list comma when the
+            # nearest same-depth clause keyword behind it is FROM /
+            # JOIN — ``SELECT a, generate_series(1,3) FROM t`` is a
+            # projection SRF (explode in the select list), and the
+            # subquery wrapping would fail at runtime on multi-row
+            # series (text is literal-masked, so quoted keywords
+            # can't confuse the scan)
+            comma_in_from = False
+            if head.endswith(","):
+                depth = 0
+                for tok in reversed(list(re.finditer(
+                    r"[()]|\b(?:SELECT|FROM|JOIN|LATERAL)\b",
+                    head, re.IGNORECASE,
+                ))):
+                    t = tok.group(0)
+                    if t == ")":
+                        depth += 1
+                    elif t == "(":
+                        if depth == 0:
+                            break  # entered enclosing scope: not FROM
+                        depth -= 1
+                    elif depth == 0:
+                        comma_in_from = t.upper() != "SELECT"
+                        break
+            if comma_in_from or re.search(
                 r"\b(?:FROM|JOIN)$", head, re.IGNORECASE
             ):
                 tail = masked[end:]
@@ -2276,6 +2493,7 @@ class LakeSQL:
         )
         masked = cls._rewrite_window_filter(masked)
         masked = cls._rewrite_any_all(masked)
+        masked = cls._rewrite_row_comparisons(masked)
         masked = cls._rewrite_at_time_zone(masked)
         # SQL-standard FETCH (PG's documented LIMIT spelling): the
         # combined OFFSET..FETCH form must emit Spark's LIMIT-first
@@ -2298,6 +2516,23 @@ class LakeSQL:
             r"OFFSET \1",
             masked,
             flags=re.IGNORECASE,
+        )
+        # PG accepts LIMIT/OFFSET in EITHER order; Spark's grammar is
+        # LIMIT-first. Adjacent clauses always belong to the same
+        # (sub)query, so the swap is depth-safe. LIMIT ALL is PG's
+        # spelling for "no limit".
+        masked = re.sub(
+            r"\bOFFSET\s+(\d+)\s+LIMIT\s+(?:ALL\b|(\d+)\b)",
+            lambda m: (
+                f"LIMIT {m.group(2)} OFFSET {m.group(1)}"
+                if m.group(2) is not None
+                else f"OFFSET {m.group(1)}"
+            ),
+            masked,
+            flags=re.IGNORECASE,
+        )
+        masked = re.sub(
+            r"\bLIMIT\s+ALL\b", "", masked, flags=re.IGNORECASE
         )
         # PG TABLESAMPLE SYSTEM/BERNOULLI (pct) → Spark's percent form
         # (REPEATABLE (seed) passes through — both dialects spell it
@@ -2409,19 +2644,18 @@ class LakeSQL:
 
     # PG admin introspection with a LITERAL table arg — resolved from
     # the catalog at parse time (they need instance state, unlike the
-    # classmethod dialect rewrites)
+    # classmethod dialect rewrites). All three pattern groups run on
+    # literal-MASKED text (args appear as \x00<i>\x00 placeholders):
+    # a quoted string CONTAINING "current_setting('x')" or
+    # "pg_table_size(...)" is data and must survive untouched.
     _ADMIN_FN = re.compile(
-        rf"\b(pg_table_size|pg_total_relation_size|obj_description)"
-        rf"\s*\(\s*'({_IDENT})\.({_IDENT})'\s*\)",
+        r"\b(pg_table_size|pg_total_relation_size|obj_description)"
+        r"\s*\(\s*\x00(\d+)\x00\s*\)",
         re.IGNORECASE,
     )
-
-    # session-setting functions with literal args, resolved at parse
-    # time like the table-size admin fns; privilege checks are
-    # constant TRUE on a single-user engine
     _SETTING_FN = re.compile(
-        r"\b(?:current_setting\s*\(\s*'([^']+)'\s*\)"
-        r"|set_config\s*\(\s*'([^']+)'\s*,\s*'([^']*)'\s*,"
+        r"\b(?:current_setting\s*\(\s*\x00(\d+)\x00\s*\)"
+        r"|set_config\s*\(\s*\x00(\d+)\x00\s*,\s*\x00(\d+)\x00\s*,"
         r"\s*(?:true|false)\s*\))",
         re.IGNORECASE,
     )
@@ -2430,43 +2664,71 @@ class LakeSQL:
         r"\s*\([^()]*\)",
         re.IGNORECASE,
     )
+    # cheap raw-text prefilter so the mask/sub/unmask round-trip only
+    # runs when one of the function names is present at all
+    _PARSE_TIME_FN = re.compile(
+        r"\b(?:current_setting|set_config|has_\w+_privilege"
+        r"|pg_table_size|pg_total_relation_size|obj_description)\s*\(",
+        re.IGNORECASE,
+    )
 
-    def _setting_fns(self, s: str) -> str:
-        def repl(m: re.Match) -> str:
+    def _parse_time_fns(self, s: str) -> str:
+        """Resolve setting/privilege/admin functions at parse time, on
+        literal-masked text; non-'...'-spelled args (E'...', $$..$$,
+        non-literal expressions) stay unrewritten → loud downstream."""
+        masked, lits = self._mask_strings(s)
+
+        def unlit(idx: str | None) -> str | None:
+            if idx is None:
+                return None
+            raw = lits[int(idx)]
+            if raw.startswith("'"):
+                return raw[1:-1].replace("''", "'")
+            return None
+
+        def q(v) -> str:
+            return "'" + str(v).replace("'", "''") + "'"
+
+        def admin(m: re.Match) -> str:
+            arg = unlit(m.group(2))
+            tm = re.match(rf"({_IDENT})\.({_IDENT})$", arg or "")
+            if tm is None:
+                return m.group(0)
+            tbl = self._load(tm.group(1), tm.group(2))
+            if m.group(1).lower() == "obj_description":
+                c = tbl.snapshot().properties.get("comment")
+                return "NULL" if c is None else q(c)
+            snap = tbl.snapshot()
+            return str(sum(f["bytes"] for f in snap.files) or 0)
+
+        def setting(m: re.Match) -> str:
             if m.group(1) is not None:  # current_setting('name')
+                name = unlit(m.group(1))
+                if name is None:
+                    return m.group(0)
                 eff = dict(self._settings_defaults, **self._settings)
-                name = m.group(1).lower()
+                name = name.lower()
                 if name not in eff:
                     raise LakehouseError(
                         f"unrecognized configuration parameter {name!r}"
                     )
-                return "'" + str(eff[name]).replace("'", "''") + "'"
-            name, val = m.group(2).lower(), m.group(3)
-            self.sql(f"SET {name} = '{val}'")  # set_config applies it
-            return "'" + val.replace("'", "''") + "'"
+                return q(eff[name])
+            name, val = unlit(m.group(2)), unlit(m.group(3))
+            if name is None or val is None:
+                return m.group(0)
+            self.sql(f"SET {name} = {q(val)}")  # set_config applies it
+            return q(val)
 
-        s = self._SETTING_FN.sub(repl, s)
-        return self._PRIV_FN.sub("TRUE", s)
-
-    def _admin_fns(self, s: str) -> str:
-        def repl(m: re.Match) -> str:
-            fn = m.group(1).lower()
-            tbl = self._load(m.group(2), m.group(3))
-            if fn == "obj_description":
-                c = tbl.snapshot().properties.get("comment")
-                return "NULL" if c is None else "'" + c.replace("'", "''") + "'"
-            snap = tbl.snapshot()
-            return str(sum(f["bytes"] for f in snap.files) or 0)
-
-        return self._ADMIN_FN.sub(repl, s)
+        masked = self._ADMIN_FN.sub(admin, masked)
+        masked = self._SETTING_FN.sub(setting, masked)
+        masked = self._PRIV_FN.sub("TRUE", masked)
+        return self._unmask_strings(masked, lits)
 
     def _route_stmt(self, stmt: str):
         s = stmt.strip().rstrip(";").strip()
         s = self._pg_dialect(s).strip()
-        if self._ADMIN_FN.search(s):
-            s = self._admin_fns(s)
-        if self._SETTING_FN.search(s) or self._PRIV_FN.search(s):
-            s = self._setting_fns(s)
+        if self._PARSE_TIME_FN.search(s):
+            s = self._parse_time_fns(s)
         head = s.split(None, 2)[0].upper() if s else ""
         if head in ("BEGIN", "START"):  # BEGIN [TRANSACTION|WORK]
             return self._begin()
@@ -3225,7 +3487,10 @@ class LakeSQL:
             return None
         return None
 
-    def _where_filters(self, stmt: str, schema: StructType) -> dict:
+    def _where_filters(
+        self, stmt: str, schema: StructType,
+        quals: frozenset[str] | set[str] = frozenset(),
+    ) -> dict:
         """Extract manifest-actionable (lo, hi) ranges from a simple
         single-table WHERE clause. Conservative: only top-level AND
         conjuncts of ``col OP literal`` / ``col BETWEEN a AND b`` on
@@ -3235,7 +3500,16 @@ class LakeSQL:
         change results). Strict >/< relax to inclusive bounds (a
         superset of files). Literals are cast to the bound column's
         type first (`_cast_prune_literal`) so manifest comparisons are
-        type-correct; un-castable literals drop their conjunct."""
+        type-correct; un-castable literals drop their conjunct.
+
+        ``quals`` is the set of lowercase correlation names known to
+        refer to THE pruned table (its bare name + FROM alias). A
+        qualified conjunct whose qualifier is not in the set is
+        skipped: in ``db.t JOIN tmp ON .. WHERE tmp.k = 5`` the other
+        relation's predicate must not narrow this table's file scan
+        even when ``k`` happens to also be one of its columns —
+        non-lake relations (temp views, CTEs, TVFs) never register in
+        the lone-ref check, so qualifier identity is the only gate."""
         m = re.search(
             r"\bWHERE\s+(.*?)(?:\s+GROUP\s+BY\b|\s+ORDER\s+BY\b"
             r"|\s+HAVING\b|\s+LIMIT\b|$)",
@@ -3272,9 +3546,10 @@ class LakeSQL:
         # them from the clause so the AND-split can't tear them apart
         def grab_between(bm: re.Match) -> str:
             qual, col = bm.group(1), bm.group(2)
-            # a qualifier that is itself a column is a struct-field
-            # access (a.b), not a correlation name — skip
-            if col in types and (qual is None or qual not in types):
+            # a qualifier must name THIS table (bare name or alias);
+            # anything else is another relation's column or a
+            # struct-field access — skip
+            if col in types and (qual is None or qual.lower() in quals):
                 lo = self._cast_prune_literal(lit(bm.group(3)), types[col])
                 hi = self._cast_prune_literal(lit(bm.group(4)), types[col])
                 if lo is not None and hi is not None:
@@ -3294,8 +3569,8 @@ class LakeSQL:
             cm = self._PRUNE_CONJ.match(self._unmask_strings(part, literals))
             if not cm or cm.group(2) not in types:
                 continue
-            if cm.group(1) is not None and cm.group(1) in types:
-                continue  # struct-field access, not a correlation
+            if cm.group(1) is not None and cm.group(1).lower() not in quals:
+                continue  # other relation / struct field — not ours
             col, op = cm.group(2), cm.group(3)
             v = self._cast_prune_literal(lit(cm.group(4)), types[col])
             if v is None:
@@ -3384,8 +3659,24 @@ class LakeSQL:
         )
         if verb not in dml_verbs and not has_dml_cte:
             return False, None
+
+        def dml_target(body: str) -> tuple[str, str] | None:
+            tm = re.match(
+                rf"(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)"
+                rf"\s+{_TBL}\b",
+                body, re.IGNORECASE,
+            )
+            if tm and self.catalog.table_exists(
+                tm.group(1).lower(), tm.group(2).lower()
+            ):
+                return tm.group(1).lower(), tm.group(2).lower()
+            return None
+
         bound: list[str] = []
         cached = []
+        prev_pins = getattr(self, "_stmt_pins", None)
+        pins: dict[tuple[str, str], int] = dict(prev_pins or {})
+        self._stmt_pins = pins
         try:
             for name, cols, body in ctes:
                 body = body.strip()
@@ -3393,7 +3684,37 @@ class LakeSQL:
                     r"(INSERT|UPDATE|DELETE|MERGE)\b", body,
                     re.IGNORECASE,
                 ):
-                    out = self.sql(U(body))
+                    # PG: every sub-statement and the main query see
+                    # the PRE-statement snapshot. Pin the mutated
+                    # table's version BEFORE the mutation so later
+                    # reads bind it; a second mutation of the same
+                    # table would read through the pin and corrupt
+                    # the rewrite — PG calls that unsupported, we
+                    # refuse loudly.
+                    tgt = dml_target(body)
+                    if tgt is not None:
+                        rewrites = not body[:6].upper().startswith("INSERT")
+                        if tgt in pins and rewrites:
+                            raise LakehouseError(
+                                f"table {tgt[0]}.{tgt[1]} is modified "
+                                "by more than one sub-statement "
+                                "(not supported; PG leaves this "
+                                "unspecified for the same row)"
+                            )
+                        if tgt not in pins:
+                            pins[tgt] = self.catalog.load_table(
+                                *tgt
+                            ).snapshot().version
+                    # the DML's own execution must see CURRENT state
+                    # (its pin equals the pre-state anyway on first
+                    # mutation; un-pin so its internal reads/rewrites
+                    # use the live snapshot)
+                    own_pin = pins.pop(tgt, None) if tgt else None
+                    try:
+                        out = self.sql(U(body))
+                    finally:
+                        if tgt is not None and own_pin is not None:
+                            pins[tgt] = own_pin
                     if out is None or not hasattr(out, "cache"):
                         continue  # no RETURNING: nothing to bind
                     # materialize NOW: later CTEs / the main statement
@@ -3407,15 +3728,22 @@ class LakeSQL:
                     df = df.toDF(*cols)
                 df.createOrReplaceTempView(name)
                 bound.append(name)
+            main_tgt = dml_target(rest.strip()) if verb in dml_verbs else None
+            if main_tgt in pins and verb in ("UPDATE", "DELETE", "MERGE"):
+                raise LakehouseError(
+                    f"table {main_tgt[0]}.{main_tgt[1]} is modified by "
+                    "more than one sub-statement (not supported)"
+                )
             result = self._route_stmt(U(rest))
             if hasattr(result, "cache") and cached:
                 # a SELECT result may still reference the cached CTE
-                # frames — materialize it before they unpersist
-                result = self.spark.createDataFrame(
-                    result.collect(), result.schema
-                )
+                # frames — materialize it EXECUTOR-SIDE before they
+                # unpersist (the SELECT tail can be table-sized, so a
+                # driver collect would be an unbounded materialization)
+                result = result.localCheckpoint(eager=True)
             return True, result
         finally:
+            self._stmt_pins = prev_pins
             for name in bound:
                 self.spark.catalog.dropTempView(name)
             for df in cached:
@@ -3444,6 +3772,7 @@ class LakeSQL:
             )
         ):
             refs = set()
+            lone_quals: set[str] = set()
             for m2 in self._TT.finditer(s):
                 if any(m2.group(i) for i in (3, 4, 5, 6)):
                     refs.add(None)  # meta/branch/time-travel ref
@@ -3451,6 +3780,18 @@ class LakeSQL:
                     m2.group(1).lower(), m2.group(2).lower()
                 ):
                     refs.add((m2.group(1).lower(), m2.group(2).lower()))
+                    # correlation names that refer to THIS table: its
+                    # bare name plus a trailing FROM alias — the only
+                    # qualifiers _where_filters may accept (a joined
+                    # temp view / CTE never registers in refs, so its
+                    # predicates must not narrow this table's scan)
+                    lone_quals.add(m2.group(2).lower())
+                    am = re.match(
+                        rf"\s+(?:AS\s+)?({_IDENT})",
+                        s[m2.end():], re.IGNORECASE,
+                    )
+                    if am and am.group(1).lower() not in self._CORR_STOP:
+                        lone_quals.add(am.group(1).lower())
             if len(refs) == 1:
                 lone_ref = next(iter(refs))
 
@@ -3478,6 +3819,20 @@ class LakeSQL:
                     return self._bind_view(ns, name, meta, branch, ver, ts)
                 return None  # not ours — leave for Spark to resolve
             tbl = self._load(ns, name, branch)
+            # a table mutated by a DML CTE earlier in this statement
+            # reads its PRE-STATEMENT snapshot (PG: all sub-statements
+            # and the main query see the statement snapshot, never
+            # each other's effects) — pinned by _with_dml
+            pins = getattr(self, "_stmt_pins", None)
+            if (
+                pins and meta is None and branch is None
+                and ver is None and ts is None and (ns, name) in pins
+            ):
+                pin = pins[(ns, name)]
+                df = tbl.read(pin)
+                view = f"__lake_{ns}_{name}_pin{pin}"
+                df.createOrReplaceTempView(view)
+                return view
             if meta is not None and meta.lower() == "realtime":
                 # real-time continuous aggregate: materialized rollup
                 # state merged with the source delta since the
@@ -3515,7 +3870,9 @@ class LakeSQL:
             if ver is not None:
                 df, view = tbl.read(int(ver)), f"__lake_{ns}_{name}_v{ver}"
             elif ts is None and lone_ref == (ns, name):
-                filters = self._where_filters(s, tbl.schema())
+                filters = self._where_filters(
+                    s, tbl.schema(), frozenset(lone_quals)
+                )
                 df = tbl.read_pruned(filters) if filters else tbl.read()
                 view = f"__lake_{ns}_{name}"
             elif ts is not None:
@@ -3532,9 +3889,13 @@ class LakeSQL:
             return view
 
         # bare pg_catalog relations (PG's search_path exposes them
-        # unqualified — ORM reflection queries use both spellings)
+        # unqualified — ORM reflection queries use both spellings).
+        # Matched on literal-MASKED text so a quoted string containing
+        # e.g. 'from pg_class' stays data, not a table reference.
+        _bpm, _bplits = self._mask_strings(s)
+
         def bind_bare_pg(m: re.Match) -> str:
-            head = s[: m.start()].rstrip()
+            head = _bpm[: m.start()].rstrip()
             if not (
                 head.endswith(",")
                 or re.search(r"\b(?:FROM|JOIN)$", head, re.IGNORECASE)
@@ -3542,7 +3903,7 @@ class LakeSQL:
                 return m.group(0)
             rel = m.group(1).lower()
             view = self._bind_pg_catalog(rel)
-            tail = s[m.end():]
+            tail = _bpm[m.end():]
             am = re.match(rf"\s*({_IDENT})", tail)
             if am and (
                 am.group(1).upper() == "AS"
@@ -3551,12 +3912,13 @@ class LakeSQL:
                 return view  # explicit alias follows
             return f"{view} AS {rel}"
 
-        s = re.sub(
+        _bpm = re.sub(
             r"(?<![\w.$])(pg_class|pg_namespace|pg_tables|pg_views)"
             r"\b(?!\s*[.($])",
             bind_bare_pg,
-            s,
+            _bpm,
         )
+        s = self._unmask_strings(_bpm, _bplits)
         bound = self._TT.sub(bind, s)
         masked, _lits = self._mask_strings(bound)
         masked = self._rewrite_typed_arith(masked, _lits)
@@ -3577,6 +3939,18 @@ class LakeSQL:
     # ------------------------------------------------------------------
 
     _INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+    # Spark types these INTEGRAL where PG types them NUMERIC/double
+    # (floor/ceil return same-as-input numeric in PG, extract is
+    # numeric since PG 14, date_part is double, round/trunc/sign on
+    # ints implicitly go through numeric) — an operand containing one
+    # must never trigger the integer-division rewrite: PG would do
+    # numeric (non-truncating) division there.
+    _PG_NUMERIC_FNS = re.compile(
+        r"\b(?:floor|ceil|ceiling|round|trunc|extract|date_part|sign)"
+        r"\s*\(",
+        re.IGNORECASE,
+    )
+    _SUM_CALL = re.compile(r"\bsum\s*\(", re.IGNORECASE)
 
     def _typing_frame(self, masked: str, lits: list[str]):
         """A DataFrame whose schema carries the statement's FROM-scope
@@ -3652,16 +4026,18 @@ class LakeSQL:
             out: str | None = None
             if fr is not None:
                 try:
-                    dt = fr.select(
-                        F.expr(
-                            self._spark_text(
-                                self._unmask_strings(txt, lits)
-                            )
-                        )
-                    ).schema[0].dataType
-                    nm = dt.simpleString()
+                    nm = spark_type(txt)
                     if nm in self._INTEGRAL_TYPES:
-                        out = "integral"
+                        if self._PG_NUMERIC_FNS.search(txt):
+                            # Spark says integral but PG types the
+                            # expression numeric — never int-divide
+                            out = "other"
+                        elif sum_over_bigint(txt):
+                            # PG sum(bigint) returns NUMERIC (only
+                            # sum over int/smallint stays integral)
+                            out = "other"
+                        else:
+                            out = "integral"
                     elif nm == "date":
                         out = "date"
                     else:
@@ -3670,6 +4046,36 @@ class LakeSQL:
                     out = None
             type_memo[txt] = out
             return out
+
+        def spark_type(txt: str) -> str:
+            return (
+                frame()
+                .select(
+                    F.expr(
+                        self._spark_text(self._unmask_strings(txt, lits))
+                    )
+                )
+                .schema[0]
+                .dataType.simpleString()
+            )
+
+        def sum_over_bigint(txt: str) -> bool:
+            """True when any sum() inside ``txt`` aggregates a bigint
+            (PG result type numeric → non-truncating division)."""
+            for sm in self._SUM_CALL.finditer(txt):
+                end = self._balanced_end(txt, sm.end() - 1)
+                if end < 0:
+                    return True  # unparseable: fail open
+                inner = re.sub(
+                    r"^\s*(?:DISTINCT|ALL)\b", "",
+                    txt[sm.end(): end - 1], flags=re.IGNORECASE,
+                )
+                try:
+                    if spark_type(inner) == "bigint":
+                        return True
+                except Exception:
+                    return True  # untypable arg: fail open
+            return False
 
         def chain_left(i: int) -> tuple[int, int] | None:
             """Left operand of / extends through the whole preceding
@@ -3950,29 +4356,53 @@ class LakeSQL:
         acc = self._select(base)
         if cols:
             acc = acc.toDF(*cols)
-        acc = acc.distinct().cache()
-        acc.count()
+        # every per-round frame is localCheckpoint-ed (eager,
+        # executor-side): each round's plan is then a FLAT leaf
+        # (LogicalRDD). Plain .cache() is NOT enough here — round k's
+        # plan nests round k-1's plan (via the view) AND the whole
+        # accumulated union (via subtract); the analyzer's relation
+        # de-duplication re-keys expression ids in the duplicated
+        # subtrees and cache substitution misses, so the tree — and
+        # the recompute — grows EXPONENTIALLY (measured: round 6 of a
+        # 60-node path graph ran 467 cache scans and 56 s).
+        # Checkpointing makes every round O(frontier) with no cache
+        # bookkeeping; the acc union is re-compacted every ~20 rounds
+        # so its width stays bounded on thousand-round closures.
+        acc = acc.distinct().localCheckpoint(eager=True)
         # PG names the CTE's columns from the NON-recursive term; the
         # step's own output names are irrelevant
         out_cols = acc.columns
         frontier = acc
-        for _ in range(100000):
-            frontier.createOrReplaceTempView(name)
-            new = self._select(step).toDF(*out_cols)
-            new = new.distinct().subtract(acc).cache()
-            if new.isEmpty():
-                new.unpersist()
-                break
-            nxt = acc.union(new).cache()
-            nxt.count()
-            acc.unpersist()
-            acc, frontier = nxt, new
-        else:
-            raise LakehouseError(
-                "recursive CTE did not converge within 100000 iterations"
-            )
-        acc.createOrReplaceTempView(name)
-        return self._select(main)
+        try:
+            for i in range(100000):
+                frontier.createOrReplaceTempView(name)
+                new = (
+                    self._select(step).toDF(*out_cols)
+                    .distinct().subtract(acc)
+                    .localCheckpoint(eager=True)
+                )
+                if new.isEmpty():
+                    break
+                acc = acc.union(new)
+                if (i + 1) % 20 == 0:
+                    acc = acc.localCheckpoint(eager=True)
+                frontier = new
+            else:
+                raise LakehouseError(
+                    "recursive CTE did not converge within "
+                    "100000 iterations"
+                )
+            acc.createOrReplaceTempView(name)
+            # materialize executor-side BEFORE the finally drops the
+            # statement-scoped view — the user-level CTE name must
+            # not persist past the statement (a later query on the
+            # bare name would silently read stale recursion output)
+            return self._select(main).localCheckpoint(eager=True)
+        finally:
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
 
     def _bind_view(self, ns, name, meta, branch, ver, ts) -> str:
         """Expand a stored view: evaluate its SELECT (recursively —
@@ -5589,8 +6019,14 @@ class LakeSQL:
         if verb != "MERGE" and wm:
             where = self._unmask_strings(wm.group(1).strip(), _lits)
             lines.append(f"predicate: {where}")
+            quals = {name.lower()}
+            am = re.match(
+                rf"\s+(?:AS\s+)?({_IDENT})", bm[m.end():], re.IGNORECASE
+            )
+            if am and am.group(1).lower() not in self._CORR_STOP:
+                quals.add(am.group(1).lower())
             filters = self._where_filters(
-                "WHERE " + where, tbl.schema()
+                "WHERE " + where, tbl.schema(), frozenset(quals)
             )
             if filters:
                 shown = ", ".join(

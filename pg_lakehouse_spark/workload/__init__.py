@@ -97,6 +97,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # parity tests), lake_null_ordering_topk (NULL placement keeps the
 # de-pinned differential fuzzers + the WITH TIES row's explicit
 # NULLS handling; the row stays oracle-checked locally).
+# r9 rotation (2 in / 2 out, per verdict item 9): in come the
+# r8-built oracle rows lake_subquery_dml (correlated-subquery WHERE
+# DML — now MoR position-delete backed) and
+# lake_recursive_union_graph (UNION-DISTINCT cyclic closure). Ceded
+# family duplicates: q_recursive_cte (recursion family keeps the
+# UNION-DISTINCT row in-window; the UNION ALL shape stays
+# oracle-checked locally) and lake_dml_returning (DML family keeps
+# lake_sql_dml CoW + lake_mor_delete_update MoR +
+# lake_merge_composite_key; RETURNING stays oracle-checked locally).
 # Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
@@ -108,7 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_range_join_bands",
     "q_asof_join",
     "q_correlated_subquery",
-    "q_recursive_cte",
+    "lake_recursive_union_graph",
     "lake_merge_composite_key",
     "q_distinct_on",
     "text_bm25_postings",
@@ -130,7 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "data_split_modulo",
     "lake_sql_dml",
     "lake_fetch_with_ties",
-    "lake_dml_returning",
+    "lake_subquery_dml",
     "lake_mor_delete_update",
     "lake_time_travel",
     "lake_implicit_correlation",

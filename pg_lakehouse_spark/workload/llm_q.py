@@ -412,8 +412,10 @@ WITH sums AS (
   FROM documents
 )
 SELECT media_id,
-       [((checksum * (i + 1) + n * i) % 1009) / 1009.0
-        for i in range(0, 16)] AS feature
+       round((checksum % 1009) / 1009.0, 6) AS f_first,
+       round(((checksum * 16 + n * 15) % 1009) / 1009.0, 6) AS f_last,
+       round(list_sum([((checksum * (i + 1) + n * i) % 1009) / 1009.0
+                       for i in range(0, 16)]), 6) AS f_sum
 FROM sums
 """,
     tags=("multimodal", "feature-extract"),
@@ -421,11 +423,26 @@ FROM sums
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (Arrow-batched
     mapInPandas; deterministic stub featurizer → oracle-checkable).
-    The output shape is exactly what the similarity stack consumes."""
+    The engine-side output keeps the full `array<double>` vector (the
+    shape the similarity stack consumes); the ROW projects scalar
+    probes of it — first/last element + sum — because the driver's
+    pandas canonicalizer cannot sort array cells (r9, same contract
+    rule as q_ordered_aggregates)."""
     from pg_lakehouse_spark.llm.multimodal import extract_features
 
     docs = t(spark, sf_dir, "documents")
-    return extract_features(synthesize_media(docs, "doc_id", "text"), dim=16)
+    out = extract_features(synthesize_media(docs, "doc_id", "text"), dim=16)
+    return out.select(
+        "media_id",
+        F.round(F.element_at("feature", 1), 6).alias("f_first"),
+        F.round(F.element_at("feature", 16), 6).alias("f_last"),
+        F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("f_sum"),
+    )
 
 
 @register(

@@ -13,7 +13,10 @@ FAMILY_MARKERS = {
     "join": ("join",),
     "join-asof": ("join-asof",),
     "subquery": ("subquery", "cte"),
-    "cte-recursive": ("cte-recursive",),
+    # r9 rotation: the in-window recursion representative is the
+    # UNION-DISTINCT closure (tagged recursive-union); the UNION ALL
+    # shape (cte-recursive) stays oracle-checked locally
+    "cte-recursive": ("cte-recursive", "recursive-union"),
     "setop": ("setop",),
     "distinct": ("distinct",),
     "topk": ("topk",),

@@ -4015,3 +4015,350 @@ def test_subquery_dml_mor_no_rewrite_r9(lsql):
     assert {f["path"] for f in se.files} == fb
     assert len(se.delete_files) == 1
     assert rows("SELECT count(*) AS n FROM db.sqe") == [(98,)]
+
+
+# ---------------------------------------------------------------------------
+# r9: UNNEST WITH ORDINALITY, OFFSET-first LIMIT, projection SRFs,
+# literal-masked parse-time fns, DML-CTE statement-snapshot semantics,
+# join-safe manifest pruning, recursive-CTE hygiene
+# ---------------------------------------------------------------------------
+
+
+def test_unnest_with_ordinality_r9(lsql):
+    """PG's ordered-element idiom → posexplode; ordinality is 1-based
+    (reference SQL surface, SURVEY.md §2 array row)."""
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    assert rows(
+        "SELECT * FROM unnest(array['a','b','c']) WITH ORDINALITY"
+    ) == [("a", 1), ("b", 2), ("c", 3)]
+    # explicit column-alias list
+    assert rows(
+        "SELECT u.o, u.x FROM unnest(array[10,20]) WITH ORDINALITY "
+        "AS u(x, o) ORDER BY u.o"
+    ) == [(1, 10), (2, 20)]
+    # default output names with a bare table alias
+    assert rows(
+        "SELECT u.unnest, u.ordinality FROM unnest(array[5,6]) "
+        "WITH ORDINALITY u ORDER BY 2"
+    ) == [(5, 1), (6, 2)]
+
+
+def test_unnest_with_ordinality_lateral_r9(lsql):
+    """A FROM-list comma is PG's implicit LATERAL — the argument may
+    reference a preceding table."""
+    lsql.sql("CREATE TABLE db.uwo (id BIGINT, arr ARRAY<STRING>)")
+    lsql.sql("INSERT INTO db.uwo VALUES (1, array('p','q')), (2, array('r'))")
+    out = [
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT t.id, u.x, u.o FROM db.uwo t, "
+            "unnest(t.arr) WITH ORDINALITY AS u(x, o) ORDER BY t.id, u.o"
+        ).collect()
+    ]
+    assert out == [(1, "p", 1), (1, "q", 2), (2, "r", 1)]
+
+
+def test_offset_first_limit_order_r9(lsql):
+    """PG accepts LIMIT/OFFSET in either order; LIMIT ALL = no limit."""
+    lsql.sql("CREATE TABLE db.ofl (k BIGINT)")
+    lsql.sql("INSERT INTO db.ofl VALUES (1), (2), (3), (4)")
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    assert rows("SELECT k FROM db.ofl ORDER BY k OFFSET 1 LIMIT 2") == [
+        (2,), (3,)
+    ]
+    assert rows("SELECT k FROM db.ofl ORDER BY k OFFSET 3 LIMIT ALL") == [
+        (4,)
+    ]
+    assert rows("SELECT k FROM db.ofl ORDER BY k LIMIT ALL") == [
+        (1,), (2,), (3,), (4,)
+    ]
+    assert rows("SELECT k FROM db.ofl ORDER BY k LIMIT 2 OFFSET 1") == [
+        (2,), (3,)
+    ]
+
+
+def test_generate_series_projection_after_comma_r9(lsql):
+    """``SELECT a, generate_series(1,3)`` is a projection SRF (cross
+    product per row), NOT a FROM-list item — the comma scan-back must
+    find SELECT, not FROM (advisor r8)."""
+    lsql.sql("CREATE TABLE db.gsp (id BIGINT)")
+    lsql.sql("INSERT INTO db.gsp VALUES (7)")
+    out = [
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT id, generate_series(1,3) FROM db.gsp"
+        ).collect()
+    ]
+    assert out == [(7, 1), (7, 2), (7, 3)]
+    # FROM-list comma still wraps (implicit correlation name)
+    out2 = [
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT g.generate_series FROM db.gsp, generate_series(1,2) g"
+        ).collect()
+    ]
+    assert sorted(out2) == [(1,), (2,)]
+
+
+def test_parse_time_fns_masked_r9(lsql):
+    """current_setting / pg_catalog names INSIDE string literals are
+    data, not calls (advisor r8: substitutions ran on unmasked SQL)."""
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    assert rows("SELECT 'call current_setting(''x'') now' AS s") == [
+        ("call current_setting('x') now",)
+    ]
+    assert rows("SELECT 'from pg_class' AS s") == [("from pg_class",)]
+    assert rows("SELECT 'has_table_privilege(x)' AS s") == [
+        ("has_table_privilege(x)",)
+    ]
+    # the real calls still resolve
+    assert rows("SELECT current_setting('search_path') AS s") == [
+        ('"$user", public',)
+    ]
+    assert rows(
+        "SELECT has_table_privilege('u', 'db.x', 'SELECT') AS p"
+    ) == [(True,)]
+
+
+def test_dml_cte_statement_snapshot_r9(lsql):
+    """PG: every sub-statement and the main query see the
+    PRE-statement snapshot — a SELECT after a DELETE CTE returns the
+    pre-delete rows; the delete still applies afterwards."""
+    lsql.sql("CREATE TABLE db.snapsem (k BIGINT)")
+    lsql.sql("INSERT INTO db.snapsem VALUES (1), (2), (3)")
+    out = lsql.sql(
+        "WITH d AS (DELETE FROM db.snapsem WHERE k >= 2 RETURNING k) "
+        "SELECT k FROM db.snapsem"
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [(1,), (2,), (3,)]
+    after = lsql.sql("SELECT k FROM db.snapsem")
+    assert sorted(tuple(r) for r in after.collect()) == [(1,)]
+
+
+def test_dml_cte_double_mutation_refused_r9(lsql):
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+    import pytest as _pytest
+
+    lsql.sql("CREATE TABLE db.dblmut (k BIGINT)")
+    lsql.sql("INSERT INTO db.dblmut VALUES (1), (2)")
+    with _pytest.raises(LakehouseError, match="more than one"):
+        lsql.sql(
+            "WITH a AS (DELETE FROM db.dblmut WHERE k=1 RETURNING k), "
+            "b AS (UPDATE db.dblmut SET k=9 WHERE k=2 RETURNING k) "
+            "SELECT 1 AS one"
+        )
+    with _pytest.raises(LakehouseError, match="more than one"):
+        lsql.sql(
+            "WITH a AS (DELETE FROM db.dblmut WHERE k=1 RETURNING k) "
+            "DELETE FROM db.dblmut WHERE k=2"
+        )
+
+
+def test_join_predicate_never_prunes_lake_scan_r9(lsql, spark):
+    """A non-lake relation's predicate (temp view / CTE) must not
+    narrow the lake table's manifest-pruned file scan even when the
+    column name collides (advisor r8, HIGH)."""
+    spark.createDataFrame([(1, 99)], "a INT, k INT").createOrReplaceTempView(
+        "tmpv_r9"
+    )
+    lsql.sql("CREATE TABLE db.jp (k BIGINT, v BIGINT)")
+    # two files so pruning would actually drop one
+    lsql.sql("INSERT INTO db.jp VALUES (1, 10)")
+    lsql.sql("INSERT INTO db.jp VALUES (99, 20)")
+    out = [
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT p.k, p.v FROM db.jp p JOIN tmpv_r9 "
+            "ON p.k = tmpv_r9.a WHERE tmpv_r9.k = 99"
+        ).collect()
+    ]
+    assert out == [(1, 10)]
+    # alias-qualified conjuncts on the lake table itself still prune
+    assert [
+        tuple(r)
+        for r in lsql.sql("SELECT x.v FROM db.jp x WHERE x.k = 99").collect()
+    ] == [(20,)]
+
+
+def test_recursive_cte_view_dropped_and_deep_chain_r9(lsql, spark):
+    """The CTE's user-level name must not persist past the statement
+    (advisor r8), and a 200+-round path-graph closure must not choke
+    the optimizer (lineage is localCheckpoint-truncated every ~20
+    fixpoint rounds)."""
+    lsql.sql("CREATE TABLE db.chain (src BIGINT, dst BIGINT)")
+    lsql.sql("INSERT INTO db.chain SELECT id, id + 1 FROM range(220)")
+    out = lsql.sql(
+        "WITH RECURSIVE reach_r9 (n) AS ("
+        "  SELECT 0 AS n"
+        "  UNION"
+        "  SELECT c.dst FROM db.chain c JOIN reach_r9 r ON c.src = r.n"
+        ") SELECT count(*) AS cnt FROM reach_r9"
+    )
+    assert [tuple(r) for r in out.collect()] == [(221,)]
+    # statement-scoped: the bare name is gone afterwards
+    assert "reach_r9" not in [
+        t.name for t in spark.catalog.listTables() if t.isTemporary
+    ]
+
+
+def test_pg_numeric_typed_fns_never_intdiv_r9(lsql):
+    """Spark types floor/ceil/extract/round as integral; PG types them
+    NUMERIC — so `/` after them must stay non-truncating (the r9
+    integer-division rewrite must NOT fire). Found live: a view's
+    `floor(avg(price) * 100) / 100` lost its cents."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT floor(7.9) / 2 AS x") == 3.5
+    assert one("SELECT ceil(6.1) / 2 AS x") == 3.5
+    assert float(one("SELECT floor(320177.639 * 100) / 100 AS x")) == 320177.63
+    assert one(
+        "SELECT extract(year FROM DATE '2023-06-01') / 4 AS x"
+    ) == 505.75
+    # sum over BIGINT is numeric in PG (non-truncating) ...
+    lsql.sql("CREATE TABLE db.sbig (k BIGINT, i8 BIGINT, i4 INT)")
+    lsql.sql("INSERT INTO db.sbig VALUES (1, 7, 7), (2, 10, 10)")
+    assert one("SELECT sum(i8) / 2 AS x FROM db.sbig") == 8.5
+    # ... but sum over INT is bigint in PG (truncating)
+    assert one("SELECT sum(i4) / 2 AS x FROM db.sbig") == 8
+    # plain bigint columns still int-divide (PG bigint/int truncates)
+    assert one("SELECT i8 / 2 AS x FROM db.sbig WHERE k = 1") == 3
+
+
+def test_row_constructor_comparisons_r9(lsql):
+    """PG row-constructor comparisons — the keyset-pagination idiom
+    `(a, b) > (x, y)` — expand to PG's documented element-wise
+    evaluation (lexicographic strict/equal chain; `=`/`<>` pairwise),
+    with PG's 3VL NULL propagation (stop at the first unequal or NULL
+    pair). Spark's native struct comparison fails on mismatched field
+    names and differs on NULLs."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT (1, 2) < (1, 3) AS x") is True
+    assert one("SELECT (1, 2) < (1, 2) AS x") is False
+    assert one("SELECT (2, 1) < (1, 9) AS x") is False
+    assert one("SELECT (1, 2) <= (1, 2) AS x") is True
+    assert one("SELECT (1, 2) = (1, 2) AS x") is True
+    assert one("SELECT (1, 2) <> (1, 3) AS x") is True
+    assert one("SELECT ROW(1,2,3) < ROW(1,2,4) AS x") is True
+    # PG 3VL: the deciding pair being NULL makes the result NULL
+    assert one("SELECT (1, NULL) = (1, 2) AS x") is None
+    assert one("SELECT (1, NULL) < (1, 0) AS x") is None
+    assert one("SELECT (1, NULL) < (2, 0) AS x") is True  # decided early
+    assert one("SELECT (1, NULL) <> (2, 3) AS x") is True
+    # keyset pagination over a table
+    lsql.sql("CREATE TABLE db.ksr9 (a BIGINT, b BIGINT)")
+    lsql.sql("INSERT INTO db.ksr9 VALUES (1,1),(1,2),(2,1),(2,2),(3,1)")
+    out = [
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT a, b FROM db.ksr9 WHERE (a, b) > (1, 2) "
+            "ORDER BY a, b"
+        ).collect()
+    ]
+    assert out == [(2, 1), (2, 2), (3, 1)]
+    # UPDATE tuple assignment is NOT a comparison
+    lsql.sql("UPDATE db.ksr9 SET (a, b) = (10, 20) WHERE a = 3")
+    assert [
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT a, b FROM db.ksr9 WHERE a = 10"
+        ).collect()
+    ] == [(10, 20)]
+    # function calls stay calls
+    assert one("SELECT coalesce(NULL, 5) = (5) AS x") is True
+
+
+def test_row_comparison_differential_vs_duckdb_r9(lsql):
+    """Randomized tuples (incl. NULLs) × every comparison op vs a
+    Python oracle implementing PG's documented expansion (9.24.5:
+    ordering ops = lexicographic strict/equal chain; `=` = AND of
+    pairwise, `<>` = OR of pairwise — all in 3VL). NOT pinned to
+    DuckDB: DuckDB returns NULL for `(NULL,3) = (NULL,2)` where PG's
+    `NULL AND FALSE` is FALSE."""
+    import random
+
+    def tri(op, a, b):
+        if a is None or b is None:
+            return None
+        return {
+            "<": a < b, "<=": a <= b, ">": a > b,
+            ">=": a >= b, "=": a == b, "<>": a != b,
+        }[op]
+
+    def t_and(x, y):
+        if x is False or y is False:
+            return False
+        if x is None or y is None:
+            return None
+        return True
+
+    def t_or(x, y):
+        if x is True or y is True:
+            return True
+        if x is None or y is None:
+            return None
+        return False
+
+    def pg_row_cmp(op, ls, rs):
+        if op == "=":
+            out = True
+            for a, b in zip(ls, rs):
+                out = t_and(out, tri("=", a, b))
+            return out
+        if op == "<>":
+            out = False
+            for a, b in zip(ls, rs):
+                out = t_or(out, tri("<>", a, b))
+            return out
+        strict = op[0]
+        if len(ls) == 1:
+            return tri(op, ls[0], rs[0])
+        return t_or(
+            tri(strict, ls[0], rs[0]),
+            t_and(tri("=", ls[0], rs[0]), pg_row_cmp(op, ls[1:], rs[1:])),
+        )
+
+    rng = random.Random(909)
+    ops = ["<", "<=", ">", ">=", "=", "<>"]
+    for _ in range(40):
+        vals = [
+            None if rng.random() < 0.2 else rng.randint(0, 3)
+            for _ in range(4)
+        ]
+        txt = ["NULL" if v is None else str(v) for v in vals]
+        op = rng.choice(ops)
+        q = f"SELECT ({txt[0]}, {txt[1]}) {op} ({txt[2]}, {txt[3]}) AS x"
+        s = lsql.sql(q).collect()[0][0]
+        want = pg_row_cmp(op, vals[:2], vals[2:])
+        assert s == want, f"{q}: spark={s} pg-oracle={want}"
+
+
+def test_array_subquery_ordered_r9(lsql):
+    """PG GUARANTEES element order in `ARRAY(SELECT ... ORDER BY k)`:
+    the single sort key is projected alongside the element and the
+    ordered-aggregate comparator pass sorts with PG null placement
+    (verdict r8 missing #7; unordered form was r8)."""
+    arr = lambda q: list(lsql.sql(q).collect()[0][0])  # noqa: E731
+    lsql.sql("CREATE TABLE db.avr9 (k BIGINT, v STRING)")
+    lsql.sql(
+        "INSERT INTO db.avr9 VALUES (3,'c'), (1,'a'), (2,'b'), (5, NULL)"
+    )
+    assert arr(
+        "SELECT ARRAY(SELECT v FROM db.avr9 WHERE v IS NOT NULL "
+        "ORDER BY k) AS a"
+    ) == ["a", "b", "c"]
+    assert arr(
+        "SELECT ARRAY(SELECT v FROM db.avr9 WHERE v IS NOT NULL "
+        "ORDER BY k DESC) AS a"
+    ) == ["c", "b", "a"]
+    assert arr(
+        "SELECT ARRAY(SELECT k*2 FROM db.avr9 ORDER BY k ASC) AS a"
+    ) == [2, 4, 6, 10]
+    assert arr(
+        "SELECT ARRAY(SELECT v FROM db.avr9 WHERE 1=0 ORDER BY k) AS a"
+    ) == []
+    # PG null placement: ASC defaults NULLS LAST; explicit FIRST
+    assert arr("SELECT ARRAY(SELECT v FROM db.avr9 ORDER BY k) AS a") == [
+        "a", "b", "c", None
+    ]
+    assert arr(
+        "SELECT ARRAY(SELECT v FROM db.avr9 ORDER BY v NULLS FIRST) AS a"
+    ) == [None, "a", "b", "c"]
