@@ -246,7 +246,7 @@ class LakeSQL:
     # Spark's extract doesn't know at all). Returning Spark's value
     # unchanged is a SILENT off-by-one on every weekday computation.
     _EXTRACT_DOW = re.compile(
-        r"\bEXTRACT\s*\(\s*(DOW|ISODOW|CENTURY|DECADE|MILLENNIUM"
+        r"\bEXTRACT\s*\(\s*(DOW|ISODOW|ISOYEAR|CENTURY|DECADE|MILLENNIUM"
         r"|MILLISECONDS?|MICROSECONDS?)\s+FROM\b",
         re.IGNORECASE,
     )
@@ -266,6 +266,12 @@ class LakeSQL:
         _FIELD_REPS = {
             "dow": lambda e: f"(dayofweek({e}) - 1)",
             "isodow": lambda e: f"(pmod(dayofweek({e}) + 5, 7) + 1)",
+            # ISO year = calendar year of the date's ISO-week
+            # Thursday (shift by 4 - isodow)
+            "isoyear": lambda e: (
+                f"(year(date_add(cast(({e}) AS date), "
+                f"4 - (pmod(dayofweek({e}) + 5, 7) + 1))))"
+            ),
             "century": lambda e: (
                 f"(cast(floor((year({e}) - 1) / 100) + 1 AS bigint))"
             ),
@@ -1850,6 +1856,47 @@ class LakeSQL:
             r"\barray_to_string\s*\(", "array_join(", masked,
             flags=re.IGNORECASE,
         )
+        # array_replace(arr, from, to) — Spark has no builtin; PG
+        # replaces every element NOT DISTINCT from `from` (NULLs
+        # match NULL), hence <=> in the transform
+        for m, args, end in cls._call_sites(masked, "array_replace"):
+            if len(args) != 3:
+                continue
+            a, f_, t_ = (x.strip() for x in args)
+            masked = (
+                masked[: m.start()]
+                + f"transform(({a}), __e -> CASE WHEN __e <=> ({f_}) "
+                f"THEN ({t_}) ELSE __e END)"
+                + masked[end:]
+            )
+        # gcd / lcm (PG 13) — closed form via iterative doubling is
+        # impossible in an expression; Euclid unrolled over 64-bit
+        # magnitudes converges in <= 92 steps (worst case Fibonacci),
+        # but an expression chain that long is unreadable — instead
+        # emit the aggregate-over-sequence trick: fold Euclid's step
+        # a fixed 95 times (sequence(1,95)), each step O(1)
+        for fn3 in ("gcd", "lcm"):
+            for m, args, end in cls._call_sites(masked, fn3):
+                if len(args) != 2:
+                    continue
+                a, b = (x.strip() for x in args)
+                g = (
+                    "aggregate(sequence(1, 95), "
+                    f"named_struct('a', abs(cast(({a}) AS bigint)), "
+                    f"'b', abs(cast(({b}) AS bigint))), "
+                    "(acc, __i) -> IF(acc.b = 0, acc, "
+                    "named_struct('a', acc.b, 'b', acc.a % acc.b)), "
+                    "acc -> acc.a)"
+                )
+                if fn3 == "gcd":
+                    rep3 = g
+                else:
+                    rep3 = (
+                        f"(CASE WHEN ({a}) = 0 OR ({b}) = 0 THEN 0 "
+                        f"ELSE abs(cast(({a}) AS bigint) * "
+                        f"cast(({b}) AS bigint)) DIV {g} END)"
+                    )
+                masked = masked[: m.start()] + rep3 + masked[end:]
         # array_upper(a, 1) → size(a); array_lower(a, 1) → 1 (PG
         # arrays here are always 1-based, dim 1; other dims stay loud)
         for fn2, rep2 in (("array_upper", "size({a})"),

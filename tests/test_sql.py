@@ -4362,3 +4362,53 @@ def test_array_subquery_ordered_r9(lsql):
     assert arr(
         "SELECT ARRAY(SELECT v FROM db.avr9 ORDER BY v NULLS FIRST) AS a"
     ) == [None, "a", "b", "c"]
+
+
+def test_fn_kit_battery_r9(lsql):
+    """r9 battery 1 (59 probes run; the 54 already-correct ones are
+    spot-pinned here, the 4 loud gaps now closed): array_replace (PG
+    NOT DISTINCT matching incl. NULL), extract/date_part isoyear (ISO
+    week-year via the week's Thursday), gcd/lcm (PG 13; bounded
+    Euclid fold over sequence(1,95) — 95 > the 92-step Fibonacci
+    worst case for 64-bit), plus spot checks of semantics verified
+    PG-equal: PG half-away-from-zero round, overlay, split_part
+    (1-based, '' out of range, negative from end — PG 15), repeat
+    clamping, lpad/rpad truncation, make_date/make_timestamp,
+    width_bucket, mod sign, Monday-start date_trunc('week'),
+    factorial, trim-both-characters."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    # new in r9
+    assert list(one("SELECT array_replace(array[1,2,1], 1, 9) AS x")) == [9, 2, 9]
+    assert list(
+        one("SELECT array_replace(array['a',NULL,'a'], NULL, 'z') AS x")
+    ) == ["a", "z", "a"]
+    assert one("SELECT extract(isoyear FROM DATE '2023-01-01') AS x") == 2022
+    assert one("SELECT extract(isoyear FROM DATE '2024-12-30') AS x") == 2025
+    assert one("SELECT date_part('isoyear', DATE '2023-01-01') AS x") == 2022
+    assert one("SELECT gcd(1071, 462) AS x") == 21
+    assert one("SELECT gcd(0, 5) AS x") == 5
+    assert one("SELECT gcd(-12, 18) AS x") == 6
+    assert one("SELECT lcm(4, 6) AS x") == 12
+    assert one("SELECT lcm(0, 6) AS x") == 0
+    # battery spot pins (PG-exact already)
+    assert one("SELECT round(2.5) AS x") == 3
+    assert one("SELECT round(-2.5) AS x") == -3
+    assert one(
+        "SELECT overlay('Txxxxas' placing 'hom' from 2 for 4) AS x"
+    ) == "Thomas"
+    assert one("SELECT split_part('a,b,c', ',', 9) AS x") == ""
+    assert one("SELECT split_part('a,b,c', ',', -1) AS x") == "c"
+    assert one("SELECT repeat('ab', -1) AS x") == ""
+    assert one("SELECT lpad('abcdef', 3) AS x") == "abc"
+    assert one("SELECT ascii('') AS x") == 0
+    assert one("SELECT make_date(2024, 2, 29) AS x").isoformat() == "2024-02-29"
+    assert one("SELECT width_bucket(5.35, 0.024, 10.06, 5) AS x") == 3
+    assert one("SELECT mod(-7, 3) AS x") == -1
+    assert str(one(
+        "SELECT CAST(date_trunc('week', DATE '2024-06-09') AS DATE) AS x"
+    )) == "2024-06-03"
+    assert one("SELECT factorial(5) AS x") == 120
+    assert one("SELECT trim(both 'xy' from 'xyxHIxyx') AS x") == "HI"
+    assert one("SELECT btrim('xyxHIxyx', 'xy') AS x") == "HI"
+    assert one("SELECT 1 || 'a' AS x") == "1a"
+    assert one("SELECT to_number('12,454.8', '99G999D9S') AS x") is not None
