@@ -493,6 +493,18 @@ class LakeSQL:
             left = cls._capture_left(masked, m.start())
             if left is None:
                 continue
+            # extend through a ::cast chain — ``'...'::json #>> p``
+            # captures only the cast's type name otherwise
+            l0 = left[0]
+            while l0 >= 2 and masked[l0 - 2: l0] == "::":
+                prior = cls._capture_left(masked, l0 - 2)
+                if prior is None:
+                    l0 = -1
+                    break
+                l0 = prior[0]
+            if l0 < 0:
+                continue
+            left = (l0, left[1])
             idx = int(m.group(2).strip("\x00"))
             path = lits[idx][1:-1].replace("''", "'").strip()
             if not (path.startswith("{") and path.endswith("}")):
@@ -527,11 +539,6 @@ class LakeSQL:
             is_str_key = bool(
                 re.fullmatch(r"\x00\d+\x00", m.group(2))
             )
-            chained = masked[end - 1] == ")"
-            if m.group(1) == "->" and not is_str_key and not chained:
-                # could be a Spark lambda (x -> 1): don't touch it
-                pos = m.end()
-                continue
             if masked[end - 1] == ")":
                 depth = 0
                 k = end - 1
@@ -551,16 +558,28 @@ class LakeSQL:
                     fn -= 1
                 start = fn
             else:
+                # ':' admits cast chains — ``'...'::json -> 2`` (the
+                # json type maps to string earlier in the pipeline)
                 k = end
                 while k > 0 and (
                     masked[k - 1].isalnum()
-                    or masked[k - 1] in "_.`\x00"
+                    or masked[k - 1] in "_.`:\x00"
                 ):
                     k -= 1
                 start = k
             operand = masked[start:end]
             if not operand.strip():
                 return masked
+            if (
+                m.group(1) == "->"
+                and not is_str_key
+                and re.fullmatch(r"[A-Za-z_]\w*", operand.strip())
+            ):
+                # bare-identifier operand with an integer body could
+                # be a Spark lambda (x -> 1): don't touch it. Literal
+                # placeholders / casts / chains can never be one.
+                pos = m.end()
+                continue
             key = m.group(2)
             pm = re.fullmatch(r"\x00(\d+)\x00", key)
             if pm:
@@ -2512,6 +2531,29 @@ class LakeSQL:
         masked = cls._rewrite_range_preds(masked)
         masked = cls._rewrite_extract_dow(masked, lits)
         masked = cls._rewrite_power_op(masked)
+        # PG prefix math operators: ||/ (cube root), |/ (square
+        # root), @ (absolute value). @ must not touch ns.t@branch
+        # refs (those are preceded by an identifier char), the array
+        # ops @> / <@, or @@ — hence the look-arounds.
+        for ppat, pfn in (
+            (r"\|\|/", "cbrt"),
+            (r"(?<!\|)\|/", "sqrt"),
+            (r"(?<![\w\x00`\"<.$@])@(?![>@])", "abs"),
+        ):
+            while True:
+                pm = re.search(ppat, masked)
+                if not pm:
+                    break
+                right = cls._capture_right(
+                    masked, pm.end(), signed=True
+                )
+                if right is None:
+                    break  # uncapturable: leave loud
+                masked = (
+                    masked[: pm.start()]
+                    + f"{pfn}(({masked[right[0]: right[1]]}))"
+                    + masked[right[1]:]
+                )
         # PG '#' is bitwise XOR (its '^' being power): emitted as
         # Spark's '^' — safe only AFTER the power pass consumed every
         # PG '^'
@@ -2591,10 +2633,7 @@ class LakeSQL:
             flags=re.IGNORECASE,
         )
 
-        while True:
-            m = cls._EXTRACT_EPOCH.search(masked)
-            if not m:
-                break
+        for m in reversed(list(cls._EXTRACT_EPOCH.finditer(masked))):
             depth, i = 1, m.end()
             while i < len(masked) and depth:
                 if masked[i] == "(":
@@ -2603,13 +2642,60 @@ class LakeSQL:
                     depth -= 1
                 i += 1
             if depth:
-                break  # unbalanced: leave it, Spark will fail loudly
-            inner = masked[m.end(): i - 1]
+                continue  # unbalanced: leave it, Spark fails loudly
+            inner = masked[m.end(): i - 1].strip()
+            if re.match(r"INTERVAL\b", inner, re.IGNORECASE):
+                # PG epoch of an INTERVAL is its total seconds:
+                # day-time intervals keep the micros fraction;
+                # year-month = months * 2629800 (PG's 365.25-day
+                # year / 12). Mixed-unit literals (Spark can't type
+                # them as one interval anyway) stay loud.
+                body = cls._unmask_strings(inner, lits)
+                ym = re.search(
+                    r"\b(?:year|yr|month|mon)s?\b", body, re.IGNORECASE
+                )
+                dt = re.search(
+                    r"\b(?:day|hour|hr|minute|min|second|sec|milli"
+                    r"|micro)\w*\b",
+                    body, re.IGNORECASE,
+                )
+                if ym and dt:
+                    continue
+                if ym:
+                    rep = (
+                        f"(CAST(CAST(({inner}) AS INTERVAL YEAR TO "
+                        "MONTH) AS BIGINT) * 2629800)"
+                    )
+                else:
+                    rep = (
+                        f"(CAST(CAST(({inner}) AS INTERVAL DAY TO "
+                        "SECOND) AS DECIMAL(30, 6)))"
+                    )
+            else:
+                rep = (
+                    f"(unix_micros(cast(({inner}) as timestamp))"
+                    " / 1000000.0)"
+                )
+            masked = masked[: m.start()] + rep + masked[i:]
+
+        # PG justify_hours folds 24-hour chunks into days; Spark's
+        # day-time intervals are stored as total micros and already
+        # render/extract that way — the call is the identity here.
+        # justify_days (30 days → 1 month) crosses Spark's day-time /
+        # year-month type boundary and stays loud.
+        masked = re.sub(
+            r"\bjustify_hours\s*\(", "(", masked, flags=re.IGNORECASE
+        )
+        # isfinite: no infinity date/timestamp/interval literal is
+        # representable in this engine, so every non-NULL value is
+        # finite (NULL in, NULL out, as PG)
+        for cm, _ia, iend in cls._call_sites(masked, "isfinite"):
+            inner = masked[masked.index("(", cm.start()) + 1: iend - 1]
             masked = (
-                masked[: m.start()]
-                + f"(unix_micros(cast(({inner.strip()}) as timestamp))"
-                " / 1000000.0)"
-                + masked[i:]
+                masked[: cm.start()]
+                + f"(CASE WHEN ({inner}) IS NULL THEN NULL "
+                "ELSE TRUE END)"
+                + masked[iend:]
             )
 
         # PG row-locking clauses are meaningless here (optimistic
@@ -3960,7 +4046,8 @@ class LakeSQL:
             return f"{view} AS {rel}"
 
         _bpm = re.sub(
-            r"(?<![\w.$])(pg_class|pg_namespace|pg_tables|pg_views)"
+            r"(?<![\w.$])(pg_class|pg_namespace|pg_tables|pg_views"
+            r"|pg_attribute|pg_attrdef|pg_index)"
             r"\b(?!\s*[.($])",
             bind_bare_pg,
             _bpm,
@@ -7313,12 +7400,24 @@ class LakeSQL:
             "default string, comment string",
         )
 
+    # real PG type OIDs for pg_attribute.atttypid (ORMs map them back
+    # to type names); unknown Spark types fall back to text (25)
+    _PG_TYPE_OIDS = {
+        "bigint": 20, "int": 23, "smallint": 21, "tinyint": 21,
+        "double": 701, "float": 700, "string": 25, "varchar": 1043,
+        "char": 1042, "boolean": 16, "date": 1082,
+        "timestamp": 1114, "timestamp_ntz": 1114, "decimal": 1700,
+        "binary": 17,
+    }
+
     def _bind_pg_catalog(self, rel: str) -> str | None:
         """Minimal ``pg_catalog`` relations ORMs/BI reflect against
         (SQLAlchemy, psql \\d internals): pg_namespace / pg_class /
-        pg_tables / pg_views. OIDs are deterministic surrogates
-        (stable within a statement, joinable across these views —
-        which is all reflection queries do with them)."""
+        pg_tables / pg_views, r9: pg_attribute / pg_attrdef /
+        pg_index. OIDs are deterministic surrogates (stable within a
+        statement, joinable across these views — which is all
+        reflection queries do with them) except atttypid, which
+        carries REAL PG type OIDs so ORM type maps resolve."""
         tables = sorted(self.catalog.list_tables())
         lv = getattr(self.catalog, "list_views", None)
         views = sorted(lv()) if lv else []
@@ -7357,6 +7456,97 @@ class LakeSQL:
                 "schemaname string, viewname string, viewowner string, "
                 "definition string",
             )
+        elif rel in ("pg_attribute", "pg_attrdef", "pg_index"):
+            import json as _json
+
+            rel_oid = {
+                (ns, t): 10000 + i for i, (ns, t) in enumerate(tables)
+            }
+            rows: list = []
+            if rel == "pg_attribute":
+                for ns, t in tables:
+                    tbl = self.catalog.load_table(ns, t)
+                    defaults = tbl.column_defaults()
+                    ids, _ = tbl._effective_field_ids(tbl.snapshot())
+                    notnull = {
+                        c.split("notnull_", 1)[1]
+                        for c in tbl.check_constraints()
+                        if c.startswith("notnull_")
+                    }
+                    for i, f in enumerate(tbl.schema().fields, start=1):
+                        base = f.dataType.simpleString().split("(")[0]
+                        rows.append((
+                            rel_oid[(ns, t)], f.name,
+                            self._PG_TYPE_OIDS.get(base, 25), i,
+                            f.name in notnull,
+                            defaults.get(str(ids.get(f.name)))
+                            is not None,
+                            False,
+                        ))
+                df = self.spark.createDataFrame(
+                    rows or [],
+                    "attrelid bigint, attname string, atttypid bigint, "
+                    "attnum int, attnotnull boolean, atthasdef boolean, "
+                    "attisdropped boolean",
+                )
+            elif rel == "pg_attrdef":
+                for ns, t in tables:
+                    tbl = self.catalog.load_table(ns, t)
+                    defaults = tbl.column_defaults()
+                    ids, _ = tbl._effective_field_ids(tbl.snapshot())
+                    for i, f in enumerate(tbl.schema().fields, start=1):
+                        d = defaults.get(str(ids.get(f.name)))
+                        if d is not None:
+                            rows.append(
+                                (rel_oid[(ns, t)], i, str(d))
+                            )
+                df = self.spark.createDataFrame(
+                    rows or [],
+                    "adrelid bigint, adnum int, adsrc string",
+                )
+            else:  # pg_index
+                for i, (ns, t) in enumerate(tables):
+                    tbl = self.catalog.load_table(ns, t)
+                    props = tbl.snapshot().properties
+                    colnum = {
+                        f.name: j
+                        for j, f in enumerate(
+                            tbl.schema().fields, start=1
+                        )
+                    }
+                    base_oid = 30000 + i * 100
+                    rk = props.get("row_key")
+                    if rk:
+                        keys = [k.strip() for k in rk.split(",")]
+                        rows.append((
+                            base_oid, rel_oid[(ns, t)],
+                            " ".join(
+                                str(colnum.get(k, 0)) for k in keys
+                            ),
+                            True, True,
+                        ))
+                    idx = _json.loads(props.get("indexes", "{}"))
+                    uniq_sets = {
+                        u for u in props.get(
+                            "unique_constraints", ""
+                        ).split(";") if u
+                    }
+                    for j, (n, d) in enumerate(
+                        sorted(idx.items()), start=1
+                    ):
+                        cols = d.get("columns", [])
+                        rows.append((
+                            base_oid + j, rel_oid[(ns, t)],
+                            " ".join(
+                                str(colnum.get(c, 0)) for c in cols
+                            ),
+                            ",".join(cols) in uniq_sets, False,
+                        ))
+                df = self.spark.createDataFrame(
+                    rows or [],
+                    "indexrelid bigint, indrelid bigint, indkey string, "
+                    "indisunique boolean, indisprimary boolean",
+                )
         else:
             return None  # unknown pg_catalog relation: loud downstream
         view = f"__lake_pg_catalog_{rel}"

@@ -3353,9 +3353,15 @@ def test_array_subquery_constructor_r8(lsql):
     assert sorted(
         one("SELECT ARRAY(SELECT k * 2 FROM db.arq WHERE g = 'a') AS a")
     ) == [2, 4]
+    # r9: the single-key ORDER BY spelling now works (PG element
+    # order preserved — see test_array_subquery_ordered_r9); the
+    # MULTI-key form stays loud
+    assert list(
+        one("SELECT ARRAY(SELECT k FROM db.arq ORDER BY k DESC) AS a")
+    ) == [3, 2, 1]
     with _pytest.raises(Exception):
         lsql.sql(
-            "SELECT ARRAY(SELECT k FROM db.arq ORDER BY k DESC) AS a"
+            "SELECT ARRAY(SELECT k FROM db.arq ORDER BY g, k DESC) AS a"
         ).collect()
 
 
@@ -4412,3 +4418,104 @@ def test_fn_kit_battery_r9(lsql):
     assert one("SELECT btrim('xyxHIxyx', 'xy') AS x") == "HI"
     assert one("SELECT 1 || 'a' AS x") == "1a"
     assert one("SELECT to_number('12,454.8', '99G999D9S') AS x") is not None
+
+
+def test_interval_epoch_justify_isfinite_r9(lsql):
+    """r9 (verdict missing #8): extract(epoch FROM interval) — total
+    seconds; day-time keeps the micros fraction, year-month uses PG's
+    365.25-day year (months * 2629800). justify_hours is the identity
+    (Spark day-time intervals already store total micros and extract
+    post-fold). isfinite: no infinity literal is representable here,
+    so non-NULL in → TRUE, NULL in → NULL."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert float(one(
+        "SELECT extract(epoch FROM interval '2 hours 30 minutes') AS x"
+    )) == 9000.0
+    assert float(one(
+        "SELECT extract(epoch FROM interval '2.5 seconds') AS x"
+    )) == 2.5
+    assert one("SELECT extract(epoch FROM interval '1 month') AS x") == 2629800
+    assert one("SELECT extract(epoch FROM interval '1 year') AS x") == 31557600
+    assert float(one(
+        "SELECT extract(epoch FROM '90 minutes'::interval) AS x"
+    )) == 5400.0
+    # timestamp epoch unchanged
+    assert float(one(
+        "SELECT extract(epoch FROM TIMESTAMP '1970-01-01 00:01:00') AS x"
+    )) == 60.0
+    assert one(
+        "SELECT extract(hour FROM justify_hours(interval '27 hours')) AS x"
+    ) == 3
+    assert one("SELECT isfinite(DATE '2024-01-01') AS x") is True
+    assert one("SELECT isfinite(CAST(NULL AS DATE)) AS x") is None
+
+
+def test_pg_catalog_attribute_index_r9(lsql):
+    """r9 (verdict missing #9): pg_attribute / pg_attrdef / pg_index
+    bound from the lake catalog — the SQLAlchemy-style reflection
+    join resolves columns, type OIDs (REAL PG oids), NOT NULL,
+    defaults, and index/PK shape."""
+    lsql.sql(
+        "CREATE TABLE db.refl (uid BIGINT NOT NULL, name TEXT, "
+        "score DOUBLE DEFAULT 1.5) WITH (row_key='uid')"
+    )
+    lsql.sql("CREATE INDEX ON db.refl USING bloom (name)")
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    out = rows(
+        "SELECT a.attname, a.atttypid, a.attnum, a.attnotnull, "
+        "a.atthasdef FROM pg_catalog.pg_attribute a "
+        "JOIN pg_catalog.pg_class c ON a.attrelid = c.oid "
+        "JOIN pg_catalog.pg_namespace n ON c.relnamespace = n.oid "
+        "WHERE n.nspname = 'db' AND c.relname = 'refl' "
+        "AND NOT a.attisdropped ORDER BY a.attnum"
+    )
+    assert out == [
+        ("uid", 20, 1, True, False),
+        ("name", 25, 2, False, False),
+        ("score", 701, 3, False, True),
+    ]
+    idx = rows(
+        "SELECT i.indisprimary, i.indisunique, i.indkey FROM pg_index i "
+        "JOIN pg_class c ON i.indrelid = c.oid "
+        "WHERE c.relname = 'refl' ORDER BY i.indexrelid"
+    )
+    assert idx == [(True, True, "1"), (False, False, "2")]
+    assert rows(
+        "SELECT d.adnum, d.adsrc FROM pg_attrdef d "
+        "JOIN pg_class c ON d.adrelid = c.oid WHERE c.relname = 'refl'"
+    ) == [(3, "1.5")]
+
+
+def test_prefix_ops_and_json_casts_r9(lsql):
+    """r9 battery 2 follow-ups: PG prefix operators |/ (sqrt),
+    ||/ (cbrt), @ (abs) — the @ look-arounds keep ns.t@branch refs
+    and the array ops @> / <@ untouched; JSON arrows/path ops accept
+    integer indices on literal operands and ::json cast chains."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT |/ 25.0 AS x") == 5.0
+    assert one("SELECT ||/ 27.0 AS x") == 3.0
+    assert one("SELECT @ -5 AS x") == 5
+    assert one("SELECT @ (3 - 10) AS x") == 7
+    assert one("SELECT '[1,2,3]'::json -> 2 AS x") == "3"
+    assert one("SELECT '[1,2,3]' -> 0 AS x") == "1"
+    assert one(
+        """SELECT '{"a": {"b": 7}}'::json #>> '{a,b}' AS x"""
+    ) == "7"
+    assert one("""SELECT '{"a": [5,6]}' #> '{a,1}' AS x""") == "6"
+    assert one("SELECT array[1,2] @> array[2] AS x") is True
+    assert one("SELECT array[2] <@ array[1,2] AS x") is True
+    # @ does not break branch references
+    lsql.sql("CREATE TABLE db.pbr (k BIGINT)")
+    lsql.sql("INSERT INTO db.pbr VALUES (1)")
+    lsql.sql("ALTER TABLE db.pbr CREATE BRANCH dev")
+    lsql.sql("INSERT INTO db.pbr@dev VALUES (2)")
+    assert sorted(
+        tuple(r) for r in lsql.sql("SELECT k FROM db.pbr@dev").collect()
+    ) == [(1,), (2,)]
+    # battery-2 spot pins (verified PG-equal)
+    assert one("SELECT 2 IN (1, NULL) AS x") is None
+    assert one("SELECT 1 IN (1, NULL) AS x") is True
+    assert one("SELECT 'a_c' LIKE 'a\\_c' AS x") is True  # PG escape
+    assert one("SELECT 'abc' LIKE 'a\\_c' AS x") is False
+    assert one("SELECT 5 # 3 AS x") == 6
+    assert one("SELECT 1 << 4 AS x") == 16
