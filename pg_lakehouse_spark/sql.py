@@ -1999,6 +1999,101 @@ class LakeSQL:
                 + f"{new_lit(re.escape(d))}))"
                 + masked[end:]
             )
+        # json[b]_array_elements[_text](x) → explode over
+        # from_json(array<string>): scalars coerce to their text,
+        # objects/arrays keep their raw JSON text — exactly PG's
+        # _text form. The non-text form matches PG for numbers/
+        # bools/objects/null; BARE STRING elements come back
+        # unquoted ('a', PG renders '"a"') — documented divergence,
+        # composition via ->>/casts is unaffected.
+        for fname in (
+            "json_array_elements_text", "jsonb_array_elements_text",
+            "json_array_elements", "jsonb_array_elements",
+        ):
+            for m, args, end in cls._call_sites(masked, fname):
+                if len(args) != 1:
+                    continue
+                ty = new_lit("array<string>")
+                masked = (
+                    masked[: m.start()]
+                    + f"explode(from_json(({args[0].strip()}), {ty}))"
+                    + masked[end:]
+                )
+        # json_object_keys is a SET in PG (one row per key) — Spark's
+        # same-named builtin returns an ARRAY; explode it
+        for m, args, end in cls._call_sites(masked, "json_object_keys"):
+            if len(args) != 1:
+                continue
+            # the kit re-applies to fixpoint: don't re-wrap our own
+            # emission (explode(explode(..)) is a generator error)
+            if re.search(
+                r"explode\(\s*$", masked[: m.start()], re.IGNORECASE
+            ):
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"explode(json_object_keys({args[0].strip()}))"
+                + masked[end:]
+            )
+        # regexp_match (PG 10, one row: text[] of groups or NULL) and
+        # the degenerate no-'g' regexp_matches — literal patterns
+        # only (the group COUNT comes from parsing the pattern);
+        # the 'g' set-returning form stays loud
+        for fname in ("regexp_matches", "regexp_match"):
+            for m, args, end in cls._call_sites(masked, fname):
+                if len(args) not in (2, 3):
+                    continue
+                if len(args) == 3:
+                    flg = lit_of(args[2])
+                    if flg is None or "g" in flg:
+                        continue
+                pat = lit_of(args[1])
+                if pat is None:
+                    continue
+                n, i, in_cls = 0, 0, False
+                while i < len(pat):
+                    c = pat[i]
+                    if c == "\\":
+                        i += 2
+                        continue
+                    if c == "[" and not in_cls:
+                        in_cls = True
+                    elif c == "]" and in_cls:
+                        in_cls = False
+                    elif (
+                        c == "(" and not in_cls
+                        and pat[i + 1: i + 2] != "?"
+                    ):
+                        n += 1
+                    i += 1
+                s0, p0 = args[0].strip(), args[1].strip()
+                if n == 0:
+                    arr = f"array(regexp_extract({s0}, {p0}, 0))"
+                else:
+                    arr = "array(" + ", ".join(
+                        f"regexp_extract({s0}, {p0}, {g})"
+                        for g in range(1, n + 1)
+                    ) + ")"
+                masked = (
+                    masked[: m.start()]
+                    + f"(CASE WHEN ({s0}) RLIKE ({p0}) "
+                    f"THEN {arr} END)"
+                    + masked[end:]
+                )
+        # PG timestamp-source functions: statement_/transaction_
+        # timestamp ARE Spark's query-constant current_timestamp;
+        # clock_timestamp maps there too (Spark has no per-row
+        # volatile now — value identical, per-row drift lost).
+        # Bare-keyword localtimestamp gains its Spark parens.
+        masked = re.sub(
+            r"\b(?:statement_timestamp|transaction_timestamp"
+            r"|clock_timestamp)\s*\(\s*\)",
+            "current_timestamp()", masked, flags=re.IGNORECASE,
+        )
+        masked = re.sub(
+            r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()",
+            masked, flags=re.IGNORECASE,
+        )
         for m, args, end in cls._call_sites(masked, "quote_literal"):
             if len(args) != 1:
                 continue

@@ -1879,3 +1879,76 @@ def lake_recursive_union_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         " SELECT g.cust FROM db.gr g JOIN reach r ON g.k % 1000 = r.node"
         ") SELECT node FROM reach"
     )
+
+
+@register(
+    "lake_keyset_pagination",
+    oracle="""
+SELECT o_custkey AS cust, o_orderkey AS k, round(o_totalprice, 2) AS price
+FROM orders
+WHERE (o_custkey > 500) OR (o_custkey = 500 AND o_orderkey > 0)
+ORDER BY o_custkey, o_orderkey
+LIMIT 200
+""",
+    tags=("sql-frontend", "row-comparison"),
+)
+def lake_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: PG row-constructor comparison — THE keyset-pagination
+    idiom ``WHERE (a, b) > (x, y) ORDER BY a, b LIMIT n``. The
+    frontend expands it to the lexicographic strict/equal chain
+    (pure expressions, sort + limit stay Catalyst-planned; the
+    oracle states the expansion directly since DuckDB's own row
+    comparison diverges from PG on NULL pairs)."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "keyset")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.page (cust BIGINT, k BIGINT, price DOUBLE)")
+    q.sql(
+        "INSERT INTO db.page SELECT o_custkey, o_orderkey, o_totalprice "
+        "FROM orders"
+    )
+    return q.sql(
+        "SELECT page.cust AS cust, page.k AS k, "
+        "round(page.price, 2) AS price FROM db.page "
+        "WHERE (page.cust, page.k) > (500, 0) "
+        "ORDER BY page.cust, page.k LIMIT 200"
+    )
+
+
+@register(
+    "lake_unnest_ordinality",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS parts
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT t.doc_id, s.i AS ord, t.parts[s.i] AS tok
+FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS i) s
+WHERE s.i <= 5
+ORDER BY t.doc_id, s.i
+""",
+    tags=("sql-frontend", "unnest-ordinality"),
+)
+def lake_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: ``unnest(...) WITH ORDINALITY`` (posexplode-backed,
+    1-based) with the implicit-LATERAL comma correlation — PG's
+    ordered-token idiom over the documents corpus. The oracle
+    re-derives ordinality via DuckDB's 1-based list indexing."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "documents")
+    cat = _scratch_catalog(spark, sf_dir, "unnest_ord")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.docs (doc_id BIGINT, text STRING)")
+    q.sql(
+        "INSERT INTO db.docs SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 97 = 0"
+    )
+    return q.sql(
+        "SELECT d.doc_id AS doc_id, u.o AS ord, u.tok AS tok "
+        "FROM db.docs d, "
+        "unnest(string_to_array(d.text, ' ')) WITH ORDINALITY "
+        "AS u(tok, o) WHERE u.o <= 5 ORDER BY d.doc_id, u.o"
+    )

@@ -4519,3 +4519,52 @@ def test_prefix_ops_and_json_casts_r9(lsql):
     assert one("SELECT 'abc' LIKE 'a\\_c' AS x") is False
     assert one("SELECT 5 # 3 AS x") == 6
     assert one("SELECT 1 << 4 AS x") == 16
+
+
+def test_json_srfs_and_timestamp_fns_r9(lsql):
+    """r9 battery 3: JSON set-returning functions, regexp_match(es)
+    group arrays, PG timestamp-source aliases, and the time-series
+    generate_series forms (timestamps/dates with interval steps)."""
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert rows("SELECT json_array_elements('[1,2,3]') AS v") == [
+        ("1",), ("2",), ("3",)
+    ]
+    assert rows(
+        "SELECT json_array_elements_text('[\"a\",\"b\"]') AS v"
+    ) == [("a",), ("b",)]
+    assert rows(
+        "SELECT jsonb_array_elements('[{\"k\":1},{\"k\":2}]') AS v"
+    ) == [('{"k":1}',), ('{"k":2}',)]
+    assert rows(
+        "SELECT json_object_keys('{\"a\":1,\"b\":2}') AS k"
+    ) == [("a",), ("b",)]
+    # regexp_match: text[] of capture groups, NULL on no match (PG 10)
+    assert list(
+        one("SELECT regexp_match('abc123', '([a-z]+)([0-9]+)') AS x")
+    ) == ["abc", "123"]
+    assert one("SELECT regexp_match('xyz', '([0-9]+)') AS x") is None
+    assert one(
+        "SELECT (regexp_matches('abc123', '([a-z]+)([0-9]+)'))[1] AS x"
+    ) == "abc"
+    # timestamp-source functions all resolve
+    assert one("SELECT (statement_timestamp() IS NOT NULL) AS x") is True
+    assert one("SELECT (transaction_timestamp() IS NOT NULL) AS x") is True
+    assert one("SELECT (clock_timestamp() IS NOT NULL) AS x") is True
+    assert one("SELECT (localtimestamp IS NOT NULL) AS x") is True
+    # time-series generate_series (PG's gap-fill source)
+    assert one(
+        "SELECT count(*) AS n FROM generate_series("
+        "TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02', "
+        "interval '1 hour')"
+    ) == 25
+    assert rows(
+        "SELECT * FROM generate_series(DATE '2024-01-01', "
+        "DATE '2024-01-05', interval '2 days')"
+    ) == [
+        (__import__("datetime").date(2024, 1, 1),),
+        (__import__("datetime").date(2024, 1, 3),),
+        (__import__("datetime").date(2024, 1, 5),),
+    ]
+    # epoch to_timestamp (PG to_timestamp(double))
+    assert str(one("SELECT to_timestamp(86400) AS x")) == "1970-01-02 00:00:00"
