@@ -745,6 +745,9 @@ class LakeSQL:
             fmt = lits[int(pm.group(1))][1:-1].replace("''", "'")
             tj = cls._pg_datefmt_to_java(fmt)
             if tj is None:
+                num = cls._pg_numeric_to_char(args[0].strip(), fmt, lits)
+                if num is not None:
+                    out = out[: m.start()] + num + out[end:]
                 continue
             java, needs_upper = tj
             lits.append("'" + java + "'")
@@ -754,6 +757,134 @@ class LakeSQL:
                 rep = f"upper({rep})"
             out = out[: m.start()] + rep + out[end:]
         return out
+
+    @classmethod
+    def _pg_numeric_to_char(
+        cls, x: str, pat: str, lits: list[str]
+    ) -> str | None:
+        """PG-exact numeric ``to_char`` for the common template subset
+        (9 0 D . G , S MI, FM) — built because Spark's own ``to_char``
+        silently DROPS THE MINUS SIGN when the format has no S, and
+        omits PG's leading sign slot. None = not a supported numeric
+        template (caller leaves the call for Spark — loud for SG/PR/
+        RN/EEEE-style templates Spark rejects).
+
+        PG semantics implemented: a sign slot (space for positives)
+        unless S (explicit +/-) or MI (trailing - / space); digits
+        right-aligned to the template width; ``0`` forces zero
+        padding from its position; an all-``9`` integer part renders
+        empty for values < 1 when a decimal part exists; grouping
+        separators only in the standard every-3 layout; overflow
+        renders ``#`` fill. FM strips the padding and the positive
+        sign slot. Every emitted string literal is MASKED (the later
+        dialect passes — '#' XOR capture among them — must never see
+        raw quotes)."""
+
+        def L(raw: str) -> str:
+            lits.append("'" + raw.replace("'", "''") + "'")
+            return f"\x00{len(lits) - 1}\x00"
+
+        p = pat
+        fm = p.upper().startswith("FM")
+        if fm:
+            p = p[2:]
+        mi = p.upper().endswith("MI")
+        if mi:
+            p = p[:-2]
+        sg = p.upper().startswith("S")
+        if sg:
+            p = p[1:]
+        if not p or not re.fullmatch(r"[90GD,.]+", p, re.IGNORECASE):
+            return None
+        p = p.upper().replace("G", ",").replace("D", ".")
+        if p.count(".") > 1 or (sg and mi):
+            return None
+        ip, _, fp = p.partition(".")
+        if "," in fp or not re.fullmatch(r"[90,]*", ip):
+            return None
+        dec = len(fp)
+        digits = [c for c in ip if c in "90"]
+        n9 = len(digits)
+        if n9 == 0:
+            return None
+        first0 = next((i for i, c in enumerate(digits) if c == "0"), None)
+        min_digits = n9 - first0 if first0 is not None else 0
+        grouped = "," in ip
+        if grouped:
+            # only the standard every-3 layout (checked right-to-left)
+            want = ""
+            for i, c in enumerate(reversed(ip.replace(",", ""))):
+                if i and i % 3 == 0:
+                    want = "," + want
+                want = c + want
+            if ip != want or min_digits > 0:
+                return None
+        width = len(ip) + (1 + dec if dec else 0) + (0 if mi else 1)
+        dot, sp, zero, dash, plus, empty = (
+            L("."), L(" "), L("0"), L("-"), L("+"), L("")
+        )
+        val = f"round(CAST(({x}) AS DECIMAL(38, 18)), {dec})"
+        s = f"CAST(CAST(abs({val}) AS DECIMAL(38, {dec})) AS STRING)"
+        if dec:
+            ipart = f"substring_index({s}, {dot}, 1)"
+            fpart = f"substring_index({s}, {dot}, -1)"
+        else:
+            ipart, fpart = s, None
+        if min_digits:
+            ipart = f"lpad({ipart}, {min_digits}, {zero})"
+        elif dec:
+            # all-9 integer part renders EMPTY for |v| < 1
+            ipart = f"nullif({ipart}, {zero})"
+        if grouped:
+            ipart = f"format_number(CAST({ipart} AS DECIMAL(38, 0)), 0)"
+        if fm and dec:
+            # FM trims trailing fraction zeros sitting in '9' slots;
+            # '0' slots keep theirs (min_dec = through the last '0').
+            # The dot itself stays, as PG ('0012.')
+            last0 = fp.rfind("0")
+            min_dec = last0 + 1
+            fpart = f"regexp_replace({fpart}, {L('0+$')}, {empty})"
+            if min_dec:
+                fpart = f"rpad({fpart}, {min_dec}, {zero})"
+        body = (
+            f"concat(coalesce({ipart}, {empty}), {dot}, {fpart})"
+            if dec
+            else ipart
+        )
+        neg = f"(({val}) < 0)"
+        if sg:
+            signed = (
+                f"concat(CASE WHEN {neg} THEN {dash} "
+                f"ELSE {plus} END, {body})"
+            )
+        elif mi:
+            signed = body
+        elif fm:
+            signed = (
+                f"concat(CASE WHEN {neg} THEN {dash} "
+                f"ELSE {empty} END, {body})"
+            )
+        else:
+            signed = (
+                f"concat(CASE WHEN {neg} THEN {dash} "
+                f"ELSE {sp} END, {body})"
+            )
+        out = signed if fm else f"lpad({signed}, {width}, {sp})"
+        if mi:
+            out = (
+                f"concat({out}, CASE WHEN {neg} THEN {dash} "
+                f"ELSE {sp} END)"
+            )
+        # overflow: more integer digits than slots -> '#' fill
+        raw_int = (
+            f"length(substring_index(CAST(CAST(abs({val}) AS "
+            f"DECIMAL(38, {dec})) AS STRING), {dot}, 1))"
+        )
+        total = width + (1 if mi else 0)
+        return (
+            f"(CASE WHEN {raw_int} > {n9} THEN repeat({L('#')}, {total}) "
+            f"ELSE {out} END)"
+        )
 
     _POW_OPERAND = re.compile(
         rf"(\x00\d+\x00|\d+(?:\.\d+)?|{_IDENT}(?:\.{_IDENT})*)\s*$"
@@ -2591,6 +2722,38 @@ class LakeSQL:
             masked,
             flags=re.IGNORECASE,
         )
+
+        # PG boolean literal spellings Spark's cast rejects: on/off
+        # and unambiguous PREFIXES (t, ye, fal, ...) — resolved at
+        # parse time for literal::boolean casts only
+        def bool_lit(bm: re.Match) -> str:
+            v = (
+                lits[int(bm.group(1))][1:-1]
+                .replace("''", "'").strip().lower()
+            )
+            if v:
+                for w, rep in (
+                    ("true", "TRUE"), ("false", "FALSE"),
+                    ("yes", "TRUE"), ("no", "FALSE"),
+                ):
+                    if w.startswith(v):
+                        return rep
+                if v == "on":
+                    return "TRUE"
+                if v in ("of", "off"):
+                    return "FALSE"
+                if v in ("1", "0"):
+                    return "TRUE" if v == "1" else "FALSE"
+            # not a boolean literal (PG: 'o' alone is ambiguous) —
+            # leave for Spark's cast to reject loudly
+            return bm.group(0)
+
+        masked = re.sub(
+            r"\x00(\d+)\x00\s*::\s*(?:boolean|bool)\b",
+            bool_lit,
+            masked,
+            flags=re.IGNORECASE,
+        )
         masked = cls._COLONCAST.sub(
             lambda m: "::"
             + cls._map_pg_type((m.group(1) + (m.group(2) or "")).strip()),
@@ -4151,11 +4314,76 @@ class LakeSQL:
         bound = self._TT.sub(bind, s)
         masked, _lits = self._mask_strings(bound)
         masked = self._rewrite_typed_arith(masked, _lits)
+        masked = self._rewrite_array_text_cast(masked, _lits)
         bound = self._unmask_strings(masked, _lits)
         wt = self._FETCH_TIES.search(masked)
         if wt:
             return self._fetch_with_ties(masked, _lits, wt)
         return self.spark.sql(self._spark_text(bound))
+
+    def _rewrite_array_text_cast(self, masked: str, lits: list[str]) -> str:
+        """``array_expr::text`` renders PG's ``{1,2,3}`` form, not
+        Spark's ``[1, 2, 3]`` — a silent divergence for anything
+        serializing arrays. Trial-typed like integer division: only
+        operands that statically type ``array<scalar>`` rewrite
+        (booleans render t/f as PG); everything else keeps Spark's
+        native cast. String elements join UNQUOTED — PG only quotes
+        elements containing specials, a corner documented in
+        COVERAGE.md."""
+        if "::" not in masked:
+            return masked
+
+        def L(raw: str) -> str:
+            lits.append("'" + raw.replace("'", "''") + "'")
+            return f"\x00{len(lits) - 1}\x00"
+
+        frame_memo: list = []
+
+        def frame():
+            if not frame_memo:
+                frame_memo.append(self._typing_frame(masked, lits))
+            return frame_memo[0]
+
+        out = masked
+        for m in reversed(
+            list(re.finditer(r"::\s*string\b", out, re.IGNORECASE))
+        ):
+            left = self._capture_left(out, m.start())
+            if left is None:
+                continue
+            expr = out[left[0]: left[1]]
+            fr = frame()
+            if fr is None:
+                continue
+            try:
+                dt = fr.select(
+                    F.expr(
+                        self._spark_text(self._unmask_strings(expr, lits))
+                    )
+                ).schema[0].dataType
+            except Exception:
+                continue
+            if not dt.simpleString().startswith("array<"):
+                continue
+            elem = dt.elementType.simpleString()
+            if "<" in elem:
+                continue  # nested containers: keep native cast
+            if elem == "boolean":
+                render = (
+                    f"CASE WHEN __e IS NULL THEN {L('NULL')} "
+                    f"WHEN __e THEN {L('t')} ELSE {L('f')} END"
+                )
+            else:
+                render = (
+                    f"CASE WHEN __e IS NULL THEN {L('NULL')} "
+                    "ELSE CAST(__e AS STRING) END"
+                )
+            rep = (
+                f"concat({L('{')}, array_join(transform(({expr}), "
+                f"__e -> {render}), {L(',')}), {L('}')})"
+            )
+            out = out[: left[0]] + rep + out[m.end():]
+        return out
 
     # ------------------------------------------------------------------
     # trial-typed operator rewrites (r9): PG integer division and

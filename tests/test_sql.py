@@ -4568,3 +4568,73 @@ def test_json_srfs_and_timestamp_fns_r9(lsql):
     ]
     # epoch to_timestamp (PG to_timestamp(double))
     assert str(one("SELECT to_timestamp(86400) AS x")) == "1970-01-02 00:00:00"
+
+
+def test_to_char_numeric_pg_exact_r9(lsql):
+    """r9 battery 4 headline: Spark's native to_char silently DROPS
+    THE MINUS SIGN when the template has no S and omits PG's leading
+    sign slot — every numeric report column was wrong. PG-exact
+    formatter for the 9/0/D/G/S/MI/FM subset (expression-level);
+    SG/PR/RN/EEEE stay loud. Expected values are real PG outputs."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    cases = [
+        ("to_char(485, '999')", " 485"),
+        ("to_char(-485, '999')", "-485"),
+        ("to_char(485, '0999')", " 0485"),
+        ("to_char(12, '9990999.9')", "    0012.0"),
+        ("to_char(485.8, '999D9')", " 485.8"),
+        ("to_char(1485, '9G999')", " 1,485"),
+        ("to_char(1234567, '9,999,999')", " 1,234,567"),
+        ("to_char(485, 'FM999')", "485"),
+        ("to_char(0.998, 'FM9.999')", ".998"),
+        ("to_char(0.998, '9.999')", "  .998"),
+        ("to_char(-0.1, 'FM9.99')", "-.1"),
+        ("to_char(12, 'FM9990999.9')", "0012."),
+        ("to_char(485, 'S999')", "+485"),
+        ("to_char(-485, 'S999')", "-485"),
+        ("to_char(485, '999MI')", "485 "),
+        ("to_char(-485, '999MI')", "485-"),
+        ("to_char(12345, '999')", "####"),
+        ("to_char(0, '999')", "   0"),
+        ("to_char(2.5, 'FM9')", "3"),
+        ("to_char(3.2, 'FM9.990')", "3.200"),
+    ]
+    for expr, want in cases:
+        assert one(f"SELECT {expr} AS x") == want, expr
+    # the datetime path is untouched
+    assert one(
+        "SELECT to_char(TIMESTAMP '2024-03-04 05:06:07', 'YYYY-MM-DD') AS x"
+    ) == "2024-03-04"
+
+
+def test_array_text_cast_and_bool_literals_r9(lsql):
+    """r9 battery 4: array::text renders PG's '{1,2,3}' (booleans as
+    t/f, NULL elements as the text NULL) via trial typing — Spark's
+    native cast gave '[1, 2, 3]' silently; boolean literal casts
+    accept PG's on/off/prefix spellings ('o' alone stays ambiguous
+    and loud, as PG)."""
+    import pytest as _pytest
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT (array[1,2,3])::text AS x") == "{1,2,3}"
+    assert one("SELECT (array[true,false])::text AS x") == "{t,f}"
+    assert one("SELECT (array[1, NULL])::text AS x") == "{1,NULL}"
+    lsql.sql("CREATE TABLE db.atc (k BIGINT, a ARRAY<BIGINT>)")
+    lsql.sql("INSERT INTO db.atc VALUES (1, array(7, 8))")
+    assert one("SELECT atc.a::text AS x FROM db.atc atc") == "{7,8}"
+    # scalar casts untouched
+    assert one("SELECT 1.5::text AS x") == "1.5"
+    assert one("SELECT 'off'::boolean AS x") is False
+    assert one("SELECT 'ON'::boolean AS x") is True
+    assert one("SELECT 'tr'::boolean AS x") is True
+    assert one("SELECT 'n'::boolean AS x") is False
+    with _pytest.raises(Exception):
+        lsql.sql("SELECT 'o'::boolean AS x").collect()
+    # battery-4 spot pins
+    assert one(
+        "SELECT count(DISTINCT (a, b)) AS c "
+        "FROM (VALUES (1,1),(1,1),(1,2)) t(a,b)"
+    ) == 2
+    assert one("SELECT true::int AS x") == 1
+    assert one("SELECT char_length('héllo') AS x") == 5
+    assert one("SELECT octet_length('héllo') AS x") == 6
