@@ -465,3 +465,16 @@ def test_fetch_with_ties_pre_prunes_partitions(spark, tmp_path):
     # and the result is correct: every id%7==0 row ties with the 5th
     vals = [r.k % 7 for r in df.collect()]
     assert len(vals) == 143 and set(vals) == {0}
+
+
+def test_keyset_pagination_pushdown_r9(spark, sf_dir):
+    """The r9 row-comparison expansion must stay a pure predicate:
+    the keyset page `(cust, k) > (x, y)` plans as pushed filters on
+    the parquet scan plus a LIMIT — no shuffle-side filtering, no
+    UDF. At 100 TB this is the difference between reading one page
+    and scanning the table."""
+    df = REGISTRY["lake_keyset_pagination"].fn(spark, sf_dir)
+    pushed = pushed_filter_columns(df)
+    assert "cust" in pushed, f"keyset column not pushed: {pushed}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

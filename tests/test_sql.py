@@ -4638,3 +4638,31 @@ def test_array_text_cast_and_bool_literals_r9(lsql):
     assert one("SELECT true::int AS x") == 1
     assert one("SELECT char_length('héllo') AS x") == 5
     assert one("SELECT octet_length('héllo') AS x") == 6
+
+
+def test_window_setop_corners_battery5_r9(lsql):
+    """r9 battery 5 (19 probes, window/grouping/set-op corners, all
+    already PG-exact vs DuckDB) — spot pins for the least obvious:
+    negative lag offset (PG allows it — it's lead), INTERSECT ALL /
+    EXCEPT ALL multiplicity, rollup grouping() flags, pmod-style
+    remainder signs."""
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    assert rows(
+        "SELECT k, lag(k, -1) OVER (ORDER BY k) AS l "
+        "FROM (VALUES (1),(2),(3)) t(k) ORDER BY k"
+    ) == [(1, 2), (2, 3), (3, None)]
+    assert rows(
+        "SELECT x FROM (VALUES (1),(1),(2)) a(x) INTERSECT ALL "
+        "SELECT x FROM (VALUES (1),(1),(1)) b(x) ORDER BY x"
+    ) == [(1,), (1,)]
+    assert rows(
+        "SELECT x FROM (VALUES (1),(1),(1),(2)) a(x) EXCEPT ALL "
+        "SELECT x FROM (VALUES (1)) b(x) ORDER BY x"
+    ) == [(1,), (1,), (2,)]
+    assert rows(
+        "SELECT g, grouping(g) AS gr, count(*) AS c "
+        "FROM (VALUES (1,'a'),(2,'b')) t(k, g) GROUP BY ROLLUP (g) "
+        "ORDER BY g NULLS LAST"
+    ) == [("a", 0, 1), ("b", 0, 1), (None, 1, 2)]
+    assert rows("SELECT (-7) % (-3) AS x") == [(-1,)]
+    assert rows("SELECT 7 % -3 AS x") == [(1,)]
