@@ -5559,6 +5559,157 @@ class LakeCatalog:
                 out.append((ns, name))
         return out
 
+    # -- sequences (PG CREATE SEQUENCE / nextval; ref catalog surface) --
+    # Stored like views: one JSON file + flock. A sequence is driver-
+    # side metadata (PG guarantees uniqueness and per-session
+    # monotonicity, NOT gaplessness), so a block reservation is the
+    # scale posture: nextval(n) advances by n*increment in ONE locked
+    # read-modify-write regardless of how many values the statement
+    # consumes.
+
+    def _seqs_path(self) -> str:
+        return os.path.join(self.warehouse, "_sequences.json")
+
+    def _load_seqs(self) -> dict:
+        if not os.path.exists(self._seqs_path()):
+            return {}
+        with open(self._seqs_path()) as f:
+            return json.load(f)
+
+    def _write_seqs(self, seqs: dict) -> None:
+        tmp = self._seqs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(seqs, f)
+        os.replace(tmp, self._seqs_path())
+
+    def _seqs_lock(self):
+        return open(os.path.join(self.warehouse, "_sequences.lock"), "w")
+
+    def sequence_exists(self, namespace: str, name: str) -> bool:
+        return f"{namespace}.{name}" in self._load_seqs()
+
+    def create_sequence(
+        self, namespace: str, name: str, start: int = 1,
+        increment: int = 1, if_not_exists: bool = False,
+    ) -> None:
+        if increment == 0:
+            raise LakehouseError("INCREMENT must not be zero")
+        with self._seqs_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            seqs = self._load_seqs()
+            key = f"{namespace}.{name}"
+            if key in seqs:
+                if if_not_exists:
+                    return
+                raise LakehouseError(f"sequence {key} already exists")
+            seqs[key] = {
+                "next": start, "increment": increment, "called": False,
+            }
+            self._write_seqs(seqs)
+
+    def drop_sequence(
+        self, namespace: str, name: str, if_exists: bool = False
+    ) -> None:
+        with self._seqs_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            seqs = self._load_seqs()
+            key = f"{namespace}.{name}"
+            if key not in seqs:
+                if if_exists:
+                    return
+                raise LakehouseError(f"sequence {key} does not exist")
+            del seqs[key]
+            self._write_seqs(seqs)
+
+    def sequence_nextval(
+        self, namespace: str, name: str, n: int = 1
+    ) -> int:
+        """Reserve ``n`` consecutive values; returns the FIRST. One
+        locked read-modify-write per statement, not per row."""
+        with self._seqs_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            seqs = self._load_seqs()
+            key = f"{namespace}.{name}"
+            if key not in seqs:
+                raise LakehouseError(f"sequence {key} does not exist")
+            s = seqs[key]
+            first = s["next"]
+            s["next"] = first + n * s["increment"]
+            s["called"] = True
+            self._write_seqs(seqs)
+            return first
+
+    def sequence_setval(
+        self, namespace: str, name: str, value: int,
+        is_called: bool = True,
+    ) -> int:
+        with self._seqs_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            seqs = self._load_seqs()
+            key = f"{namespace}.{name}"
+            if key not in seqs:
+                raise LakehouseError(f"sequence {key} does not exist")
+            s = seqs[key]
+            s["next"] = value + s["increment"] if is_called else value
+            s["called"] = is_called
+            self._write_seqs(seqs)
+            return value
+
+    def list_sequences(
+        self, namespace: str | None = None
+    ) -> list[tuple[str, str]]:
+        out = []
+        for key in sorted(self._load_seqs()):
+            ns, name = key.split(".", 1)
+            if namespace is None or ns == namespace:
+                out.append((ns, name))
+        return out
+
+    # -- enum types (PG CREATE TYPE ... AS ENUM) -----------------------
+
+    def _types_path(self) -> str:
+        return os.path.join(self.warehouse, "_types.json")
+
+    def _load_types(self) -> dict:
+        if not os.path.exists(self._types_path()):
+            return {}
+        with open(self._types_path()) as f:
+            return json.load(f)
+
+    def create_enum_type(
+        self, name: str, labels: list[str],
+        if_not_exists: bool = False,
+    ) -> None:
+        with self._seqs_lock() as lock:  # shared aux lock is fine
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            types = self._load_types()
+            if name in types:
+                if if_not_exists:
+                    return
+                raise LakehouseError(f"type {name!r} already exists")
+            types[name] = labels
+            tmp = self._types_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(types, f)
+            os.replace(tmp, self._types_path())
+
+    def drop_enum_type(self, name: str, if_exists: bool = False) -> None:
+        with self._seqs_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            types = self._load_types()
+            if name not in types:
+                if if_exists:
+                    return
+                raise LakehouseError(f"type {name!r} does not exist")
+            del types[name]
+            tmp = self._types_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(types, f)
+            os.replace(tmp, self._types_path())
+
+    def enum_labels(self, name: str) -> list[str] | None:
+        return self._load_types().get(name)
+
     # -- namespaces (PG CREATE/DROP SCHEMA; ref maps PG schema ≡
     # Iceberg namespace, catalog/pg_catalog.h:29)
 

@@ -2150,6 +2150,17 @@ class LakeSQL:
                     + f"explode(from_json(({args[0].strip()}), {ty}))"
                     + masked[end:]
                 )
+        # pg_get_expr(adbin, adrelid[, pretty]) decompiles a stored
+        # expression — our pg_attrdef stores the TEXT directly in both
+        # adbin and adsrc, so the call is the first argument
+        for m, args, end in cls._call_sites(masked, "pg_get_expr"):
+            if len(args) not in (2, 3):
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"({args[0].strip()})"
+                + masked[end:]
+            )
         # json_object_keys is a SET in PG (one row per key) — Spark's
         # same-named builtin returns an ARRAY; explode it
         for m, args, end in cls._call_sites(masked, "json_object_keys"):
@@ -3120,6 +3131,11 @@ class LakeSQL:
         s = self._pg_dialect(s).strip()
         if self._PARSE_TIME_FN.search(s):
             s = self._parse_time_fns(s)
+        if re.search(
+            r"\b(?:nextval|currval|setval|lastval)\s*\(", s,
+            re.IGNORECASE,
+        ):
+            s = self._rewrite_sequence_fns(s)
         head = s.split(None, 2)[0].upper() if s else ""
         if head in ("BEGIN", "START"):  # BEGIN [TRANSACTION|WORK]
             return self._begin()
@@ -3370,6 +3386,10 @@ class LakeSQL:
                 r"CREATE\s+(UNIQUE\s+)?INDEX\b", s, re.IGNORECASE
             ):
                 return self._create_index(s)
+            if re.match(r"CREATE\s+SEQUENCE\b", s, re.IGNORECASE):
+                return self._create_sequence(s)
+            if re.match(r"CREATE\s+TYPE\b", s, re.IGNORECASE):
+                return self._create_type(s)
             if re.match(r"CREATE\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
                 return self._create_matview(s)
             if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW", s, re.IGNORECASE):
@@ -3402,6 +3422,29 @@ class LakeSQL:
         if head == "DROP":
             if re.match(r"DROP\s+INDEX\b", s, re.IGNORECASE):
                 return self._drop_index(s)
+            sq = re.match(
+                rf"DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?"
+                rf"(?:({_IDENT})\.)?({_IDENT})$",
+                s, re.IGNORECASE,
+            )
+            if sq:
+                ns, nm = self._resolve_seq(
+                    sq.group(2), sq.group(3), if_exists=bool(sq.group(1))
+                )
+                if ns is not None:
+                    self.catalog.drop_sequence(
+                        ns, nm, if_exists=bool(sq.group(1))
+                    )
+                return None
+            ty = re.match(
+                rf"DROP\s+TYPE\s+(IF\s+EXISTS\s+)?({_IDENT})$",
+                s, re.IGNORECASE,
+            )
+            if ty:
+                self.catalog.drop_enum_type(
+                    ty.group(2).lower(), if_exists=bool(ty.group(1))
+                )
+                return None
             if re.match(r"DROP\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
                 m = re.match(
                     rf"DROP\s+MATERIALIZED\s+VIEW\s+{_TBL}$", s, re.IGNORECASE
@@ -3441,6 +3484,17 @@ class LakeSQL:
         if head == "TRUNCATE":
             return self._truncate(s)
         if head == "ALTER":
+            am2 = re.match(
+                rf"ALTER\s+SEQUENCE\s+(?:({_IDENT})\.)?({_IDENT})\s+"
+                rf"RESTART(?:\s+WITH\s+(-?\d+))?$",
+                s, re.IGNORECASE,
+            )
+            if am2:
+                ns, nm = self._resolve_seq(am2.group(1), am2.group(2))
+                self.catalog.sequence_setval(
+                    ns, nm, int(am2.group(3) or 1), is_called=False
+                )
+                return None
             return self._alter(s)
         if re.match(r"INSERT\s+OVERWRITE\b", s, re.IGNORECASE):
             return self._insert_overwrite(s)
@@ -5145,6 +5199,22 @@ class LakeSQL:
                 notnull.append(colname)
                 it = it[: nn.start()].rstrip()
             cname_, _, ctype_ = it.strip().partition(" ")
+            # an ENUM-typed column (CREATE TYPE ... AS ENUM) stores as
+            # STRING with a label CHECK constraint; PG's declaration-
+            # order collation is NOT preserved (ORDER BY sorts
+            # labels textually — documented divergence)
+            _el = getattr(self.catalog, "enum_labels", None)
+            labels = (
+                _el(ctype_.strip().lower()) if (_el and ctype_) else None
+            )
+            if labels is not None:
+                lab_sql = ", ".join(
+                    "'" + lb.replace("'", "''") + "'" for lb in labels
+                )
+                checks[f"enum_{cname_}"] = (
+                    f"{cname_} IN ({lab_sql})"
+                )
+                ctype_ = "string"
             col_defs.append(
                 f"{cname_} {self._map_pg_type(ctype_)}" if ctype_ else it
             )
@@ -6346,6 +6416,174 @@ class LakeSQL:
         rf"(?:\s+USING\s+({_IDENT}))?\s*\(([^)]*)\)$",
         re.IGNORECASE,
     )
+
+    # -- sequences + enum types (PG CREATE SEQUENCE / CREATE TYPE) ----
+
+    _CREATE_SEQ = re.compile(
+        rf"CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        rf"(?:({_IDENT})\.)?({_IDENT})"
+        rf"((?:\s+(?:START(?:\s+WITH)?|INCREMENT(?:\s+BY)?)\s+-?\d+)*)"
+        rf"\s*$",
+        re.IGNORECASE,
+    )
+
+    def _create_sequence(self, s: str):
+        m = self._CREATE_SEQ.match(s)
+        if not m:
+            raise LakehouseError(f"cannot parse CREATE SEQUENCE: {s[:80]!r}")
+        ns = (m.group(2) or "public").lower()
+        start, inc = 1, 1
+        for om in re.finditer(
+            r"(START(?:\s+WITH)?|INCREMENT(?:\s+BY)?)\s+(-?\d+)",
+            m.group(4) or "", re.IGNORECASE,
+        ):
+            if om.group(1).upper().startswith("START"):
+                start = int(om.group(2))
+            else:
+                inc = int(om.group(2))
+        self.catalog.create_sequence(
+            ns, m.group(3).lower(), start=start, increment=inc,
+            if_not_exists=bool(m.group(1)),
+        )
+        return None
+
+    def _resolve_seq(
+        self, ns: str | None, name: str, if_exists: bool = False
+    ) -> tuple[str | None, str | None]:
+        """Qualified names resolve directly; a bare name resolves
+        like PG's search_path — unique across namespaces, ambiguous
+        names rejected loudly."""
+        name = name.lower()
+        if ns is not None:
+            return ns.lower(), name
+        hits = [
+            (n, s2) for n, s2 in self.catalog.list_sequences()
+            if s2 == name
+        ]
+        if len(hits) == 1:
+            return hits[0]
+        if not hits:
+            if if_exists:
+                return None, None
+            raise LakehouseError(f"sequence {name!r} does not exist")
+        raise LakehouseError(
+            f"sequence name {name!r} is ambiguous across namespaces "
+            f"{sorted(n for n, _ in hits)}; qualify it"
+        )
+
+    def _create_type(self, s: str):
+        m = re.match(
+            rf"CREATE\s+TYPE\s+(?:({_IDENT})\.)?({_IDENT})\s+AS\s+ENUM"
+            rf"\s*\((.*)\)\s*$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise LakehouseError(
+                "only CREATE TYPE ... AS ENUM is supported "
+                f"(got: {s[:80]!r})"
+            )
+        labels = []
+        for part in _split_top_level(m.group(3)):
+            part = part.strip()
+            if not (part.startswith("'") and part.endswith("'")):
+                raise LakehouseError(
+                    f"enum label must be a string literal: {part!r}"
+                )
+            labels.append(part[1:-1].replace("''", "'"))
+        if not labels:
+            raise LakehouseError("enum type needs at least one label")
+        self.catalog.create_enum_type(m.group(2).lower(), labels)
+        return None
+
+    def _rewrite_sequence_fns(self, s: str) -> str:
+        """nextval / currval / setval / lastval with LITERAL sequence
+        names, resolved at parse time. nextval over a ROW SOURCE
+        (depth-0 FROM present) is refused loudly — a parse-time value
+        would silently repeat; reserve a block with setval + use
+        row_number for bulk loads. Each textual occurrence reserves
+        its own value (multi-row VALUES lists behave as PG)."""
+        masked, lits = self._mask_strings(s)
+        if not re.search(
+            r"\b(?:nextval|currval|setval|lastval)\s*\(", masked,
+            re.IGNORECASE,
+        ):
+            return s
+
+        def seq_of(idx: str) -> tuple[str, str]:
+            raw = lits[int(idx)][1:-1].replace("''", "'").strip()
+            nm = re.fullmatch(rf"(?:({_IDENT})\.)?({_IDENT})", raw)
+            if not nm:
+                raise LakehouseError(f"bad sequence name {raw!r}")
+            return self._resolve_seq(nm.group(1), nm.group(2))
+
+        if re.search(r"\bnextval\s*\(", masked, re.IGNORECASE):
+            depth = 0
+            for tok in re.finditer(r"[()]|\bFROM\b", masked, re.IGNORECASE):
+                if tok.group(0) == "(":
+                    depth += 1
+                elif tok.group(0) == ")":
+                    depth -= 1
+                elif depth == 0:
+                    raise LakehouseError(
+                        "nextval over a row source is not supported "
+                        "(a parse-time value would silently repeat "
+                        "per row); reserve a block with setval and "
+                        "assign via row_number"
+                    )
+
+        def nv(m: re.Match) -> str:
+            ns, nm = seq_of(m.group(1))
+            v = self.catalog.sequence_nextval(ns, nm)
+            self._seq_currval = getattr(self, "_seq_currval", {})
+            self._seq_currval[f"{ns}.{nm}"] = v
+            self._seq_lastval = v
+            return str(v)
+
+        def cv(m: re.Match) -> str:
+            ns, nm = seq_of(m.group(1))
+            cur = getattr(self, "_seq_currval", {}).get(f"{ns}.{nm}")
+            if cur is None:
+                raise LakehouseError(
+                    f"currval of sequence {ns}.{nm} is not yet "
+                    "defined in this session"
+                )
+            return str(cur)
+
+        def sv(m: re.Match) -> str:
+            ns, nm = seq_of(m.group(1))
+            called = (m.group(3) or "true").lower() != "false"
+            v = self.catalog.sequence_setval(
+                ns, nm, int(m.group(2)), is_called=called
+            )
+            self._seq_currval = getattr(self, "_seq_currval", {})
+            self._seq_currval[f"{ns}.{nm}"] = v
+            return str(v)
+
+        def lv(m: re.Match) -> str:
+            v = getattr(self, "_seq_lastval", None)
+            if v is None:
+                raise LakehouseError(
+                    "lastval is not yet defined in this session"
+                )
+            return str(v)
+
+        masked = re.sub(
+            r"\bnextval\s*\(\s*\x00(\d+)\x00\s*\)", nv, masked,
+            flags=re.IGNORECASE,
+        )
+        masked = re.sub(
+            r"\bsetval\s*\(\s*\x00(\d+)\x00\s*,\s*(-?\d+)\s*"
+            r"(?:,\s*(true|false)\s*)?\)",
+            sv, masked, flags=re.IGNORECASE,
+        )
+        masked = re.sub(
+            r"\bcurrval\s*\(\s*\x00(\d+)\x00\s*\)", cv, masked,
+            flags=re.IGNORECASE,
+        )
+        masked = re.sub(
+            r"\blastval\s*\(\s*\)", lv, masked, flags=re.IGNORECASE
+        )
+        return self._unmask_strings(masked, lits)
 
     def _create_index(self, s: str):
         m = self._CREATE_INDEX.match(s)
@@ -7820,12 +8058,16 @@ class LakeSQL:
                     for i, f in enumerate(tbl.schema().fields, start=1):
                         d = defaults.get(str(ids.get(f.name)))
                         if d is not None:
+                            # adbin carries the TEXT too: pg_get_expr
+                            # (rewritten to its first arg) decompiles
+                            # to exactly this
                             rows.append(
-                                (rel_oid[(ns, t)], i, str(d))
+                                (rel_oid[(ns, t)], i, str(d), str(d))
                             )
                 df = self.spark.createDataFrame(
                     rows or [],
-                    "adrelid bigint, adnum int, adsrc string",
+                    "adrelid bigint, adnum int, adsrc string, "
+                    "adbin string",
                 )
             else:  # pg_index
                 for i, (ns, t) in enumerate(tables):

@@ -1952,3 +1952,47 @@ def lake_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unnest(string_to_array(d.text, ' ')) WITH ORDINALITY "
         "AS u(tok, o) WHERE u.o <= 5 ORDER BY d.doc_id, u.o"
     )
+
+
+@register(
+    "lake_sequence_enum",
+    oracle="""
+SELECT n_nationkey + 101 AS id, n_name AS name,
+       CASE WHEN n_regionkey < 2 THEN 'small' ELSE 'large' END AS size
+FROM nation
+UNION ALL
+SELECT 126 AS id, 'zz' AS name, 'small' AS size
+ORDER BY id
+""",
+    tags=("sql-frontend", "sequence", "enum-type"),
+)
+def lake_sequence_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: sequences + enum types through the SQL frontend — the
+    scale-safe bulk pattern (reserve a block with setval, assign ids
+    via row_number — nextval over a row source is refused loudly),
+    then a single-row VALUES insert drawing nextval, into an
+    enum-typed column whose CHECK enforces the label set."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "nation")
+    cat = _scratch_catalog(spark, sf_dir, "seq_enum")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TYPE tsize9 AS ENUM ('small', 'large')")
+    q.sql("CREATE SEQUENCE db.ids START WITH 101")
+    q.sql("CREATE TABLE db.nat (id BIGINT, name STRING, size tsize9)")
+    # bulk load: reserve ids 101..125 (25 nations), assign by row_number
+    q.sql("SELECT setval('db.ids', 125) AS x").collect()
+    q.sql(
+        "INSERT INTO db.nat "
+        "SELECT 100 + row_number() OVER (ORDER BY n_nationkey) AS id, "
+        "n_name, CASE WHEN n_regionkey < 2 THEN 'small' ELSE 'large' "
+        "END FROM nation"
+    )
+    # single-row insert draws the next reserved value (126)
+    q.sql("INSERT INTO db.nat VALUES (nextval('db.ids'), 'zz', 'small')")
+    out = q.sql(
+        "SELECT nat.id AS id, nat.name AS name, nat.size AS size "
+        "FROM db.nat ORDER BY nat.id"
+    )
+    q.sql("DROP TYPE tsize9")
+    return out

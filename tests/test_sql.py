@@ -4666,3 +4666,81 @@ def test_window_setop_corners_battery5_r9(lsql):
     ) == [("a", 0, 1), ("b", 0, 1), (None, 1, 2)]
     assert rows("SELECT (-7) % (-3) AS x") == [(-1,)]
     assert rows("SELECT 7 % -3 AS x") == [(1,)]
+
+
+def test_sequences_r9(lsql):
+    """r9: PG sequences — CREATE/DROP/ALTER SEQUENCE RESTART,
+    nextval/currval/setval/lastval with literal names (bare names
+    resolve search_path-style), one block reservation per statement.
+    nextval over a row source (depth-0 FROM) is refused LOUDLY — a
+    parse-time value would silently repeat per row."""
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+    import pytest as _pytest
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    lsql.sql("CREATE SEQUENCE db.sq9")
+    assert one("SELECT nextval('db.sq9') AS x") == 1
+    assert one("SELECT nextval('db.sq9') AS x") == 2
+    assert one("SELECT currval('db.sq9') AS x") == 2
+    assert one("SELECT lastval() AS x") == 2
+    assert one("SELECT setval('db.sq9', 41) AS x") == 41
+    assert one("SELECT nextval('db.sq9') AS x") == 42
+    lsql.sql("CREATE SEQUENCE db.sq9b START WITH 100 INCREMENT BY 10")
+    assert one("SELECT nextval('sq9b') AS x") == 100  # bare-name lookup
+    lsql.sql("ALTER SEQUENCE db.sq9b RESTART WITH 5")
+    assert one("SELECT nextval('db.sq9b') AS x") == 5
+    # one value per textual occurrence (PG VALUES semantics)
+    lsql.sql("CREATE TABLE db.sqt9 (k BIGINT, v STRING)")
+    lsql.sql(
+        "INSERT INTO db.sqt9 VALUES (nextval('db.sq9'), 'a'), "
+        "(nextval('db.sq9'), 'b')"
+    )
+    assert sorted(
+        tuple(r) for r in lsql.sql("SELECT k, v FROM db.sqt9").collect()
+    ) == [(43, "a"), (44, "b")]
+    with _pytest.raises(LakehouseError, match="row source"):
+        lsql.sql(
+            "INSERT INTO db.sqt9 SELECT nextval('db.sq9'), v FROM db.sqt9"
+        )
+    lsql.sql("DROP SEQUENCE db.sq9")
+    with _pytest.raises(LakehouseError):
+        one("SELECT nextval('db.sq9') AS x")
+    lsql.sql("DROP SEQUENCE IF EXISTS db.sq9")  # no-op, no raise
+
+
+def test_enum_types_r9(lsql):
+    """r9: CREATE TYPE ... AS ENUM — columns store as STRING with a
+    label CHECK constraint (bad labels rejected at write); PG's
+    declaration-order collation is NOT preserved (documented)."""
+    import pytest as _pytest
+
+    lsql.sql("CREATE TYPE mood9 AS ENUM ('sad', 'ok', 'happy')")
+    lsql.sql("CREATE TABLE db.people9 (pid BIGINT, m mood9)")
+    lsql.sql("INSERT INTO db.people9 VALUES (1, 'happy'), (2, 'sad')")
+    assert sorted(
+        tuple(r)
+        for r in lsql.sql("SELECT pid, m FROM db.people9").collect()
+    ) == [(1, "happy"), (2, "sad")]
+    with _pytest.raises(Exception, match="enum_m"):
+        lsql.sql("INSERT INTO db.people9 VALUES (3, 'angry')")
+    lsql.sql("DROP TYPE mood9")
+    with _pytest.raises(Exception):
+        lsql.sql("DROP TYPE mood9")
+    lsql.sql("DROP TYPE IF EXISTS mood9")
+
+
+def test_pg_get_expr_reflection_r9(lsql):
+    """SQLAlchemy's default-reflection query — pg_get_expr over
+    pg_attrdef.adbin — resolves to the stored default text."""
+    lsql.sql(
+        "CREATE TABLE db.pge (k BIGINT, v DOUBLE DEFAULT 2.25)"
+    )
+    out = [
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT d.adnum, pg_get_expr(d.adbin, d.adrelid) AS src "
+            "FROM pg_attrdef d JOIN pg_class c ON d.adrelid = c.oid "
+            "WHERE c.relname = 'pge'"
+        ).collect()
+    ]
+    assert out == [(2, "2.25")]
