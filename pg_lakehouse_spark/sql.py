@@ -74,6 +74,7 @@ semantics.
 
 from __future__ import annotations
 
+import os
 import json
 import re
 
@@ -2259,6 +2260,83 @@ class LakeSQL:
         masked = re.sub(
             r"\bpg_typeof\s*\(", "typeof(", masked, flags=re.IGNORECASE
         )
+        # ... but render PG's names, not Spark's (pg_typeof(1.5) says
+        # 'numeric', not 'decimal(2,1)'). typeof returns a string —
+        # normalize the common scalar names; containers pass through.
+        for m in reversed(
+            list(re.finditer(r"\btypeof\s*\(", masked, re.IGNORECASE))
+        ):
+            end = cls._balanced_end(masked, masked.index("(", m.start()))
+            if end < 0:
+                continue
+            inner = masked[masked.index("(", m.start()) + 1: end - 1]
+            names = {
+                k: new_lit(v)
+                for k, v in (
+                    ("int", "integer"), ("string", "text"),
+                    ("double", "double precision"),
+                    ("binary", "bytea"),
+                    ("timestamp_ntz", "timestamp without time zone"),
+                    ("decimal%", "numeric"),
+                )
+            }
+            keys = {k: new_lit(k) for k in names}
+            whens = " ".join(
+                f"WHEN {keys[k]} THEN {names[k]}"
+                for k in names if not k.endswith("%")
+            )
+            masked = (
+                masked[: m.start()]
+                + f"CASE typeof({inner}) {whens} "
+                f"ELSE CASE WHEN typeof({inner}) LIKE {keys['decimal%']} "
+                f"THEN {names['decimal%']} ELSE typeof({inner}) END END"
+                + masked[end:]
+            )
+        # PG admin/bytea/uuid kit (r9 battery 6)
+        masked = re.sub(
+            r"\bgen_random_uuid\s*\(\s*\)|\buuid_generate_v4\s*\(\s*\)",
+            "uuid()", masked, flags=re.IGNORECASE,
+        )
+        masked = re.sub(
+            r"\binet_client_addr\s*\(\s*\)",
+            "CAST(NULL AS STRING)", masked, flags=re.IGNORECASE,
+        )
+        for m, args, end in cls._call_sites(masked, "convert_from"):
+            if len(args) != 2:
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"CAST(({args[0].strip()}) AS STRING)"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "convert_to"):
+            if len(args) != 2:
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"CAST(({args[0].strip()}) AS BINARY)"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "get_byte"):
+            if len(args) != 2:
+                continue
+            # PG is 0-based; extract one byte, hex it, parse base-16
+            masked = (
+                masked[: m.start()]
+                + f"CAST(conv(hex(substring(({args[0].strip()}), "
+                f"({args[1].strip()}) + 1, 1)), 16, 10) AS INT)"
+                + masked[end:]
+            )
+        for bits in (224, 256, 384, 512):
+            for m, args, end in cls._call_sites(masked, f"sha{bits}"):
+                if len(args) != 1:
+                    continue
+                # PG returns bytea; Spark's sha2 returns the hex text
+                masked = (
+                    masked[: m.start()]
+                    + f"unhex(sha2(({args[0].strip()}), {bits}))"
+                    + masked[end:]
+                )
         for nn in ("num_nonnulls", "num_nulls"):
             for m, args, end in cls._call_sites(masked, nn):
                 if not args or not any(a.strip() for a in args):
@@ -3070,7 +3148,8 @@ class LakeSQL:
     # runs when one of the function names is present at all
     _PARSE_TIME_FN = re.compile(
         r"\b(?:current_setting|set_config|has_\w+_privilege"
-        r"|pg_table_size|pg_total_relation_size|obj_description)\s*\(",
+        r"|pg_table_size|pg_total_relation_size|obj_description"
+        r"|pg_backend_pid|txid_current|pg_sleep)\s*\(",
         re.IGNORECASE,
     )
 
@@ -3124,6 +3203,31 @@ class LakeSQL:
         masked = self._ADMIN_FN.sub(admin, masked)
         masked = self._SETTING_FN.sub(setting, masked)
         masked = self._PRIV_FN.sub("TRUE", masked)
+        # session identity / txid / sleep (parse-time; single-process)
+        masked = re.sub(
+            r"\bpg_backend_pid\s*\(\s*\)", str(os.getpid()), masked,
+            flags=re.IGNORECASE,
+        )
+
+        def txid(_m: re.Match) -> str:
+            self._txid_counter = getattr(self, "_txid_counter", 0) + 1
+            return str(self._txid_counter)
+
+        masked = re.sub(
+            r"\btxid_current\s*\(\s*\)", txid, masked,
+            flags=re.IGNORECASE,
+        )
+
+        def sleep(m2: re.Match) -> str:
+            import time as _t
+
+            _t.sleep(min(float(m2.group(1)), 30.0))
+            return "CAST(NULL AS STRING)"
+
+        masked = re.sub(
+            r"\bpg_sleep\s*\(\s*(\d+(?:\.\d+)?)\s*\)", sleep, masked,
+            flags=re.IGNORECASE,
+        )
         return self._unmask_strings(masked, lits)
 
     def _route_stmt(self, stmt: str):

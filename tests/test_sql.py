@@ -4744,3 +4744,34 @@ def test_pg_get_expr_reflection_r9(lsql):
         ).collect()
     ]
     assert out == [(2, "2.25")]
+
+
+def test_admin_bytea_uuid_kit_r9(lsql):
+    """r9 battery 6: session identity / bytea / uuid functions —
+    pg_backend_pid, txid_current (session-increasing), convert_from/
+    convert_to, get_byte (0-based), sha224/256/384/512 (bytea, not
+    Spark's hex text), gen_random_uuid / uuid_generate_v4,
+    inet_client_addr (NULL — not a TCP connection), pg_sleep, and
+    pg_typeof rendering PG's type names (numeric, not decimal(p,s))."""
+    import os as _os
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT pg_backend_pid() AS x") == _os.getpid()
+    t1 = one("SELECT txid_current() AS x")
+    assert one("SELECT txid_current() AS x") == t1 + 1
+    assert one(
+        "SELECT convert_from(decode('616263','hex'), 'UTF8') AS x"
+    ) == "abc"
+    assert one("SELECT get_byte('abc'::bytea, 0) AS x") == 97
+    assert one("SELECT get_byte('abc'::bytea, 2) AS x") == 99
+    assert one("SELECT length(sha256('abc'::bytea)) AS x") == 32
+    assert one("SELECT encode(sha256('abc'::bytea), 'hex') AS x") == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    assert one("SELECT (gen_random_uuid() IS NOT NULL) AS x") is True
+    assert one("SELECT pg_typeof(1) AS x") == "integer"
+    assert one("SELECT pg_typeof(1.5) AS x") == "numeric"
+    assert one("SELECT pg_typeof('a') AS x") == "text"
+    assert one("SELECT pg_typeof(1.5::float8) AS x") == "double precision"
+    assert one("SELECT inet_client_addr() AS x") is None
+    assert one("SELECT pg_sleep(0) AS x") is None
