@@ -1211,6 +1211,107 @@ class LakeSQL:
             masked = masked[:l_open] + f"({body})" + masked[r_end:]
         return masked
 
+    # PG 11 GROUPS window frames: Spark's grammar has ROWS/RANGE
+    # only. A GROUPS frame counts PEER GROUPS, which is exactly a
+    # RANGE frame over the group's dense_rank — so the statement
+    # rewrites to a subquery computing ``dense_rank() OVER
+    # (PARTITION .. ORDER ..) AS __pgg`` and the window becomes
+    # ``ORDER BY __pgg RANGE BETWEEN ...`` (CURRENT ROW = the peer
+    # group in both framings). Guards keep it to the plain shape —
+    # single depth-0 SELECT, no GROUP BY/set ops, one distinct
+    # (partition, order) pair, no EXCLUDE — anything else is left
+    # for Spark to reject LOUDLY (the pre-r9 behavior).
+    _GROUPS_FRAME = re.compile(
+        r"\bGROUPS\s+(BETWEEN\b|UNBOUNDED\b|\d+\s+PRECEDING\b"
+        r"|CURRENT\s+ROW\b)",
+        re.IGNORECASE,
+    )
+
+    @classmethod
+    def _rewrite_groups_frames(cls, masked: str) -> str:
+        if not cls._GROUPS_FRAME.search(masked):
+            return masked
+        if re.search(r"\bEXCLUDE\b", masked, re.IGNORECASE):
+            return masked  # EXCLUDE clause: loud
+        # depth-0 single-select shape only
+        for kw in ("GROUP", "HAVING", "UNION", "INTERSECT", "EXCEPT",
+                   "WINDOW"):
+            if cls._depth0_kw(masked, kw) is not None:
+                return masked
+        sm = re.match(r"\s*SELECT\s+(DISTINCT\s+)?", masked, re.IGNORECASE)
+        fm = cls._depth0_kw(masked, "FROM")
+        if not sm or sm.group(1) or fm is None:
+            return masked
+        # collect GROUPS window specs; require ONE (partition, order)
+        specs = []
+        for om in re.finditer(r"\bOVER\s*\(", masked, re.IGNORECASE):
+            op = masked.index("(", om.start())
+            end = cls._balanced_end(masked, op)
+            if end < 0:
+                return masked
+            body = masked[op + 1: end - 1]
+            gm = cls._GROUPS_FRAME.search(body)
+            if gm is None:
+                continue
+            pm = re.search(
+                r"PARTITION\s+BY\s+(.*?)\s*ORDER\s+BY\b", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            ob = re.search(
+                r"ORDER\s+BY\s+(.*?)\s*\bGROUPS\b", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if ob is None:
+                return masked
+            specs.append((
+                op, end,
+                pm.group(1).strip() if pm else None,
+                ob.group(1).strip(),
+                body[gm.start():],
+            ))
+        if not specs:
+            return masked
+        keys = {(p, o) for _, _, p, o, _ in specs}
+        if len(keys) != 1:
+            return masked  # multiple rank bases: loud
+        part, order = next(iter(keys))
+        # split: head items | FROM..(before depth-0 ORDER/LIMIT) | tail
+        tail_at = len(masked)
+        for kw in ("ORDER", "LIMIT", "OFFSET", "FETCH"):
+            km = cls._depth0_kw(masked, kw)
+            if km is not None and fm.start() < km.start() < tail_at:
+                tail_at = km.start()
+        head = masked[sm.end(): fm.start()]
+        from_part = masked[fm.start(): tail_at]
+        trailer = masked[tail_at:]
+        # rewrite each spec inside head (offsets are into `masked`;
+        # adjust into head-space, edit last-to-first)
+        delta = sm.end()
+        for op, end, _p, _o, frame in sorted(specs, reverse=True):
+            if not (delta <= op and end <= fm.start()):
+                return masked  # a GROUPS window outside the items
+            new_spec = (
+                (f"PARTITION BY {part} " if part else "")
+                + "ORDER BY __pgg RANGE"
+                + frame[len("GROUPS"):]
+            )
+            head = (
+                head[: op - delta + 1]
+                + new_spec
+                + head[end - 1 - delta:]
+            )
+        rank_over = (
+            (f"PARTITION BY {part} " if part else "")
+            + f"ORDER BY {order}"
+        )
+        return (
+            masked[: sm.end()]
+            + head
+            + f"FROM (SELECT *, dense_rank() OVER ({rank_over}) "
+            f"AS __pgg {from_part}) __pggrp "
+            + trailer
+        )
+
     @classmethod
     def _rewrite_any_all(cls, masked: str) -> str:
         out = masked
@@ -2928,6 +3029,7 @@ class LakeSQL:
             flags=re.IGNORECASE,
         )
         masked = cls._rewrite_window_filter(masked)
+        masked = cls._rewrite_groups_frames(masked)
         masked = cls._rewrite_any_all(masked)
         masked = cls._rewrite_row_comparisons(masked)
         masked = cls._rewrite_at_time_zone(masked)

@@ -4775,3 +4775,33 @@ def test_admin_bytea_uuid_kit_r9(lsql):
     assert one("SELECT pg_typeof(1.5::float8) AS x") == "double precision"
     assert one("SELECT inet_client_addr() AS x") is None
     assert one("SELECT pg_sleep(0) AS x") is None
+
+
+def test_groups_window_frames_r9(lsql):
+    """PG 11 GROUPS frames (verdict missing #5) — rewritten to a
+    RANGE frame over the peer group's dense_rank in a wrapping
+    subquery. Expected values are hand-derived PG semantics (DuckDB
+    has not implemented GROUPS). Unsupported shapes (EXCLUDE,
+    GROUP BY coexistence, multiple rank bases) stay loud."""
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    V = "(VALUES (1,'a'),(2,'a'),(3,'b'),(4,'c'),(5,'c'),(6,'c')) t(k, g)"
+    assert rows(
+        f"SELECT k, g, sum(k) OVER (ORDER BY g GROUPS BETWEEN 1 "
+        f"PRECEDING AND CURRENT ROW) AS s FROM {V} ORDER BY k"
+    ) == [(1, "a", 3), (2, "a", 3), (3, "b", 6),
+          (4, "c", 18), (5, "c", 18), (6, "c", 18)]
+    assert rows(
+        f"SELECT k, g, count(*) OVER (ORDER BY g GROUPS BETWEEN "
+        f"CURRENT ROW AND 1 FOLLOWING) AS c FROM {V} ORDER BY k"
+    ) == [(1, "a", 3), (2, "a", 3), (3, "b", 4),
+          (4, "c", 3), (5, "c", 3), (6, "c", 3)]
+    # WHERE applies before the window; outer ORDER/LIMIT stay outer
+    assert rows(
+        f"SELECT k, sum(k) OVER (ORDER BY g GROUPS BETWEEN 1 "
+        f"PRECEDING AND CURRENT ROW) AS s FROM {V} "
+        f"WHERE k > 1 ORDER BY k LIMIT 3"
+    ) == [(2, 2), (3, 5), (4, 18)]
+    assert rows(
+        f"SELECT k, min(k) OVER (PARTITION BY g ORDER BY k GROUPS "
+        f"BETWEEN CURRENT ROW AND CURRENT ROW) AS m FROM {V} ORDER BY k"
+    ) == [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 6)]
