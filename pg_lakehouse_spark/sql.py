@@ -1282,6 +1282,14 @@ class LakeSQL:
             if km is not None and fm.start() < km.start() < tail_at:
                 tail_at = km.start()
         head = masked[sm.end(): fm.start()]
+        # A bare * / t.* select item would expand over the rewrite
+        # subquery and silently pick up the helper __pgg column —
+        # stay loud (Spark rejects the GROUPS frame itself).
+        for item in _split_top_level(head):
+            if re.fullmatch(
+                rf"(?:{_IDENT}\s*\.\s*)?\*", item.strip()
+            ):
+                return masked
         from_part = masked[fm.start(): tail_at]
         trailer = masked[tail_at:]
         # rewrite each spec inside head (offsets are into `masked`;
@@ -2386,11 +2394,16 @@ class LakeSQL:
                 f"WHEN {keys[k]} THEN {names[k]}"
                 for k in names if not k.endswith("%")
             )
+            # emit a marker spelling (no \btypeof boundary) so the
+            # bounded fixpoint loop doesn't re-wrap the emission —
+            # restored to typeof( after the loop in _pg_dialect
             masked = (
                 masked[: m.start()]
-                + f"CASE typeof({inner}) {whens} "
-                f"ELSE CASE WHEN typeof({inner}) LIKE {keys['decimal%']} "
-                f"THEN {names['decimal%']} ELSE typeof({inner}) END END"
+                + f"CASE __pgtypeof({inner}) {whens} "
+                f"ELSE CASE WHEN __pgtypeof({inner}) LIKE "
+                f"{keys['decimal%']} "
+                f"THEN {names['decimal%']} ELSE __pgtypeof({inner}) "
+                "END END"
                 + masked[end:]
             )
         # PG admin/bytea/uuid kit (r9 battery 6)
@@ -2975,6 +2988,8 @@ class LakeSQL:
             if new == masked:
                 break
             masked = new
+        # restore the fixpoint-guard marker from the typeof emission
+        masked = masked.replace("__pgtypeof(", "typeof(")
         masked = cls._rewrite_to_char(masked, lits)
         masked = cls._rewrite_range_preds(masked)
         masked = cls._rewrite_extract_dow(masked, lits)
@@ -4343,24 +4358,33 @@ class LakeSQL:
                     # the rewrite — PG calls that unsupported, we
                     # refuse loudly.
                     tgt = dml_target(body)
+                    already_pinned = tgt is not None and tgt in pins
                     if tgt is not None:
                         rewrites = not body[:6].upper().startswith("INSERT")
-                        if tgt in pins and rewrites:
+                        if already_pinned and rewrites:
                             raise LakehouseError(
                                 f"table {tgt[0]}.{tgt[1]} is modified "
                                 "by more than one sub-statement "
                                 "(not supported; PG leaves this "
                                 "unspecified for the same row)"
                             )
-                        if tgt not in pins:
+                        if not already_pinned:
                             pins[tgt] = self.catalog.load_table(
                                 *tgt
                             ).snapshot().version
-                    # the DML's own execution must see CURRENT state
-                    # (its pin equals the pre-state anyway on first
-                    # mutation; un-pin so its internal reads/rewrites
-                    # use the live snapshot)
-                    own_pin = pins.pop(tgt, None) if tgt else None
+                    # First mutation: un-pin for its own execution —
+                    # the pin equals the pre-state anyway, and a
+                    # rewriting DML's machinery must see the live
+                    # snapshot. A SECOND INSERT into an already-pinned
+                    # table keeps the read pin active (PG: every
+                    # sub-statement reads the pre-statement snapshot,
+                    # never an earlier sub-statement's inserts); only
+                    # the append itself — which never consults pins —
+                    # hits the live table.
+                    own_pin = (
+                        pins.pop(tgt, None)
+                        if tgt and not already_pinned else None
+                    )
                     try:
                         out = self.sql(U(body))
                     finally:
@@ -6723,19 +6747,43 @@ class LakeSQL:
             return self._resolve_seq(nm.group(1), nm.group(2))
 
         if re.search(r"\bnextval\s*\(", masked, re.IGNORECASE):
+            # A parse-time value silently repeats per row whenever the
+            # statement can evaluate the expression more than once:
+            # any depth-0 FROM (row source), and UPDATE / MERGE whose
+            # SET expressions run per matched row even with no FROM
+            # clause. For UPDATE/MERGE (incl. INSERT ... ON CONFLICT
+            # DO UPDATE) only nextval sites AT/AFTER the verb are
+            # per-row — a VALUES-side nextval before an ON CONFLICT
+            # upsert stays a legitimate single draw.
             depth = 0
-            for tok in re.finditer(r"[()]|\bFROM\b", masked, re.IGNORECASE):
+            upd_at = None
+            for tok in re.finditer(
+                r"[()]|\b(?:FROM|UPDATE|MERGE)\b", masked, re.IGNORECASE
+            ):
                 if tok.group(0) == "(":
                     depth += 1
                 elif tok.group(0) == ")":
                     depth -= 1
                 elif depth == 0:
-                    raise LakehouseError(
-                        "nextval over a row source is not supported "
-                        "(a parse-time value would silently repeat "
-                        "per row); reserve a block with setval and "
-                        "assign via row_number"
-                    )
+                    if tok.group(0).upper() == "FROM":
+                        raise LakehouseError(
+                            "nextval over a row source is not "
+                            "supported (a parse-time value would "
+                            "silently repeat per row); reserve a "
+                            "block with setval and assign via "
+                            "row_number"
+                        )
+                    if upd_at is None:
+                        upd_at = tok.start()
+            if upd_at is not None and re.search(
+                r"\bnextval\s*\(", masked[upd_at:], re.IGNORECASE
+            ):
+                raise LakehouseError(
+                    "nextval inside UPDATE/MERGE is not supported "
+                    "(a parse-time value would silently repeat per "
+                    "matched row); reserve a block with setval and "
+                    "assign via row_number"
+                )
 
         def nv(m: re.Match) -> str:
             ns, nm = seq_of(m.group(1))

@@ -4805,3 +4805,94 @@ def test_groups_window_frames_r9(lsql):
         f"SELECT k, min(k) OVER (PARTITION BY g ORDER BY k GROUPS "
         f"BETWEEN CURRENT ROW AND CURRENT ROW) AS m FROM {V} ORDER BY k"
     ) == [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 6)]
+
+
+def test_nextval_update_merge_refused_r10(lsql):
+    """r10 (ADVICE high): nextval inside UPDATE / MERGE SET clauses is
+    refused LOUDLY — those statements evaluate SET expressions per
+    matched row, so a parse-time draw would silently write duplicate
+    IDs. A VALUES-side nextval in front of ON CONFLICT DO UPDATE is
+    still a legitimate single draw."""
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+    import pytest as _pytest
+
+    lsql.sql("CREATE SEQUENCE db.sq10")
+    lsql.sql("CREATE TABLE db.sqt10 (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO db.sqt10 VALUES (0, 'a'), (0, 'b')")
+    with _pytest.raises(LakehouseError, match="UPDATE/MERGE"):
+        lsql.sql("UPDATE db.sqt10 SET k = nextval('db.sq10')")
+    with _pytest.raises(LakehouseError, match="UPDATE/MERGE"):
+        lsql.sql(
+            "MERGE INTO db.sqt10 t USING db.sqt10 s ON t.v = s.v "
+            "WHEN MATCHED THEN UPDATE SET k = nextval('db.sq10')"
+        )
+    # nothing was drawn or written by the refused statements
+    assert lsql.sql(
+        "SELECT count(*) AS n FROM db.sqt10 WHERE k <> 0"
+    ).collect()[0].n == 0
+    assert lsql.sql("SELECT nextval('db.sq10') AS x").collect()[0].x == 1
+    # VALUES-side draw before an upsert clause: allowed, single draw
+    lsql.sql(
+        "INSERT INTO db.sqt10 VALUES (nextval('db.sq10'), 'a') "
+        "ON CONFLICT (v) DO NOTHING"
+    )
+    assert lsql.sql("SELECT currval('db.sq10') AS x").collect()[0].x == 2
+
+
+def test_groups_frame_select_star_stays_loud_r10(lsql):
+    """r10 (ADVICE medium): the GROUPS rewrite must NOT fire when the
+    select head contains a bare * or t.* — the outer star would expand
+    over the helper subquery and silently gain the __pgg column.
+    Un-rewritten GROUPS frames fail loudly in Spark."""
+    import pytest as _pytest
+
+    V = "(VALUES (1,'a'),(2,'a'),(3,'b')) t(k, g)"
+    for head in ("*", "t.*"):
+        with _pytest.raises(Exception) as ei:
+            lsql.sql(
+                f"SELECT {head}, sum(k) OVER (ORDER BY g GROUPS "
+                f"BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM {V}"
+            ).collect()
+        assert "__pgg" not in str(ei.value)
+    # explicit column lists keep working
+    got = [
+        tuple(r) for r in lsql.sql(
+            f"SELECT k, g, sum(k) OVER (ORDER BY g GROUPS BETWEEN 1 "
+            f"PRECEDING AND CURRENT ROW) AS s FROM {V} ORDER BY k"
+        ).collect()
+    ]
+    assert got == [(1, "a", 3), (2, "a", 3), (3, "b", 6)]
+
+
+def test_typeof_rewrite_fixpoint_stable_r10(lsql):
+    """r10 (ADVICE low): the pg_typeof → PG-type-name emission must be
+    fixpoint-stable — one pg_typeof(x) stays one CASE wrapper (3
+    typeof calls), not 81 after the bounded kit loop re-matches its
+    own emission."""
+    out = lsql._pg_dialect("SELECT pg_typeof(1.5) AS t")
+    assert out.count("typeof(") == 3, out
+    assert "__pgtypeof" not in out
+    # and the value is still PG-correct
+    assert lsql.sql(
+        "SELECT pg_typeof(1.5) AS t"
+    ).collect()[0].t == "numeric"
+
+
+def test_dml_cte_second_insert_sees_prestate_r10(lsql):
+    """r10 (ADVICE low): a SECOND INSERT into a table already pinned
+    by an earlier DML CTE keeps the read pin — PG gives every
+    sub-statement the pre-statement snapshot, so the second INSERT's
+    self-referencing SELECT must NOT see the first CTE's rows."""
+    lsql.sql("CREATE TABLE db.w10 (k BIGINT)")
+    lsql.sql("INSERT INTO db.w10 VALUES (1), (2)")
+    lsql.sql(
+        "WITH a AS (INSERT INTO db.w10 VALUES (10) RETURNING k), "
+        "b AS (INSERT INTO db.w10 SELECT k + 100 FROM db.w10 "
+        "RETURNING k) "
+        "SELECT count(*) AS n FROM a"
+    )
+    got = sorted(
+        r.k for r in lsql.sql("SELECT k FROM db.w10").collect()
+    )
+    # pre-state {1,2} feeds b: 101,102 — NOT 110
+    assert got == [1, 2, 10, 101, 102], got
