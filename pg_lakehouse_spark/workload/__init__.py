@@ -106,6 +106,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # oracle-checked locally) and lake_dml_returning (DML family keeps
 # lake_sql_dml CoW + lake_mor_delete_update MoR +
 # lake_merge_composite_key; RETURNING stays oracle-checked locally).
+# r10 rotation (4 in / 4 out, per verdict item 6): in come the
+# r9-built rows lake_keyset_pagination (row-constructor comparison
+# pushdown), lake_unnest_ordinality, lake_sequence_enum, plus the
+# new-in-r10 q_age_intervals (PG age() month normalization — the r9
+# verdict's headline silent divergence, DuckDB-oracled). Ceded
+# family duplicates: dedup_span_share (span-dedup family keeps
+# dedup_duplicate_spans), stream_tumbling_hourly (streaming
+# family keeps stream_cdc_pipeline — source->transform->sink with
+# the same windowed-agg machinery; the registry guard's exact-twin
+# policy keeps q_percentiles in-window), text_bm25_postings (text family keeps
+# text_quality_signals; BM25 stays oracle-checked locally) and
+# lake_change_feed (CDC family keeps stream_cdc_pipeline in-window;
+# the batch feed also runs inside rollup_incremental every round).
 # Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
@@ -115,22 +128,24 @@ _PRIORITY: tuple[str, ...] = (
     "lake_hidden_partitioning",
     "lake_txn_multi_table",
     "q_range_join_bands",
+    "q_age_intervals",
     "q_asof_join",
     "q_correlated_subquery",
     "lake_recursive_union_graph",
     "lake_merge_composite_key",
     "q_distinct_on",
-    "text_bm25_postings",
+    "lake_keyset_pagination",
     "lake_branch_wap",
     "pack_sequences_stream",
     "q_ordered_aggregates",
     "q_percentiles",
+    "lake_unnest_ordinality",
     "interleave_temperature",
     "q_cube",
     "q_pivot",
     "dedup_duplicate_spans",
     "q_window_topk_per_group",
-    "dedup_span_share",
+    "lake_sequence_enum",
     "ts_gapfill_hourly",
     "q_pg_function_kit",
     "rollup_topk_retraction",
@@ -145,7 +160,6 @@ _PRIORITY: tuple[str, ...] = (
     "lake_implicit_correlation",
     "lake_schema_evolution",
     "lake_partition_evolution",
-    "lake_change_feed",
     "rollup_incremental",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
@@ -155,7 +169,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode",
     "lake_segment_bloom_prune",
     "decontaminate_overlap",
-    "stream_tumbling_hourly",
     "balance_source_cap",
     "stream_cdc_pipeline",
 )

@@ -716,3 +716,43 @@ def q_ordered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "',') AS keys_desc "
         "FROM orders WHERE o_orderkey <= 600 GROUP BY o_custkey"
     )
+
+
+@register(
+    "q_age_intervals",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(extract(year FROM age(DATE '1998-12-31', o_orderdate))
+            AS BIGINT) AS age_y,
+       CAST(extract(month FROM age(DATE '1998-12-31', o_orderdate))
+            AS BIGINT) AS age_m,
+       count(*) AS n
+FROM orders
+WHERE o_orderkey <= 6000
+GROUP BY 1, 2, 3
+""",
+    tags=("functions", "datetime", "sql-frontend"),
+)
+def q_age_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 (verdict wrong #1): PG ``age()`` month normalization —
+    the engine emits PG's timestamp_age decomposition (symbolic
+    year/month/day borrow against the earlier operand's month length)
+    as a calendar interval, so ``extract(year|month FROM age(...))``
+    — the tenure/cohort reporting idiom — is PG-exact. DuckDB's
+    ``age()`` is PG-compatible, so the oracle runs the SAME
+    statement. Ref: reference PG frontend delegates age() to stock
+    PG (timestamp.c timestamp_age)."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    q = LakeSQL(spark, LakeCatalog(spark, "/tmp/pg_lakehouse_spark_work/_fnq"))
+    return q.sql(
+        "SELECT o_orderstatus, "
+        "CAST(extract(year FROM age(DATE '1998-12-31', o_orderdate)) "
+        "AS BIGINT) AS age_y, "
+        "CAST(extract(month FROM age(DATE '1998-12-31', o_orderdate)) "
+        "AS BIGINT) AS age_m, "
+        "count(*) AS n "
+        "FROM orders WHERE o_orderkey <= 6000 GROUP BY 1, 2, 3"
+    )

@@ -2793,9 +2793,10 @@ def test_pg_function_kit_r7(lsql):
                "'DD/MM/YYYY HH24:MI') AS t") == \
         datetime.datetime(2024, 1, 2, 5, 6)
     assert one("SELECT array_cat(array[1,2], array[3]) AS a") == [1, 2, 3]
+    # r10: age() is PG's symbolic interval; a bare projection renders
+    # PG's wire text (calendar intervals can't be collected raw)
     assert one("SELECT age(TIMESTAMP '2024-01-02', "
-               "TIMESTAMP '2024-01-01') AS a") == \
-        datetime.timedelta(days=1)
+               "TIMESTAMP '2024-01-01') AS a") == "1 day"
     assert one("SELECT format('%s=%s', s, k) AS f FROM db.fk7") == \
         "it's=1"
     assert one("SELECT json_build_object('a', k, 'b', s) AS j "
@@ -2971,24 +2972,23 @@ def test_advice_fixes_r8(lsql):
     lsql.sql("CREATE TABLE db.adv8 (k BIGINT, d DATE)")
     lsql.sql("INSERT INTO db.adv8 VALUES (1, DATE '2024-01-06')")
     one = lambda stmt: lsql.sql(stmt).collect()[0][0]  # noqa: E731
-    # PG: to_char(date'2024-01-06','MONTH') = 'JANUARY  ' (upper);
-    # the blank padding is a documented divergence, the CASE is not
-    assert one("SELECT to_char(d, 'MONTH') AS c FROM db.adv8").strip() \
-        == "JANUARY"
-    assert one("SELECT to_char(d, 'Month') AS c FROM db.adv8").strip() \
-        == "January"
-    assert one("SELECT to_char(d, 'DY') AS c FROM db.adv8").strip() \
-        == "SAT"
+    # PG: to_char(date'2024-01-06','MONTH') = 'JANUARY  ' — as of
+    # r10 the blank padding to 9 matches PG exactly (no longer a
+    # divergence)
+    assert one("SELECT to_char(d, 'MONTH') AS c FROM db.adv8") \
+        == "JANUARY  "
+    assert one("SELECT to_char(d, 'Month') AS c FROM db.adv8") \
+        == "January  "
+    assert one("SELECT to_char(d, 'DY') AS c FROM db.adv8") == "SAT"
     assert one("SELECT to_char(d, 'FMMonth DD') AS c FROM db.adv8") \
         == "January 06"
     assert one("SELECT to_char(d, 'MON-YYYY') AS c FROM db.adv8") \
         == "JAN-2024"
-    # mixing all-caps and capitalized name tokens stays unrewritten
-    # (loud: Spark's numeric to_char rejects it) — never half-upper
-    import pytest as _pytest
-    with _pytest.raises(Exception):
-        lsql.sql("SELECT to_char(d, 'MONTH Day') AS c FROM db.adv8") \
-            .collect()
+    # r10: mixed all-caps and capitalized name tokens render
+    # correctly (each name piece wraps its own case — the old
+    # whole-result upper() limitation is gone)
+    assert one("SELECT to_char(d, 'MONTH Day') AS c FROM db.adv8") \
+        == "JANUARY   Saturday "
     # SET TIME ZONE LOCAL == SET TIME ZONE DEFAULT (PG synonym); the
     # literal string 'LOCAL' must never reach session.timeZone
     default_tz = lsql.sql("SHOW timezone").collect()[0][0]
@@ -4423,7 +4423,9 @@ def test_fn_kit_battery_r9(lsql):
 def test_interval_epoch_justify_isfinite_r9(lsql):
     """r9 (verdict missing #8): extract(epoch FROM interval) — total
     seconds; day-time keeps the micros fraction, year-month uses PG's
-    365.25-day year (months * 2629800). justify_hours is the identity
+    interval_part split: full years at 365.25 days + remainder months
+    at 30 days ('1 month' = 2592000, '1 year' = 31557600 — NOT a flat
+    months * avg-month). justify_hours is the identity
     (Spark day-time intervals already store total micros and extract
     post-fold). isfinite: no infinity literal is representable here,
     so non-NULL in → TRUE, NULL in → NULL."""
@@ -4434,8 +4436,11 @@ def test_interval_epoch_justify_isfinite_r9(lsql):
     assert float(one(
         "SELECT extract(epoch FROM interval '2.5 seconds') AS x"
     )) == 2.5
-    assert one("SELECT extract(epoch FROM interval '1 month') AS x") == 2629800
+    assert one("SELECT extract(epoch FROM interval '1 month') AS x") == 2592000
     assert one("SELECT extract(epoch FROM interval '1 year') AS x") == 31557600
+    assert one(
+        "SELECT extract(epoch FROM interval '13 months') AS x"
+    ) == 34149600
     assert float(one(
         "SELECT extract(epoch FROM '90 minutes'::interval) AS x"
     )) == 5400.0
@@ -4896,3 +4901,422 @@ def test_dml_cte_second_insert_sees_prestate_r10(lsql):
     )
     # pre-state {1,2} feeds b: 101,102 — NOT 110
     assert got == [1, 2, 10, 101, 102], got
+
+
+def test_age_pg_month_normalization_r10(lsql):
+    """r10 (verdict wrong #1): age() emits PG's timestamp_age
+    decomposition — symbolic per-field difference with time->day->
+    month borrowing against the EARLIER operand's month length —
+    as a calendar interval, so extract() is PG-exact and the bare
+    projection renders PG's text. Judge repro pinned first."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    # the judge's r9 probe: 1 mon 1 day, NOT 30 days
+    assert one(
+        "SELECT age(timestamp '2024-03-01', timestamp '2024-01-31') "
+        "AS a"
+    ) == "1 mon 1 day"
+    assert one(
+        "SELECT extract(month FROM age(timestamp '2024-03-01', "
+        "timestamp '2024-01-31')) AS a"
+    ) == 1
+    # reversed operands: uniformly negated (PG flips, borrows, flips)
+    assert one(
+        "SELECT age(timestamp '2024-01-31', timestamp '2024-03-01') "
+        "AS a"
+    ) == "-1 mons -1 days"
+    # borrow uses the EARLIER month's length (Feb 2023 = 28 days)
+    assert one(
+        "SELECT age(timestamp '2023-03-01', timestamp '2023-02-28') "
+        "AS a"
+    ) == "1 day"
+    # time borrow cascades into the day borrow
+    assert one(
+        "SELECT age(timestamp '2024-01-02 01:00', "
+        "timestamp '2024-01-01 02:30') AS a"
+    ) == "22:30:00"
+    # fractional seconds survive
+    assert one(
+        "SELECT age(timestamp '2024-03-01 02:30:01.5', "
+        "timestamp '2024-01-31') AS a"
+    ) == "1 mon 1 day 02:30:01.5"
+    # exact month difference: no day component
+    assert one(
+        "SELECT age(date '2024-03-31', date '2024-01-31') AS a"
+    ) == "2 mons"
+
+
+def test_age_differential_vs_duckdb_r10(lsql):
+    """DuckDB's age() IS PG-compatible (months/days/time
+    decomposition), so it can hold ours: 200 seeded-random timestamp
+    pairs, comparing extract(year/month/day/hour/minute) of
+    age(a, b) on both engines."""
+    import datetime
+    import random
+
+    import duckdb
+
+    rng = random.Random(100)
+    base = datetime.datetime(2000, 1, 1)
+    pairs = []
+    for _ in range(200):
+        a = base + datetime.timedelta(
+            days=rng.randint(0, 9000), seconds=rng.randint(0, 86399)
+        )
+        b = base + datetime.timedelta(
+            days=rng.randint(0, 9000), seconds=rng.randint(0, 86399)
+        )
+        pairs.append((a, b))
+    sel = ", ".join(
+        f"extract({f} FROM age(a, b)) AS {f}"
+        for f in ("year", "month", "day", "hour", "minute")
+    )
+    vals = ", ".join(
+        f"(timestamp '{a}', timestamp '{b}')" for a, b in pairs
+    )
+    q = f"SELECT {sel} FROM (VALUES {vals}) t(a, b)"
+    got = [tuple(int(x) for x in r) for r in lsql.sql(q).collect()]
+    want = [
+        tuple(int(x) for x in r)
+        for r in duckdb.sql(q).fetchall()
+    ]
+    assert got == want
+
+
+def test_interval_literal_fidelity_r10(lsql):
+    """r10 (verdict wrong #2 + missing #3): PG keeps (months, days,
+    micros) unnormalized across categories. Constant extract /
+    ::text over interval literals fold at parse time, PG-exactly;
+    mixed-category literals (loud in Spark) become calendar
+    intervals; PG-only spellings ('1 mon', '@ 2 days ago') legalize."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    # the judge's r9 probes
+    assert one("SELECT interval '90 minutes'::text AS a") == "01:30:00"
+    assert one(
+        "SELECT extract(hour FROM interval '26 hours') AS a"
+    ) == 26
+    # hours do NOT fold into days; minutes DO fold into hours (PG
+    # normalizes inside the time category only)
+    assert one("SELECT interval '26 hours'::text AS a") == "26:00:00"
+    assert one(
+        "SELECT extract(minute FROM interval '90 minutes') AS a"
+    ) == 30
+    assert one(
+        "SELECT extract(day FROM interval '36 hours') AS a"
+    ) == 0
+    assert one(
+        "SELECT extract(year FROM interval '13 months') AS a"
+    ) == 1
+    assert one(
+        "SELECT extract(second FROM interval '90.5 seconds') AS a"
+    ) == 30.5
+    # date_part returns float8 in PG
+    assert one(
+        "SELECT date_part('hour', interval '26 hours') AS a"
+    ) == 26.0
+    # PG postgres-style rendering corners
+    assert one("SELECT interval '1 day'::text AS a") == "1 day"
+    assert one("SELECT interval '-1 day'::text AS a") == "-1 days"
+    assert one(
+        "SELECT interval '1 year 2 mons 3 days 04:05:06.5'::text AS a"
+    ) == "1 year 2 mons 3 days 04:05:06.5"
+    assert one("SELECT interval '0'::text AS a") == "00:00:00"
+    assert one("SELECT interval '2 weeks'::text AS a") == "14 days"
+    assert one("SELECT (interval '1-2')::text AS a") == "1 year 2 mons"
+    # PG-only spellings now parse
+    assert one("SELECT (interval '1 mon')::text AS a") == "1 mon"
+    assert one("SELECT (interval '@ 2 days ago')::text AS a") == "-2 days"
+    # mixed-category literal: loud in Spark, calendar here
+    import datetime
+
+    assert one(
+        "SELECT timestamp '2024-01-01' + interval '1 mon 3 days' AS a"
+    ) == datetime.datetime(2024, 2, 4)
+    # computed day-time interval renders PG's justified form
+    assert one(
+        "SELECT (timestamp '2024-01-02 02:00' - "
+        "timestamp '2024-01-01 00:00')::text AS a"
+    ) == "1 day 02:00:00"
+    # year-month epoch: PG's split formula, not a flat average
+    assert one(
+        "SELECT extract(epoch FROM interval '14 months') AS a"
+    ) == 36741600
+
+
+def test_jsonb_aliases_and_containment_r10(lsql):
+    """r10 (verdict missing #4): jsonb_* spellings alias the json_*
+    surface, and json containment @> / <@ works when the CONTAINED
+    side is a json literal — literal-vs-literal folds at parse time
+    (PG jsonb_util.c semantics, numbers compared numerically),
+    column-vs-literal compiles to get_json_object path checks."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    # the judge's r9 probes
+    assert one(
+        """SELECT '{"a":1}'::jsonb @> '{"a":1}'::jsonb AS x"""
+    ) is True
+    assert sorted(
+        r[0] for r in lsql.sql(
+            """SELECT jsonb_object_keys('{"a":1,"b":2}') AS k"""
+        ).collect()
+    ) == ["a", "b"]
+    # structural containment corners
+    assert one(
+        """SELECT '{"a":{"b":[1,2]}}'::jsonb @>
+           '{"a":{"b":[2]}}'::jsonb AS x"""
+    ) is True
+    assert one("""SELECT '[1,2,3]'::jsonb @> '[3,1]'::jsonb AS x""") is True
+    assert one(
+        """SELECT '{"a":1}'::jsonb <@ '{"a":1,"b":2}'::jsonb AS x"""
+    ) is True
+    assert one(
+        """SELECT '{"a":1.0}'::jsonb @> '{"a":1}'::jsonb AS x"""
+    ) is True
+    assert one("""SELECT '{"a":1}'::jsonb @> '{"a":2}'::jsonb AS x""") is False
+    # column container: ORM filter idiom
+    lsql.sql("CREATE TABLE db.jb10 (k BIGINT, doc STRING)")
+    lsql.sql(
+        """INSERT INTO db.jb10 VALUES
+           (1, '{"a":1,"b":{"c":"x"},"tags":["red","blue"]}'),
+           (2, '{"a":2,"tags":["blue"]}'), (3, '{"a":1.0}')"""
+    )
+    got = lambda q: [r.k for r in lsql.sql(q).collect()]  # noqa: E731
+    assert got(
+        """SELECT k FROM db.jb10 WHERE doc::jsonb @> '{"a":1}'::jsonb
+           ORDER BY k"""
+    ) == [1, 3]
+    assert got(
+        """SELECT k FROM db.jb10
+           WHERE doc::jsonb @> '{"tags":["blue"]}'::jsonb ORDER BY k"""
+    ) == [1, 2]
+    assert got(
+        """SELECT k FROM db.jb10
+           WHERE doc::jsonb @> '{"b":{"c":"x"}}'::jsonb ORDER BY k"""
+    ) == [1]
+    # jsonb_ function aliases + extract_path
+    assert one("""SELECT jsonb_array_length('[1,2,3]') AS n""") == 3
+    assert one(
+        """SELECT jsonb_extract_path_text('{"a":{"b":"v"}}', 'a', 'b')
+           AS v"""
+    ) == "v"
+    assert one(
+        """SELECT json_extract_path('{"a":[10,20]}', 'a', '1') AS v"""
+    ) == "20"
+    # ARRAY @> / <@ keep their array semantics
+    assert one("SELECT array[1,2,3] @> array[2] AS x") is True
+    assert one("SELECT array[1,2] <@ array[1,2,3] AS x") is True
+
+
+def test_regexp_matches_global_r10(lsql):
+    """r10 (verdict missing #5): regexp_matches(s, pat, 'g') — PG's
+    multi-row SRF: one row per match, each row the text[] of capture
+    groups (the whole match when the pattern has no groups). The 'i'
+    flag composes; unknown flags stay loud."""
+    rows = lambda q: [list(r[0]) for r in lsql.sql(q).collect()]  # noqa: E731
+    assert rows(
+        "SELECT regexp_matches('foo bar baz', '[a-z]+', 'g') AS m"
+    ) == [["foo"], ["bar"], ["baz"]]
+    assert rows(
+        r"SELECT regexp_matches('a1b2c3', '([a-z])(\d)', 'g') AS m"
+    ) == [["a", "1"], ["b", "2"], ["c", "3"]]
+    assert rows(
+        r"SELECT regexp_matches('A1b2', '([a-z])(\d)', 'gi') AS m"
+    ) == [["A", "1"], ["b", "2"]]
+    # zero matches -> zero rows (not one NULL row)
+    assert rows("SELECT regexp_matches('xy', 'z', 'g') AS m") == []
+    # differential vs DuckDB on whole-match extraction
+    import duckdb
+
+    d = duckdb.sql(
+        "SELECT unnest(regexp_extract_all('foo bar baz', '[a-z]+')) AS m"
+    ).fetchall()
+    assert [r[0] for r in d] == ["foo", "bar", "baz"]
+
+
+def test_to_char_date_templates_r10(lsql):
+    """r10 (verdict item 7): the to_char datetime battery — PG
+    blank-pads Day/Month to 9 ('Tuesday  '), A.M. keeps its dots,
+    lowercase tokens render lowercase, FM unpads the NEXT token only,
+    WW/IW/Q/D/SSSS compute from date parts (Spark's formatter removed
+    the Java week patterns), and "quoted" literal text passes
+    through. All expectations are PG-pinned."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT to_char(date '2024-03-05', 'YYYY-MM') AS a") == "2024-03"
+    assert one("SELECT to_char(date '2024-03-05', 'Day') AS a") == "Tuesday  "
+    assert one("SELECT to_char(date '2024-03-05', 'FMDay') AS a") == "Tuesday"
+    assert one("SELECT to_char(date '2024-03-05', 'DAY') AS a") == "TUESDAY  "
+    assert one("SELECT to_char(date '2024-03-05', 'day') AS a") == "tuesday  "
+    assert one("SELECT to_char(date '2024-03-05', 'Month') AS a") == "March    "
+    assert one(
+        "SELECT to_char(date '2024-09-05', 'FMMonth FMDD, YYYY') AS a"
+    ) == "September 5, 2024"
+    assert one("SELECT to_char(date '2024-03-05', 'dy mon') AS a") == "tue mar"
+    assert one(
+        "SELECT to_char(timestamp '2024-03-05 14:30:00', "
+        "'HH12:MI A.M.') AS a"
+    ) == "02:30 P.M."
+    assert one("SELECT to_char(date '2024-01-05', 'WW') AS a") == "01"
+    assert one("SELECT to_char(date '2024-12-31', 'WW') AS a") == "53"
+    assert one("SELECT to_char(date '2024-03-05', 'Q') AS a") == "1"
+    assert one("SELECT to_char(date '2024-03-05', 'D') AS a") == "3"
+    assert one("SELECT to_char(date '2024-01-04', 'IW') AS a") == "01"
+    assert one(
+        "SELECT to_char(timestamp '2024-03-05 01:02:03', 'SSSS') AS a"
+    ) == "3723"
+    assert one(
+        "SELECT to_char(date '2024-03-05', 'YYYY \"of\" Month') AS a"
+    ) == "2024 of March    "
+    # the r9 numeric formatter is untouched
+    assert one("SELECT to_char(12.5, '99D9') AS a") == " 12.5"
+    assert one("SELECT to_char(-12.5, '99D9') AS a") == "-12.5"
+
+
+def test_to_number_r10(lsql):
+    """r10 (verdict item 7): to_number digit templates — grouping/
+    currency stripped, decimal sized from the template, S/MI sign
+    slots honored; RN/EEEE/V/PR stay loud."""
+    import decimal
+
+    D = decimal.Decimal
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT to_number('12,454.8-', '99G999D9S') AS a"
+    ) == D("-12454.8")
+    assert one("SELECT to_number('1234', '9999') AS a") == D("1234")
+    assert one(
+        "SELECT to_number('$1,234.56', 'L9G999D99') AS a"
+    ) == D("1234.56")
+    assert one("SELECT to_number('-567', 'S999') AS a") == D("-567")
+
+
+def test_justify_days_interval_r10(lsql):
+    """r10: justify_days / justify_interval — 30-day chunks fold into
+    months, producing the mixed-category (calendar) interval the r10
+    surface carries. Literal operands fold at parse time on PG's
+    unnormalized fields (justify_days keeps hours un-folded:
+    '48 hours' stays '48:00:00'); justify_interval also normalizes
+    mixed signs (PG timestamp.c)."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT justify_days(interval '35 days')::text AS a"
+    ) == "1 mon 5 days"
+    assert one(
+        "SELECT justify_days(interval '48 hours')::text AS a"
+    ) == "48:00:00"
+    assert one(
+        "SELECT justify_interval(interval '1 mon -1 hour')::text AS a"
+    ) == "29 days 23:00:00"
+    assert one(
+        "SELECT justify_interval(interval '35 days 27 hours')::text AS a"
+    ) == "1 mon 6 days 03:00:00"
+    assert one(
+        "SELECT extract(month FROM justify_days(interval '65 days')) "
+        "AS a"
+    ) == 2
+
+
+def test_string_fn_battery_r10(lsql):
+    """r10 battery (verdict item 7 cadence): string/array/numeric
+    corners probed PG-pinned. Confirmed-green corners are asserted to
+    stay; the round's additions: quote_nullable, parse_ident
+    (literal, parse-time fold), string_to_array NULL delimiter (one
+    element per char), scale()/min_scale() via decimal rendering."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    # confirmed green (PG-pinned, keep pinned)
+    assert one("SELECT left('abcde', -2) AS a") == "abc"
+    assert one("SELECT right('abcde', -2) AS a") == "cde"
+    assert one("SELECT repeat('ab', -1) AS a") == ""
+    assert one(
+        "SELECT overlay('Txxxxas' placing 'hom' from 2 for 4) AS a"
+    ) == "Thomas"
+    assert one("SELECT substring('alphabet', -2, 5) AS a") == "al"
+    assert one("SELECT lpad('hi', 1, 'xy') AS a") == "h"
+    assert one(
+        "SELECT array_to_string(array[1, NULL, 2], ',', '*') AS a"
+    ) == "1,*,2"
+    assert list(one("SELECT array_remove(array[1,2,1], 1) AS a")) == [2]
+    # PG initcap: a letter after a DIGIT is not a word start ('3b')
+    assert one(
+        "SELECT initcap('hi THOMAS-o''brien 3b') AS a"
+    ) == "Hi Thomas-O'Brien 3b"
+    # r10 additions
+    assert one("SELECT quote_nullable(NULL) AS a") == "NULL"
+    assert one("SELECT quote_nullable('it''s') AS a") == "'it''s'"
+    assert list(one(
+        "SELECT parse_ident('\"SomeSchema\".sometable') AS a"
+    )) == ["SomeSchema", "sometable"]
+    assert list(one("SELECT parse_ident('A.B.c') AS a")) == ["a", "b", "c"]
+    assert list(one("SELECT string_to_array('abc', NULL) AS a")) == [
+        "a", "b", "c",
+    ]
+    assert one("SELECT scale(8.4100) AS a") == 4
+    assert one("SELECT min_scale(8.4100) AS a") == 2
+    assert one("SELECT min_scale(8.0000) AS a") == 0
+
+
+def test_pg_constraint_reflection_r10(lsql):
+    """r10 (verdict missing #7 tail): pg_catalog.pg_constraint bound
+    from the lake catalog — PK ('p', conkey from row_key), UNIQUE
+    ('u'), CHECK ('c', consrc text), FK ('f', confrelid joins back to
+    pg_class) — the SQLAlchemy constraint-reflection join shape. The
+    NAMED ADD CONSTRAINT ... UNIQUE spelling also parses now."""
+    lsql.sql(
+        "CREATE TABLE db.pcr (uid BIGINT NOT NULL, email TEXT, "
+        "age INT, CHECK (age > 0)) WITH (row_key='uid')"
+    )
+    lsql.sql(
+        "ALTER TABLE db.pcr ADD CONSTRAINT pcr_email_key UNIQUE (email)"
+    )
+    lsql.sql("CREATE TABLE db.pcc (cid BIGINT, puid BIGINT)")
+    lsql.sql(
+        "ALTER TABLE db.pcc ADD CONSTRAINT pcc_fk FOREIGN KEY (puid) "
+        "REFERENCES db.pcr (uid)"
+    )
+    rows = lsql.sql(
+        "SELECT c.conname, c.contype, c.conkey FROM "
+        "pg_catalog.pg_constraint c "
+        "JOIN pg_catalog.pg_class r ON c.conrelid = r.oid "
+        "WHERE r.relname = 'pcr' ORDER BY c.contype, c.conname"
+    ).collect()
+    got = [(r.conname, r.contype, list(r.conkey) if r.conkey else None)
+           for r in rows]
+    assert ("pcr_pkey", "p", [1]) in got
+    assert any(t == "u" and k == [2] for _, t, k in got)
+    assert any(t == "c" for _, t, _ in got)
+    # FK row joins back to the referenced relation
+    fk = lsql.sql(
+        "SELECT c.conname, p.relname AS refrel "
+        "FROM pg_constraint c "
+        "JOIN pg_class r ON c.conrelid = r.oid "
+        "JOIN pg_class p ON c.confrelid = p.oid "
+        "WHERE r.relname = 'pcc' AND c.contype = 'f'"
+    ).collect()
+    assert [(f.conname, f.refrel) for f in fk] == [("pcc_fk", "pcr")]
+
+
+def test_age_interval_comparisons_r10(lsql):
+    """r10: age() compared against an interval literal (tenure-filter
+    idiom) — calendar intervals aren't orderable in Spark, so the
+    comparison compiles to PG's interval_cmp key on both sides
+    ((months*30 + days) days + time, timestamp.c)."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT age(timestamp '2024-03-01', timestamp '2024-01-31') "
+        "> interval '30 days' AS a"
+    ) is True
+    assert one(
+        "SELECT age(timestamp '2024-03-01', timestamp '2024-01-31') "
+        "> interval '31 days' AS a"
+    ) is False
+    assert one(
+        "SELECT age(timestamp '2024-03-01', timestamp '2024-01-31') "
+        "= interval '1 mon 1 day' AS a"
+    ) is True
+    # PG: 29 days < 1 mon (30) under interval_cmp
+    assert one(
+        "SELECT age(timestamp '2024-02-29', timestamp '2024-01-31') "
+        ">= interval '1 month' AS a"
+    ) is False
+    assert one(
+        "SELECT count(*) AS n FROM (SELECT 1) t WHERE "
+        "age(timestamp '2024-06-01', timestamp '2024-01-01') "
+        "> interval '4 months'"
+    ) == 1
