@@ -1855,6 +1855,32 @@ class LakeSQL:
             return masked
         if re.search(r"\bEXCLUDE\b", masked, re.IGNORECASE):
             return masked  # EXCLUDE clause: loud
+        # r10 (verdict missing #6): recurse into parenthesized
+        # subselects first — a GROUPS frame inside a CTE body or a
+        # FROM subquery is the same single-SELECT rewrite applied to
+        # the inner text. Each inner block gets its own guards.
+        out, pos = [], 0
+        changed = False
+        for pm in re.finditer(r"\(\s*SELECT\b", masked, re.IGNORECASE):
+            if pm.start() < pos:
+                continue
+            close = cls._balanced_end(masked, pm.start())
+            if close < 0:
+                continue
+            inner = masked[pm.start() + 1: close - 1]
+            if not cls._GROUPS_FRAME.search(inner):
+                continue
+            new_inner = cls._rewrite_groups_frames(inner)
+            out.append(masked[pos: pm.start() + 1])
+            out.append(new_inner)
+            out.append(")")
+            pos = close
+            if new_inner != inner:
+                changed = True
+        if changed:
+            masked = "".join(out) + masked[pos:]
+            if not cls._GROUPS_FRAME.search(masked):
+                return masked
         # depth-0 single-select shape only
         for kw in ("GROUP", "HAVING", "UNION", "INTERSECT", "EXCEPT",
                    "WINDOW"):
@@ -2676,7 +2702,28 @@ class LakeSQL:
         # would re-match and corrupt
         for m, _args, end in cls._call_sites(masked, "generate_series"):
             inner = masked[masked.index("(", m.start()) + 1: end - 1]
-            rep = f"explode(sequence({inner}))"
+            # PG yields ZERO rows when the step points away from stop
+            # (generate_series(1, 0) is empty); Spark's sequence
+            # auto-reverses on 2 args and ERRORS on a wrong-sign step.
+            # Guard with a CASE -> NULL array (explode(NULL) = no
+            # rows). The `start + step` comparison gets the step's
+            # sign for ANY step type (ints, day-time AND year-month
+            # intervals) without knowing it statically.
+            gsargs = _split_top_level(inner)
+            if len(gsargs) == 2:
+                a, b = (x.strip() for x in gsargs)
+                seq = f"CASE WHEN ({a}) <= ({b}) THEN sequence({a}, {b}) END"
+            elif len(gsargs) == 3:
+                a, b, c = (x.strip() for x in gsargs)
+                seq = (
+                    f"CASE WHEN (({b}) >= ({a}) "
+                    f"AND ({a}) + ({c}) >= ({a})) "
+                    f"OR (({b}) <= ({a}) AND ({a}) + ({c}) <= ({a})) "
+                    f"THEN sequence({a}, {b}, {c}) END"
+                )
+            else:
+                seq = f"sequence({inner})"
+            rep = f"explode({seq})"
             # FROM-position: PG names the output column (and implicit
             # correlation) ``generate_series``; a bare alias keeps the
             # PG column name too (``FROM generate_series(1,3) g`` →
@@ -5668,7 +5715,8 @@ class LakeSQL:
 
         _bpm = re.sub(
             r"(?<![\w.$])(pg_class|pg_namespace|pg_tables|pg_views"
-            r"|pg_attribute|pg_attrdef|pg_index|pg_constraint)"
+            r"|pg_attribute|pg_attrdef|pg_index|pg_constraint"
+            r"|pg_type|pg_enum)"
             r"\b(?!\s*[.($])",
             bind_bare_pg,
             _bpm,
@@ -5677,6 +5725,7 @@ class LakeSQL:
         bound = self._TT.sub(bind, s)
         masked, _lits = self._mask_strings(bound)
         masked = self._rewrite_typed_arith(masked, _lits)
+        masked = self._rewrite_float_round(masked, _lits)
         masked = self._rewrite_array_text_cast(masked, _lits)
         bound = self._unmask_strings(masked, _lits)
         wt = self._FETCH_TIES.search(masked)
@@ -5713,6 +5762,58 @@ class LakeSQL:
             for f in df.schema.fields
         ]
         return df.select(*cols)
+
+    def _rewrite_float_round(self, masked: str, lits: list[str]) -> str:
+        """r10 battery find: PG ``round(float8)`` is HALF-EVEN (C
+        rint: round(2.5::float8) = 2) while Spark's round is half-up
+        — a silent divergence on exact .5 doubles. Single-arg round
+        whose operand trial-types float/double rewrites to Spark's
+        ``bround`` (HALF_EVEN). Numeric/decimal operands keep round
+        (PG numeric rounding is half-away, which Spark's round
+        matches). Fails OPEN on untypable operands."""
+        if not re.search(r"\bround\s*\(", masked, re.IGNORECASE):
+            return masked
+        frame_memo: list = []
+
+        def frame():
+            if not frame_memo:
+                frame_memo.append(self._typing_frame(masked, lits))
+            return frame_memo[0]
+
+        out = masked
+        for m in reversed(
+            list(re.finditer(r"\bround\s*\(", out, re.IGNORECASE))
+        ):
+            end = self._balanced_end(out, out.index("(", m.start()))
+            if end < 0:
+                continue
+            args = _split_top_level(out[m.end(): end - 1])
+            if len(args) != 1:
+                continue  # two-arg round: numeric path in PG
+            a0 = args[0].strip()
+            if "->" in a0 or re.search(r"\b__[pq]\b", a0):
+                continue
+            fr = frame()
+            if fr is None:
+                continue
+            try:
+                dt = (
+                    fr.select(
+                        F.expr(
+                            self._spark_text(
+                                self._unmask_strings(a0, lits)
+                            )
+                        )
+                    ).schema[0].dataType.simpleString()
+                )
+            except Exception:
+                continue
+            if dt not in ("double", "float"):
+                continue
+            out = (
+                out[: m.start()] + f"bround({a0})" + out[end:]
+            )
+        return out
 
     def _rewrite_array_text_cast(self, masked: str, lits: list[str]) -> str:
         """``array_expr::text`` renders PG's ``{1,2,3}`` form, not
@@ -9683,6 +9784,43 @@ class LakeSQL:
                 "contype string, conrelid bigint, conkey array<int>, "
                 "confrelid bigint, consrc string",
             )
+        elif rel in ("pg_type", "pg_enum"):
+            # r10: type reflection — base types carry their REAL PG
+            # OIDs (so pg_attribute.atttypid joins to typname), ENUM
+            # types from the catalog get typtype 'e' rows + pg_enum
+            # labels in declaration order (the SQLAlchemy enum
+            # reflection join).
+            pg_names = {
+                20: "int8", 23: "int4", 21: "int2", 701: "float8",
+                700: "float4", 25: "text", 1043: "varchar",
+                1042: "bpchar", 16: "bool", 1082: "date",
+                1114: "timestamp", 1700: "numeric", 17: "bytea",
+            }
+            lt = getattr(self.catalog, "_load_types", None)
+            enums = sorted((lt() if lt else {}).items())
+            if rel == "pg_type":
+                rows = [
+                    (oid, nm, "b", 11) for oid, nm in pg_names.items()
+                ] + [
+                    (60000 + i, nm, "e", 2200)
+                    for i, (nm, _) in enumerate(enums)
+                ]
+                df = self.spark.createDataFrame(
+                    rows,
+                    "oid bigint, typname string, typtype string, "
+                    "typnamespace bigint",
+                )
+            else:
+                rows = [
+                    (70000 + i * 100 + j, 60000 + i, float(j + 1), lab)
+                    for i, (_, labs) in enumerate(enums)
+                    for j, lab in enumerate(labs)
+                ]
+                df = self.spark.createDataFrame(
+                    rows or [],
+                    "oid bigint, enumtypid bigint, "
+                    "enumsortorder double, enumlabel string",
+                )
         else:
             return None  # unknown pg_catalog relation: loud downstream
         view = f"__lake_pg_catalog_{rel}"

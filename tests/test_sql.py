@@ -5320,3 +5320,89 @@ def test_age_interval_comparisons_r10(lsql):
         "age(timestamp '2024-06-01', timestamp '2024-01-01') "
         "> interval '4 months'"
     ) == 1
+
+
+def test_pg_type_enum_reflection_r10(lsql):
+    """r10: pg_type + pg_enum — base types carry REAL PG OIDs so
+    pg_attribute.atttypid joins to typname; ENUM types get typtype
+    'e' rows with pg_enum labels in declaration order (the
+    SQLAlchemy enum-reflection join shape)."""
+    lsql.sql("CREATE TYPE mood10t AS ENUM ('sad', 'ok', 'happy')")
+    lsql.sql("CREATE TABLE db.ptr (uid BIGINT, name TEXT)")
+    rows = lsql.sql(
+        "SELECT t.typname, e.enumlabel FROM pg_catalog.pg_type t "
+        "JOIN pg_catalog.pg_enum e ON e.enumtypid = t.oid "
+        "WHERE t.typtype = 'e' AND t.typname = 'mood10t' "
+        "ORDER BY e.enumsortorder"
+    ).collect()
+    assert [(r.typname, r.enumlabel) for r in rows] == [
+        ("mood10t", "sad"), ("mood10t", "ok"), ("mood10t", "happy"),
+    ]
+    rows = lsql.sql(
+        "SELECT a.attname, t.typname FROM pg_attribute a "
+        "JOIN pg_type t ON a.atttypid = t.oid "
+        "JOIN pg_class c ON a.attrelid = c.oid "
+        "WHERE c.relname = 'ptr' ORDER BY a.attnum"
+    ).collect()
+    assert [(r.attname, r.typname) for r in rows] == [
+        ("uid", "int8"), ("name", "text"),
+    ]
+
+
+def test_groups_frames_in_subqueries_r10(lsql):
+    """r10 (verdict missing #6): GROUPS frames inside CTE bodies and
+    FROM subqueries — the single-SELECT rewrite recurses into each
+    parenthesized subselect with its own guards."""
+    rows = lambda q: [tuple(r) for r in lsql.sql(q).collect()]  # noqa: E731
+    V = "(VALUES (1,'a'),(2,'a'),(3,'b'),(4,'c'),(5,'c'),(6,'c')) t(k, g)"
+    assert rows(
+        f"WITH s AS (SELECT k, sum(k) OVER (ORDER BY g GROUPS BETWEEN "
+        f"1 PRECEDING AND CURRENT ROW) AS sm FROM {V}) "
+        f"SELECT k, sm FROM s ORDER BY k"
+    ) == [(1, 3), (2, 3), (3, 6), (4, 18), (5, 18), (6, 18)]
+    assert rows(
+        f"SELECT max(sm) AS m FROM (SELECT sum(k) OVER (ORDER BY g "
+        f"GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS sm "
+        f"FROM {V}) x"
+    ) == [(18,)]
+
+
+def test_round_float8_half_even_r10(lsql):
+    """r10 battery find: PG round(float8) is HALF-EVEN (C rint) where
+    Spark rounds half-up — single-arg round over a double operand
+    rewrites to bround via trial typing; numeric operands keep
+    half-away (PG numeric rounding)."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    lsql.sql("CREATE TABLE db.rnd10 (d DOUBLE, n DECIMAL(5,1))")
+    lsql.sql("INSERT INTO db.rnd10 VALUES (2.5, 2.5), (-2.5, -2.5)")
+    assert one("SELECT round(2.5::float8) AS a") == 2.0
+    assert one("SELECT round(3.5::float8) AS a") == 4.0
+    assert one("SELECT round(-2.5::float8) AS a") == -2.0
+    assert one("SELECT round(2.5) AS a") == 3  # numeric: half-away
+    assert one("SELECT round(d) AS a FROM db.rnd10 WHERE d = 2.5") == 2.0
+    assert one(
+        "SELECT round(n) AS a FROM db.rnd10 WHERE n = 2.5"
+    ) == 3
+
+
+def test_generate_series_empty_direction_r10(lsql):
+    """r10 battery find: PG generate_series yields ZERO rows when the
+    step points away from stop (generate_series(1, 0) is empty) —
+    Spark's sequence silently auto-reverses on 2 args and errors on a
+    wrong-sign step. Guarded with a CASE -> NULL (explode = no rows);
+    the start+step trick signs the step for ints AND both interval
+    categories."""
+    rows = lambda q: [r[0] for r in lsql.sql(q).collect()]  # noqa: E731
+    assert rows("SELECT generate_series(1, 0) AS g") == []
+    assert rows("SELECT generate_series(1, 3) AS g") == [1, 2, 3]
+    assert rows("SELECT generate_series(5, 1, -2) AS g") == [5, 3, 1]
+    assert rows("SELECT generate_series(1, 5, -1) AS g") == []
+    assert rows("SELECT generate_series(5, 1, 1) AS g") == []
+    assert rows(
+        "SELECT generate_series(date '2024-03-01', date '2024-01-01', "
+        "interval '1 month') AS g"
+    ) == []
+    assert len(rows(
+        "SELECT generate_series(date '2024-01-01', date '2024-03-01', "
+        "interval '1 month') AS g"
+    )) == 3
