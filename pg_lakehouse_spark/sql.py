@@ -2694,6 +2694,48 @@ class LakeSQL:
                 f"FROM (SELECT posexplode({inner}))) AS {alias}"
             )
             masked = masked[: m.start()] + rep + masked[tail_at + consumed:]
+        # multi-array unnest(a1, a2, ...) AS t(c1, c2, ...) — PG zips
+        # with NULL padding to the longest input (r10). Emitted as an
+        # index walk with try_element_at (NULL past the end, exactly
+        # PG's padding); requires the explicit column alias list (PG's
+        # default duplicate 'unnest' names are useless anyway).
+        for m, zargs, end in cls._call_sites(masked, "unnest"):
+            if len(zargs) < 2:
+                continue
+            head = masked[: m.start()].rstrip()
+            if not (
+                head.endswith(",")
+                or re.search(
+                    r"\b(?:FROM|JOIN|LATERAL)$", head, re.IGNORECASE
+                )
+            ):
+                continue
+            am = re.match(
+                rf"\s*(?:AS\s+)?({_IDENT})\s*\(\s*"
+                rf"({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)",
+                masked[end:], re.IGNORECASE,
+            )
+            if not am:
+                continue
+            cols = [c.strip() for c in am.group(2).split(",")]
+            if len(cols) != len(zargs):
+                continue
+            g = "greatest(" + ", ".join(
+                f"size({a.strip()})" for a in zargs
+            ) + ")"
+            st = ", ".join(
+                f"try_element_at({a.strip()}, __ui) AS {c}"
+                for a, c in zip(zargs, cols)
+            )
+            sels = ", ".join(f"__uz.{c} AS {c}" for c in cols)
+            lat = "LATERAL " if head.endswith(",") else ""
+            rep = (
+                f"{lat}(SELECT {sels} FROM (SELECT explode("
+                f"CASE WHEN {g} > 0 THEN transform(sequence(1, {g}), "
+                f"__ui -> struct({st})) END) AS __uz)) "
+                f"AS {am.group(1)}"
+            )
+            masked = masked[: m.start()] + rep + masked[end + am.end():]
         masked = re.sub(r"\bunnest\s*\(", "explode(", masked,
                         flags=re.IGNORECASE)
         # sites collected up front and edited LAST-TO-FIRST: the
@@ -3230,6 +3272,59 @@ class LakeSQL:
             masked = (
                 masked[: m.start()]
                 + f"({args[0].strip()})"
+                + masked[end:]
+            )
+        # r10 array-kit tail: array_positions (1-based index list,
+        # IS NOT DISTINCT FROM matching like PG), array_fill (1-D),
+        # generate_subscripts (dim 1), trim_array
+        for m, args, end in cls._call_sites(masked, "array_positions"):
+            if len(args) != 2:
+                continue
+            a0, a1 = args[0].strip(), args[1].strip()
+            masked = (
+                masked[: m.start()]
+                + f"filter(transform(({a0}), (__ap, __ai) -> "
+                f"CASE WHEN __ap <=> ({a1}) THEN __ai + 1 END), "
+                f"__ax -> __ax IS NOT NULL)"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "array_fill"):
+            if len(args) != 2:
+                continue
+            # the PG array[..] ctor became array(..) in the earlier
+            # array pass — accept both spellings
+            dm = re.fullmatch(
+                r"\s*array\s*[\[(]\s*(.+?)\s*[\])]\s*", args[1],
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not dm or "," in dm.group(1):
+                continue  # multi-dim bounds: loud
+            masked = (
+                masked[: m.start()]
+                + f"array_repeat({args[0].strip()}, "
+                f"int({dm.group(1)}))"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(
+            masked, "generate_subscripts"
+        ):
+            if len(args) != 2 or args[1].strip() != "1":
+                continue  # dims > 1 / reverse form: loud
+            a0 = args[0].strip()
+            masked = (
+                masked[: m.start()]
+                + f"explode(CASE WHEN size({a0}) > 0 "
+                f"THEN sequence(1, size({a0})) END)"
+                + masked[end:]
+            )
+        for m, args, end in cls._call_sites(masked, "trim_array"):
+            if len(args) != 2:
+                continue
+            a0, a1 = args[0].strip(), args[1].strip()
+            masked = (
+                masked[: m.start()]
+                + f"slice(({a0}), 1, "
+                f"greatest(size({a0}) - ({a1}), 0))"
                 + masked[end:]
             )
         # jsonb_* aliases (r10, verdict missing #4): PG exposes every
@@ -4052,6 +4147,15 @@ class LakeSQL:
             bool_lit,
             masked,
             flags=re.IGNORECASE,
+        )
+        # COLLATE "C"/"POSIX"/"ucs_basic"/"default" — all code-point
+        # order, which Spark's binary UTF-8 comparison already is:
+        # strip the clause (the quoted spelling became a bare/backtick
+        # identifier in the pass above). Locale collations (en_US...)
+        # would silently change ordering — they stay, loud.
+        masked = re.sub(
+            r"\s+COLLATE\s+`?(?:C|POSIX|ucs_basic|default)`?(?![\w$])",
+            "", masked, flags=re.IGNORECASE,
         )
         masked = cls._COLONCAST.sub(
             lambda m: "::"

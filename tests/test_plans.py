@@ -478,3 +478,16 @@ def test_keyset_pagination_pushdown_r9(spark, sf_dir):
     assert "cust" in pushed, f"keyset column not pushed: {pushed}"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_age_interval_expression_only_r10(spark, sf_dir):
+    """r10: the age()/interval fidelity surface is pure expression
+    emission — the q_age_intervals plan must contain NO Python UDF
+    stage, and the o_orderkey range predicate must reach the parquet
+    scan (the decomposition runs inside whole-stage codegen on every
+    executor; at 100 TB a row-UDF here would dominate the job)."""
+    df = REGISTRY["q_age_intervals"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "o_orderkey" in " ".join(sorted(pushed_filter_columns(df)))

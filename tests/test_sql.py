@@ -5406,3 +5406,51 @@ def test_generate_series_empty_direction_r10(lsql):
         "SELECT generate_series(date '2024-01-01', date '2024-03-01', "
         "interval '1 month') AS g"
     )) == 3
+
+
+def test_collate_c_stripped_r10(lsql):
+    """r10: COLLATE "C"/"POSIX"/"ucs_basic"/"default" strip away —
+    all code-point order, which Spark's binary UTF-8 comparison
+    already is. Locale collations stay loud (they'd silently change
+    ordering)."""
+    import pytest as _pytest
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one('SELECT \'b\' > \'a\' COLLATE "C" AS a') is True
+    got = [
+        r.x for r in lsql.sql(
+            "SELECT x FROM (VALUES ('b'),('a'),('B')) t(x) "
+            'ORDER BY x COLLATE "C"'
+        ).collect()
+    ]
+    assert got == ["B", "a", "b"]  # byte order, not locale order
+    with _pytest.raises(Exception):
+        lsql.sql(
+            'SELECT \'b\' > \'a\' COLLATE "en_US" AS a'
+        ).collect()
+
+
+def test_array_kit_tail_r10(lsql):
+    """r10 array-kit tail: array_positions (1-based, IS NOT DISTINCT
+    FROM matching), array_fill (1-D), generate_subscripts (dim 1),
+    trim_array, and the multi-array zip form of unnest (NULL padding
+    to the longest input, PG semantics)."""
+    rows = lambda q: [
+        tuple(r) if len(r) > 1 else r[0]
+        for r in lsql.sql(q).collect()
+    ]  # noqa: E731
+    assert list(rows(
+        "SELECT array_positions(array['a','b','a'], 'a') AS x"
+    )[0]) == [1, 3]
+    assert list(rows(
+        "SELECT array_positions(array['a',NULL], NULL) AS x"
+    )[0]) == [2]
+    assert list(rows("SELECT array_fill(7, array[3]) AS x")[0]) == [7, 7, 7]
+    assert rows(
+        "SELECT generate_subscripts(array['x','y'], 1) AS s"
+    ) == [1, 2]
+    assert list(rows("SELECT trim_array(array[1,2,3], 1) AS x")[0]) == [1, 2]
+    assert rows(
+        "SELECT a, b FROM unnest(array[1,2,3], array['x','y']) "
+        "AS t(a, b)"
+    ) == [(1, "x"), (2, "y"), (3, None)]
