@@ -3465,6 +3465,64 @@ class LakeSQL:
             r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()",
             masked, flags=re.IGNORECASE,
         )
+        # PG bare localtime = session-local time-of-day (Spark 4's
+        # TIME-typed current_time)
+        masked = re.sub(
+            r"\blocaltime\b(?!\s*\(|stamp)", "current_time",
+            masked, flags=re.IGNORECASE,
+        )
+        # PG named-argument call syntax for make_interval:
+        # make_interval(months => 2, days => 1) → positional
+        for m, args, end in cls._call_sites(masked, "make_interval"):
+            if not any("=>" in a for a in args):
+                continue
+            slots = {
+                "years": "0", "months": "0", "weeks": "0",
+                "days": "0", "hours": "0", "mins": "0", "secs": "0",
+            }
+            ok = True
+            for a in args:
+                nm, _, val = a.partition("=>")
+                nm = nm.strip().lower()
+                if nm not in slots or not val.strip():
+                    ok = False
+                    break
+                slots[nm] = val.strip()
+            if not ok:
+                continue  # unknown slot: loud
+            masked = (
+                masked[: m.start()]
+                + "make_interval("
+                + ", ".join(slots[k] for k in (
+                    "years", "months", "weeks", "days", "hours",
+                    "mins", "secs",
+                ))
+                + ")"
+                + masked[end:]
+            )
+        # extract(timezone[_hour|_minute] FROM ts): the session
+        # offset at that instant, via from_utc_timestamp against the
+        # RUNTIME session zone (SET TIME ZONE changes it)
+        def tz_extract(tm: re.Match) -> str:
+            fld = tm.group(1).lower()
+            x = tm.group(2).strip()
+            off = (
+                f"cast((unix_micros(from_utc_timestamp(cast(({x}) as "
+                f"timestamp), current_timezone())) - "
+                f"unix_micros(cast(({x}) as timestamp))) div 1000000 "
+                "as bigint)"
+            )
+            if fld == "timezone":
+                return f"({off})"
+            if fld == "timezone_hour":
+                return f"({off} div 3600)"
+            return f"(({off} div 60) % 60)"
+
+        masked = re.sub(
+            r"\bextract\s*\(\s*(timezone(?:_hour|_minute)?)\s+FROM"
+            r"\s+([^()]*)\)",
+            tz_extract, masked, flags=re.IGNORECASE,
+        )
         for m, args, end in cls._call_sites(masked, "quote_literal"):
             if len(args) != 1:
                 continue

@@ -5454,3 +5454,101 @@ def test_array_kit_tail_r10(lsql):
         "SELECT a, b FROM unnest(array[1,2,3], array['x','y']) "
         "AS t(a, b)"
     ) == [(1, "x"), (2, "y"), (3, None)]
+
+
+def test_interval_parse_differential_vs_duckdb_r10():
+    """r10: 400 seeded-random interval literals x 7 extract fields,
+    differential against DuckDB (whose interval storage/extract is
+    PG-compatible — including the split epoch formula). The one known
+    DuckDB-vs-PG difference: DuckDB truncates extract(second) to an
+    integer where PG keeps the fraction — compared truncated."""
+    import math
+    import random
+
+    import duckdb
+
+    from pg_lakehouse_spark.sql import (
+        _parse_pg_interval,
+        _pg_interval_field,
+    )
+
+    rng = random.Random(7)
+    units = [
+        "microseconds", "milliseconds", "seconds", "minutes", "hours",
+        "days", "weeks", "months", "years",
+    ]
+    fields = ["year", "month", "day", "hour", "minute", "second",
+              "epoch"]
+    for _ in range(400):
+        txt = " ".join(
+            f"{rng.randint(-40, 200)} {rng.choice(units)}"
+            for _ in range(rng.randint(1, 3))
+        )
+        v = _parse_pg_interval(txt)
+        assert v is not None, txt
+        for f in fields:
+            ours = float(_pg_interval_field(f, *v))
+            duck = float(duckdb.sql(
+                f"SELECT extract({f} FROM interval '{txt}') AS x"
+            ).fetchone()[0])
+            if f == "second":
+                ours = math.trunc(ours)
+            if f == "epoch":
+                assert abs(ours - duck) <= 1e-6 * max(1, abs(duck)), (
+                    txt, f, ours, duck,
+                )
+            else:
+                assert ours == duck, (txt, f, ours, duck)
+
+
+def test_render_pg_interval_pinned_r10():
+    """PG-pinned postgres-style rendering table for the Python
+    renderer (EncodeInterval semantics: plural at != 1, '+' on a
+    positive field straight after a negative one, time printed when
+    nonzero or everything is zero, fraction trimmed)."""
+    from pg_lakehouse_spark.sql import _render_pg_interval as R
+
+    US = 1_000_000
+    assert R(0, 0, 0) == "00:00:00"
+    assert R(0, 1, 0) == "1 day"
+    assert R(0, -1, 0) == "-1 days"
+    assert R(14, 3, 0) == "1 year 2 mons 3 days"
+    assert R(0, 0, 5400 * US) == "01:30:00"
+    assert R(0, 0, 26 * 3600 * US) == "26:00:00"
+    assert R(0, 0, -(90 * 60 * US)) == "-01:30:00"
+    assert R(0, 0, 1_500_000) == "00:00:01.5"
+    assert R(-1, 1, 0) == "-1 mons +1 day"
+    assert R(1, -1, 0) == "1 mon -1 days"
+    assert R(0, -1, 3600 * US) == "-1 days +01:00:00"
+    assert R(12, 0, 0) == "1 year"
+    assert R(-24, 0, 0) == "-2 years"
+
+
+def test_localtime_named_args_timezone_extract_r10(lsql):
+    """r10 probe tail: bare ``localtime`` (Spark 4 TIME-typed
+    current_time), PG named-argument make_interval
+    (months => 2, ...), and extract(timezone[_hour|_minute]) — the
+    session offset at that instant via from_utc_timestamp against
+    the RUNTIME zone (SET TIME ZONE changes it, DST-aware)."""
+    import datetime
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert isinstance(one("SELECT localtime AS a"), datetime.time)
+    assert one("SELECT make_interval(months => 2)::text AS a") == "2 mons"
+    assert one(
+        "SELECT make_interval(days => 1, hours => 3)::text AS a"
+    ) == "1 day 03:00:00"
+    assert one(
+        "SELECT extract(timezone FROM current_timestamp) AS a"
+    ) == 0
+    lsql.sql("SET TIME ZONE 'America/New_York'")
+    try:
+        assert one(
+            "SELECT extract(timezone_hour FROM "
+            "timestamp '2024-06-01') AS a"
+        ) == -4  # EDT
+        assert one(
+            "SELECT extract(timezone FROM timestamp '2024-01-15') AS a"
+        ) == -18000  # EST
+    finally:
+        lsql.sql("SET TIME ZONE DEFAULT")
