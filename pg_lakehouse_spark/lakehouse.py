@@ -5710,6 +5710,56 @@ class LakeCatalog:
     def enum_labels(self, name: str) -> list[str] | None:
         return self._load_types().get(name)
 
+    # -- SQL functions (PG CREATE FUNCTION ... LANGUAGE SQL; the
+    # single-expression subset macro-expands at call sites, r10)
+
+    def _funcs_path(self) -> str:
+        return os.path.join(self.warehouse, "_funcs.json")
+
+    def _load_funcs(self) -> dict:
+        if not os.path.exists(self._funcs_path()):
+            return {}
+        with open(self._funcs_path()) as f:
+            return json.load(f)
+
+    def create_sql_function(
+        self, name: str, params: list[str], body: str,
+        replace: bool = False,
+    ) -> None:
+        with self._seqs_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            funcs = self._load_funcs()
+            if name in funcs and not replace:
+                raise LakehouseError(
+                    f"function {name!r} already exists"
+                )
+            funcs[name] = {"params": params, "body": body}
+            tmp = self._funcs_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(funcs, f)
+            os.replace(tmp, self._funcs_path())
+
+    def drop_sql_function(
+        self, name: str, if_exists: bool = False
+    ) -> None:
+        with self._seqs_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            funcs = self._load_funcs()
+            if name not in funcs:
+                if if_exists:
+                    return
+                raise LakehouseError(
+                    f"function {name!r} does not exist"
+                )
+            del funcs[name]
+            tmp = self._funcs_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(funcs, f)
+            os.replace(tmp, self._funcs_path())
+
+    def sql_functions(self) -> dict:
+        return self._load_funcs()
+
     # -- namespaces (PG CREATE/DROP SCHEMA; ref maps PG schema ≡
     # Iceberg namespace, catalog/pg_catalog.h:29)
 

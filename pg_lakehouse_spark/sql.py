@@ -4637,6 +4637,7 @@ class LakeSQL:
 
     def _route_stmt(self, stmt: str):
         s = stmt.strip().rstrip(";").strip()
+        s = self._expand_sql_functions(s)
         s = self._pg_dialect(s).strip()
         if self._PARSE_TIME_FN.search(s):
             s = self._parse_time_fns(s)
@@ -4897,6 +4898,11 @@ class LakeSQL:
                 return self._create_index(s)
             if re.match(r"CREATE\s+SEQUENCE\b", s, re.IGNORECASE):
                 return self._create_sequence(s)
+            if re.match(
+                r"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\b", s,
+                re.IGNORECASE,
+            ):
+                return self._create_function(s)
             if re.match(r"CREATE\s+TYPE\b", s, re.IGNORECASE):
                 return self._create_type(s)
             if re.match(r"CREATE\s+MATERIALIZED\s+VIEW", s, re.IGNORECASE):
@@ -4931,6 +4937,16 @@ class LakeSQL:
         if head == "DROP":
             if re.match(r"DROP\s+INDEX\b", s, re.IGNORECASE):
                 return self._drop_index(s)
+            fn = re.match(
+                rf"DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?({_IDENT})"
+                r"\s*(?:\([^()]*\))?$",
+                s, re.IGNORECASE,
+            )
+            if fn:
+                self.catalog.drop_sql_function(
+                    fn.group(2).lower(), if_exists=bool(fn.group(1))
+                )
+                return None
             sq = re.match(
                 rf"DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?"
                 rf"(?:({_IDENT})\.)?({_IDENT})$",
@@ -5878,7 +5894,7 @@ class LakeSQL:
         _bpm = re.sub(
             r"(?<![\w.$])(pg_class|pg_namespace|pg_tables|pg_views"
             r"|pg_attribute|pg_attrdef|pg_index|pg_constraint"
-            r"|pg_type|pg_enum)"
+            r"|pg_type|pg_enum|pg_proc)"
             r"\b(?!\s*[.($])",
             bind_bare_pg,
             _bpm,
@@ -8234,6 +8250,142 @@ class LakeSQL:
         self.catalog.create_enum_type(m.group(2).lower(), labels)
         return None
 
+    # -- SQL functions (r10): PG CREATE FUNCTION ... LANGUAGE SQL,
+    # single-expression subset, macro-expanded at call sites --------
+
+    def _create_function(self, s: str):
+        """``CREATE [OR REPLACE] FUNCTION f(a int, b text) RETURNS t
+        AS '<SELECT expr>' LANGUAGE SQL [volatility...]`` — the
+        single-expression LANGUAGE SQL subset (PG's inlinable scalar
+        functions; the planner macro-expands these in PG too). Bodies
+        with FROM / multiple statements / other languages stay loud.
+        Dollar-quoted bodies already arrived as plain literals (the
+        r7 literal kit)."""
+        masked, lits = self._mask_strings(s)
+        m = re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+"
+            rf"(?:({_IDENT})\.)?({_IDENT})\s*\(([^()]*)\)\s*"
+            rf"(.*)$",
+            masked, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise LakehouseError(
+                f"cannot parse CREATE FUNCTION: {s[:80]!r}"
+            )
+        tail = m.group(5)
+        if not re.search(r"\bLANGUAGE\s+SQL\b", tail, re.IGNORECASE):
+            raise LakehouseError(
+                "only LANGUAGE SQL functions are supported"
+            )
+        bm = re.search(r"\bAS\s+\x00(\d+)\x00", tail, re.IGNORECASE)
+        if not bm:
+            raise LakehouseError(
+                "CREATE FUNCTION needs AS '<body>' (or $$body$$)"
+            )
+        body = lits[int(bm.group(1))][1:-1].replace("''", "'").strip()
+        body = body.rstrip(";").strip()
+        eb = re.match(r"SELECT\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
+        if not eb or re.search(
+            r"\bFROM\b|;", self._mask_strings(eb.group(1))[0],
+            re.IGNORECASE,
+        ):
+            raise LakehouseError(
+                "only single-expression SQL bodies are supported "
+                "(SELECT <expr> with no FROM)"
+            )
+        expr = eb.group(1).strip()
+        params: list[str] = []
+        for p in _split_top_level(m.group(4)):
+            if not p.strip():
+                continue
+            toks = p.strip().split()
+            # 'a int' → named; bare 'int' → positional-only ($1)
+            params.append(toks[0].lower() if len(toks) > 1 else "")
+        self.catalog.create_sql_function(
+            m.group(3).lower(), params, expr,
+            replace=bool(m.group(1)),
+        )
+        return None
+
+    def _expand_sql_functions(self, s: str) -> str:
+        """Macro-expand registered SQL-function call sites (bounded
+        fixpoint for function-calls-function; self-recursion exceeds
+        the cap and fails loudly)."""
+        if re.match(
+            r"\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION|DROP\s+"
+            r"FUNCTION)\b",
+            s, re.IGNORECASE,
+        ):
+            return s
+        funcs = None
+        for _ in range(10):
+            if funcs is None:
+                lf = getattr(self.catalog, "sql_functions", None)
+                funcs = lf() if lf else {}
+                if not funcs:
+                    return s
+                pat = re.compile(
+                    r"\b(" + "|".join(
+                        re.escape(n) for n in funcs
+                    ) + r")\s*\(",
+                    re.IGNORECASE,
+                )
+            masked, lits = self._mask_strings(s)
+            changed = False
+            for m in reversed(list(pat.finditer(masked))):
+                end = self._balanced_end(
+                    masked, masked.index("(", m.start())
+                )
+                if end < 0:
+                    continue
+                fd = funcs[m.group(1).lower()]
+                args = [
+                    a for a in _split_top_level(
+                        masked[masked.index("(", m.start()) + 1:
+                               end - 1]
+                    ) if a.strip()
+                ]
+                if len(args) != len(fd["params"]):
+                    continue  # arity mismatch: leave loud
+                # merge the body's OWN literals into the outer table
+                # FIRST (bmask then holds only outer-table tokens);
+                # arg substitution may then inject outer tokens freely
+                bmask = self._mask_and_merge(fd["body"], lits)
+                for i, (pname, aval) in enumerate(
+                    zip(fd["params"], args), start=1
+                ):
+                    rep = f"({aval.strip()})".replace("\\", "\\\\")
+                    bmask = re.sub(rf"\${i}\b", rep, bmask)
+                    if pname:
+                        bmask = re.sub(
+                            rf"\b{re.escape(pname)}\b", rep, bmask,
+                            flags=re.IGNORECASE,
+                        )
+                masked = (
+                    masked[: m.start()]
+                    + "(" + bmask + ")"
+                    + masked[end:]
+                )
+                changed = True
+            s = self._unmask_strings(masked, lits)
+            if not changed:
+                return s
+        raise LakehouseError(
+            "SQL function expansion did not terminate (recursive "
+            "function?)"
+        )
+
+    def _mask_and_merge(self, text: str, lits: list[str]) -> str:
+        """Mask ``text``'s literals into the CALLER's literal table so
+        the merged masked strings unmask together."""
+        tmask, tlits = self._mask_strings(text)
+
+        def remap(mm: re.Match) -> str:
+            lits.append(tlits[int(mm.group(1))])
+            return f"\x00{len(lits) - 1}\x00"
+
+        return re.sub(r"\x00(\d+)\x00", remap, tmask)
+
     def _rewrite_sequence_fns(self, s: str) -> str:
         """nextval / currval / setval / lastval with LITERAL sequence
         names, resolved at parse time. nextval over a ROW SOURCE
@@ -9983,6 +10135,23 @@ class LakeSQL:
                     "oid bigint, enumtypid bigint, "
                     "enumsortorder double, enumlabel string",
                 )
+        elif rel == "pg_proc":
+            # r10: user-created LANGUAGE SQL functions (the engine
+            # has no other user-function surface, so this IS the
+            # complete set — psql \df and ORM function reflection see
+            # the truth, not an error)
+            lf = getattr(self.catalog, "sql_functions", None)
+            funcs = sorted((lf() if lf else {}).items())
+            rows = [
+                (80000 + i, nm, 2200, "f", len(fd.get("params", [])),
+                 fd.get("body"))
+                for i, (nm, fd) in enumerate(funcs)
+            ]
+            df = self.spark.createDataFrame(
+                rows or [],
+                "oid bigint, proname string, pronamespace bigint, "
+                "prokind string, pronargs int, prosrc string",
+            )
         else:
             return None  # unknown pg_catalog relation: loud downstream
         view = f"__lake_pg_catalog_{rel}"

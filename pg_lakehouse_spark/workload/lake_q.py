@@ -1996,3 +1996,52 @@ def lake_sequence_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.sql("DROP TYPE tsize9")
     return out
+
+
+@register(
+    "lake_sql_function",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(round(sum(o_totalprice * (1 + 0.07)), 2) AS DOUBLE)
+           AS taxed,
+       count(*) AS n
+FROM orders
+WHERE o_orderkey <= 4000
+  AND (CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END)
+      = 'big'
+GROUP BY o_orderstatus
+""",
+    tags=("sql-frontend", "sql-function"),
+)
+def lake_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: CREATE FUNCTION ... LANGUAGE SQL (single-expression
+    subset) macro-expanded at call sites — PG's planner inlines these
+    scalar functions the same way, so the DuckDB oracle runs the
+    INLINED equivalent text. Two functions compose (one calls the
+    other through a CASE); expansion happens before the dialect
+    passes, so PG-isms inside bodies work."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "sqlfn")
+    q = LakeSQL(spark, cat)
+    q.sql("DROP FUNCTION IF EXISTS add_tax10")
+    q.sql("DROP FUNCTION IF EXISTS bucket10")
+    q.sql(
+        "CREATE FUNCTION add_tax10(amount double precision) RETURNS "
+        "double precision AS $$ SELECT amount * (1 + 0.07) $$ "
+        "LANGUAGE SQL IMMUTABLE"
+    )
+    q.sql(
+        "CREATE FUNCTION bucket10(v double precision) RETURNS text "
+        "AS $$ SELECT CASE WHEN v > 150000 THEN 'big' ELSE 'small' "
+        "END $$ LANGUAGE SQL"
+    )
+    return q.sql(
+        "SELECT o_orderstatus, "
+        "CAST(round(sum(add_tax10(o_totalprice)), 2) AS DOUBLE) "
+        "AS taxed, count(*) AS n "
+        "FROM orders WHERE o_orderkey <= 4000 "
+        "AND bucket10(o_totalprice) = 'big' "
+        "GROUP BY o_orderstatus"
+    )

@@ -5552,3 +5552,77 @@ def test_localtime_named_args_timezone_extract_r10(lsql):
         ) == -18000  # EST
     finally:
         lsql.sql("SET TIME ZONE DEFAULT")
+
+
+def test_create_function_sql_macro_r10(lsql):
+    """r10: CREATE FUNCTION ... LANGUAGE SQL (single-expression
+    subset) — macro-expanded at call sites exactly like PG's planner
+    inlines scalar SQL functions. Named + positional ($1) params,
+    function-calls-function to a bounded fixpoint, OR REPLACE, DROP,
+    pg_proc reflection; recursion and non-SQL languages stay loud."""
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    lsql.sql(
+        "CREATE FUNCTION add_tax(amount double, rate double) RETURNS "
+        "double AS $$ SELECT amount * (1 + rate) $$ LANGUAGE SQL "
+        "IMMUTABLE"
+    )
+    assert float(one("SELECT add_tax(100.0, 0.2) AS x")) == 120.0
+    lsql.sql("CREATE TABLE db.fxr (k BIGINT, price DOUBLE)")
+    lsql.sql("INSERT INTO db.fxr VALUES (1, 10.0), (2, 20.0)")
+    assert [
+        tuple(r) for r in lsql.sql(
+            "SELECT k, add_tax(price, 0.1) AS p FROM db.fxr ORDER BY k"
+        ).collect()
+    ] == [(1, 11.0), (2, 22.0)]
+    lsql.sql(
+        "CREATE FUNCTION dbl(int) RETURNS int AS 'SELECT $1 * 2' "
+        "LANGUAGE SQL"
+    )
+    assert one("SELECT dbl(21) AS x") == 42
+    lsql.sql(
+        "CREATE FUNCTION quad(x int) RETURNS int AS "
+        "'SELECT dbl(dbl(x))' LANGUAGE SQL"
+    )
+    assert one("SELECT quad(5) AS x") == 20
+    lsql.sql(
+        "CREATE OR REPLACE FUNCTION dbl(int) RETURNS int AS "
+        "'SELECT $1 * 3' LANGUAGE SQL"
+    )
+    assert one("SELECT dbl(21) AS x") == 63
+    assert "quad" in {
+        r.proname
+        for r in lsql.sql("SELECT proname FROM pg_proc").collect()
+    }
+    # string literals inside the body survive the double masking
+    lsql.sql(
+        "CREATE FUNCTION label(v double) RETURNS text AS $$ SELECT "
+        "CASE WHEN v > 15 THEN 'high' ELSE 'low' END $$ LANGUAGE SQL"
+    )
+    assert [
+        r.k for r in lsql.sql(
+            "SELECT k FROM db.fxr WHERE label(price) = 'high'"
+        ).collect()
+    ] == [2]
+    lsql.sql("DROP FUNCTION quad(x int)")
+    with _pytest.raises(Exception):
+        lsql.sql("SELECT quad(5) AS x").collect()
+    lsql.sql(
+        "CREATE FUNCTION rec(x int) RETURNS int AS 'SELECT rec(x)' "
+        "LANGUAGE SQL"
+    )
+    with _pytest.raises(LakehouseError, match="terminate"):
+        lsql.sql("SELECT rec(1) AS x")
+    with _pytest.raises(LakehouseError, match="LANGUAGE SQL"):
+        lsql.sql(
+            "CREATE FUNCTION py(x int) RETURNS int AS 'return x' "
+            "LANGUAGE plpython3u"
+        )
+    with _pytest.raises(LakehouseError, match="single-expression"):
+        lsql.sql(
+            "CREATE FUNCTION agg() RETURNS bigint AS "
+            "'SELECT count(*) FROM db.fxr' LANGUAGE SQL"
+        )
