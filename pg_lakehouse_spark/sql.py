@@ -2496,6 +2496,12 @@ class LakeSQL:
         r"\bmode\s*\(\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\b",
         re.IGNORECASE,
     )
+    # hypothetical-set aggregates (r10): rank/dense_rank/percent_rank/
+    # cume_dist(v) WITHIN GROUP (ORDER BY x [ASC|DESC])
+    _HYPO_WG = re.compile(
+        r"\b(rank|dense_rank|percent_rank|cume_dist)\s*\(",
+        re.IGNORECASE,
+    )
 
     @classmethod
     def _rewrite_ordered_aggs(cls, masked: str) -> str:
@@ -2527,6 +2533,68 @@ class LakeSQL:
                 break
             expr = out[m.end(): close - 1].strip()
             out = out[: m.start()] + f"mode({expr})" + out[close:]
+        # hypothetical-set aggregates: PG's spec reduces them to
+        # FILTER counts over the ordered column (single sort key,
+        # ASC/DESC; NULLS options stay loud):
+        #   rank(v)         = 1 + count(*) FILTER (x < v)   [ASC]
+        #   dense_rank(v)   = 1 + count(DISTINCT x) FILTER (x < v)
+        #   percent_rank(v) = (rank - 1) / count(*)
+        #   cume_dist(v)    = (1 + count(*) FILTER (x <= v))
+        #                     / (count(*) + 1)
+        while True:
+            hm = None
+            for cand in cls._HYPO_WG.finditer(out):
+                close = cls._balanced_end(out, cand.end() - 1)
+                if close < 0:
+                    continue
+                wm = re.match(
+                    r"\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\b",
+                    out[close:], re.IGNORECASE,
+                )
+                if wm:
+                    hm = (cand, close, wm)
+                    break
+            if hm is None:
+                break
+            cand, close, wm = hm
+            v = out[cand.end(): close - 1].strip()
+            wg_open = out.index("(", close)
+            wg_close = cls._balanced_end(out, wg_open)
+            if wg_close < 0:
+                break
+            body = out[wg_open + 1: wg_close - 1]
+            km = re.match(
+                r"\s*ORDER\s+BY\s+(.*?)\s*(ASC|DESC)?\s*$",
+                body, re.IGNORECASE | re.DOTALL,
+            )
+            if not km or re.search(r"\bNULLS\b|,", km.group(1)):
+                break  # multi-key / NULLS placement: loud
+            x = km.group(1).strip()
+            lt = ">" if (km.group(2) or "").upper() == "DESC" else "<"
+            le = ">=" if lt == ">" else "<="
+            fn = cand.group(1).lower()
+            if fn == "rank":
+                rep = (
+                    f"(1 + count(CASE WHEN ({x}) {lt} ({v}) "
+                    "THEN 1 END))"
+                )
+            elif fn == "dense_rank":
+                rep = (
+                    f"(1 + count(DISTINCT CASE WHEN ({x}) {lt} ({v}) "
+                    f"THEN ({x}) END))"
+                )
+            elif fn == "percent_rank":
+                rep = (
+                    f"(cast(count(CASE WHEN ({x}) {lt} ({v}) "
+                    "THEN 1 END) as double) "
+                    "/ greatest(count(*), 1))"
+                )
+            else:  # cume_dist
+                rep = (
+                    f"(cast(1 + count(CASE WHEN ({x}) {le} ({v}) "
+                    "THEN 1 END) as double) / (count(*) + 1))"
+                )
+            out = out[: cand.start()] + rep + out[wg_close:]
         floor = len(out) + 1
         for m in reversed(list(cls._ORDERED_AGG.finditer(out))):
             end = cls._balanced_end(out, m.end() - 1)

@@ -5626,3 +5626,33 @@ def test_create_function_sql_macro_r10(lsql):
             "CREATE FUNCTION agg() RETURNS bigint AS "
             "'SELECT count(*) FROM db.fxr' LANGUAGE SQL"
         )
+
+
+def test_hypothetical_set_aggregates_r10(lsql):
+    """r10: PG hypothetical-set aggregates — rank/dense_rank/
+    percent_rank/cume_dist(v) WITHIN GROUP (ORDER BY x [DESC]) —
+    reduced per the SQL spec to FILTER counts over the ordered
+    column. Expectations PG-pinned; the rank() WINDOW function is
+    untouched."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    V = "(VALUES (1),(2),(2),(3)) t(x)"
+    assert one(f"SELECT rank(2) WITHIN GROUP (ORDER BY x) AS r FROM {V}") == 2
+    assert one(f"SELECT rank(5) WITHIN GROUP (ORDER BY x) AS r FROM {V}") == 5
+    assert one(
+        f"SELECT dense_rank(3) WITHIN GROUP (ORDER BY x) AS r FROM {V}"
+    ) == 3
+    assert one(
+        f"SELECT percent_rank(2) WITHIN GROUP (ORDER BY x) AS r FROM {V}"
+    ) == 0.25
+    assert one(
+        f"SELECT cume_dist(2) WITHIN GROUP (ORDER BY x) AS r FROM {V}"
+    ) == 0.8
+    assert one(
+        f"SELECT rank(2) WITHIN GROUP (ORDER BY x DESC) AS r FROM {V}"
+    ) == 2
+    assert [
+        tuple(r) for r in lsql.sql(
+            f"SELECT x, rank() OVER (ORDER BY x) AS r FROM {V} "
+            "ORDER BY x LIMIT 1"
+        ).collect()
+    ] == [(1, 1)]
