@@ -2390,9 +2390,10 @@ class LakeSQL:
                     order_keys.append(
                         (km.group(1).strip(), km.group(2).strip())
                     )
-                if len(order_keys) != 1:
-                    continue  # multi-key: the ordered-agg comparator
-                    # downstream is single-key only — leave loud
+                if not order_keys:
+                    continue
+                # r10: the downstream ordered-agg comparator is
+                # multi-key now — any key count projects through
                 body = body[: om.start()].rstrip()
             sel_items = _split_top_level(
                 body[sel_end: fm.start()] if fm else body[sel_end:]
@@ -2515,10 +2516,14 @@ class LakeSQL:
           ``transform(array_sort(collect_list(struct(k, x)), <cmp>),
           s -> s.__v)`` with an explicit comparator carrying PG's
           null placement (array_sort's default puts null struct
-          fields FIRST; PG's ASC default is LAST). Single sort key
-          only — multi-key or DISTINCT forms stay unrewritten and
-          fail loudly in Spark.
+          fields FIRST; PG's ASC default is LAST). N sort keys as of
+          r10 (the comparator walks them left-to-right); DISTINCT
+          composes when the sort key IS the argument (PG's own
+          restriction).
         - ``mode() WITHIN GROUP (ORDER BY x)`` → ``mode(x)``.
+        - hypothetical-set aggregates (r10): ``rank/dense_rank/
+          percent_rank/cume_dist(v) WITHIN GROUP (ORDER BY x)`` as
+          spec-reduced FILTER counts.
         """
         out = masked
         while True:
@@ -2627,40 +2632,62 @@ class LakeSQL:
                 distinct = bool(re.match(r"DISTINCT\b", args, re.IGNORECASE))
                 if distinct:
                     args = args[len("DISTINCT"):].strip()
-                if _split_top_level(keys_txt) != [keys_txt]:
-                    continue  # multi-key: loud in Spark
-                km = re.match(
-                    r"(.*?)(?:\s+(ASC|DESC))?"
-                    r"(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
-                    keys_txt,
-                    re.IGNORECASE | re.DOTALL,
-                )
-                key = km.group(1).strip()
-                desc = (km.group(2) or "").upper() == "DESC"
-                nulls_q = (km.group(3) or "").upper()
-                nf = (
-                    -1 if nulls_q == "FIRST"
-                    else 1 if nulls_q == "LAST"
-                    else (-1 if desc else 1)  # PG defaults
-                )
-                lt = 1 if desc else -1
-                cmp = (
-                    "(l, r) -> CASE "
-                    "WHEN l.__o0 IS NULL AND r.__o0 IS NULL THEN 0 "
-                    f"WHEN l.__o0 IS NULL THEN {nf} "
-                    f"WHEN r.__o0 IS NULL THEN {-nf} "
-                    f"WHEN l.__o0 < r.__o0 THEN {lt} "
-                    f"WHEN l.__o0 > r.__o0 THEN {-lt} ELSE 0 END"
-                )
-                if distinct and re.sub(r"\s+", "", key) != re.sub(
-                    r"\s+", "", args
+                # r10: N sort keys — the comparator walks them
+                # left-to-right, each with its own direction and PG
+                # null placement (pre-r10 this was single-key only)
+                keys = []
+                ok = True
+                for kt in _split_top_level(keys_txt):
+                    km = re.match(
+                        r"(.*?)(?:\s+(ASC|DESC))?"
+                        r"(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+                        kt.strip(),
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    key = km.group(1).strip()
+                    if not key:
+                        ok = False
+                        break
+                    desc = (km.group(2) or "").upper() == "DESC"
+                    nulls_q = (km.group(3) or "").upper()
+                    nf = (
+                        -1 if nulls_q == "FIRST"
+                        else 1 if nulls_q == "LAST"
+                        else (-1 if desc else 1)  # PG defaults
+                    )
+                    keys.append((key, 1 if desc else -1, nf))
+                if not ok or not keys:
+                    continue  # unparseable key list: loud
+                cmp_body = "0"
+                for i in range(len(keys) - 1, -1, -1):
+                    _k, lt, nf = keys[i]
+                    o = f"__o{i}"
+                    cmp_body = (
+                        "CASE "
+                        f"WHEN l.{o} IS NULL AND r.{o} IS NULL "
+                        f"THEN {cmp_body} "
+                        f"WHEN l.{o} IS NULL THEN {nf} "
+                        f"WHEN r.{o} IS NULL THEN {-nf} "
+                        f"WHEN l.{o} < r.{o} THEN {lt} "
+                        f"WHEN l.{o} > r.{o} THEN {-lt} "
+                        f"ELSE {cmp_body} END"
+                    )
+                cmp = f"(l, r) -> {cmp_body}"
+                if distinct and (
+                    len(keys) != 1
+                    or re.sub(r"\s+", "", keys[0][0])
+                    != re.sub(r"\s+", "", args)
                 ):
                     # PG itself rejects DISTINCT with an ORDER BY
                     # expression outside the argument list
                     continue  # loud in Spark
+                kflds = ", ".join(
+                    f"({k}) AS __o{i}"
+                    for i, (k, _lt, _nf) in enumerate(keys)
+                )
                 rep = (
                     "transform(array_sort(collect_list("
-                    f"struct(({key}) AS __o0, ({args}) AS __v)), "
+                    f"struct({kflds}, ({args}) AS __v)), "
                     f"{cmp}), s -> s.__v)"
                 )
                 if distinct:

@@ -3353,16 +3353,15 @@ def test_array_subquery_constructor_r8(lsql):
     assert sorted(
         one("SELECT ARRAY(SELECT k * 2 FROM db.arq WHERE g = 'a') AS a")
     ) == [2, 4]
-    # r9: the single-key ORDER BY spelling now works (PG element
-    # order preserved — see test_array_subquery_ordered_r9); the
-    # MULTI-key form stays loud
+    # r9: the single-key ORDER BY spelling works (PG element order
+    # preserved — see test_array_subquery_ordered_r9); r10: the
+    # MULTI-key form works too (the comparator walks N keys)
     assert list(
         one("SELECT ARRAY(SELECT k FROM db.arq ORDER BY k DESC) AS a")
     ) == [3, 2, 1]
-    with _pytest.raises(Exception):
-        lsql.sql(
-            "SELECT ARRAY(SELECT k FROM db.arq ORDER BY g, k DESC) AS a"
-        ).collect()
+    assert list(
+        one("SELECT ARRAY(SELECT k FROM db.arq ORDER BY g, k DESC) AS a")
+    ) == [2, 1, 3]
 
 
 def test_plain_dml_bare_name_qualifiers_r8(lsql):
@@ -5656,3 +5655,29 @@ def test_hypothetical_set_aggregates_r10(lsql):
             "ORDER BY x LIMIT 1"
         ).collect()
     ] == [(1, 1)]
+
+
+def test_multikey_ordered_array_agg_r10(lsql):
+    """r10: array_agg(x ORDER BY k1, k2 [DESC] ...) — the comparator
+    chain now walks N keys, each with its own direction and PG null
+    placement; ARRAY(SELECT ... ORDER BY k1, k2) projects through
+    the same path (this closes the documented single-key
+    divergence)."""
+    one = lambda q: list(lsql.sql(q).collect()[0][0])  # noqa: E731
+    V = "(VALUES (1,'b',10),(2,'a',10),(3,'a',5)) t(k, g, p)"
+    assert one(f"SELECT array_agg(k ORDER BY g, p) AS a FROM {V}") == [3, 2, 1]
+    assert one(
+        f"SELECT array_agg(k ORDER BY p DESC, g) AS a FROM {V}"
+    ) == [2, 1, 3]
+    # NULLS placement per key
+    N = "(VALUES (1,'b',NULL),(2,'a',10),(3,'a',NULL)) t(k, g, p)"
+    assert one(
+        f"SELECT array_agg(k ORDER BY g, p NULLS FIRST) AS a FROM {N}"
+    ) == [3, 2, 1]
+    assert one(
+        f"SELECT array_agg(k ORDER BY g, p) AS a FROM {N}"
+    ) == [2, 3, 1]  # PG default: NULLS LAST on ASC
+    assert one(
+        "SELECT ARRAY(SELECT k FROM (VALUES (1,'b',10),(2,'a',10),"
+        "(3,'a',5)) t(k,g,p) ORDER BY g, p) AS a"
+    ) == [3, 2, 1]
