@@ -187,6 +187,29 @@ def _parse_pg_interval(raw: str):
         neg, t = True, t[:-4].strip()
     if not t:
         return None
+    if t[0] == "p":  # ISO 8601 duration (PG accepts it natively)
+        im = re.fullmatch(
+            r"p(?:(-?\d+(?:\.\d+)?)y)?(?:(-?\d+(?:\.\d+)?)m)?"
+            r"(?:(-?\d+(?:\.\d+)?)w)?(?:(-?\d+(?:\.\d+)?)d)?"
+            r"(?:t(?:(-?\d+(?:\.\d+)?)h)?(?:(-?\d+(?:\.\d+)?)m)?"
+            r"(?:(-?\d+(?:\.\d+)?)s)?)?",
+            t,
+        )
+        if not im or not any(im.groups()):
+            return None
+        y, mo, w, d, h, mi, sec = (
+            float(g) if g is not None else 0.0 for g in im.groups()
+        )
+        months = int(y * 12 + mo)
+        days = int(w * 7 + d)
+        mic = round(
+            ((y * 12 + mo) - months) * 30 * 86400 * 1_000_000
+            + ((w * 7 + d) - days) * 86400 * 1_000_000
+            + (h * 3600 + mi * 60 + sec) * 1_000_000
+        )
+        if neg:
+            months, days, mic = -months, -days, -mic
+        return months, days, mic
     months = days = 0
     micros = 0.0
     pos, n = 0, len(t)
@@ -1246,6 +1269,22 @@ class LakeSQL:
         fm = p.upper().startswith("FM")
         if fm:
             p = p[2:]
+        # scientific notation (r10): '9.99EEEE'-style → C %.<n>e
+        # (PG renders '1.23e+05'); sign slot rules as below
+        em = re.fullmatch(
+            r"9(?:[D.](9*))?EEEE", p, re.IGNORECASE
+        )
+        if em:
+            nd = len(em.group(1) or "")
+            fmt = L(f"%.{nd}e")
+            body = f"format_string({fmt}, cast(({x}) as double))"
+            if fm:
+                return f"({body})"
+            sp = L(" ")
+            return (
+                f"(CASE WHEN ({x}) < 0 THEN {body} "
+                f"ELSE concat({sp}, {body}) END)"
+            )
         mi = p.upper().endswith("MI")
         if mi:
             p = p[:-2]

@@ -5681,3 +5681,27 @@ def test_multikey_ordered_array_agg_r10(lsql):
         "SELECT ARRAY(SELECT k FROM (VALUES (1,'b',10),(2,'a',10),"
         "(3,'a',5)) t(k,g,p) ORDER BY g, p) AS a"
     ) == [3, 2, 1]
+
+
+def test_iso8601_interval_and_eeee_r10(lsql):
+    """r10: ISO-8601 duration literals (interval 'P1Y2M3DT4H5M6S' —
+    PG accepts them natively) parse through the same fidelity path as
+    the verbose form; to_char '9.99EEEE' scientific templates render
+    PG's '1.23e+05' form with the standard sign slot."""
+    import datetime
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT interval 'P1Y2M3DT4H5M6S'::text AS a"
+    ) == "1 year 2 mons 3 days 04:05:06"
+    assert one("SELECT extract(month FROM interval 'P14M') AS a") == 2
+    assert one("SELECT interval 'PT26H'::text AS a") == "26:00:00"
+    assert one(
+        "SELECT timestamp '2024-01-01' + interval 'P1M3D' AS a"
+    ) == datetime.datetime(2024, 2, 4)
+    assert one("SELECT to_char(123456, '9.99EEEE') AS a") == " 1.23e+05"
+    assert one("SELECT to_char(-123456, '9.99EEEE') AS a") == "-1.23e+05"
+    assert one(
+        "SELECT to_char(0.0004859, '9.99EEEE') AS a"
+    ) == " 4.86e-04"
+    assert one("SELECT to_char(123456, 'FM9.99EEEE') AS a") == "1.23e+05"
