@@ -1291,6 +1291,23 @@ class LakeSQL:
         sg = p.upper().startswith("S")
         if sg:
             p = p[1:]
+        # r10: TH/th ordinal suffix (case follows the template; PG
+        # appends nothing for negatives; integer templates only)
+        th = None
+        if p.endswith("TH"):
+            th, p = "upper", p[:-2]
+        elif p.endswith("th"):
+            th, p = "lower", p[:-2]
+        # r10: PR (angle brackets for negatives) and $/L currency
+        pr = p.upper().endswith("PR")
+        if pr:
+            p = p[:-2]
+            if sg or mi or th:
+                return None  # PG rejects combining sign templates
+        cur = False
+        if p.startswith("$") or p.upper().startswith("L"):
+            cur = True
+            p = p[1:]
         if not p or not re.fullmatch(r"[90GD,.]+", p, re.IGNORECASE):
             return None
         p = p.upper().replace("G", ",").replace("D", ".")
@@ -1348,7 +1365,29 @@ class LakeSQL:
             if dec
             else ipart
         )
+        if cur:
+            body = f"concat({L('$')}, {body})"
+            width += 1
         neg = f"(({val}) < 0)"
+        if pr:
+            padded = body if fm else f"lpad({body}, {width - 1}, {sp})"
+            lt_, gt_ = L("<"), L(">")
+            out = (
+                f"(CASE WHEN {neg} THEN concat({lt_}, {padded}, {gt_})"
+                + (
+                    f" ELSE {padded} END)"
+                    if fm
+                    else f" ELSE concat({sp}, {padded}, {sp}) END)"
+                )
+            )
+            raw_int = (
+                f"length(substring_index(CAST(CAST(abs({val}) AS "
+                f"DECIMAL(38, {dec})) AS STRING), {dot}, 1))"
+            )
+            return (
+                f"(CASE WHEN {raw_int} > {n9} THEN "
+                f"repeat({L('#')}, {width + 1}) ELSE {out} END)"
+            )
         if sg:
             signed = (
                 f"concat(CASE WHEN {neg} THEN {dash} "
@@ -1371,6 +1410,23 @@ class LakeSQL:
             out = (
                 f"concat({out}, CASE WHEN {neg} THEN {dash} "
                 f"ELSE {sp} END)"
+            )
+        if th and dec == 0:
+            a0 = f"CAST(abs({val}) AS DECIMAL(38, 0))"
+            sx = {
+                k: L(v if th == "lower" else v.upper())
+                for k, v in (
+                    ("st", "st"), ("nd", "nd"), ("rd", "rd"),
+                    ("th", "th"),
+                )
+            }
+            out = (
+                f"concat({out}, CASE WHEN {neg} THEN {empty} "
+                f"WHEN ({a0} % 100) IN (11, 12, 13) THEN {sx['th']} "
+                f"WHEN ({a0} % 10) = 1 THEN {sx['st']} "
+                f"WHEN ({a0} % 10) = 2 THEN {sx['nd']} "
+                f"WHEN ({a0} % 10) = 3 THEN {sx['rd']} "
+                f"ELSE {sx['th']} END)"
             )
         # overflow: more integer digits than slots -> '#' fill
         raw_int = (

@@ -5705,3 +5705,33 @@ def test_iso8601_interval_and_eeee_r10(lsql):
         "SELECT to_char(0.0004859, '9.99EEEE') AS a"
     ) == " 4.86e-04"
     assert one("SELECT to_char(123456, 'FM9.99EEEE') AS a") == "1.23e+05"
+
+
+def test_to_char_pr_currency_r10(lsql):
+    """r10: to_char PR (angle brackets for negatives, trailing space
+    slot for positives) and $/L currency prefixes — PG-pinned; the
+    r9 sign-slot semantics are regression-pinned alongside."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT to_char(-485, '999PR') AS a") == "<485>"
+    assert one("SELECT to_char(485, '999PR') AS a") == " 485 "
+    assert one("SELECT to_char(-485, 'FM999PR') AS a") == "<485>"
+    assert one("SELECT to_char(485, 'FM999PR') AS a") == "485"
+    assert one("SELECT to_char(12.5, '$99D9') AS a") == " $12.5"
+    assert one("SELECT to_char(-12.5, '$99D9') AS a") == "-$12.5"
+    assert one("SELECT to_char(485, 'L999') AS a") == " $485"
+    assert one("SELECT to_char(12.5, '99D9') AS a") == " 12.5"
+    assert one("SELECT to_char(-12.5, 'S99D9') AS a") == "-12.5"
+
+
+def test_to_char_th_ordinals_r10(lsql):
+    """r10: TH/th ordinal suffixes (case follows the template, 11-13
+    special-cased, nothing appended for negatives) — PG-pinned."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT to_char(412, '999th') AS a") == " 412th"
+    assert one("SELECT to_char(412, '999TH') AS a") == " 412TH"
+    assert one("SELECT to_char(1, '9th') AS a") == " 1st"
+    assert one("SELECT to_char(2, '9th') AS a") == " 2nd"
+    assert one("SELECT to_char(3, '9th') AS a") == " 3rd"
+    assert one("SELECT to_char(11, '99th') AS a") == " 11th"
+    assert one("SELECT to_char(21, '99th') AS a") == " 21st"
+    assert one("SELECT to_char(4, 'FM9th') AS a") == "4th"
