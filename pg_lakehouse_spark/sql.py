@@ -1269,12 +1269,62 @@ class LakeSQL:
         fm = p.upper().startswith("FM")
         if fm:
             p = p[2:]
+        # RN roman numerals (r10): PG right-pads to 15, '#'-fills
+        # outside 1..3999; FM strips the padding
+        if p.upper() == "RN":
+            iv = f"CAST(({x}) AS DECIMAL(38, 0))"
+
+            def digit(unit: int, glyphs: list[str]) -> str:
+                arr = ", ".join(L(g) for g in glyphs)
+                return (
+                    f"element_at(array({arr}), "
+                    f"cast(({iv} div {unit}) % 10 as int) + 1)"
+                )
+
+            roman = (
+                "concat("
+                + digit(1000, ["", "M", "MM", "MMM", "", "", "", "",
+                               "", ""])
+                + ", "
+                + digit(100, ["", "C", "CC", "CCC", "CD", "D", "DC",
+                              "DCC", "DCCC", "CM"])
+                + ", "
+                + digit(10, ["", "X", "XX", "XXX", "XL", "L", "LX",
+                             "LXX", "LXXX", "XC"])
+                + ", "
+                + digit(1, ["", "I", "II", "III", "IV", "V", "VI",
+                            "VII", "VIII", "IX"])
+                + ")"
+            )
+            if not fm:
+                roman = f"lpad({roman}, 15, {L(' ')})"
+            return (
+                f"(CASE WHEN {iv} < 1 OR {iv} > 3999 "
+                f"THEN repeat({L('#')}, 15) ELSE {roman} END)"
+            )
+        # leading SG is S with PG's always-explicit sign
+        if p.upper().startswith("SG"):
+            p = "S" + p[2:]
+        # B: blank output for ZERO values
+        blank0 = p.upper().startswith("B")
+        if blank0:
+            p = p[1:]
+        # V: implied digit shift — '99V99' renders value * 100 with
+        # no decimal point
+        vm = re.search(r"[vV](9+)$", p)
+        if vm:
+            if re.search(r"[Dd.]", p[: vm.start()]):
+                return None  # PG: V cannot combine with a decimal
+            p = p[: vm.start()] + vm.group(1)
+            x = f"(({x}) * {10 ** len(vm.group(1))})"
         # scientific notation (r10): '9.99EEEE'-style → C %.<n>e
         # (PG renders '1.23e+05'); sign slot rules as below
         em = re.fullmatch(
             r"9(?:[D.](9*))?EEEE", p, re.IGNORECASE
         )
         if em:
+            if blank0:
+                return None
             nd = len(em.group(1) or "")
             fmt = L(f"%.{nd}e")
             body = f"format_string({fmt}, cast(({x}) as double))"
@@ -1302,7 +1352,7 @@ class LakeSQL:
         pr = p.upper().endswith("PR")
         if pr:
             p = p[:-2]
-            if sg or mi or th:
+            if sg or mi or th or blank0:
                 return None  # PG rejects combining sign templates
         cur = False
         if p.startswith("$") or p.upper().startswith("L"):
@@ -1434,10 +1484,19 @@ class LakeSQL:
             f"DECIMAL(38, {dec})) AS STRING), {dot}, 1))"
         )
         total = width + (1 if mi else 0)
-        return (
+        ret = (
             f"(CASE WHEN {raw_int} > {n9} THEN repeat({L('#')}, {total}) "
             f"ELSE {out} END)"
         )
+        if blank0:
+            zero_out = (
+                empty if fm else f"repeat({sp}, {total})"
+            )
+            ret = (
+                f"(CASE WHEN ({val}) = 0 THEN {zero_out} "
+                f"ELSE {ret} END)"
+            )
+        return ret
 
     _POW_OPERAND = re.compile(
         rf"(\x00\d+\x00|\d+(?:\.\d+)?|{_IDENT}(?:\.{_IDENT})*)\s*$"

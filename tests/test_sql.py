@@ -5735,3 +5735,22 @@ def test_to_char_th_ordinals_r10(lsql):
     assert one("SELECT to_char(11, '99th') AS a") == " 11th"
     assert one("SELECT to_char(21, '99th') AS a") == " 21st"
     assert one("SELECT to_char(4, 'FM9th') AS a") == "4th"
+
+
+def test_to_char_rn_v_b_sg_r10(lsql):
+    """r10: the rest of the numeric to_char table — RN roman numerals
+    (right-padded to 15, '#'-filled outside 1..3999, FM strips), V
+    implied digit shift (x * 10^n, rejected with a decimal point like
+    PG), B blank-for-zero, leading SG as the always-explicit sign.
+    All PG-pinned."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT to_char(485, 'RN') AS a") == "        CDLXXXV"
+    assert one("SELECT to_char(2024, 'FMRN') AS a") == "MMXXIV"
+    assert one("SELECT to_char(3999, 'FMRN') AS a") == "MMMCMXCIX"
+    assert one("SELECT to_char(0, 'RN') AS a") == "#" * 15
+    assert one("SELECT to_char(12.4, '99V999') AS a") == " 12400"
+    assert one("SELECT to_char(0, 'B9999') AS a") == "     "
+    assert one("SELECT to_char(5, 'B9999') AS a") == "    5"
+    assert one("SELECT to_char(0, 'FMB9999') AS a") == ""
+    assert one("SELECT to_char(12, 'SG99') AS a") == "+12"
+    assert one("SELECT to_char(-12, 'SG99') AS a") == "-12"
