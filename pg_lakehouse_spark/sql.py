@@ -2161,6 +2161,34 @@ class LakeSQL:
                 return repr(val)
             return str(int(val))
 
+        # interval 'a' + interval 'b' with BOTH literal: fold the
+        # (months, days, micros) triples in Python — PG's sum can mix
+        # categories ('1 mon' + '3 days'), which Spark's split
+        # interval types reject
+        def fold_sum(m: re.Match) -> str:
+            a = mdu(m.group(1))
+            b = mdu(m.group(3))
+            if a is None or b is None:
+                return m.group(0)
+            sgn = 1 if m.group(2) == "+" else -1
+            mo, d, us = (
+                a[0] + sgn * b[0], a[1] + sgn * b[1],
+                a[2] + sgn * b[2],
+            )
+            lits.append(f"'{_render_pg_interval(mo, d, us)}'")
+            return f"interval \x00{len(lits) - 1}\x00"
+
+        prev = None
+        while prev != masked:
+            prev = masked
+            masked = re.sub(
+                r"\binterval\s+\x00(\d+)\x00\s*([+-])\s*"
+                r"interval\s+\x00(\d+)\x00"
+                r"(?!\s*(?:year|month|day|hour|minute|second|to)\b)",
+                fold_sum, masked, flags=re.IGNORECASE,
+            )
+
+
         def fold_extract(m: re.Match) -> str:
             v = mdu(m.group(2))
             if v is None:

@@ -5754,3 +5754,32 @@ def test_to_char_rn_v_b_sg_r10(lsql):
     assert one("SELECT to_char(0, 'FMB9999') AS a") == ""
     assert one("SELECT to_char(12, 'SG99') AS a") == "+12"
     assert one("SELECT to_char(-12, 'SG99') AS a") == "-12"
+
+
+def test_interval_literal_sum_fold_r10(lsql):
+    """r10: interval 'a' +/- interval 'b' with both sides literal
+    folds to one (months, days, micros) triple in Python — PG's sum
+    can cross categories ('1 mon' + '3 days'), which Spark's split
+    interval types reject. Chains fold left-to-right; extract/::text/
+    timestamp arithmetic compose."""
+    import datetime
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT (interval '1 mon' + interval '3 days')::text AS a"
+    ) == "1 mon 3 days"
+    assert one(
+        "SELECT (interval '1 mon' - interval '1 day')::text AS a"
+    ) == "1 mon -1 days"
+    assert one(
+        "SELECT extract(day FROM interval '1 mon' + interval '3 days')"
+        " AS a"
+    ) == 3
+    assert one(
+        "SELECT timestamp '2024-01-01' + (interval '1 mon' + "
+        "interval '3 days') AS a"
+    ) == datetime.datetime(2024, 2, 4)
+    assert one(
+        "SELECT (interval '1 day' + interval '2 days' + "
+        "interval '1 mon')::text AS a"
+    ) == "1 mon 3 days"
