@@ -108,11 +108,33 @@ def main() -> None:
     # warm block-manager (r3/r4 verdict: persist-bearing queries were
     # reporting warm-cache numbers, and contention artifacts couldn't
     # be told apart from regressions in the JSON).
-    spark.catalog.clearCache()
-    cold, errors = timed_pass()
-    # WARM phase: same queries with whatever the cold pass cached left
-    # in place — steady-state number for cache-reusing workloads.
-    warm, warm_errors = timed_pass()
+    # r11 (verdict item 10): BOTH phases run 3 passes and report the
+    # per-query MEDIAN — two of the last three rounds produced
+    # noisy-neighbor artifacts that needed manual adjudication; a
+    # median absorbs a single contended pass.
+    def median_of(passes: list[dict[str, float]]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for k in {k for p in passes for k in p}:
+            vals = sorted(p[k] for p in passes if k in p)
+            if vals:
+                out[k] = round(vals[len(vals) // 2], 4)
+        return out
+
+    cold_passes, errors = [], {}
+    for _ in range(3):
+        spark.catalog.clearCache()
+        c, errs = timed_pass()
+        cold_passes.append(c)
+        errors.update(errs)
+    cold = median_of(cold_passes)
+    # WARM phase: same queries with whatever the last cold pass left
+    # cached — steady-state number for cache-reusing workloads.
+    warm_passes, warm_errors = [], {}
+    for _ in range(3):
+        w, werrs = timed_pass()
+        warm_passes.append(w)
+        warm_errors.update(werrs)
+    warm = median_of(warm_passes)
     total_cold = round(sum(cold.values()), 4)
     total_warm = round(sum(warm.values()), 4)
     print(
@@ -129,6 +151,8 @@ def main() -> None:
                     **warm, **{k: {"err": v} for k, v in warm_errors.items()}
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "passes": 3,
+                "aggregation": "median",
             }
         )
     )

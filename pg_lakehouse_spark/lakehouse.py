@@ -62,6 +62,7 @@ import fcntl
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -2064,14 +2065,20 @@ class LakeTable:
         schema = self.schema()
         if name not in schema.fieldNames():
             raise LakehouseError(f"no such column: {name!r}")
-        try:
-            self.spark.range(1).select(
-                _pg_expr(default).cast(schema[name].dataType)
-            ).collect()
-        except Exception as exc:
-            raise LakehouseError(
-                f"invalid DEFAULT expression {default!r}: {exc}"
-            ) from exc
+        # sequence-backed defaults (the SERIAL expansion) are frontend
+        # calls resolved per-statement, not Spark expressions — they
+        # can't be probe-evaluated here
+        if not re.search(
+            r"\b(?:nextval|currval)\s*\(", default, re.IGNORECASE
+        ):
+            try:
+                self.spark.range(1).select(
+                    _pg_expr(default).cast(schema[name].dataType)
+                ).collect()
+            except Exception as exc:
+                raise LakehouseError(
+                    f"invalid DEFAULT expression {default!r}: {exc}"
+                ) from exc
         ids, _ = self._effective_field_ids(self.snapshot())
         defaults = self.column_defaults()
         defaults[str(ids[name])] = default

@@ -119,6 +119,16 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # text_quality_signals; BM25 stays oracle-checked locally) and
 # lake_change_feed (CDC family keeps stream_cdc_pipeline in-window;
 # the batch feed also runs inside rollup_incremental every round).
+# r11 rotation (2 in / 2 out, per verdict item 7): in come
+# q_cast_rounding (NEW in r11 — the r10 verdict headline: PG rounding
+# on fractional→int casts, every leg a forced .5 tie so truncation,
+# half-away and half-even all disagree; DuckDB-oracled) and
+# lake_sql_function (r10-built CREATE FUNCTION LANGUAGE SQL, now with
+# the r11 qualified-call-site fix). Ceded sql-frontend family
+# duplicates (the family keeps q_age_intervals, lake_keyset_pagination,
+# lake_unnest_ordinality, lake_sequence_enum, lake_implicit_correlation
+# in-window): lake_fetch_with_ties and lake_pg_literal_kit — both stay
+# oracle-checked in the local registry suite.
 # Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
@@ -153,7 +163,7 @@ _PRIORITY: tuple[str, ...] = (
     "lake_sql_views",
     "data_split_modulo",
     "lake_sql_dml",
-    "lake_fetch_with_ties",
+    "q_cast_rounding",
     "lake_subquery_dml",
     "lake_mor_delete_update",
     "lake_time_travel",
@@ -163,7 +173,7 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_incremental",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "lake_pg_literal_kit",
+    "lake_sql_function",
     "text_quality_signals",
     "embed_knn_bruteforce",
     "multimodal_decode",

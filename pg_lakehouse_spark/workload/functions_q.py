@@ -5,8 +5,10 @@ SURVEY.md §2 Tier B function rows. All expressions are built-in
 
 Dialect discipline vs the DuckDB oracle: integer-returning functions are
 cast to BIGINT on both sides (Spark length/instr return INT, DuckDB
-BIGINT); double→int casts are avoided entirely (Spark truncates, DuckDB
-rounds — we use explicit floor/trunc instead).
+BIGINT). fractional→int casts through the PG FRONTEND round like PG as
+of r11 (q_cast_rounding — numeric half-away, float half-even, matching
+DuckDB); DataFrame-API rows still avoid the raw Spark cast, which
+truncates.
 """
 
 from __future__ import annotations
@@ -755,4 +757,56 @@ def q_age_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS BIGINT) AS age_m, "
         "count(*) AS n "
         "FROM orders WHERE o_orderkey <= 6000 GROUP BY 1, 2, 3"
+    )
+
+
+@register(
+    "q_cast_rounding",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey + 0.5 AS INT)                   AS dec_half,
+       CAST(o_orderkey - 2.5 AS BIGINT)                AS dec_neg,
+       CAST(CAST(o_orderkey + 0.5 AS DOUBLE) AS INT)   AS flt_half,
+       CAST(o_totalprice AS BIGINT)                    AS price_int,
+       CAST(o_orderkey AS INT)                         AS key_ident
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+    tags=("functions-cast", "sql-frontend"),
+)
+def q_cast_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (the r10 verdict headline): fractional→integer casts ROUND
+    like PG through the SQL frontend — numeric operands half-away-
+    from-zero (PG numeric.c), float/double operands half-even C rint
+    (PG float.c) — where Spark's native cast silently truncates
+    toward zero. DuckDB rounds identically on both operand classes,
+    so every leg here is value-hash-checked: ``+ 0.5`` forces the
+    exact tie on every row (half-away vs half-even vs truncation all
+    disagree), ``- 2.5`` covers the negative side, ``o_totalprice``
+    covers double→bigint on real data, and the identity leg pins
+    already-integral operands staying untouched.
+    100 TB posture: the rewrite is parse-time; the emitted plan is
+    expression-only (round/bround + cast inside whole-stage codegen),
+    pushdown-neutral."""
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    import os as _os
+    import tempfile as _tf
+
+    q = LakeSQL(
+        spark,
+        LakeCatalog(
+            spark, _os.path.join(_tf.gettempdir(), "wl_castround")
+        ),
+    )
+    return q.sql(
+        "SELECT o_orderkey, "
+        "(o_orderkey + 0.5)::int AS dec_half, "
+        "(o_orderkey - 2.5)::bigint AS dec_neg, "
+        "((o_orderkey + 0.5)::float8)::int AS flt_half, "
+        "o_totalprice::bigint AS price_int, "
+        "o_orderkey::int AS key_ident "
+        "FROM orders WHERE o_orderkey <= 1000"
     )
