@@ -4020,6 +4020,30 @@ class LakeSQL:
         # rendering (Spark keeps the declared scale in the string
         # form, PG's scale() reports exactly that; min_scale strips
         # trailing zeros)
+        # isfinite(date|timestamp) — true unless the value is one of
+        # the r11 'infinity'/'-infinity' sentinels (both the
+        # timestamp and the date spellings; a real row exactly AT a
+        # sentinel instant would read infinite — documented with the
+        # sentinel mapping in COVERAGE.md). Interval operands stay
+        # loud (pre-PG17 intervals are always finite anyway).
+        for m, args, end in cls._call_sites(masked, "isfinite"):
+            if len(args) != 1:
+                continue
+            a0 = args[0].strip()
+            sents = ", ".join(
+                f"timestamp {new_lit(v)}"
+                for v in (
+                    "9999-12-30 23:59:59.999999",
+                    "0001-01-02 00:00:00",
+                    "9999-12-31 00:00:00",
+                    "0001-01-01 00:00:00",
+                )
+            )
+            masked = (
+                masked[: m.start()]
+                + f"(cast(({a0}) as timestamp) NOT IN ({sents}))"
+                + masked[end:]
+            )
         # trim_scale(numeric) — PG 13: the value with trailing zeros
         # stripped from its display scale. LITERAL operands fold at
         # parse time to a plain decimal literal (whose Spark type
@@ -6626,16 +6650,21 @@ class LakeSQL:
 
         def frame():
             if not frame_memo:
-                frame_memo.append(self._typing_frame(masked, lits))
+                fr = self._typing_frame(masked, lits)
+                if fr is None:
+                    # no reconstructible FROM scope (subquery / set
+                    # op / multi-select): an EMPTY frame still types
+                    # column-free operands — literal casts round
+                    # PG-style everywhere; column refs fail analysis
+                    # → fail OPEN as before
+                    fr = self.spark.range(1).select()
+                frame_memo.append(fr)
             return frame_memo[0]
 
         def float_cols() -> set[str]:
-            fr = frame()
-            if fr is None:
-                return set()
             return {
                 f.name.lower()
-                for f in fr.schema.fields
+                for f in frame().schema.fields
                 if f.dataType.simpleString() in ("double", "float")
             }
 
@@ -6645,8 +6674,6 @@ class LakeSQL:
             if "->" in t or re.search(r"\b__[pq]\b", t):
                 return None  # lambda fragment: untypable standalone
             fr = frame()
-            if fr is None:
-                return None
             try:
                 dt = (
                     fr.select(
@@ -7652,6 +7679,21 @@ class LakeSQL:
                 cname = ccm.group(1) or f"check_{len(checks) + 1}"
                 checks[cname] = U(it[op + 1: cend - 1].strip())
                 it = (it[: ccm.start()] + it[cend:]).strip()
+            # PG 10+ identity columns — same expansion as SERIAL
+            # (backing sequence + nextval default + NOT NULL).
+            # ALWAYS is accepted as BY DEFAULT (no OVERRIDING
+            # enforcement — documented; the lake has no per-row
+            # write-path veto)
+            idm = re.search(
+                r"\s+GENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+"
+                r"IDENTITY(?:\s*\([^()]*\))?",
+                it, re.IGNORECASE,
+            )
+            if idm:
+                serial_cols.append(colname)
+                if colname not in notnull:
+                    notnull.append(colname)
+                it = (it[: idm.start()] + it[idm.end():]).strip()
             ikm = re.search(r"\s+PRIMARY\s+KEY\b", it, re.IGNORECASE)
             if ikm:
                 pk_cols.append(colname)

@@ -6152,3 +6152,55 @@ def test_trim_scale_r11(lsql):
             "SELECT trim_scale(o_totalprice) AS a FROM "
             "(VALUES (1.500)) v(o_totalprice)"
         ).collect()
+
+
+def test_identity_columns_r11(lsql):
+    """r11: GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY — PG 10+'s
+    standard spelling of serial — expands through the same backing-
+    sequence machinery (ALWAYS accepted as BY DEFAULT, documented)."""
+    lsql.sql(
+        "CREATE TABLE app.idcol (id bigint GENERATED ALWAYS AS "
+        "IDENTITY, v text)"
+    )
+    lsql.sql("INSERT INTO app.idcol (v) VALUES ('p'), ('q')")
+    assert [tuple(r) for r in lsql.sql(
+        "SELECT id, v FROM app.idcol ORDER BY id"
+    ).collect()] == [(1, "p"), (2, "q")]
+    assert lsql.sql(
+        "SELECT pg_get_serial_sequence('app.idcol', 'id') AS s"
+    ).collect()[0].s == "app.idcol_id_seq"
+    lsql.sql(
+        "CREATE TABLE app.idcol2 (id int GENERATED BY DEFAULT AS "
+        "IDENTITY (START WITH 1), v text)"
+    )
+    lsql.sql("INSERT INTO app.idcol2 (v) VALUES ('x')")
+    assert lsql.sql(
+        "SELECT id FROM app.idcol2"
+    ).collect()[0].id == 1
+
+
+def test_isfinite_r11(lsql):
+    """r11: isfinite() against the infinity sentinels."""
+    row = lsql.sql(
+        "SELECT isfinite('infinity'::timestamp) AS a, "
+        "isfinite(timestamp '2024-01-01') AS b, "
+        "isfinite('-infinity'::date) AS c, "
+        "isfinite(date '2024-06-01') AS d"
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (False, True, False, True)
+
+
+def test_int_cast_rounding_subquery_literals_r11(lsql):
+    """r11: literal cast operands round PG-style even where no FROM
+    scope is reconstructible (subqueries, set ops) — the empty-frame
+    fallback types column-free operands; column refs still fail open."""
+    row = lsql.sql(
+        "SELECT (SELECT 2.5::int) AS s, "
+        "(SELECT (3.5::float8)::int) AS t, "
+        "(SELECT 199.5::bigint) AS u"
+    ).collect()[0]
+    assert (row.s, row.t, row.u) == (3, 4, 200)
+    got = [tuple(r) for r in lsql.sql(
+        "SELECT 2.5::int AS a UNION ALL SELECT (-2.5)::int"
+    ).collect()]
+    assert sorted(got) == [(-3,), (3,)]
