@@ -4685,6 +4685,34 @@ class LakeSQL:
             r"\s*\x00(\d+)\x00\s*\)",
             fold_ivl_tochar, masked, flags=re.IGNORECASE,
         )
+        # date_bin with PG's interval-typed stride spelling — resolved
+        # BEFORE the fidelity pass canonicalizes the literal (the
+        # later fn-kit handler covers the bare-string stride). PG
+        # rejects month/year strides; so does this (stays loud).
+        for m, args, end in cls._call_sites(masked, "date_bin"):
+            if len(args) != 3:
+                continue
+            sm = re.fullmatch(
+                r"\s*(?:interval\s+)?\x00(\d+)\x00\s*", args[0],
+                re.IGNORECASE,
+            )
+            if not sm:
+                continue
+            trip = _parse_pg_interval(
+                lits[int(sm.group(1))][1:-1].replace("''", "'")
+            )
+            if trip is None or trip[0] != 0:
+                continue  # month/year stride: PG errors too — loud
+            w = trip[1] * 86_400_000_000 + trip[2]
+            if w <= 0:
+                continue
+            us_t = f"unix_micros(cast(({args[1].strip()}) as timestamp))"
+            us_o = f"unix_micros(cast(({args[2].strip()}) as timestamp))"
+            masked = (
+                masked[: m.start()]
+                + f"timestamp_micros({us_t} - pmod({us_t} - {us_o}, {w}))"
+                + masked[end:]
+            )
         masked = cls._rewrite_interval_literal_fidelity(masked, lits)
 
         # PG boolean literal spellings Spark's cast rejects: on/off
@@ -4715,6 +4743,99 @@ class LakeSQL:
         masked = re.sub(
             r"\x00(\d+)\x00\s*::\s*(?:boolean|bool)\b",
             bool_lit,
+            masked,
+            flags=re.IGNORECASE,
+        )
+
+        # PG brace-format array literals — '{1,2,3}'::int[] /
+        # '{"a","b"}'::text[] (r11 battery find: the cast was a loud
+        # Spark error). Parsed in Python per PG's array-input rules
+        # (double-quoted elements with backslash escapes, bare NULL);
+        # nested arrays stay loud.
+        def arr_lit(am: re.Match) -> str:
+            raw = lits[int(am.group(1))][1:-1].replace("''", "'").strip()
+            base = am.group(2).strip()
+            if not (raw.startswith("{") and raw.endswith("}")):
+                return am.group(0)
+            inner = raw[1:-1]
+            if "{" in inner or "}" in inner:
+                return am.group(0)  # multidimensional: loud
+            elems: list[tuple[str, bool]] = []
+            cur: list[str] = []
+            quoted = in_q = False
+            i, n = 0, len(inner)
+            while i <= n:
+                c = inner[i] if i < n else ","
+                if in_q:
+                    if c == "\\" and i + 1 < n:
+                        cur.append(inner[i + 1])
+                        i += 2
+                        continue
+                    if c == '"':
+                        in_q = False
+                        i += 1
+                        continue
+                    cur.append(c)
+                    i += 1
+                    continue
+                if c == '"':
+                    in_q = quoted = True
+                    i += 1
+                    continue
+                if c == ",":
+                    v = "".join(cur) if quoted else "".join(cur).strip()
+                    if v or quoted:
+                        elems.append((v, quoted))
+                    cur, quoted = [], False
+                    i += 1
+                    continue
+                cur.append(c)
+                i += 1
+            if in_q:
+                return am.group(0)  # unterminated quote: loud
+            mapped = cls._map_pg_type(base)
+            parts = []
+            for v, was_q in elems:
+                if not was_q and v.upper() == "NULL":
+                    parts.append(f"CAST(NULL AS {mapped})")
+                    continue
+                lits.append("'" + v.replace("'", "''") + "'")
+                parts.append(
+                    f"CAST(\x00{len(lits) - 1}\x00 AS {mapped})"
+                )
+            return f"array({', '.join(parts)})" if parts else (
+                f"CAST(array() AS array<{mapped}>)"
+            )
+
+        masked = re.sub(
+            r"\x00(\d+)\x00\s*::\s*"
+            r"([A-Za-z_]\w*(?:\s+precision|\s+varying)?"
+            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\[\s*\]",
+            arr_lit,
+            masked,
+            flags=re.IGNORECASE,
+        )
+
+        # PG hex-format bytea literals (r11 battery find):
+        # '\x1234'::bytea is the two bytes 0x12 0x34 — the plain
+        # string→binary cast kept the FOUR characters backslash-x-1-2
+        # (get_byte(...,0) read 92, PG says 18 — silent). Escape-
+        # format ('\000' octal) literals stay on the utf8 path
+        # (documented divergence; PG's hex form has been the default
+        # output since 9.0).
+        def bytea_lit(bm: re.Match) -> str:
+            raw = lits[int(bm.group(1))][1:-1].replace("''", "'")
+            if not raw.lower().startswith("\\x"):
+                return bm.group(0)
+            hexpart = raw[2:].strip()
+            if not re.fullmatch(r"(?:[0-9A-Fa-f]{2})*", hexpart):
+                return bm.group(0)  # malformed: loud downstream
+            lits.append("'" + hexpart + "'")
+            return f"unhex(\x00{len(lits) - 1}\x00)"
+
+        masked = re.sub(
+            r"\x00(\d+)\x00\s*::\s*bytea\b",
+            bytea_lit,
             masked,
             flags=re.IGNORECASE,
         )
@@ -6629,7 +6750,7 @@ class LakeSQL:
     )
 
     def _rewrite_int_cast_rounding(
-        self, masked: str, lits: list[str]
+        self, masked: str, lits: list[str], frame_df=None
     ) -> str:
         """PG ROUNDS fractional→integer casts; Spark's cast TRUNCATES
         toward zero — ``2.5::int`` = 2 where PG says 3, silently
@@ -6650,7 +6771,11 @@ class LakeSQL:
 
         def frame():
             if not frame_memo:
-                fr = self._typing_frame(masked, lits)
+                fr = (
+                    frame_df  # DML caller passes the target table
+                    if frame_df is not None
+                    else self._typing_frame(masked, lits)
+                )
                 if fr is None:
                     # no reconstructible FROM scope (subquery / set
                     # op / multi-select): an EMPTY frame still types
@@ -6801,6 +6926,16 @@ class LakeSQL:
                 rep = self._interval_text_expr(expr, ds, L)
                 if rep is not None:
                     out = out[: left[0]] + rep + out[m.end():]
+                continue
+            if ds == "binary":
+                # PG renders bytea as the hex form '\x616263' (the
+                # default output since 9.0); Spark's cast utf8-decodes
+                # the bytes — silent mojibake for real binary
+                out = (
+                    out[: left[0]]
+                    + f"concat({L(chr(92) + 'x')}, lower(hex({expr})))"
+                    + out[m.end():]
+                )
                 continue
             if not ds.startswith("array<"):
                 continue
@@ -10071,6 +10206,15 @@ class LakeSQL:
             # ``WHERE db.t.k = 1`` are both valid PG
             where = self._strip_dml_qualifiers(where, ns, name, talias)
         tbl = self._load(ns, name, branch)
+        if where and (
+            self._INT_CAST_TGT.search(where)
+            or self._CAST_HEAD.search(where)
+        ):
+            # r11: the DELETE predicate takes the same PG
+            # cast-rounding pass as SELECT (typed on the target table)
+            where = self._rewrite_int_cast_rounding(
+                where, _lits, frame_df=tbl.read()
+            )
         return self._apply_delete(
             tbl, F.expr(self._spark_text(U(where))) if where else F.lit(True)
         )
@@ -10199,6 +10343,20 @@ class LakeSQL:
             else None
         )
         tbl = self._load(ns, name, branch)
+        # r11: SET values / WHERE take the same PG cast-rounding pass
+        # as SELECT, typed against the target table's schema
+        # (``SET cnt = ratio::int`` must round, not truncate)
+        if self._INT_CAST_TGT.search(sets + " " + (where or "")) or (
+            self._CAST_HEAD.search(sets + " " + (where or ""))
+        ):
+            fr = tbl.read()
+            sets = self._rewrite_int_cast_rounding(
+                sets, _lits, frame_df=fr
+            )
+            if where:
+                where = self._rewrite_int_cast_rounding(
+                    where, _lits, frame_df=fr
+                )
         defaults = tbl.column_defaults()
         ids, _ = tbl._effective_field_ids(tbl.snapshot())
         assignments = {}

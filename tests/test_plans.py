@@ -491,3 +491,19 @@ def test_age_interval_expression_only_r10(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "o_orderkey" in " ".join(sorted(pushed_filter_columns(df)))
+
+
+def test_cast_rounding_plan_r11(spark, sf_dir):
+    """The r11 int-cast-rounding rewrite is parse-time only: the
+    q_cast_rounding plan must stay expression-only (round/bround +
+    cast inside whole-stage codegen, no Python stage) and keep the
+    o_orderkey range predicate at the parquet scan — at 100 TB the
+    rewrite must cost nothing at runtime."""
+    from pg_lakehouse_spark.workload import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY["q_cast_rounding"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "o_orderkey" in " ".join(sorted(pushed_filter_columns(df)))

@@ -6204,3 +6204,103 @@ def test_int_cast_rounding_subquery_literals_r11(lsql):
         "SELECT 2.5::int AS a UNION ALL SELECT (-2.5)::int"
     ).collect()]
     assert sorted(got) == [(-3,), (3,)]
+
+
+def test_int_cast_rounding_dml_r11(lsql):
+    """r11: UPDATE SET / WHERE and DELETE WHERE take the same PG
+    cast-rounding pass as SELECT, typed against the target table —
+    ``SET cnt = x::int`` rounds half-away on numeric, half-even on
+    float, never truncates."""
+    lsql.sql(
+        "CREATE TABLE db.cr (k BIGINT, d DOUBLE, n BIGINT)"
+    )
+    lsql.sql(
+        "INSERT INTO db.cr VALUES (1, 2.5, 0), (2, 3.5, 0)"
+    )
+    # float column → half-even rint: 2.5→2, 3.5→4
+    lsql.sql("UPDATE db.cr SET n = d::int")
+    assert [tuple(r) for r in lsql.sql(
+        "SELECT k, n FROM db.cr ORDER BY k"
+    ).collect()] == [(1, 2), (2, 4)]
+    # numeric expression → half-away: k + 0.5 = 1.5→2, 2.5→3
+    lsql.sql("UPDATE db.cr SET n = (k + 0.5)::int")
+    assert [tuple(r) for r in lsql.sql(
+        "SELECT k, n FROM db.cr ORDER BY k"
+    ).collect()] == [(1, 2), (2, 3)]
+    # DELETE WHERE with a cast predicate: d::int = 4 hits only the
+    # 3.5 row (rint), never the 2.5 row
+    lsql.sql("DELETE FROM db.cr WHERE d::int = 4")
+    assert [r.k for r in lsql.sql(
+        "SELECT k FROM db.cr"
+    ).collect()] == [1]
+
+
+def test_date_bin_interval_stride_r11(lsql):
+    """r11: date_bin with PG's interval-typed stride (the documented
+    signature) — origin-aligned floor bucketing; both examples are
+    PG docs' own."""
+    import datetime
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT date_bin(interval '15 minutes', "
+        "timestamp '2020-02-11 15:44:17', timestamp '2001-01-01') AS x"
+    ) == datetime.datetime(2020, 2, 11, 15, 30)
+    assert one(
+        "SELECT date_bin(interval '15 minutes', "
+        "timestamp '2020-02-11 15:44:17', "
+        "timestamp '2001-01-01 00:02:30') AS x"
+    ) == datetime.datetime(2020, 2, 11, 15, 32, 30)
+    # month/year strides are a PG error — stay loud here too
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        lsql.sql(
+            "SELECT date_bin(interval '1 month', "
+            "timestamp '2020-02-11', timestamp '2001-01-01') AS x"
+        ).collect()
+
+
+def test_bytea_hex_literals_r11(lsql):
+    """r11 battery find: '\\x..'::bytea is PG's HEX-format bytea —
+    the plain string→binary cast kept the literal characters
+    (get_byte read 92 for byte 0, PG says 18 — silent). bytea::text
+    renders PG's hex output form."""
+    row = lsql.sql(
+        "SELECT get_byte('\\x1234'::bytea, 0) AS a, "
+        "get_byte('\\x1234'::bytea, 1) AS b, "
+        "octet_length('\\x1234'::bytea) AS n, "
+        "encode('\\xdeadbeef'::bytea, 'hex') AS h"
+    ).collect()[0]
+    assert (row.a, row.b, row.n, row.h) == (18, 52, 2, "deadbeef")
+    # PG hex OUTPUT form on ::text (default since PG 9.0)
+    assert lsql.sql(
+        "SELECT 'abc'::bytea::text AS x"
+    ).collect()[0].x == "\\x616263"
+    # non-hex literals keep utf8-bytes semantics
+    assert lsql.sql(
+        "SELECT octet_length('abc'::bytea) AS x"
+    ).collect()[0].x == 3
+
+
+def test_pg_array_literals_r11(lsql):
+    """r11: PG brace-format array literals — '{1,2,3}'::int[] — per
+    PG's array-input rules (quoted elements, backslash escapes, bare
+    NULL); multidimensional stays loud."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT '{1,2,3}'::int[] AS x") == [1, 2, 3]
+    assert one("SELECT '{}'::int[] AS x") == []
+    assert one("SELECT '{a, b}'::text[] AS x") == ["a", "b"]
+    assert one(
+        "SELECT '{\"a b\",\"c,d\"}'::text[] AS x"
+    ) == ["a b", "c,d"]
+    assert one(
+        'SELECT \'{"say \\"hi\\""}\'::text[] AS x'
+    ) == ['say "hi"']
+    assert one(
+        "SELECT '{1.5,NULL,2.5}'::numeric(10,2)[] AS x"
+    ) == [__import__("decimal").Decimal("1.50"), None,
+          __import__("decimal").Decimal("2.50")]
+    assert one("SELECT 2 = ANY('{1,2,3}'::int[]) AS x") is True
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        lsql.sql("SELECT '{{1,2},{3,4}}'::int[] AS x").collect()
