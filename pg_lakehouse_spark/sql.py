@@ -6638,6 +6638,7 @@ class LakeSQL:
         masked = self._rewrite_typed_arith(masked, _lits)
         masked = self._rewrite_float_round(masked, _lits)
         masked = self._rewrite_int_cast_rounding(masked, _lits)
+        masked = self._rewrite_interval_dateformat(masked, _lits)
         masked = self._rewrite_array_text_cast(masked, _lits)
         bound = self._unmask_strings(masked, _lits)
         wt = self._FETCH_TIES.search(masked)
@@ -6877,6 +6878,153 @@ class LakeSQL:
                 + f"{fn}({operand.strip()})"
                 + out[as_idx:]
             )
+        return out
+
+    # java date_format token → interval field (the dialect pass
+    # already translated PG to_char templates to java patterns; here
+    # we translate BACK for interval-typed operands). Longest-first.
+    _IVL_JAVA_TOKENS: tuple[tuple[str, str, int], ...] = (
+        ("SSSSSS", "us", 6), ("SSS", "ms", 3),
+        ("yyyy", "year", 4), ("yy", "year2", 2),
+        ("MM", "month", 2), ("M", "month", 0),
+        ("dd", "day", 2), ("d", "day", 0),
+        ("HH", "hour", 2), ("H", "hour", 0),
+        ("hh", "hour12", 2), ("h", "hour12", 0),
+        ("mm", "min", 2), ("m", "min", 0),
+        ("ss", "sec", 2), ("s", "sec", 0),
+    )
+
+    def _rewrite_interval_dateformat(
+        self, masked: str, lits: list[str]
+    ) -> str:
+        """``to_char(<runtime interval>, tpl)`` — the elapsed-time
+        report idiom (``to_char(t2 - t1, 'HH24:MI:SS')``). The
+        dialect pass translated to_char into date_format without
+        knowing the operand type (it has no typing frame); over an
+        interval that is a LOUD AnalysisException. Here, with the
+        frame, date_format sites whose operand trial-types day-time
+        or year-month interval rebuild into per-field rendering (PG
+        formatting.c interval path: tm fields, hours NOT folded into
+        days, printf %0Nd padding so a negative eats pad width).
+        Calendar-interval operands (age() emissions) and patterns
+        with tokens meaningless for intervals stay loud."""
+        if not re.search(r"\bdate_format\s*\(", masked, re.IGNORECASE):
+            return masked
+        frame_memo: list = []
+
+        def frame():
+            if not frame_memo:
+                frame_memo.append(self._typing_frame(masked, lits))
+            return frame_memo[0]
+
+        def L(raw: str) -> str:
+            lits.append("'" + raw.replace("'", "''") + "'")
+            return f"\x00{len(lits) - 1}\x00"
+
+        out = masked
+        for m, args, end in self._call_sites(out, "date_format"):
+            if len(args) != 2:
+                continue
+            pm = re.fullmatch(r"\s*\x00(\d+)\x00\s*", args[1])
+            if not pm:
+                continue
+            x = args[0].strip()
+            if "->" in x or re.search(r"\b__[pq]\b", x):
+                continue
+            fr = frame()
+            if fr is None:
+                continue
+            try:
+                ds = (
+                    fr.select(
+                        F.expr(
+                            self._spark_text(
+                                self._unmask_strings(x, lits)
+                            )
+                        )
+                    ).schema[0].dataType.simpleString()
+                )
+            except Exception:
+                continue
+            if not ds.startswith("interval ") or ds == "interval":
+                continue  # not an interval / calendar: leave as-is
+            is_dt = "day" in ds or "hour" in ds or "second" in ds \
+                or "minute" in ds
+            # per-field expressions; fields the type lacks render 0
+            # (PG: to_char(interval '2 days', 'YYYY') = '0000')
+            if is_dt:
+                sec = f"extract(SECOND FROM ({x}))"
+                fields = {
+                    "year": "0", "year2": "0", "month": "0",
+                    "day": f"extract(DAY FROM ({x}))",
+                    "hour": f"extract(HOUR FROM ({x}))",
+                    "min": f"extract(MINUTE FROM ({x}))",
+                    "sec": f"cast({sec} as int)",
+                    "ms": (
+                        f"cast((cast({sec} * 1000 as bigint)) - "
+                        f"cast({sec} as bigint) * 1000 as int)"
+                    ),
+                    "us": (
+                        f"cast((cast({sec} * 1000000 as bigint)) - "
+                        f"cast({sec} as bigint) * 1000000 as int)"
+                    ),
+                }
+            else:  # year-month
+                fields = {
+                    "year": f"extract(YEAR FROM ({x}))",
+                    "year2": f"pmod(abs(extract(YEAR FROM ({x}))), 100)",
+                    "month": f"extract(MONTH FROM ({x}))",
+                    "day": "0", "hour": "0", "min": "0", "sec": "0",
+                    "ms": "0", "us": "0",
+                }
+            h = fields["hour"]
+            fields["hour12"] = (
+                f"(CASE WHEN pmod(abs({h}), 12) = 0 THEN 12 "
+                f"ELSE pmod(abs({h}), 12) END)"
+            )
+            # parse the JAVA pattern back into pieces
+            java = lits[int(pm.group(1))][1:-1].replace("''", "'")
+            pieces: list[str] = []
+            i, n = 0, len(java)
+            ok = True
+            while i < n:
+                if java[i] == "'":  # java-quoted literal text
+                    j = java.find("'", i + 1)
+                    if j < 0:
+                        ok = False
+                        break
+                    if j == i + 1:  # '' = one apostrophe
+                        pieces.append(L("'"))
+                    else:
+                        pieces.append(L(java[i + 1: j]))
+                    i = j + 1
+                    continue
+                for tok, fld, pad in self._IVL_JAVA_TOKENS:
+                    if java.startswith(tok, i):
+                        e = fields[fld]
+                        pieces.append(
+                            f"format_string({L('%0' + str(pad) + 'd')},"
+                            f" cast({e} as int))"
+                            if pad
+                            else f"cast(cast({e} as int) as string)"
+                        )
+                        i += len(tok)
+                        break
+                else:
+                    c = java[i]
+                    if c.isalnum():
+                        ok = False  # month names, era, zone: loud
+                        break
+                    pieces.append(L(c))
+                    i += 1
+            if not ok or not pieces:
+                continue
+            rep = (
+                pieces[0]
+                if len(pieces) == 1
+                else "concat(" + ", ".join(pieces) + ")"
+            )
+            out = out[: m.start()] + rep + out[end:]
         return out
 
     def _rewrite_array_text_cast(self, masked: str, lits: list[str]) -> str:
@@ -10987,12 +11135,18 @@ class LakeSQL:
                 "oid bigint, nspname string",
             )
         elif rel == "pg_class":
+            # r11: sequences reflect with relkind 'S' — SQLAlchemy
+            # and psql \ds find SERIAL backing sequences here
+            seqs = self.catalog.list_sequences()
             rows = [
                 (10000 + i, t, ns_oid[ns], "r")
                 for i, (ns, t) in enumerate(tables)
             ] + [
                 (20000 + i, v, ns_oid[ns], "v")
                 for i, (ns, v) in enumerate(views)
+            ] + [
+                (30000 + i, sq, ns_oid.get(ns, 2200), "S")
+                for i, (ns, sq) in enumerate(seqs)
             ]
             df = self.spark.createDataFrame(
                 rows or [],

@@ -2045,3 +2045,29 @@ def lake_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND bucket10(o_totalprice) = 'big' "
         "GROUP BY o_orderstatus"
     )
+
+
+@register(
+    "lake_serial_identity",
+    oracle="""
+SELECT CAST(row_number() OVER (ORDER BY nm) AS INT) AS id, nm
+FROM (VALUES ('a'), ('b'), ('c'), ('d')) v(nm)
+ORDER BY id
+""",
+    tags=("sql-frontend", "lakehouse"),
+)
+def lake_serial_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: SERIAL expands per PG — backing sequence
+    `<table>_<col>_seq`, nextval() default, NOT NULL — and multi-row
+    VALUES inserts reserve one value PER ROW (the oracle's
+    row_number over insertion order is exactly the sequence
+    assignment). pg_get_serial_sequence is probed in the suite
+    (tests/test_sql.py::test_serial_sequence_r11)."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    cat = _scratch_catalog(spark, sf_dir, "serial_identity")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.ser (id SERIAL PRIMARY KEY, nm TEXT)")
+    q.sql("INSERT INTO db.ser (nm) VALUES ('a'), ('b'), ('c')")
+    q.sql("INSERT INTO db.ser (nm) VALUES ('d')")
+    return q.sql("SELECT id, nm FROM db.ser ORDER BY id")

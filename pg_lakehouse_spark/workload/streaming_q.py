@@ -384,3 +384,44 @@ def ts_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us(F.min("ts")).alias("session_start_us"),
         epoch_us(F.max("ts")).alias("session_end_us"),
     )
+
+
+@register(
+    "q_date_bin_buckets",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts,
+                            TIMESTAMP '2001-01-01'),
+                '%Y-%m-%d %H:%M:%S')               AS bucket,
+       event_type,
+       count(*)                                    AS n
+FROM events
+WHERE event_id <= 3000
+GROUP BY 1, 2
+""",
+    tags=("timeseries", "sql-frontend"),
+)
+def q_date_bin_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: PG 14 date_bin with the interval-typed stride —
+    origin-aligned floor bucketing (DuckDB's time_bucket with an
+    origin computes the identical grid, so this is value-hash
+    checked). 100 TB posture: the bin is a pure expression on the
+    scan (no UDF); the groupBy shuffles on (bucket, type) exactly
+    like any hourly rollup."""
+    import os as _os
+    import tempfile as _tf
+
+    from pg_lakehouse_spark.lakehouse import LakeCatalog
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    q = LakeSQL(
+        spark,
+        LakeCatalog(spark, _os.path.join(_tf.gettempdir(), "wl_datebin")),
+    )
+    return q.sql(
+        "SELECT to_char(date_bin(interval '15 minutes', ts, "
+        "timestamp '2001-01-01'), 'YYYY-MM-DD HH24:MI:SS') AS bucket, "
+        "event_type, count(*) AS n "
+        "FROM events WHERE event_id <= 3000 "
+        "GROUP BY 1, 2"
+    )

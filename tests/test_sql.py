@@ -6304,3 +6304,54 @@ def test_pg_array_literals_r11(lsql):
     import pytest as _pytest
     with _pytest.raises(Exception):
         lsql.sql("SELECT '{{1,2},{3,4}}'::int[] AS x").collect()
+
+
+def test_to_char_runtime_interval_r11(lsql, spark):
+    """r11: to_char over a RUNTIME interval (t2 - t1 — the
+    elapsed-time report idiom) rebuilds per-field rendering where the
+    dialect pass had emitted date_format (a loud AnalysisException on
+    intervals). Negative intervals render PG's printf form (each
+    field signed). Calendar operands (age()) stay loud."""
+    spark.sql(
+        "SELECT timestamp '2024-01-01 08:00:00' AS t1, "
+        "timestamp '2024-01-03 12:30:45.123456' AS t2 FROM range(1)"
+    ).createOrReplaceTempView("tcri")
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT to_char(t2 - t1, 'HH24:MI:SS') AS x FROM tcri"
+    ) == "04:30:45"
+    assert one(
+        "SELECT to_char(t2 - t1, 'DD\"d \"HH24:MI:SS.MS') AS x "
+        "FROM tcri"
+    ) == "02d 04:30:45.123"
+    assert one(
+        "SELECT to_char(t1 - t2, 'HH24:MI:SS') AS x FROM tcri"
+    ) == "-4:-30:-45"  # PG's own signed-field printf rendering
+    assert one(
+        "SELECT to_char(t2 - t1, 'FMHH24:MI') AS x FROM tcri"
+    ) == "4:30"
+    # date/timestamp operands keep the plain date_format path
+    assert one(
+        "SELECT to_char(t2, 'HH24:MI') AS x FROM tcri"
+    ) == "12:30"
+    assert one(
+        "SELECT to_char(date '2024-03-05', 'YYYY-MM-DD') AS x"
+    ) == "2024-03-05"
+
+
+def test_pg_class_sequences_currval_r11(lsql):
+    """r11: SERIAL backing sequences reflect in pg_class with
+    relkind 'S' (psql \\ds / SQLAlchemy sequence discovery), and
+    currval reports the last value the session's inserts reserved."""
+    lsql.sql("CREATE TABLE app.pcs (id SERIAL, v TEXT)")
+    lsql.sql("INSERT INTO app.pcs (v) VALUES ('a'), ('b')")
+    kinds = {
+        (r.relname, r.relkind)
+        for r in lsql.sql(
+            "SELECT relname, relkind FROM pg_class"
+        ).collect()
+    }
+    assert ("pcs_id_seq", "S") in kinds
+    assert lsql.sql(
+        "SELECT currval('app.pcs_id_seq') AS c"
+    ).collect()[0].c == 2
