@@ -5463,6 +5463,10 @@ class LakeCatalog:
             shutil.rmtree(loc)
         else:
             shutil.rmtree(os.path.join(loc, _META_DIR))
+        # PG: OWNED sequences (the SERIAL expansion) drop with the
+        # table; user-created sequences are untouched
+        for sns, snm in self.sequences_owned_by(namespace, name):
+            self.drop_sequence(sns, snm, if_exists=True)
 
     def rename_table(
         self, namespace: str, name: str, new_namespace: str, new_name: str
@@ -5598,7 +5602,11 @@ class LakeCatalog:
     def create_sequence(
         self, namespace: str, name: str, start: int = 1,
         increment: int = 1, if_not_exists: bool = False,
+        owned_by: str | None = None,
     ) -> None:
+        """``owned_by`` = 'ns.table.col' for SERIAL/identity backing
+        sequences (PG's OWNED BY): DROP TABLE drops them, TRUNCATE
+        RESTART IDENTITY restarts them."""
         if increment == 0:
             raise LakehouseError("INCREMENT must not be zero")
         with self._seqs_lock() as lock:
@@ -5611,7 +5619,44 @@ class LakeCatalog:
                 raise LakehouseError(f"sequence {key} already exists")
             seqs[key] = {
                 "next": start, "increment": increment, "called": False,
+                "start": start,
+                **({"owned_by": owned_by} if owned_by else {}),
             }
+            self._write_seqs(seqs)
+
+    def list_sequences_meta(self) -> list[tuple[str, str, dict]]:
+        """(namespace, name, state) per sequence — the reflection
+        surface (pg_sequences / information_schema.sequences)."""
+        return [
+            (*key.split(".", 1), dict(s))
+            for key, s in sorted(self._load_seqs().items())
+        ]
+
+    def sequences_owned_by(
+        self, namespace: str, table: str
+    ) -> list[tuple[str, str]]:
+        pfx = f"{namespace}.{table}."
+        return [
+            tuple(k.split(".", 1))
+            for k, s in self._load_seqs().items()
+            if (s.get("owned_by") or "").startswith(pfx)
+        ]
+
+    def sequence_restart(
+        self, namespace: str, name: str, value: int | None = None
+    ) -> None:
+        """ALTER SEQUENCE RESTART [WITH n] / TRUNCATE RESTART
+        IDENTITY: next value becomes ``value`` (default: the
+        sequence's START)."""
+        with self._seqs_lock() as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            seqs = self._load_seqs()
+            key = f"{namespace}.{name}"
+            if key not in seqs:
+                raise LakehouseError(f"sequence {key} does not exist")
+            s = seqs[key]
+            s["next"] = s.get("start", 1) if value is None else value
+            s["called"] = False
             self._write_seqs(seqs)
 
     def drop_sequence(

@@ -5224,7 +5224,7 @@ class LakeSQL:
         r"\b(?:current_setting|set_config|has_\w+_privilege"
         r"|pg_table_size|pg_total_relation_size|obj_description"
         r"|pg_backend_pid|txid_current|pg_sleep"
-        r"|pg_get_serial_sequence)\s*\(",
+        r"|pg_get_serial_sequence|version)\s*\(",
         re.IGNORECASE,
     )
     _SERIAL_SEQ_FN = re.compile(
@@ -5323,6 +5323,25 @@ class LakeSQL:
         masked = self._ADMIN_FN.sub(admin, masked)
         masked = self._SETTING_FN.sub(setting, masked)
         masked = self._PRIV_FN.sub("TRUE", masked)
+        # version(): PG clients REGEX this banner to pick dialect
+        # features (SQLAlchemy: 'PostgreSQL (\d+)\.(\d+)') — Spark's
+        # own version() string would break every such driver (r11).
+        # The PG version mirrors the surface this frontend tracks.
+        def ver(_m: re.Match) -> str:
+            sv = ""
+            try:
+                sv = self.spark.version
+            except Exception:
+                pass
+            return q(
+                "PostgreSQL 16.4 (pg_lakehouse_spark on Apache Spark "
+                f"{sv}) on x86_64-pc-linux-gnu"
+            )
+
+        masked = re.sub(
+            r"\b(?:pg_catalog\s*\.\s*)?version\s*\(\s*\)", ver,
+            masked, flags=re.IGNORECASE,
+        )
         # session identity / txid / sleep (parse-time; single-process)
         masked = re.sub(
             r"\bpg_backend_pid\s*\(\s*\)", str(os.getpid()), masked,
@@ -5749,8 +5768,11 @@ class LakeSQL:
             )
             if am2:
                 ns, nm = self._resolve_seq(am2.group(1), am2.group(2))
-                self.catalog.sequence_setval(
-                    ns, nm, int(am2.group(3) or 1), is_called=False
+                # bare RESTART returns to the sequence's declared
+                # START (r11 — was a hardcoded 1)
+                self.catalog.sequence_restart(
+                    ns, nm,
+                    int(am2.group(3)) if am2.group(3) else None,
                 )
                 return None
             return self._alter(s)
@@ -6627,7 +6649,7 @@ class LakeSQL:
         _bpm = re.sub(
             r"(?<![\w.$])(pg_class|pg_namespace|pg_tables|pg_views"
             r"|pg_attribute|pg_attrdef|pg_index|pg_constraint"
-            r"|pg_type|pg_enum|pg_proc)"
+            r"|pg_type|pg_enum|pg_proc|pg_sequences)"
             r"\b(?!\s*[.($])",
             bind_bare_pg,
             _bpm,
@@ -8083,7 +8105,10 @@ class LakeSQL:
         # overwrites with the same value; constraints re-add is guarded
         for col in serial_cols:
             seq = f"{name}_{col}_seq"
-            self.catalog.create_sequence(ns, seq, if_not_exists=True)
+            self.catalog.create_sequence(
+                ns, seq, if_not_exists=True,
+                owned_by=f"{ns}.{name}.{col}",
+            )
             defaults.setdefault(col, f"nextval('{ns}.{seq}')")
         for col, d in defaults.items():
             tbl.set_column_default(col, d)
@@ -8121,17 +8146,26 @@ class LakeSQL:
         return None
 
     def _truncate(self, s: str) -> Snapshot:
-        # PG: the TABLE keyword is optional (TRUNCATE t); RESTART/
-        # CONTINUE IDENTITY are accepted noise (no sequences here)
+        # PG: the TABLE keyword is optional (TRUNCATE t). RESTART
+        # IDENTITY restarts the table's OWNED sequences (the SERIAL
+        # expansion) to their START — r11; CONTINUE IDENTITY (the
+        # default) leaves them.
         m = re.match(
             rf"TRUNCATE\s+(?:TABLE\s+)?{_TBL}"
-            r"(?:\s+(?:RESTART|CONTINUE)\s+IDENTITY)?"
+            r"(?:\s+(RESTART|CONTINUE)\s+IDENTITY)?"
             r"(?:\s+(?:CASCADE|RESTRICT))?$",
             s,
             re.IGNORECASE,
         )
         if not m:
             raise LakehouseError(f"cannot parse TRUNCATE: {s[:80]!r}")
+        if (m.group(3) or "").upper() == "RESTART":
+            owned = getattr(self.catalog, "sequences_owned_by", None)
+            if owned:
+                for sns, snm in owned(
+                    m.group(1).lower(), m.group(2).lower()
+                ):
+                    self.catalog.sequence_restart(sns, snm)
         tbl = self._load(m.group(1), m.group(2))
         if self._fk_referenced_by(tbl):
             raise LakehouseError(
@@ -11371,6 +11405,31 @@ class LakeSQL:
                     "oid bigint, enumtypid bigint, "
                     "enumsortorder double, enumlabel string",
                 )
+        elif rel == "pg_sequences":
+            # PG 10's psql \ds view (r11): last_value is NULL until
+            # the sequence is first called, as in PG
+            meta = getattr(self.catalog, "list_sequences_meta", None)
+            rows = [
+                (
+                    ns, nm, "spark", "bigint",
+                    st.get("start", 1), 1, 9223372036854775807,
+                    st.get("increment", 1), False, 1,
+                    (
+                        st["next"] - st.get("increment", 1)
+                        if st.get("called")
+                        else None
+                    ),
+                )
+                for ns, nm, st in (meta() if meta else [])
+            ]
+            df = self.spark.createDataFrame(
+                rows or [],
+                "schemaname string, sequencename string, "
+                "sequenceowner string, data_type string, "
+                "start_value bigint, min_value bigint, "
+                "max_value bigint, increment_by bigint, "
+                "cycle boolean, cache_size bigint, last_value bigint",
+            )
         elif rel == "pg_proc":
             # r10: user-created LANGUAGE SQL functions (the engine
             # has no other user-function surface, so this IS the
@@ -11488,10 +11547,32 @@ class LakeSQL:
                     "table_schema string, table_name string, "
                     "column_name string, ordinal_position int",
                 )
+        elif rel == "sequences":
+            # r11: ORM sequence reflection (info-schema spells the
+            # numeric fields as character_data — strings, per SQL)
+            meta = getattr(self.catalog, "list_sequences_meta", None)
+            rows = [
+                (
+                    "spark", ns, nm, "bigint",
+                    str(st.get("start", 1)), "1",
+                    "9223372036854775807",
+                    str(st.get("increment", 1)), "NO",
+                )
+                for ns, nm, st in (meta() if meta else [])
+            ]
+            df = self.spark.createDataFrame(
+                rows or [],
+                "sequence_catalog string, sequence_schema string, "
+                "sequence_name string, data_type string, "
+                "start_value string, minimum_value string, "
+                "maximum_value string, increment string, "
+                "cycle_option string",
+            )
         else:
             raise LakehouseError(
                 f"information_schema.{rel} is not implemented (tables/"
-                "columns/views/table_constraints/key_column_usage are)"
+                "columns/views/table_constraints/key_column_usage/"
+                "sequences are)"
             )
         view = f"__info_schema_{rel}"
         df.createOrReplaceTempView(view)

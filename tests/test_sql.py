@@ -6355,3 +6355,70 @@ def test_pg_class_sequences_currval_r11(lsql):
     assert lsql.sql(
         "SELECT currval('app.pcs_id_seq') AS c"
     ).collect()[0].c == 2
+
+
+def test_serial_sequence_lifecycle_r11(lsql):
+    """r11: SERIAL backing sequences are OWNED (PG's OWNED BY) —
+    TRUNCATE RESTART IDENTITY restarts them to START, DROP TABLE
+    drops them, ALTER SEQUENCE bare RESTART returns to the declared
+    START; user-created sequences are never touched."""
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    lsql.sql("CREATE TABLE app.own (id SERIAL, v TEXT)")
+    lsql.sql("CREATE SEQUENCE app.user_seq")
+    lsql.sql("INSERT INTO app.own (v) VALUES ('a'), ('b')")
+    lsql.sql("TRUNCATE app.own RESTART IDENTITY")
+    lsql.sql("INSERT INTO app.own (v) VALUES ('c')")
+    assert [tuple(r) for r in lsql.sql(
+        "SELECT id, v FROM app.own"
+    ).collect()] == [(1, "c")]
+    # CONTINUE IDENTITY (and bare TRUNCATE) leaves the sequence alone
+    lsql.sql("TRUNCATE app.own")
+    lsql.sql("INSERT INTO app.own (v) VALUES ('d')")
+    assert lsql.sql("SELECT id FROM app.own").collect()[0].id == 2
+    # DROP TABLE drops the owned sequence, not the user's
+    lsql.sql("DROP TABLE app.own")
+    with _pytest.raises(LakehouseError):
+        lsql.sql("SELECT nextval('app.own_id_seq') AS x")
+    assert lsql.sql(
+        "SELECT nextval('app.user_seq') AS x"
+    ).collect()[0].x == 1
+    # ALTER SEQUENCE bare RESTART returns to the declared START
+    lsql.sql("CREATE SEQUENCE app.s5 START WITH 5")
+    assert lsql.sql("SELECT nextval('app.s5') AS x").collect()[0].x == 5
+    lsql.sql("SELECT nextval('app.s5')").collect()
+    lsql.sql("ALTER SEQUENCE app.s5 RESTART")
+    assert lsql.sql("SELECT nextval('app.s5') AS x").collect()[0].x == 5
+
+
+def test_sequence_reflection_r11(lsql):
+    """r11: the three sequence-reflection surfaces ORMs hit —
+    pg_class relkind 'S', pg_sequences (psql \\ds), and
+    information_schema.sequences — plus the PG-shaped version()
+    banner SQLAlchemy regexes for dialect selection."""
+    lsql.sql("CREATE TABLE app.sr (id SERIAL, v TEXT)")
+    assert ("app", "sr_id_seq") in {
+        (r.sequence_schema, r.sequence_name)
+        for r in lsql.sql(
+            "SELECT sequence_schema, sequence_name "
+            "FROM information_schema.sequences"
+        ).collect()
+    }
+    rows = {
+        (r.schemaname, r.sequencename, r.last_value)
+        for r in lsql.sql("SELECT * FROM pg_sequences").collect()
+    }
+    assert ("app", "sr_id_seq", None) in rows  # never called yet
+    lsql.sql("INSERT INTO app.sr (v) VALUES ('a')")
+    rows = {
+        (r.sequencename, r.last_value)
+        for r in lsql.sql(
+            "SELECT sequencename, last_value FROM pg_sequences"
+        ).collect()
+    }
+    assert ("sr_id_seq", 1) in rows
+    import re as _re
+    banner = lsql.sql("SELECT version() AS v").collect()[0].v
+    assert _re.match(r"PostgreSQL \d+\.\d+", banner)
