@@ -570,6 +570,9 @@ class LakeSQL:
             "server_version": "16.0 (pg_lakehouse_spark)",
             "statement_timeout": "0",
             "client_encoding": "UTF8",
+            # lake commits are snapshot-isolated optimistic swaps —
+            # the truthful PG label for what a reader sees
+            "transaction_isolation": "repeatable read",
         }
 
     def _load(self, ns: str, name: str, branch: str | None = None) -> LakeTable:
@@ -4152,6 +4155,13 @@ class LakeSQL:
             r"\binet_client_addr\s*\(\s*\)",
             "CAST(NULL AS STRING)", masked, flags=re.IGNORECASE,
         )
+        for m, args, end in cls._call_sites(
+            masked, "pg_encoding_to_char"
+        ):
+            if len(args) == 1 and args[0].strip() == "6":
+                masked = (
+                    masked[: m.start()] + new_lit("UTF8") + masked[end:]
+                )
         for m, args, end in cls._call_sites(masked, "convert_from"):
             if len(args) != 2:
                 continue
@@ -10992,7 +11002,8 @@ class LakeSQL:
                 "column_name string, data_type string, nullable boolean",
             )
         m = re.match(
-            rf"SHOW\s+(TIME\s+ZONE|{_IDENT}(?:\.{_IDENT})?)$",
+            rf"SHOW\s+(TIME\s+ZONE|TRANSACTION\s+ISOLATION\s+LEVEL"
+            rf"|{_IDENT}(?:\.{_IDENT})?)$",
             s,
             re.IGNORECASE,
         )
@@ -11000,6 +11011,9 @@ class LakeSQL:
             name = m.group(1).lower()
             if re.fullmatch(r"time\s+zone", name):
                 name = "timezone"
+            elif re.fullmatch(r"transaction\s+isolation\s+level", name):
+                # psycopg/JDBC handshake spelling of the setting
+                name = "transaction_isolation"
             eff = dict(self._settings_defaults, **self._settings)
             if name in eff:
                 # PG titles the single column after the setting

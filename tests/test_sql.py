@@ -6422,3 +6422,19 @@ def test_sequence_reflection_r11(lsql):
     import re as _re
     banner = lsql.sql("SELECT version() AS v").collect()[0].v
     assert _re.match(r"PostgreSQL \d+\.\d+", banner)
+
+
+def test_client_handshake_r11(lsql):
+    """r11: the driver-handshake statements psycopg/JDBC/SQLAlchemy
+    issue on connect."""
+    assert lsql.sql(
+        "SHOW transaction isolation level"
+    ).collect()[0][0] == "repeatable read"
+    assert lsql.sql(
+        "SELECT pg_encoding_to_char(6) AS e"
+    ).collect()[0].e == "UTF8"
+    import re as _re
+    assert _re.match(
+        r"PostgreSQL \d+\.\d+",
+        lsql.sql("SELECT version() AS v").collect()[0].v,
+    )
