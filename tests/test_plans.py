@@ -507,3 +507,18 @@ def test_cast_rounding_plan_r11(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "o_orderkey" in " ".join(sorted(pushed_filter_columns(df)))
+
+
+def test_date_bin_plan_r11(spark, sf_dir):
+    """q_date_bin_buckets: the bin is a pure expression on the scan —
+    no Python stage, and the event_id range predicate reaches the
+    parquet scan (at 100 TB the bucket grid must come free with the
+    groupBy shuffle, never via a UDF)."""
+    from pg_lakehouse_spark.workload import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY["q_date_bin_buckets"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "event_id" in " ".join(sorted(pushed_filter_columns(df)))
