@@ -5104,6 +5104,50 @@ def test_jsonb_aliases_and_containment_r10(lsql):
     assert one("SELECT array[1,2] <@ array[1,2,3] AS x") is True
 
 
+def test_jsonb_containment_never_null_r12(lsql, duck):
+    """r12 (verdict wrong #2): compiled column-vs-literal containment
+    is FALSE, never NULL, when a leg misses — PG's @> returns a bool
+    for non-null operands (jsonb_util.c). The NULL leaked wherever the
+    value was PROJECTED (filters masked it), and NOT (j @> ...)
+    silently dropped rows PG keeps. A NULL container keeps strict-
+    operator NULL."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    # the judge's repro: projected value, scalar not contained
+    assert one(
+        "SELECT j @> '2' AS x FROM (SELECT '[1,3]'::jsonb AS j) t"
+    ) is False
+    assert one(
+        "SELECT j @> '3' AS x FROM (SELECT '[1,3]'::jsonb AS j) t"
+    ) is True
+    assert one(
+        """SELECT j @> '{"a":9}' AS x
+           FROM (SELECT '{"a":1}'::jsonb AS j) t"""
+    ) is False
+    assert one(
+        "SELECT '2' <@ j AS x FROM (SELECT '[1,3]'::jsonb AS j) t"
+    ) is False
+    # strictness: NULL container stays NULL
+    assert one(
+        "SELECT j @> '1' AS x "
+        "FROM (SELECT cast(NULL AS string)::jsonb AS j) t"
+    ) is None
+    # NOT (j @> ...) row count vs DuckDB (its @> is PG-compatible)
+    lsql.sql("CREATE TABLE db.jbn (k BIGINT, doc STRING)")
+    lsql.sql(
+        "INSERT INTO db.jbn VALUES (1, '[1,3]'), (2, '[2,4]'), "
+        "(3, '[1,2]')"
+    )
+    got = [r.k for r in lsql.sql(
+        "SELECT k FROM db.jbn WHERE NOT (doc::jsonb @> '2') ORDER BY k"
+    ).collect()]
+    want = [r[0] for r in duck.execute(
+        "SELECT k FROM (VALUES (1, '[1,3]'), (2, '[2,4]'), "
+        "(3, '[1,2]')) t(k, doc) "
+        "WHERE NOT json_contains(doc, '2') ORDER BY k"
+    ).fetchall()]
+    assert got == want == [1]
+
+
 def test_regexp_matches_global_r10(lsql):
     """r10 (verdict missing #5): regexp_matches(s, pat, 'g') — PG's
     multi-row SRF: one row per match, each row the text[] of capture
@@ -6299,6 +6343,97 @@ def test_nested_int_cast_rounding_r12(lsql):
         "SELECT CAST(CAST(CAST(1.5 AS INT) + 0.5 AS INT) + 0.5 AS INT)"
         " AS x"
     ) == 4
+
+
+def test_typed_rewrites_subquery_scope_r12(lsql):
+    """r12 (verdict missing #2): the typing frame extends to derived-
+    table FROM scopes — to_char over a runtime interval whose operands
+    come from ``FROM (SELECT ...) x`` renders instead of dying in
+    date_format, and int-cast column operands in the same shape round.
+    Scalar subqueries in the select list keep their own scope (the
+    empty-frame literal fallback still types them)."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT to_char(t2 - t1, 'HH24:MI:SS') AS e FROM "
+        "(SELECT timestamp '2024-01-01 01:00:00' t1, "
+        "timestamp '2024-01-01 16:02:12' t2) x"
+    ) == "15:02:12"
+    assert one("SELECT v::int AS x FROM (SELECT 2.5 AS v) x") == 3
+    assert one(
+        "SELECT v::int AS x "
+        "FROM (SELECT cast(2.5 as double) AS v) x"
+    ) == 2  # float half-even
+    assert one("SELECT (SELECT 2.5::int) AS s") == 3
+
+
+def test_row_text_pg_record_rendering_r12(lsql):
+    """r12 (verdict wrong #3): ``row(...)::text`` renders PG's record
+    form (rowtypes.c record_out) — parens, NULL fields empty, values
+    double-quoted only when they contain specials/whitespace or are
+    empty — not Spark's ``{1, a}`` struct text."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT row(1,'a')::text AS x") == "(1,a)"
+    assert one("SELECT row(1, NULL)::text AS x") == "(1,)"
+    assert one("SELECT row('a b', 2)::text AS x") == '("a b",2)'
+    assert one("SELECT row('x\"y')::text AS x") == '("x""y")'
+    assert one("SELECT row('')::text AS x") == '("")'
+    assert one("SELECT row(true, false)::text AS x") == "(t,f)"
+    assert one("SELECT row('a,b')::text AS x") == '("a,b")'
+
+
+def test_interval_category_comparison_r12(lsql):
+    """r12 (verdict missing #3): year-month vs day-time interval
+    literal comparisons fold on PG's justified key (interval_cmp:
+    1 mon = 30 days, 1 day = 24 hours)."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT interval '1 mon' = interval '30 days' AS x")
+    assert one("SELECT interval '1 mon' < interval '31 days' AS x")
+    assert one("SELECT interval '2 mon' > interval '59 days' AS x")
+    assert one("SELECT interval '1 day' = interval '24 hours' AS x")
+    assert one("SELECT interval '1 mon' <> interval '29 days' AS x")
+    assert one(
+        "SELECT interval '1 year' = interval '360 days' AS x"
+    )
+    # arithmetic neighbours must NOT fold into the comparison
+    assert one(
+        "SELECT timestamp '2024-01-02' - interval '1 day' = "
+        "timestamp '2024-01-01' AS x"
+    )
+
+
+def test_array_scalar_concat_r12(lsql):
+    """r12 (verdict missing #4): ``array || element`` appends and
+    ``element || array`` prepends (PG arrayfuncs.c operators); string
+    and array/array concats keep their native semantics."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT array[1,2] || 3 AS x") == [1, 2, 3]
+    assert one("SELECT 0 || array[1,2] AS x") == [0, 1, 2]
+    assert one("SELECT array[1,2] || array[3] AS x") == [1, 2, 3]
+    assert one("SELECT 'a' || 'b' AS x") == "ab"
+    assert one("SELECT 1 || 'a' AS x") == "1a"
+    assert one("SELECT 'z' || array['a'] AS x") == ["z", "a"]
+    assert one("SELECT array[1] || 2 || 3 AS x") == [1, 2, 3]
+    assert one("SELECT (array[1,2] || 3)::text AS x") == "{1,2,3}"
+    lsql.sql("CREATE TABLE db.asc12 (k BIGINT, tags ARRAY<STRING>)")
+    lsql.sql("INSERT INTO db.asc12 VALUES (1, array['x'])")
+    assert one(
+        "SELECT tags || 'y' AS x FROM db.asc12"
+    ) == ["x", "y"]
+
+
+def test_avg_int_text_numeric_scale_r12(lsql):
+    """r12 (verdict wrong #4): ``avg(int)::text`` renders PG's numeric
+    scale ('1.5000000000000000'), while avg over float keeps float8
+    text ('1.5')."""
+    lsql.sql("CREATE TABLE db.avs (k BIGINT, d DOUBLE)")
+    lsql.sql("INSERT INTO db.avs VALUES (1, 1.0), (2, 2.0)")
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT avg(k)::text AS x FROM db.avs"
+    ) == "1.5000000000000000"
+    assert one("SELECT avg(d)::text AS x FROM db.avs") == "1.5"
+    assert one("SELECT avg(k) AS x FROM db.avs") == 1.5
+    assert one("SELECT avg(k)::int AS x FROM db.avs") == 2
 
 
 def test_date_bin_interval_stride_r11(lsql):
