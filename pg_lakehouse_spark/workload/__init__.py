@@ -129,6 +129,21 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # lake_unnest_ordinality, lake_sequence_enum, lake_implicit_correlation
 # in-window): lake_fetch_with_ties and lake_pg_literal_kit — both stay
 # oracle-checked in the local registry suite.
+# r12 rotation (3 in / 3 out, per verdict item 8): in come
+# lake_assignment_cast (NEW in r12 — the r11 verdict headline:
+# IMPLICIT assignment-cast rounding on DML stores, every INSERT...
+# SELECT row a forced .5 tie; DuckDB rounds on insert, so fully
+# oracle-scored), plus the r11-built rows q_date_bin_buckets
+# (date_bin interval-stride grid over events vs DuckDB time_bucket)
+# and lake_serial_identity (per-row SERIAL/identity sequence
+# assignment). Ceded family duplicates: lake_sequence_enum (the
+# sequence surface now shows through lake_serial_identity; ENUM
+# label checks stay oracle-checked locally), dedup_duplicate_spans
+# (dedup family keeps dedup_exact_documents + dedup_minhash_lsh
+# in-window; span dedup stays oracle-checked locally) and
+# rollup_topk_retraction (rollup family keeps rollup_incremental,
+# which exercises the same change-feed machinery; the retraction IVM
+# stays oracle-checked locally).
 # Everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
@@ -153,12 +168,12 @@ _PRIORITY: tuple[str, ...] = (
     "interleave_temperature",
     "q_cube",
     "q_pivot",
-    "dedup_duplicate_spans",
+    "lake_assignment_cast",
     "q_window_topk_per_group",
-    "lake_sequence_enum",
+    "q_date_bin_buckets",
     "ts_gapfill_hourly",
     "q_pg_function_kit",
-    "rollup_topk_retraction",
+    "lake_serial_identity",
     "q_pandas_udf_normalize",
     "lake_sql_views",
     "data_split_modulo",

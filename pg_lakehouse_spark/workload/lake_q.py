@@ -177,6 +177,48 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_assignment_cast",
+    oracle="""
+SELECT k, v, w FROM (
+    SELECT o_orderkey AS k,
+           CAST(o_orderkey + 0.5 AS INTEGER) AS v,
+           CAST(o_orderkey * 0.25 AS INTEGER) AS w
+    FROM orders WHERE o_orderkey <= 400
+    UNION ALL SELECT CAST(999901 AS BIGINT), 200, CAST(NULL AS INTEGER)
+    UNION ALL SELECT CAST(999902 AS BIGINT), -3, CAST(NULL AS INTEGER)
+) u
+""",
+    tags=("lakehouse", "sql-frontend", "dml", "functions-cast"),
+)
+def lake_assignment_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ASSIGNMENT casts on DML stores (r12, the r11 verdict
+    headline): fractional values written into integer columns with NO
+    cast spelled anywhere ROUND — ``INSERT ... SELECT k + 0.5`` and
+    ``UPDATE SET w = k * 0.25`` round half-away (numeric), VALUES
+    ``(2.5)``/``(-2.5)`` store 3/-3, and an UPDATE to 199.5 stores
+    200. Every o_orderkey + 0.5 is a forced tie, so truncation and
+    rounding disagree on EVERY row. DuckDB's insert cast rounds the
+    same way, so the oracle states the net effect with explicit
+    CASTs."""
+    from pg_lakehouse_spark.sql import LakeSQL
+
+    views(spark, sf_dir, "orders")
+    cat = _scratch_catalog(spark, sf_dir, "assignment_cast")
+    q = LakeSQL(spark, cat)
+    q.sql("CREATE TABLE db.ac (k BIGINT, v INT, w INT)")
+    q.sql(
+        "INSERT INTO db.ac SELECT o_orderkey, o_orderkey + 0.5, NULL "
+        "FROM orders WHERE o_orderkey <= 400"
+    )
+    q.sql("UPDATE db.ac SET w = k * 0.25 WHERE k <= 400")
+    q.sql(
+        "INSERT INTO db.ac (k, v) VALUES (999901, 2.5), (999902, -2.5)"
+    )
+    q.sql("UPDATE db.ac SET v = 199.5 WHERE k = 999901")
+    return q.sql("SELECT k, v, w FROM db.ac")
+
+
+@register(
     "lake_merge_full_sync",
     oracle="""
 SELECT o_orderkey, round(o_totalprice + 111.0, 2) AS totalprice
