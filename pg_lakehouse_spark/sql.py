@@ -686,6 +686,12 @@ class LakeSQL:
         _FIELD_REPS["millisecond"] = _FIELD_REPS["milliseconds"]
         _FIELD_REPS["microsecond"] = _FIELD_REPS["microseconds"]
 
+        # date_part('epoch', x) re-spells to EXTRACT(EPOCH FROM x):
+        # the epoch pass (same rewrite kit, runs after this one) owns
+        # the interval-vs-timestamp decomposition (r12 battery find —
+        # only the extract spelling was covered)
+        _FIELD_REPS["epoch"] = lambda e: f"EXTRACT(EPOCH FROM {e})"
+
         def rewrite_one(out: str, start: int, inner_start: int,
                         field: str) -> str | None:
             depth, i = 1, inner_start
@@ -1795,6 +1801,59 @@ class LakeSQL:
                 if depth == 0:
                     e = j
             end = e
+
+    # jsonb ``?`` — key/element existence (PG jsonb_exists): object →
+    # top-level key, array → STRING element equality (numbers never
+    # match), string scalar → equality. Only literal RHS compiles
+    # (the ORM shape); RHS with quotes/backslashes or LIKE wildcards
+    # stays loud (Spark has no bare '?', so nothing silently passes).
+    _JSON_EXISTS = re.compile(r"\?(?![|&?])")
+
+    @classmethod
+    def _rewrite_json_exists(cls, masked: str, lits: list[str]) -> str:
+        if "?" not in masked:
+            return masked
+
+        def L(raw: str) -> str:
+            lits.append("'" + raw.replace("'", "''") + "'")
+            return f"\x00{len(lits) - 1}\x00"
+
+        while True:
+            hits = list(cls._JSON_EXISTS.finditer(masked))
+            if not hits:
+                return masked
+            m = hits[-1]
+            left = cls._capture_left(masked, m.start())
+            right = cls._capture_right(masked, m.end())
+            if left is None or right is None:
+                return masked  # loud: Spark rejects the bare '?'
+            r_txt = masked[right[0]: right[1]].strip()
+            rm = re.fullmatch(
+                r"\x00(\d+)\x00(?:\s*::\s*(?:string|text))?", r_txt
+            )
+            if not rm:
+                return masked
+            key = lits[int(rm.group(1))][1:-1].replace("''", "'")
+            if any(c in key for c in '"\\%_'):
+                return masked  # loud, never a wrong LIKE guard
+            j = masked[left[0]: left[1]]
+            g = f"get_json_object(({j}), {L('$')})"
+            karg = L(key)
+            quoted = L('%"' + key + '"%')
+            dq_prefix = L('"%')
+            rep = (
+                f"(CASE WHEN ({j}) IS NULL THEN NULL "
+                f"WHEN {g} LIKE {L('{%')} THEN coalesce("
+                f"array_contains(__pgjok({g}), {karg}), "
+                "false) "
+                f"WHEN {g} LIKE {L('[%')} THEN coalesce("
+                f"exists(from_json({g}, {L('array<string>')}), "
+                f"__pgk -> __pgk = {karg}) AND {g} LIKE {quoted}, "
+                "false) "
+                f"ELSE coalesce({g} = {karg} "
+                f"AND ({j}) LIKE {dq_prefix}, false) END)"
+            )
+            masked = masked[: left[0]] + rep + masked[right[1]:]
 
     @classmethod
     def _rewrite_power_op(cls, masked: str) -> str:
@@ -3455,6 +3514,31 @@ class LakeSQL:
             lits.append("'" + raw.replace("'", "''") + "'")
             return f"\x00{len(lits) - 1}\x00"
 
+        # regexp_count(string, pattern[, start[, flags]]) — PG's 3/4
+        # arg forms (Spark has only 2): start trims the prefix, an
+        # 'i' flag injects (?i) into the pattern; other flags stay
+        # loud (r12 battery find)
+        for m, args, end in cls._call_sites(masked, "regexp_count"):
+            if len(args) not in (3, 4):
+                continue
+            if len(args) == 4:
+                fl = lit_of(args[3])
+                if fl is None or fl.strip("ic") != "":
+                    continue  # unknown flags: loud
+                pat = (
+                    f"concat({new_lit('(?i)')}, {args[1].strip()})"
+                    if "i" in fl
+                    else args[1].strip()
+                )
+            else:
+                pat = args[1].strip()
+            masked = (
+                masked[: m.start()]
+                + f"regexp_count(substr({args[0].strip()}, "
+                f"{args[2].strip()}), {pat})"
+                + masked[end:]
+            )
+
         for fn in ("to_date", "to_timestamp"):
             for m, args, end in cls._call_sites(masked, fn):
                 if len(args) != 2:
@@ -4957,6 +5041,7 @@ class LakeSQL:
         masked = cls._rewrite_array_subquery(masked)
         masked = cls._rewrite_subscripts(masked)
         masked = cls._rewrite_array_ops(masked, lits)
+        masked = cls._rewrite_json_exists(masked, lits)
         # PG row constructor → Spark struct (row_number etc. are
         # untouched: the match needs an immediate open paren)
         masked = re.sub(
@@ -4981,6 +5066,9 @@ class LakeSQL:
         masked = masked.replace("__pgtypeof(", "typeof(")
         masked = masked.replace("__pgto_date(", "to_date(")
         masked = masked.replace("__pgto_timestamp(", "to_timestamp(")
+        # the jsonb '?' emission's scalar key-array call must dodge
+        # the json_object_keys SRF (explode) rewrite above
+        masked = masked.replace("__pgjok(", "json_object_keys(")
         masked = cls._rewrite_to_char(masked, lits)
         masked = cls._rewrite_to_number(masked, lits)
         masked = cls._rewrite_range_preds(masked)
@@ -8056,6 +8144,16 @@ class LakeSQL:
         key = re.sub(r"\s+", " ", base.strip().lower())
         mapped = cls._PG_TYPES.get(key)
         if mapped is None:
+            if arr:
+                # Spark-native base with PG's [] suffix (int[],
+                # bigint[], ...) still needs the array<> spelling
+                # (r12 battery find: ::int[] was a parse error)
+                return (
+                    "array<"
+                    + base.strip()
+                    + (re.sub(r"\s+", "", params) if params else "")
+                    + ">"
+                )
             return type_text
         out = mapped + (re.sub(r"\s+", "", params) if params else "")
         if out == "varchar":

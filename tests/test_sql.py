@@ -6441,6 +6441,60 @@ def test_avg_int_text_numeric_scale_r12(lsql):
     assert one("SELECT avg(k)::int AS x FROM db.avs") == 2
 
 
+def test_jsonb_exists_operator_r12(lsql):
+    """r12 battery: jsonb ``?`` (key/element existence, PG
+    jsonb_exists) — object keys, array STRING elements (numbers never
+    match), string scalars; strict NULL on a NULL doc; loud for
+    non-literal or special-character RHS."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("""SELECT '{"a":1}'::jsonb ? 'a' AS x""") is True
+    assert one("""SELECT '{"a":1}'::jsonb ? 'b' AS x""") is False
+    assert one("""SELECT '{"a":null}'::jsonb ? 'a' AS x""") is True
+    assert one("""SELECT '["a","b"]'::jsonb ? 'a' AS x""") is True
+    assert one("""SELECT '[1,2]'::jsonb ? '1' AS x""") is False
+    assert one("""SELECT '"a"'::jsonb ? 'a' AS x""") is True
+    assert one("""SELECT '1'::jsonb ? '1' AS x""") is False
+    assert one(
+        "SELECT (cast(NULL as string)::jsonb ? 'a') IS NULL AS x"
+    ) is True
+    lsql.sql("CREATE TABLE db.je12 (k BIGINT, doc STRING)")
+    lsql.sql(
+        """INSERT INTO db.je12 VALUES (1, '{"a":1}'), (2, '{"b":2}')"""
+    )
+    assert [r.k for r in lsql.sql(
+        "SELECT k FROM db.je12 WHERE doc::jsonb ? 'a'"
+    ).collect()] == [1]
+
+
+def test_battery_r12_fills(lsql):
+    """r12 battery loud-gap fills: regexp_count start/flags args,
+    date_part('epoch', ...), and the ::int[] array-type cast (empty
+    array constructor included)."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT regexp_count('abcabc', 'a', 2) AS x") == 1
+    assert one("SELECT regexp_count('aAaA', 'a', 1, 'i') AS x") == 4
+    assert float(one(
+        "SELECT date_part('epoch', timestamp '1970-01-01 00:01:00')"
+        " AS x"
+    )) == 60.0
+    assert one("SELECT cardinality(array[]::int[]) AS x") == 0
+    assert one("SELECT array[1,2]::bigint[] AS x") == [1, 2]
+    assert one("SELECT array[1,2] || array[]::int[] AS x") == [1, 2]
+
+
+def test_row_comparison_semantics_r12(lsql):
+    """r12 battery: composite comparison and row IN (PG row_compare /
+    record_eq) — lexicographic ordering with PG's stop-at-first-
+    decided-pair NULL behavior."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT (1, 2) < (1, 3) AS x") is True
+    assert one("SELECT (2, 0) < (1, 9) AS x") is False
+    assert one("SELECT ((1, NULL) = (1, 2)) IS NULL AS x") is True
+    assert one("SELECT (0, NULL) < (1, 2) AS x") is True
+    assert one("SELECT (1, 2) IN ((1, 2), (3, 4)) AS x") is True
+    assert one("SELECT (1, 5) IN ((1, 2), (3, 4)) AS x") is False
+
+
 def test_date_bin_interval_stride_r11(lsql):
     """r11: date_bin with PG's interval-typed stride (the documented
     signature) — origin-aligned floor bucketing; both examples are
