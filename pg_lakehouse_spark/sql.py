@@ -1802,6 +1802,165 @@ class LakeSQL:
                     e = j
             end = e
 
+    @staticmethod
+    def _pg_jsonb_render(v) -> str:
+        """Render a parsed JSON value the way PG renders jsonb text:
+        ``{"a": 1, "b": 2}`` — space after ``:`` and ``,``; object
+        keys sorted by PG's jsonb rule (byte length, then bytewise);
+        numbers keep their written scale (Decimal-parsed)."""
+        import json as _json
+        from decimal import Decimal
+
+        def r(x) -> str:
+            if x is None:
+                return "null"
+            if x is True:
+                return "true"
+            if x is False:
+                return "false"
+            if isinstance(x, Decimal):
+                return format(x, "f")
+            if isinstance(x, (int, float)):
+                return repr(x)
+            if isinstance(x, str):
+                return _json.dumps(x, ensure_ascii=False)
+            if isinstance(x, list):
+                return "[" + ", ".join(r(e) for e in x) + "]"
+            items = sorted(
+                x.items(),
+                key=lambda kv: (len(kv[0].encode()), kv[0].encode()),
+            )
+            return "{" + ", ".join(
+                f"{_json.dumps(k, ensure_ascii=False)}: {r(val)}"
+                for k, val in items
+            ) + "}"
+
+        return r(v)
+
+    @classmethod
+    def _rewrite_jsonb_literal_ops(
+        cls, masked: str, lits: list[str]
+    ) -> str:
+        """jsonb ``||`` (concat/merge) and ``-`` (delete) over LITERAL
+        operands fold at parse time with PG jsonfuncs.c semantics:
+        object||object merges (right wins), otherwise both sides
+        become arrays and concatenate; ``- 'key'`` deletes an object
+        key or equal string array elements; ``- n`` deletes the n-th
+        array element (negative from the end, out-of-range no-op).
+        Runs BEFORE the type-mapping pass (::jsonb is still visible
+        — afterwards it is ::string, indistinguishable from ::text).
+        A NON-literal operand spelled ::jsonb next to ``||`` raises
+        LOUDLY: Spark's string concat would silently produce
+        '{"a":1}{"b":2}' where PG merges (r12 self-probe find)."""
+        if not re.search(r"::\s*jsonb\b", masked, re.IGNORECASE):
+            return masked
+        import json as _json
+        from decimal import Decimal
+
+        def parse(idx: str):
+            raw = lits[int(idx)][1:-1].replace("''", "'")
+            try:
+                return _json.loads(raw, parse_float=Decimal), True
+            except Exception:
+                return None, False
+
+        def new_lit(raw: str) -> str:
+            lits.append("'" + raw.replace("'", "''") + "'")
+            return f"\x00{len(lits) - 1}\x00"
+
+        cat = re.compile(
+            r"\x00(\d+)\x00(\s*::\s*jsonb)?\s*\|\|\s*"
+            r"\x00(\d+)\x00(\s*::\s*jsonb)?",
+            re.IGNORECASE,
+        )
+
+        def fold_cat(m: re.Match) -> str:
+            if not (m.group(2) or m.group(4)):
+                return m.group(0)  # plain text concat
+            a, aok = parse(m.group(1))
+            b, bok = parse(m.group(3))
+            if not (aok and bok):
+                return m.group(0)
+            if isinstance(a, dict) and isinstance(b, dict):
+                out: object = {**a, **b}
+            else:
+                la = a if isinstance(a, list) else [a]
+                lb = b if isinstance(b, list) else [b]
+                out = la + lb
+            return f"{new_lit(cls._pg_jsonb_render(out))}::jsonb"
+
+        prev = None
+        while prev != masked:
+            prev = masked
+            masked = cat.sub(fold_cat, masked)
+
+        minus = re.compile(
+            r"\x00(\d+)\x00\s*::\s*jsonb\s*-\s*"
+            r"(?:\x00(\d+)\x00|(-?\d+)(?![\d.]))",
+            re.IGNORECASE,
+        )
+
+        def fold_minus(m: re.Match) -> str:
+            v, ok = parse(m.group(1))
+            if not ok:
+                return m.group(0)
+            if m.group(2) is not None:  # text key
+                key = lits[int(m.group(2))][1:-1].replace("''", "'")
+                if isinstance(v, dict):
+                    v = {k: x for k, x in v.items() if k != key}
+                elif isinstance(v, list):
+                    v = [e for e in v if e != key or
+                         not isinstance(e, str)]
+                else:
+                    return m.group(0)  # PG errors on scalar: loud
+            else:
+                if not isinstance(v, list):
+                    return m.group(0)
+                i = int(m.group(3))
+                n = len(v)
+                if i < 0:
+                    i += n
+                if 0 <= i < n:
+                    v = v[:i] + v[i + 1:]
+            return f"{new_lit(cls._pg_jsonb_render(v))}::jsonb"
+
+        prev = None
+        while prev != masked:
+            prev = masked
+            masked = minus.sub(fold_minus, masked)
+
+        # remaining literal ::jsonb casts normalize to PG's jsonb
+        # rendering (duplicate keys keep the last, keys sort, ': '/
+        # ', ' spacing) — '{"b":2,"a":1}'::jsonb::text and jsonb
+        # literal equality then match PG exactly
+        def norm_lit(m: re.Match) -> str:
+            v, ok = parse(m.group(1))
+            if not ok:
+                return m.group(0)
+            return f"{new_lit(cls._pg_jsonb_render(v))}::jsonb"
+
+        masked = re.sub(
+            r"\x00(\d+)\x00\s*::\s*jsonb\b",
+            norm_lit, masked, flags=re.IGNORECASE,
+        )
+
+        # loud guard: remaining ::jsonb operand adjacent to || would
+        # silently string-concat where PG merges
+        for m in re.finditer(r"\|\|", masked):
+            left = cls._capture_left(masked, m.start())
+            right = cls._capture_right(masked, m.end())
+            for span in (left, right):
+                if span and re.search(
+                    r"::\s*jsonb\s*$",
+                    masked[span[0]: span[1]], re.IGNORECASE,
+                ):
+                    raise LakehouseError(
+                        "jsonb || is supported for literal operands "
+                        "only (Spark string concat would diverge "
+                        "from PG's jsonb merge)"
+                    )
+        return masked
+
     # jsonb ``?`` — key/element existence (PG jsonb_exists): object →
     # top-level key, array → STRING element equality (numbers never
     # match), string scalar → equality. Only literal RHS compiles
@@ -5029,6 +5188,7 @@ class LakeSQL:
             r"\s+COLLATE\s+`?(?:C|POSIX|ucs_basic|default)`?(?![\w$])",
             "", masked, flags=re.IGNORECASE,
         )
+        masked = cls._rewrite_jsonb_literal_ops(masked, lits)
         masked = cls._COLONCAST.sub(
             lambda m: "::"
             + cls._map_pg_type((m.group(1) + (m.group(2) or "")).strip()),

@@ -6466,6 +6466,57 @@ def test_jsonb_exists_operator_r12(lsql):
     ).collect()] == [1]
 
 
+def test_jsonb_concat_delete_r12(lsql):
+    """r12 self-probe find: jsonb ``||`` was SILENTLY string-concat
+    ('{"a":1}{"b":2}') where PG merges. Literal operands now fold
+    with PG jsonfuncs.c semantics (object merge right-wins, otherwise
+    array-ify and concatenate), ``- 'key'`` / ``- n`` delete, and
+    literal ::jsonb casts normalize to PG's rendering (key sort by
+    length-then-bytes, ': '/', ' spacing, duplicate keys keep last).
+    Non-literal jsonb || raises loudly."""
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        """SELECT '{"a":1}'::jsonb || '{"b":2}'::jsonb AS x"""
+    ) == '{"a": 1, "b": 2}'
+    assert one(
+        """SELECT '{"a":1}'::jsonb || '{"a":9}'::jsonb AS x"""
+    ) == '{"a": 9}'
+    assert one("""SELECT '[1,2]'::jsonb || '3' AS x""") == "[1, 2, 3]"
+    assert one(
+        """SELECT '{"a":1}'::jsonb || '[1]'::jsonb AS x"""
+    ) == '[{"a": 1}, 1]'
+    assert one(
+        """SELECT '{"a":1,"b":2}'::jsonb - 'a' AS x"""
+    ) == '{"b": 2}'
+    assert one("""SELECT '["a","b"]'::jsonb - 'a' AS x""") == '["b"]'
+    assert one("""SELECT '[1,2,3]'::jsonb - -1 AS x""") == "[1, 2]"
+    assert one("""SELECT '[1,2,3]'::jsonb - 9 AS x""") == "[1, 2, 3]"
+    # literal normalization: PG key order, spacing, dup keys, scale
+    assert one(
+        """SELECT '{"bb":1,"a":2,"ccc":3}'::jsonb::text AS x"""
+    ) == '{"a": 2, "bb": 1, "ccc": 3}'
+    assert one(
+        """SELECT '{"a":1}'::jsonb = '{ "a" : 1 }'::jsonb AS x"""
+    ) is True
+    assert one(
+        """SELECT '{"a":1.50}'::jsonb || '{}'::jsonb AS x"""
+    ) == '{"a": 1.50}'
+    # plain text concat untouched
+    assert one("SELECT 'a' || 'b' AS x") == "ab"
+    # non-literal jsonb concat: loud, never a silent string concat
+    lsql.sql("CREATE TABLE db.jc12 (k BIGINT, doc STRING)")
+    lsql.sql("""INSERT INTO db.jc12 VALUES (1, '{"a":1}')""")
+    with _pytest.raises(LakehouseError, match="jsonb"):
+        lsql.sql(
+            """SELECT doc::jsonb || '{"b":2}'::jsonb AS x
+               FROM db.jc12"""
+        )
+
+
 def test_battery_r12_fills(lsql):
     """r12 battery loud-gap fills: regexp_count start/flags args,
     date_part('epoch', ...), and the ::int[] array-type cast (empty
