@@ -863,7 +863,7 @@ class LakeSQL:
     # a previous get_json_object(...) rewritten call ending in ')')
     # then -> or ->> then a string-literal key or integer index
     _JSON_ARROW = re.compile(
-        r"(->>?)\s*(\x00\d+\x00|\d+)"
+        r"(->>?)\s*(\x00\d+\x00|-?\d+)"
     )
 
     @classmethod
@@ -985,6 +985,24 @@ class LakeSQL:
                 i = int(pm.group(1))
                 kval = lits[i][1:-1].replace("''", "'")
                 path = "$." + kval
+            elif key.startswith("-"):
+                # PG: a negative index counts from the END of the
+                # array ('[1,2,3]' -> -1 is 3). JSONPath has no
+                # negative indexes, so go through from_json — Spark
+                # keeps nested values as their JSON text when the
+                # element type is string, matching ->'s jsonb-text
+                # result (r12 probe find; was loud)
+                lits.append("'array<string>'")
+                tph = f"\x00{len(lits) - 1}\x00"
+                lits.append("'$'")
+                dph = f"\x00{len(lits) - 1}\x00"
+                masked = (
+                    masked[:start]
+                    + f"try_element_at(from_json(get_json_object("
+                    f"{operand}, {dph}), {tph}), {key})"
+                    + masked[m.end():]
+                )
+                continue
             else:
                 path = f"$[{key}]"
             lits.append("'" + path.replace("'", "''") + "'")
@@ -994,6 +1012,49 @@ class LakeSQL:
                 + f"get_json_object({operand}, {ph})"
                 + masked[m.end():]
             )
+
+    _IS_NULL_OP = re.compile(r"\bIS\s+(NOT\s+)?NULL\b", re.IGNORECASE)
+
+    @classmethod
+    def _rewrite_row_is_null(cls, masked: str) -> str:
+        """PG composite ``IS [NOT] NULL`` (execExpr NullTest on rows):
+        ``row(...) IS NULL`` is TRUE iff EVERY field is null, and
+        ``IS NOT NULL`` iff every field is NON-null — NOT each
+        other's negation (``row(1, NULL)`` fails both). Spark's
+        struct test checks only the struct pointer (constructors are
+        never null), silently returning FALSE/TRUE (r12 probe find).
+        Row constructors (``struct(...)`` after the ROW rewrite, or a
+        bare multi-item paren tuple) expand per-field; runtime struct
+        COLUMNS keep Spark's test (no schema here — documented)."""
+        out = masked
+        for m in reversed(list(cls._IS_NULL_OP.finditer(out))):
+            left = cls._capture_left(out, m.start())
+            if left is None:
+                continue
+            t = out[left[0]: left[1]].strip()
+            items = None
+            sm = re.match(r"struct\s*\(", t, re.IGNORECASE)
+            if sm and cls._balanced_end(t, sm.end() - 1) == len(t):
+                items = _split_top_level(t[sm.end(): -1])
+            elif (
+                t.startswith("(")
+                and cls._balanced_end(t, 0) == len(t)
+                and not re.match(
+                    r"\(\s*(?:SELECT|WITH|VALUES|TABLE)\b",
+                    t, re.IGNORECASE,
+                )
+            ):
+                parts = _split_top_level(t[1:-1])
+                if len(parts) > 1:
+                    items = parts
+            if not items or any(not it.strip() for it in items):
+                continue
+            neg = "NOT " if m.group(1) else ""
+            rep = "(" + " AND ".join(
+                f"({it.strip()}) IS {neg}NULL" for it in items
+            ) + ")"
+            out = out[: left[0]] + rep + out[m.end():]
+        return out
 
     _DISTINCT_ON = re.compile(
         r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE
@@ -5207,6 +5268,7 @@ class LakeSQL:
         masked = re.sub(
             r"\bROW\s*\(", "struct(", masked, flags=re.IGNORECASE
         )
+        masked = cls._rewrite_row_is_null(masked)
         masked = cls._rewrite_distinct_on(masked)
         # BEFORE the NULLS pass: ordered-agg rewrites consume their
         # inline ORDER BY text (mode()'s sort expr must stay bare)

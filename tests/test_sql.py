@@ -6517,6 +6517,34 @@ def test_jsonb_concat_delete_r12(lsql):
         )
 
 
+def test_row_is_null_semantics_r12(lsql):
+    """r12 probe find: PG composite IS [NOT] NULL — row(...) IS NULL
+    iff EVERY field is null, IS NOT NULL iff every field is non-null
+    (not each other's negation); Spark's struct test silently checked
+    only the struct pointer."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT row(NULL, NULL) IS NULL AS x") is True
+    assert one("SELECT row(1, NULL) IS NULL AS x") is False
+    assert one("SELECT row(1, NULL) IS NOT NULL AS x") is False
+    assert one("SELECT row(1, 2) IS NOT NULL AS x") is True
+    assert one("SELECT (NULL, NULL) IS NULL AS x") is True
+    assert one("SELECT (1, NULL) IS NOT NULL AS x") is False
+    # scalars and scalar subqueries keep the plain test
+    assert one("SELECT (1 + 1) IS NULL AS x") is False
+    assert one("SELECT (SELECT 1) IS NOT NULL AS x") is True
+
+
+def test_json_negative_index_r12(lsql):
+    """r12 probe find: PG ``-> -n`` / ``->> -n`` index from the END of
+    a json array ('[1,2,3]' -> -1 is 3); was loud (JSONPath has no
+    negative indexes). Out-of-range stays NULL."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("""SELECT '[1,2,3]'::jsonb -> -1 AS x""") == "3"
+    assert one("""SELECT '[1,2,3]'::jsonb ->> -1 AS x""") == "3"
+    assert one("""SELECT '[1,2,3]'::jsonb -> -5 AS x""") is None
+    assert one("""SELECT '[1,2,3]'::jsonb -> 0 AS x""") == "1"
+
+
 def test_battery_r12_fills(lsql):
     """r12 battery loud-gap fills: regexp_count start/flags args,
     date_part('epoch', ...), and the ::int[] array-type cast (empty
