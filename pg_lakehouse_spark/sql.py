@@ -8477,7 +8477,8 @@ class LakeSQL:
         # enforcement would shuffle-join every append against the
         # whole table).
         col_defs, checks, defaults, notnull = [], {}, {}, []
-        serial_cols: list[str] = []
+        serial_cols: list[tuple[str, int, int]] = []
+        always_cols: list[str] = []
         pk_cols: list[str] = []
         unique_sets: list[list[str]] = []
         fk_specs: list[tuple] = []  # (cname|None, cols, rns, rname, rcols)
@@ -8558,15 +8559,17 @@ class LakeSQL:
             # options stay LOUD instead of silently diverging the
             # assigned values (r11 judge ADVICE).
             idm = re.search(
-                r"\s+GENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+"
+                r"\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+"
                 r"IDENTITY(?:\s*\(([^()]*)\))?",
                 it, re.IGNORECASE,
             )
             if idm:
                 sstart, sinc = self._identity_seq_options(
-                    idm.group(1) or ""
+                    idm.group(2) or ""
                 )
                 serial_cols.append((colname, sstart, sinc))
+                if idm.group(1).upper() == "ALWAYS":
+                    always_cols.append(colname)
                 if colname not in notnull:
                     notnull.append(colname)
                 it = (it[: idm.start()] + it[idm.end():]).strip()
@@ -8651,6 +8654,13 @@ class LakeSQL:
             props.setdefault(
                 "unique_constraints",
                 ";".join(",".join(u) for u in unique_sets),
+            )
+        if always_cols:
+            # GENERATED ALWAYS columns refuse user-supplied values on
+            # INSERT/UPDATE without OVERRIDING SYSTEM VALUE (PG)
+            props = dict(props or {})
+            props.setdefault(
+                "identity_always", ",".join(dict.fromkeys(always_cols))
             )
         notnull = list(dict.fromkeys(notnull))
         schema = _parse_datatype_string(", ".join(col_defs))
@@ -9622,6 +9632,7 @@ class LakeSQL:
             # `INSERT INTO t (SELECT ...)` — whole body parenthesized
             body = body[1:-1].strip()
         tbl = self._load(ns, name, branch)
+        body = self._enforce_identity_always(tbl, col_list, body)
         if re.fullmatch(r"DEFAULT\s+VALUES", body, re.IGNORECASE):
             # PG: insert one row of declared defaults (NULL without one)
             defaults = tbl.column_defaults()
@@ -9787,6 +9798,94 @@ class LakeSQL:
                 for f in fields
             ]
         )
+
+    @staticmethod
+    def _identity_always_cols(tbl: LakeTable) -> list[str]:
+        return [
+            c
+            for c in tbl.snapshot().properties.get(
+                "identity_always", ""
+            ).split(",")
+            if c
+        ]
+
+    def _enforce_identity_always(
+        self, tbl: LakeTable, col_list: str | None, body: str
+    ) -> str:
+        """PG GENERATED ALWAYS AS IDENTITY: an INSERT supplying a
+        value for the column raises unless ``OVERRIDING SYSTEM
+        VALUE`` is spelled (DEFAULT items are always legal);
+        ``OVERRIDING USER VALUE`` (discard user values) is refused
+        loudly rather than approximated. Returns the body with any
+        OVERRIDING clause consumed."""
+        ovm = re.match(
+            r"OVERRIDING\s+(SYSTEM|USER)\s+VALUE\s+(.*)$",
+            body, re.IGNORECASE | re.DOTALL,
+        )
+        override = None
+        if ovm:
+            override, body = ovm.group(1).upper(), ovm.group(2).strip()
+        if override == "USER":
+            raise LakehouseError(
+                "OVERRIDING USER VALUE is not supported"
+            )
+        always = self._identity_always_cols(tbl)
+        if (
+            not always
+            or override == "SYSTEM"
+            or re.fullmatch(r"DEFAULT\s+VALUES", body, re.IGNORECASE)
+        ):
+            return body
+        listed = (
+            [c.strip() for c in col_list[1:-1].split(",") if c.strip()]
+            if col_list
+            else [f.name for f in tbl.schema().fields]
+        )
+        hits = [c for c in always if c in listed]
+        if not hits:
+            return body
+        # DEFAULT items for the identity column are legal — accept a
+        # VALUES body whose every tuple says DEFAULT there
+        if re.match(r"VALUES\b", body, re.IGNORECASE):
+            tuples = _split_top_level(
+                re.sub(r"^\s*VALUES\b", "", body, flags=re.IGNORECASE)
+            )
+            idxs = [listed.index(c) for c in hits]
+            ok = bool(tuples)
+            for tup in tuples:
+                tup = tup.strip()
+                items = (
+                    _split_top_level(tup[1:-1])
+                    if tup.startswith("(") and tup.endswith(")")
+                    else None
+                )
+                if items is None or len(items) != len(listed) or any(
+                    items[ix].strip().upper() != "DEFAULT"
+                    for ix in idxs
+                ):
+                    ok = False
+                    break
+            if ok:
+                return body
+        raise LakehouseError(
+            f"cannot insert a non-DEFAULT value into column "
+            f"{hits[0]!r}: it is GENERATED ALWAYS AS IDENTITY; "
+            "use OVERRIDING SYSTEM VALUE"
+        )
+
+    def _refuse_identity_always_set(self, tbl: LakeTable, items) -> None:
+        """PG: UPDATE may only SET a GENERATED ALWAYS identity column
+        to DEFAULT."""
+        always = set(self._identity_always_cols(tbl))
+        if not always:
+            return
+        for k, v in items:
+            kk = k.split(".")[-1].strip()
+            if kk in always and (v or "").strip().upper() != "DEFAULT":
+                raise LakehouseError(
+                    f"column {kk!r} can only be updated to DEFAULT: "
+                    "it is GENERATED ALWAYS AS IDENTITY"
+                )
 
     def _values_defaults(
         self, tbl: LakeTable, body: str, tcols: list[str]
@@ -11117,6 +11216,7 @@ class LakeSQL:
                     )
                 )
 
+            self._refuse_identity_always_set(tbl, _set_items(sets))
             assignments = {}
             for k, v in _set_items(sets):
                 k = re.sub(rf"^{talias}\.", "", k, flags=re.IGNORECASE)
@@ -11149,6 +11249,9 @@ class LakeSQL:
                 (re.sub(strip_k, "", k, flags=re.IGNORECASE), U(v))
                 for k, v in _set_items(sets)
             ]
+            self._refuse_identity_always_set(
+                self._load(ns, name, branch), items
+            )
             return self._subquery_where_dml(
                 ns.lower(), name.lower(), branch, talias,
                 U(where) if where else None, "UPDATE", items,
@@ -11179,6 +11282,7 @@ class LakeSQL:
                 where = self._rewrite_int_cast_rounding(
                     where, _lits, frame_df=fr
                 )
+        self._refuse_identity_always_set(tbl, _set_items(sets))
         defaults = tbl.column_defaults()
         ids, _ = tbl._effective_field_ids(tbl.snapshot())
         assignments = {}

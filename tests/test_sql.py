@@ -6796,6 +6796,48 @@ def test_sequence_ownership_advice_r12(lsql):
     ) == [1]
 
 
+def test_generated_always_overriding_r12(lsql):
+    """r12 (r11 backlog): GENERATED ALWAYS AS IDENTITY refuses
+    user-supplied values on INSERT and UPDATE unless OVERRIDING
+    SYSTEM VALUE is spelled; DEFAULT items stay legal; OVERRIDING
+    USER VALUE is refused loudly; BY DEFAULT identity untouched."""
+    import pytest as _pytest
+
+    from pg_lakehouse_spark.lakehouse import LakehouseError
+
+    lsql.sql(
+        "CREATE TABLE app.oa (id BIGINT GENERATED ALWAYS AS IDENTITY,"
+        " v INT)"
+    )
+    lsql.sql("INSERT INTO app.oa (v) VALUES (1), (2)")
+    with _pytest.raises(LakehouseError, match="GENERATED ALWAYS"):
+        lsql.sql("INSERT INTO app.oa (id, v) VALUES (99, 3)")
+    lsql.sql("INSERT INTO app.oa (id, v) VALUES (DEFAULT, 3)")
+    lsql.sql(
+        "INSERT INTO app.oa (id, v) OVERRIDING SYSTEM VALUE "
+        "VALUES (99, 4)"
+    )
+    assert sorted(
+        r.id for r in lsql.sql("SELECT id FROM app.oa").collect()
+    ) == [1, 2, 3, 99]
+    with _pytest.raises(LakehouseError, match="GENERATED ALWAYS"):
+        lsql.sql("UPDATE app.oa SET id = 5 WHERE v = 1")
+    with _pytest.raises(LakehouseError, match="OVERRIDING USER"):
+        lsql.sql(
+            "INSERT INTO app.oa (id, v) OVERRIDING USER VALUE "
+            "VALUES (9, 5)"
+        )
+    # BY DEFAULT identity accepts explicit values
+    lsql.sql(
+        "CREATE TABLE app.ob (id BIGINT GENERATED BY DEFAULT AS "
+        "IDENTITY, v INT)"
+    )
+    lsql.sql("INSERT INTO app.ob (id, v) VALUES (42, 1)")
+    assert [
+        r.id for r in lsql.sql("SELECT id FROM app.ob").collect()
+    ] == [42]
+
+
 def test_to_char_ssss_padding_r12(lsql):
     """r12 ADVICE: SSSS (seconds past midnight) zero-pads to 5 digits
     without FM, on both the interval fold and the datetime runtime
