@@ -3366,17 +3366,66 @@ class LakeSQL:
                     f"({k}) AS __o{i}"
                     for i, (k, _lt, _nf) in enumerate(keys)
                 )
+                agg = f"collect_list(struct({kflds}, ({args}) AS __v))"
                 rep = (
-                    "transform(array_sort(collect_list("
-                    f"struct({kflds}, ({args}) AS __v)), "
-                    f"{cmp}), s -> s.__v)"
+                    f"transform(array_sort({agg}, {cmp}), s -> s.__v)"
                 )
                 if distinct:
                     # sorted first, so array_distinct (which keeps
                     # FIRST occurrences) preserves the order
                     rep = f"array_distinct({rep})"
+                # PG: array_agg over an EMPTY group is NULL, not {}
+                # (r12 probe find; the struct element already keeps
+                # null VALUES). Same collect_list text → one buffer.
+                rep = (
+                    f"(CASE WHEN size({agg}) = 0 THEN NULL "
+                    f"ELSE {rep} END)"
+                )
             out = out[: m.start()] + rep + out[end:]
         return out
+
+    @classmethod
+    def _rewrite_array_agg_nulls(
+        cls, masked: str, lits: list[str]
+    ) -> str:
+        """PG array_agg KEEPS null inputs and returns NULL (not
+        ``{}``) on an empty group; Spark's array_agg silently drops
+        nulls and returns ``[]`` (r12 probe find). Plain and
+        plain-DISTINCT call sites re-emit through a never-null struct
+        element plus an empty-size CASE; the inline-ORDER-BY forms
+        were already rewritten onto collect_list-of-struct by the
+        ordered pass (which now carries its own empty wrap).
+        Window/FILTER-adorned sites keep Spark's aggregate — an OVER
+        cannot attach to the CASE (documented divergence)."""
+        if not re.search(r"\barray_agg\s*\(", masked, re.IGNORECASE):
+            return masked
+        for m, args, end in cls._call_sites(masked, "array_agg"):
+            if len(args) != 1:
+                continue
+            if re.match(
+                r"\s*(OVER|FILTER|WITHIN)\b",
+                masked[end:], re.IGNORECASE,
+            ):
+                continue
+            a0 = args[0].strip()
+            if re.search(r"\bORDER\s+BY\b", a0, re.IGNORECASE):
+                continue  # leftover unparseable ordered form: loud
+            distinct = bool(re.match(r"DISTINCT\b", a0, re.IGNORECASE))
+            if distinct:
+                a0 = a0[len("DISTINCT"):].strip()
+            lits.append("'v'")
+            vk = f"\x00{len(lits) - 1}\x00"
+            agg = f"array_agg(named_struct({vk}, ({a0})))"
+            body = f"transform({agg}, __pga -> __pga.v)"
+            if distinct:
+                body = f"array_distinct({body})"
+            masked = (
+                masked[: m.start()]
+                + f"(CASE WHEN size({agg}) = 0 THEN NULL "
+                f"ELSE {body} END)"
+                + masked[end:]
+            )
+        return masked
 
     _ARRAY_CTOR = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
 
@@ -5273,6 +5322,7 @@ class LakeSQL:
         # BEFORE the NULLS pass: ordered-agg rewrites consume their
         # inline ORDER BY text (mode()'s sort expr must stay bare)
         masked = cls._rewrite_ordered_aggs(masked)
+        masked = cls._rewrite_array_agg_nulls(masked, lits)
         masked = cls._rewrite_pg_setfns(masked, lits)
         # to fixpoint (bounded): nested same-function calls rewrite
         # inner-first; the outer site's offsets go stale, so it waits

@@ -6517,6 +6517,38 @@ def test_jsonb_concat_delete_r12(lsql):
         )
 
 
+def test_array_agg_null_semantics_r12(lsql):
+    """r12 probe find: PG array_agg KEEPS null inputs ({1,NULL,2})
+    and returns NULL — not {} — over an empty group; Spark's
+    array_agg silently dropped nulls and returned []. Plain,
+    DISTINCT, and inline-ORDER-BY forms all fixed; ARRAY(SELECT ...)
+    keeps its PG empty-array contract."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT array_agg(x) AS a "
+        "FROM (VALUES (1), (NULL), (2)) t(x)"
+    ) == [1, None, 2]
+    assert one(
+        "SELECT array_agg(x) AS a FROM (VALUES (1)) t(x) WHERE x > 9"
+    ) is None
+    assert one(
+        "SELECT array_agg(x ORDER BY x) AS a "
+        "FROM (VALUES (1), (NULL), (2)) t(x)"
+    ) == [1, 2, None]
+    assert one(
+        "SELECT array_agg(x ORDER BY x) AS a "
+        "FROM (VALUES (1)) t(x) WHERE x > 9"
+    ) is None
+    assert one(
+        "SELECT array_agg(DISTINCT x) AS a "
+        "FROM (VALUES (1), (NULL), (1)) t(x)"
+    ) == [1, None]
+    assert one(
+        "SELECT ARRAY(SELECT x FROM (VALUES (1)) t(x) WHERE x > 9)"
+        " AS a"
+    ) == []
+
+
 def test_row_is_null_semantics_r12(lsql):
     """r12 probe find: PG composite IS [NOT] NULL — row(...) IS NULL
     iff EVERY field is null, IS NOT NULL iff every field is non-null
