@@ -3783,6 +3783,37 @@ class LakeSQL:
             lits.append("'" + raw.replace("'", "''") + "'")
             return f"\x00{len(lits) - 1}\x00"
 
+        # unicode(s) (PG 15): first character's codepoint — Spark's
+        # ascii already returns the codepoint for multibyte input
+        masked = re.sub(
+            r"\bunicode\s*\(", "ascii(", masked, flags=re.IGNORECASE
+        )
+        # chr(n): PG returns the UNICODE codepoint's character;
+        # Spark's chr is mod-256 (chr(955) rendered '»' — silently
+        # wrong for every non-Latin-1 codepoint, r12 probe find).
+        # Build the UTF-8 byte sequence by range; the ASCII branch
+        # uses the marker spelling so the kit fixpoint can't re-match.
+        for m, args, end in cls._call_sites(masked, "chr"):
+            if len(args) != 1:
+                continue
+            n = f"({args[0].strip()})"
+            u8 = new_lit("UTF-8")
+            rep = (
+                f"(CASE WHEN {n} < 128 THEN __pgchr({n}) "
+                f"WHEN {n} < 2048 THEN decode(unhex(concat("
+                f"hex(192 + {n} div 64), hex(128 + {n} % 64))), {u8}) "
+                f"WHEN {n} < 65536 THEN decode(unhex(concat("
+                f"hex(224 + {n} div 4096), "
+                f"hex(128 + ({n} div 64) % 64), "
+                f"hex(128 + {n} % 64))), {u8}) "
+                f"ELSE decode(unhex(concat("
+                f"hex(240 + {n} div 262144), "
+                f"hex(128 + ({n} div 4096) % 64), "
+                f"hex(128 + ({n} div 64) % 64), "
+                f"hex(128 + {n} % 64))), {u8}) END)"
+            )
+            masked = masked[: m.start()] + rep + masked[end:]
+
         # regexp_count(string, pattern[, start[, flags]]) — PG's 3/4
         # arg forms (Spark has only 2): start trims the prefix, an
         # 'i' flag injects (?i) into the pattern; other flags stay
@@ -5289,6 +5320,18 @@ class LakeSQL:
             masked,
             flags=re.IGNORECASE,
         )
+        # PG's generic typed-literal syntax ``type 'text'`` for the
+        # remaining scalar types (timestamp/date/interval have their
+        # own passes above): re-spell as a cast so ``float8 '-0'`` /
+        # ``numeric '1.5'`` / ``bool 't'`` work (r12 battery find)
+        masked = re.sub(
+            r"\b(float8|float4|real|int2|int4|int8|smallint|integer"
+            r"|bigint|numeric|decimal|text|varchar|boolean|bool"
+            r"|json|jsonb|uuid|bytea|oid)\s+(\x00\d+\x00)",
+            lambda m: f"{m.group(2)}::{m.group(1)}",
+            masked,
+            flags=re.IGNORECASE,
+        )
         # COLLATE "C"/"POSIX"/"ucs_basic"/"default" — all code-point
         # order, which Spark's binary UTF-8 comparison already is:
         # strip the clause (the quoted spelling became a bare/backtick
@@ -5341,6 +5384,7 @@ class LakeSQL:
         # the jsonb '?' emission's scalar key-array call must dodge
         # the json_object_keys SRF (explode) rewrite above
         masked = masked.replace("__pgjok(", "json_object_keys(")
+        masked = masked.replace("__pgchr(", "chr(")
         masked = cls._rewrite_to_char(masked, lits)
         masked = cls._rewrite_to_number(masked, lits)
         masked = cls._rewrite_range_preds(masked)

@@ -6549,6 +6549,26 @@ def test_array_agg_null_semantics_r12(lsql):
     ) == []
 
 
+def test_chr_unicode_typed_literals_r12(lsql):
+    """r12 probe finds: chr(n) returns the UNICODE codepoint's
+    character (Spark's chr is mod-256 — chr(955) was '»', silently
+    wrong for every non-Latin-1 codepoint); unicode(s) maps to
+    ascii (codepoint-correct in Spark); PG's generic typed-literal
+    syntax (float8 '-0', numeric '1.5', bool 't') re-spells as a
+    cast."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT chr(65) AS x") == "A"
+    assert one("SELECT chr(955) AS x") == "λ"
+    assert one("SELECT chr(20013) AS x") == "中"
+    assert one("SELECT chr(128512) AS x") == "\U0001f600"
+    assert one("SELECT length(chr(955)) AS x") == 1
+    assert one("SELECT unicode('λ') AS x") == 955
+    assert one("SELECT float8 '-0' = float8 '0' AS x") is True
+    assert one("SELECT bool 't' AS x") is True
+    assert one("SELECT int8 '42' AS x") == 42
+    assert one("SELECT text 'abc' AS x") == "abc"
+
+
 def test_row_is_null_semantics_r12(lsql):
     """r12 probe find: PG composite IS [NOT] NULL — row(...) IS NULL
     iff EVERY field is null, IS NOT NULL iff every field is non-null
