@@ -3638,9 +3638,14 @@ class LakeSQL:
                 if alias is not None:
                     # subquery form, NOT ``AS x(generate_series)``:
                     # that spelling re-matches generate_series( and a
-                    # re-applied dialect pass would corrupt it
+                    # re-applied dialect pass would corrupt it. PG
+                    # rule for base-type SRFs: a bare alias renames
+                    # the COLUMN too (``FROM generate_series(1,3) n``
+                    # → column n; ``n.generate_series`` does not
+                    # exist) — r12 probe find, the column previously
+                    # stayed ``generate_series`` under an alias.
                     rep = (
-                        f"(SELECT col AS generate_series FROM {rep})"
+                        f"(SELECT col AS {alias} FROM {rep})"
                         f" AS {alias}"
                     )
                     end += consumed

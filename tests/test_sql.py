@@ -3430,11 +3430,13 @@ def test_fn_kit_battery_r8(lsql):
     assert one("SELECT substring('alpha' from 'zzz') AS r") is None
     assert rows("SELECT k, substring(s from 2 for 2) AS r FROM db.fb8") \
         == [(1, "lp"), (2, "et"), (3, None), (4, "Xa")]
-    # generate_series: PG column name in FROM position
+    # generate_series: PG column name in FROM position. With a bare
+    # alias PG RENAMES the column to it (g.g, not g.generate_series)
+    # — expectation corrected in r12 to the PG rule.
     assert rows("SELECT generate_series AS g FROM generate_series(1, 3)") \
         == [(1,), (2,), (3,)]
     assert rows(
-        "SELECT g.generate_series AS x FROM generate_series(2, 4) g"
+        "SELECT g.g AS x FROM generate_series(2, 4) g"
     ) == [(2,), (3,), (4,)]
     assert rows("SELECT n FROM generate_series(1, 2) AS t(n)") \
         == [(1,), (2,)]
@@ -4095,14 +4097,25 @@ def test_generate_series_projection_after_comma_r9(lsql):
         ).collect()
     ]
     assert out == [(7, 1), (7, 2), (7, 3)]
-    # FROM-list comma still wraps (implicit correlation name)
+    # FROM-list comma still wraps. PG base-type-SRF rule (expectation
+    # corrected in r12): a bare alias renames the COLUMN too — the
+    # reference is ``g.g`` / bare ``g``, NOT ``g.generate_series``
+    # (which PG rejects).
     out2 = [
         tuple(r)
         for r in lsql.sql(
-            "SELECT g.generate_series FROM db.gsp, generate_series(1,2) g"
+            "SELECT g.g FROM db.gsp, generate_series(1,2) g"
         ).collect()
     ]
     assert sorted(out2) == [(1,), (2,)]
+    # without an alias the PG column name stays generate_series
+    out3 = [
+        tuple(r)
+        for r in lsql.sql(
+            "SELECT generate_series FROM db.gsp, generate_series(1,2)"
+        ).collect()
+    ]
+    assert sorted(out3) == [(1,), (2,)]
 
 
 def test_parse_time_fns_masked_r9(lsql):
@@ -6547,6 +6560,25 @@ def test_array_agg_null_semantics_r12(lsql):
         "SELECT ARRAY(SELECT x FROM (VALUES (1)) t(x) WHERE x > 9)"
         " AS a"
     ) == []
+
+
+def test_generate_series_alias_renames_column_r12(lsql):
+    """r12 probe find: PG's base-type-SRF rule — a bare FROM alias
+    renames the output COLUMN (``FROM generate_series(5,1,-2) x`` →
+    column x), so ``SELECT x`` and ``x.x`` resolve."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one(
+        "SELECT x FROM generate_series(5, 1, -2) AS x "
+        "ORDER BY x LIMIT 1"
+    ) == 1
+    assert one(
+        "SELECT n.n FROM generate_series(1, 3) AS n "
+        "ORDER BY 1 DESC LIMIT 1"
+    ) == 3
+    assert one(
+        "SELECT g.v FROM generate_series(1, 3) AS g(v) "
+        "ORDER BY 1 LIMIT 1"
+    ) == 1
 
 
 def test_chr_unicode_typed_literals_r12(lsql):
