@@ -3485,6 +3485,24 @@ class LakeSQL:
           (literal delimiter quoted for Java regex; non-literal
           delimiters stay unrewritten → loud).
         """
+        # json[b]_each_text(j) → explode(from_json(j, map)) — Spark's
+        # map explode names its columns key/value exactly like PG's
+        # record (r12 battery; works in FROM and select positions).
+        # The NON-text json_each stays loud: its values are jsonb
+        # (strings keep quotes), which a map<string,string> cannot
+        # render faithfully.
+        for fn in ("jsonb_each_text", "json_each_text"):
+            for m, jargs, end in cls._call_sites(masked, fn):
+                if len(jargs) != 1:
+                    continue
+                lits.append("'map<string,string>'")
+                ph = f"\x00{len(lits) - 1}\x00"
+                masked = (
+                    masked[: m.start()]
+                    + f"explode(from_json({jargs[0].strip()}, {ph}))"
+                    + masked[end:]
+                )
+
         # unnest(x) WITH ORDINALITY [[AS] alias[(val, ord)]] →
         # posexplode subquery (PG's ordinality is 1-based bigint;
         # default names are unnest/ordinality). A preceding FROM-list
@@ -3787,6 +3805,19 @@ class LakeSQL:
         def new_lit(raw: str) -> str:
             lits.append("'" + raw.replace("'", "''") + "'")
             return f"\x00{len(lits) - 1}\x00"
+
+        # timezone(zone, ts) — PG's function spelling of AT TIME ZONE
+        # (r12 battery): re-spell onto the operator form; the AT TIME
+        # ZONE pass (runs after the kit) owns the conversion
+        for m, args, end in cls._call_sites(masked, "timezone"):
+            if len(args) != 2:
+                continue
+            masked = (
+                masked[: m.start()]
+                + f"(({args[1].strip()}) AT TIME ZONE "
+                f"{args[0].strip()})"
+                + masked[end:]
+            )
 
         # unicode(s) (PG 15): first character's codepoint — Spark's
         # ascii already returns the codepoint for multibyte input

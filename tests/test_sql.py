@@ -6562,6 +6562,27 @@ def test_array_agg_null_semantics_r12(lsql):
     ) == []
 
 
+def test_json_each_text_and_timezone_fn_r12(lsql):
+    """r12 battery: json[b]_each_text as a (key, value) row source
+    (FROM and select positions; Spark's map explode shares PG's
+    column names), and timezone(zone, ts) — the function spelling of
+    AT TIME ZONE."""
+    rows = lambda q: sorted(  # noqa: E731
+        tuple(r) for r in lsql.sql(q).collect()
+    )
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert rows(
+        """SELECT * FROM jsonb_each_text('{"a":"1","b":"2"}')"""
+    ) == [("a", "1"), ("b", "2")]
+    assert rows(
+        """SELECT key, value FROM json_each_text('{"x":"9"}')"""
+    ) == [("x", "9")]
+    assert one(
+        "SELECT timezone('UTC', timestamp '2024-01-01 12:00:00') = "
+        "(timestamp '2024-01-01 12:00:00' AT TIME ZONE 'UTC') AS x"
+    ) is True
+
+
 def test_generate_series_alias_renames_column_r12(lsql):
     """r12 probe find: PG's base-type-SRF rule — a bare FROM alias
     renames the output COLUMN (``FROM generate_series(5,1,-2) x`` →
