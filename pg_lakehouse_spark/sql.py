@@ -9733,6 +9733,12 @@ class LakeSQL:
                         )
                     )
                     set_txt = set_txt[: cwm.start()]
+                if tns and tnm and self.catalog.table_exists(tns, tnm):
+                    # PG refuses SET of a GENERATED ALWAYS identity
+                    # column in ON CONFLICT DO UPDATE too (r12)
+                    self._refuse_identity_always_set(
+                        self._load(tns, tnm), _set_items(set_txt)
+                    )
                 assignments = {}
                 for k, v in _set_items(set_txt):
                     assignments[k] = F.expr(
@@ -11534,6 +11540,11 @@ class LakeSQL:
                 if actu == "DELETE":
                     kw["when_matched_delete"] = True
                 elif actu.startswith("UPDATE SET"):
+                    # PG refuses SET of a GENERATED ALWAYS identity
+                    # column in MERGE legs too (r12)
+                    self._refuse_identity_always_set(
+                        tbl, _set_items(act[len("UPDATE SET"):])
+                    )
                     assigns = {}
                     for k, v in _set_items(act[len("UPDATE SET"):]):
                         k = re.sub(rf"^{talias}\.", "", k, flags=re.IGNORECASE)
@@ -11561,6 +11572,17 @@ class LakeSQL:
                         raise LakehouseError(
                             "INSERT column/VALUES arity mismatch in MERGE"
                         )
+                    always_ = set(self._identity_always_cols(tbl))
+                    for c, v in zip(cols_l, vals):
+                        if (
+                            c in always_
+                            and v.strip().upper() != "DEFAULT"
+                        ):
+                            raise LakehouseError(
+                                f"cannot insert a non-DEFAULT value "
+                                f"into column {c!r}: it is GENERATED "
+                                "ALWAYS AS IDENTITY"
+                            )
                     kw["when_not_matched_insert"] = True
                     kw["when_not_matched_values"] = {
                         c: rewrite(v.strip()) for c, v in zip(cols_l, vals)

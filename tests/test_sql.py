@@ -6941,6 +6941,37 @@ def test_generated_always_overriding_r12(lsql):
     assert [
         r.id for r in lsql.sql("SELECT id FROM app.ob").collect()
     ] == [42]
+    # MERGE and ON CONFLICT legs are guarded too (PG refuses there)
+    lsql.sql("CREATE TABLE app.oam (id BIGINT GENERATED ALWAYS AS "
+             "IDENTITY, k INT, v INT)")
+    lsql.sql("INSERT INTO app.oam (k, v) VALUES (1, 10)")
+    lsql.sql("CREATE TABLE app.oas (k INT, v INT)")
+    lsql.sql("INSERT INTO app.oas VALUES (1, 99), (2, 88)")
+    with _pytest.raises(LakehouseError, match="GENERATED ALWAYS"):
+        lsql.sql(
+            "MERGE INTO app.oam AS t USING app.oas AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET id = 5"
+        )
+    with _pytest.raises(LakehouseError, match="GENERATED ALWAYS"):
+        lsql.sql(
+            "MERGE INTO app.oam AS t USING app.oas AS s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (id, k, v) "
+            "VALUES (9, s.k, s.v)"
+        )
+    with _pytest.raises(LakehouseError, match="GENERATED ALWAYS"):
+        lsql.sql(
+            "INSERT INTO app.oam (k, v) VALUES (1, 7) "
+            "ON CONFLICT (k) DO UPDATE SET id = 4"
+        )
+    # a legal merge leaves the identity untouched
+    lsql.sql(
+        "MERGE INTO app.oam AS t USING app.oas AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    assert sorted(
+        tuple(r)
+        for r in lsql.sql("SELECT id, k, v FROM app.oam").collect()
+    ) == [(1, 1, 99)]
 
 
 def test_to_char_ssss_padding_r12(lsql):
