@@ -68,6 +68,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -436,6 +437,48 @@ def _json_stat(v):
     if isinstance(v, (int, float, str, bool)) or v is None:
         return v
     return None
+
+
+def _parquet_footer_stats(
+    path: str,
+) -> tuple[int, int, dict[str, list], dict[str, int]]:
+    """(rows, bytes, column ranges, null counts) from ONE parquet
+    footer open. The staging path previously opened the footer three
+    times per committed file (`_file_stats` + `_file_column_ranges` +
+    `_file_null_counts`); commits are driver-side serial per file, so
+    at bulk-load file counts the redundant opens are pure commit
+    latency."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    ranges: dict[str, list] = {}
+    nulls: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested columns: skip (no simple bound)
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if not st.has_min_max:
+                continue
+            try:
+                lo, hi = _json_stat(st.min), _json_stat(st.max)
+            except Exception:
+                continue
+            if lo is None or hi is None:
+                continue
+            if name not in ranges:
+                ranges[name] = [lo, hi]
+            else:
+                ranges[name][0] = min(ranges[name][0], lo)
+                ranges[name][1] = max(ranges[name][1], hi)
+    return md.num_rows, os.path.getsize(path), ranges, nulls
 
 
 def _file_column_ranges(path: str, fmt: str = "parquet") -> dict[str, list]:
@@ -1481,12 +1524,15 @@ class LakeTable:
             os.makedirs(os.path.join(self.location, rel_dir), exist_ok=True)
             dst = os.path.join(self.location, rel_dir, name)
             os.rename(src, dst)
-            rows, nbytes = _file_stats(dst, fmt)
+            if fmt == "parquet":
+                rows, nbytes, ranges, nulls = _parquet_footer_stats(dst)
+            else:
+                rows, nbytes = _file_stats(dst, fmt)
+                ranges = _file_column_ranges(dst, fmt)
+                nulls = _file_null_counts(dst, fmt)
             # partition columns live in the dir name, not the file —
             # lift their (single) value into the manifest ranges so
             # metadata-level skipping covers them like any other column
-            ranges = _file_column_ranges(dst, fmt)
-            nulls = _file_null_counts(dst, fmt)
             if part_dirs != ".":
                 ranges |= _partition_dir_ranges(part_dirs, df.schema)
             entries.append(
@@ -4276,14 +4322,64 @@ class LakeTable:
                 raise LakehouseError(
                     f"MERGE UPDATE SET assigns to unknown column(s): {bad}"
                 )
-        if self._delete_mode(mode) == "mor":
-            return self._mor_merge(
+        # Materialize the source ONCE for the whole statement (Delta's
+        # merge-source materialization). Both merge paths otherwise
+        # re-evaluate the source plan several times — the key-bounds/
+        # NDV agg, the broadcast build of the join, the matched-key
+        # set, the insert leg's anti-join probe — so a source that is
+        # itself an aggregation (an incremental-rollup refresh delta)
+        # pays its full compute once per consumer. MEMORY_AND_DISK: an
+        # over-memory source spills blocks to local disk, bounded like
+        # a shuffle write of the source; the cache also freezes the
+        # source against re-evaluation on concurrent-conflict retry
+        # (deterministic re-execution, as Delta does).
+        owns_cache = not source.is_cached
+        if owns_cache:
+            source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if self._delete_mode(mode) == "mor":
+                return self._mor_merge(
+                    source, on, when_matched_update, when_matched_delete,
+                    when_not_matched_insert,
+                    when_not_matched_by_source_delete,
+                    when_not_matched_by_source_condition, summary_extra,
+                    when_matched_condition, when_not_matched_condition,
+                    when_not_matched_values,
+                )
+            return self._merge_cow(
                 source, on, when_matched_update, when_matched_delete,
-                when_not_matched_insert, when_not_matched_by_source_delete,
+                when_matched_condition, when_not_matched_insert,
+                when_not_matched_by_source_delete,
                 when_not_matched_by_source_condition, summary_extra,
-                when_matched_condition, when_not_matched_condition,
-                when_not_matched_values,
+                when_not_matched_condition, when_not_matched_values,
+                _attempts, mode, merge_schema,
             )
+        finally:
+            if owns_cache:
+                source.unpersist()
+
+    def _merge_cow(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, Column] | None,
+        when_matched_delete: bool,
+        when_matched_condition: Column | None,
+        when_not_matched_insert: bool,
+        when_not_matched_by_source_delete: bool,
+        when_not_matched_by_source_condition: Column | None,
+        summary_extra: dict | None,
+        when_not_matched_condition: Column | None,
+        when_not_matched_values: dict[str, Column] | None,
+        _attempts: int,
+        mode: str | None,
+        merge_schema: bool,
+    ) -> Snapshot:
+        """Copy-on-write MERGE body (source already validated and
+        materialized by :meth:`merge`). ``mode``/``merge_schema`` are
+        carried only for the stale-retry re-entry into :meth:`merge`
+        (a lost race against concurrent schema evolution must re-run
+        the merge_schema realignment — r5 ADVICE)."""
         base = self.current_version()
         snap = self.snapshot(base)
 

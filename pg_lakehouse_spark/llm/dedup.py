@@ -220,24 +220,37 @@ def minhash_lsh_candidates(
     )
     if verify_threshold is None:
         return pairs
-    # Candidate-scoped exact verification: score ONLY the LSH
-    # collisions, never the full shingle-share graph — the whole point
-    # of LSH is that |candidates| << |pairs sharing any shingle|.
-    sh = sh_cache
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col("__id").alias("id1"), F.col("__sh").alias("__s1"))
-    b = sh.select(F.col("__id").alias("__bid"), F.col("__sh").alias("__s2"))
-    inter = (
-        pairs.join(a, "id1")
-        .join(b, (F.col("id2") == F.col("__bid")) & (F.col("__s1") == F.col("__s2")))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("__i"))
+    # Candidate-scoped exact verification on per-doc shingle SETS:
+    # each doc's (already distinct) hashed shingles collapse to ONE
+    # array row, and the intersection is computed per candidate pair
+    # with `array_intersect` in the join projection. The previous
+    # formulation re-exploded the shingle table into a
+    # (candidates × shingles) equality join plus a wide pair-count
+    # aggregation and a separate sizes aggregation — three more
+    # exchanges, and a shuffle whose row count was the candidate
+    # docs' full shingle multiset. Here the corpus-sized sets frame
+    # is joined twice against the (small) candidate frame — AQE
+    # broadcasts the candidate side from its runtime size, so the
+    # sets never shuffle — and |__arr| rows replace |shingles| rows.
+    sets = sh_cache.groupBy("__id").agg(
+        F.collect_list("__sh").alias("__arr"),
+        F.count(F.lit(1)).alias("__n"),
     )
-    sa = sizes.select(F.col("__id").alias("id1"), F.col("__n").alias("__n1"))
-    sb = sizes.select(F.col("__id").alias("id2"), F.col("__n").alias("__n2"))
+    a = sets.select(
+        F.col("__id").alias("id1"),
+        F.col("__arr").alias("__a1"),
+        F.col("__n").alias("__n1"),
+    )
+    b = sets.select(
+        F.col("__id").alias("id2"),
+        F.col("__arr").alias("__a2"),
+        F.col("__n").alias("__n2"),
+    )
+    inter = F.size(F.array_intersect(F.col("__a1"), F.col("__a2")))
     return (
-        inter.join(sa, "id1")
-        .join(sb, "id2")
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .withColumn("__i", inter)
         .withColumn(
             "jaccard",
             F.col("__i") / (F.col("__n1") + F.col("__n2") - F.col("__i")),
