@@ -185,17 +185,25 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # The exploded shingle table feeds the signature agg AND (when
-    # verifying) the sizes + both sides of the intersection join —
-    # persist it once instead of re-tokenizing the corpus per branch.
-    # At cluster scale this is the standard cache-or-checkpoint point
-    # of the minhash pipeline (shingles ≈ 10-20× corpus rows).
-    sh_cache = _exploded_shingles(df, id_col, text_col, n, hashed=True).persist()
+    # Tokenize ONCE into per-doc hashed-shingle ARRAYS and persist
+    # those: a map-only projection (no shuffle), and the cached rows
+    # are (id, array<long>) — the same bytes the exploded form carries
+    # minus the per-shingle id duplication. The signature agg explodes
+    # from the cache; the verify branch reads the arrays directly, so
+    # the per-doc set/size aggregations (two corpus-wide shuffles in
+    # the exploded formulation) disappear outright.
+    arr = F.transform(
+        shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+    )
+    sets = df.select(
+        F.col(id_col).alias("__id"), arr.alias("__arr")
+    ).persist()
+    sh = sets.select("__id", F.explode("__arr").alias("__sh"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh_cache.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    sig = sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
     band_structs = F.array(
         *[
             F.struct(
@@ -220,31 +228,26 @@ def minhash_lsh_candidates(
     )
     if verify_threshold is None:
         return pairs
-    # Candidate-scoped exact verification on per-doc shingle SETS:
-    # each doc's (already distinct) hashed shingles collapse to ONE
-    # array row, and the intersection is computed per candidate pair
-    # with `array_intersect` in the join projection. The previous
-    # formulation re-exploded the shingle table into a
+    # Candidate-scoped exact verification on the per-doc shingle-SET
+    # arrays (already distinct): the intersection is computed per
+    # candidate pair with `array_intersect` in the join projection.
+    # The previous formulation re-exploded the shingle table into a
     # (candidates × shingles) equality join plus a wide pair-count
     # aggregation and a separate sizes aggregation — three more
     # exchanges, and a shuffle whose row count was the candidate
     # docs' full shingle multiset. Here the corpus-sized sets frame
     # is joined twice against the (small) candidate frame — AQE
     # broadcasts the candidate side from its runtime size, so the
-    # sets never shuffle — and |__arr| rows replace |shingles| rows.
-    sets = sh_cache.groupBy("__id").agg(
-        F.collect_list("__sh").alias("__arr"),
-        F.count(F.lit(1)).alias("__n"),
-    )
+    # sets never shuffle — and set size is just `size(__arr)`.
     a = sets.select(
         F.col("__id").alias("id1"),
         F.col("__arr").alias("__a1"),
-        F.col("__n").alias("__n1"),
+        F.size("__arr").alias("__n1"),
     )
     b = sets.select(
         F.col("__id").alias("id2"),
         F.col("__arr").alias("__a2"),
-        F.col("__n").alias("__n2"),
+        F.size("__arr").alias("__n2"),
     )
     inter = F.size(F.array_intersect(F.col("__a1"), F.col("__a2")))
     return (

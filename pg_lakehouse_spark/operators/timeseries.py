@@ -47,6 +47,14 @@ def fill_gaps(
     if bad:
         raise ValueError(f"fill column(s) not in frame: {bad}")
     step_expr = f"INTERVAL {step}"
+    # The input frame feeds THREE consumers (global bounds, the
+    # distinct series list, and the densifying join). Without a cache
+    # each consumer re-runs the caller's whole upstream plan — for the
+    # typical bucketed-aggregate input that is three full scans of the
+    # raw series. The frame itself is one row per (series, bucket) —
+    # aggregate-sized — so materializing it once is the 100 TB posture.
+    if not df.is_cached:
+        df = df.persist()
     bounds = df.agg(
         F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
     )

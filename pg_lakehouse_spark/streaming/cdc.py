@@ -184,6 +184,9 @@ def replicate_changes(
         for c in changes.columns
         if c not in ("_change_type", "_commit_version")
     ]
+    # The folded batch feeds four consumers (two isEmpty probes + two
+    # merges) — persist it once per apply; batch-sized state, dropped
+    # before returning.
     last = (
         changes.filter(F.col("_change_type") != "update_preimage")
         .withColumn(
@@ -195,23 +198,32 @@ def replicate_changes(
             ),
         )
         .filter(F.col("__rn") == 1)
-    )
-    dels = last.filter(F.col("_change_type") == "delete").select(*data_cols)
-    ups = last.filter(F.col("_change_type") != "delete").select(*data_cols)
-    if not dels.isEmpty():
-        target.merge(
-            dels,
-            on=keys,
-            when_matched_update=None,
-            when_matched_delete=True,
-            when_not_matched_insert=False,
-        )
-    if not ups.isEmpty():
-        target.merge(
-            ups,
-            on=keys,
-            when_matched_update={
-                c: F.col(f"__src.{c}") for c in data_cols if c not in keys
-            },
-            when_not_matched_insert=True,
-        )
+    ).persist()
+    try:
+        dels = last.filter(
+            F.col("_change_type") == "delete"
+        ).select(*data_cols)
+        ups = last.filter(
+            F.col("_change_type") != "delete"
+        ).select(*data_cols)
+        if not dels.isEmpty():
+            target.merge(
+                dels,
+                on=keys,
+                when_matched_update=None,
+                when_matched_delete=True,
+                when_not_matched_insert=False,
+            )
+        if not ups.isEmpty():
+            target.merge(
+                ups,
+                on=keys,
+                when_matched_update={
+                    c: F.col(f"__src.{c}")
+                    for c in data_cols
+                    if c not in keys
+                },
+                when_not_matched_insert=True,
+            )
+    finally:
+        last.unpersist()

@@ -131,6 +131,10 @@ def upsert_stream_to_lake(
             if order_col is not None
             else F.monotonically_increasing_id()
         )
+        # The compacted batch feeds up to four consumers (two isEmpty
+        # probes + the delete/upsert merges) — persist it once per
+        # batch so the groupBy doesn't recompute per consumer. Batch-
+        # sized state, dropped before the batch returns.
         latest = (
             batch_df.withColumn("__arrival", w)
             .groupBy(*keys)
@@ -141,7 +145,7 @@ def upsert_stream_to_lake(
                     if c not in keys
                 ]
             )
-        )
+        ).persist()
         base = table.current_version()
         stamp = {"stream_query": query_name, "stream_batch_id": batch_id}
         del_kwargs = dict(
@@ -159,26 +163,29 @@ def upsert_stream_to_lake(
             when_not_matched_insert=True,
             summary_extra=dict(stamp, base_version=base),
         )
-        if delete_col is not None:
-            dels = latest.filter(F.col(delete_col)).select(*data_cols)
-            ups = latest.filter(~F.col(delete_col)).select(*data_cols)
-            have_dels, have_ups = not dels.isEmpty(), not ups.isEmpty()
-            if have_dels and have_ups:
-                # one atomic publish for the whole batch
-                from pg_lakehouse_spark.lakehouse import LakeTransaction
+        try:
+            if delete_col is not None:
+                dels = latest.filter(F.col(delete_col)).select(*data_cols)
+                ups = latest.filter(~F.col(delete_col)).select(*data_cols)
+                have_dels, have_ups = not dels.isEmpty(), not ups.isEmpty()
+                if have_dels and have_ups:
+                    # one atomic publish for the whole batch
+                    from pg_lakehouse_spark.lakehouse import LakeTransaction
 
-                with LakeTransaction() as tx:
-                    tx.merge(table, dels, **del_kwargs)
-                    tx.merge(table, ups, **ups_kwargs)
+                    with LakeTransaction() as tx:
+                        tx.merge(table, dels, **del_kwargs)
+                        tx.merge(table, ups, **ups_kwargs)
+                    return
+                if have_dels:
+                    table.merge(dels, **del_kwargs)
+                if have_ups:
+                    table.merge(ups, **ups_kwargs)
                 return
-            if have_dels:
-                table.merge(dels, **del_kwargs)
-            if have_ups:
+            ups = latest.select(*data_cols)
+            if not ups.isEmpty():
                 table.merge(ups, **ups_kwargs)
-            return
-        ups = latest.select(*data_cols)
-        if not ups.isEmpty():
-            table.merge(ups, **ups_kwargs)
+        finally:
+            latest.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)
