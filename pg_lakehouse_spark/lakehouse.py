@@ -4673,29 +4673,33 @@ class LakeTable:
             return touched
         col_probes: dict[str, list[list[int]]] = {}
         for c in cand:
-            vals = [
-                r[0]
-                for r in source.select(c).distinct().limit(cap + 1).collect()
-                if r[0] is not None
-            ]
-            if not vals or len(vals) > cap:
-                continue  # NDV under-estimated / all-null — skip column
-            probe_df = self.spark.createDataFrame(
-                [(v,) for v in vals],
-                StructType([StructField("v", schema[c].dataType)]),
+            # one job per sparse column: the distinct scan computes the
+            # bloom probe positions in the same pass (previously a
+            # second local createDataFrame+collect round-trip per
+            # column); only (value-NULLness, K positions) rows reach
+            # the driver
+            rows = (
+                source.select(F.col(c).alias("v"))
+                .distinct()
+                .limit(cap + 1)
+                .select(
+                    F.col("v").isNull().alias("n"),
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.col("v"), F.lit(i)),
+                                F.lit(_BLOOM_BITS),
+                            ).cast("int")
+                            for i in range(_BLOOM_K)
+                        ]
+                    ).alias("ps"),
+                )
+                .collect()
             )
-            rows = probe_df.select(
-                F.array(
-                    *[
-                        F.pmod(
-                            F.xxhash64(F.col("v"), F.lit(i)),
-                            F.lit(_BLOOM_BITS),
-                        ).cast("int")
-                        for i in range(_BLOOM_K)
-                    ]
-                ).alias("ps")
-            ).collect()
-            col_probes[c] = [list(r["ps"]) for r in rows]
+            probes = [list(r["ps"]) for r in rows if not r["n"]]
+            if not probes or len(probes) > cap:
+                continue  # NDV under-estimated / all-null — skip column
+            col_probes[c] = probes
         if not col_probes:
             return touched
         out = []

@@ -110,6 +110,10 @@ def _bucket_scope(rollup, source, spec, aff_df):
     or ``None`` when no bucket is affected.
     """
     bucket_expr = time_bucket(spec["time_col"], spec["bucket"])
+    # aff_df feeds the stats agg plus one or two joins; persist so its
+    # upstream (a distinct over the change feed or the rollup state)
+    # computes once. Callers unpersist after their merge commits.
+    aff_df = aff_df.persist()
     stats = aff_df.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("__b").alias("lo"),
@@ -117,9 +121,11 @@ def _bucket_scope(rollup, source, spec, aff_df):
     ).collect()[0]
     n = int(stats["n"])
     if not n:
+        aff_df.unpersist()
         return None
     if n <= _BUCKET_ISIN_CAP:
         vals = [r[0] for r in aff_df.collect()]
+        aff_df.unpersist()  # literal IN-list: the frame is done
         return (
             source.read().filter(bucket_expr.isin(vals)),
             F.col(BUCKET_COL).isin(vals),
@@ -615,41 +621,42 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
                     F.col(star).cast("double"), F.lit(0.0)
                 )
                 over_pred = p if over_pred is None else (over_pred | p)
-            scope = _bucket_scope(
-                rollup,
-                source,
-                spec,
+            aff = (
                 rollup.read()
                 .filter(over_pred)
                 .select(F.col(BUCKET_COL).alias("__b"))
-                .distinct(),
+                .distinct()
             )
+            scope = _bucket_scope(rollup, source, spec, aff)
             if scope is None:
                 return snap
             slice_df, by_source_cond, extend_state, n_over = scope
-            state = extend_state(
-                _partial_agg(
-                    slice_df, spec["time_col"], spec["bucket"], group_by,
-                    metrics,
+            try:
+                state = extend_state(
+                    _partial_agg(
+                        slice_df, spec["time_col"], spec["bucket"],
+                        group_by, metrics,
+                    )
                 )
-            )
-            return rollup.merge(
-                state,
-                on=[BUCKET_COL] + group_by,
-                when_matched_update={
-                    c: F.col(f"__src.{c}")
-                    for c in state.columns
-                    if c not in (BUCKET_COL, *group_by)
-                },
-                when_not_matched_insert=True,
-                when_not_matched_by_source_delete=True,
-                when_not_matched_by_source_condition=by_source_cond,
-                summary_extra={
-                    "rollup_source_version": cur,
-                    "rollup_refresh": "retraction+budget-sweep",
-                    "rollup_swept_buckets": n_over,
-                },
-            )
+                return rollup.merge(
+                    state,
+                    on=[BUCKET_COL] + group_by,
+                    when_matched_update={
+                        c: F.col(f"__src.{c}")
+                        for c in state.columns
+                        if c not in (BUCKET_COL, *group_by)
+                    },
+                    when_not_matched_insert=True,
+                    when_not_matched_by_source_delete=True,
+                    when_not_matched_by_source_condition=by_source_cond,
+                    summary_extra={
+                        "rollup_source_version": cur,
+                        "rollup_refresh": "retraction+budget-sweep",
+                        "rollup_swept_buckets": n_over,
+                    },
+                )
+            finally:
+                aff.unpersist()
 
     # -- partial invalidation: metrics that can't retract (min/max/
     # sketches) still avoid a FULL recompute when the source serves a
@@ -666,40 +673,37 @@ def refresh_rollup(source: LakeTable, rollup: LakeTable) -> Snapshot:
         except LakehouseError:
             changes = None
         if changes is not None:
-            scope = _bucket_scope(
-                rollup,
-                source,
-                spec,
-                changes.select(
-                    time_bucket(
-                        spec["time_col"], spec["bucket"]
-                    ).alias("__b")
-                ).distinct(),
-            )
+            aff = changes.select(
+                time_bucket(spec["time_col"], spec["bucket"]).alias("__b")
+            ).distinct()
+            scope = _bucket_scope(rollup, source, spec, aff)
             if scope is not None:
                 slice_df, by_source_cond, extend_state, n_aff = scope
-                state = extend_state(
-                    _partial_agg(
-                        slice_df, spec["time_col"], spec["bucket"],
-                        group_by, metrics,
+                try:
+                    state = extend_state(
+                        _partial_agg(
+                            slice_df, spec["time_col"], spec["bucket"],
+                            group_by, metrics,
+                        )
                     )
-                )
-                updates = {
-                    out: F.col(f"__src.{out}") for out in metrics
-                }
-                return rollup.merge(
-                    state,
-                    on=[BUCKET_COL] + group_by,
-                    when_matched_update=updates,
-                    when_not_matched_insert=True,
-                    when_not_matched_by_source_delete=True,
-                    when_not_matched_by_source_condition=by_source_cond,
-                    summary_extra={
-                        "rollup_source_version": cur,
-                        "rollup_refresh": "partial-invalidation",
-                        "rollup_affected_buckets": n_aff,
-                    },
-                )
+                    updates = {
+                        out: F.col(f"__src.{out}") for out in metrics
+                    }
+                    return rollup.merge(
+                        state,
+                        on=[BUCKET_COL] + group_by,
+                        when_matched_update=updates,
+                        when_not_matched_insert=True,
+                        when_not_matched_by_source_delete=True,
+                        when_not_matched_by_source_condition=by_source_cond,
+                        summary_extra={
+                            "rollup_source_version": cur,
+                            "rollup_refresh": "partial-invalidation",
+                            "rollup_affected_buckets": n_aff,
+                        },
+                    )
+                finally:
+                    aff.unpersist()
             # feed present but no logical changes: just move the mark
             return rollup.merge(
                 rollup.read().limit(0),
