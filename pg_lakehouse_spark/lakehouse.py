@@ -439,6 +439,104 @@ def _json_stat(v):
     return None
 
 
+def _condition_ranges(condition: Column) -> dict[str, tuple]:
+    """Best-effort necessary-condition ranges {col: (lo, hi)} from a
+    DML predicate (None side = unbounded).
+
+    Walks the Column's node tree for top-level AND conjuncts of the
+    forms ``col <op> literal`` (op in =, <, <=, >, >=), ``literal
+    <op> col`` and ``col IN (literals)`` — plain int/float/str/bool
+    literals only (casts, expressions, timestamps contribute
+    nothing). Every extracted range is a NECESSARY condition of the
+    predicate: a row can only match inside it, so files whose
+    manifest bounds lie wholly outside cannot hold a match (rows
+    where the column is NULL never satisfy a comparison, so NULL-
+    blind min/max bounds are sufficient). Anything unexpected —
+    other node kinds, OR at the top, mixed literal types — degrades
+    to {} (no pruning), never to a wrong prune."""
+    out: dict[str, tuple] = {}
+
+    def kind(node) -> str:
+        return node.getClass().getSimpleName()
+
+    def attr_name(node):
+        if kind(node) != "UnresolvedAttribute":
+            return None
+        parts = node.nameParts()
+        return parts.apply(0) if parts.size() == 1 else None
+
+    def lit_value(node):
+        if kind(node) != "Literal":
+            return None
+        v = node.value()
+        return v if isinstance(v, (bool, int, float, str)) else None
+
+    def add(col: str, lo, hi) -> None:
+        plo, phi = out.get(col, (None, None))
+        if lo is not None:
+            plo = lo if plo is None else max(plo, lo)
+        if hi is not None:
+            phi = hi if phi is None else min(phi, hi)
+        out[col] = (plo, phi)
+
+    _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+    def walk(node) -> None:
+        if kind(node) != "UnresolvedFunction":
+            return
+        fn = node.functionName()
+        args = node.arguments()
+        if fn == "and":
+            walk(args.apply(0))
+            walk(args.apply(1))
+            return
+        if fn == "in":
+            col = attr_name(args.apply(0))
+            vals = [lit_value(args.apply(i)) for i in range(1, args.size())]
+            if col and vals and all(v is not None for v in vals):
+                add(col, min(vals), max(vals))
+            return
+        if fn in ("=", "==", "<", "<=", ">", ">="):
+            col, v = attr_name(args.apply(0)), lit_value(args.apply(1))
+            op = fn
+            if col is None or v is None:
+                col, v = attr_name(args.apply(1)), lit_value(args.apply(0))
+                op = _FLIP.get(fn, fn)
+            if col is None or v is None:
+                return
+            if op in ("=", "=="):
+                add(col, v, v)
+            elif op in (">", ">="):
+                add(col, v, None)  # strict widened to inclusive: safe
+            else:
+                add(col, None, v)
+
+    try:
+        walk(condition._jc.node())
+    except Exception:
+        return {}
+    return out
+
+
+def _entry_range_overlaps(entry: dict, ranges: dict[str, tuple]) -> bool:
+    """True unless some required range provably excludes the file —
+    missing stats or cross-type comparisons keep it (conservative)."""
+    st = entry.get("ranges") or {}
+    for col, (lo, hi) in ranges.items():
+        bounds = st.get(col)
+        if bounds is None:
+            continue
+        fmin, fmax = bounds
+        try:
+            if hi is not None and fmin > hi:
+                return False
+            if lo is not None and fmax < lo:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 def _parquet_footer_stats(
     path: str,
 ) -> tuple[int, int, dict[str, list], dict[str, int]]:
@@ -3521,23 +3619,42 @@ class LakeTable:
         File-level pruning: everything else is carried by reference.
         Runs on the RAW scan (MoR deletes not applied): a superset is
         safe for file selection, and input_file_name() requires a
-        single-source plan (no anti-join)."""
+        single-source plan (no anti-join).
+
+        Before the probe scan, manifest column bounds shortlist the
+        candidate files (`_condition_ranges` extracts necessary
+        [lo, hi] ranges from the predicate's AND/comparison/IN
+        structure): a DELETE/UPDATE keyed on a clustered or
+        partitioned column then opens only the overlapping files —
+        at scale the probe reads the candidate slice, not the table.
+        Old-epoch entries keep conservatively (their stats are keyed
+        by retired names — same rule as ``pruned_entries``)."""
         snap = self.snapshot()
+        ranges = _condition_ranges(condition)
+        files = snap.files
+        if ranges:
+            files = [
+                f for f in files
+                if f.get("schema_id", 0) != snap.schema_id
+                or _entry_range_overlaps(f, ranges)
+            ]
+            if not files:
+                return []
         if self.file_format() == "avro":
             # the pure-Python OCF decode path surfaces no
             # input_file_name(); lineage's __file (uuid-unique basename)
             # identifies files instead
             cur = self._read_entries(
-                snap, snap.files, apply_deletes=False, with_lineage=True
+                snap, files, apply_deletes=False, with_lineage=True
             )
             hit = cur.filter(condition).select("__file").distinct().collect()
             by_name = {
-                os.path.basename(f["path"]): f["path"] for f in snap.files
+                os.path.basename(f["path"]): f["path"] for f in files
             }
             return [
                 by_name[r["__file"]] for r in hit if r["__file"] in by_name
             ]
-        cur = self._read_entries(snap, snap.files, apply_deletes=False)
+        cur = self._read_entries(snap, files, apply_deletes=False)
         hit = (
             cur.filter(condition)
             .select(F.input_file_name().alias("f"))

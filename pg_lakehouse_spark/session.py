@@ -64,6 +64,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge to shuffled-hash when every
+        # post-shuffle partition's map side fits 64 MB (default 0 =
+        # never): skips both sorts. Gated by RUNTIME per-partition
+        # size, so it is cluster-size-independent and cannot OOM a
+        # build side bigger than the threshold (guide §3.1).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- deterministic semantics ---
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,100 @@
+"""CoW DML probe pruning: `_condition_ranges` extracts necessary
+ranges from DML predicates and `_affected_files` shortlists candidate
+files by manifest bounds before scanning (r13 optimization)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lakehouse_spark.lakehouse import (
+    LakeCatalog,
+    _condition_ranges,
+    _entry_range_overlaps,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pg_lakehouse_spark import get_spark
+
+    return get_spark("test-dml-pruning", cpus=4, shuffle_partitions=4)
+
+
+def test_condition_ranges_comparisons(spark):
+    r = _condition_ranges((F.col("k") >= 10) & (F.col("k") < 20))
+    assert r == {"k": (10, 20)}
+    r = _condition_ranges(F.col("k") == 7)
+    assert r == {"k": (7, 7)}
+    r = _condition_ranges(F.lit(5) < F.col("k"))
+    assert r == {"k": (5, None)}
+    r = _condition_ranges(F.col("s").isin("b", "a", "c"))
+    assert r == {"s": ("a", "c")}
+    r = _condition_ranges((F.col("a") > 1) & (F.col("b") == "x"))
+    assert r == {"a": (1, None), "b": ("x", "x")}
+
+
+def test_condition_ranges_conservative(spark):
+    # OR at the top, expressions, casts: no constraint extracted
+    assert _condition_ranges((F.col("k") > 1) | (F.col("k") < 0)) == {}
+    assert _condition_ranges(F.col("k") + 1 > 5) == {}
+    assert _condition_ranges(
+        F.col("ts") >= F.lit("2020-01-01").cast("timestamp")
+    ) == {}
+    # AND keeps the extractable conjunct, ignores the opaque one
+    r = _condition_ranges(
+        (F.col("k") <= 3) & (F.length(F.col("s")) > 2)
+    )
+    assert r == {"k": (None, 3)}
+
+
+def test_entry_range_overlaps():
+    e = {"ranges": {"k": [10, 20], "s": ["a", "f"]}}
+    assert _entry_range_overlaps(e, {"k": (15, None)})
+    assert not _entry_range_overlaps(e, {"k": (21, None)})
+    assert not _entry_range_overlaps(e, {"k": (None, 9)})
+    assert _entry_range_overlaps(e, {"k": (20, 20)})
+    assert not _entry_range_overlaps(e, {"s": ("g", "z")})
+    # missing stats / cross-type: conservative keep
+    assert _entry_range_overlaps(e, {"other": (1, 2)})
+    assert _entry_range_overlaps(e, {"k": ("a", "b")})
+    assert _entry_range_overlaps({}, {"k": (1, 2)})
+
+
+def test_delete_prunes_probe_to_overlapping_files(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    tbl = cat.create_table("db", "t", df.schema)
+    # three files with disjoint k ranges
+    for lo in (0, 40, 80):
+        tbl.append(
+            df.filter((F.col("k") >= lo) & (F.col("k") < lo + 40))
+            .coalesce(1)
+        )
+    assert len(tbl.snapshot().files) == 3
+    # probe shortlist: only the middle file overlaps k in [45, 50]
+    files = tbl._affected_files((F.col("k") >= 45) & (F.col("k") <= 50))
+    assert len(files) == 1
+    snap = tbl.delete((F.col("k") >= 45) & (F.col("k") <= 50))
+    assert snap.summary["rewritten_files"] == 1
+    got = sorted(r["k"] for r in tbl.read().collect())
+    assert got == [k for k in range(100) if not (45 <= k <= 50)]
+
+
+def test_delete_with_opaque_predicate_still_exact(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "wh2"))
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("s")
+    )
+    tbl = cat.create_table("db", "t2", df.schema)
+    for lo in (0, 30):
+        tbl.append(
+            df.filter((F.col("k") >= lo) & (F.col("k") < lo + 30))
+            .coalesce(1)
+        )
+    # predicate the extractor can't read: falls back to full probe
+    tbl.delete(F.length(F.col("s")) == 1)  # k in 0..9
+    got = sorted(r["k"] for r in tbl.read().collect())
+    assert got == list(range(10, 60))
