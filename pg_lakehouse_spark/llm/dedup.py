@@ -105,8 +105,14 @@ def jaccard_near_duplicates(
 
     Returns (id1, id2, jaccard) with id1 < id2.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n, hashed=True)
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    # per-doc set sizes come from the shingle ARRAY (map-only —
+    # size(distinct array)) instead of re-aggregating the exploded
+    # rows: one corpus-wide shuffle fewer (r13; same move as the
+    # minhash pipeline)
+    arr = F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+    base = df.select(F.col(id_col).alias("__id"), arr.alias("__arr"))
+    sizes = base.select("__id", F.size("__arr").alias("__n"))
+    sh = base.select("__id", F.explode("__arr").alias("__sh"))
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("__sh")
@@ -203,7 +209,12 @@ def minhash_lsh_candidates(
         F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    # persist the signatures too: the banding self-join's left and
+    # right sides are different projections of this frame, so without
+    # a cache the 64-hash aggregation — the pipeline's most expensive
+    # stage — executes twice (the subtree is not exchange-reusable).
+    # docs × 64 longs: corpus-row-sized, far smaller than the corpus.
+    sig = sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs).persist()
     band_structs = F.array(
         *[
             F.struct(
