@@ -3627,17 +3627,33 @@ class LakeTable:
         structure): a DELETE/UPDATE keyed on a clustered or
         partitioned column then opens only the overlapping files —
         at scale the probe reads the candidate slice, not the table.
+        EQUALITY conjuncts on bloom-indexed columns additionally
+        probe each file's bloom (same machinery as the read path's
+        ``pruned_entries``): a point DELETE on a bloom column opens
+        only files that might contain the key, even when the column
+        is not clustered and every file's min/max straddles it.
         Old-epoch entries keep conservatively (their stats are keyed
         by retired names — same rule as ``pruned_entries``)."""
         snap = self.snapshot()
         ranges = _condition_ranges(condition)
         files = snap.files
         if ranges:
-            files = [
-                f for f in files
-                if f.get("schema_id", 0) != snap.schema_id
-                or _entry_range_overlaps(f, ranges)
-            ]
+            bloom_eq = self._bloom_eq_positions(snap, ranges)
+
+            def may_match(f: dict) -> bool:
+                if f.get("schema_id", 0) != snap.schema_id:
+                    return True  # stale stat names: conservative keep
+                if not _entry_range_overlaps(f, ranges):
+                    return False
+                for col_name, ps in bloom_eq.items():
+                    bits = (f.get("blooms") or {}).get(col_name)
+                    if bits is not None and not _bloom_might_contain(
+                        bits, ps
+                    ):
+                        return False
+                return True
+
+            files = [f for f in files if may_match(f)]
             if not files:
                 return []
         if self.file_format() == "avro":

@@ -988,10 +988,29 @@ class LakeSQL:
             elif key.startswith("-"):
                 # PG: a negative index counts from the END of the
                 # array ('[1,2,3]' -> -1 is 3). JSONPath has no
-                # negative indexes, so go through from_json — Spark
-                # keeps nested values as their JSON text when the
-                # element type is string, matching ->'s jsonb-text
-                # result (r12 probe find; was loud)
+                # negative indexes, so go through from_json (r12
+                # probe find; was loud). The two operators differ on
+                # string/null elements (r12 ADVICE): ->> is the TEXT
+                # form — array<string> elements arrive unquoted and a
+                # json null becomes SQL NULL, exactly ->> — while ->
+                # returns the jsonb VALUE — array<variant> + to_json
+                # keeps string quotes ('"b"'), renders a json null as
+                # the non-NULL text 'null', and leaves out-of-range
+                # SQL NULL. (Nested containers render compactly,
+                # '[2,3]' vs PG's '[2, 3]' — documented corner.)
+                if m.group(1) == "->":
+                    lits.append("'array<variant>'")
+                    tph = f"\x00{len(lits) - 1}\x00"
+                    lits.append("'$'")
+                    dph = f"\x00{len(lits) - 1}\x00"
+                    masked = (
+                        masked[:start]
+                        + f"to_json(try_element_at(from_json("
+                        f"get_json_object({operand}, {dph}), {tph}), "
+                        f"{key}))"
+                        + masked[m.end():]
+                    )
+                    continue
                 lits.append("'array<string>'")
                 tph = f"\x00{len(lits) - 1}\x00"
                 lits.append("'$'")
@@ -3861,9 +3880,13 @@ class LakeSQL:
                 fl = lit_of(args[3])
                 if fl is None or fl.strip("ic") != "":
                     continue  # unknown flags: loud
+                # PG processes flags left-to-right, LAST wins: 'ic' is
+                # case-SENSITIVE (the trailing 'c' cancels the 'i');
+                # flags here are only i/c, so the last char decides
+                # (r12 ADVICE)
                 pat = (
                     f"concat({new_lit('(?i)')}, {args[1].strip()})"
-                    if "i" in fl
+                    if fl.endswith("i")
                     else args[1].strip()
                 )
             else:

@@ -462,27 +462,40 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums are exact in both engines."""
     from pg_lakehouse_spark.rollup import create_rollup, refresh_rollup
 
+    # the three lifecycle feeds (CTAS + two appends) are filter slices
+    # of this ONE projected frame; without a cache each slice re-scans
+    # the events parquet and re-evaluates the projection (the `%3`
+    # slicing filter cannot push down to parquet, so every scan reads
+    # the full table). Persist → one scan + three cache reads; the
+    # cache dies before the function returns, and every invocation
+    # still computes from the parquet inputs (guide §5).
     ev = (
         t(spark, sf_dir, "events")
         .select("event_id", "ts", "event_type", "value")
         .withColumn("value_e2", F.round(F.col("value") * 100).cast("long"))
+        .persist()
     )
-    cat = _scratch_catalog(spark, sf_dir, "rollup_inc")
-    src = cat.create_table_as("db", "events_src", ev.filter(F.col("event_id") % 3 == 0))
-    roll = create_rollup(
-        cat, "db", "events_hourly", src,
-        time_col="ts", bucket="1 hour", group_by=["event_type"],
-        metrics={
-            "n_events": ("count", "*"),
-            "value_sum_e2": ("sum", "value_e2"),
-            "value_min": ("min", "value"),
-            "value_max": ("max", "value"),
-        },
-    )
-    src.append(ev.filter(F.col("event_id") % 3 == 1))
-    refresh_rollup(src, roll)
-    src.append(ev.filter(F.col("event_id") % 3 == 2))
-    refresh_rollup(src, roll)
+    try:
+        cat = _scratch_catalog(spark, sf_dir, "rollup_inc")
+        src = cat.create_table_as(
+            "db", "events_src", ev.filter(F.col("event_id") % 3 == 0)
+        )
+        roll = create_rollup(
+            cat, "db", "events_hourly", src,
+            time_col="ts", bucket="1 hour", group_by=["event_type"],
+            metrics={
+                "n_events": ("count", "*"),
+                "value_sum_e2": ("sum", "value_e2"),
+                "value_min": ("min", "value"),
+                "value_max": ("max", "value"),
+            },
+        )
+        src.append(ev.filter(F.col("event_id") % 3 == 1))
+        refresh_rollup(src, roll)
+        src.append(ev.filter(F.col("event_id") % 3 == 2))
+        refresh_rollup(src, roll)
+    finally:
+        ev.unpersist()
     return roll.read().select(
         epoch_us(F.col("bucket_start")).alias("bucket_us"),
         "event_type",

@@ -83,6 +83,33 @@ def test_delete_prunes_probe_to_overlapping_files(spark, tmp_path):
     assert got == [k for k in range(100) if not (45 <= k <= 50)]
 
 
+def test_delete_bloom_prunes_unclustered_point_probe(spark, tmp_path):
+    """Point DELETE on a bloom-indexed column prunes the probe even
+    when every file's min/max range straddles the key (r13: the probe
+    reuses the read path's `_bloom_eq_positions`)."""
+    cat = LakeCatalog(spark, str(tmp_path / "whb"))
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("m")
+    )
+    tbl = cat.create_table(
+        "db", "tb", df.schema,
+        properties={"bloom_filter_columns": "k"},
+    )
+    # three files, INTERLEAVED k values (k % 3): every file's k range
+    # is ~[m, 87+m], so min/max pruning keeps all three — only the
+    # bloom can tell which file holds a given key
+    for m in (0, 1, 2):
+        tbl.append(df.filter(F.col("m") == m).coalesce(1))
+    assert len(tbl.snapshot().files) == 3
+    assert all("k" in (f.get("blooms") or {}) for f in tbl.snapshot().files)
+    files = tbl._affected_files(F.col("k") == 31)  # k%3==1: file 2 only
+    assert len(files) == 1
+    snap = tbl.delete(F.col("k") == 31)
+    assert snap.summary["rewritten_files"] == 1
+    got = sorted(r["k"] for r in tbl.read().collect())
+    assert got == [k for k in range(90) if k != 31]
+
+
 def test_delete_with_opaque_predicate_still_exact(spark, tmp_path):
     cat = LakeCatalog(spark, str(tmp_path / "wh2"))
     df = spark.range(0, 60).select(

@@ -6650,6 +6650,33 @@ def test_json_negative_index_r12(lsql):
     assert one("""SELECT '[1,2,3]'::jsonb -> 0 AS x""") == "1"
 
 
+def test_json_negative_index_operator_r13(lsql):
+    """r12 ADVICE (fixed r13): with a negative index, ``->`` returns
+    the jsonb VALUE (string elements keep their quotes, a json null is
+    the non-NULL text 'null') while ``->>`` returns the TEXT form
+    (unquoted, json null → SQL NULL). Both were previously emitted as
+    ->> semantics."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("""SELECT '["a","b"]'::jsonb -> -1 AS x""") == '"b"'
+    assert one("""SELECT '["a","b"]'::jsonb ->> -1 AS x""") == "b"
+    assert one("""SELECT '[1,null]'::jsonb -> -1 AS x""") == "null"
+    assert one("""SELECT '[1,null]'::jsonb ->> -1 AS x""") is None
+    assert one("""SELECT '[1,2,3]'::jsonb -> -2 AS x""") == "2"
+    assert one("""SELECT '["a"]'::jsonb -> -5 AS x""") is None
+    assert one("""SELECT '{"a":1}'::jsonb -> -1 AS x""") is None
+
+
+def test_regexp_count_flags_last_wins_r13(lsql):
+    """r12 ADVICE (fixed r13): PG processes regexp flags left-to-right
+    with LAST-wins — flags 'ic' are case-SENSITIVE (the trailing 'c'
+    cancels the 'i'); 'ci' is insensitive."""
+    one = lambda q: lsql.sql(q).collect()[0][0]  # noqa: E731
+    assert one("SELECT regexp_count('aAaA', 'a', 1, 'ic') AS x") == 2
+    assert one("SELECT regexp_count('aAaA', 'a', 1, 'ci') AS x") == 4
+    assert one("SELECT regexp_count('aAaA', 'a', 1, 'c') AS x") == 2
+    assert one("SELECT regexp_count('aAaA', 'a', 1, 'i') AS x") == 4
+
+
 def test_battery_r12_fills(lsql):
     """r12 battery loud-gap fills: regexp_count start/flags args,
     date_part('epoch', ...), and the ::int[] array-type cast (empty
