@@ -89,6 +89,10 @@ def lake_merge_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per key tuple (the synthetic lineitem repeats line
     numbers); the sparse CDC-style source patches a handful of orders
     and the oracle states the net effect."""
+    # the two appends and the merge source are filter slices of this
+    # ONE aggregated frame; persist so the groupBy aggregation (a
+    # corpus shuffle) computes once instead of three times (r13,
+    # guide §5 — same move as rollup_incremental's feed)
     li = (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 800)
@@ -97,24 +101,28 @@ def lake_merge_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("qty_raw"),
             F.sum("l_extendedprice").alias("price_raw"),
         )
+        .persist()
     )
-    cat = _scratch_catalog(spark, sf_dir, "merge_composite")
-    tbl = cat.create_table(
-        "db", "li_ck", li.schema,
-        properties={"bloom_filter_columns": "l_orderkey,l_linenumber"},
-    )
-    # interleaved appends: both files span the full key range
-    tbl.append(li.filter(F.col("l_orderkey") % 2 == 0).repartition(1))
-    tbl.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(1))
-    source = li.filter(F.col("l_orderkey") % 100 == 0).withColumn(
-        "qty_raw", F.col("qty_raw") + 50.0
-    )
-    tbl.merge(
-        source,
-        on=["l_orderkey", "l_linenumber"],
-        when_matched_update={"qty_raw": F.col("__src.qty_raw")},
-        when_not_matched_insert=False,
-    )
+    try:
+        cat = _scratch_catalog(spark, sf_dir, "merge_composite")
+        tbl = cat.create_table(
+            "db", "li_ck", li.schema,
+            properties={"bloom_filter_columns": "l_orderkey,l_linenumber"},
+        )
+        # interleaved appends: both files span the full key range
+        tbl.append(li.filter(F.col("l_orderkey") % 2 == 0).repartition(1))
+        tbl.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(1))
+        source = li.filter(F.col("l_orderkey") % 100 == 0).withColumn(
+            "qty_raw", F.col("qty_raw") + 50.0
+        )
+        tbl.merge(
+            source,
+            on=["l_orderkey", "l_linenumber"],
+            when_matched_update={"qty_raw": F.col("__src.qty_raw")},
+            when_not_matched_insert=False,
+        )
+    finally:
+        li.unpersist()
     return tbl.read().select(
         F.col("l_orderkey").alias("k1"),
         F.col("l_linenumber").alias("k2"),
@@ -1740,10 +1748,13 @@ def lake_segment_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     before returning the matched rows, so the driver artifact carries
     the scale property, not just the values."""
     orders = t(spark, sf_dir, "orders")
+    # the three striped appends + the probe-key collect are four
+    # evaluations of this one projected slice; persist → one scan
+    # (r13, guide §5 — same move as rollup_incremental's feed)
     base = orders.filter(F.col("o_orderkey") <= 3000).select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice"), 2).alias("price"),
-    )
+    ).persist()
     cat = _scratch_catalog(spark, sf_dir, "segment_bloom")
     tbl = cat.create_table(
         "db", "sb", base.schema,
@@ -1752,9 +1763,12 @@ def lake_segment_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_filter_columns": "k",
         },
     )
-    for i in range(3):
-        tbl.append(base.filter(F.col("k") % 3 == i).coalesce(1))
-    probes = [r.k for r in base.filter(F.col("k") % 997 == 0).collect()]
+    try:
+        for i in range(3):
+            tbl.append(base.filter(F.col("k") % 3 == i).coalesce(1))
+        probes = [r.k for r in base.filter(F.col("k") % 997 == 0).collect()]
+    finally:
+        base.unpersist()
     total = sum(m["file_count"] for m in tbl.snapshot().manifests)
     out = None
     for v in probes:
