@@ -4587,7 +4587,8 @@ class LakeTable:
         )
         joined = _build_merge_join(
             target, src, on,
-            _small_by_rowcount(source, src_rows), when_not_matched_insert
+            _small_by_rowcount(source, src_rows), when_not_matched_insert,
+            target_rows=sum(f.get("rows", 0) for f in touched),
         )
         matched = F.col("__src").isNotNull() & F.col(on[0]).isNotNull()
         if when_matched_condition is not None:
@@ -5546,12 +5547,20 @@ class LakeTransaction:
             self.commit()
 
 
+# target key sets up to this many rows (from exact manifest row counts)
+# broadcast directly as the insert leg's anti-join build side — one
+# column-pruned scan + one broadcast instead of semi-join + two
+# dedup shuffles + three broadcast builds (r14, guide §2.4/§3.1)
+_MERGE_TARGET_KEYS_BROADCAST_ROWS = 200_000
+
+
 def _build_merge_join(
     target: DataFrame,
     src: DataFrame,
     on: list[str],
     small: bool,
     need_inserts: bool,
+    target_rows: int | None = None,
 ) -> DataFrame:
     """Build the MERGE join: all (target row, source row) pairings plus
     unmatched rows from either side, as one DataFrame with columns
@@ -5569,10 +5578,15 @@ def _build_merge_join(
         target LEFT JOIN broadcast(src)     -- matched + target-only
         UNION ALL source-only rows          -- inserts
 
-    Source-only rows come from an anti join of the source against the
-    (small) key set present on BOTH sides, computed by a key-projected
-    broadcast semi join — a column-pruned second scan of the touched
-    files. Zero shuffles of target data either way."""
+    Source-only rows need "source keys absent from the target". When
+    the touched target files are provably small (``target_rows`` from
+    exact manifest row counts), the target's key projection broadcasts
+    straight into a LEFT ANTI join — one extra column-pruned scan, one
+    broadcast, zero shuffles (the incremental-rollup/CDC-apply shape:
+    state is metadata-sized). Otherwise the keys present on BOTH sides
+    are computed by a key-projected broadcast semi join over the
+    target — still a column-pruned second scan, but the dedup bounds
+    the broadcast when target keys repeat arbitrarily."""
     cond = [target[c] == F.col(f"__k_{c}") for c in on]
     join_cond = cond[0] if len(cond) == 1 else F.expr(
         " AND ".join(f"`{c}` = `__k_{c}`" for c in on)
@@ -5582,17 +5596,24 @@ def _build_merge_join(
     joined = target.join(F.broadcast(src), on=join_cond, how="left")
     if need_inserts:
         knames = [f"__k_{c}" for c in on]
-        matched_keys = (
-            target.select(*[F.col(c).alias(f"__k_{c}") for c in on])
-            .join(
-                F.broadcast(src.select(*knames).dropDuplicates()),
+        tkeys = target.select(*[F.col(c).alias(f"__k_{c}") for c in on])
+        if (
+            target_rows is not None
+            and target_rows <= _MERGE_TARGET_KEYS_BROADCAST_ROWS
+        ):
+            anti_build = tkeys
+        else:
+            # build-side duplicates don't change semi/anti semantics,
+            # so the source side broadcasts un-deduplicated (no
+            # shuffle); the target-key result still dedups to bound
+            # the following broadcast
+            anti_build = tkeys.join(
+                F.broadcast(src.select(*knames)),
                 on=knames,
                 how="left_semi",
-            )
-            .dropDuplicates()
-        )
+            ).dropDuplicates()
         src_only_rows = src.join(
-            F.broadcast(matched_keys), on=knames, how="left_anti"
+            F.broadcast(anti_build), on=knames, how="left_anti"
         )
         joined = joined.unionByName(
             src_only_rows.select(
