@@ -93,6 +93,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # v2 commit: task output moves to the destination at task
+        # commit instead of a second serial rename pass at job commit.
+        # Safe for this engine: every write lands in a per-commit
+        # _staging dir that is renamed-in or discarded atomically by
+        # the table's own commit protocol, so a failed job's partial
+        # task commits are never visible (r14; guide §5 driver work —
+        # the job-commit rename pass is serial driver-side time on
+        # EVERY lakehouse commit)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # managed-table warehouse (bucketed tables land here, not cwd)
         .config(
             "spark.sql.warehouse.dir",
