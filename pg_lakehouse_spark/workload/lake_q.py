@@ -1754,7 +1754,7 @@ def lake_segment_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.filter(F.col("o_orderkey") <= 3000).select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice"), 2).alias("price"),
-    ).persist()
+    )
     cat = _scratch_catalog(spark, sf_dir, "segment_bloom")
     tbl = cat.create_table(
         "db", "sb", base.schema,
@@ -1763,6 +1763,9 @@ def lake_segment_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_filter_columns": "k",
         },
     )
+    # persist immediately before the try so an exception anywhere the
+    # cache is live still unpersists it (r13 ADVICE #2)
+    base = base.persist()
     try:
         for i in range(3):
             tbl.append(base.filter(F.col("k") % 3 == i).coalesce(1))
