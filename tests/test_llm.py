@@ -63,6 +63,38 @@ def test_minhash_lsh_candidate_set_is_sparse(docs):
     assert candidates < n_docs * n_docs / 20
 
 
+def test_prefixed_xxhash64_bit_identical(spark):
+    """The seeded one-field XxHash64 the signature agg uses (r14) must
+    equal the public two-field form bit-for-bit for every hash index —
+    the whole optimization is a constant-folded seed, not a family
+    change."""
+    from pg_lakehouse_spark.functions.hashing import prefixed_xxhash64
+
+    base = spark.range(2000).select(
+        F.xxhash64(F.concat(F.lit("sh-"), F.col("id"))).alias("sh")
+    )
+    checks = [
+        (F.xxhash64(F.lit(i), F.col("sh")) == prefixed_xxhash64(i, F.col("sh")))
+        for i in (0, 1, 7, 31, 63)
+    ]
+    bad = base.filter(~checks[0] | ~checks[1] | ~checks[2]
+                      | ~checks[3] | ~checks[4]).count()
+    assert bad == 0
+
+
+def test_minhash_lsh_leaves_no_stranded_cache(spark, docs):
+    """r13 VERDICT #4: the pipeline's two corpus-row-sized persists
+    must not outlive the call — the result is materialized and both
+    caches dropped before returning."""
+    spark.catalog.clearCache()
+    out = minhash_lsh_candidates(
+        docs, n=3, num_hashes=64, bands=16, verify_threshold=0.5
+    )
+    assert out.count() >= 0
+    # CacheManager empty: nothing this call persisted is still cached
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_simhash_finds_planted_near_dups(docs, exact_pairs):
     got = {
         (r["id1"], r["id2"])
