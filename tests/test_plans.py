@@ -397,9 +397,11 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     assert "Join" not in formatted_plan(df)
 
 
-def test_fill_gaps_grid_is_broadcast(spark, sf_dir):
-    """Gap-fill's bounds row reaches the grid via broadcast (the grid
-    is metadata-sized); the observation join keys on the series."""
+def test_fill_gaps_has_no_join(spark, sf_dir):
+    """Gap rows are derived from lead() inside the series window pass
+    (r14): no grid join, no distinct-series shuffle — the densify plan
+    is union(observations, exploded per-row gap sequences) feeding the
+    fill windows."""
     from pyspark.sql import functions as F
 
     from pg_lakehouse_spark.operators.timeseries import fill_gaps
@@ -412,8 +414,10 @@ def test_fill_gaps_grid_is_broadcast(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
     out = fill_gaps(hourly, "bucket", "1 HOUR", ["event_type"], {"n": "zero"})
     plan = formatted_plan(out)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    # no cache either: the operator must not strand a persisted input
+    assert "InMemoryRelation" not in plan
 
 
 def test_ann_join_no_corpus_broadcast(spark, sf_dir):
