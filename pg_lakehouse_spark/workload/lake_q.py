@@ -20,7 +20,13 @@ from pg_lakehouse_spark.lakehouse import LakeCatalog
 from pg_lakehouse_spark.workload import register
 from pg_lakehouse_spark.workload.util import t, views
 
-_WORK_ROOT = "/tmp/pg_lakehouse_spark_work"
+# overridable so concurrent measurement harnesses (e.g. an interleaved
+# before/after A/B from two checkouts) don't rmtree each other's live
+# scratch tables; the driver runs one process at a time and uses the
+# default
+_WORK_ROOT = os.environ.get(
+    "SPARK_GRAFT_WORK_DIR", "/tmp/pg_lakehouse_spark_work"
+)
 
 
 def _scratch_catalog(spark: SparkSession, sf_dir: str, name: str) -> LakeCatalog:
