@@ -69,34 +69,74 @@ def _to_signed(x: int) -> int:
 
 _SEEDED_OK: bool | None = None
 
+# JVM handle cache: resolving ``jvm.org.apache.spark...`` costs one
+# py4j round-trip PER PACKAGE COMPONENT, and the minhash family builds
+# 64 of these expressions per query — measured 6012 round-trips /
+# 2.8 s of the query's total 3.0 s at sf0.1 (driver-side work, guide
+# §5). Resolve the three handles once per JVM gateway and reuse them;
+# keyed on the gateway's jvm view so a stopped/restarted JVM rebuilds.
+_JVM_HANDLES: tuple | None = None
+
+
+def _seeded_handles():
+    """(jvm, ExpressionUtils, XxHash64, PythonUtils) for the active
+    gateway, cached. Raises when no active classic session exists."""
+    global _JVM_HANDLES
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    jvm = spark._jvm
+    if _JVM_HANDLES is not None and _JVM_HANDLES[0] is jvm:
+        return _JVM_HANDLES
+    handles = (
+        jvm,
+        jvm.org.apache.spark.sql.classic.ExpressionUtils,
+        jvm.org.apache.spark.sql.catalyst.expressions.XxHash64,
+        jvm.PythonUtils,
+    )
+    _JVM_HANDLES = handles
+    return handles
+
 
 def xxhash64_seeded(col: Column, seed: int) -> Column | None:
     """``XxHash64([col], seed)`` built via the classic-mode internals;
     None when the construction isn't available in this deployment."""
-    global _SEEDED_OK
+    out = seeded_xxhash64_family(col, [seed])
+    return out[0] if out is not None else None
+
+
+def seeded_xxhash64_family(
+    col: Column, seeds: list[int]
+) -> list[Column] | None:
+    """One ``XxHash64([col], seed)`` column per seed, sharing a single
+    resolved child expression (2 py4j round-trips per member instead
+    of ~20 — catalyst expressions are immutable, so the shared child
+    instance is safe). None when the internals are unavailable."""
+    global _SEEDED_OK, _JVM_HANDLES
     if _SEEDED_OK is False:
         return None
-    try:
-        from pyspark.sql import SparkSession
-        from pyspark.sql.classic.column import (
-            Column as CCol,
-            _to_java_column,
-        )
+    for _attempt in (0, 1):
+        try:
+            from pyspark.sql.classic.column import (
+                Column as CCol,
+                _to_java_column,
+            )
 
-        spark = SparkSession.getActiveSession()
-        jvm = spark._jvm
-        utils = jvm.org.apache.spark.sql.classic.ExpressionUtils
-        child = utils.expression(_to_java_column(col))
-        seq = jvm.PythonUtils.toSeq([child])
-        jexpr = jvm.org.apache.spark.sql.catalyst.expressions.XxHash64(
-            seq, _to_signed(seed & _MASK)
-        )
-        out = CCol(utils.column(jexpr))
-        _SEEDED_OK = True
-        return out
-    except Exception:  # noqa: BLE001 — any internals drift → fallback
-        _SEEDED_OK = False
-        return None
+            _jvm, utils, jxxh, pyutils = _seeded_handles()
+            child = utils.expression(_to_java_column(col))
+            seq = pyutils.toSeq([child])
+            out = [
+                CCol(utils.column(jxxh(seq, _to_signed(s & _MASK))))
+                for s in seeds
+            ]
+            _SEEDED_OK = True
+            return out
+        except Exception:  # noqa: BLE001 — any internals drift → fallback
+            # a restarted JVM leaves stale handles: drop them and retry
+            # once before disabling the fast path for good
+            _JVM_HANDLES = None
+    _SEEDED_OK = False
+    return None
 
 
 def prefixed_xxhash64(prefix: int, col: Column) -> Column:
@@ -107,3 +147,18 @@ def prefixed_xxhash64(prefix: int, col: Column) -> Column:
     if seeded is not None:
         return seeded
     return F.xxhash64(F.lit(prefix), col)
+
+
+def prefixed_xxhash64_family(
+    prefixes: list[int], col: Column
+) -> list[Column]:
+    """Bit-identical to ``[F.xxhash64(F.lit(p), col) for p in
+    prefixes]`` with the constant prefixes pre-folded into seeds and
+    the JVM handles resolved once for the whole family (the 64-member
+    minhash family previously paid ~20 driver round-trips per member
+    building its expressions)."""
+    seeds = [xxh64_int(p, 42) for p in prefixes]
+    out = seeded_xxhash64_family(col, seeds)
+    if out is not None:
+        return out
+    return [F.xxhash64(F.lit(p), col) for p in prefixes]

@@ -25,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pg_lakehouse_spark.functions.hashing import prefixed_xxhash64
+from pg_lakehouse_spark.functions.hashing import (
+    prefixed_xxhash64_family,
+)
 from pg_lakehouse_spark.llm.text import shingles, simhash64
 
 
@@ -161,10 +163,8 @@ def minhash_signatures(
     zip_with) avoids the shuffle entirely but runs interpreted —
     measured 2× slower at sf0.1 (13.3s vs 6.9s end-to-end)."""
     sh = _exploded_shingles(df, id_col, text_col, n, hashed=True)
-    aggs = [
-        F.min(prefixed_xxhash64(i, F.col("__sh"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    fam = prefixed_xxhash64_family(list(range(num_hashes)), F.col("__sh"))
+    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(fam)]
     return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
 
 
@@ -215,28 +215,35 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("__id"), arr.alias("__arr")
     ).persist()
     sh = sets.select("__id", F.explode("__arr").alias("__sh"))
-    # prefixed_xxhash64(i, sh) == xxhash64(lit(i), sh) bit-for-bit with
-    # the constant folded into the seed: one xxh64 round per (shingle,
-    # i) instead of two — the signature agg is the pipeline's hot loop
-    # (r14; guide §1.2 per-task work)
-    aggs = [
-        F.min(prefixed_xxhash64(i, F.col("__sh"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    # prefixed_xxhash64_family(i..) == xxhash64(lit(i), sh) bit-for-bit
+    # with the constant folded into the seed: one xxh64 round per
+    # (shingle, i) instead of two — the signature agg is the pipeline's
+    # hot loop (r14; guide §1.2 per-task work). The family form builds
+    # all 64 expressions over ONE resolved JVM handle set: expression
+    # construction was 6012 py4j round-trips / ~2.4 s of driver time
+    # per invocation at sf0.1 (guide §5 — the driver should do almost
+    # no work; here it was more than half the query's wall time).
+    fam = prefixed_xxhash64_family(list(range(num_hashes)), F.col("__sh"))
+    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(fam)]
     # persist the signatures too: the banding self-join's left and
     # right sides are different projections of this frame, so without
     # a cache the 64-hash aggregation — the pipeline's most expensive
     # stage — executes twice (the subtree is not exchange-reusable).
     # docs × 64 longs: corpus-row-sized, far smaller than the corpus.
     sig = sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs).persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col(f"h{b * r + i}") for i in range(r)]).alias("bh"),
+    # one SQL parse instead of bands × (struct+lit+hash+aliases) py4j
+    # expression builds (~0.6 s of driver time at bands=16); SQL
+    # ``hash(...)`` is the same Murmur3(seed=42) as ``F.hash``
+    band_structs = F.expr(
+        "array("
+        + ",".join(
+            "struct({b} as band, hash({cols}) as bh)".format(
+                b=b,
+                cols=",".join(f"h{b * r + i}" for i in range(r)),
             )
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     bucketed = sig.select(
         F.col(id_col).alias("__id"), F.explode(band_structs).alias("bb")

@@ -86,6 +86,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- python interchange is always Arrow-batched ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-call call-site capture (PySparkCurrentOrigin) costs
+        # several driver py4j round-trips on EVERY DataFrame method —
+        # profiled at ~30% of complex queries' plan-build time (guide
+        # §5: the driver should do almost no work). It only enriches
+        # error messages with user line numbers; off in production.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # --- broadcast small dims aggressively (dims here are tiny;
         #     at 100 TB the 64 MB threshold still only catches true dims) ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -82,6 +82,25 @@ def test_prefixed_xxhash64_bit_identical(spark):
     assert bad == 0
 
 
+def test_prefixed_xxhash64_family_bit_identical(spark):
+    """The bulk family builder (r14: one resolved JVM handle set for
+    all 64 members instead of ~20 driver round-trips each) must equal
+    the public two-field form bit-for-bit across the WHOLE family."""
+    from pg_lakehouse_spark.functions.hashing import (
+        prefixed_xxhash64_family,
+    )
+
+    base = spark.range(2000).select(
+        F.xxhash64(F.concat(F.lit("sh-"), F.col("id"))).alias("sh")
+    )
+    fam = prefixed_xxhash64_family(list(range(64)), F.col("sh"))
+    mismatch = None
+    for i, h in enumerate(fam):
+        bad = (F.xxhash64(F.lit(i), F.col("sh")) != h)
+        mismatch = bad if mismatch is None else (mismatch | bad)
+    assert base.filter(mismatch).count() == 0
+
+
 def test_minhash_lsh_leaves_no_stranded_cache(spark, docs):
     """r13 VERDICT #4: the pipeline's two corpus-row-sized persists
     must not outlive the call — the result is materialized and both
