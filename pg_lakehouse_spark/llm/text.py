@@ -94,21 +94,24 @@ def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
     punct_ratio = floor4(punct / F.greatest(n_chars, F.lit(1)))
     stop_ratio4 = floor4(stop_ratio)
-    return (
-        df.withColumn("n_chars_calc", n_chars.cast("long"))
-        .withColumn("n_words", n_words.cast("long"))
-        .withColumn("avg_word_len", floor4(avg_word_len))
-        .withColumn("punct_ratio", punct_ratio)
-        .withColumn("digit_ratio", floor4(digits / F.greatest(n_chars, F.lit(1))))
-        .withColumn("stopword_ratio", stop_ratio4)
-        .withColumn(
-            "quality_score",
-            floor4(
+    # one withColumns call: each chained withColumn re-analyzes the
+    # whole plan and pays its own driver round-trips (r14, guide §5);
+    # no signal references another ADDED column, so one projection is
+    # semantically identical to the chain
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("long"),
+            "n_words": n_words.cast("long"),
+            "avg_word_len": floor4(avg_word_len),
+            "punct_ratio": punct_ratio,
+            "digit_ratio": floor4(digits / F.greatest(n_chars, F.lit(1))),
+            "stopword_ratio": stop_ratio4,
+            "quality_score": floor4(
                 F.least(F.lit(1.0), n_words / F.lit(50.0)) * 0.4
                 + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.3
                 + F.least(F.lit(1.0), stop_ratio4 * 5) * 0.3
             ),
-        )
+        }
     )
 
 
@@ -139,10 +142,14 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                 better, F.struct(cand_hits.alias("h"), cand_lang.alias("l"))
             ).otherwise(best)
     assert best is not None
-    return df.withColumn(
-        "lang_pred",
-        F.when(best.getField("h") > 0, best.getField("l")).otherwise(F.lit("und")),
-    ).withColumn("lang_pred_hits", best.getField("h").cast("long"))
+    return df.withColumns(
+        {
+            "lang_pred": F.when(
+                best.getField("h") > 0, best.getField("l")
+            ).otherwise(F.lit("und")),
+            "lang_pred_hits": best.getField("h").cast("long"),
+        }
+    )
 
 
 def minhash_fingerprint(text: Column, n: int = 3) -> Column:
