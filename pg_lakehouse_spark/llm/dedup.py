@@ -98,44 +98,98 @@ def jaccard_near_duplicates(
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ threshold via inverted index.
+    """Exact n-gram Jaccard pairs ≥ threshold via PREFIX-FILTERED
+    inverted index (AllPairs/PPJoin prefix principle — Bayardo et al.
+    WWW'07, Xiao et al. WWW'08; r14).
 
-    Plan: explode shingles → self-join on shingle (id1 < id2) →
-    count intersections → join per-doc set sizes → filter. The
-    ``max_shingle_df`` cap drops shingles appearing in more than that
-    many docs before the self-join — a boilerplate-shingle (header/
-    footer) in d docs would otherwise emit d² join rows.
+    The naive inverted index self-joins EVERY shingle posting list: a
+    shingle shared by d docs emits d² join rows, so corpus-common
+    shingles make the join output quadratic (measured 84 s at the
+    10× A/B scale, the repo's worst scaling path). Prefix filtering
+    keeps the result EXACT while indexing only each doc's rarest
+    shingles:
 
-    Returns (id1, id2, jaccard) with id1 < id2.
+    - Sort each doc's shingle set by a global total order (document
+      frequency ascending, shingle value as tie-break) — rarest first.
+    - J(A,B) ≥ t forces |A∩B| ≥ t·|A∪B| ≥ t·max(N1,N2) ≥ ceil(t·N1)
+      (N = full set size), so a qualifying pair MUST share a shingle
+      among A's first n1 − ceil(t·N1) + 1 sorted shingles (prefix
+      principle; per-doc bounds are each ≤ the pair's max bound, so
+      per-doc prefixes are supersets of the shared-element guarantee's
+      prefixes — no false negatives).
+    - Candidates = docs sharing a PREFIX shingle; corpus-common
+      shingles sort LAST and fall outside every prefix, so their d²
+      blowup disappears. Each candidate pair verifies exactly via
+      ``array_intersect`` over the full (rare-filtered) sets.
+
+    The ``max_shingle_df`` cap keeps its r12 semantics: shingles in
+    more than that many docs are dropped from the INTERSECTION while
+    set sizes stay full-set sizes.
+
+    Returns (id1, id2, jaccard) with id1 < id2 — byte-identical to the
+    naive formulation (asserted in tests at 3 scale factors and on a
+    randomized corpus).
     """
-    # per-doc set sizes come from the shingle ARRAY (map-only —
-    # size(distinct array)) instead of re-aggregating the exploded
-    # rows: one corpus-wide shuffle fewer (r13; same move as the
-    # minhash pipeline)
     arr = F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
     base = df.select(F.col(id_col).alias("__id"), arr.alias("__arr"))
-    sizes = base.select("__id", F.size("__arr").alias("__n"))
-    sh = base.select("__id", F.explode("__arr").alias("__sh"))
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("__sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_shingle_df)
-            .select("__sh")
-        )
-        sh = sh.join(rare, "__sh")
-    a = sh.select(F.col("__id").alias("id1"), F.col("__sh").alias("__sh"))
-    b = sh.select(F.col("__id").alias("id2"), F.col("__sh").alias("__sh"))
-    inter = (
-        a.join(b, (a["__sh"] == b["__sh"]) & (F.col("id1") < F.col("id2")))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("__i"))
+    # full set size rides along through the explode (the jaccard
+    # denominator uses FULL sizes even when the cap filters the
+    # intersection — pre-r14 semantics)
+    sh = base.select(
+        "__id", F.explode("__arr").alias("__sh"), F.size("__arr").alias("__N")
     )
-    sa = sizes.select(F.col("__id").alias("id1"), F.col("__n").alias("__n1"))
-    sb = sizes.select(F.col("__id").alias("id2"), F.col("__n").alias("__n2"))
+    freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_df is not None:
+        freq = freq.filter(F.col("__df") <= max_shingle_df)
+    # rarest-first per-doc arrays: (df asc, shingle asc) is a global
+    # total order; the inner join drops capped shingles
+    docs_sorted = (
+        sh.join(freq, "__sh")
+        .groupBy("__id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "__sh"))
+            ).alias("__fs"),
+            F.first("__N").alias("__N"),
+        )
+        .select(
+            "__id",
+            F.transform("__fs", lambda s: s["__sh"]).alias("__arr"),
+            "__N",
+        )
+    )
+    # ceil(t·N) with a tiny downward epsilon: IEEE t·N can land just
+    # above an integer (e.g. 0.1*30); erring SMALLER lengthens the
+    # prefix — more candidates, never a missed pair
+    alpha = F.ceil(F.lit(threshold) * F.col("__N") - F.lit(1e-9))
+    pref_len = F.greatest(
+        (F.size("__arr") - alpha + 1).cast("int"), F.lit(0)
+    )
+    pref = docs_sorted.select(
+        "__id", F.explode(F.slice("__arr", 1, pref_len)).alias("__sh")
+    )
+    cand = (
+        pref.select(F.col("__id").alias("id1"), "__sh")
+        .join(pref.select(F.col("__id").alias("id2"), "__sh"), "__sh")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    a = docs_sorted.select(
+        F.col("__id").alias("id1"),
+        F.col("__arr").alias("__a1"),
+        F.col("__N").alias("__n1"),
+    )
+    b = docs_sorted.select(
+        F.col("__id").alias("id2"),
+        F.col("__arr").alias("__a2"),
+        F.col("__N").alias("__n2"),
+    )
+    inter = F.size(F.array_intersect(F.col("__a1"), F.col("__a2")))
     return (
-        inter.join(sa, "id1")
-        .join(sb, "id2")
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .withColumn("__i", inter)
         .withColumn(
             "jaccard",
             F.col("__i") / (F.col("__n1") + F.col("__n2") - F.col("__i")),
